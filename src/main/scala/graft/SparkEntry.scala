@@ -1,13 +1,116 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps operator-inventory entries (SURVEY.md §2) to runnable
+  * DataFrame builders over a scale-factor dir; `oracleSql` holds the DuckDB
+  * equivalent for hash-verification. Column names/aliases match between the
+  * two by construction (driver sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Mirror of the reference's county-vote pivot→ratio chain
+    * (01_DataMerge.R:69-89): fact ⨝ broadcast dims → pivot → ratio. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.pivotRatio(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pivot_ratio"       -> (Relational.pivotRatio _),
+    "q_agg_sum"           -> (Relational.aggSum _),
+    "q_group_mean_having" -> (Relational.groupMeanHaving _),
+    "q_minmax"            -> (Relational.minMax _),
+    "q_distinct"          -> (Relational.distinctPairs _),
+    "q_freq_table"        -> (Relational.freqTable _),
+    "q_histogram"         -> (Relational.histogram _),
+    "q_zscore"            -> (Relational.zscore _),
+    "q_metrics"           -> (Relational.metrics _),
+    "q_na_profile"        -> (Relational.naProfileEvents _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_pivot_ratio" ->
+      """WITH j AS (
+        |  SELECT n.n_name, o.o_orderpriority,
+        |         CAST(o.o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |), piv AS (
+        |  SELECT n_name,
+        |    COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN p END),
+        |             CAST(0 AS DECIMAL(18,2))) AS urgent,
+        |    COALESCE(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN p END),
+        |             CAST(0 AS DECIMAL(18,2))) AS high,
+        |    COALESCE(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN p END),
+        |             CAST(0 AS DECIMAL(18,2))) AS low
+        |  FROM j GROUP BY n_name
+        |)
+        |SELECT n_name, urgent, high, low,
+        |  CASE WHEN urgent + high = 0 THEN NULL
+        |       ELSE ROUND(CAST(urgent AS DOUBLE) / CAST(urgent + high AS DOUBLE), 6)
+        |  END AS ratio
+        |FROM piv ORDER BY n_name""".stripMargin,
+    "q_agg_sum" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS sum_disc_price,
+        |  ROUND(AVG(l_discount), 6) AS avg_disc,
+        |  COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_group_mean_having" ->
+      """SELECT n.n_name, c.c_mktsegment, COUNT(*) AS cnt,
+        |  ROUND(AVG(o.o_totalprice), 4) AS avg_price
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name, c.c_mktsegment
+        |HAVING COUNT(*) > 10
+        |ORDER BY n_name, c_mktsegment""".stripMargin,
+    "q_minmax" ->
+      """SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  min(CAST(l_extendedprice AS DECIMAL(18,2))) AS min_price,
+        |  max(CAST(l_extendedprice AS DECIMAL(18,2))) AS max_price
+        |FROM lineitem""".stripMargin,
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_freq_table" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE) /
+        |        (SELECT CAST(COUNT(*) AS DOUBLE) FROM events), 6) AS share
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(FLOOR(value / 50) AS BIGINT) AS bucket, COUNT(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_zscore" ->
+      """WITH s AS (SELECT AVG(c_acctbal) AS mu, STDDEV_SAMP(c_acctbal) AS sigma
+        |           FROM customer)
+        |SELECT c_custkey, ROUND((c_acctbal - mu) / sigma, 6) AS z
+        |FROM customer, s ORDER BY c_custkey""".stripMargin,
+    "q_metrics" ->
+      """SELECT
+        |  ROUND(SQRT(AVG(POW(l_extendedprice * (1 - l_discount) - l_extendedprice, 2))), 4) AS rmse,
+        |  ROUND(POW(CORR(l_extendedprice * (1 - l_discount), l_extendedprice), 2), 6) AS r2,
+        |  COUNT(*) AS n
+        |FROM lineitem""".stripMargin,
+    "q_na_profile" ->
+      """SELECT
+        |  ROUND(AVG(CASE WHEN event_id IS NULL THEN 1.0 ELSE 0.0 END), 6) AS na_frac_event_id,
+        |  ROUND(AVG(CASE WHEN ts IS NULL THEN 1.0 ELSE 0.0 END), 6) AS na_frac_ts,
+        |  ROUND(AVG(CASE WHEN user_id IS NULL THEN 1.0 ELSE 0.0 END), 6) AS na_frac_user_id,
+        |  ROUND(AVG(CASE WHEN event_type IS NULL THEN 1.0 ELSE 0.0 END), 6) AS na_frac_event_type,
+        |  ROUND(AVG(CASE WHEN value IS NULL THEN 1.0 ELSE 0.0 END), 6) AS na_frac_value,
+        |  ROUND(AVG(CASE WHEN props IS NULL THEN 1.0 ELSE 0.0 END), 6) AS na_frac_props
+        |FROM events""".stripMargin,
+  )
 }

@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Core relational operator surface (SURVEY.md §2.2–§2.4, §2.6–§2.8).
+  *
+  * Each query re-expresses one operator family of the reference R pipeline
+  * over the driver testdata tables. The reference's fact table (3M car
+  * listings) maps to `orders`/`lineitem`; its county/state dimensions map to
+  * `customer`/`nation`/`region`; its party pivot category maps to
+  * `o_orderpriority`/`event_type`.
+  *
+  * Scale notes (100 TB discipline):
+  *  - dimension joins are broadcast (`broadcast(nation)`) — no shuffle of the
+  *    fact side;
+  *  - aggregations are partial (map-side combine) by construction —
+  *    `groupBy.agg` lowers to HashAggregate(partial) → shuffle → final;
+  *  - money sums are done in DECIMAL(18,2): exact, order-independent, so
+  *    results are identical regardless of partitioning/parallelism (a double
+  *    sum would drift with partition count);
+  *  - every query ends in a small (grouped) result; no unbounded collect.
+  */
+object Relational {
+
+  private val dec = DecimalType(18, 2)
+
+  /** Money column as exact decimal — order-independent sums at any DOP. */
+  private def money(c: Column): Column = c.cast(dec)
+
+  // ---------------------------------------------------------------------
+  // Flagship: pivot → ratio (A2 + P1 + P4 + J1; reference 01_DataMerge.R:69-89)
+  // Party votes per county → pivot → DemRepRatio, re-expressed as order value
+  // per nation by priority → pivot → urgent/(urgent+high) ratio.
+  // ---------------------------------------------------------------------
+  val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  def pivotRatio(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val zero = lit(0).cast(dec)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .pivot("o_orderpriority", priorities)
+      .agg(sum(money(col("o_totalprice"))))
+      .select(
+        col("n_name"),
+        coalesce(col("`1-URGENT`"), zero).as("urgent"),
+        coalesce(col("`2-HIGH`"), zero).as("high"),
+        coalesce(col("`5-LOW`"), zero).as("low"))
+      .withColumn("ratio",
+        round(col("urgent").cast(DoubleType) /
+          (col("urgent") + col("high")).cast(DoubleType), 6))
+      .orderBy("n_name")
+  }
+
+  // ---------------------------------------------------------------------
+  // A1: group-by sum over the fact table (reference 01_DataMerge.R:69-72),
+  // shaped like TPC-H Q1. Partial aggregation + decimal sums.
+  // ---------------------------------------------------------------------
+  def aggSum(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(money(col("l_quantity"))).as("sum_qty"),
+        sum(money(col("l_extendedprice"))).as("sum_price"),
+        // decimal × decimal: exact arithmetic, so the sum is identical in any
+        // engine / partition order (a per-row double→decimal cast of the
+        // product would round differently across engines)
+        // kept at the product's natural scale-4: no rounding anywhere, so no
+        // engine-specific tie-breaking
+        sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
+          .cast(DecimalType(28, 4)).as("sum_disc_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // ---------------------------------------------------------------------
+  // A3+A4+A5: grouped count + mean with HAVING gate (reference
+  // 03_LinearRegression.R:133-145 — county aggregation, ≥100 listings).
+  // Single pass: count and avg in one agg, then post-filter.
+  // ---------------------------------------------------------------------
+  def groupMeanHaving(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val o = Tables.orders(spark, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"), col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(avg(col("o_totalprice")), 4).as("avg_price"))
+      .where(col("cnt") > 10)
+      .orderBy("n_name", "c_mktsegment")
+  }
+
+  /** A8: min/max range profile (reference 02_DataCleaning.R:142). */
+  def minMax(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(
+      min(col("l_quantity")).as("min_qty"),
+      max(col("l_quantity")).as("max_qty"),
+      min(money(col("l_extendedprice"))).as("min_price"),
+      max(money(col("l_extendedprice"))).as("max_price"))
+
+  /** A9: distinct (reference 03_LinearRegression.R:152). */
+  def distinctPairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // ---------------------------------------------------------------------
+  // A7 + F12 groundwork: category frequency table (reference
+  // 02_DataCleaning.R:243). Single agg + scalar subquery-free share via a
+  // window over the (tiny) grouped result — the window runs on the grouped
+  // rows, not the fact table, so it's cheap at any scale.
+  // ---------------------------------------------------------------------
+  def freqTable(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grouped = Tables.events(spark, dir).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    grouped
+      .withColumn("share",
+        round(col("cnt").cast(DoubleType) /
+          sum(col("cnt")).over(Window.partitionBy()), 6))
+      .orderBy("event_type")
+  }
+
+  /** A11: histogram binning (reference 02_DataCleaning.R:202-227). */
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(floor(col("value") / 50).cast(LongType).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket")
+
+  // ---------------------------------------------------------------------
+  // A12: z-score scaling (reference 03_LinearRegression.R:29-34). Global
+  // (μ,σ) via a single-row aggregate broadcast back over the rows — at scale
+  // this is one reduce + a map, no per-row shuffle.
+  // ---------------------------------------------------------------------
+  def zscore(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val stats = c.agg(
+      avg(col("c_acctbal")).as("mu"),
+      stddev_samp(col("c_acctbal")).as("sigma"))
+    c.crossJoin(broadcast(stats))
+      .select(
+        col("c_custkey"),
+        round((col("c_acctbal") - col("mu")) / col("sigma"), 6).as("z"))
+      .orderBy("c_custkey")
+  }
+
+  /** A10/M13: global metric aggregates — RMSE, R² via corr (reference
+    * 05_OutcomeAndVisualization.R:49-59). */
+  def metrics(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("p", col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .withColumn("a", col("l_extendedprice"))
+    li.agg(
+      round(sqrt(avg(pow(col("p") - col("a"), 2))), 4).as("rmse"),
+      round(pow(corr(col("p"), col("a")), 2), 6).as("r2"),
+      count(lit(1)).as("n"))
+  }
+
+  // ---------------------------------------------------------------------
+  // A6/P6: per-column NA-fraction profile (reference 02_DataCleaning.R:38-47).
+  // Data-driven: column list comes from the schema, one single-pass agg.
+  // ---------------------------------------------------------------------
+  def naProfile(df: DataFrame): DataFrame = {
+    val aggs = df.columns.map(c =>
+      round(avg(col(c).isNull.cast(DoubleType)), 6).as(s"na_frac_$c")).toSeq
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  def naProfileEvents(spark: SparkSession, dir: String): DataFrame =
+    naProfile(Tables.events(spark, dir))
+
+  /** Columns whose NA fraction exceeds `threshold` (the reference drops
+    * these, keeping `keep`; 02_DataCleaning.R:41-47). Driver-side decision on
+    * a 1-row aggregate — the data pass is the single agg above. */
+  def columnsToPrune(df: DataFrame, threshold: Double, keep: Set[String]): Seq[String] = {
+    val row = naProfile(df).collect()(0)
+    df.columns.zipWithIndex.collect {
+      case (c, i) if !keep.contains(c) && row.getDouble(i) > threshold => c
+    }.toSeq
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = Tables.localSession("graft-test")
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class RelationalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("entry (flagship pivot-ratio) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("pivot ratio is within [0,1] when both sides non-negative (SURVEY §5.3)") {
+    val rows = SparkEntry.queries("q_pivot_ratio")(spark, sf)
+      .select("ratio").collect().map(_.getDouble(0))
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r >= 0.0 && r <= 1.0))
+  }
+
+  test("zscore has ~zero mean and ~unit variance") {
+    val z = SparkEntry.queries("q_zscore")(spark, sf)
+      .select("z").collect().map(_.getDouble(0))
+    val mu = z.sum / z.length
+    val sd = math.sqrt(z.map(x => (x - mu) * (x - mu)).sum / (z.length - 1))
+    assert(math.abs(mu) < 1e-6)
+    assert(math.abs(sd - 1.0) < 1e-3)
+  }
+
+  test("freq table shares sum to ~1") {
+    val s = SparkEntry.queries("q_freq_table")(spark, sf)
+      .select("share").collect().map(_.getDouble(0)).sum
+    assert(math.abs(s - 1.0) < 1e-4)
+  }
+
+  test("every query declared in queries runs and every oracle key exists") {
+    SparkEntry.oracleSql.keys.foreach { k =>
+      assert(SparkEntry.queries.contains(k), s"oracle $k has no query")
+    }
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, name)
+      df.count() // must execute
+    }
+  }
+
+  test("group_mean_having respects the HAVING gate") {
+    val cnts = SparkEntry.queries("q_group_mean_having")(spark, "/root/testdata/sf0.01")
+      .select("cnt").collect().map(_.getLong(0))
+    assert(cnts.forall(_ > 10))
+  }
+}
