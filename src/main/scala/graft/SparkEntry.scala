@@ -44,12 +44,12 @@ object SparkEntry {
         |  JOIN nation n ON c.c_nationkey = n.n_nationkey
         |), piv AS (
         |  SELECT n_name,
-        |    COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN p END),
-        |             CAST(0 AS DECIMAL(18,2))) AS urgent,
-        |    COALESCE(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN p END),
-        |             CAST(0 AS DECIMAL(18,2))) AS high,
-        |    COALESCE(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN p END),
-        |             CAST(0 AS DECIMAL(18,2))) AS low
+        |    CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN p END),
+        |             0) AS DECIMAL(28,2)) AS urgent,
+        |    CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN p END),
+        |             0) AS DECIMAL(28,2)) AS high,
+        |    CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN p END),
+        |             0) AS DECIMAL(28,2)) AS low
         |  FROM j GROUP BY n_name
         |)
         |SELECT n_name, urgent, high, low,
@@ -59,8 +59,8 @@ object SparkEntry {
         |FROM piv ORDER BY n_name""".stripMargin,
     "q_agg_sum" ->
       """SELECT l_returnflag, l_linestatus,
-        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
         |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS sum_disc_price,
         |  ROUND(AVG(l_discount), 6) AS avg_disc,

@@ -42,9 +42,10 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** Session defaults shared by tests/tools (Verify/Bench build their own
-    * per the driver contract). 32 shuffle partitions matches local[32];
-    * AQE coalesces/re-plans at runtime — the knob that scales this config
-    * to a real cluster is ONLY the partition count.
+    * per the driver contract). Shuffle partitions = `cores` (default 4 for
+    * tests; pass 32 to match local[32]); AQE coalesces/re-plans at runtime —
+    * the knob that scales this config to a real cluster is ONLY the
+    * partition count.
     */
   def localSession(appName: String, cores: Int = 4): SparkSession = {
     val s = SparkSession.builder()

@@ -42,7 +42,9 @@ object Relational {
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
     val zero = lit(0).cast(dec)
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    // customer is fact-proportional (grows with SF): shuffled join, AQE picks
+    // the algorithm; only bounded dims (nation: 25 rows) are broadcast.
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
       .pivot("o_orderpriority", priorities)
@@ -53,8 +55,11 @@ object Relational {
         coalesce(col("`2-HIGH`"), zero).as("high"),
         coalesce(col("`5-LOW`"), zero).as("low"))
       .withColumn("ratio",
-        round(col("urgent").cast(DoubleType) /
-          (col("urgent") + col("high")).cast(DoubleType), 6))
+        // guard the zero denominator: ANSI mode (Spark 4 default) throws
+        // DIVIDE_BY_ZERO where the oracle's CASE WHEN yields NULL
+        when(col("urgent") + col("high") === lit(0).cast(dec), lit(null))
+          .otherwise(round(col("urgent").cast(DoubleType) /
+            (col("urgent") + col("high")).cast(DoubleType), 6)))
       .orderBy("n_name")
   }
 
@@ -88,7 +93,9 @@ object Relational {
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
     val o = Tables.orders(spark, dir)
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    // shuffled join on o_custkey (customer grows with SF; broadcast would OOM
+    // at the 100 TB design point) — AQE selects SMJ/shuffled-hash at runtime
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"), col("c_mktsegment"))
       .agg(
@@ -147,11 +154,12 @@ object Relational {
     val stats = c.agg(
       avg(col("c_acctbal")).as("mu"),
       stddev_samp(col("c_acctbal")).as("sigma"))
+    // no Spark-side sort: the driver (and check_oracle.py) sort rows before
+    // hashing, so a global range-shuffle of the widest output buys nothing
     c.crossJoin(broadcast(stats))
       .select(
         col("c_custkey"),
         round((col("c_acctbal") - col("mu")) / col("sigma"), 6).as("z"))
-      .orderBy("c_custkey")
   }
 
   /** A10/M13: global metric aggregates — RMSE, R² via corr (reference

@@ -37,12 +37,25 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            exp = con.execute(sql).fetch_arrow_table().to_pylist()
-            got = con.execute(
+            exp_t = con.execute(sql).fetch_arrow_table()
+            got_t = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'"
-            ).fetch_arrow_table().to_pylist()
+            ).fetch_arrow_table()
+            exp, got = exp_t.to_pylist(), got_t.to_pylist()
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
+            n_fail += 1
+            continue
+        # The driver's hash covers the PHYSICAL type (decimal precision etc.),
+        # not just values — compare arrow schemas (sorted by field name) too,
+        # or value-equal-but-type-drifted results slip through here and fail
+        # the driver gate.
+        exp_schema = sorted((f.name, str(f.type)) for f in exp_t.schema)
+        got_schema = sorted((f.name, str(f.type)) for f in got_t.schema)
+        if exp_schema != got_schema:
+            print(f"FAIL {name}: arrow schema mismatch")
+            print(f"    oracle: {exp_schema}")
+            print(f"    spark : {got_schema}")
             n_fail += 1
             continue
         def canon(rows):
