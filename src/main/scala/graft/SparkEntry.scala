@@ -30,6 +30,18 @@ object SparkEntry {
     "q_zscore"            -> (Relational.zscore _),
     "q_metrics"           -> (Relational.metrics _),
     "q_na_profile"        -> (Relational.naProfileEvents _),
+    // cleaning / projection surface (SURVEY §2.2)
+    "q_cond_update"       -> (Cleaning.condUpdate _),
+    "q_blank_to_null"     -> (Cleaning.blankToNull _),
+    "q_select_rename"     -> (Cleaning.selectRenameDrop _),
+    "q_schema_cast"       -> (Cleaning.schemaCast _),
+    "q_date_filter"       -> (Cleaning.dateFilter _),
+    "q_outlier_keepnull"  -> (Cleaning.outlierKeepNull _),
+    "q_notnull_filter"    -> (Cleaning.notNullFilter _),
+    "q_na_drop"           -> (Cleaning.naDrop _),
+    "q_null_split"        -> (Cleaning.nullSplit _),
+    "q_limit_slice"       -> (Cleaning.limitSlice _),
+    "q_row_index"         -> (Cleaning.rowIndex _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -112,5 +124,61 @@ object SparkEntry {
         |  ROUND(AVG(CASE WHEN value IS NULL THEN 1.0 ELSE 0.0 END), 6) AS na_frac_value,
         |  ROUND(AVG(CASE WHEN props IS NULL THEN 1.0 ELSE 0.0 END), 6) AS na_frac_props
         |FROM events""".stripMargin,
+    "q_cond_update" ->
+      """SELECT CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 'NONE'
+        |            ELSE o_orderpriority END AS priority_norm,
+        |  COUNT(*) AS cnt
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_blank_to_null" ->
+      """SELECT COUNT(*) AS rows,
+        |  COUNT(NULLIF(text, ''))   AS text_nonnull,
+        |  COUNT(NULLIF(lang, ''))   AS lang_nonnull,
+        |  COUNT(NULLIF(source, '')) AS source_nonnull
+        |FROM documents""".stripMargin,
+    "q_select_rename" ->
+      """SELECT c_custkey AS id, c_name, c_mktsegment AS segment
+        |FROM customer""".stripMargin,
+    "q_schema_cast" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(FLOOR(l_quantity) AS INTEGER) AS qty_int,
+        |  CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec,
+        |  CAST(l_shipdate AS DATE) AS ship_date,
+        |  LOWER(l_returnflag) AS flag_lc
+        |FROM lineitem""".stripMargin,
+    "q_date_filter" ->
+      """SELECT o_orderpriority, COUNT(*) AS cnt,
+        |  CAST(MIN(o_orderdate) AS DATE) AS min_date,
+        |  CAST(MAX(o_orderdate) AS DATE) AS max_date
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_outlier_keepnull" ->
+      """WITH e AS (SELECT event_type,
+        |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value2
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS cnt, COUNT(value2) AS nonnull_cnt
+        |FROM e WHERE value2 < 100 OR value2 IS NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_notnull_filter" ->
+      """WITH e AS (SELECT event_type,
+        |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value2
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS cnt
+        |FROM e WHERE value2 IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_na_drop" ->
+      """SELECT COUNT(*) AS rows_kept FROM events
+        |WHERE event_id % 7 <> 0 AND event_id % 11 <> 0""".stripMargin,
+    "q_null_split" ->
+      """SELECT (CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END) IS NULL
+        |         AS is_forecast,
+        |  COUNT(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_limit_slice" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |ORDER BY c_custkey LIMIT 100""".stripMargin,
+    "q_row_index" ->
+      """SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) AS BIGINT) AS idx,
+        |  c_custkey, c_mktsegment
+        |FROM (SELECT * FROM customer ORDER BY c_custkey LIMIT 200)""".stripMargin,
   )
 }
