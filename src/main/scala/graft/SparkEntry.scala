@@ -42,6 +42,17 @@ object SparkEntry {
     "q_null_split"        -> (Cleaning.nullSplit _),
     "q_limit_slice"       -> (Cleaning.limitSlice _),
     "q_row_index"         -> (Cleaning.rowIndex _),
+    // string/date function surface (SURVEY §2.8)
+    "q_string_extract"    -> (Strings.stringExtract _),
+    "q_date_parse"        -> (Strings.dateParse _),
+    // joins / sets / windows / top-k (SURVEY §2.3, §2.5-§2.7)
+    "q_left_join"         -> (Joins.leftJoin _),
+    "q_left_join_distinct"-> (Joins.leftJoinDistinct _),
+    "q_union"             -> (Joins.unionAll _),
+    "q_ntile"             -> (Joins.ntileDecile _),
+    "q_topk"              -> (Joins.topK _),
+    // categorical estimator (SURVEY §2.8 F12)
+    "q_rare_other"        -> (RareCategory.query _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -180,5 +191,74 @@ object SparkEntry {
       """SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) AS BIGINT) AS idx,
         |  c_custkey, c_mktsegment
         |FROM (SELECT * FROM customer ORDER BY c_custkey LIMIT 200)""".stripMargin,
+    "q_string_extract" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_name, p_brand,
+        |    CASE
+        |      WHEN p_partkey % 3 = 0 THEN
+        |        CONCAT(CAST(p_size * 10 AS VARCHAR), ' hp @ ',
+        |               format('{:,}', 1000 + (p_partkey % 50) * 100), ' RPM')
+        |      WHEN p_partkey % 3 = 1 THEN
+        |        CONCAT(CAST(p_size * 10 AS VARCHAR), ' hp')
+        |      ELSE 'N/A' END AS power_str
+        |  FROM part)
+        |SELECT p_partkey, power_str,
+        |  TRY_CAST(string_split(power_str, ' ')[1] AS DOUBLE) AS hp,
+        |  TRY_CAST(replace(list_extract(string_split(power_str, ' '), 4),
+        |                   ',', '') AS DOUBLE) AS rpm,
+        |  LOWER(CONCAT(p_brand, ':', string_split(p_name, ' ')[1])) AS label
+        |FROM p""".stripMargin,
+    "q_date_parse" ->
+      """WITH o AS (
+        |  SELECT o_totalprice,
+        |    CAST(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d')
+        |         AS DATE) AS parsed
+        |  FROM orders)
+        |SELECT COUNT(*) AS cnt, MIN(parsed) AS min_d, MAX(parsed) AS max_d,
+        |  ROUND(AVG(o_totalprice), 4) AS avg_price
+        |FROM o WHERE parsed > DATE '2000-06-15'""".stripMargin,
+    "q_left_join" ->
+      """SELECT c.c_mktsegment AS segment, COUNT(*) AS cnt,
+        |  COUNT(c.c_custkey) AS matched
+        |FROM orders o
+        |LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer
+        |           WHERE c_acctbal > 5000) c
+        |  ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_left_join_distinct" ->
+      """SELECT DISTINCT l.l_suppkey, l.l_returnflag, s.s_name
+        |FROM lineitem l
+        |LEFT JOIN (SELECT s_suppkey, s_name FROM supplier
+        |           WHERE s_acctbal > 0) s
+        |  ON l.l_suppkey = s.s_suppkey""".stripMargin,
+    "q_union" ->
+      """SELECT c_mktsegment AS key, COUNT(*) AS cnt, 'customer' AS src
+        |FROM customer GROUP BY 1
+        |UNION ALL
+        |SELECT o_orderpriority, COUNT(*), 'orders'
+        |FROM orders GROUP BY 1
+        |ORDER BY src, key""".stripMargin,
+    "q_ntile" ->
+      """WITH d AS (
+        |  SELECT c_acctbal,
+        |    NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+        |  FROM customer)
+        |SELECT decile, COUNT(*) AS cnt,
+        |  ROUND(MIN(c_acctbal), 2) AS lo, ROUND(MAX(c_acctbal), 2) AS hi
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_topk" ->
+      """SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
+        |FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 15""".stripMargin,
+    "q_rare_other" ->
+      """WITH freq AS (
+        |  SELECT source,
+        |    CAST(COUNT(*) AS DOUBLE) /
+        |      (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS share
+        |  FROM documents GROUP BY 1)
+        |SELECT CASE WHEN f.share >= 0.045 THEN d.source
+        |            ELSE 'Other' END AS source2,
+        |  COUNT(*) AS cnt
+        |FROM documents d JOIN freq f ON d.source = f.source
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Join / set / window / top-k surface (SURVEY.md §2.3, §2.5–§2.7:
+  * J1–J4, U1, W1–W2, O1–O3).
+  *
+  * The reference's enrichment joins are LEFT (01_DataMerge.R:131-132) — its
+  * county dimension is missing keys for many listings, so null propagation
+  * through the join is load-bearing. The testdata dimensions are complete,
+  * so each left join here filters its build side first (acctbal gates),
+  * guaranteeing unmatched probe rows and a NULL group in the output.
+  *
+  * Scale notes: build sides are filtered dimensions (bounded) → broadcast;
+  * the probe (fact) side never shuffles for the join. The global-window ops
+  * (ntile/top-k) are presentation ops over small/aggregated inputs — top-k
+  * uses orderBy+limit which Spark executes as TakeOrderedAndProject (per
+  * -partition top-k + driver merge, no global sort shuffle).
+  */
+object Joins {
+
+  /** J1/J2: left equi-join against a deliberately incomplete dimension
+    * (reference 01_DataMerge.R:131-132); unmatched orders land in the NULL
+    * segment group. */
+  def leftJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val rich = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 5000)
+      .select("c_custkey", "c_mktsegment")
+    o.join(broadcast(rich), o("o_custkey") === rich("c_custkey"), "left")
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("cnt"),
+           count(col("c_custkey")).as("matched"))
+      .orderBy("segment")
+  }
+
+  /** J3: left join on a composite key + distinct (reference
+    * 03_LinearRegression.R:149-152 — fact has millions of duplicate keys,
+    * dedup AFTER the join). */
+  def leftJoinDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_suppkey", "l_returnflag")
+    val s = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") > 0)
+      .select(col("s_suppkey"), col("s_name"))
+    li.join(broadcast(s), li("l_suppkey") === s("s_suppkey"), "left")
+      .select(col("l_suppkey"), col("l_returnflag"), col("s_name"))
+      .distinct()
+  }
+
+  /** U1: union all by name (reference 05_OutcomeAndVisualization.R:183 —
+    * observed ∪ forecast ratio tables). */
+  def unionAll(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.customer(spark, dir)
+      .groupBy(col("c_mktsegment").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("src", lit("customer"))
+    val b = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("src", lit("orders"))
+    a.unionByName(b).orderBy("src", "key")
+  }
+
+  /** W1: decile binning via ntile (reference 05:129-130). Total order is
+    * pinned with the unique key so tile assignment is deterministic. The
+    * global window runs over the (small) presentation result — the grouped
+    * profile keeps the output bounded. */
+  def ntileDecile(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy("c_acctbal", "c_custkey"))
+          .cast(LongType))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("cnt"),
+           round(min("c_acctbal"), 2).as("lo"),
+           round(max("c_acctbal"), 2).as("hi"))
+      .orderBy("decile")
+
+  /** O2+O3: top-k by sort desc + limit (reference 04_1:330-331,343-345 —
+    * top-15 feature importances). Executes as TakeOrderedAndProject. */
+  def topK(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .orderBy(desc("c_acctbal"), asc("c_custkey"))
+      .limit(15)
+      .select(col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"))
+}

@@ -127,13 +127,16 @@ object Relational {
   // rows, not the fact table, so it's cheap at any scale.
   // ---------------------------------------------------------------------
   def freqTable(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // 1-row total agg broadcast back over the grouped result (same idiom as
+    // zscore) — avoids the empty-frame WindowExec single-partition path
     val grouped = Tables.events(spark, dir).groupBy(col("event_type"))
       .agg(count(lit(1)).as("cnt"))
-    grouped
-      .withColumn("share",
-        round(col("cnt").cast(DoubleType) /
-          sum(col("cnt")).over(Window.partitionBy()), 6))
+    val total = grouped.agg(sum(col("cnt")).as("total"))
+    grouped.crossJoin(broadcast(total))
+      .select(
+        col("event_type"), col("cnt"),
+        round(col("cnt").cast(DoubleType) / col("total").cast(DoubleType), 6)
+          .as("share"))
       .orderBy("event_type")
   }
 

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** String / date scalar-function surface (SURVEY.md §2.8: F1–F6, F9–F10).
+  *
+  * Mirrors the reference's hp/RPM extraction from `power` strings like
+  * "252 hp @ 5,600 RPM" (02_DataCleaning.R:149-182): split → first token →
+  * numeric; null-safe 4th token → comma strip → numeric. The testdata has no
+  * such column, so the power string is synthesized deterministically from
+  * part columns with three shapes (full / short / unparseable) keyed on
+  * `p_partkey % 3`, so every extraction branch (present, missing-token,
+  * failed-cast) is exercised and oracle-checked.
+  *
+  * ANSI-mode discipline (Spark 4 default): `try_element_at` for the
+  * out-of-bounds token (plain `element_at` throws), `try_cast` for the
+  * null-on-fail numeric parse (plain cast throws) — these match R's
+  * tryCatch/as.numeric semantics AND DuckDB's list_extract/TRY_CAST.
+  */
+object Strings {
+
+  /** The synthetic power column: "<hp> hp @ <r,pm> RPM" | "<hp> hp" | "N/A". */
+  private def withPowerStr(df: DataFrame): DataFrame =
+    df.withColumn("power_str",
+      when(col("p_partkey") % 3 === 0,
+        concat(
+          (col("p_size") * 10).cast(StringType), lit(" hp @ "),
+          format_number(lit(1000) + (col("p_partkey") % 50) * 100, 0),
+          lit(" RPM")))
+      .when(col("p_partkey") % 3 === 1,
+        concat((col("p_size") * 10).cast(StringType), lit(" hp")))
+      .otherwise(lit("N/A")))
+
+  /** F1+F2+F3+F4+F5+F10: composite string-extraction projection. */
+  def stringExtract(spark: SparkSession, dir: String): DataFrame = {
+    val p = withPowerStr(Tables.part(spark, dir))
+    p.select(
+      col("p_partkey"),
+      col("power_str"),
+      // F2+F5: first token → double (null on parse failure, like as.numeric)
+      expr("try_cast(split(power_str, ' ')[0] AS DOUBLE)").as("hp"),
+      // F3+F4+F5: null-safe 4th token → strip thousands comma → double
+      expr("try_cast(regexp_replace(try_element_at(split(power_str, ' '), 4)," +
+        " ',', '') AS DOUBLE)").as("rpm"),
+      // F1+F10: lower + concat key normalization
+      lower(concat(col("p_brand"), lit(":"),
+        split(col("p_name"), " ").getItem(0))).as("label"))
+  }
+
+  /** F6: to_date round-trip + date comparison (reference
+    * 02_DataCleaning.R:122-139): format → parse → predicate. F9: round. */
+  def dateParse(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("date_str", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      .withColumn("parsed", to_date(col("date_str"), "yyyy-MM-dd"))
+      .filter(col("parsed") > lit("2000-06-15").cast(DateType))
+      .agg(
+        count(lit(1)).as("cnt"),
+        min("parsed").as("min_d"),
+        max("parsed").as("max_d"),
+        round(avg(col("o_totalprice")), 4).as("avg_price"))
+}

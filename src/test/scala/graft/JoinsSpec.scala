@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.RareCategory
+import org.scalatest.funsuite.AnyFunSuite
+
+class JoinsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("J1 left join keeps unmatched probe rows (NULL segment group exists)") {
+    val rows = SparkEntry.queries("q_left_join")(spark, sf).collect()
+    val nullGroup = rows.filter(_.isNullAt(0))
+    assert(nullGroup.length === 1, "expected a NULL-segment group")
+    assert(nullGroup(0).getAs[Long]("matched") === 0)
+    // total across groups = all orders (left join drops nothing)
+    assert(rows.map(_.getAs[Long]("cnt")).sum === Tables.orders(spark, sf).count())
+  }
+
+  test("U1 union row count = sum of the parts (SURVEY §5.3)") {
+    val u = SparkEntry.queries("q_union")(spark, sf)
+    val perSrc = u.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSrc("customer") ===
+      Tables.customer(spark, sf).select("c_mktsegment").distinct().count())
+    assert(perSrc("orders") ===
+      Tables.orders(spark, sf).select("o_orderpriority").distinct().count())
+  }
+
+  test("W1 ntile assigns near-equal bucket sizes covering all rows") {
+    val d = SparkEntry.queries("q_ntile")(spark, sf).collect()
+    val total = Tables.customer(spark, sf).count()
+    assert(d.map(_.getAs[Long]("cnt")).sum === total)
+    assert(d.length === 10)
+    val sizes = d.map(_.getAs[Long]("cnt"))
+    assert(sizes.max - sizes.min <= 1)
+  }
+
+  test("O3 top-k is ordered desc and sized k") {
+    val t = SparkEntry.queries("q_topk")(spark, sf)
+      .collect().map(_.getAs[Double]("acctbal"))
+    assert(t.length === 15)
+    assert(t.toSeq === t.sorted(Ordering[Double].reverse).toSeq)
+  }
+
+  test("F12 rare-category model is deterministic and bounded") {
+    val d = Tables.documents(spark, sf)
+    val m1 = RareCategory.fit(d, "source", 0.045)
+    val m2 = RareCategory.fit(d, "source", 0.045)
+    assert(m1.frequent.sorted === m2.frequent.sorted)
+    // pigeonhole bound: at most 1/threshold frequent categories
+    assert(m1.frequent.length <= (1 / 0.045).toInt + 1)
+    // transform maps every non-frequent value to Other
+    val out = m1.transform(d).select("source").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(out.subsetOf(m1.frequent.toSet + "Other"))
+  }
+}
