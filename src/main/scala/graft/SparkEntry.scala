@@ -53,6 +53,14 @@ object SparkEntry {
     "q_topk"              -> (Joins.topK _),
     // categorical estimator (SURVEY §2.8 F12)
     "q_rare_other"        -> (RareCategory.query _),
+    // reshape (SURVEY §2.9 M14)
+    "q_melt"              -> (Relational.meltWideToLong _),
+    // ML module (SURVEY §2.9) — model outputs: rows-only driver check
+    "q_ols_forecast"      -> (graft.ml.OlsPipeline.query _),
+    "q_ols_metrics"       -> (graft.ml.OlsPipeline.metricsLong _),
+    "q_rf_importance"     -> (graft.ml.TreePipeline.rfImportance _),
+    "q_gbt_metrics"       -> (graft.ml.TreePipeline.gbtMetrics _),
+    "q_cv_tuning"         -> (graft.ml.TreePipeline.cvBestParams _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -260,5 +268,15 @@ object SparkEntry {
         |  COUNT(*) AS cnt
         |FROM documents d JOIN freq f ON d.source = f.source
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_melt" ->
+      """WITH w AS (
+        |  SELECT l_returnflag,
+        |    ROUND(AVG(l_quantity), 4) AS avg_qty,
+        |    ROUND(AVG(l_extendedprice), 4) AS avg_price
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'avg_qty' AS metric, avg_qty AS value FROM w
+        |UNION ALL
+        |SELECT l_returnflag, 'avg_price', avg_price FROM w
+        |ORDER BY 1, 2""".stripMargin,
   )
 }

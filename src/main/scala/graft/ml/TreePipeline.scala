@@ -1,0 +1,145 @@
+package graft.ml
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.attribute.AttributeGroup
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.feature.{OneHotEncoder, StringIndexer, VectorAssembler}
+import org.apache.spark.ml.regression.{GBTRegressor, RandomForestRegressor}
+import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The reference's tree-ensemble path (04_1_XGB_traintest.R), Spark-first:
+  * one-hot feature matrix → CV random/grid tuning → boosted/bagged trees →
+  * metrics + gain-based feature importances.
+  * (SURVEY.md §2.9: M2, M6, M8, M10, M11, M12, M13; §3.3.)
+  *
+  * XGBoost(dart, hist) has no exact MLlib analogue — per SURVEY §7.3 we
+  * match capability (tuned tree ensembles on the same one-hot features) and
+  * verify via metric thresholds, not tree identity. The repo's namesake
+  * RandomForestRegressor ships alongside GBTRegressor.
+  *
+  * Scale notes: training data is a DETERMINISTIC key-derived sample
+  * (`l_orderkey % k == 0`), not `.sample()` — row membership is independent
+  * of partitioning, so results are stable across cluster layouts. MLlib
+  * trees bin features (maxBins), the analogue of xgboost's
+  * tree_method='hist' (04_1:289); split search is partition-distributed,
+  * which is what replaces the reference's PSOCK process fan-out.
+  */
+object TreePipeline {
+
+  /** M2: label + mixed numeric/categorical features; one-hot via
+    * StringIndexer→OneHotEncoder→VectorAssembler (reference model.matrix,
+    * 04_1:101-102). Sampling keys every `sampleMod`-th order keeps bench
+    * cost flat as SF grows. */
+  def dataset(spark: SparkSession, dir: String, sampleMod: Int): DataFrame =
+    // `% sampleMod === 1` (not 0): residue 0 would intersect the forecast
+    // universe (label NULL at l_orderkey % 10 == 0) and empty the sample
+    OlsPipeline.dataset(spark, dir)
+      .filter(col("label").isNotNull && col("l_orderkey") % sampleMod === 1)
+
+  def featureStages(): Array[org.apache.spark.ml.PipelineStage] = {
+    val idx = new StringIndexer().setInputCol("l_returnflag")
+      .setOutputCol("flag_idx").setHandleInvalid("keep")
+    val ohe = new OneHotEncoder().setInputCol("flag_idx")
+      .setOutputCol("flag_vec").setDropLast(false)
+    val asm = new VectorAssembler()
+      .setInputCols((OlsPipeline.featureCols :+ "flag_vec").toArray)
+      .setOutputCol("features")
+    Array(idx, ohe, asm)
+  }
+
+  /** M11 (RandomForest) + M12: fit on the seeded 75/25 split, emit
+    * gain-based feature importances top-k (04_1:330-331). */
+  def rfImportance(spark: SparkSession, dir: String): DataFrame = {
+    val ds = dataset(spark, dir, sampleMod = 9)
+    val Array(train, _) = ds.randomSplit(Array(0.75, 0.25), seed = 123)
+    val rf = new RandomForestRegressor()
+      .setFeaturesCol("features").setLabelCol("label")
+      .setNumTrees(20).setMaxDepth(6).setSeed(123)
+    val pipe = new Pipeline().setStages(featureStages() :+ rf)
+    val model = pipe.fit(train)
+    val fitted = model.stages.last.asInstanceOf[
+      org.apache.spark.ml.regression.RandomForestRegressionModel]
+    val names = featureNames(model.transform(train.limit(1)))
+    val spark2 = spark
+    import spark2.implicits._
+    fitted.featureImportances.toArray.zipWithIndex
+      .map { case (imp, i) => (names(i), imp) }
+      .toSeq.toDF("feature", "importance")
+      .orderBy(desc("importance"), asc("feature"))
+      .limit(10)
+      .select(col("feature"), round(col("importance"), 4).as("importance"))
+  }
+
+  /** M10+M11 (GBT): boosted trees with early stopping via a validation
+    * split (reference early_stopping_rounds=50, 04_1:287) + M13 metrics. */
+  def gbtMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val ds = dataset(spark, dir, sampleMod = 15)
+    val Array(train, test) = ds.randomSplit(Array(0.75, 0.25), seed = 123)
+    val gbt = new GBTRegressor()
+      .setFeaturesCol("features").setLabelCol("label")
+      .setMaxIter(20).setMaxDepth(4).setStepSize(0.2).setSeed(123)
+      .setValidationIndicatorCol("is_val")
+    val trainVal = train.withColumn("is_val", col("l_orderkey") % 4 === 1)
+    val pipe = new Pipeline().setStages(featureStages() :+ gbt)
+    val model = pipe.fit(trainVal)
+    // one scoring pass + one joint agg per split (not a job per metric);
+    // R² as cor(a,p)² matches the reference's formula (05:49-59)
+    def m(split: String, df: DataFrame): (String, Double, Double) = {
+      val r = model.transform(df)
+        .agg(
+          sqrt(avg(pow(col("prediction") - col("label"), 2))).as("rmse"),
+          pow(corr(col("label"), col("prediction")), 2).as("r2"))
+        .collect()(0)
+      (split, r.getDouble(0), r.getDouble(1))
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    Seq(m("train", trainVal), m("test", test.withColumn("is_val", lit(false))))
+      .toDF("split", "rmse", "r2")
+      .select(col("split"), round(col("rmse"), 4).as("rmse"),
+        round(col("r2"), 4).as("r2"))
+      .orderBy("split")
+  }
+
+  /** M8: k-fold CV over a param grid with parallelism — caret's PSOCK
+    * random search (04_1:119-167) as CrossValidator. Runs on a 1%-scale
+    * deterministic subsample like the reference's 10% tuning sample. */
+  def cvBestParams(spark: SparkSession, dir: String): DataFrame = {
+    val ds = dataset(spark, dir, sampleMod = 60)
+    val rf = new RandomForestRegressor()
+      .setFeaturesCol("features").setLabelCol("label")
+      .setNumTrees(10).setSeed(123)
+    val pipe = new Pipeline().setStages(featureStages() :+ rf)
+    val grid = new ParamGridBuilder()
+      .addGrid(rf.maxDepth, Array(3, 6))
+      .addGrid(rf.subsamplingRate, Array(0.8, 1.0))
+      .build()
+    val cv = new CrossValidator()
+      .setEstimator(pipe)
+      .setEvaluator(new RegressionEvaluator().setLabelCol("label")
+        .setMetricName("rmse"))
+      .setEstimatorParamMaps(grid)
+      .setNumFolds(2).setParallelism(4).setSeed(123)
+    val model = cv.fit(ds)
+    val best = model.bestModel.asInstanceOf[org.apache.spark.ml.PipelineModel]
+      .stages.last.asInstanceOf[
+        org.apache.spark.ml.regression.RandomForestRegressionModel]
+    val spark2 = spark
+    import spark2.implicits._
+    Seq((best.getMaxDepth, best.getSubsamplingRate,
+      BigDecimal(model.avgMetrics.min).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("best_max_depth", "best_subsample_rate", "best_cv_rmse")
+  }
+
+  /** Feature-slot names from the assembled vector's ML attribute metadata. */
+  private def featureNames(df: DataFrame): Array[String] = {
+    val group = AttributeGroup.fromStructField(df.schema("features"))
+    group.attributes match {
+      case Some(attrs) => attrs.map(a => a.name.getOrElse(s"f${a.index.get}"))
+      case None => (0 until group.size).map(i => s"f$i").toArray
+    }
+  }
+}

@@ -177,6 +177,20 @@ object Relational {
       count(lit(1)).as("n"))
   }
 
+  /** M14-shaped reshape: wide metric columns → long (metric, value) rows via
+    * `stack` (reference `gather` on the training log, 04_1:319). Pure
+    * dataflow — oracle-checked; the model-metric variant lives in
+    * ml.OlsPipeline.metricsLong. */
+  def meltWideToLong(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"))
+      .selectExpr("l_returnflag",
+        "stack(2, 'avg_qty', avg_qty, 'avg_price', avg_price) AS (metric, value)")
+      .orderBy("l_returnflag", "metric")
+
   // ---------------------------------------------------------------------
   // A6/P6: per-column NA-fraction profile (reference 02_DataCleaning.R:38-47).
   // Data-driven: column list comes from the schema, one single-pass agg.

@@ -1,0 +1,65 @@
+package graft
+
+import graft.ml.{OlsPipeline, ZScaler}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MlSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("M1 z-scaler round-trips: inverse(transform(x)) == x") {
+    val df = Tables.customer(spark, sf).select("c_custkey", "c_acctbal")
+    val m = ZScaler.fit(df, Seq("c_acctbal"))
+    val round =
+      m.inverse(m.transform(df), "c_acctbal", "c_acctbal")
+        .withColumnRenamed("c_acctbal", "back")
+        .join(df, "c_custkey")
+        .withColumn("diff", abs(col("back") - col("c_acctbal")))
+        .agg(max("diff")).collect()(0).getDouble(0)
+    assert(round < 1e-9)
+  }
+
+  test("M3 seeded split: fractions ~75/25 and deterministic") {
+    val ds = OlsPipeline.dataset(spark, sf).filter(col("label").isNotNull)
+    val Array(a1, b1) = ds.randomSplit(Array(0.75, 0.25), seed = 123)
+    val Array(a2, _) = ds.randomSplit(Array(0.75, 0.25), seed = 123)
+    val (na, nb) = (a1.count(), b1.count())
+    val frac = na.toDouble / (na + nb)
+    assert(frac > 0.70 && frac < 0.80)
+    assert(a2.count() === na) // same seed → same membership
+  }
+
+  test("M4/M6/M13 OLS recovers the planted signal (R² threshold, SURVEY §5.4)") {
+    val f = OlsPipeline.fit(spark, sf)
+    val (rmse, r2, adjR2) = OlsPipeline.metrics(f, f.test, 3)
+    // label = 3q - 200d + 50t + sin-noise(amp 5): noise var ≈ 12.5, label
+    // var ≈ 1900 → R² ≈ 0.99; threshold leaves slack for the small SF
+    assert(r2 > 0.95, s"r2=$r2")
+    assert(adjR2 > 0.95)
+    assert(rmse < 6.0, s"rmse=$rmse") // ≈ noise sd (3.5), bounded above
+  }
+
+  test("M7 calibration on county aggregates is ~identity (slope≈1, icpt≈0)") {
+    val f = OlsPipeline.fit(spark, sf)
+    val county = OlsPipeline.countyForecast(f, f.test, 2)
+    val (a, b) = OlsPipeline.calibrate(county)
+    assert(math.abs(b - 1.0) < 0.15, s"slope=$b")
+    assert(math.abs(a) < 2.0, s"intercept=$a")
+  }
+
+  test("M11/M12 RandomForest importances: planted features dominate") {
+    val imp = SparkEntry.queries("q_rf_importance")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // l_quantity carries ~98% of label variance → must rank far above the
+    // unrelated one-hot flag slots
+    assert(imp("l_quantity") > 0.5, s"importances=$imp")
+    assert(imp.values.sum > 0.99 && imp.values.sum < 1.01)
+  }
+
+  test("M10/M11/M13 GBT metrics beat the trivial predictor") {
+    val rows = SparkEntry.queries("q_gbt_metrics")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(rows("test")._2 > 0.8, s"test r2=${rows("test")._2}")
+    assert(rows("train")._2 > 0.8)
+  }
+}
