@@ -61,6 +61,18 @@ object SparkEntry {
     "q_rf_importance"     -> (graft.ml.TreePipeline.rfImportance _),
     "q_gbt_metrics"       -> (graft.ml.TreePipeline.gbtMetrics _),
     "q_cv_tuning"         -> (graft.ml.TreePipeline.cvBestParams _),
+    // LLM-pipeline dedup (brief first-class; SURVEY §7.1(7))
+    "q_exact_dedup"       -> (Dedup.exactDedup _),
+    "q_minhash_neardup"   -> ((s, d) => Dedup.minhashNearDup(s, d)),
+    "q_simhash_neardup"   -> ((s, d) => Dedup.simhashNearDup(s, d)),
+    // LLM-pipeline text analysis / similarity / multimodal (brief first-class)
+    "q_lang_id"           -> (TextAnalysis.langId _),
+    "q_quality"           -> (TextAnalysis.quality _),
+    "q_token_count"       -> (TextAnalysis.tokenCount _),
+    "q_fingerprint"       -> (TextAnalysis.fingerprint _),
+    "q_ann_topk"          -> (Similarity.bruteForceTopK _),
+    "q_ann_lsh"           -> (Similarity.lshTopK _),
+    "q_multimodal_meta"   -> (Multimodal.query _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -278,5 +290,37 @@ object SparkEntry {
         |UNION ALL
         |SELECT l_returnflag, 'avg_price', avg_price FROM w
         |ORDER BY 1, 2""".stripMargin,
+    "q_exact_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' qq zz' FROM documents
+        |  WHERE doc_id % 7 = 0)
+        |SELECT md5(text) AS h, COUNT(*) AS cnt, MIN(doc_id) AS keep_id
+        |FROM corpus GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1""".stripMargin,
+    "q_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars, text,
+        |    string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')
+        |      AS tokens
+        |  FROM documents)
+        |SELECT doc_id, n_chars,
+        |  CAST(len(tokens) AS BIGINT) AS n_tok,
+        |  ROUND(CAST(length(text) AS DOUBLE) / len(tokens), 4)
+        |    AS mean_tok_len,
+        |  ROUND(CAST(len(list_filter(tokens,
+        |      t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+        |    / len(tokens), 4) AS stopword_ratio
+        |FROM t""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+        |    AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]'))
+        |    AS BIGINT) AS re_tokens,
+        |  CAST(length(text) AS BIGINT) AS chars
+        |FROM documents""".stripMargin,
   )
 }

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Deduplication operators for LLM training-data pipelines over `documents`
+  * (builder-brief first-class components; SURVEY.md §7.1(7)).
+  *
+  * - exact dedup: content-hash groupBy (md5 — DuckDB-oracle-checkable)
+  * - near dedup: word-shingle MinHash, BANDED into LSH buckets; candidate
+  *   pairs are generated only WITHIN buckets (groupBy/self-join on the band
+  *   key — never all-pairs), then verified with exact Jaccard
+  * - SimHash: 64-bit signed bit-vote fingerprint, banded into 16-bit chunks
+  *   for candidate generation, Hamming-verified
+  *
+  * Scale design (100 TB): all stages are narrow maps + hash shuffles keyed
+  * on (band, signature); cost is O(n·bands + Σ bucket²) with a bucket-size
+  * cap dropping degenerate buckets (boilerplate text at web scale),
+  * the standard guard against quadratic blowup on skewed buckets. Signatures
+  * are built with codegen'd built-ins (xxhash64/transform/aggregate), no
+  * UDFs.
+  *
+  * The testdata corpus is random words (no natural dups), so `corpus` plants
+  * deterministic exact (+1M ids) and near (+2M ids, 2 appended tokens)
+  * duplicates — every branch is exercised and unit-tested.
+  */
+object Dedup {
+
+  /** documents ∪ planted exact dups (doc_id%5==0) ∪ planted near dups
+    * (doc_id%7==0, two tokens appended). */
+  def corpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    val exact = d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    val near = d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        concat(col("text"), lit(" qq zz")).as("text"))
+    d.unionByName(exact).unionByName(near)
+  }
+
+  /** Exact dedup: md5 content hash → group → keep-first (min doc_id).
+    * Emits only the duplicate groups (bounded output). */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keep_id"))
+      .filter(col("cnt") > 1)
+      .orderBy("h")
+
+  // -- MinHash-LSH -------------------------------------------------------
+
+  val NumHashes = 20
+  val Bands = 5
+  val RowsPerBand = NumHashes / Bands
+  val MaxBucket = 100 // drop degenerate buckets (boilerplate at web scale)
+
+  /** doc_id, shingles (distinct word 3-grams), minhash signature array. */
+  def signatures(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("tokens",
+        split(regexp_replace(lower(col("text")), "\\s+", " "), " "))
+      .withColumn("shingles", expr(
+        """array_distinct(CASE WHEN size(tokens) < 3
+          |  THEN array(concat_ws(' ', tokens))
+          |  ELSE transform(sequence(0, size(tokens) - 3),
+          |                 i -> concat_ws(' ', slice(tokens, i + 1, 3)))
+          |END)""".stripMargin))
+      .withColumn("minhash", expr(
+        s"""transform(sequence(0, $NumHashes - 1),
+           |  j -> array_min(transform(shingles, s -> xxhash64(s, j))))"""
+          .stripMargin))
+      .select("doc_id", "shingles", "minhash")
+
+  /** Candidate pairs via banded LSH: explode (band, band-signature) keys,
+    * self-join within buckets only, cap bucket size. */
+  def candidatePairs(sigs: DataFrame): DataFrame = {
+    val exploded = sigs.select(
+      col("doc_id"),
+      explode(expr(
+        s"""transform(sequence(0, $Bands - 1),
+           |  b -> struct(b AS band,
+           |              xxhash64(slice(minhash, b * $RowsPerBand + 1,
+           |                             $RowsPerBand), b) AS sig))"""
+          .stripMargin)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val bucketed = exploded
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "sig")))
+      .filter(col("bucket_n") <= MaxBucket)
+    val a = bucketed.select(col("band"), col("sig"), col("doc_id").as("a"))
+    val b = bucketed.select(col("band"), col("sig"), col("doc_id").as("b"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+  }
+
+  /** Near-dedup end to end: candidates → exact-Jaccard verification. */
+  def minhashNearDup(spark: SparkSession, dir: String,
+                     threshold: Double = 0.5): DataFrame = {
+    val sigs = signatures(corpus(spark, dir)).cache()
+    val pairs = candidatePairs(sigs)
+    val sa = sigs.select(col("doc_id").as("a"), col("shingles").as("sh_a"))
+    val sb = sigs.select(col("doc_id").as("b"), col("shingles").as("sh_b"))
+    pairs.join(sa, "a").join(sb, "b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+      .orderBy("a", "b")
+  }
+
+  // -- SimHash -----------------------------------------------------------
+
+  /** 64-bit SimHash over the token multiset (bit-vote of xxhash64 bits). */
+  def simhash(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("hashes", expr(
+        "transform(split(regexp_replace(lower(text), '\\\\s+', ' '), ' '), " +
+          "t -> xxhash64(t))"))
+      .withColumn("bits", expr(
+        """transform(sequence(0, 63), b ->
+          |  CASE WHEN aggregate(hashes, 0L, (acc, h) ->
+          |    acc + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END) >= 0
+          |  THEN 1L ELSE 0L END)""".stripMargin))
+      .withColumn("simhash", expr(
+        "aggregate(sequence(0, 63), 0L, " +
+          "(acc, b) -> acc + shiftleft(element_at(bits, b + 1), b))"))
+      .select("doc_id", "simhash")
+
+  /** SimHash near-dup pairs: 16-bit chunk banding → Hamming ≤ maxDist. */
+  def simhashNearDup(spark: SparkSession, dir: String,
+                     maxDist: Int = 10): DataFrame = {
+    val sh = simhash(corpus(spark, dir)).cache()
+    val chunks = sh.select(
+      col("doc_id"), col("simhash"),
+      explode(expr(
+        """transform(sequence(0, 3),
+          |  c -> struct(c AS chunk,
+          |              shiftright(simhash, c * 16) & 65535 AS key))"""
+          .stripMargin)).as("ck"))
+      .select(col("doc_id"), col("simhash"),
+        col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+    val a = chunks.select(col("chunk"), col("key"),
+      col("doc_id").as("a"), col("simhash").as("sim_a"))
+    val b = chunks.select(col("chunk"), col("key"),
+      col("doc_id").as("b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("chunk", "key"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(expr("sim_a ^ sim_b")).cast(LongType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+      .orderBy("a", "b")
+  }
+}

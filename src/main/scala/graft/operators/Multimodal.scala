@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Multimodal-column plumbing (builder-brief first-class component).
+  *
+  * Pattern: media lives as an opaque `binary` column + typed metadata
+  * struct; decode / feature-extract run per-partition over the typed
+  * Dataset (the Scala analogue of `mapInPandas` batches). The image/audio
+  * codecs are NOT in this container, so `decodeStub` is a clearly-marked
+  * deterministic fake — the Spark-side contract (schema, batch iteration,
+  * partition parallelism, binary handling) is real and tested, and swapping
+  * the stub for a JNI/libffi codec changes no plumbing.
+  *
+  * Scale notes: payloads never leave their partition (no shuffle before
+  * feature extraction); metadata-only queries prune the binary column from
+  * the parquet scan.
+  */
+object Multimodal {
+
+  final case class Asset(doc_id: Long, mime: String, width: Int, height: Int,
+                         payload: Array[Byte])
+  final case class AssetFeature(doc_id: Long, n_bytes: Long, mean_byte: Double,
+                                frames_sampled: Int)
+
+  /** Synthesize the asset table from `documents` (text bytes as the opaque
+    * payload — the testdata ships no real media). */
+  def assets(spark: SparkSession, dir: String): Dataset[Asset] = {
+    val spark2 = spark
+    import spark2.implicits._
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        lit("image/fake").as("mime"),
+        (col("n_chars") % 640).cast(IntegerType).as("width"),
+        lit(480).as("height"),
+        col("text").cast(BinaryType).as("payload"))
+      .as[Asset]
+  }
+
+  /** STUB — stands in for the real media decoder (not available in this
+    * container). Deterministic: derives features from the raw bytes only.
+    * The real implementation replaces ONLY this function. */
+  def decodeStub(a: Asset): AssetFeature = {
+    val bytes = a.payload
+    val mean =
+      if (bytes.isEmpty) 0.0
+      else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
+    // "frame sampling": every 64th byte-offset window stands in for a frame
+    val frames = math.max(1, bytes.length / 64)
+    AssetFeature(a.doc_id, bytes.length.toLong,
+      math.round(mean * 10000).toDouble / 10000, frames)
+  }
+
+  /** Per-partition batch decode over the typed Dataset — the mapInPandas
+    * batch shape: one iterator per partition, features out. */
+  def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeature] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map(decodeStub))
+  }
+
+  /** Registered query: metadata + stub features profile. */
+  def query(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(assets(spark, dir)).toDF()
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(col("n_bytes")).as("total_bytes"),
+        round(avg(col("mean_byte")), 4).as("avg_mean_byte"),
+        sum(col("frames_sampled")).as("total_frames"))
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (builder-brief first-class component).
+  *
+  * Two paths, as the brief prescribes:
+  *  - brute-force cosine top-k (the correctness baseline): broadcast the
+  *    bounded query set, one scan over the corpus, distributed two-stage
+  *    top-k (per-(query, partition-salt) heads first, then the global k on
+  *    the reduced set) so no single reducer sees n rows per query;
+  *  - SRP-LSH (the scale path): signed-random-projection bit signatures,
+  *    banded into buckets; candidates only WITHIN buckets, exact cosine on
+  *    candidates. Hyperplanes are seeded literals (deterministic plans).
+  *
+  * Dot products use zip_with + aggregate — codegen'd built-ins, no UDF.
+  */
+object Similarity {
+
+  val K = 10
+  val QueryMod = 50 // vec_id % QueryMod == 0 → bounded query set
+
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * y), " +
+      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  /** Embeddings with precomputed L2 norm (one narrow pass). */
+  def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("norm", sqrt(dot("embedding", "embedding")))
+
+  private def queries(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+
+  /** Scored (query, candidate) pairs → cosine. */
+  private def score(pairs: DataFrame): DataFrame =
+    pairs.withColumn("cos",
+      round(dot("q_emb", "embedding") / (col("q_norm") * col("norm")), 6))
+
+  /** Brute-force exact top-k per query (baseline). */
+  def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+    val scored = score(e.crossJoin(broadcast(queries(e))))
+      .filter(col("vec_id") =!= col("q_id"))
+    // two-stage top-k: partial heads per (query, partition) first, so the
+    // final per-query sort sees ≤ k·P rows, not n — the skew-proof idiom
+    val partial = scored
+      .withColumn("part", spark_partition_id())
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id", "part").orderBy(desc("cos"), asc("vec_id"))))
+      .filter(col("rn") <= K)
+      .drop("rn", "part")
+    partial
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank").cast(LongType).as("rank"),
+        col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy("q_id", "rank")
+  }
+
+  // -- SRP-LSH -----------------------------------------------------------
+
+  // 4 bands × 4 bits: for neighbor cosines ~0.4 (θ≈1.16), per-band collision
+  // (1-θ/π)^4 ≈ 0.16 → recall ≈ 1-(1-0.16)^4 ≈ 0.5, with bucket fan-out
+  // 2^4 per band keeping candidate sets ~4·n/16 per query
+  val NumPlanes = 16
+  val Bands = 4
+  val BitsPerBand = NumPlanes / Bands
+
+  /** Seeded random hyperplanes as a literal array<array<double>> column —
+    * identical on every executor, no side channel. */
+  private lazy val planesCol: Column = {
+    val rnd = new scala.util.Random(42)
+    array((0 until NumPlanes).map { _ =>
+      array((0 until 64).map(_ => lit(rnd.nextGaussian())): _*)
+    }: _*)
+  }
+
+  /** Bit signature + band bucket keys per vector. */
+  def signatures(e: DataFrame): DataFrame =
+    e.withColumn("planes", planesCol)
+      .withColumn("sig", expr(
+        """transform(planes, p ->
+          |  CASE WHEN aggregate(zip_with(p, embedding,
+          |         (x, y) -> x * CAST(y AS DOUBLE)),
+          |       CAST(0 AS DOUBLE), (acc, v) -> acc + v) >= 0
+          |  THEN 1L ELSE 0L END)""".stripMargin))
+      .withColumn("buckets", expr(
+        s"""transform(sequence(0, $Bands - 1), b ->
+           |  struct(b AS band,
+           |         aggregate(slice(sig, b * $BitsPerBand + 1, $BitsPerBand),
+           |                   0L, (acc, v) -> acc * 2 + v) AS key))"""
+          .stripMargin))
+      .drop("planes", "sig")
+
+  /** LSH ANN: bucket-join queries to candidates, exact cosine on the
+    * candidate set only, top-k. */
+  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = signatures(withNorm(Tables.embeddings(spark, dir)))
+    val cand = e.select(col("vec_id"), col("embedding"), col("norm"),
+      explode(col("buckets")).as("bk"))
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val qs = cand.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("band"), col("key"))
+    val pairs = cand.join(broadcast(qs), Seq("band", "key"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "q_emb", "q_norm", "vec_id", "embedding", "norm")
+      .distinct()
+    score(pairs)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank").cast(LongType).as("rank"),
+        col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy("q_id", "rank")
+  }
+}

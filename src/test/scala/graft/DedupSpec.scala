@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("exact dedup finds exactly the planted duplicate groups") {
+    val d = Tables.documents(spark, sf)
+    val planted = d.filter(col("doc_id") % 5 === 0).count()
+    val groups = SparkEntry.queries("q_exact_dedup")(spark, sf).collect()
+    // every planted exact copy forms a duplicate group of size 2 whose
+    // keep-first id is the original (min of {id, id+1M})
+    assert(groups.length === planted)
+    assert(groups.forall(_.getAs[Long]("cnt") === 2))
+    assert(groups.forall(_.getAs[Long]("keep_id") < 1000000))
+  }
+
+  test("minhash LSH finds the planted near-dup pairs without all-pairs") {
+    val found = Dedup.minhashNearDup(spark, sf, 0.5).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val expected = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 7 === 0).select("doc_id").collect()
+      .map(_.getLong(0)).map(id => (id, id + 2000000L)).toSet
+    // recall: two appended tokens on a ≥48-char doc keep Jaccard ≥ 0.5, and
+    // 5 bands × 4 rows makes a miss overwhelmingly unlikely
+    val recall = expected.count(found.contains).toDouble / expected.size
+    assert(recall > 0.9, s"recall=$recall")
+    // candidate generation is bucketed: pair volume must stay near the
+    // true-duplicate count, not n²/2 (500+ docs → >125k all-pairs)
+    val candidates = Dedup.candidatePairs(
+      Dedup.signatures(Dedup.corpus(spark, sf))).count()
+    assert(candidates < 10L * expected.size + 100,
+      s"candidate explosion: $candidates")
+  }
+
+  test("simhash: identical texts hash equal; near texts within Hamming 10") {
+    val sh = Dedup.simhash(Dedup.corpus(spark, sf))
+    val d = Tables.documents(spark, sf)
+    val exactIds = d.filter(col("doc_id") % 5 === 0).select("doc_id")
+      .collect().map(_.getLong(0))
+    val m = sh.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exactIds.foreach { id =>
+      assert(m(id) === m(id + 1000000L), s"doc $id exact copy hash differs")
+    }
+    val pairs = SparkEntry.queries("q_simhash_neardup")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val nearIds = d.filter(col("doc_id") % 7 === 0).select("doc_id")
+      .collect().map(_.getLong(0))
+    val hit = nearIds.count(id => pairs.contains((id, id + 2000000L)))
+    assert(hit.toDouble / nearIds.length > 0.8,
+      s"simhash recall ${hit.toDouble / nearIds.length}")
+  }
+}

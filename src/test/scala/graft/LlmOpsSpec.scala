@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.{Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LlmOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("lang-id: english docs (which carry 'the'/'a') classify as en") {
+    val rows = SparkEntry.queries("q_lang_id")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val en = rows.collect { case (("en", p), n) => p -> n }
+    val total = en.map(_._2).sum
+    val asEn = en.toMap.getOrElse("en", 0L)
+    assert(asEn.toDouble / total > 0.7, s"en accuracy ${asEn.toDouble / total}")
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    import spark.implicits._
+    val fp = TextAnalysis.fingerprint(spark, sf)
+    val again = TextAnalysis.fingerprint(spark, sf)
+    assert(fp.collect().toSeq.sortBy(_.getLong(0)) ===
+      again.collect().toSeq.sortBy(_.getLong(0)))
+    // same multiset, different order → different fingerprint
+    val two = Seq((1L, "alpha beta"), (2L, "beta alpha")).toDF("doc_id", "text")
+    val hashes = graft.operators.TextAnalysis
+    val out = two.withColumn("tokens", split(lower(col("text")), " "))
+      .selectExpr("aggregate(tokens, 0L, (acc, t) -> " +
+        "xxhash64(concat(cast(acc AS string), t))) AS f")
+      .collect().map(_.getLong(0))
+    assert(out(0) !== out(1))
+  }
+
+  test("ANN: LSH top-k recalls most of brute-force top-k at far lower cost") {
+    val bf = SparkEntry.queries("q_ann_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
+    val lsh = SparkEntry.queries("q_ann_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
+    assert(bf.nonEmpty)
+    val recall = bf.count(lsh.contains).toDouble / bf.size
+    // SRP with 4 bands of 4 bits: expected recall ≈ 0.5 at these cosines —
+    // the gate is that bucketed candidates find a meaningful fraction
+    assert(recall > 0.25, s"LSH recall $recall")
+    assert(lsh.nonEmpty)
+  }
+
+  test("ANN brute force: rank 1 has the highest cosine per query") {
+    val rows = SparkEntry.queries("q_ann_topk")(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      val cos = sorted.map(_.getAs[Double]("cos"))
+      assert(cos.toSeq === cos.sorted(Ordering[Double].reverse).toSeq)
+      assert(cos.length === Similarity.K)
+    }
+  }
+
+  test("multimodal: stub features are deterministic; payload bytes = n_chars") {
+    val f = Multimodal.extractFeatures(Multimodal.assets(spark, sf))
+      .toDF().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chars = Tables.documents(spark, sf).select("doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // text is ascii words → utf-8 byte length == char count
+    assert(f === chars)
+    val agg = SparkEntry.queries("q_multimodal_meta")(spark, sf).collect()(0)
+    assert(agg.getAs[Long]("n_assets") === chars.size)
+  }
+}
