@@ -73,6 +73,12 @@ object SparkEntry {
     "q_ann_topk"          -> (Similarity.bruteForceTopK _),
     "q_ann_lsh"           -> (Similarity.lshTopK _),
     "q_multimodal_meta"   -> (Multimodal.query _),
+    // sources/sinks (SURVEY §2.1)
+    "q_csv_roundtrip"     -> (graft.sources.CsvIO.csvRoundTrip _),
+    // event-time windows (SURVEY §2.10, §7.1(7))
+    "q_window_tumbling"   -> (graft.streaming.EventWindows.tumbling _),
+    "q_window_sliding"    -> (graft.streaming.EventWindows.sliding _),
+    "q_window_session"    -> (graft.streaming.EventWindows.sessions _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -322,5 +328,46 @@ object SparkEntry {
         |    AS BIGINT) AS re_tokens,
         |  CAST(length(text) AS BIGINT) AS chars
         |FROM documents""".stripMargin,
+    "q_csv_roundtrip" ->
+      """SELECT COUNT(*) AS rows, COUNT(DISTINCT c_custkey) AS keys,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(28,2))
+        |    AS sum_bal,
+        |  MIN(c_name) AS min_name, MAX(c_mktsegment) AS max_segment
+        |FROM customer""".stripMargin,
+    "q_window_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |    AS hour_start,
+        |  event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
+        |    AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_window_sliding" ->
+      """WITH w AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |           AS win_start, value FROM events
+        |  UNION ALL
+        |  SELECT strftime(date_trunc('hour', ts) - INTERVAL 1 HOUR,
+        |                  '%Y-%m-%d %H:%M:%S'), value FROM events)
+        |SELECT win_start, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
+        |    AS sum_value
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_window_session" ->
+      """WITH b AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM b)
+        |SELECT user_id,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  COUNT(*) AS cnt
+        |FROM s GROUP BY user_id, sid ORDER BY 1, 2""".stripMargin,
   )
 }

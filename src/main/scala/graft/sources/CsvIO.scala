@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** CSV / parquet source-sink surface (SURVEY.md §2.1: S1–S4).
+  *
+  * The reference's data layer is chunked CSV ingestion with a declared
+  * type map (read.csv.ffdf, 01_DataMerge.R:42-47) plus ffdf binary
+  * checkpoints between stages (save.ffdf/load.ffdf, 01:50,143) and CSV
+  * result sinks (fwrite, 03:162). Spark-first: explicit StructType CSV
+  * scans with DROPMALFORMED (the reference's malformed-tail cap),
+  * `nullValue=""` (P3 at the scan), partitioned parquet checkpoints, and
+  * CSV sinks that stay partitioned unless the result is a small final
+  * aggregate (`singleFile=true` ⇒ coalesce(1), the only sanctioned use).
+  */
+object CsvIO {
+
+  /** S1/S2: schema-declared CSV scan. Chunking is inherent — Spark splits
+    * the file into partition-sized ranges; no row-cap needed. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "DROPMALFORMED")
+      .option("nullValue", "")
+      .schema(schema)
+      .csv(path)
+
+  /** S4: CSV sink. Partitioned by default; single-file only for small
+    * final result tables (the reference's fwrite outputs are ≤5k rows). */
+  def writeCsv(df: DataFrame, path: String, singleFile: Boolean = false): Unit =
+    (if (singleFile) df.coalesce(1) else df)
+      .write.mode("overwrite").option("header", "true").csv(path)
+
+  /** S3: parquet stage checkpoint (save.ffdf/load.ffdf analogue). */
+  def checkpoint(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  def loadCheckpoint(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Oracle-checked round-trip: customer → CSV (typed re-scan) → aggregate.
+    * Values survive the text round-trip exactly (Java double formatting is
+    * round-trip exact; money compared as DECIMAL), so the oracle is the
+    * same aggregate over the ORIGINAL parquet. */
+  def csvRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.customer(spark, dir)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+    writeCsv(src, path)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType)))
+    readCsv(spark, path, schema)
+      .agg(
+        count(lit(1)).as("rows"),
+        countDistinct(col("c_custkey")).as("keys"),
+        sum(col("c_acctbal").cast(DecimalType(18, 2)))
+          .cast(DecimalType(28, 2)).as("sum_bal"),
+        min(col("c_name")).as("min_name"),
+        max(col("c_mktsegment")).as("max_segment"))
+  }
+}

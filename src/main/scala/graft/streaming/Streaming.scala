@@ -1,0 +1,64 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (builder brief: readStream → transforms →
+  * writeStream; watermark + windowed agg; mapGroupsWithState custom state).
+  *
+  * The reference is batch-only (SURVEY §2.10) — this is the scale extension:
+  * the SAME tumbling-window aggregation `EventWindows.tumbling` runs in
+  * batch, applied here to an unbounded stream with a watermark bounding
+  * state. Tested end-to-end over MemoryStream (StreamingSpec); in
+  * production the source swaps for kafka/files without touching the
+  * transform (that separation is the point of the lazy plan).
+  */
+object Streaming {
+
+  final case class Event(ts: Timestamp, user_id: Long, event_type: String,
+                         value: Double)
+  final case class UserRunning(user_id: Long, events: Long, total: Double)
+
+  /** Watermarked tumbling-window count/sum — works on a batch OR streaming
+    * DataFrame; streaming state is dropped 2 hours past the watermark. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** Custom per-key state: running per-user totals via mapGroupsWithState
+    * (the reference has no analogue; brief-required stateful operator).
+    * State is one tiny record per user — bounded by key cardinality. */
+  def runningTotals(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
+          val (n, v) = batch.foldLeft((0L, 0.0)) { case ((c, s), e) =>
+            (c + 1, s + e.value)
+          }
+          val next = UserRunning(user, prev.events + n, prev.total + v)
+          state.update(next)
+          next
+      }
+  }
+
+  /** writeStream wiring for the windowed agg (update mode; the test drives
+    * it with a memory sink, production swaps the sink only). */
+  def startToMemory(events: DataFrame, queryName: String) =
+    windowedCounts(events)
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Update())
+      .start()
+}

@@ -1,0 +1,91 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.Streaming
+import graft.streaming.Streaming.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("streaming windowed agg over MemoryStream matches batch semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streaming.startToMemory(mem.toDF(), "win_test")
+    try {
+      mem.addData(
+        Event(ts("2024-01-01 10:05:00"), 1L, "click", 1.0),
+        Event(ts("2024-01-01 10:45:00"), 2L, "click", 2.0),
+        Event(ts("2024-01-01 11:05:00"), 1L, "view", 5.0))
+      q.processAllAvailable()
+      val out = spark.table("win_test")
+        .groupBy("win_start", "event_type")
+        .agg(max("cnt").as("cnt"), max("sum_value").as("sum_value"))
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getAs[Long]("cnt"), r.getAs[Double]("sum_value")))
+        .toSet
+      assert(out === Set(
+        ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+        ("2024-01-01 11:00:00.0", "view", 1L, 5.0)))
+      // batch run of the same transform agrees
+      val batch = Streaming.windowedCounts(
+        Seq(Event(ts("2024-01-01 10:05:00"), 1L, "click", 1.0),
+          Event(ts("2024-01-01 10:45:00"), 2L, "click", 2.0),
+          Event(ts("2024-01-01 11:05:00"), 1L, "view", 5.0)).toDF())
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getAs[Long]("cnt"), r.getAs[Double]("sum_value"))).toSet
+      assert(batch === out)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState accumulates per-user running totals across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streaming.runningTotals(mem.toDS())
+      .writeStream.format("memory").queryName("state_test")
+      .outputMode("update").start()
+    try {
+      mem.addData(Event(ts("2024-01-01 10:00:00"), 1L, "click", 2.0),
+        Event(ts("2024-01-01 10:01:00"), 1L, "click", 3.0))
+      q.processAllAvailable()
+      mem.addData(Event(ts("2024-01-01 10:02:00"), 1L, "view", 5.0))
+      q.processAllAvailable()
+      val last = spark.table("state_test")
+        .filter(col("user_id") === 1L)
+        .orderBy(desc("events")).limit(1).collect()(0)
+      assert(last.getAs[Long]("events") === 3L)
+      assert(last.getAs[Double]("total") === 10.0)
+    } finally q.stop()
+  }
+
+  test("S5 model save/load round-trips predictions exactly") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_model_rt"
+    val ds = graft.ml.TreePipeline.dataset(spark, sf, sampleMod = 9)
+    val pipe = new org.apache.spark.ml.Pipeline().setStages(
+      graft.ml.TreePipeline.featureStages() :+
+        new org.apache.spark.ml.regression.RandomForestRegressor()
+          .setFeaturesCol("features").setLabelCol("label")
+          .setNumTrees(5).setMaxDepth(4).setSeed(123))
+    val m = graft.ml.ModelIO.fitAndCheckpoint(pipe, ds, dir)
+    val loaded = graft.ml.ModelIO.load(spark, dir)
+    val a = m.transform(ds).select("l_orderkey", "prediction")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = loaded.transform(ds).select("l_orderkey", "prediction")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a === b)
+  }
+
+  test("S1/S4 csv round-trip preserves content exactly") {
+    val out = SparkEntry.queries("q_csv_roundtrip")(spark, sf).collect()(0)
+    assert(out.getAs[Long]("rows") === Tables.customer(spark, sf).count())
+    assert(out.getAs[Long]("keys") === out.getAs[Long]("rows"))
+  }
+}
