@@ -79,6 +79,12 @@ object SparkEntry {
     "q_window_tumbling"   -> (graft.streaming.EventWindows.tumbling _),
     "q_window_sliding"    -> (graft.streaming.EventWindows.sliding _),
     "q_window_session"    -> (graft.streaming.EventWindows.sessions _),
+    // geo join (SURVEY §2.3 J5, §2.1 S7)
+    "q_geo_join"          -> (GeoJoin.query _),
+    // positional-append rewrite (SURVEY §2.7 U2, §2.3 J7)
+    "q_cbind"             -> (Joins.cbindByIndex _),
+    // OLS diagnostics (SURVEY §2.9 M5) — rows-only
+    "q_ols_diagnostics"   -> (graft.ml.Diagnostics.query _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -369,5 +375,27 @@ object SparkEntry {
         |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  COUNT(*) AS cnt
         |FROM s GROUP BY user_id, sid ORDER BY 1, 2""".stripMargin,
+    "q_geo_join" ->
+      """WITH p AS (
+        |  SELECT c_custkey,
+        |    (c_custkey * 7) % 120 - 60 + 0.25 AS lat,
+        |    (c_custkey * 13) % 36 * 10 - 180 + 0.25 AS lon
+        |  FROM customer),
+        |cells AS (
+        |  SELECT CAST(FLOOR(lat) AS BIGINT) AS lat_cell,
+        |         CAST(FLOOR(lon / 10) AS BIGINT) AS lon_cell
+        |  FROM p)
+        |SELECT ((lat_cell + 60) + (lon_cell + 18) * 120) % 25 AS region_id,
+        |  COUNT(*) AS cnt
+        |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cbind" ->
+      """WITH base AS (SELECT * FROM customer ORDER BY c_custkey LIMIT 200),
+        |a AS (SELECT ROW_NUMBER() OVER (ORDER BY c_custkey) AS idx, c_name
+        |      FROM base),
+        |b AS (SELECT ROW_NUMBER() OVER (ORDER BY c_custkey) AS idx,
+        |             ROUND(c_acctbal, 2) AS acctbal
+        |      FROM base)
+        |SELECT CAST(idx AS BIGINT) AS idx, a.c_name, b.acctbal
+        |FROM a JOIN b USING (idx) ORDER BY idx""".stripMargin,
   )
 }

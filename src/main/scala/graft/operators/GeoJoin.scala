@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Geospatial point-in-polygon join (SURVEY.md §2.3 J5 / §2.11 UD5 / §2.1
+  * S7; reference `latlong2(coordinates, to='county')`, 01_DataMerge.R:119-128
+  * — 3M (lat,lon) points mapped to counties).
+  *
+  * Two implementations per SURVEY §7.1(5):
+  *  - v1 (default, oracle-checkable): a precomputed lookup GRID — cell →
+  *    region id — broadcast and equi-joined on the cell key. This is how
+  *    geo joins actually scale: the polygon set is rasterized once
+  *    (driver/ETL side), and the per-point work is O(1) arithmetic + a
+  *    broadcast hash join, no shuffle of the fact side.
+  *  - v2 (`pointInCounty` UDF): exact ray-casting point-in-polygon against
+  *    a broadcast polygon list, for cells the grid marks ambiguous (border
+  *    cells). Unit-tested on synthetic polygons; kept off the oracle path
+  *    (DuckDB has no polygon type here).
+  *
+  * The testdata has no coordinates, so points derive deterministically from
+  * `c_custkey` — same formula mirrored in the DuckDB oracle.
+  */
+object GeoJoin {
+
+  /** Deterministic synthetic points: lat ∈ [-60, 60), lon ∈ [-180, 180). */
+  def points(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(
+      col("c_custkey"),
+      (col("c_custkey") * 7 % 120 - 60 + lit(0.25)).cast(DoubleType).as("lat"),
+      (col("c_custkey") * 13 % 36 * 10 - 180 + lit(0.25)).cast(DoubleType)
+        .as("lon"))
+
+  /** The lookup grid: one row per (1° lat × 10° lon) cell mapping to a
+    * region id — the rasterized polygon index (bounded: 120×36 = 4,320
+    * rows → broadcast). Built by cross-exploding sequences; in production
+    * this table is the precomputed ETL artifact (S7's static geodata). */
+  def grid(spark: SparkSession): DataFrame =
+    spark.range(1)
+      .select(explode(sequence(lit(-60), lit(59))).as("lat_cell"))
+      .select(col("lat_cell"),
+        explode(sequence(lit(-18), lit(17))).as("lon_cell"))
+      .select(col("lat_cell").cast(LongType), col("lon_cell").cast(LongType),
+        (((col("lat_cell") + 60) + (col("lon_cell") + 18) * 120) % 25)
+          .cast(LongType).as("region_id"))
+
+  /** J5 as broadcast grid join: point → cell key → region id; then the
+    * reference's post-join profile (listings per county). */
+  def query(spark: SparkSession, dir: String): DataFrame = {
+    val p = points(spark, dir)
+      .withColumn("lat_cell", floor(col("lat")).cast(LongType))
+      .withColumn("lon_cell", floor(col("lon") / 10).cast(LongType))
+    p.join(broadcast(grid(spark)), Seq("lat_cell", "lon_cell"), "left")
+      .groupBy("region_id")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("region_id")
+  }
+
+  // -- exact polygon variant (v2) ---------------------------------------
+
+  /** Convex/concave polygon as an ordered vertex ring. */
+  final case class Polygon(id: Long, ring: Seq[(Double, Double)])
+
+  /** Ray-casting (even-odd) point-in-polygon test — the classic winding
+    * check; O(vertices) per point. */
+  def contains(ring: Seq[(Double, Double)], lat: Double, lon: Double): Boolean = {
+    var inside = false
+    var j = ring.length - 1
+    var i = 0
+    while (i < ring.length) {
+      val (yi, xi) = ring(i)
+      val (yj, xj) = ring(j)
+      if ((yi > lat) != (yj > lat) &&
+          lon < (xj - xi) * (lat - yi) / (yj - yi) + xi) inside = !inside
+      j = i
+      i += 1
+    }
+    inside
+  }
+
+  /** UDF against a broadcast polygon set: first match wins (reference
+    * semantics — GADM polygons don't overlap). NULL when no polygon
+    * contains the point (ocean), like latlong2's NA. */
+  def pointInCounty(spark: SparkSession, polys: Seq[Polygon]): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val bc = spark.sparkContext.broadcast(polys)
+    udf((lat: Double, lon: Double) =>
+      bc.value.find(p => contains(p.ring, lat, lon)).map(_.id))
+  }
+}

@@ -81,6 +81,22 @@ object Joins {
            round(max("c_acctbal"), 2).as("hi"))
       .orderBy("decile")
 
+  /** U2/J7: the reference's positional cbind (04_1:296-300 — vectors glued
+    * by row order) rewritten key-carrying: both sides get an EXPLICIT
+    * row-number key over the same declared order, then equi-join. Spark has
+    * no stable row order, so positional semantics must become key semantics
+    * (SURVEY §7.3). */
+  def cbindByIndex(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir).orderBy("c_custkey").limit(200)
+    val w = Window.orderBy("c_custkey")
+    val a = base.select(
+      row_number().over(w).cast(LongType).as("idx"), col("c_name"))
+    val b = base.select(
+      row_number().over(w).cast(LongType).as("idx"),
+      round(col("c_acctbal"), 2).as("acctbal"))
+    a.join(b, "idx").orderBy("idx")
+  }
+
   /** O2+O3: top-k by sort desc + limit (reference 04_1:330-331,343-345 —
     * top-15 feature importances). Executes as TakeOrderedAndProject. */
   def topK(spark: SparkSession, dir: String): DataFrame =
