@@ -100,6 +100,32 @@ object Similarity {
           .stripMargin))
       .drop("planes", "sig")
 
+  /** Embedding-cosine near-duplicate detection (brief dedup variant):
+    * ALL-vector LSH bucketing (not just the query subset), pairs within
+    * buckets, cosine ≥ threshold ⇒ near-dup pair. Same banded discipline as
+    * MinHash — candidate volume is Σ bucket², never n².
+    *
+    * Default threshold sits at the similarity tail of THIS corpus (random
+    * gaussian embeddings top out at cos ≈ 0.51 — no true near-dups exist);
+    * a real dedup run sets ≥0.9. */
+  def cosineNearDup(spark: SparkSession, dir: String,
+                    threshold: Double = 0.35): DataFrame = {
+    val e = signatures(withNorm(Tables.embeddings(spark, dir)))
+    val flat = e.select(col("vec_id"), col("embedding"), col("norm"),
+      explode(col("buckets")).as("bk"))
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = flat.select(col("band"), col("key"), col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val b = flat.select(col("band"), col("key"), col("vec_id"),
+      col("embedding"), col("norm"))
+    score(a.join(b, Seq("band", "key")).filter(col("q_id") < col("vec_id")))
+      .filter(col("cos") >= threshold)
+      .select(col("q_id").as("a"), col("vec_id").as("b"), col("cos"))
+      .distinct()
+      .orderBy("a", "b")
+  }
+
   /** LSH ANN: bucket-join queries to candidates, exact cosine on the
     * candidate set only, top-k. */
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {

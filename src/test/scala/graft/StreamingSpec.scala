@@ -83,6 +83,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("S3 parquet checkpoint round-trips schema and content") {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ckpt"
+    val src = Tables.nation(spark, sf)
+    graft.sources.CsvIO.checkpoint(src, path)
+    val back = graft.sources.CsvIO.loadCheckpoint(spark, path)
+    assert(back.schema === src.schema)
+    assert(back.collect().toSet === src.collect().toSet)
+  }
+
+  test("P6 data-driven prune drops exactly the >threshold-NA columns") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Some("a"), None: Option[Double]),
+      (2, None, Some(1.0)),
+      (3, None, Some(2.0)),
+      (4, Some("d"), Some(3.0))
+    ).toDF("id", "mostly_null", "some_null")
+    val pruned = graft.operators.Relational
+      .columnsToPrune(df, threshold = 0.4, keep = Set("id"))
+    assert(pruned === Seq("mostly_null")) // 50% > 40%; some_null 25% stays
+  }
+
+  test("embedding-cosine near-dup returns only above-threshold pairs") {
+    val out = SparkEntry.queries("q_embed_neardup")(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Double]("cos") >= 0.35))
+    // symmetric-dedup invariant: each unordered pair reported once, a < b
+    assert(out.forall(r => r.getAs[Long]("a") < r.getAs[Long]("b")))
+  }
+
   test("S1/S4 csv round-trip preserves content exactly") {
     val out = SparkEntry.queries("q_csv_roundtrip")(spark, sf).collect()(0)
     assert(out.getAs[Long]("rows") === Tables.customer(spark, sf).count())
