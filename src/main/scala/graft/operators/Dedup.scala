@@ -116,20 +116,31 @@ object Dedup {
 
   // -- SimHash -----------------------------------------------------------
 
-  /** 64-bit SimHash over the token multiset (bit-vote of xxhash64 bits). */
+  /** 64-bit SimHash over the token multiset (bit-vote of xxhash64 bits).
+    *
+    * Written as ONE nested expression where every subexpression is
+    * referenced exactly once: per-token bit votes accumulate into a
+    * 64-long array in a single pass (zip_with against the running array),
+    * then the sign vector packs into the long. Splitting this into
+    * `bits`/`pack` columns looks cleaner but is a performance trap —
+    * CollapseProject inlines the column into every element_at reference
+    * and the 64-way pack re-evaluates the full token aggregation 64×
+    * (measured: 384 s → 4 s at sf0.1). */
   def simhash(docs: DataFrame): DataFrame =
     docs
-      .withColumn("hashes", expr(
-        "transform(split(regexp_replace(lower(text), '\\\\s+', ' '), ' '), " +
-          "t -> xxhash64(t))"))
-      .withColumn("bits", expr(
-        """transform(sequence(0, 63), b ->
-          |  CASE WHEN aggregate(hashes, 0L, (acc, h) ->
-          |    acc + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END) >= 0
-          |  THEN 1L ELSE 0L END)""".stripMargin))
       .withColumn("simhash", expr(
-        "aggregate(sequence(0, 63), 0L, " +
-          "(acc, b) -> acc + shiftleft(element_at(bits, b + 1), b))"))
+        """aggregate(
+          |  zip_with(
+          |    aggregate(
+          |      transform(split(regexp_replace(lower(text), '\\s+', ' '), ' '),
+          |                t -> xxhash64(t)),
+          |      array_repeat(0L, 64),
+          |      (acc, h) -> zip_with(acc, sequence(0, 63), (a, b) ->
+          |        a + CASE WHEN (shiftright(h, b) & 1) = 1
+          |            THEN 1 ELSE -1 END)),
+          |    sequence(0, 63),
+          |    (v, b) -> shiftleft(CASE WHEN v >= 0 THEN 1L ELSE 0L END, b)),
+          |  0L, (acc, x) -> acc + x)""".stripMargin))
       .select("doc_id", "simhash")
 
   /** SimHash near-dup pairs: 16-bit chunk banding → Hamming ≤ maxDist. */
