@@ -17,6 +17,7 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries.filter(q => which(q._1)).toSeq.sortBy(_._1)

@@ -25,9 +25,11 @@ object Similarity {
   val K = 10
   val QueryMod = 50 // vec_id % QueryMod == 0 → bounded query set
 
+  /** Native codegen'd dot product (graft.functions.DotProduct via the
+    * GraftExtensions-registered `vec_dot`) — a tight primitive loop inside
+    * whole-stage codegen instead of the interpreted HOF path. */
   private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * y), " +
-      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    call_function("vec_dot", col(a), col(b))
 
   /** Embeddings with precomputed L2 norm (one narrow pass). */
   def withNorm(df: DataFrame): DataFrame =
@@ -88,9 +90,7 @@ object Similarity {
     e.withColumn("planes", planesCol)
       .withColumn("sig", expr(
         """transform(planes, p ->
-          |  CASE WHEN aggregate(zip_with(p, embedding,
-          |         (x, y) -> x * CAST(y AS DOUBLE)),
-          |       CAST(0 AS DOUBLE), (acc, v) -> acc + v) >= 0
+          |  CASE WHEN vec_dot(p, embedding) >= 0
           |  THEN 1L ELSE 0L END)""".stripMargin))
       .withColumn("buckets", expr(
         s"""transform(sequence(0, $Bands - 1), b ->
