@@ -86,6 +86,8 @@ object SparkEntry {
     "q_cbind"             -> (Joins.cbindByIndex _),
     // OLS diagnostics (SURVEY §2.9 M5) — rows-only
     "q_ols_diagnostics"   -> (graft.ml.Diagnostics.query _),
+    // full 01+02 chain as one lineage (SURVEY §3.1, §7.1(3))
+    "q_enrich_pipeline"   -> (graft.plans.EnrichPipeline.query _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -398,5 +400,53 @@ object SparkEntry {
         |      FROM base)
         |SELECT CAST(idx AS BIGINT) AS idx, a.c_name, b.acctbal
         |FROM a JOIN b USING (idx) ORDER BY idx""".stripMargin,
+    "q_enrich_pipeline" ->
+      """WITH piv AS (
+        |  SELECT n.n_name,
+        |    CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0)
+        |      AS DECIMAL(28,2)) AS urgent,
+        |    CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '2-HIGH'
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0)
+        |      AS DECIMAL(28,2)) AS high
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY n.n_name),
+        |ratio AS (
+        |  SELECT n_name, CASE WHEN urgent + high = 0 THEN NULL
+        |    ELSE ROUND(CAST(urgent AS DOUBLE) / CAST(urgent + high AS DOUBLE), 6)
+        |  END AS ratio FROM piv),
+        |cats AS (
+        |  SELECT *, o_orderstatus ||
+        |    CASE WHEN o_orderkey % 50 = 0 THEN '_rare' ELSE '' END AS cat
+        |  FROM orders),
+        |freq AS (
+        |  SELECT cat,
+        |    CAST(COUNT(*) AS DOUBLE) /
+        |      (SELECT CAST(COUNT(*) AS DOUBLE) FROM orders) AS share
+        |  FROM cats GROUP BY 1),
+        |base AS (
+        |  SELECT
+        |    ((CAST(FLOOR((o.o_custkey * 7) % 120 - 60 + 0.25) AS BIGINT) + 60)
+        |     + (CAST(FLOOR(((o.o_custkey * 13) % 36 * 10 - 180 + 0.25) / 10)
+        |             AS BIGINT) + 18) * 120) % 25 AS region_id,
+        |    CASE WHEN f.share >= 0.05 THEN o.cat
+        |         ELSE 'Other' END AS status_cat,
+        |    CAST(o.o_totalprice AS DECIMAL(18,2)) AS price,
+        |    r.ratio
+        |  FROM cats o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  LEFT JOIN ratio r ON n.n_name = r.n_name
+        |  JOIN freq f ON o.cat = f.cat
+        |  WHERE r.ratio IS NOT NULL
+        |    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND (CAST(o.o_totalprice AS DECIMAL(18,2)) < 400000
+        |         OR o.o_totalprice IS NULL))
+        |SELECT region_id, status_cat, COUNT(*) AS cnt,
+        |  CAST(SUM(price) AS DECIMAL(28,2)) AS sum_price,
+        |  MAX(ratio) AS max_ratio
+        |FROM base GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }
