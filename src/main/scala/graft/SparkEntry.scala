@@ -88,6 +88,8 @@ object SparkEntry {
     "q_ols_diagnostics"   -> (graft.ml.Diagnostics.query _),
     // full 01+02 chain as one lineage (SURVEY §3.1, §7.1(3))
     "q_enrich_pipeline"   -> (graft.plans.EnrichPipeline.query _),
+    // JSON column extraction (events.props)
+    "q_json_extract"      -> (Relational.jsonExtract _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -448,5 +450,12 @@ object SparkEntry {
         |  CAST(SUM(price) AS DECIMAL(28,2)) AS sum_price,
         |  MAX(ratio) AS max_ratio
         |FROM base GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS sum_k,
+        |  MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -56,6 +56,8 @@ object Tables {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -177,6 +177,21 @@ object Relational {
       count(lit(1)).as("n"))
   }
 
+  /** JSON column extraction over `events.props` (multimodal/typed-metadata
+    * column; brief "JSON columns"). `from_json` with a declared schema —
+    * typed access, no string re-parsing downstream. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("props_t",
+        from_json(col("props"), StructType(Seq(StructField("k", LongType)))))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("props_t.k")).as("sum_k"),
+        min(col("props_t.k")).as("min_k"),
+        max(col("props_t.k")).as("max_k"))
+      .orderBy("event_type")
+
   /** M14-shaped reshape: wide metric columns → long (metric, value) rows via
     * `stack` (reference `gather` on the training log, 04_1:319). Pure
     * dataflow — oracle-checked; the model-metric variant lives in
