@@ -72,6 +72,7 @@ object SparkEntry {
     "q_fingerprint"       -> (TextAnalysis.fingerprint _),
     "q_ann_topk"          -> (Similarity.bruteForceTopK _),
     "q_ann_lsh"           -> (Similarity.lshTopK _),
+    "q_ann_ivf"           -> (Similarity.ivfTopK _),
     "q_embed_neardup"     -> ((s, d) => Similarity.cosineNearDup(s, d)),
     "q_multimodal_meta"   -> (Multimodal.query _),
     // sources/sinks (SURVEY §2.1)

@@ -126,6 +126,56 @@ object Similarity {
       .orderBy("a", "b")
   }
 
+  // -- IVF -------------------------------------------------------------
+
+  val NumLists = 16
+  val NumProbes = 4
+
+  /** IVF ANN: a KMeans coarse quantizer assigns every vector to its
+    * nearest centroid list; a query probes only the `NumProbes` nearest
+    * lists and scores those candidates exactly. The centroids are trained
+    * once (seeded) and shipped as plan literals — the inverted-file
+    * structure is just a groupBy key, so the search is one bucketed join,
+    * the same shuffle discipline as the LSH path but data-adaptive. */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = withNorm(Tables.embeddings(spark, dir)).cache()
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(NumLists).setSeed(123).setFeaturesCol("fvec")
+      .fit(e.select(array_to_vector(col("embedding")).as("fvec")))
+    // centroids → one literal array<array<double>> column
+    val cents = array(km.clusterCenters.map(c =>
+      array(c.toArray.map(lit): _*)): _*)
+    // squared distance to centroid c: x·x − 2x·c + c·c; x·x is constant
+    // per row for the argmin, so rank by (c·c − 2x·c)
+    val withDists = e.withColumn("cents", cents)
+      .withColumn("dists", expr(
+        "transform(cents, c -> vec_dot(c, c) - 2.0D * vec_dot(c, embedding))"))
+    val assigned = withDists
+      .withColumn("list_id",
+        expr("array_position(dists, array_min(dists))").cast(LongType))
+      .drop("cents", "dists")
+    val probed = withDists
+      .filter(col("vec_id") % QueryMod === 0)
+      .withColumn("probe", explode(expr(
+        s"""slice(array_sort(zip_with(dists, sequence(1, $NumLists),
+           |  (d, i) -> struct(d AS d, i AS i))), 1, $NumProbes)"""
+          .stripMargin)))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("probe.i").cast(LongType).as("list_id"))
+    val pairs = assigned.join(broadcast(probed), Seq("list_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "q_emb", "q_norm", "vec_id", "embedding", "norm")
+      .distinct()
+    score(pairs)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank").cast(LongType).as("rank"),
+        col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy("q_id", "rank")
+  }
+
   /** LSH ANN: bucket-join queries to candidates, exact cosine on the
     * candidate set only, top-k. */
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {

@@ -82,12 +82,13 @@ object TextAnalysis {
 
   /** Document fingerprint: order-sensitive chain hash of the token stream
     * (rolling-hash analogue, wrap-safe under ANSI by chaining through
-    * xxhash64 instead of multiply-accumulate). */
+    * xxhash64 instead of multiply-accumulate). Multi-arg xxhash64 chains
+    * (acc, token) directly — no per-token string allocation. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("tokens", tokensCol)
       .select(
         col("doc_id"),
-        expr("aggregate(tokens, 0L, (acc, t) -> " +
-          "xxhash64(concat(cast(acc AS string), t)))").as("fingerprint"))
+        expr("aggregate(tokens, 0L, (acc, t) -> xxhash64(acc, t))")
+          .as("fingerprint"))
 }

@@ -24,10 +24,8 @@ class LlmOpsSpec extends AnyFunSuite {
       again.collect().toSeq.sortBy(_.getLong(0)))
     // same multiset, different order → different fingerprint
     val two = Seq((1L, "alpha beta"), (2L, "beta alpha")).toDF("doc_id", "text")
-    val hashes = graft.operators.TextAnalysis
     val out = two.withColumn("tokens", split(lower(col("text")), " "))
-      .selectExpr("aggregate(tokens, 0L, (acc, t) -> " +
-        "xxhash64(concat(cast(acc AS string), t))) AS f")
+      .selectExpr("aggregate(tokens, 0L, (acc, t) -> xxhash64(acc, t)) AS f")
       .collect().map(_.getLong(0))
     assert(out(0) !== out(1))
   }
@@ -43,6 +41,15 @@ class LlmOpsSpec extends AnyFunSuite {
     // the gate is that bucketed candidates find a meaningful fraction
     assert(recall > 0.25, s"LSH recall $recall")
     assert(lsh.nonEmpty)
+  }
+
+  test("ANN: IVF with 4/16 probes recalls a strong fraction of brute force") {
+    val bf = SparkEntry.queries("q_ann_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = SparkEntry.queries("q_ann_ivf")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = bf.count(ivf.contains).toDouble / bf.size
+    assert(recall > 0.3, s"IVF recall $recall")
   }
 
   test("ANN brute force: rank 1 has the highest cosine per query") {
