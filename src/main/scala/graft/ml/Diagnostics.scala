@@ -139,11 +139,17 @@ object Diagnostics {
   /** Registered query: one diagnostics row over the OLS fixture (rows-only
     * driver check; thresholds asserted in DiagnosticsSpec). */
   def query(spark: SparkSession, dir: String): DataFrame = {
-    val ds = OlsPipeline.dataset(spark, dir).filter(col("label").isNotNull)
     val features = OlsPipeline.featureCols
+    // BP + VIF + HC0 together make ~13 aggregation passes; cache the
+    // (features, label) projection once so they reduce over memory, not
+    // over repeated parquet scans of the full-width table.
+    val ds = OlsPipeline.dataset(spark, dir).filter(col("label").isNotNull)
+      .select((features :+ "label").map(col): _*)
+      .cache()
     val (lm, dfree) = breuschPagan(ds, features, "label")
     val vifs = vif(ds, features)
     val ses = hc0(ds, features, "label")
+    ds.unpersist(blocking = false)
     val spark2 = spark
     import spark2.implicits._
     Seq((

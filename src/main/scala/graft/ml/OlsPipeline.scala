@@ -53,11 +53,22 @@ object OlsPipeline {
       test: DataFrame,
       forecast: DataFrame)
 
-  /** M1+M3+M4: scale, split observed/forecast, seeded 75/25, fit. */
+  /** M1+M3+M4: scale, split observed/forecast, seeded 75/25, fit.
+    *
+    * The scaled projection is cached once: everything downstream (LR fit,
+    * per-universe metrics, county aggregation, calibration) is a repeated
+    * pass over it, and without the cache each pass re-reads parquet and
+    * re-applies the narrow prep. At cluster scale the same role is played
+    * by a stage checkpoint (CsvIO.checkpoint) when the projection exceeds
+    * memory; the column pruning below keeps the cached footprint to the
+    * 7 columns the passes actually touch. */
   def fit(spark: SparkSession, dir: String): Fitted = {
     val ds = dataset(spark, dir)
     val scaler = ZScaler.fit(ds.filter(col("label").isNotNull), featureCols)
     val scaled = scaler.transform(ds)
+      .select((Seq("county", "label", "label_true", "l_orderkey") ++ featureCols)
+        .map(col): _*)
+      .cache()
     val observed = scaled.filter(col("label").isNotNull)
     val forecast = scaled.filter(col("label").isNull)
     val Array(train, test) = observed.randomSplit(Array(0.75, 0.25), seed = 123)
