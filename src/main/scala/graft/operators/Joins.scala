@@ -15,8 +15,12 @@ import graft.Tables
   * so each left join here filters its build side first (acctbal gates),
   * guaranteeing unmatched probe rows and a NULL group in the output.
   *
-  * Scale notes: build sides are filtered dimensions (bounded) → broadcast;
-  * the probe (fact) side never shuffles for the join. The global-window ops
+  * Scale notes: the build sides here (filtered customer/supplier) are
+  * fact-PROPORTIONAL, not bounded dimensions — so they carry NO broadcast
+  * hint; Catalyst stats/AQE broadcast them while they fit (they do at test
+  * SFs) and fall back to a shuffled join at cluster scale instead of
+  * OOMing every executor. Only genuinely bounded dims (nation/region, the
+  * geo grid) get explicit hints elsewhere. The global-window ops
   * (ntile/top-k) are presentation ops over small/aggregated inputs — top-k
   * uses orderBy+limit which Spark executes as TakeOrderedAndProject (per
   * -partition top-k + driver merge, no global sort shuffle).
@@ -31,7 +35,7 @@ object Joins {
     val rich = Tables.customer(spark, dir)
       .filter(col("c_acctbal") > 5000)
       .select("c_custkey", "c_mktsegment")
-    o.join(broadcast(rich), o("o_custkey") === rich("c_custkey"), "left")
+    o.join(rich, o("o_custkey") === rich("c_custkey"), "left")
       .groupBy(col("c_mktsegment").as("segment"))
       .agg(count(lit(1)).as("cnt"),
            count(col("c_custkey")).as("matched"))
@@ -46,7 +50,7 @@ object Joins {
     val s = Tables.supplier(spark, dir)
       .filter(col("s_acctbal") > 0)
       .select(col("s_suppkey"), col("s_name"))
-    li.join(broadcast(s), li("l_suppkey") === s("s_suppkey"), "left")
+    li.join(s, li("l_suppkey") === s("s_suppkey"), "left")
       .select(col("l_suppkey"), col("l_returnflag"), col("s_name"))
       .distinct()
   }
