@@ -451,6 +451,30 @@ object SparkEntry {
         |  CAST(SUM(price) AS DECIMAL(28,2)) AS sum_price,
         |  MAX(ratio) AS max_ratio
         |FROM base GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // brute-force ANN is exactly SQL-expressible: DuckDB list_dot_product
+    // over DOUBLE[] accumulates left-to-right in double, the same algorithm
+    // as the codegen'd vec_dot loop, so cos matches bit-for-bit; ties in
+    // the rounded cos break on vec_id in both engines.
+    "q_ann_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |      AS norm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb, norm AS q_norm
+        |      FROM e WHERE q_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id,
+        |    ROUND(list_dot_product(q.q_emb, e.emb) / (q.q_norm * e.norm), 6)
+        |      AS cos
+        |  FROM q CROSS JOIN e WHERE e.vec_id <> q.q_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |         ORDER BY cos DESC, vec_id) AS BIGINT) AS rank, cos
+        |  FROM scored)
+        |SELECT q_id, rank, vec_id AS neighbor_id, cos
+        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
