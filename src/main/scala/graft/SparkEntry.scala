@@ -451,6 +451,38 @@ object SparkEntry {
         |  CAST(SUM(price) AS DECIMAL(28,2)) AS sum_price,
         |  MAX(ratio) AS max_ratio
         |FROM base GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // lang-ID is exact SQL: stopword counts are integers, the score division
+    // is the same double op both sides, and the argmax tie-break (max score,
+    // then max lang) mirrors Spark's greatest() over (score, lang) structs
+    // via the fr→en→de CASE order.
+    "q_lang_id" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')
+        |      AS tokens
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang,
+        |    CAST(len(list_filter(tokens, x -> x IN
+        |      ('the','a','of','and','to','in','is','it','that','on')))
+        |      AS DOUBLE) / greatest(len(tokens), 1) AS s_en,
+        |    CAST(len(list_filter(tokens, x -> x IN
+        |      ('der','die','das','und','ist','nicht','ein','zu','mit')))
+        |      AS DOUBLE) / greatest(len(tokens), 1) AS s_de,
+        |    CAST(len(list_filter(tokens, x -> x IN
+        |      ('le','la','et','les','des','un','une','est','dans')))
+        |      AS DOUBLE) / greatest(len(tokens), 1) AS s_fr
+        |  FROM t),
+        |b AS (
+        |  SELECT lang, greatest(s_de, s_en, s_fr) AS best_s,
+        |    CASE WHEN s_fr = greatest(s_de, s_en, s_fr) THEN 'fr'
+        |         WHEN s_en = greatest(s_de, s_en, s_fr) THEN 'en'
+        |         ELSE 'de' END AS best_l
+        |  FROM s)
+        |SELECT lang,
+        |  CASE WHEN best_s >= 0.01 THEN best_l ELSE 'und' END AS pred_lang,
+        |  COUNT(*) AS cnt
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // brute-force ANN is exactly SQL-expressible: DuckDB list_dot_product
     // over DOUBLE[] accumulates left-to-right in double, the same algorithm
     // as the codegen'd vec_dot loop, so cos matches bit-for-bit; ties in
