@@ -52,6 +52,19 @@ object Streaming {
       }
   }
 
+  final case class Doc(ts: Timestamp, doc_id: Long, content_hash: Long)
+
+  /** Streaming exact dedup: the streaming half of `operators.Dedup` —
+    * first-seen wins per content hash, with the watermark bounding the
+    * dedup state to the late-data horizon (without it, state grows with
+    * every distinct document ever seen; with it, a hash is only held for
+    * 1 hour of event time — the standard design for continuous ingest
+    * dedup at corpus scale). */
+  def dedupStream(docs: Dataset[Doc]): Dataset[Doc] =
+    docs
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** writeStream wiring for the windowed agg (update mode; the test drives
     * it with a memory sink, production swaps the sink only). */
   def startToMemory(events: DataFrame, queryName: String) =

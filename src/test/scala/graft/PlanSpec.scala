@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the scale-discipline claims the operator
+  * Scaladocs make (pushdown, pruning, no cartesian blowups, top-k without a
+  * global sort) held at review time — these tests keep them held. A
+  * regression here is invisible to the value-correctness oracle but turns
+  * into the dominant cost at 100 TB, which is why it gets its own spec.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+
+  test("top-k executes as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("projection queries prune the parquet scan to referenced columns") {
+    val p = plan("q_select_rename")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("c_custkey") && read.contains("c_name") &&
+      read.contains("c_mktsegment"), read)
+    assert(!read.contains("c_acctbal") && !read.contains("c_address"), read)
+  }
+
+  test("left-join build-side filter is pushed down to the parquet scan") {
+    val p = plan("q_left_join")
+    assert(p.contains("GreaterThan(c_acctbal,5000.0)"), p)
+  }
+
+  test("date filter reaches the orders scan as a pushed predicate") {
+    val p = plan("q_date_filter")
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
+
+  test("agg queries partial-aggregate before the shuffle") {
+    // map-side combine: a partial_ HashAggregate must sit below the Exchange
+    // (AQE formatted mode shows no codegen spans pre-execution, so only the
+    // aggregate shape is asserted here)
+    val p = plan("q_agg_sum")
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("ANN paths generate candidates via joins, never CartesianProduct") {
+    for (q <- Seq("q_ann_lsh", "q_embed_neardup", "q_minhash_neardup",
+                  "q_simhash_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
+  test("fact-side joins carry no user broadcast hint (AQE decides)") {
+    // logical plans of the fact⨝customer/supplier joins must not pin a
+    // broadcast: at test SF Catalyst still broadcasts (small stats), but the
+    // HINT would survive to 100 TB and OOM (round-1 verdict finding).
+    // q_group_mean_having keeps its broadcast(nation) — a 25-row bounded
+    // dim — so only the hint-free left joins are asserted hint-free.
+    for (q <- Seq("q_left_join", "q_left_join_distinct")) {
+      val lp = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.analyzed.toString
+      assert(!lp.contains("ResolvedHint"), s"$q:\n$lp")
+    }
+    // and the nation hint must be the ONLY one in the 3-table join
+    val gmh = SparkEntry.queries("q_group_mean_having")(spark, sf)
+      .queryExecution.analyzed.toString
+    assert(gmh.split("ResolvedHint").length - 1 === 1, gmh)
+  }
+
+  private def scanCount(df: DataFrame): Int =
+    df.queryExecution.explainString(FormattedMode)
+      .linesIterator.count(_.contains("Scan parquet"))
+
+  test("ols fit pipeline reads lineitem once per pass (cached projection)") {
+    // the fitted universes derive from one cached projection; their plans
+    // should hit InMemoryTableScan, not re-scan parquet per aggregation
+    val f = graft.ml.OlsPipeline.fitCached(spark, sf)
+    val p = f.train.queryExecution.explainString(FormattedMode)
+    assert(p.contains("InMemoryTableScan") || scanCount(f.train) <= 1, p)
+  }
+}

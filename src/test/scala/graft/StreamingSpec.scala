@@ -66,6 +66,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps first-seen doc per content hash") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streaming.Doc]
+    val q = Streaming.dedupStream(mem.toDS())
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Streaming.Doc(ts("2024-01-01 10:00:00"), 1L, 111L),
+        Streaming.Doc(ts("2024-01-01 10:01:00"), 2L, 222L),
+        Streaming.Doc(ts("2024-01-01 10:02:00"), 3L, 111L)) // dup of doc 1
+      q.processAllAvailable()
+      mem.addData( // second batch: dup arrives within the watermark window
+        Streaming.Doc(ts("2024-01-01 10:10:00"), 4L, 222L))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(ids === Set(1L, 2L))
+    } finally q.stop()
+  }
+
   test("S5 model save/load round-trips predictions exactly") {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_model_rt"
     val ds = graft.ml.TreePipeline.dataset(spark, sf, sampleMod = 9)
