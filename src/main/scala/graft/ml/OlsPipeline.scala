@@ -94,15 +94,13 @@ object OlsPipeline {
   }
 
   /** M7: calibration meta-regression lm(actual ~ forecast) on the county
-    * aggregates; returns (intercept, slope). */
+    * aggregates; returns (intercept, slope). The input is a few hundred
+    * county rows, so this uses the engine's own normal-equation OLS
+    * (Diagnostics.fitOls — one aggregation pass + driver-side 2×2 solve)
+    * instead of paying a full MLlib estimator round-trip. */
   def calibrate(county: DataFrame): (Double, Double) = {
-    val assembler = new VectorAssembler()
-      .setInputCols(Array("forecast")).setOutputCol("cal_features")
-    val lr = new LinearRegression()
-      .setFeaturesCol("cal_features").setLabelCol("actual")
-      .setSolver("normal")
-    val m = lr.fit(assembler.transform(county))
-    (m.intercept, m.coefficients(0))
+    val beta = Diagnostics.fitOls(county, Seq("forecast"), "actual")
+    (beta(0), beta(1))
   }
 
   /** M13: RMSE / R² / adjusted R² per universe. */
@@ -140,15 +138,21 @@ object OlsPipeline {
   }
 
   /** M13+M14: metric table reshaped wide→long via stack (reference
-    * `gather`, 04_1:319). Deterministic given the seeded split. */
+    * `gather`, 04_1:319). Deterministic given the seeded split.
+    * Train and test are scored in ONE pass: a split-tagged union scored
+    * once and reduced by one grouped aggregation, instead of two separate
+    * score+agg jobs per universe. */
   def metricsLong(spark: SparkSession, dir: String): DataFrame = {
     val f = fitCached(spark, dir)
-    val (rmseTr, r2Tr, _) = metrics(f, f.train, featureCols.size)
-    val (rmseTe, r2Te, _) = metrics(f, f.test, featureCols.size)
-    val spark2 = spark
-    import spark2.implicits._
-    Seq(("train", rmseTr, r2Tr), ("test", rmseTe, r2Te))
-      .toDF("split", "rmse", "r2")
+    val both = f.model.transform(
+      f.train.withColumn("split", lit("train"))
+        .unionByName(f.test.withColumn("split", lit("test"))))
+      .select(col("split"), col("label_true").as("a"),
+        col("prediction").as("p"))
+    both.groupBy("split")
+      .agg(
+        sqrt(avg(pow(col("p") - col("a"), 2))).as("rmse"),
+        pow(corr(col("a"), col("p")), 2).as("r2"))
       .selectExpr("split", "stack(2, 'rmse', rmse, 'r2', r2) AS (metric, value)")
       .select(col("split"), col("metric"), round(col("value"), 4).as("value"))
       .orderBy("split", "metric")
