@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based checks for the engine's pure kernels — the pieces whose
+  * failure modes are numeric edge cases rather than plan shapes: the
+  * codegen'd vec_dot expression (evaluated directly through its interpreted
+  * path, no session needed), the driver-side normal-equation solver, and
+  * the ray-casting polygon test.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val finiteD: Gen[Double] = Gen.chooseNum(-1e6, 1e6)
+
+  test("vec_dot(double[]) matches a reference fold for arbitrary vectors") {
+    val arr = Gen.listOfN(8, finiteD)
+    check(Prop.forAll(arr, arr) { (a, b) =>
+      val e = graft.functions.DotProduct(
+        Literal.create(a, ArrayType(DoubleType)),
+        Literal.create(b, ArrayType(DoubleType)))
+      val got = e.eval().asInstanceOf[Double]
+      val want = a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+      got == want // identical fold order ⇒ bit-exact, no epsilon needed
+    })
+  }
+
+  test("vec_dot widens float[] exactly like a per-element toDouble loop") {
+    val arrF = Gen.listOfN(8, Gen.chooseNum(-1e3f, 1e3f))
+    check(Prop.forAll(arrF, arrF) { (a, b) =>
+      val e = graft.functions.DotProduct(
+        Literal.create(a, ArrayType(FloatType)),
+        Literal.create(b, ArrayType(FloatType)))
+      val got = e.eval().asInstanceOf[Double]
+      val want = a.zip(b).foldLeft(0.0) {
+        case (s, (x, y)) => s + x.toDouble * y.toDouble
+      }
+      got == want
+    })
+  }
+
+  test("vec_dot over mismatched lengths dots the common prefix") {
+    check(Prop.forAll(Gen.listOfN(8, finiteD), Gen.listOfN(5, finiteD)) {
+      (a, b) =>
+        val e = graft.functions.DotProduct(
+          Literal.create(a, ArrayType(DoubleType)),
+          Literal.create(b, ArrayType(DoubleType)))
+        val want = a.take(5).zip(b).foldLeft(0.0) {
+          case (s, (x, y)) => s + x * y
+        }
+        e.eval().asInstanceOf[Double] == want
+    })
+  }
+
+  test("solve() recovers x for random diagonally-dominant systems") {
+    val n = 4
+    val row = Gen.listOfN(n, Gen.chooseNum(-1.0, 1.0))
+    val mat = Gen.listOfN(n, row)
+    val vec = Gen.listOfN(n, Gen.chooseNum(-10.0, 10.0))
+    check(Prop.forAll(mat, vec) { (m0, x) =>
+      // diagonal dominance guarantees non-singularity
+      val a = m0.zipWithIndex.map { case (r, i) =>
+        r.zipWithIndex.map { case (v, j) =>
+          if (i == j) v + n + 1.0 else v
+        }.toArray
+      }.toArray
+      val b = a.map(r => r.zip(x).map { case (v, xi) => v * xi }.sum)
+      val got = graft.ml.Diagnostics.solve(a, b)
+      got.zip(x).forall { case (g, w) => math.abs(g - w) < 1e-8 }
+    })
+  }
+
+  test("invert() gives A·A⁻¹ ≈ I for diagonally-dominant matrices") {
+    val n = 3
+    val mat = Gen.listOfN(n, Gen.listOfN(n, Gen.chooseNum(-1.0, 1.0)))
+    check(Prop.forAll(mat) { m0 =>
+      val a = m0.zipWithIndex.map { case (r, i) =>
+        r.zipWithIndex.map { case (v, j) =>
+          if (i == j) v + n + 1.0 else v
+        }.toArray
+      }.toArray
+      val prod = graft.ml.Diagnostics.matMul(a, graft.ml.Diagnostics.invert(a))
+      (0 until n).forall { i =>
+        (0 until n).forall { j =>
+          math.abs(prod(i)(j) - (if (i == j) 1.0 else 0.0)) < 1e-8
+        }
+      }
+    })
+  }
+
+  test("ray-casting contains() is exact on axis-aligned rectangles") {
+    val coord = Gen.chooseNum(-50.0, 50.0)
+    val gen = for {
+      y0 <- coord; y1 <- coord.suchThat(v => math.abs(v - y0) > 1e-6)
+      x0 <- coord; x1 <- coord.suchThat(v => math.abs(v - x0) > 1e-6)
+      fy <- Gen.chooseNum(0.01, 0.99)
+      fx <- Gen.chooseNum(0.01, 0.99)
+    } yield (math.min(y0, y1), math.max(y0, y1),
+             math.min(x0, x1), math.max(x0, x1), fy, fx)
+    check(Prop.forAll(gen) { case (yLo, yHi, xLo, xHi, fy, fx) =>
+      val ring = Seq((yLo, xLo), (yLo, xHi), (yHi, xHi), (yHi, xLo))
+      val (latIn, lonIn) = (yLo + fy * (yHi - yLo), xLo + fx * (xHi - xLo))
+      val inside = graft.operators.GeoJoin.contains(ring, latIn, lonIn)
+      // a point strictly outside the bounding box is never contained
+      val outside = graft.operators.GeoJoin.contains(ring, yHi + 1.0, lonIn) ||
+        graft.operators.GeoJoin.contains(ring, latIn, xHi + 1.0)
+      inside && !outside
+    })
+  }
+}
