@@ -62,6 +62,43 @@ object Multimodal {
     assets.mapPartitions(_.map(decodeStub))
   }
 
+  /** STUB resize — stands in for a real scaler. Deterministic: metadata is
+    * rewritten to the target dims; the payload is resampled proportionally
+    * (every k-th byte) so payload size tracks the area ratio the way a real
+    * resampler's output would. Payloads never leave their partition. */
+  def resizeStub(a: Asset, w: Int, h: Int): Asset = {
+    val srcArea = math.max(1L, a.width.toLong * a.height)
+    val ratio = math.min(1.0, (w.toLong * h).toDouble / srcArea)
+    val keep = math.max(1, math.round(a.payload.length * ratio).toInt)
+    val step = math.max(1, a.payload.length / keep)
+    val out = a.payload.indices.collect {
+      case i if i % step == 0 => a.payload(i)
+    }.toArray
+    Asset(a.doc_id, a.mime, w, h, out)
+  }
+
+  def resize(assets: Dataset[Asset], w: Int, h: Int): Dataset[Asset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map(resizeStub(_, w, h)))
+  }
+
+  final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Frame sampling: every `stride`-th byte window stands in for a decoded
+    * video frame (the real decoder replaces the windowing only). One input
+    * row fans out to its frames within the partition — no shuffle. */
+  def frameSamples(assets: Dataset[Asset], stride: Int = 64): Dataset[Frame] = {
+    import assets.sparkSession.implicits._
+    assets.flatMap { a =>
+      val n = math.max(1, a.payload.length / stride)
+      (0 until n).map { i =>
+        Frame(a.doc_id, i,
+          a.payload.slice(i * stride, math.min((i + 1) * stride,
+            a.payload.length)))
+      }
+    }
+  }
+
   /** Registered query: metadata + stub features profile. */
   def query(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(assets(spark, dir)).toDF()

@@ -73,4 +73,27 @@ class LlmOpsSpec extends AnyFunSuite {
     val agg = SparkEntry.queries("q_multimodal_meta")(spark, sf).collect()(0)
     assert(agg.getAs[Long]("n_assets") === chars.size)
   }
+
+  test("multimodal resize: target dims set, payload tracks the area ratio") {
+    val a = Multimodal.assets(spark, sf)
+    val r = Multimodal.resize(a, 320, 240).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(x => x.width === 320 && x.height === 240))
+    val orig = a.collect().map(x => x.doc_id -> x.payload.length).toMap
+    // resample never grows the payload and keeps at least one byte
+    assert(r.forall(x => x.payload.length <= orig(x.doc_id) &&
+      x.payload.length >= 1))
+    // deterministic
+    val again = Multimodal.resize(a, 320, 240).collect()
+      .map(x => x.doc_id -> x.payload.toSeq).toMap
+    assert(r.map(x => x.doc_id -> x.payload.toSeq).toMap === again)
+  }
+
+  test("multimodal frame sampling: max(1, len/stride) frames per asset") {
+    val a = Multimodal.assets(spark, sf)
+    val frames = Multimodal.frameSamples(a, stride = 64).collect()
+      .groupBy(_.doc_id).view.mapValues(_.length).toMap
+    val lens = a.collect().map(x => x.doc_id -> x.payload.length).toMap
+    assert(frames === lens.map { case (id, n) => id -> math.max(1, n / 64) })
+  }
 }
