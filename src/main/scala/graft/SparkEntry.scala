@@ -70,6 +70,7 @@ object SparkEntry {
     "q_quality"           -> (TextAnalysis.quality _),
     "q_token_count"       -> (TextAnalysis.tokenCount _),
     "q_fingerprint"       -> (TextAnalysis.fingerprint _),
+    "q_tfidf"             -> ((s, d) => TextAnalysis.tfidf(s, d)),
     "q_ann_topk"          -> (Similarity.bruteForceTopK _),
     "q_ann_lsh"           -> (Similarity.lshTopK _),
     "q_ann_ivf"           -> (Similarity.ivfTopK _),
@@ -451,6 +452,33 @@ object SparkEntry {
         |  CAST(SUM(price) AS DECIMAL(28,2)) AS sum_price,
         |  MAX(ratio) AS max_ratio
         |FROM base GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // TF-IDF mirrors term-for-term: integer tf/df/N, one double ln both
+    // sides, rank over the ROUNDED score with a term tie-break
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'),
+        |           ' ')) AS term
+        |  FROM documents),
+        |filt AS (
+        |  SELECT doc_id, term FROM toks
+        |  WHERE length(term) > 0 AND term NOT IN
+        |    ('the','a','of','and','to','in','is','it','that','on')),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM filt GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.term,
+        |    ROUND(t.tf * (ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1.0), 6)
+        |      AS tfidf
+        |  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tfidf,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |         ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, tfidf
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     // lang-ID is exact SQL: stopword counts are integers, the score division
     // is the same double op both sides, and the argmax tie-break (max score,
     // then max lang) mirrors Spark's greatest() over (score, lang) structs

@@ -80,6 +80,40 @@ object TextAnalysis {
           .cast(LongType).as("re_tokens"),
         length(col("text")).cast(LongType).as("chars"))
 
+  /** TF-IDF with stopword removal, pure DataFrame (no MLlib transformer —
+    * the hashed HashingTF loses term identity; this keeps terms inspectable
+    * and DuckDB-oracle-checkable). Plan shape at scale: one explode + two
+    * hash aggregations (doc,term / term) + one shuffle join on term + a
+    * per-doc window over ≤ distinct-terms rows; corpus size N arrives via a
+    * broadcast 1-row aggregate, not a driver collect.
+    * Smoothed idf = ln((N+1)/(df+1)) + 1 (the standard sklearn form). */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "on")
+
+  def tfidf(spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs
+      .select(col("doc_id"), explode(tokensCol).as("term"))
+      .filter(length(col("term")) > 0 && !col("term").isin(stopwords: _*))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(
+        col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0),
+        6))
+    // rank by the ROUNDED score so oracle rank ties break identically
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("rank").cast(LongType).as("rank"),
+        col("term"), col("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** Document fingerprint: order-sensitive chain hash of the token stream
     * (rolling-hash analogue, wrap-safe under ANSI by chaining through
     * xxhash64 instead of multiply-accumulate). Multi-arg xxhash64 chains

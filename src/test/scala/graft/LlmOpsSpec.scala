@@ -74,6 +74,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(agg.getAs[Long]("n_assets") === chars.size)
   }
 
+  test("tfidf: stopwords removed, ≤3 ranked terms per doc, idf sane") {
+    val out = SparkEntry.queries("q_tfidf")(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => !TextAnalysis.stopwords.contains(r.getAs[String]("term"))))
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(byDoc.values.forall(_.length <= 3))
+    // within a doc, rank order follows tfidf desc
+    byDoc.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      val scores = sorted.map(_.getAs[Double]("tfidf"))
+      assert(scores.toSeq === scores.sorted(Ordering[Double].reverse).toSeq)
+    }
+    assert(out.forall(_.getAs[Double]("tfidf") > 0.0))
+  }
+
   test("multimodal resize: target dims set, payload tracks the area ratio") {
     val a = Multimodal.assets(spark, sf)
     val r = Multimodal.resize(a, 320, 240).collect()
