@@ -65,6 +65,7 @@ object SparkEntry {
     "q_exact_dedup"       -> (Dedup.exactDedup _),
     "q_minhash_neardup"   -> ((s, d) => Dedup.minhashNearDup(s, d)),
     "q_simhash_neardup"   -> ((s, d) => Dedup.simhashNearDup(s, d)),
+    "q_ngram_jaccard"     -> (Dedup.ngramJaccard _),
     // LLM-pipeline text analysis / similarity / multimodal (brief first-class)
     "q_lang_id"           -> (TextAnalysis.langId _),
     "q_quality"           -> (TextAnalysis.quality _),
@@ -319,6 +320,32 @@ object SparkEntry {
         |  WHERE doc_id % 7 = 0)
         |SELECT md5(text) AS h, COUNT(*) AS cnt, MIN(doc_id) AS keep_id
         |FROM corpus GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' qq zz' FROM documents
+        |  WHERE doc_id % 7 = 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tokens) < 3
+        |      THEN [array_to_string(tokens, ' ')]
+        |      ELSE list_transform(range(0, len(tokens) - 2),
+        |             i -> array_to_string(tokens[i+1:i+3], ' '))
+        |    END) AS shingles
+        |  FROM (SELECT doc_id,
+        |          string_split(regexp_replace(lower(text), '\s+', ' ', 'g'),
+        |                       ' ') AS tokens
+        |        FROM corpus)),
+        |pairs AS (
+        |  SELECT o.doc_id AS a, n.doc_id AS b,
+        |    o.shingles AS sh_a, n.shingles AS sh_b
+        |  FROM sh o JOIN sh n ON n.doc_id = o.doc_id + 2000000
+        |  WHERE o.doc_id < 1000000)
+        |SELECT a, b,
+        |  ROUND(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(sh_a, sh_b))), 6) AS jaccard
+        |FROM pairs ORDER BY a""".stripMargin,
     "q_quality" ->
       """WITH t AS (
         |  SELECT doc_id, n_chars, text,

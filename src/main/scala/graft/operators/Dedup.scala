@@ -98,6 +98,26 @@ object Dedup {
       .distinct()
   }
 
+  /** n-gram (3-shingle) Jaccard over the planted near-dup pairs — the
+    * verification metric as its own oracle-checked operator. Each original
+    * joins its planted +2M near copy on the derived key: one narrow join,
+    * no candidate explosion (candidate GENERATION is minhash/simhash's
+    * job; this is the exact-similarity kernel they share). */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = signatures(corpus(spark, dir)).select("doc_id", "shingles")
+    val orig = sh.filter(col("doc_id") < 1000000 && col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("a"), col("shingles").as("sh_a"))
+    val near = sh.filter(col("doc_id") >= 2000000)
+      .select(col("doc_id").as("b"), (col("doc_id") - 2000000).as("k"),
+        col("shingles").as("sh_b"))
+    orig.join(near, orig("a") === near("k"))
+      .select(col("a"), col("b"), round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType),
+        6).as("jaccard"))
+      .orderBy("a")
+  }
+
   /** Near-dedup end to end: candidates → exact-Jaccard verification. */
   def minhashNearDup(spark: SparkSession, dir: String,
                      threshold: Double = 0.5): DataFrame = {
