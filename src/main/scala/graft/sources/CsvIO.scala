@@ -41,6 +41,15 @@ object CsvIO {
   def loadCheckpoint(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** S3 at scale: hive-layout checkpoint partitioned by low-cardinality
+    * key(s). A downstream filter on the partition column prunes whole
+    * directories at planning time (PartitionFilters, zero I/O for pruned
+    * partitions) — the difference between scanning 100 TB and scanning one
+    * partition of it. */
+  def checkpointPartitioned(df: DataFrame, path: String,
+                            cols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
   /** Oracle-checked round-trip: customer → CSV (typed re-scan) → aggregate.
     * Values survive the text round-trip exactly (Java double formatting is
     * round-trip exact; money compared as DECIMAL), so the oracle is the

@@ -74,6 +74,21 @@ class PlanSpec extends AnyFunSuite {
     assert(gmh.split("ResolvedHint").length - 1 === 1, gmh)
   }
 
+  test("partitioned checkpoint prunes partitions at planning time") {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_part_ckpt"
+    graft.sources.CsvIO.checkpointPartitioned(
+      Tables.events(spark, sf), path, Seq("event_type"))
+    val back = spark.read.parquet(path)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "click")
+    val p = back.queryExecution.explainString(FormattedMode)
+    assert(p.contains("PartitionFilters") &&
+      p.contains("isnotnull(event_type"), p)
+    assert(back.count() ===
+      Tables.events(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("event_type") === "click")
+        .count())
+  }
+
   private def scanCount(df: DataFrame): Int =
     df.queryExecution.explainString(FormattedMode)
       .linesIterator.count(_.contains("Scan parquet"))
