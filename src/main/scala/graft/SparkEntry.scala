@@ -479,6 +479,21 @@ object SparkEntry {
         |  CAST(SUM(price) AS DECIMAL(28,2)) AS sum_price,
         |  MAX(ratio) AS max_ratio
         |FROM base GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the multimodal stub derives features from raw bytes only, and the
+    // corpus is ASCII — so DuckDB can replay the "decode" with code points
+    // (unicode(char) == byte) and match the profile exactly
+    "q_multimodal_meta" ->
+      """WITH f AS (
+        |  SELECT doc_id, strlen(text) AS n_bytes,
+        |    ROUND(list_aggregate(list_transform(range(1, strlen(text) + 1),
+        |          i -> unicode(text[i])), 'avg'), 4) AS mean_byte,
+        |    greatest(1, strlen(text) // 64) AS frames
+        |  FROM documents)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_assets,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |  ROUND(AVG(mean_byte), 4) AS avg_mean_byte,
+        |  CAST(SUM(frames) AS BIGINT) AS total_frames
+        |FROM f""".stripMargin,
     // TF-IDF mirrors term-for-term: integer tf/df/N, one double ln both
     // sides, rank over the ROUNDED score with a term tie-break
     "q_tfidf" ->
