@@ -26,17 +26,29 @@ object Bench {
       try Tables.load(spark, sfDir, t).limit(1).collect()
       catch { case _: Throwable => () }
     }
+    // failures are recorded explicitly (negative elapsed + errors map) so a
+    // query that throws immediately can't masquerade as a fast one
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          None
+        } catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      (name, if (err.isEmpty) sec else -sec, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jstr(s: String) =
+      "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => " "; case c => c.toString } + "\""
+    val errs = results.collect { case (k, _, Some(m)) => s"${jstr(k)}:${jstr(m)}" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -98,6 +98,10 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    // decimal sums are emitted as BIGINT minor units on BOTH sides: the
+    // driver hash covers the physical decimal encoding, which differs
+    // between Spark parquet and DuckDB on multi-row outputs even when every
+    // cell value matches; int64 is bit-identical across engines.
     "q_pivot_ratio" ->
       """WITH j AS (
         |  SELECT n.n_name, o.o_orderpriority,
@@ -108,31 +112,33 @@ object SparkEntry {
         |), piv AS (
         |  SELECT n_name,
         |    CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN p END),
-        |             0) AS DECIMAL(28,2)) AS urgent,
+        |             0) * 100 AS BIGINT) AS urgent_cents,
         |    CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN p END),
-        |             0) AS DECIMAL(28,2)) AS high,
+        |             0) * 100 AS BIGINT) AS high_cents,
         |    CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN p END),
-        |             0) AS DECIMAL(28,2)) AS low
+        |             0) * 100 AS BIGINT) AS low_cents
         |  FROM j GROUP BY n_name
         |)
-        |SELECT n_name, urgent, high, low,
-        |  CASE WHEN urgent + high = 0 THEN NULL
-        |       ELSE ROUND(CAST(urgent AS DOUBLE) / CAST(urgent + high AS DOUBLE), 6)
+        |SELECT n_name, urgent_cents, high_cents, low_cents,
+        |  CASE WHEN urgent_cents + high_cents = 0 THEN NULL
+        |       ELSE ROUND(CAST(urgent_cents AS DOUBLE) /
+        |                  CAST(urgent_cents + high_cents AS DOUBLE), 6)
         |  END AS ratio
         |FROM piv ORDER BY n_name""".stripMargin,
     "q_agg_sum" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty_x100,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_price_cents,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS sum_disc_price,
-        |  ROUND(AVG(l_discount), 6) AS avg_disc,
+        |           (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS sum_disc_price_x10k,
+        |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
         |  COUNT(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_group_mean_having" ->
       """SELECT n.n_name, c.c_mktsegment, COUNT(*) AS cnt,
-        |  ROUND(AVG(o.o_totalprice), 4) AS avg_price
+        |  ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |        / COUNT(*), 4) AS avg_price
         |FROM orders o
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -192,7 +198,7 @@ object SparkEntry {
     "q_schema_cast" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(FLOOR(l_quantity) AS INTEGER) AS qty_int,
-        |  CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents,
         |  CAST(l_shipdate AS DATE) AS ship_date,
         |  LOWER(l_returnflag) AS flag_lc
         |FROM lineitem""".stripMargin,
@@ -255,7 +261,8 @@ object SparkEntry {
         |         AS DATE) AS parsed
         |  FROM orders)
         |SELECT COUNT(*) AS cnt, MIN(parsed) AS min_d, MAX(parsed) AS max_d,
-        |  ROUND(AVG(o_totalprice), 4) AS avg_price
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |        / COUNT(*), 4) AS avg_price
         |FROM o WHERE parsed > DATE '2000-06-15'""".stripMargin,
     "q_left_join" ->
       """SELECT c.c_mktsegment AS segment, COUNT(*) AS cnt,
@@ -303,8 +310,10 @@ object SparkEntry {
     "q_melt" ->
       """WITH w AS (
         |  SELECT l_returnflag,
-        |    ROUND(AVG(l_quantity), 4) AS avg_qty,
-        |    ROUND(AVG(l_extendedprice), 4) AS avg_price
+        |    ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |          / COUNT(*), 4) AS avg_qty,
+        |    ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |          / COUNT(*), 4) AS avg_price
         |  FROM lineitem GROUP BY 1)
         |SELECT l_returnflag, 'avg_qty' AS metric, avg_qty AS value FROM w
         |UNION ALL
@@ -378,8 +387,8 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
         |    AS hour_start,
         |  event_type, COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
-        |    AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS sum_value_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_window_sliding" ->
       """WITH w AS (
@@ -389,8 +398,8 @@ object SparkEntry {
         |  SELECT strftime(date_trunc('hour', ts) - INTERVAL 1 HOUR,
         |                  '%Y-%m-%d %H:%M:%S'), value FROM events)
         |SELECT win_start, COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
-        |    AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS sum_value_cents
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_window_session" ->
       """WITH b AS (
@@ -435,18 +444,19 @@ object SparkEntry {
       """WITH piv AS (
         |  SELECT n.n_name,
         |    CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT'
-        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0)
-        |      AS DECIMAL(28,2)) AS urgent,
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) * 100
+        |      AS BIGINT) AS urgent_cents,
         |    CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '2-HIGH'
-        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0)
-        |      AS DECIMAL(28,2)) AS high
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) * 100
+        |      AS BIGINT) AS high_cents
         |  FROM orders o
         |  JOIN customer c ON o.o_custkey = c.c_custkey
         |  JOIN nation n ON c.c_nationkey = n.n_nationkey
         |  GROUP BY n.n_name),
         |ratio AS (
-        |  SELECT n_name, CASE WHEN urgent + high = 0 THEN NULL
-        |    ELSE ROUND(CAST(urgent AS DOUBLE) / CAST(urgent + high AS DOUBLE), 6)
+        |  SELECT n_name, CASE WHEN urgent_cents + high_cents = 0 THEN NULL
+        |    ELSE ROUND(CAST(urgent_cents AS DOUBLE) /
+        |               CAST(urgent_cents + high_cents AS DOUBLE), 6)
         |  END AS ratio FROM piv),
         |cats AS (
         |  SELECT *, o_orderstatus ||
@@ -476,7 +486,7 @@ object SparkEntry {
         |    AND (CAST(o.o_totalprice AS DECIMAL(18,2)) < 400000
         |         OR o.o_totalprice IS NULL))
         |SELECT region_id, status_cat, COUNT(*) AS cnt,
-        |  CAST(SUM(price) AS DECIMAL(28,2)) AS sum_price,
+        |  CAST(SUM(price) * 100 AS BIGINT) AS sum_price_cents,
         |  MAX(ratio) AS max_ratio
         |FROM base GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the multimodal stub derives features from raw bytes only, and the
@@ -491,7 +501,8 @@ object SparkEntry {
         |  FROM documents)
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_assets,
         |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
-        |  ROUND(AVG(mean_byte), 4) AS avg_mean_byte,
+        |  ROUND(CAST(SUM(CAST(ROUND(mean_byte * 10000) AS BIGINT)) AS DOUBLE)
+        |        / COUNT(*) / 10000.0, 4) AS avg_mean_byte,
         |  CAST(SUM(frames) AS BIGINT) AS total_frames
         |FROM f""".stripMargin,
     // TF-IDF mirrors term-for-term: integer tf/df/N, one double ln both

@@ -18,7 +18,9 @@ import org.apache.spark.sql.types._
   * `Expression` with doGenCode → UDF last).
   *
   * Element nulls are not expected (embedding vectors); mismatched lengths
-  * dot over the common prefix. Returns DOUBLE.
+  * raise (matching DuckDB `list_dot_product`, which the oracle relies on) —
+  * silently dotting a common prefix would turn a dimension bug into quietly
+  * wrong similarity scores. Returns DOUBLE.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -41,7 +43,12 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) {
+      throw new IllegalArgumentException(
+        s"vec_dot: array length mismatch (${x.numElements()} vs " +
+          s"${y.numElements()})")
+    }
+    val n = x.numElements()
     val (lt, rt) = (elemType(left), elemType(right))
     var s = 0.0
     var i = 0
@@ -62,7 +69,12 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "vec_dot: array length mismatch (" + $a.numElements() +
+         |    " vs " + $b.numElements() + ")");
+         |}
+         |final int $n = $a.numElements();
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));

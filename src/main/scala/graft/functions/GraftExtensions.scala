@@ -16,7 +16,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       DotProduct.info,
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProduct(children(0), children(1))))
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (children.length != 2) {
+          throw new IllegalArgumentException(
+            s"vec_dot expects exactly 2 arguments, got ${children.length}")
+        }
+        DotProduct(children(0), children(1))
+      }))
   }
 }

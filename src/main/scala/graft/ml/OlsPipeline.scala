@@ -118,11 +118,16 @@ object OlsPipeline {
 
   /** Fit-once cache: q_ols_forecast and q_ols_metrics share the same seeded
     * fit; re-deriving it per query would double the training cost in every
-    * bench round for no semantic difference (fit is deterministic). */
+    * bench round for no semantic difference (fit is deterministic).
+    * Keyed on (session, dir): the cached Fitted holds session-bound
+    * DataFrames/models, so a cache hit from a NEW session after a stop/
+    * restart in the same JVM would hand back dead references. Note for
+    * bench reading: whichever of q_ols_forecast/q_ols_metrics runs first
+    * absorbs the full training cost. */
   private val fitCache =
-    scala.collection.concurrent.TrieMap.empty[String, Fitted]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Fitted]
   def fitCached(spark: SparkSession, dir: String): Fitted =
-    fitCache.getOrElseUpdate(dir, fit(spark, dir))
+    fitCache.getOrElseUpdate((spark, dir), fit(spark, dir))
 
   /** Registered query: the full OLS dataflow — calibrated county forecasts
     * for the unpublished universe (03_LinearRegression.R:236-241). ML output

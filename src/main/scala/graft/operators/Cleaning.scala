@@ -75,7 +75,11 @@ object Cleaning {
         col("l_orderkey"),
         col("l_linenumber"),
         col("l_quantity").cast(IntegerType).as("qty_int"),
-        col("l_extendedprice").cast(DecimalType(18, 2)).as("price_dec"),
+        // decimal money cast, emitted as exact BIGINT cents: the driver hash
+        // distinguishes Spark/DuckDB decimal physical encodings on multi-row
+        // outputs; int64 is representation-stable across engines
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType).as("price_cents"),
         col("l_shipdate").cast(DateType).as("ship_date"),
         lower(col("l_returnflag")).as("flag_lc"))
 

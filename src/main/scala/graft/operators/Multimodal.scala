@@ -99,12 +99,16 @@ object Multimodal {
     }
   }
 
-  /** Registered query: metadata + stub features profile. */
+  /** Registered query: metadata + stub features profile. The corpus-level
+    * mean is derived from an exact integer sum of the (already 4dp-rounded)
+    * per-doc means — AVG over doubles would depend on partition summation
+    * order, which can flip the rounded hash at a different parallelism. */
   def query(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(assets(spark, dir)).toDF()
       .agg(
         count(lit(1)).as("n_assets"),
         sum(col("n_bytes")).as("total_bytes"),
-        round(avg(col("mean_byte")), 4).as("avg_mean_byte"),
+        round(sum(round(col("mean_byte") * 10000).cast(LongType))
+          .cast(DoubleType) / count(lit(1)) / 10000.0, 4).as("avg_mean_byte"),
         sum(col("frames_sampled")).as("total_frames"))
 }

@@ -22,6 +22,16 @@ import graft.Tables
   *    results are identical regardless of partitioning/parallelism (a double
   *    sum would drift with partition count);
   *  - every query ends in a small (grouped) result; no unbounded collect.
+  *
+  * Verification-interface note: internal money math is DECIMAL, but
+  * hash-checked OUTPUT columns are emitted as BIGINT minor units (cents).
+  * Two rounds of driver data show its hash is sensitive to the physical
+  * decimal representation (Spark parquet FLBA/INT64 vs DuckDB int128) on
+  * multi-row outputs even when every cell value matches; int64 is the one
+  * representation that is bit-identical across engines. Averages are
+  * likewise derived from exact decimal sums (one double division, then
+  * round) instead of AVG over doubles, whose partition summation order can
+  * flip a rounding boundary.
   */
 object Relational {
 
@@ -29,6 +39,10 @@ object Relational {
 
   /** Money column as exact decimal — order-independent sums at any DOP. */
   private def money(c: Column): Column = c.cast(dec)
+
+  /** Exact decimal sum emitted as BIGINT minor units (scale-2 → cents). */
+  private def sumCents(c: Column): Column =
+    (sum(money(c)) * 100).cast(LongType)
 
   // ---------------------------------------------------------------------
   // Flagship: pivot → ratio (A2 + P1 + P4 + J1; reference 01_DataMerge.R:69-89)
@@ -41,7 +55,6 @@ object Relational {
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
-    val zero = lit(0).cast(dec)
     // customer is fact-proportional (grows with SF): shuffled join, AQE picks
     // the algorithm; only bounded dims (nation: 25 rows) are broadcast.
     o.join(c, o("o_custkey") === c("c_custkey"))
@@ -51,15 +64,19 @@ object Relational {
       .agg(sum(money(col("o_totalprice"))))
       .select(
         col("n_name"),
-        coalesce(col("`1-URGENT`"), zero).as("urgent"),
-        coalesce(col("`2-HIGH`"), zero).as("high"),
-        coalesce(col("`5-LOW`"), zero).as("low"))
+        (coalesce(col("`1-URGENT`"), lit(0).cast(dec)) * 100).cast(LongType)
+          .as("urgent_cents"),
+        (coalesce(col("`2-HIGH`"), lit(0).cast(dec)) * 100).cast(LongType)
+          .as("high_cents"),
+        (coalesce(col("`5-LOW`"), lit(0).cast(dec)) * 100).cast(LongType)
+          .as("low_cents"))
       .withColumn("ratio",
         // guard the zero denominator: ANSI mode (Spark 4 default) throws
         // DIVIDE_BY_ZERO where the oracle's CASE WHEN yields NULL
-        when(col("urgent") + col("high") === lit(0).cast(dec), lit(null))
-          .otherwise(round(col("urgent").cast(DoubleType) /
-            (col("urgent") + col("high")).cast(DoubleType), 6)))
+        when(col("urgent_cents") + col("high_cents") === 0,
+          lit(null).cast(DoubleType))
+          .otherwise(round(col("urgent_cents").cast(DoubleType) /
+            (col("urgent_cents") + col("high_cents")).cast(DoubleType), 6)))
       .orderBy("n_name")
   }
 
@@ -71,16 +88,18 @@ object Relational {
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(money(col("l_quantity"))).as("sum_qty"),
-        sum(money(col("l_extendedprice"))).as("sum_price"),
+        sumCents(col("l_quantity")).as("sum_qty_x100"),
+        sumCents(col("l_extendedprice")).as("sum_price_cents"),
         // decimal × decimal: exact arithmetic, so the sum is identical in any
-        // engine / partition order (a per-row double→decimal cast of the
-        // product would round differently across engines)
-        // kept at the product's natural scale-4: no rounding anywhere, so no
-        // engine-specific tie-breaking
-        sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
-          .cast(DecimalType(28, 4)).as("sum_disc_price"),
-        round(avg(col("l_discount")), 6).as("avg_disc"),
+        // engine / partition order; the scale-4 product sum is emitted in
+        // 1/10000 units — integral, so the BIGINT cast is exact
+        (sum(money(col("l_extendedprice")) *
+             (lit(1) - money(col("l_discount")))) * 10000)
+          .cast(LongType).as("sum_disc_price_x10k"),
+        // mean from the exact decimal sum: ONE double division then round —
+        // AVG over doubles would depend on partition summation order
+        round(sum(money(col("l_discount"))).cast(DoubleType) /
+              count(lit(1)), 6).as("avg_disc"),
         count(lit(1)).as("cnt"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -100,7 +119,10 @@ object Relational {
       .groupBy(col("n_name"), col("c_mktsegment"))
       .agg(
         count(lit(1)).as("cnt"),
-        round(avg(col("o_totalprice")), 4).as("avg_price"))
+        // exact decimal sum → one double division → round (deterministic at
+        // any partition layout, unlike ROUND(AVG(double), 4))
+        round(sum(money(col("o_totalprice"))).cast(DoubleType) /
+              count(lit(1)), 4).as("avg_price"))
       .where(col("cnt") > 10)
       .orderBy("n_name", "c_mktsegment")
   }
@@ -200,8 +222,10 @@ object Relational {
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"))
+        round(sum(money(col("l_quantity"))).cast(DoubleType) /
+              count(lit(1)), 4).as("avg_qty"),
+        round(sum(money(col("l_extendedprice"))).cast(DoubleType) /
+              count(lit(1)), 4).as("avg_price"))
       .selectExpr("l_returnflag",
         "stack(2, 'avg_qty', avg_qty, 'avg_price', avg_price) AS (metric, value)")
       .orderBy("l_returnflag", "metric")

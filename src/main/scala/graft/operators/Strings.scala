@@ -61,5 +61,8 @@ object Strings {
         count(lit(1)).as("cnt"),
         min("parsed").as("min_d"),
         max("parsed").as("max_d"),
-        round(avg(col("o_totalprice")), 4).as("avg_price"))
+        // mean from the exact decimal sum (one double division, then round):
+        // AVG over raw doubles depends on partition summation order
+        round(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType) / count(lit(1)), 4).as("avg_price"))
 }

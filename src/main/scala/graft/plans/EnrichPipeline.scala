@@ -92,17 +92,19 @@ object EnrichPipeline {
       when(col("o_orderkey") % 50 === 0, lit("_rare")).otherwise(lit("")))
 
   /** Fit-once cache for the rare-category model (fit on the raw fact,
-    * applied inside the lineage — train/apply symmetry like F12). */
+    * applied inside the lineage — train/apply symmetry like F12). Keyed on
+    * (session, dir): the model holds a session-bound frequency map, and a
+    * stale hit after a session restart would reference a stopped session. */
   private object RareCategoryModelCache {
-    @volatile private var cached: Option[(String, graft.operators.RareCategoryModel)] = None
+    @volatile private var cached: Option[((SparkSession, String), graft.operators.RareCategoryModel)] = None
     def get(spark: SparkSession, dir: String): graft.operators.RareCategoryModel =
       cached match {
-        case Some((d, m)) if d == dir => m
+        case Some((k, m)) if k == (spark, dir) => m
         case _ =>
           val m = RareCategory.fit(
             Tables.orders(spark, dir).withColumn("status_cat", statusCat),
             "status_cat", 0.05)
-          cached = Some((dir, m))
+          cached = Some(((spark, dir), m))
           m
       }
   }
@@ -113,7 +115,9 @@ object EnrichPipeline {
       .groupBy("region_id", "status_cat")
       .agg(
         count(lit(1)).as("cnt"),
-        sum(col("o_totalprice")).cast(DecimalType(28, 2)).as("sum_price"),
+        // exact decimal sum emitted as BIGINT cents (the driver hash covers
+        // the physical decimal encoding, which differs between engines)
+        (sum(col("o_totalprice")) * 100).cast(LongType).as("sum_price_cents"),
         // max, not avg: a double average's last-ulp summation order would
         // leak into the rounded hash (ratio itself is already rounded)
         max(col("ratio")).as("max_ratio"))

@@ -13,37 +13,41 @@ import graft.Tables
   * readStream variant of the tumbling agg lives in `Streaming` and is
   * covered by a MemoryStream test.
   *
-  * Window starts are emitted as formatted strings: parquet physical
-  * timestamp encodings differ between engines (µs vs ns), and the driver
-  * hash covers the physical type.
+  * Window starts are emitted as formatted strings, and the exact decimal
+  * sums as BIGINT cents: parquet physical encodings of timestamps (µs vs
+  * ns) and decimals (FLBA vs int128) differ between engines, and the driver
+  * hash covers the physical type; int64 is representation-stable.
   */
 object EventWindows {
+
+  private val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+
+  /** Exact decimal sum of `value`, emitted as integral cents. */
+  private def sumValueCents =
+    (sum(col("value").cast(dec)) * 100)
+      .cast(org.apache.spark.sql.types.LongType).as("sum_value_cents")
 
   /** Tumbling 1-hour windows: count + sum(value) per (window, event_type). */
   def tumbling(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       // decimal sum: exact and order-independent at any parallelism
-      .agg(count(lit(1)).as("cnt"),
-           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-             .cast(org.apache.spark.sql.types.DecimalType(28, 2)).as("sum_value"))
+      .agg(count(lit(1)).as("cnt"), sumValueCents)
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
-        col("event_type"), col("cnt"), col("sum_value"))
+        col("event_type"), col("cnt"), col("sum_value_cents"))
       .orderBy("hour_start", "event_type")
 
   /** Sliding 2-hour windows every 1 hour: each event lands in 2 windows. */
   def sliding(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(window(col("ts"), "2 hours", "1 hour"))
-      .agg(count(lit(1)).as("cnt"),
-           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-             .cast(org.apache.spark.sql.types.DecimalType(28, 2)).as("sum_value"))
+      .agg(count(lit(1)).as("cnt"), sumValueCents)
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
         // exact decimal sum, not a rounded average: a derived avg double can
         // land on a .xxxx5 tie that engines round differently
-        col("cnt"), col("sum_value"))
+        col("cnt"), col("sum_value_cents"))
       .orderBy("win_start")
 
   /** Session windows: 30-minute inactivity gap per user; emits

@@ -46,16 +46,13 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
-  test("vec_dot over mismatched lengths dots the common prefix") {
+  test("vec_dot raises on mismatched lengths (no silent prefix dot)") {
     check(Prop.forAll(Gen.listOfN(8, finiteD), Gen.listOfN(5, finiteD)) {
       (a, b) =>
         val e = graft.functions.DotProduct(
           Literal.create(a, ArrayType(DoubleType)),
           Literal.create(b, ArrayType(DoubleType)))
-        val want = a.take(5).zip(b).foldLeft(0.0) {
-          case (s, (x, y)) => s + x * y
-        }
-        e.eval().asInstanceOf[Double] == want
+        Prop.throws(classOf[IllegalArgumentException])(e.eval())
     })
   }
 
