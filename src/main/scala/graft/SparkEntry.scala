@@ -588,6 +588,48 @@ object SparkEntry {
         |  FROM scored)
         |SELECT q_id, rank, vec_id AS neighbor_id, cos
         |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // Rabin–Karp char-stream fold: DuckDB list_reduce seeds with the first
+    // element, which equals Spark's aggregate from zero ((0*131+c0)%p = c0)
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  CASE WHEN strlen(text) = 0 THEN 0
+        |       ELSE list_reduce(
+        |         list_transform(range(1, strlen(text) + 1),
+        |                        i -> CAST(unicode(text[i]) AS BIGINT)),
+        |         (acc, c) -> (acc * 131 + c) % 1000000007)
+        |  END AS fingerprint
+        |FROM documents""".stripMargin,
+    // exhaustive quadratic ground truth: every pair with Jaccard >= 0.5.
+    // The Spark side generates candidates with banded MinHash-LSH (never
+    // all-pairs); equality against this oracle demonstrates zero false
+    // negatives on the planted corpus (deterministic hashes -> stable)
+    "q_minhash_neardup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' qq zz' FROM documents
+        |  WHERE doc_id % 7 = 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tokens) < 3
+        |      THEN [array_to_string(tokens, ' ')]
+        |      ELSE list_transform(range(0, len(tokens) - 2),
+        |             i -> array_to_string(tokens[i+1:i+3], ' '))
+        |    END) AS shingles
+        |  FROM (SELECT doc_id,
+        |          string_split(regexp_replace(lower(text), '\s+', ' ', 'g'),
+        |                       ' ') AS tokens
+        |        FROM corpus)),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |    ROUND(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(x.shingles, y.shingles))), 4)
+        |      AS jaccard
+        |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
+        |SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.5
+        |ORDER BY a, b""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)

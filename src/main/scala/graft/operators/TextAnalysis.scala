@@ -114,15 +114,18 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
-  /** Document fingerprint: order-sensitive chain hash of the token stream
-    * (rolling-hash analogue, wrap-safe under ANSI by chaining through
-    * xxhash64 instead of multiply-accumulate). Multi-arg xxhash64 chains
-    * (acc, token) directly — no per-token string allocation. */
+  /** Document fingerprint: Rabin–Karp rolling hash over the character
+    * stream — acc ← (acc·131 + codepoint) mod (1e9+7). Order-sensitive,
+    * allocation-free (one codegen'd fold over the split chars), and exactly
+    * ANSI-expressible: the modulus keeps every intermediate below 2^63, so
+    * DuckDB's overflow-checked BIGINT arithmetic reproduces it bit-for-bit
+    * (an xxhash64 chain would be Spark-only and uncheckable). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("tokens", tokensCol)
       .select(
         col("doc_id"),
-        expr("aggregate(tokens, 0L, (acc, t) -> xxhash64(acc, t))")
-          .as("fingerprint"))
+        expr(
+          """aggregate(split(text, ''), 0L,
+            |  (acc, c) -> (acc * 131 + ascii(c)) % 1000000007)"""
+            .stripMargin).as("fingerprint"))
 }
