@@ -630,6 +630,27 @@ object SparkEntry {
         |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
         |SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.5
         |ORDER BY a, b""".stripMargin,
+    // exhaustive quadratic ground truth over the planted near-dup corpus;
+    // the Spark side generates candidates via banded SRP-LSH only. cos is
+    // the same left-to-right double accumulation on both sides (vec_dot /
+    // list_dot_product), so the rounded values match bit-for-bit.
+    "q_embed_neardup" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, emb FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, [emb[1] + 0.05] || emb[2:]
+        |  FROM base WHERE vec_id % 5 = 0),
+        |n AS (
+        |  SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS norm
+        |  FROM corpus),
+        |pairs AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b,
+        |    ROUND(list_dot_product(x.emb, y.emb) / (x.norm * y.norm), 6)
+        |      AS cos
+        |  FROM n x JOIN n y ON x.vec_id < y.vec_id)
+        |SELECT a, b, cos FROM pairs WHERE cos >= 0.9 ORDER BY a, b""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)

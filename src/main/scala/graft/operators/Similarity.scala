@@ -100,17 +100,33 @@ object Similarity {
           .stripMargin))
       .drop("planes", "sig")
 
+  /** Near-dup corpus: embeddings (widened to double) ∪ planted near copies
+    * (vec_id%5==0, +1M ids, first element nudged by +0.05 → cos ≈ 0.9999).
+    * The raw corpus is random gaussians with no true near-dups (pair cosines
+    * top out ≈ 0.51), so the planted copies are what a dedup threshold of
+    * 0.9 must find — and the construction is exactly reproducible in SQL,
+    * so the exhaustive quadratic ground truth is the DuckDB oracle. */
+  def nearDupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+    val planted = e.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        concat(
+          array(element_at(col("embedding"), 1) + lit(0.05)),
+          expr("slice(embedding, 2, 63)")).as("embedding"))
+    e.unionByName(planted)
+  }
+
   /** Embedding-cosine near-duplicate detection (brief dedup variant):
     * ALL-vector LSH bucketing (not just the query subset), pairs within
     * buckets, cosine ≥ threshold ⇒ near-dup pair. Same banded discipline as
-    * MinHash — candidate volume is Σ bucket², never n².
-    *
-    * Default threshold sits at the similarity tail of THIS corpus (random
-    * gaussian embeddings top out at cos ≈ 0.51 — no true near-dups exist);
-    * a real dedup run sets ≥0.9. */
+    * MinHash — candidate volume is Σ bucket², never n². At cos ≈ 0.9999 the
+    * per-pair SRP miss probability is (θ/π)^4·bands ≈ 1e-7, so the banded
+    * output equals the exhaustive ground truth (oracle-verified). */
   def cosineNearDup(spark: SparkSession, dir: String,
-                    threshold: Double = 0.35): DataFrame = {
-    val e = signatures(withNorm(Tables.embeddings(spark, dir)))
+                    threshold: Double = 0.9): DataFrame = {
+    val e = signatures(withNorm(nearDupCorpus(spark, dir)))
     val flat = e.select(col("vec_id"), col("embedding"), col("norm"),
       explode(col("buckets")).as("bk"))
       .select(col("vec_id"), col("embedding"), col("norm"),
