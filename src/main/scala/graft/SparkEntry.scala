@@ -630,6 +630,54 @@ object SparkEntry {
         |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
         |SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.5
         |ORDER BY a, b""".stripMargin,
+    // exact replay of the SimHash operator — polynomial token hashes, 64
+    // bit-votes, 16-bit chunk banding, Hamming filter — in pure SQL. The
+    // pair set mirrors the banding semantics (pairs sharing >= 1 chunk).
+    "q_simhash_neardup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' qq zz' FROM documents
+        |  WHERE doc_id % 7 = 0),
+        |tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'),
+        |           ' ')) AS t
+        |  FROM corpus),
+        |th AS (
+        |  SELECT doc_id,
+        |    CASE WHEN strlen(t) = 0 THEN 0 ELSE list_reduce(
+        |      list_transform(range(1, strlen(t) + 1),
+        |                     i -> CAST(unicode(t[i]) AS BIGINT)),
+        |      (a, c) -> (a * 131 + c) % 2147483647) END AS h1,
+        |    CASE WHEN strlen(t) = 0 THEN 0 ELSE list_reduce(
+        |      list_transform(range(1, strlen(t) + 1),
+        |                     i -> CAST(unicode(t[i]) AS BIGINT)),
+        |      (a, c) -> (a * 137 + c) % 2147483629) END AS h2
+        |  FROM tok),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    SUM(CASE WHEN ((CASE WHEN b < 32 THEN h1 >> CAST(b AS INTEGER)
+        |                    ELSE h2 >> CAST(b - 32 AS INTEGER) END) & 1) = 1
+        |        THEN 1 ELSE -1 END) AS v
+        |  FROM th, range(0, 64) r(b) GROUP BY 1, 2),
+        |sim AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN v >= 0 THEN 1::BIGINT << CAST(b AS INTEGER)
+        |        ELSE 0 END) AS simhash
+        |  FROM bits GROUP BY 1),
+        |chunks AS (
+        |  SELECT doc_id, simhash, c,
+        |    (simhash >> CAST(c * 16 AS INTEGER)) & 65535 AS key
+        |  FROM sim, range(0, 4) r(c))
+        |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+        |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+        |FROM chunks x JOIN chunks y
+        |  ON x.c = y.c AND x.key = y.key AND x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 10
+        |ORDER BY a, b""".stripMargin,
     // exhaustive quadratic ground truth over the planted near-dup corpus;
     // the Spark side generates candidates via banded SRP-LSH only. cos is
     // the same left-to-right double accumulation on both sides (vec_dot /

@@ -136,7 +136,14 @@ object Dedup {
 
   // -- SimHash -----------------------------------------------------------
 
-  /** 64-bit SimHash over the token multiset (bit-vote of xxhash64 bits).
+  /** 64-bit SimHash over the token multiset (bit-vote of per-token hashes).
+    *
+    * Token hashes are two polynomial char rolls mod 2^31-range primes
+    * (h1 bases bits 0–31, h2 bits 32–63) instead of xxhash64: every
+    * intermediate stays below 2^63, so DuckDB's overflow-checked BIGINT
+    * arithmetic reproduces the full signature — banding, Hamming filter and
+    * all — making the operator exactly oracle-checkable. (Bits 31/63 are
+    * constant under the < 2^31 moduli; 62 effective vote bits.)
     *
     * Written as ONE nested expression where every subexpression is
     * referenced exactly once: per-token bit votes accumulate into a
@@ -153,10 +160,14 @@ object Dedup {
           |  zip_with(
           |    aggregate(
           |      transform(split(regexp_replace(lower(text), '\\s+', ' '), ' '),
-          |                t -> xxhash64(t)),
+          |        t -> aggregate(split(t, ''), struct(0L AS h1, 0L AS h2),
+          |          (a, c) -> struct(
+          |            (a.h1 * 131 + ascii(c)) % 2147483647 AS h1,
+          |            (a.h2 * 137 + ascii(c)) % 2147483629 AS h2))),
           |      array_repeat(0L, 64),
           |      (acc, h) -> zip_with(acc, sequence(0, 63), (a, b) ->
-          |        a + CASE WHEN (shiftright(h, b) & 1) = 1
+          |        a + CASE WHEN ((CASE WHEN b < 32 THEN shiftright(h.h1, b)
+          |                        ELSE shiftright(h.h2, b - 32) END) & 1) = 1
           |            THEN 1 ELSE -1 END)),
           |    sequence(0, 63),
           |    (v, b) -> shiftleft(CASE WHEN v >= 0 THEN 1L ELSE 0L END, b)),
