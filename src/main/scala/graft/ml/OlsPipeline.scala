@@ -46,6 +46,15 @@ object OlsPipeline {
           .otherwise(col("label_true")))
       .drop("noise")
 
+  /** Deterministic seeded 75/25 split on a key column: rows with
+    * xxhash64(key, seed) mod 4 < 3 train, the rest test. Membership depends
+    * only on the key value — stable across partitioning, parallelism and
+    * scale factor (unlike randomSplit's per-partition draws). */
+  def keySplit(df: DataFrame, keyCol: String, seed: Int): (DataFrame, DataFrame) = {
+    val bucket = pmod(xxhash64(col(keyCol), lit(seed)), lit(4))
+    (df.filter(bucket < 3), df.filter(bucket === 3))
+  }
+
   final case class Fitted(
       model: LinearRegressionModel,
       scaler: ZScalerModel,
@@ -71,7 +80,12 @@ object OlsPipeline {
       .cache()
     val observed = scaled.filter(col("label").isNotNull)
     val forecast = scaled.filter(col("label").isNull)
-    val Array(train, test) = observed.randomSplit(Array(0.75, 0.25), seed = 123)
+    // seeded 75/25 split, derived from the ROW KEY (hash mod 4), not
+    // randomSplit: randomSplit draws per-partition, so membership changes
+    // with file splits / parallelism; a key-derived split is identical on
+    // any cluster layout — the property the reference gets from set.seed
+    // on a single machine (03_LinearRegression.R:53-59)
+    val (train, test) = keySplit(observed, "l_orderkey", seed = 123)
     val assembler = new VectorAssembler()
       .setInputCols(featureCols.toArray).setOutputCol("features")
     val lr = new LinearRegression()

@@ -54,7 +54,8 @@ object TreePipeline {
     * gain-based feature importances top-k (04_1:330-331). */
   def rfImportance(spark: SparkSession, dir: String): DataFrame = {
     val ds = dataset(spark, dir, sampleMod = 9)
-    val Array(train, _) = ds.randomSplit(Array(0.75, 0.25), seed = 123)
+    // key-derived split: stable across partition layouts (see OlsPipeline)
+    val (train, _) = OlsPipeline.keySplit(ds, "l_orderkey", seed = 123)
     val rf = new RandomForestRegressor()
       .setFeaturesCol("features").setLabelCol("label")
       .setNumTrees(20).setMaxDepth(6).setSeed(123)
@@ -77,7 +78,7 @@ object TreePipeline {
     * split (reference early_stopping_rounds=50, 04_1:287) + M13 metrics. */
   def gbtMetrics(spark: SparkSession, dir: String): DataFrame = {
     val ds = dataset(spark, dir, sampleMod = 15)
-    val Array(train, test) = ds.randomSplit(Array(0.75, 0.25), seed = 123)
+    val (train, test) = OlsPipeline.keySplit(ds, "l_orderkey", seed = 123)
     val gbt = new GBTRegressor()
       .setFeaturesCol("features").setLabelCol("label")
       .setMaxIter(20).setMaxDepth(4).setStepSize(0.2).setSeed(123)

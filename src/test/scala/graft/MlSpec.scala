@@ -29,6 +29,19 @@ class MlSpec extends AnyFunSuite {
     assert(a2.count() === na) // same seed → same membership
   }
 
+  test("keySplit membership is identical across partition layouts") {
+    val ds = OlsPipeline.dataset(spark, sf).filter(col("label").isNotNull)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("l_orderkey", "l_partkey").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (t1, e1) = OlsPipeline.keySplit(ds, "l_orderkey", seed = 123)
+    val (t2, e2) = OlsPipeline.keySplit(ds.repartition(13), "l_orderkey", 123)
+    assert(ids(t1) === ids(t2)) // randomSplit would fail this
+    assert(ids(e1) === ids(e2))
+    val frac = t1.count().toDouble / (t1.count() + e1.count())
+    assert(frac > 0.70 && frac < 0.80)
+  }
+
   test("M4/M6/M13 OLS recovers the planted signal (R² threshold, SURVEY §5.4)") {
     val f = OlsPipeline.fit(spark, sf)
     val (rmse, r2, adjR2) = OlsPipeline.metrics(f, f.test, 3)
