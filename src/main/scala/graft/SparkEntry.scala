@@ -66,6 +66,7 @@ object SparkEntry {
     "q_minhash_neardup"   -> ((s, d) => Dedup.minhashNearDup(s, d)),
     "q_simhash_neardup"   -> ((s, d) => Dedup.simhashNearDup(s, d)),
     "q_ngram_jaccard"     -> (Dedup.ngramJaccard _),
+    "q_dedup_survivors"   -> (Dedup.dedupSurvivors _),
     // LLM-pipeline text analysis / similarity / multimodal (brief first-class)
     "q_lang_id"           -> (TextAnalysis.langId _),
     "q_quality"           -> (TextAnalysis.quality _),
@@ -630,6 +631,47 @@ object SparkEntry {
         |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
         |SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.5
         |ORDER BY a, b""".stripMargin,
+    // survivor selection: connected components over the near-dup pair set.
+    // Spark runs iterative min-label propagation; the oracle computes the
+    // transitive closure with a recursive CTE over the same exhaustive
+    // pair set — equal results prove the fixpoint converged to true
+    // components.
+    "q_dedup_survivors" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' qq zz' FROM documents
+        |  WHERE doc_id % 7 = 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tokens) < 3
+        |      THEN [array_to_string(tokens, ' ')]
+        |      ELSE list_transform(range(0, len(tokens) - 2),
+        |             i -> array_to_string(tokens[i+1:i+3], ' '))
+        |    END) AS shingles
+        |  FROM (SELECT doc_id,
+        |          string_split(regexp_replace(lower(text), '\s+', ' ', 'g'),
+        |                       ' ') AS tokens
+        |        FROM corpus)),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+        |  WHERE ROUND(
+        |    CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(x.shingles, y.shingles))), 4)
+        |    >= 0.5),
+        |edges AS (
+        |  SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |reach(node, label) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node),
+        |comp AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node)
+        |SELECT label AS survivor_id, COUNT(*) AS n_members,
+        |  MAX(node) AS max_member
+        |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin,
     // exact replay of the SimHash operator — polynomial token hashes, 64
     // bit-votes, 16-bit chunk banding, Hamming filter — in pure SQL. The
     // pair set mirrors the banding semantics (pairs sharing >= 1 chunk).

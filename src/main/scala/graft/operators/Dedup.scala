@@ -134,6 +134,53 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  // -- Survivor selection (connected components) --------------------------
+
+  /** Connected components over an undirected pair set by iterative
+    * min-label propagation (the DataFrame form of the large-star/small-star
+    * pattern): every node starts labeled with itself; each round a node
+    * takes the minimum label among itself and its neighbors; fixpoint in
+    * O(component diameter) rounds. Each round is one shuffle join + one
+    * grouped min — no driver-side graph, no GraphX/RDD detour — so the same
+    * loop runs on a web-scale pair set. The convergence probe is an
+    * `isEmpty` on the changed-label frame (a metadata-cheap limit-1 scan),
+    * and `maxIter` bounds the worst case. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .cache()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")).cache()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val prop = edges.join(labels, edges("b") === labels("node"))
+        .select(edges("a").as("node"), col("label"))
+      val next = labels.select("node", "label").unionByName(prop)
+        .groupBy("node").agg(min("label").as("label"))
+        .cache()
+      done = next.withColumnRenamed("label", "new_label")
+        .join(labels, "node")
+        .filter(col("new_label") < col("label"))
+        .isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Survivor selection — the step after candidate generation + verification
+    * in a real dedup pipeline: near-dup pairs → connected components →
+    * keep-first (min doc_id) per duplicate group. Emits one row per group
+    * with its survivor, size, and largest member (bounded output). */
+  def dedupSurvivors(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(minhashNearDup(spark, dir))
+      .groupBy(col("label").as("survivor_id"))
+      .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_member"))
+      .orderBy("survivor_id")
+
   // -- SimHash -----------------------------------------------------------
 
   /** 64-bit SimHash over the token multiset (bit-vote of per-token hashes).

@@ -18,6 +18,27 @@ class DedupSpec extends AnyFunSuite {
     assert(groups.forall(_.getAs[Long]("keep_id") < 1000000))
   }
 
+  test("connected components: chain converges to min label per component") {
+    val spark2 = spark
+    import spark2.implicits._
+    // two components: a 4-node chain 1-2-3-4 and an isolated edge 10-11;
+    // chain diameter 3 exercises multiple propagation rounds
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val labels = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("dedup survivors: every group's survivor is its minimum member") {
+    val rows = SparkEntry.queries("q_dedup_survivors")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("survivor_id") < r.getAs[Long]("max_member"))
+      assert(r.getAs[Long]("n_members") >= 2)
+    }
+  }
+
   test("minhash LSH finds the planted near-dup pairs without all-pairs") {
     val found = Dedup.minhashNearDup(spark, sf, 0.5).collect()
       .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
