@@ -25,16 +25,21 @@ final case class RareCategoryModel(column: String, frequent: Seq[String]) {
 }
 
 object RareCategory {
-  /** One aggregation pass: share per category, keep share ≥ threshold. */
+  /** ONE pass over the fact: category counts; the total then derives from
+    * the (much smaller) grouped result instead of a second fact scan, and
+    * only the bounded frequent set is collected. */
   def fit(df: DataFrame, column: String, threshold: Double): RareCategoryModel = {
-    val total = df.count().toDouble
-    val frequent = df.groupBy(col(column))
+    val counts = df.groupBy(col(column))
       .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") / total >= threshold)
-      .collect()
-      .map(_.getString(0))
-      .toSeq
-    RareCategoryModel(column, frequent)
+      .cache() // grouped frame (≪ fact); reused by the total + filter jobs
+    try {
+      val total = counts.agg(sum(col("cnt"))).collect()(0).getLong(0).toDouble
+      val frequent = counts.filter(col("cnt") / total >= threshold)
+        .collect()
+        .map(_.getString(0))
+        .toSeq
+      RareCategoryModel(column, frequent)
+    } finally counts.unpersist()
   }
 
   /** Oracle-checked query: coalesce rare `documents.source` values, then
