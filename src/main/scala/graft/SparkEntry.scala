@@ -80,6 +80,8 @@ object SparkEntry {
     "q_multimodal_meta"   -> (Multimodal.query _),
     // sources/sinks (SURVEY §2.1)
     "q_csv_roundtrip"     -> (graft.sources.CsvIO.csvRoundTrip _),
+    "q_checkpoint_prune"  -> (graft.sources.CsvIO.checkpointPrune _),
+    "q_model_roundtrip"   -> (graft.ml.ModelIO.modelRoundTrip _),
     // event-time windows (SURVEY §2.10, §7.1(7))
     "q_window_tumbling"   -> (graft.streaming.EventWindows.tumbling _),
     "q_window_sliding"    -> (graft.streaming.EventWindows.sliding _),
@@ -378,6 +380,18 @@ object SparkEntry {
         |    AS BIGINT) AS re_tokens,
         |  CAST(length(text) AS BIGINT) AS chars
         |FROM documents""".stripMargin,
+    "q_checkpoint_prune" ->
+      """SELECT COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS sum_value_cents,
+        |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+        |FROM events WHERE event_type = 'click'""".stripMargin,
+    // the oracle states the round-trip INVARIANT independently: every row
+    // of the training universe scored, zero prediction mismatches between
+    // the fitted and the reloaded model
+    "q_model_roundtrip" ->
+      """SELECT COUNT(*) AS rows, CAST(0 AS BIGINT) AS mismatches
+        |FROM lineitem WHERE l_orderkey % 15 = 1""".stripMargin,
     "q_csv_roundtrip" ->
       """SELECT COUNT(*) AS rows, COUNT(DISTINCT c_custkey) AS keys,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(28,2))

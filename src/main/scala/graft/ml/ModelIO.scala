@@ -19,4 +19,37 @@ object ModelIO {
     save(m, path)
     m
   }
+
+  /** Oracle-checked S5 lifecycle: fit → save → load → score with BOTH the
+    * original and the reloaded model → count prediction mismatches. The
+    * expected output is (universe row count, 0 mismatches) — a pure count
+    * the DuckDB oracle states independently — so save/load fidelity is
+    * verified through the driver gate, not just a unit test. */
+  def modelRoundTrip(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ds = graft.ml.TreePipeline.dataset(spark, dir, sampleMod = 15).cache()
+    val lr = new org.apache.spark.ml.regression.LinearRegression()
+      .setFeaturesCol("features").setLabelCol("label").setSolver("normal")
+    val pipe = new Pipeline()
+      .setStages(graft.ml.TreePipeline.featureStages() :+ lr)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_model_rt_q"
+    val m = fitAndCheckpoint(pipe, ds, path)
+    val back = load(spark, path)
+    // featurize ONCE with the fitted prep stages, then score side by side
+    // with the original and the reloaded regressor (no key join — lineitem
+    // keys are non-unique)
+    val feat = m.stages.init.foldLeft(ds.toDF())((d, s) => s.transform(d))
+    val m1 = m.stages.last
+      .asInstanceOf[org.apache.spark.ml.regression.LinearRegressionModel]
+    val m2 = back.stages.last
+      .asInstanceOf[org.apache.spark.ml.regression.LinearRegressionModel]
+      .setPredictionCol("p2")
+    val out = m2.transform(m1.transform(feat))
+      .agg(
+        count(lit(1)).as("rows"),
+        sum(when(col("prediction") =!= col("p2"), 1L).otherwise(0L))
+          .as("mismatches"))
+    ds.unpersist(blocking = false)
+    out
+  }
 }

@@ -50,6 +50,24 @@ object CsvIO {
                             cols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
 
+  /** Oracle-checked S3 lifecycle: events → hive-partitioned parquet
+    * checkpoint → re-scan with a partition-column filter (prunes whole
+    * directories at planning time, asserted in PlanSpec) → profile. The
+    * oracle runs the same profile on the ORIGINAL table with the same
+    * predicate, so the checkpoint write+pruned read must be lossless. */
+  def checkpointPrune(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_events"
+    checkpointPartitioned(Tables.events(spark, dir), path, Seq("event_type"))
+    spark.read.parquet(path)
+      .filter(col("event_type") === "click")
+      .agg(
+        count(lit(1)).as("cnt"),
+        (sum(col("value").cast(DecimalType(18, 2))) * 100).cast(LongType)
+          .as("sum_value_cents"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+  }
+
   /** Oracle-checked round-trip: customer → CSV (typed re-scan) → aggregate.
     * Values survive the text round-trip exactly (Java double formatting is
     * round-trip exact; money compared as DECIMAL), so the oracle is the
