@@ -86,6 +86,9 @@ object SparkEntry {
     "q_window_tumbling"   -> (graft.streaming.EventWindows.tumbling _),
     "q_window_sliding"    -> (graft.streaming.EventWindows.sliding _),
     "q_window_session"    -> (graft.streaming.EventWindows.sessions _),
+    // REAL Structured Streaming run (readStream → AvailableNow → memory
+    // sink) sharing the batch tumbling oracle
+    "q_stream_tumbling"   -> (graft.streaming.Streaming.streamTumbling _),
     // geo join (SURVEY §2.3 J5, §2.1 S7)
     "q_geo_join"          -> (GeoJoin.query _),
     // positional-append rewrite (SURVEY §2.7 U2, §2.3 J7)
@@ -399,6 +402,14 @@ object SparkEntry {
         |  MIN(c_name) AS min_name, MAX(c_mktsegment) AS max_segment
         |FROM customer""".stripMargin,
     "q_window_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |    AS hour_start,
+        |  event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS sum_value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // identical oracle: the streaming run must reproduce the batch result
+    "q_stream_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
         |    AS hour_start,
         |  event_type, COUNT(*) AS cnt,

@@ -23,7 +23,7 @@ object EventWindows {
   private val dec = org.apache.spark.sql.types.DecimalType(18, 2)
 
   /** Exact decimal sum of `value`, emitted as integral cents. */
-  private def sumValueCents =
+  private[streaming] def sumValueCents =
     (sum(col("value").cast(dec)) * 100)
       .cast(org.apache.spark.sql.types.LongType).as("sum_value_cents")
 

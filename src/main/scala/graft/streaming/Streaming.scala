@@ -74,4 +74,52 @@ object Streaming {
       .queryName(queryName)
       .outputMode(OutputMode.Update())
       .start()
+
+  private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The tumbling-window aggregation executed as a REAL Structured
+    * Streaming job, oracle-checked: readStream over the events parquet
+    * (file-stream source), the same window/agg transform as the batch
+    * `EventWindows.tumbling`, Trigger.AvailableNow (process everything,
+    * then stop), complete-mode memory sink. The returned table must equal
+    * the batch result — q_stream_tumbling shares q_window_tumbling's
+    * DuckDB oracle, so streaming execution itself passes the hash gate.
+    * In production the source swaps for kafka/files-in-motion and the
+    * sink for a table; the transform is untouched. */
+  def streamTumbling(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    // events.ts is parquet TIMESTAMP(NANOS): same legacy-long read +
+    // micros conversion as the batch path (Tables.events)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file-stream source only accepts directories (a landing zone, as
+    // in production); stage the events table into one via symlink
+    val landing = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_stream_src_" + Integer.toHexString(dir.hashCode))
+    java.nio.file.Files.createDirectories(landing)
+    val link = landing.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val events = spark.readStream.schema(schema)
+      .parquet(landing.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), EventWindows.sumValueCents)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_start"),
+        col("event_type"), col("cnt"), col("sum_value_cents"))
+    val name = s"graft_stream_tumbling_${runSeq.incrementAndGet()}"
+    val q = agg.writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("hour_start", "event_type")
+  }
 }
