@@ -26,9 +26,17 @@ object Bench {
       try Tables.load(spark, sfDir, t).limit(1).collect()
       catch { case _: Throwable => () }
     }
-    // failures are recorded explicitly (negative elapsed + errors map) so a
-    // query that throws immediately can't masquerade as a fast one
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // dev filter: SPARK_GRAFT_ONLY=q_a,q_b times just those queries
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val queries = only match {
+      case Some(names) => SparkEntry.queries.filter(q => names(q._1))
+      case None => SparkEntry.queries
+    }
+    // a failed query is excluded from "queries"/"value" (which stay
+    // non-negative successful durations summing to the total) and reported
+    // in "errors" instead, so a fast failure can't masquerade as a fast run
+    val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err =
         try {
@@ -38,9 +46,9 @@ object Bench {
           Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
         }
       val sec = (System.nanoTime() - t0) / 1e9
-      (name, if (err.isEmpty) sec else -sec, err)
+      (name, sec, err)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.collect { case (k, v, None) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     def jstr(s: String) =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"

@@ -12,16 +12,32 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
   * in SQL and via `call_function`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def arity(n: Int, name: String)(
+      children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
+    if (children.length != n) {
+      throw new IllegalArgumentException(
+        s"$name expects exactly $n arguments, got ${children.length}")
+    }
+    children
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       DotProduct.info,
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        if (children.length != 2) {
-          throw new IllegalArgumentException(
-            s"vec_dot expects exactly 2 arguments, got ${children.length}")
-        }
-        DotProduct(children(0), children(1))
-      }))
+      cs => { val c = arity(2, "vec_dot")(cs); DotProduct(c(0), c(1)) }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      SimHash64.info,
+      cs => { val c = arity(1, "simhash64")(cs); SimHash64(c(0)) }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sigs"),
+      MinHashSigs.info,
+      cs => { val c = arity(2, "minhash_sigs")(cs)
+              MinHashSigs(c(0), c(1)) }))
+    ext.injectFunction((
+      FunctionIdentifier("shingles3"),
+      Shingles3.info,
+      cs => { val c = arity(1, "shingles3")(cs); Shingles3(c(0)) }))
   }
 }

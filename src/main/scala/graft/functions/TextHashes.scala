@@ -1,0 +1,222 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native hash kernels for the dedup hot paths (SURVEY §7.1(7)).
+  *
+  * Both operators were first written as compositions of built-in
+  * higher-order functions (`aggregate`/`zip_with`/`transform`), which are
+  * CORRECT but interpreted — one closure dispatch per element, per hash,
+  * per token. At corpus scale that inner loop dominates the whole dedup
+  * stage. These expressions keep the exact same arithmetic (pinned by
+  * equivalence tests against the HOF forms, and by the DuckDB oracles that
+  * replay the math in SQL) but run it as a tight primitive loop inside
+  * whole-stage codegen — the brief's preference order: built-ins → custom
+  * `Expression` with doGenCode → UDF last.
+  */
+object PolyHash {
+
+  /** 64-bit SimHash of a whitespace-normalized string. Exact semantics of
+    * the HOF form in operators/Dedup.scala `simhash` (and the DuckDB SQL
+    * replay in SparkEntry.oracleSql "q_simhash_neardup"): tokens split on
+    * single spaces (empty tokens kept — Spark `split` keeps trailing
+    * empties), per-token polynomial char rolls h1 (base 131 mod 2147483647,
+    * bits 0–31) and h2 (base 137 mod 2147483629, bits 32–63), ±1 bit votes,
+    * bit set where the vote is ≥ 0. */
+  def simhash64(s: UTF8String): Long = {
+    val str = s.toString
+    val votes = new Array[Int](64)
+    val len = str.length
+    var start = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || str.charAt(i) == ' ') {
+        // token = str[start, i)
+        var h1 = 0L
+        var h2 = 0L
+        var j = start
+        while (j < i) {
+          val c = str.charAt(j).toInt
+          h1 = (h1 * 131 + c) % 2147483647L
+          h2 = (h2 * 137 + c) % 2147483629L
+          j += 1
+        }
+        var b = 0
+        while (b < 32) {
+          votes(b) += (if (((h1 >> b) & 1L) == 1L) 1 else -1)
+          votes(b + 32) += (if (((h2 >> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** Distinct word 3-grams of a whitespace-normalized string, first
+    * occurrence order. Exact semantics of the HOF form in
+    * operators/Dedup.scala `signatures` (equivalence-tested): tokens split
+    * on single spaces (empties kept), < 3 tokens → one shingle = the whole
+    * string, else token-triples joined by single spaces — which, on a
+    * single-spaced string, are exactly substrings from token i's start to
+    * token i+2's end, so no per-shingle string building happens at all. */
+  def shingles3(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val len = str.length
+    // token start offsets (a token starts at 0 and after every space)
+    val starts = new java.util.ArrayList[Integer]()
+    starts.add(0)
+    var i = 0
+    while (i < len) {
+      if (str.charAt(i) == ' ') starts.add(i + 1)
+      i += 1
+    }
+    val n = starts.size()
+    val out = new java.util.LinkedHashSet[String]()
+    if (n < 3) {
+      out.add(str)
+    } else {
+      var t = 0
+      while (t + 2 < n) {
+        // end of token t+2 = (start of token t+3) - 1, or end of string
+        val end = if (t + 3 < n) starts.get(t + 3) - 1 else len
+        out.add(str.substring(starts.get(t), end))
+        t += 1
+      }
+    }
+    val arr = new Array[Any](out.size())
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** MinHash signature: for each seed j in [0, numHashes), the minimum of
+    * `xxhash64(shingle, j)` over all shingles. Bit-exact with the built-in
+    * `xxhash64(s, j)` (seed 42, then chain the int j), so swapping the HOF
+    * form for this one changes no query output. */
+  def minhash(shingles: ArrayData, numHashes: Int): ArrayData = {
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val s = shingles.getUTF8String(i)
+      val base = XXH64.hashUTF8String(s, 42L)
+      var j = 0
+      while (j < numHashes) {
+        val h = XXH64.hashInt(j, base)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/** simhash64(normalized_text) → BIGINT. Null in → null out. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"simhash64 expects string, got ${t.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    PolyHash.simhash64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyHash.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash64"
+}
+
+object SimHash64 {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[SimHash64].getName, "simhash64")
+}
+
+/** shingles3(normalized_text) → ARRAY<STRING>. Null in → null out. */
+case class Shingles3(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"shingles3 expects string, got ${t.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    PolyHash.shingles3(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyHash.shingles3($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Shingles3 =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingles3"
+}
+
+object Shingles3 {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[Shingles3].getName, "shingles3")
+}
+
+/** minhash_sigs(shingles, numHashes) → ARRAY<BIGINT>. One pass over the
+  * shingle array computes every seed's minimum. numHashes must be a
+  * foldable positive int. */
+case class MinHashSigs(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "minhash_sigs expects (array<string>, foldable int), got " +
+          s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    PolyHash.minhash(a.asInstanceOf[ArrayData], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.PolyHash.minhash($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinHashSigs =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "minhash_sigs"
+}
+
+object MinHashSigs {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[MinHashSigs].getName, "minhash_sigs")
+}

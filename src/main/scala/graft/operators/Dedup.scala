@@ -56,8 +56,24 @@ object Dedup {
   val RowsPerBand = NumHashes / Bands
   val MaxBucket = 100 // drop degenerate buckets (boilerplate at web scale)
 
-  /** doc_id, shingles (distinct word 3-grams), minhash signature array. */
+  /** doc_id, shingles (distinct word 3-grams), minhash signature array.
+    * Shingling and the signature are the native kernels
+    * (functions.Shingles3 / functions.MinHashSigs) — bit-exact with the
+    * interpreted HOF forms kept in `signaturesHof` (equivalence-tested in
+    * DedupSpec), but tight codegen'd loops instead of per-element closure
+    * dispatch; shingles of a single-spaced string are substring slices, so
+    * no per-shingle string is ever built. */
   def signatures(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("shingles", expr(
+        "shingles3(regexp_replace(lower(text), '\\\\s+', ' '))"))
+      .withColumn("minhash", expr(s"minhash_sigs(shingles, $NumHashes)"))
+      .select("doc_id", "shingles", "minhash")
+
+  /** The original HOF formulation of the shingle + minhash signature —
+    * kept (unregistered) as the executable spec the native kernels are
+    * equivalence-tested against. */
+  def signaturesHof(docs: DataFrame): DataFrame =
     docs
       .withColumn("tokens",
         split(regexp_replace(lower(col("text")), "\\s+", " "), " "))
@@ -74,9 +90,16 @@ object Dedup {
       .select("doc_id", "shingles", "minhash")
 
   /** Candidate pairs via banded LSH: explode (band, band-signature) keys,
-    * self-join within buckets only, cap bucket size. */
-  def candidatePairs(sigs: DataFrame): DataFrame = {
-    val exploded = sigs.select(
+    * group each bucket, expand pairs INSIDE the bucket's member array.
+    * One groupBy shuffle + one distinct — versus the window + self-join
+    * form (4 shuffles, upstream evaluated twice through the join's two
+    * sides). Bucket membership is bounded by `MaxBucket` BEFORE pair
+    * expansion, so a degenerate bucket (boilerplate text at web scale)
+    * costs one dropped row, never a quadratic pair blowup; per-reducer
+    * memory is one bucket's id list, same as the window form's per-key
+    * partition. */
+  def candidatePairs(sigs: DataFrame): DataFrame =
+    sigs.select(
       col("doc_id"),
       explode(expr(
         s"""transform(sequence(0, $Bands - 1),
@@ -84,19 +107,15 @@ object Dedup {
            |              xxhash64(slice(minhash, b * $RowsPerBand + 1,
            |                             $RowsPerBand), b) AS sig))"""
           .stripMargin)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val bucketed = exploded
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "sig")))
-      .filter(col("bucket_n") <= MaxBucket)
-    val a = bucketed.select(col("band"), col("sig"), col("doc_id").as("a"))
-    val b = bucketed.select(col("band"), col("sig"), col("doc_id").as("b"))
-    a.join(b, Seq("band", "sig"))
-      .filter(col("a") < col("b"))
-      .select("a", "b")
+      .groupBy(col("bs.band"), col("bs.sig"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, MaxBucket))
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y ->
+          |    struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
-  }
 
   /** n-gram (3-shingle) Jaccard over the planted near-dup pairs — the
     * verification metric as its own oracle-checked operator. Each original
@@ -142,15 +161,22 @@ object Dedup {
     * takes the minimum label among itself and its neighbors; fixpoint in
     * O(component diameter) rounds. Each round is one shuffle join + one
     * grouped min — no driver-side graph, no GraphX/RDD detour — so the same
-    * loop runs on a web-scale pair set. The convergence probe is an
-    * `isEmpty` on the changed-label frame (a metadata-cheap limit-1 scan),
-    * and `maxIter` bounds the worst case. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * loop runs on a web-scale pair set.
+    *
+    * Convergence: labels are monotonically non-increasing, so the fixpoint
+    * is reached exactly when `sum(label)` stops changing — ONE aggregate
+    * per round (which also fully materializes the round's cache), no
+    * changed-rows join. If `maxIter` rounds pass without reaching the
+    * fixpoint (a component with diameter > maxIter, e.g. a long duplicate
+    * chain), the result would be silently split — so that case THROWS
+    * rather than returning wrong components. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
     val edges = pairs.select(col("a"), col("b"))
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       .cache()
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node")).cache()
+    var prevSum = labels.agg(coalesce(sum("label"), lit(0L))).collect()(0).getLong(0)
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -159,15 +185,21 @@ object Dedup {
       val next = labels.select("node", "label").unionByName(prop)
         .groupBy("node").agg(min("label").as("label"))
         .cache()
-      done = next.withColumnRenamed("label", "new_label")
-        .join(labels, "node")
-        .filter(col("new_label") < col("label"))
-        .isEmpty
+      val nextSum = next.agg(coalesce(sum("label"), lit(0L))).collect()(0).getLong(0)
+      done = nextSum == prevSum
+      prevSum = nextSum
       labels.unpersist()
       labels = next
       iter += 1
     }
     edges.unpersist()
+    if (!done) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "a component's diameter exceeds maxIter; raise maxIter " +
+          "(results would otherwise be silently split components)")
+    }
     labels
   }
 
@@ -192,15 +224,26 @@ object Dedup {
     * all — making the operator exactly oracle-checkable. (Bits 31/63 are
     * constant under the < 2^31 moduli; 62 effective vote bits.)
     *
-    * Written as ONE nested expression where every subexpression is
-    * referenced exactly once: per-token bit votes accumulate into a
-    * 64-long array in a single pass (zip_with against the running array),
-    * then the sign vector packs into the long. Splitting this into
-    * `bits`/`pack` columns looks cleaner but is a performance trap —
-    * CollapseProject inlines the column into every element_at reference
-    * and the 64-way pack re-evaluates the full token aggregation 64×
-    * (measured: 384 s → 4 s at sf0.1). */
+    * The signature is the native `simhash64` kernel (functions.SimHash64):
+    * one codegen'd pass over the normalized string — tokenize, roll, vote,
+    * pack — instead of the interpreted aggregate/zip_with HOF chain (which
+    * cost one closure dispatch per char per token and dominated the dedup
+    * stage; the HOF form survives as `simhashHof` purely to pin the
+    * kernel's semantics in DedupSpec). */
   def simhash(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("simhash",
+        expr("simhash64(regexp_replace(lower(text), '\\\\s+', ' '))"))
+      .select("doc_id", "simhash")
+
+  /** The original HOF formulation of `simhash` — kept (unregistered) as the
+    * executable spec the native kernel is equivalence-tested against.
+    * One nested expression where every subexpression is referenced exactly
+    * once; splitting into `bits`/`pack` columns is a performance trap —
+    * CollapseProject inlines the column into every element_at reference and
+    * the 64-way pack re-evaluates the full token aggregation 64×
+    * (measured: 384 s → 4 s at sf0.1). */
+  def simhashHof(docs: DataFrame): DataFrame =
     docs
       .withColumn("simhash", expr(
         """aggregate(
@@ -221,29 +264,33 @@ object Dedup {
           |  0L, (acc, x) -> acc + x)""".stripMargin))
       .select("doc_id", "simhash")
 
-  /** SimHash near-dup pairs: 16-bit chunk banding → Hamming ≤ maxDist. */
+  /** SimHash near-dup pairs: 16-bit chunk banding → Hamming ≤ maxDist.
+    * Same bucket-local pair expansion as `candidatePairs` (one groupBy
+    * shuffle instead of a self-join); members carry their signature into
+    * the bucket so the Hamming check is a narrow map over the expanded
+    * pairs. */
   def simhashNearDup(spark: SparkSession, dir: String,
-                     maxDist: Int = 10): DataFrame = {
-    val sh = simhash(corpus(spark, dir)).cache()
-    val chunks = sh.select(
-      col("doc_id"), col("simhash"),
-      explode(expr(
-        """transform(sequence(0, 3),
-          |  c -> struct(c AS chunk,
-          |              shiftright(simhash, c * 16) & 65535 AS key))"""
-          .stripMargin)).as("ck"))
+                     maxDist: Int = 10): DataFrame =
+    simhash(corpus(spark, dir))
       .select(col("doc_id"), col("simhash"),
-        col("ck.chunk").as("chunk"), col("ck.key").as("key"))
-    val a = chunks.select(col("chunk"), col("key"),
-      col("doc_id").as("a"), col("simhash").as("sim_a"))
-    val b = chunks.select(col("chunk"), col("key"),
-      col("doc_id").as("b"), col("simhash").as("sim_b"))
-    a.join(b, Seq("chunk", "key"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        bit_count(expr("sim_a ^ sim_b")).cast(LongType).as("hamming"))
+        explode(expr(
+          """transform(sequence(0, 3),
+            |  c -> struct(c AS chunk,
+            |              shiftright(simhash, c * 16) & 65535 AS key))"""
+            .stripMargin)).as("ck"))
+      .groupBy(col("ck.chunk"), col("ck.key"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash"))))
+        .as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ms, (x, i) ->
+          |  transform(slice(ms, i + 2, size(ms)), y ->
+          |    struct(x.doc_id AS a, y.doc_id AS b,
+          |           x.simhash AS sim_a, y.simhash AS sim_b))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"),
+        bit_count(expr("p.sim_a ^ p.sim_b")).cast(LongType).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
       .orderBy("a", "b")
-  }
 }

@@ -57,6 +57,48 @@ class DedupSpec extends AnyFunSuite {
       s"candidate explosion: $candidates")
   }
 
+  test("native simhash64 kernel is bit-exact with the HOF executable spec") {
+    // the corpus plus edge cases the kernel must agree on: empty string,
+    // trailing/leading spaces (empty tokens), single token
+    val spark2 = spark
+    import spark2.implicits._
+    val edge = Seq((9000001L, ""), (9000002L, " x"), (9000003L, "x "),
+      (9000004L, "one"), (9000005L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val docs = Dedup.corpus(spark, sf).limit(200).unionByName(edge)
+    val native = Dedup.simhash(docs).withColumnRenamed("simhash", "n")
+    val hof = Dedup.simhashHof(docs).withColumnRenamed("simhash", "h")
+    val diff = native.join(hof, "doc_id").filter(col("n") =!= col("h")).count()
+    assert(diff === 0L)
+  }
+
+  test("native shingles3+minhash_sigs kernels match the xxhash64 HOF forms") {
+    val spark2 = spark
+    import spark2.implicits._
+    val edge = Seq((9000001L, ""), (9000002L, " x y z"), (9000003L, "x "),
+      (9000004L, "one two"), (9000005L, "a b c d e"), (9000006L, "a b a b a"))
+      .toDF("doc_id", "text")
+    val docs = Dedup.corpus(spark, sf).limit(200).unionByName(edge)
+    val native = Dedup.signatures(docs)
+      .select(col("doc_id"), col("shingles").as("sh_n"), col("minhash").as("mh_n"))
+    val hof = Dedup.signaturesHof(docs)
+      .select(col("doc_id"), col("shingles").as("sh_h"), col("minhash").as("mh_h"))
+    val diff = native.join(hof, "doc_id")
+      .filter(col("sh_n") =!= col("sh_h") || col("mh_n") =!= col("mh_h"))
+      .count()
+    assert(diff === 0L)
+  }
+
+  test("connected components throws instead of returning split components") {
+    val spark2 = spark
+    import spark2.implicits._
+    // a 5-node chain has diameter 4 > maxIter=2 → must throw, not split
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    assertThrows[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 2).collect()
+    }
+  }
+
   test("simhash: identical texts hash equal; near texts within Hamming 10") {
     val sh = Dedup.simhash(Dedup.corpus(spark, sf))
     val d = Tables.documents(spark, sf)
