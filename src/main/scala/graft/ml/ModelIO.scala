@@ -32,7 +32,7 @@ object ModelIO {
       .setFeaturesCol("features").setLabelCol("label").setSolver("normal")
     val pipe = new Pipeline()
       .setStages(graft.ml.TreePipeline.featureStages() :+ lr)
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_model_rt_q"
+    val path = graft.sources.CsvIO.scratch("model_rt_q", dir)
     val m = fitAndCheckpoint(pipe, ds, path)
     val back = load(spark, path)
     // featurize ONCE with the fitted prep stages, then score side by side

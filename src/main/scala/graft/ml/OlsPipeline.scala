@@ -140,8 +140,13 @@ object OlsPipeline {
     * absorbs the full training cost. */
   private val fitCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Fitted]
-  def fitCached(spark: SparkSession, dir: String): Fitted =
+  def fitCached(spark: SparkSession, dir: String): Fitted = {
+    // evict entries whose session has been stopped: their Fitted holds
+    // dead session-bound DataFrames/models that would otherwise stay
+    // strongly referenced for the life of the JVM
+    fitCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     fitCache.getOrElseUpdate((spark, dir), fit(spark, dir))
+  }
 
   /** Registered query: the full OLS dataflow — calibrated county forecasts
     * for the unpublished universe (03_LinearRegression.R:236-241). ML output

@@ -18,6 +18,15 @@ import graft.Tables
   */
 object CsvIO {
 
+  /** Scratch path for a query's sink round-trip, keyed by the dataset dir
+    * (two scale factors must not share a path) and the process (two JVMs —
+    * e.g. bench and verify — must not overwrite each other between write
+    * and read-back). */
+  private[graft] def scratch(tag: String, dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${key}_pid${ProcessHandle.current().pid()}"
+  }
+
   /** S1/S2: schema-declared CSV scan. Chunking is inherent — Spark splits
     * the file into partition-sized ranges; no row-cap needed. */
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
@@ -56,7 +65,7 @@ object CsvIO {
     * oracle runs the same profile on the ORIGINAL table with the same
     * predicate, so the checkpoint write+pruned read must be lossless. */
   def checkpointPrune(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_events"
+    val path = scratch("ckpt_events", dir)
     checkpointPartitioned(Tables.events(spark, dir), path, Seq("event_type"))
     spark.read.parquet(path)
       .filter(col("event_type") === "click")
@@ -74,7 +83,7 @@ object CsvIO {
     * same aggregate over the ORIGINAL parquet. */
   def csvRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     val src = Tables.customer(spark, dir)
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+    val path = scratch("csv_roundtrip", dir)
     writeCsv(src, path)
     val schema = StructType(Seq(
       StructField("c_custkey", LongType),

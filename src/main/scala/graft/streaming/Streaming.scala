@@ -94,15 +94,22 @@ object Streaming {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // the file-stream source only accepts directories (a landing zone, as
-    // in production); stage the events table into one via symlink
+    // in production); stage the events table into one via symlink. The
+    // landing dir is keyed by the full sanitized dataset path (not a hash —
+    // collisions would silently stream the wrong table) and the link target
+    // is verified on every call (a stale link from a re-created dataset
+    // would otherwise go unnoticed).
     val landing = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      "graft_stream_src_" + Integer.toHexString(dir.hashCode))
+      "graft_stream_src_" + dir.replaceAll("[^A-Za-z0-9._-]", "_"))
     java.nio.file.Files.createDirectories(landing)
     val link = landing.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val target = java.nio.file.Paths.get(s"$dir/events.parquet")
+    if (java.nio.file.Files.isSymbolicLink(link) &&
+        java.nio.file.Files.readSymbolicLink(link) != target)
+      java.nio.file.Files.delete(link)
+    if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      java.nio.file.Files.createSymbolicLink(link, target)
     val events = spark.readStream.schema(schema)
       .parquet(landing.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
