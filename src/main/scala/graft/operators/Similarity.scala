@@ -147,27 +147,60 @@ object Similarity {
   val NumLists = 16
   val NumProbes = 4
 
-  /** IVF ANN: a KMeans coarse quantizer assigns every vector to its
+  /** Coarse k-means quantizer as plain DataFrame aggregation: seeded
+    * key-derived init (k lowest `xxhash64(vec_id, 7)` vectors), then
+    * `iters` Lloyd rounds where assignment is a codegen'd `vec_dot` argmin
+    * and the centroid update is one posexplode + grouped avg (k·dim rows
+    * collected per round — bounded, independent of corpus size). The same
+    * loop at 100 TB is `iters` full scans with map-side partial
+    * aggregation — no per-iteration MLlib scheduling overhead, and fully
+    * deterministic under any partitioning. A coarse quantizer doesn't need
+    * convergence, and it never trains on the full corpus at scale — a
+    * deterministic key-derived sample is what a 100 TB IVF build clusters. */
+  private[operators] def kmeansCentroids(sample: DataFrame, k: Int,
+                                         iters: Int): Array[Array[Double]] = {
+    var cents: Array[Array[Double]] = sample
+      .withColumn("h", xxhash64(col("vec_id"), lit(7)))
+      .orderBy("h").limit(k)
+      .select(col("embedding").cast(ArrayType(DoubleType)))
+      .collect().map(_.getSeq[Double](0).toArray)
+    for (_ <- 1 to iters) {
+      val centsCol = array(cents.map(c => array(c.map(lit): _*)): _*)
+      val sums = sample
+        .withColumn("cents", centsCol)
+        .withColumn("list_id", expr(
+          """array_position(
+            |  transform(cents, c -> vec_dot(c, c) - 2.0D * vec_dot(c, embedding)),
+            |  array_min(transform(cents,
+            |    c -> vec_dot(c, c) - 2.0D * vec_dot(c, embedding))))"""
+            .stripMargin))
+        .select(col("list_id"),
+          posexplode(col("embedding").cast(ArrayType(DoubleType))))
+        .groupBy("list_id", "pos").agg(avg("col").as("mu"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        next(r.getLong(0).toInt - 1)(r.getInt(1)) = r.getDouble(2)
+      } // empty lists keep their previous centroid
+      cents = next
+    }
+    cents
+  }
+
+  /** IVF ANN: a k-means coarse quantizer assigns every vector to its
     * nearest centroid list; a query probes only the `NumProbes` nearest
     * lists and scores those candidates exactly. The centroids are trained
-    * once (seeded) and shipped as plan literals — the inverted-file
-    * structure is just a groupBy key, so the search is one bucketed join,
-    * the same shuffle discipline as the LSH path but data-adaptive. */
+    * once (seeded, on a 25% key-derived sample) and shipped as plan
+    * literals — the inverted-file structure is just a groupBy key, so the
+    * search is one bucketed join, the same shuffle discipline as the LSH
+    * path but data-adaptive. */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
     val e = withNorm(Tables.embeddings(spark, dir)).cache()
-    // a coarse quantizer doesn't need convergence, and it never trains on
-    // the full corpus at scale — a deterministic key-derived sample (25%)
-    // is what a 100 TB IVF build clusters; seeded random init + 5 Lloyd
-    // iterations skip the k-means|| passes and the default-20 cost
-    val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(NumLists).setSeed(123).setFeaturesCol("fvec").setMaxIter(5)
-      .setInitMode("random")
-      .fit(e.filter(col("vec_id") % 4 === 0)
-        .select(array_to_vector(col("embedding")).as("fvec")))
+    val centroids = kmeansCentroids(
+      e.filter(col("vec_id") % 4 === 0).select("vec_id", "embedding"),
+      NumLists, iters = 3)
     // centroids → one literal array<array<double>> column
-    val cents = array(km.clusterCenters.map(c =>
-      array(c.toArray.map(lit): _*)): _*)
+    val cents = array(centroids.map(c => array(c.map(lit): _*)): _*)
     // squared distance to centroid c: x·x − 2x·c + c·c; x·x is constant
     // per row for the argmin, so rank by (c·c − 2x·c)
     val withDists = e.withColumn("cents", cents)
