@@ -57,6 +57,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH candidate generation is bucket-local: no window, no self-join") {
+    // the banded candidate generators expand pairs inside each bucket's
+    // collected member array: one groupBy shuffle, no WindowExec and no
+    // second join re-evaluating the signature pipeline (round-4 rewrite)
+    for (q <- Seq("q_minhash_neardup", "q_simhash_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q:\n$p")
+    }
+    val simhashJoins = plan("q_simhash_neardup").linesIterator
+      .count(l => l.contains("Join") || l.contains("CartesianProduct"))
+    assert(simhashJoins === 0, "simhash candidate generation must be join-free")
+  }
+
+  test("native hash kernels stay inside whole-stage codegen") {
+    // simhash64 implements doGenCode — the signature projection must sit
+    // inside a WholeStageCodegen span (asterisk-prefixed in the plan
+    // string), not fall back to an interpreted Project
+    val cg = graft.operators.Dedup.simhash(
+      Tables.documents(spark, sf).select("doc_id", "text"))
+      .queryExecution.executedPlan.toString
+    val projLine = cg.linesIterator.find(_.contains("simhash64"))
+    assert(projLine.exists(_.contains("*(")), cg)
+  }
+
   test("fact-side joins carry no user broadcast hint (AQE decides)") {
     // logical plans of the fact⨝customer/supplier joins must not pin a
     // broadcast: at test SF Catalyst still broadcasts (small stats), but the
