@@ -123,7 +123,7 @@ object TreePipeline {
       .setEvaluator(new RegressionEvaluator().setLabelCol("label")
         .setMetricName("rmse"))
       .setEstimatorParamMaps(grid)
-      .setNumFolds(2).setParallelism(4).setSeed(123)
+      .setNumFolds(2).setParallelism(8).setSeed(123)
     val model = cv.fit(ds)
     val best = model.bestModel.asInstanceOf[org.apache.spark.ml.PipelineModel]
       .stages.last.asInstanceOf[

@@ -52,6 +52,59 @@ object Streaming {
       }
   }
 
+  final case class OpenSession(user_id: Long, start: Timestamp,
+                               end: Timestamp, events: Long)
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+                              cnt: Long)
+
+  /** Streaming sessionization via flatMapGroupsWithState (brief-required
+    * stateful operator; the streaming form of `EventWindows.sessions`):
+    * per user, events within `gapMinutes` of the previous one extend the
+    * open session; a larger gap closes it (emitted downstream, Append
+    * mode); an event-time timeout at `end + gap` flushes a session once
+    * the watermark passes it, so state is bounded by the number of
+    * concurrently-open sessions — the standard continuous-sessionization
+    * design. Gap semantics match `session_window` / the DuckDB
+    * gaps-and-islands oracle: a gap of exactly `gapMinutes` starts a new
+    * session (equivalence-tested in StreamingSpec). */
+  def sessionizeStream(events: Dataset[Event], gapMinutes: Int = 30,
+                       watermarkDelay: String = "0 seconds"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(s.user_id, s.start, s.events))
+          } else {
+            val sorted = batch.toArray.sortBy(_.ts.getTime)
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var open = state.getOption
+            sorted.foreach { e =>
+              open match {
+                case Some(s) if e.ts.getTime - s.end.getTime < gapMs =>
+                  open = Some(s.copy(end = e.ts, events = s.events + 1))
+                case Some(s) =>
+                  closed += SessionOut(s.user_id, s.start, s.events)
+                  open = Some(OpenSession(user, e.ts, e.ts, 1L))
+                case None =>
+                  open = Some(OpenSession(user, e.ts, e.ts, 1L))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end.getTime + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   final case class Doc(ts: Timestamp, doc_id: Long, content_hash: Long)
 
   /** Streaming exact dedup: the streaming half of `operators.Dedup` —

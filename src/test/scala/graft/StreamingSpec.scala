@@ -66,6 +66,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionizer matches batch session_window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // a real slice of the events table: every session for these users must
+    // come out of the stream exactly as the batch session_window computes it
+    val sample = Tables.events(spark, sf)
+      .filter(col("user_id") % 25 === 0)
+      .select("ts", "user_id", "event_type", "value")
+      .as[Event].collect().toSeq
+    val maxTs = sample.map(_.ts.getTime).max
+    val mem = MemoryStream[Event]
+    val q = Streaming.sessionizeStream(mem.toDS())
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(sample: _*)
+      q.processAllAvailable() // closes intra-stream sessions; watermark→maxTs
+      // two sentinel batches: the first fires timeouts for sessions ending
+      // ≤ maxTs−gap, and advances the watermark past every remaining
+      // session; the second fires those. Sentinel user −1 stays open.
+      mem.addData(Event(new Timestamp(maxTs + 5 * 3600 * 1000L), -1L, "x", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(new Timestamp(maxTs + 6 * 3600 * 1000L), -1L, "x", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_test")
+        .filter(col("user_id") >= 0)
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Timestamp]("session_start").toString, r.getAs[Long]("cnt")))
+        .toSet
+      val batch = sample.toDF()
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"), col("session_window.start"), col("cnt"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2)))
+        .toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first-seen doc per content hash") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
