@@ -614,6 +614,50 @@ object SparkEntry {
         |  FROM scored)
         |SELECT q_id, rank, vec_id AS neighbor_id, cos
         |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // full SQL replay of the SRP-LSH ANN path: LCG-derived hyperplanes
+    // (exact integer arithmetic + one exact double division → bit-identical
+    // planes), sign-bit signatures, 4×4-bit band keys (first plane = high
+    // bit, matching the left-fold acc*2+v), bucket-joined candidates,
+    // exact cosine on candidates only, top-k. Approximate output, exact
+    // oracle — the banding itself is part of the verified contract.
+    "q_ann_lsh" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |      AS norm
+        |  FROM embeddings),
+        |planes AS (
+        |  SELECT j, list_transform(range(0, 64), d ->
+        |    (((j * 64 + d) * 2654435761 + 12345) % 2147483648)
+        |      / 2147483648.0 - 0.5) AS p
+        |  FROM range(0, 16) r(j)),
+        |bits AS (
+        |  SELECT e.vec_id, p.j,
+        |    CASE WHEN list_dot_product(p.p, e.emb) >= 0 THEN 1 ELSE 0 END
+        |      AS bit
+        |  FROM e CROSS JOIN planes p),
+        |keys AS (
+        |  SELECT vec_id, j // 4 AS band,
+        |    SUM(bit << CAST(3 - (j % 4) AS INTEGER)) AS key
+        |  FROM bits GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id
+        |  FROM keys q JOIN keys c ON q.band = c.band AND q.key = c.key
+        |  WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+        |scored AS (
+        |  SELECT cand.q_id, cand.vec_id,
+        |    ROUND(list_dot_product(qe.emb, ce.emb) / (qe.norm * ce.norm), 6)
+        |      AS cos
+        |  FROM cand
+        |  JOIN e qe ON qe.vec_id = cand.q_id
+        |  JOIN e ce ON ce.vec_id = cand.vec_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |         ORDER BY cos DESC, vec_id) AS BIGINT) AS rank, cos
+        |  FROM scored)
+        |SELECT q_id, rank, vec_id AS neighbor_id, cos
+        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     // Rabin–Karp char-stream fold: DuckDB list_reduce seeds with the first
     // element, which equals Spark's aggregate from zero ((0*131+c0)%p = c0)
     "q_fingerprint" ->

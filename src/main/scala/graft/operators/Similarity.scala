@@ -76,14 +76,21 @@ object Similarity {
   val Bands = 4
   val BitsPerBand = NumPlanes / Bands
 
-  /** Seeded random hyperplanes as a literal array<array<double>> column —
-    * identical on every executor, no side channel. */
-  private lazy val planesCol: Column = {
-    val rnd = new scala.util.Random(42)
-    array((0 until NumPlanes).map { _ =>
-      array((0 until 64).map(_ => lit(rnd.nextGaussian())): _*)
+  /** Deterministic hyperplanes as a literal array<array<double>> column —
+    * identical on every executor, no side channel. Components are
+    * LCG-derived uniforms in [−0.5, 0.5): exact integer arithmetic and one
+    * exact double division, so DuckDB regenerates bit-identical planes and
+    * the whole SRP path (sign tests, band keys, candidates) is
+    * SQL-replayable — which is what lets q_ann_lsh carry a full hash
+    * oracle. Uniform-cube directions are not perfectly spherical, but the
+    * SRP recall at these cosines is equivalent (recall-tested). */
+  private[operators] def planeComponent(j: Int, d: Int): Double =
+    (((j * 64L + d) * 2654435761L + 12345L) % 2147483648L).toDouble /
+      2147483648.0 - 0.5
+  private lazy val planesCol: Column =
+    array((0 until NumPlanes).map { j =>
+      array((0 until 64).map(d => lit(planeComponent(j, d))): _*)
     }: _*)
-  }
 
   /** Bit signature + band bucket keys per vector. */
   def signatures(e: DataFrame): DataFrame =
