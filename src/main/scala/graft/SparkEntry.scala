@@ -101,9 +101,86 @@ object SparkEntry {
     "q_json_extract"      -> (Relational.jsonExtract _),
   )
 
+  /** One Lloyd round of the IVF coarse quantizer in DuckDB SQL: assignment
+    * by first-minimum argmin over exact distances, then a canonical
+    * vec_id-ordered left fold per list — the bit-identical replay of
+    * `Similarity.kmeansCentroids` round `i` (prev = previous centroid CTE).
+    * Empty lists keep their previous centroid via the LEFT JOIN COALESCE. */
+  private def ivfRound(i: Int, prev: String): String =
+    s"""a$i AS (
+       |  SELECT vec_id, emb, list_id FROM (
+       |    SELECT s.vec_id, s.emb, c.j AS list_id,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+       |        list_dot_product(c.c, c.c) - 2 * list_dot_product(c.c, s.emb),
+       |        c.j) AS rn
+       |    FROM samp s CROSS JOIN $prev c) WHERE rn = 1),
+       |u$i AS (
+       |  SELECT list_id,
+       |    list_reduce(list(emb ORDER BY vec_id),
+       |      (a, b) -> list_transform(range(1, 65), x -> a[x] + b[x])) AS sumv,
+       |    COUNT(*) AS n
+       |  FROM a$i GROUP BY 1),
+       |c$i AS (
+       |  SELECT p.j, COALESCE(list_transform(u$i.sumv, v -> v / u$i.n), p.c)
+       |    AS c
+       |  FROM $prev p LEFT JOIN u$i ON u$i.list_id = p.j)""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    // full SQL replay of the IVF ANN path: LCG-ordered init, three
+    // unrolled bit-deterministic Lloyd rounds (see ivfRound), full-corpus
+    // assignment and 4-probe query fan-out with the final centroids,
+    // exact cosine on candidates, top-k. Like q_ann_lsh, the approximate
+    // structure itself is part of the verified contract.
+    "q_ann_ivf" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+         |      AS norm
+         |  FROM embeddings),
+         |samp AS (SELECT vec_id, emb FROM e WHERE vec_id % 4 = 0),
+         |c0 AS (
+         |  SELECT j, c FROM (
+         |    SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+         |        (vec_id * 2654435761 + 99) % 2147483648, vec_id) AS BIGINT)
+         |      AS j, emb AS c
+         |    FROM samp) WHERE j <= 16),
+         |${ivfRound(1, "c0")},
+         |${ivfRound(2, "c1")},
+         |${ivfRound(3, "c2")},
+         |af AS (
+         |  SELECT vec_id, list_id FROM (
+         |    SELECT e.vec_id, c.j AS list_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_dot_product(c.c, c.c) - 2 * list_dot_product(c.c, e.emb),
+         |        c.j) AS rn
+         |    FROM e CROSS JOIN c3 c) WHERE rn = 1),
+         |pr AS (
+         |  SELECT q_id, list_id FROM (
+         |    SELECT e.vec_id AS q_id, c.j AS list_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_dot_product(c.c, c.c) - 2 * list_dot_product(c.c, e.emb),
+         |        c.j) AS rn
+         |    FROM e CROSS JOIN c3 c WHERE e.vec_id % 50 = 0) WHERE rn <= 4),
+         |cand AS (
+         |  SELECT DISTINCT pr.q_id, af.vec_id
+         |  FROM pr JOIN af ON af.list_id = pr.list_id
+         |  WHERE af.vec_id <> pr.q_id),
+         |scored AS (
+         |  SELECT cand.q_id, cand.vec_id,
+         |    ROUND(list_dot_product(qe.emb, ce.emb) / (qe.norm * ce.norm), 6)
+         |      AS cos
+         |  FROM cand
+         |  JOIN e qe ON qe.vec_id = cand.q_id
+         |  JOIN e ce ON ce.vec_id = cand.vec_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |         ORDER BY cos DESC, vec_id) AS BIGINT) AS rank, cos
+         |  FROM scored)
+         |SELECT q_id, rank, vec_id AS neighbor_id, cos
+         |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     // decimal sums are emitted as BIGINT minor units on BOTH sides: the
     // driver hash covers the physical decimal encoding, which differs
     // between Spark parquet and DuckDB on multi-row outputs even when every

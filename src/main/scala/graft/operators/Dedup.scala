@@ -206,12 +206,24 @@ object Dedup {
   /** Survivor selection — the step after candidate generation + verification
     * in a real dedup pipeline: near-dup pairs → connected components →
     * keep-first (min doc_id) per duplicate group. Emits one row per group
-    * with its survivor, size, and largest member (bounded output). */
-  def dedupSurvivors(spark: SparkSession, dir: String): DataFrame =
-    connectedComponents(minhashNearDup(spark, dir))
+    * with its survivor, size, and largest member.
+    *
+    * The per-group aggregate (one row per duplicate group — a small
+    * fraction of the corpus) is eagerly localCheckpoint'ed so the loop's
+    * cached label frame can be released immediately instead of staying
+    * pinned until some later consumer materializes the result. On a real
+    * cluster the local checkpoint would be a durable `checkpoint` (block
+    * loss would otherwise kill the query); the lifecycle is the point. */
+  def dedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val labels = connectedComponents(minhashNearDup(spark, dir))
+    val out = labels
       .groupBy(col("label").as("survivor_id"))
       .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_member"))
       .orderBy("survivor_id")
+      .localCheckpoint(eager = true)
+    labels.unpersist(blocking = false)
+    out
+  }
 
   // -- SimHash -----------------------------------------------------------
 

@@ -154,21 +154,27 @@ object Similarity {
   val NumLists = 16
   val NumProbes = 4
 
-  /** Coarse k-means quantizer as plain DataFrame aggregation: seeded
-    * key-derived init (k lowest `xxhash64(vec_id, 7)` vectors), then
-    * `iters` Lloyd rounds where assignment is a codegen'd `vec_dot` argmin
-    * and the centroid update is one posexplode + grouped avg (k·dim rows
-    * collected per round — bounded, independent of corpus size). The same
-    * loop at 100 TB is `iters` full scans with map-side partial
-    * aggregation — no per-iteration MLlib scheduling overhead, and fully
-    * deterministic under any partitioning. A coarse quantizer doesn't need
-    * convergence, and it never trains on the full corpus at scale — a
-    * deterministic key-derived sample is what a 100 TB IVF build clusters. */
+  /** Coarse k-means quantizer as plain DataFrame aggregation, built to be
+    * BIT-DETERMINISTIC so DuckDB can replay it (q_ann_ivf's oracle unrolls
+    * these rounds in SQL):
+    *  - init: the k sample vectors with the lowest LCG key hash
+    *    (exact integer arithmetic — no engine-specific hash);
+    *  - assignment: codegen'd `vec_dot` argmin, first-minimum tie-break;
+    *  - update: per list, members are folded in vec_id order (sorted
+    *    collect, left fold, one division) — canonical-order double sums,
+    *    identical on any partitioning, instead of a partition-order `avg`.
+    * Each round collects k·dim doubles — bounded, independent of corpus
+    * size. A coarse quantizer doesn't need convergence, and it never
+    * trains on the full corpus at scale — a deterministic key-derived
+    * sample is what a 100 TB IVF build clusters, which is also why the
+    * canonical-order fold (a sort of the bounded sample per round) is
+    * affordable. */
   private[operators] def kmeansCentroids(sample: DataFrame, k: Int,
                                          iters: Int): Array[Array[Double]] = {
     var cents: Array[Array[Double]] = sample
-      .withColumn("h", xxhash64(col("vec_id"), lit(7)))
-      .orderBy("h").limit(k)
+      .withColumn("h",
+        pmod(col("vec_id") * 2654435761L + 99L, lit(2147483648L)))
+      .orderBy("h", "vec_id").limit(k)
       .select(col("embedding").cast(ArrayType(DoubleType)))
       .collect().map(_.getSeq[Double](0).toArray)
     for (_ <- 1 to iters) {
@@ -181,14 +187,21 @@ object Similarity {
             |  array_min(transform(cents,
             |    c -> vec_dot(c, c) - 2.0D * vec_dot(c, embedding))))"""
             .stripMargin))
+        .groupBy("list_id")
+        .agg(sort_array(collect_list(struct(col("vec_id").as("vid"),
+          col("embedding").cast(ArrayType(DoubleType)).as("emb")))).as("ms"))
         .select(col("list_id"),
-          posexplode(col("embedding").cast(ArrayType(DoubleType))))
-        .groupBy("list_id", "pos").agg(avg("col").as("mu"))
+          expr("""aggregate(slice(ms, 2, size(ms)), element_at(ms, 1).emb,
+                 |  (acc, m) -> zip_with(acc, m.emb, (a, b) -> a + b))"""
+            .stripMargin).as("sumv"),
+          size(col("ms")).as("n"))
         .collect()
-      val next = cents.map(_.clone())
+      val next = cents.map(_.clone()) // empty lists keep their centroid
       sums.foreach { r =>
-        next(r.getLong(0).toInt - 1)(r.getInt(1)) = r.getDouble(2)
-      } // empty lists keep their previous centroid
+        val n = r.getInt(2)
+        next(r.getLong(0).toInt - 1) =
+          r.getSeq[Double](1).map(_ / n).toArray
+      }
       cents = next
     }
     cents
