@@ -29,6 +29,24 @@ import graft.Tables
   */
 object TreePipeline {
 
+  /** Spark 4.1 quirk: `TreeConfig.trainingEarlyStopModelSizeThresholdInBytes`
+    * is a mutable global that only Spark Connect's MLHandler initializes;
+    * in classic mode it stays 0 and GradientBoostedTrees treats any
+    * accumulated model size as "exceeds threshold (0 bytes)", silently
+    * truncating training (measured: 16 of 20 requested trees, with only a
+    * WARN). Disable the cap explicitly so maxIter/validationTol — the
+    * documented stopping rules — decide when boosting stops. The field is
+    * private[spark], hence reflection. */
+  private val disableModelSizeCap: Unit = {
+    try {
+      val cls = Class.forName("org.apache.spark.ml.tree.TreeConfig$")
+      val mod = cls.getField("MODULE$").get(null)
+      cls.getMethod("trainingEarlyStopModelSizeThresholdInBytes_$eq",
+          classOf[Long])
+        .invoke(mod, java.lang.Long.valueOf(Long.MaxValue))
+    } catch { case _: ReflectiveOperationException => () }
+  }
+
   /** M2: label + mixed numeric/categorical features; one-hot via
     * StringIndexer→OneHotEncoder→VectorAssembler (reference model.matrix,
     * 04_1:101-102). Sampling keys every `sampleMod`-th order keeps bench

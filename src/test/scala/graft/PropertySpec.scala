@@ -56,6 +56,51 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  // token strings over printable ASCII with plenty of spaces: exercises
+  // empty/leading/trailing tokens and consecutive separators
+  private val tokenChar: Gen[Char] =
+    Gen.frequency(6 -> Gen.alphaNumChar, 2 -> Gen.const(' '),
+      1 -> Gen.oneOf('.', ',', '@', '-'))
+  private val text: Gen[String] =
+    Gen.chooseNum(0, 60).flatMap(n => Gen.stringOfN(n, tokenChar))
+
+  test("simhash64 kernel matches an independent reference for any string") {
+    def ref(s: String): Long = {
+      val votes = new Array[Int](64)
+      s.split(" ", -1).foreach { t =>
+        var h1 = 0L; var h2 = 0L
+        t.foreach { c =>
+          h1 = (h1 * 131 + c.toInt) % 2147483647L
+          h2 = (h2 * 137 + c.toInt) % 2147483629L
+        }
+        for (b <- 0 until 32) {
+          votes(b) += (if (((h1 >> b) & 1L) == 1L) 1 else -1)
+          votes(b + 32) += (if (((h2 >> b) & 1L) == 1L) 1 else -1)
+        }
+      }
+      (0 until 64).foldLeft(0L)((acc, b) =>
+        if (votes(b) >= 0) acc | (1L << b) else acc)
+    }
+    check(Prop.forAll(text) { s =>
+      graft.functions.PolyHash.simhash64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)) == ref(s)
+    })
+  }
+
+  test("shingles3 kernel matches sliding-window join for any string") {
+    def ref(s: String): Seq[String] = {
+      val toks = s.split(" ", -1).toSeq
+      val all = if (toks.length < 3) Seq(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSeq
+      all.distinct
+    }
+    check(Prop.forAll(text) { s =>
+      val got = graft.functions.PolyHash.shingles3(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      (0 until got.numElements()).map(got.getUTF8String(_).toString) == ref(s)
+    })
+  }
+
   test("solve() recovers x for random diagonally-dominant systems") {
     val n = 4
     val row = Gen.listOfN(n, Gen.chooseNum(-1.0, 1.0))
