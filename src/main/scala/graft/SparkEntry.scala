@@ -89,6 +89,10 @@ object SparkEntry {
     // REAL Structured Streaming run (readStream → AvailableNow → memory
     // sink) sharing the batch tumbling oracle
     "q_stream_tumbling"   -> (graft.streaming.Streaming.streamTumbling _),
+    // REAL flatMapGroupsWithState sessionization run (readStream →
+    // AvailableNow → Append memory sink); oracle = batch sessions minus
+    // each user's still-open last session
+    "q_stream_sessions"   -> (graft.streaming.Streaming.streamSessions _),
     // geo join (SURVEY §2.3 J5, §2.1 S7)
     "q_geo_join"          -> (GeoJoin.query _),
     // positional-append rewrite (SURVEY §2.7 U2, §2.3 J7)
@@ -504,6 +508,36 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
         |    AS sum_value_cents
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    // streaming sessionizer: all gaps-and-islands sessions except those
+    // still OPEN at the final watermark = max(ts) — i.e. each user's last
+    // session IF it ends within the 30-minute gap of max(ts). (The
+    // AvailableNow run executes a no-data batch after the data batch, so
+    // event-time timeouts fire for every session whose end+gap is inside
+    // the final watermark; see Streaming.streamSessions.)
+    "q_stream_sessions" ->
+      """WITH b AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM b),
+        |sess AS (
+        |  SELECT user_id, sid,
+        |    strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |    MAX(ts) AS session_end,
+        |    COUNT(*) AS cnt
+        |  FROM s GROUP BY user_id, sid),
+        |mx AS (SELECT MAX(ts) AS mt FROM events)
+        |SELECT user_id, session_start, cnt
+        |FROM sess CROSS JOIN mx
+        |WHERE session_end + INTERVAL 30 MINUTE <= mx.mt
+        |ORDER BY 1, 2""".stripMargin,
     "q_window_session" ->
       """WITH b AS (
         |  SELECT user_id, ts,

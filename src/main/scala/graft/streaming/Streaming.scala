@@ -105,6 +105,44 @@ object Streaming {
       }
   }
 
+  /** The flatMapGroupsWithState sessionizer executed as a REAL streaming
+    * job over the events parquet (readStream → AvailableNow → memory sink,
+    * Append mode), oracle-checked: the single file arrives as one
+    * microbatch, so every session CLOSED by a later event's ≥30-minute gap
+    * is emitted inline, while each user's final session is still open in
+    * state when the query terminates (no further batch ⇒ its event-time
+    * timeout never fires). The DuckDB oracle states exactly that:
+    * gaps-and-islands sessions MINUS each user's last session — the
+    * streaming-specific emission semantics are part of the verified
+    * contract, not an approximation. */
+  def streamSessions(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val landing = stageLanding(dir)
+    val events = spark.readStream.schema(schema)
+      .parquet(landing)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("ts", "user_id", "event_type", "value")
+      .as[Event]
+    val name = s"graft_stream_sessions_${runSeq.incrementAndGet()}"
+    val q = sessionizeStream(events)
+      .writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("cnt"))
+      .orderBy("user_id", "session_start")
+  }
+
   final case class Doc(ts: Timestamp, doc_id: Long, content_hash: Long)
 
   /** Streaming exact dedup: the streaming half of `operators.Dedup` —
@@ -130,6 +168,26 @@ object Streaming {
 
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Stage the events table into a landing directory (the file-stream
+    * source only accepts directories, as in production). Keyed by the full
+    * sanitized dataset path — not a hash, collisions would silently stream
+    * the wrong table — and the symlink target is verified on every call. */
+  private def stageLanding(dir: String): String = {
+    val landing = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_stream_src_" + dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+    java.nio.file.Files.createDirectories(landing)
+    val link = landing.resolve("events.parquet")
+    val target = java.nio.file.Paths.get(s"$dir/events.parquet")
+    if (java.nio.file.Files.isSymbolicLink(link) &&
+        java.nio.file.Files.readSymbolicLink(link) != target)
+      java.nio.file.Files.delete(link)
+    if (!java.nio.file.Files.exists(link,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      java.nio.file.Files.createSymbolicLink(link, target)
+    landing.toString
+  }
+
   /** The tumbling-window aggregation executed as a REAL Structured
     * Streaming job, oracle-checked: readStream over the events parquet
     * (file-stream source), the same window/agg transform as the batch
@@ -146,25 +204,9 @@ object Streaming {
     // micros conversion as the batch path (Tables.events)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    // the file-stream source only accepts directories (a landing zone, as
-    // in production); stage the events table into one via symlink. The
-    // landing dir is keyed by the full sanitized dataset path (not a hash —
-    // collisions would silently stream the wrong table) and the link target
-    // is verified on every call (a stale link from a re-created dataset
-    // would otherwise go unnoticed).
-    val landing = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      "graft_stream_src_" + dir.replaceAll("[^A-Za-z0-9._-]", "_"))
-    java.nio.file.Files.createDirectories(landing)
-    val link = landing.resolve("events.parquet")
-    val target = java.nio.file.Paths.get(s"$dir/events.parquet")
-    if (java.nio.file.Files.isSymbolicLink(link) &&
-        java.nio.file.Files.readSymbolicLink(link) != target)
-      java.nio.file.Files.delete(link)
-    if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
-      java.nio.file.Files.createSymbolicLink(link, target)
+    val landing = stageLanding(dir)
     val events = spark.readStream.schema(schema)
-      .parquet(landing.toString)
+      .parquet(landing)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val agg = events
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
