@@ -26,9 +26,16 @@ object Bench {
       try Tables.load(spark, sfDir, t).limit(1).collect()
       catch { case _: Throwable => () }
     }
-    // dev filter: SPARK_GRAFT_ONLY=q_a,q_b times just those queries
+    // dev filter: SPARK_GRAFT_ONLY=q_a,q_b times just those queries.
+    // The filter is echoed in the JSON ("only") and unknown names abort,
+    // so a partial run can never masquerade as a full-suite timing.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(",")}")
+    }
     val queries = only match {
       case Some(names) => SparkEntry.queries.filter(q => names(q._1))
       case None => SparkEntry.queries
@@ -56,7 +63,10 @@ object Bench {
     val errs = results.collect { case (k, _, Some(m)) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val onlyField = only.map(n =>
+      s""","only":${n.toSeq.sorted.map(jstr).mkString("[", ",", "]")}""")
+      .getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs$onlyField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -508,12 +508,13 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
         |    AS sum_value_cents
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
-    // streaming sessionizer: all gaps-and-islands sessions except those
-    // still OPEN at the final watermark = max(ts) — i.e. each user's last
-    // session IF it ends within the 30-minute gap of max(ts). (The
-    // AvailableNow run executes a no-data batch after the data batch, so
-    // event-time timeouts fire for every session whose end+gap is inside
-    // the final watermark; see Streaming.streamSessions.)
+    // streaming sessionizer: gaps-and-islands sessions, minus each user's
+    // LAST session unless its event-time timeout fired. Non-last sessions
+    // are always emitted (closed inline by the next event); a last session
+    // is emitted only if timeout = end+30min (ms) is STRICTLY below the
+    // final watermark = max(ts) (ms) — Spark fires timeouts on
+    // `timeoutTimestamp < watermark`, both millisecond-truncated (see
+    // Streaming.streamSessions).
     "q_stream_sessions" ->
       """WITH b AS (
         |  SELECT user_id, ts,
@@ -533,10 +534,14 @@ object SparkEntry {
         |    MAX(ts) AS session_end,
         |    COUNT(*) AS cnt
         |  FROM s GROUP BY user_id, sid),
+        |last AS (SELECT user_id, MAX(sid) AS sid FROM sess GROUP BY user_id),
         |mx AS (SELECT MAX(ts) AS mt FROM events)
-        |SELECT user_id, session_start, cnt
-        |FROM sess CROSS JOIN mx
-        |WHERE session_end + INTERVAL 30 MINUTE <= mx.mt
+        |SELECT sess.user_id, session_start, cnt
+        |FROM sess
+        |LEFT JOIN last ON sess.user_id = last.user_id AND sess.sid = last.sid
+        |CROSS JOIN mx
+        |WHERE last.sid IS NULL
+        |   OR epoch_ms(session_end) + 1800000 < epoch_ms(mx.mt)
         |ORDER BY 1, 2""".stripMargin,
     "q_window_session" ->
       """WITH b AS (

@@ -36,15 +36,17 @@ object PolyHash {
     var i = 0
     while (i <= len) {
       if (i == len || str.charAt(i) == ' ') {
-        // token = str[start, i)
+        // token = str[start, i); roll over CODE POINTS (the HOF spec's
+        // split(t,'') + ascii() and the DuckDB oracle's unicode(t[i]) both
+        // see one value per code point, not per UTF-16 unit)
         var h1 = 0L
         var h2 = 0L
         var j = start
         while (j < i) {
-          val c = str.charAt(j).toInt
+          val c = str.codePointAt(j)
           h1 = (h1 * 131 + c) % 2147483647L
           h2 = (h2 * 137 + c) % 2147483629L
-          j += 1
+          j += Character.charCount(c)
         }
         var b = 0
         while (b < 32) {
@@ -114,7 +116,9 @@ object PolyHash {
     var i = 0
     while (i < n) {
       val s = shingles.getUTF8String(i)
-      val base = XXH64.hashUTF8String(s, 42L)
+      // a null element leaves the seed untouched, exactly like the
+      // built-in xxhash64(NULL, j) the HOF form evaluated
+      val base = if (s == null) 42L else XXH64.hashUTF8String(s, 42L)
       var j = 0
       while (j < numHashes) {
         val h = XXH64.hashInt(j, base)

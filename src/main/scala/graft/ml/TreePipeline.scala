@@ -44,7 +44,14 @@ object TreePipeline {
       cls.getMethod("trainingEarlyStopModelSizeThresholdInBytes_$eq",
           classOf[Long])
         .invoke(mod, java.lang.Long.valueOf(Long.MaxValue))
-    } catch { case _: ReflectiveOperationException => () }
+    } catch {
+      case e: ReflectiveOperationException =>
+        // never swallow silently: if Spark renames the field, the silent
+        // 16-of-20-trees truncation this works around would return unseen
+        System.err.println(
+          "graft: could not disable GBT model-size cap (" + e +
+            ") — boosting may truncate early with only a Spark WARN")
+    }
   }
 
   /** M2: label + mixed numeric/categorical features; one-hot via

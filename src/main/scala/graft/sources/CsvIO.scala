@@ -18,14 +18,35 @@ import graft.Tables
   */
 object CsvIO {
 
+  /** Filesystem-safe key for a dataset dir (shared by every tmp-path
+    * builder so the sanitization can't drift between them). */
+  private[graft] def pathKey(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9._-]", "_")
+
   /** Scratch path for a query's sink round-trip, keyed by the dataset dir
     * (two scale factors must not share a path) and the process (two JVMs —
     * e.g. bench and verify — must not overwrite each other between write
-    * and read-back). */
+    * and read-back). Pid-keyed paths would otherwise accumulate one copy
+    * per JVM in tmp forever, so each is removed on JVM exit. */
   private[graft] def scratch(tag: String, dir: String): String = {
-    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${key}_pid${ProcessHandle.current().pid()}"
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
+      s"${pathKey(dir)}_pid${ProcessHandle.current().pid()}"
+    cleanupOnExit(p)
+    p
   }
+
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def cleanupOnExit(path: String): Unit =
+    if (registered.add(path)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(path))
+      }))
+    }
 
   /** S1/S2: schema-declared CSV scan. Chunking is inherent — Spark splits
     * the file into partition-sized ranges; no row-cap needed. */

@@ -88,7 +88,16 @@ object Streaming {
             sorted.foreach { e =>
               open match {
                 case Some(s) if e.ts.getTime - s.end.getTime < gapMs =>
-                  open = Some(s.copy(end = e.ts, events = s.events + 1))
+                  // extend with min/max, not overwrite: an allowed late
+                  // event (watermarkDelay > 0) arriving in a later batch
+                  // may precede the open session's bounds, and rewinding
+                  // `end` would mis-measure the next gap (session_window
+                  // merges such an event into the existing window)
+                  open = Some(s.copy(
+                    start = if (e.ts.getTime < s.start.getTime) e.ts
+                            else s.start,
+                    end = if (e.ts.getTime > s.end.getTime) e.ts else s.end,
+                    events = s.events + 1))
                 case Some(s) =>
                   closed += SessionOut(s.user_id, s.start, s.events)
                   open = Some(OpenSession(user, e.ts, e.ts, 1L))
@@ -107,14 +116,16 @@ object Streaming {
 
   /** The flatMapGroupsWithState sessionizer executed as a REAL streaming
     * job over the events parquet (readStream → AvailableNow → memory sink,
-    * Append mode), oracle-checked: the single file arrives as one
-    * microbatch, so every session CLOSED by a later event's ≥30-minute gap
-    * is emitted inline, while each user's final session is still open in
-    * state when the query terminates (no further batch ⇒ its event-time
-    * timeout never fires). The DuckDB oracle states exactly that:
-    * gaps-and-islands sessions MINUS each user's last session — the
-    * streaming-specific emission semantics are part of the verified
-    * contract, not an approximation. */
+    * Append mode), oracle-checked. Emission semantics, which the DuckDB
+    * oracle states exactly: every session CLOSED by a later event's
+    * ≥30-minute gap is emitted inline in the data microbatch; then
+    * AvailableNow runs a no-data batch with the watermark advanced to
+    * max(ts), which fires the event-time timeout for each user's final
+    * session IF its timeout timestamp (end + gap, in ms) is strictly
+    * below the watermark — only final sessions ending within the gap of
+    * max(ts) remain open (unemitted) when the query terminates. The
+    * streaming-specific emission rule is part of the verified contract,
+    * not an approximation. */
   def streamSessions(spark: org.apache.spark.sql.SparkSession,
                      dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
@@ -175,7 +186,7 @@ object Streaming {
   private def stageLanding(dir: String): String = {
     val landing = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      "graft_stream_src_" + dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      "graft_stream_src_" + graft.sources.CsvIO.pathKey(dir))
     java.nio.file.Files.createDirectories(landing)
     val link = landing.resolve("events.parquet")
     val target = java.nio.file.Paths.get(s"$dir/events.parquet")

@@ -56,22 +56,26 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
-  // token strings over printable ASCII with plenty of spaces: exercises
-  // empty/leading/trailing tokens and consecutive separators
-  private val tokenChar: Gen[Char] =
-    Gen.frequency(6 -> Gen.alphaNumChar, 2 -> Gen.const(' '),
-      1 -> Gen.oneOf('.', ',', '@', '-'))
+  // token strings with plenty of spaces (empty/leading/trailing tokens,
+  // consecutive separators) plus non-ASCII and supplementary-plane chars:
+  // the kernels must see CODE POINTS, like split(t,'')+ascii() and
+  // DuckDB's unicode() do, not UTF-16 units
+  private val tokenChunk: Gen[String] =
+    Gen.frequency(6 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.const(" "),
+      1 -> Gen.oneOf(".", ",", "@", "-", "é", "ß", "中", "💩"))
   private val text: Gen[String] =
-    Gen.chooseNum(0, 60).flatMap(n => Gen.stringOfN(n, tokenChar))
+    Gen.chooseNum(0, 60).flatMap(n =>
+      Gen.listOfN(n, tokenChunk).map(_.mkString))
 
   test("simhash64 kernel matches an independent reference for any string") {
     def ref(s: String): Long = {
       val votes = new Array[Int](64)
       s.split(" ", -1).foreach { t =>
         var h1 = 0L; var h2 = 0L
-        t.foreach { c =>
-          h1 = (h1 * 131 + c.toInt) % 2147483647L
-          h2 = (h2 * 137 + c.toInt) % 2147483629L
+        t.codePoints().forEach { c =>
+          h1 = (h1 * 131 + c) % 2147483647L
+          h2 = (h2 * 137 + c) % 2147483629L
         }
         for (b <- 0 until 32) {
           votes(b) += (if (((h1 >> b) & 1L) == 1L) 1 else -1)
