@@ -107,6 +107,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionizer timeout fires on strictly-below watermark, not equal") {
+    // pins the emission rule the q_stream_sessions oracle states: a
+    // session whose timeout (end+gap) EQUALS the watermark stays open;
+    // one strictly below it flushes
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streaming.sessionizeStream(mem.toDS())
+      .writeStream.format("memory").queryName("sess_edge_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(ts("2024-01-01 10:00:00"), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // watermark advances to exactly user 1's timeout (10:00 + 30min)
+      mem.addData(Event(ts("2024-01-01 10:30:00"), 2L, "click", 1.0))
+      q.processAllAvailable()
+      val atBoundary = spark.table("sess_edge_test")
+        .filter(col("user_id") === 1L).count()
+      assert(atBoundary === 0L, "timeout == watermark must NOT fire")
+      // one more minute: watermark passes the timeout strictly
+      mem.addData(Event(ts("2024-01-01 10:31:00"), 2L, "click", 1.0))
+      q.processAllAvailable()
+      val past = spark.table("sess_edge_test")
+        .filter(col("user_id") === 1L).collect()
+      assert(past.length === 1 && past(0).getAs[Long]("cnt") === 1L,
+        "timeout strictly below watermark must fire")
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first-seen doc per content hash") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
