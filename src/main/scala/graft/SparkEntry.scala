@@ -23,6 +23,7 @@ object SparkEntry {
     "q_pivot_ratio"       -> (Relational.pivotRatio _),
     "q_agg_sum"           -> (Relational.aggSum _),
     "q_group_mean_having" -> (Relational.groupMeanHaving _),
+    "q_region_rollup"     -> (Relational.regionRollup _),
     "q_minmax"            -> (Relational.minMax _),
     "q_distinct"          -> (Relational.distinctPairs _),
     "q_freq_table"        -> (Relational.freqTable _),
@@ -222,6 +223,26 @@ object SparkEntry {
         |  COUNT(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_region_rollup" ->
+      """SELECT r.r_name, COUNT(*) AS cnt,
+        |  COUNT(DISTINCT n.n_name) AS nations,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS sum_price_cents
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin,
+    "q_region_rollup" ->
+      """SELECT r.r_name, COUNT(*) AS cnt,
+        |  COUNT(DISTINCT n.n_name) AS nations,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS sum_price_cents
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin,
     "q_group_mean_having" ->
       """SELECT n.n_name, c.c_mktsegment, COUNT(*) AS cnt,
         |  ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)

@@ -108,6 +108,28 @@ object Relational {
   // 03_LinearRegression.R:133-145 — county aggregation, ≥100 listings).
   // Single pass: count and avg in one agg, then post-filter.
   // ---------------------------------------------------------------------
+  /** Two-level dimension hierarchy rollup (orders → customer → nation →
+    * region): the star-join shape where the bounded dims (25-row nation,
+    * 5-row region) broadcast in a chain and the fact side never shuffles
+    * for them — only the fact⨝customer join shuffles (both fact-
+    * proportional, AQE picks the algorithm). */
+  def regionRollup(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    val o = Tables.orders(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        countDistinct(col("n_name")).as("nations"),
+        (sum(money(col("o_totalprice"))) * 100).cast(LongType)
+          .as("sum_price_cents"))
+      .orderBy("r_name")
+  }
+
   def groupMeanHaving(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
