@@ -496,7 +496,7 @@ object SparkEntry {
     // the fitted and the reloaded model
     "q_model_roundtrip" ->
       """SELECT COUNT(*) AS rows, CAST(0 AS BIGINT) AS mismatches
-        |FROM lineitem WHERE l_orderkey % 15 = 1""".stripMargin,
+        |FROM lineitem WHERE l_orderkey % 45 = 1""".stripMargin,
     "q_csv_roundtrip" ->
       """SELECT COUNT(*) AS rows, COUNT(DISTINCT c_custkey) AS keys,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(28,2))

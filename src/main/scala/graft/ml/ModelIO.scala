@@ -27,7 +27,7 @@ object ModelIO {
     * verified through the driver gate, not just a unit test. */
   def modelRoundTrip(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val ds = graft.ml.TreePipeline.dataset(spark, dir, sampleMod = 15).cache()
+    val ds = graft.ml.TreePipeline.dataset(spark, dir, sampleMod = 45).cache()
     val lr = new org.apache.spark.ml.regression.LinearRegression()
       .setFeaturesCol("features").setLabelCol("label").setSolver("normal")
     val pipe = new Pipeline()
