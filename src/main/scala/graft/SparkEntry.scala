@@ -130,9 +130,115 @@ object SparkEntry {
        |    AS c
        |  FROM $prev p LEFT JOIN u$i ON u$i.list_id = p.j)""".stripMargin
 
+  /** Shared CTE prefix replaying the deterministic OLS pipeline
+    * (ml.OlsPipeline) in DuckDB: the constructed dataset (LCG noise, LCG
+    * 75/25 split), the exact DECIMAL(38,12) gram sums over the training
+    * rows, and the Cramer solve whose determinant expressions come from
+    * the SAME permutation sequence as the driver fold (det4Sql ⇔ det4),
+    * so both engines perform identical double operations in identical
+    * order. */
+  private def olsPrefix: String = {
+    def s(i: Int, j: Int) = s"s_${math.min(i, j)}_${math.max(i, j)}"
+    val gramCells =
+      (for (i <- 0 to 4; j <- i to 4 if !(i == 0 && j == 0)) yield {
+        val x = Map(1 -> "x1", 2 -> "x2", 3 -> "x3", 4 -> "y")
+        val term = if (i == 0) x(j) else s"${x(i)} * ${x(j)}"
+        s"  CAST(SUM(CAST($term AS DECIMAL(38,12))) AS DOUBLE) AS ${s(i, j)}"
+      }) :+ "  CAST(COUNT(*) AS DOUBLE) AS s_0_0"
+    val detA = graft.ml.OlsPipeline.det4Sql((i, j) => s(i, j))
+    val betas = (0 to 3).map { k =>
+      val detK = graft.ml.OlsPipeline.det4Sql((i, j) =>
+        if (j == k) s"s_${i}_4" else s(i, j))
+      s"  ($detK) / ($detA) AS b$k"
+    }
+    s"""ds AS (
+       |  SELECT l_orderkey, l_partkey % 500 AS county,
+       |    l_quantity AS x1, l_discount AS x2, l_tax AS x3,
+       |    l_quantity * 3 - l_discount * 200 + l_tax * 50 +
+       |      (CAST((l_orderkey * 2654435761 + 7) % 1000003 AS DOUBLE)
+       |       / 1000003.0 * 10.0 - 5.0) AS y,
+       |    ((l_orderkey * 1103515245 + 123) % 2147483648) >> 29 AS bucket,
+       |    l_orderkey % 10 = 0 AS is_forecast
+       |  FROM lineitem),
+       |g AS (
+       |  SELECT
+       |${gramCells.mkString(",\n")}
+       |  FROM ds WHERE NOT is_forecast AND bucket < 3),
+       |beta AS (
+       |  SELECT
+       |${betas.mkString(",\n")}
+       |  FROM g)""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    // full replay of the deterministic OLS dataflow: fit (see olsPrefix),
+    // score the forecast universe, county aggregation with exact-decimal
+    // means, calibration meta-regression on the test counties, calibrated
+    // output. Every formula mirrors the Scala text operator-for-operator.
+    "q_ols_forecast" ->
+      s"""WITH $olsPrefix,
+         |fsc AS (
+         |  SELECT county, b.b0 + x1 * b.b1 + x2 * b.b2 + x3 * b.b3 AS p
+         |  FROM ds CROSS JOIN beta b WHERE is_forecast),
+         |cty AS (
+         |  SELECT county, COUNT(*) AS cnt,
+         |    CAST(SUM(CAST(p AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS f
+         |  FROM fsc GROUP BY county HAVING COUNT(*) > 5),
+         |tsc AS (
+         |  SELECT county, b.b0 + x1 * b.b1 + x2 * b.b2 + x3 * b.b3 AS p, y
+         |  FROM ds CROSS JOIN beta b
+         |  WHERE NOT is_forecast AND bucket = 3),
+         |tc AS (
+         |  SELECT county, COUNT(*) AS cnt,
+         |    CAST(SUM(CAST(p AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS f,
+         |    CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS a
+         |  FROM tsc GROUP BY county HAVING COUNT(*) > 5),
+         |calm AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |    CAST(SUM(CAST(f AS DECIMAL(38,12))) AS DOUBLE) AS sf,
+         |    CAST(SUM(CAST(a AS DECIMAL(38,12))) AS DOUBLE) AS sa,
+         |    CAST(SUM(CAST(f * f AS DECIMAL(38,12))) AS DOUBLE) AS sff,
+         |    CAST(SUM(CAST(f * a AS DECIMAL(38,12))) AS DOUBLE) AS sfa
+         |  FROM tc),
+         |cal AS (
+         |  SELECT slope, (sa - slope * sf) / n AS icpt FROM (
+         |    SELECT n, sf, sa,
+         |      (n * sfa - sf * sa) / (n * sff - sf * sf) AS slope
+         |    FROM calm)),
+         |out AS (
+         |  SELECT county, cnt,
+         |    ROUND(f * cal.slope + cal.icpt, 4) AS calibrated_forecast
+         |  FROM cty CROSS JOIN cal)
+         |SELECT county, cnt, calibrated_forecast FROM out
+         |ORDER BY county""".stripMargin,
+    // same fit; exact-moment RMSE/R² per split, long form
+    "q_ols_metrics" ->
+      s"""WITH $olsPrefix,
+         |sc AS (
+         |  SELECT bucket, b.b0 + x1 * b.b1 + x2 * b.b2 + x3 * b.b3 AS p, y
+         |  FROM ds CROSS JOIN beta b WHERE NOT is_forecast),
+         |m1 AS (
+         |  SELECT CASE WHEN bucket < 3 THEN 'train' ELSE 'test' END AS split,
+         |    CAST(COUNT(*) AS DOUBLE) AS n,
+         |    CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sa,
+         |    CAST(SUM(CAST(p AS DECIMAL(38,12))) AS DOUBLE) AS sp,
+         |    CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS saa,
+         |    CAST(SUM(CAST(p * p AS DECIMAL(38,12))) AS DOUBLE) AS spp,
+         |    CAST(SUM(CAST(y * p AS DECIMAL(38,12))) AS DOUBLE) AS sap,
+         |    CAST(SUM(CAST((p - y) * (p - y) AS DECIMAL(38,12))) AS DOUBLE)
+         |      AS se2
+         |  FROM sc GROUP BY 1),
+         |m2 AS (
+         |  SELECT split, sqrt(se2 / n) AS rmse,
+         |    (n * sap - sa * sp) /
+         |      sqrt((n * saa - sa * sa) * (n * spp - sp * sp)) AS r
+         |  FROM m1)
+         |SELECT split, 'r2' AS metric, ROUND(r * r, 4) AS value FROM m2
+         |UNION ALL
+         |SELECT split, 'rmse', ROUND(rmse, 4) FROM m2
+         |ORDER BY split, metric""".stripMargin,
     // full SQL replay of the IVF ANN path: LCG-ordered init, three
     // unrolled bit-deterministic Lloyd rounds (see ivfRound), full-corpus
     // assignment and 4-probe query fan-out with the final centroids,

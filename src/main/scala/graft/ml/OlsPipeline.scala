@@ -1,17 +1,14 @@
 package graft.ml
 
-import org.apache.spark.ml.feature.VectorAssembler
-import org.apache.spark.ml.regression.{LinearRegression, LinearRegressionModel}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
 
 /** The reference's OLS path (03_LinearRegression.R), Spark-first:
-  * scale → null-split → seeded 75/25 split → LinearRegression → score →
-  * inverse-scale → group-aggregate (count+mean, HAVING>n) → join truth +
-  * distinct → calibration meta-regression → metrics.
-  * (SURVEY.md §3.2; operators M1, M3, M4, M6, M7, M13, A3–A5, J3, P14.)
+  * null-split → seeded 75/25 split → normal-equation OLS → score →
+  * group-aggregate (count+mean, HAVING>n) → calibration meta-regression →
+  * metrics. (SURVEY.md §3.2; operators M3, M4, M6, M7, M13, A3–A5, J3, P14.)
   *
   * The testdata columns are mutually independent (no learnable signal), so
   * the label is constructed as a known linear function of the features plus
@@ -19,15 +16,32 @@ import graft.Tables
   * hold to metric thresholds: recovered coefficients ≈ (3, −200, 50) and
   * R² ≈ 1 − var(noise)/var(label).
   *
-  * Scale notes: the fit itself is MLlib's distributed WLS ("normal" solver —
-  * one pass to build the k×k gram matrix, k=3; same plan the reference's
-  * gpuLm implements on CUDA, 03:78). Everything around it is narrow maps +
-  * one grouped aggregation; the only shuffles are the groupBy and the
-  * (tiny, broadcast) truth join.
+  * BIT-DETERMINISM (what makes q_ols_forecast / q_ols_metrics carry full
+  * DuckDB hash oracles, unlike an MLlib solver):
+  *  - the pseudo-noise is an LCG over the row key (exact integer arithmetic
+  *    + one exact double division — no transcendentals, which differ across
+  *    libm implementations);
+  *  - the 75/25 split takes the high bits of a multiplicative hash of the
+  *    key (exact integers; xxhash64 would not be replayable in SQL);
+  *  - every distributed sum is an exact DECIMAL(38,12) sum of a
+  *    deterministic per-row double — order-independent at ANY parallelism,
+  *    where a double sum would vary with partition layout;
+  *  - the 4×4 normal-equation solve uses Cramer's rule with BOTH the
+  *    driver fold and the generated oracle SQL iterating the same
+  *    permutation sequence, so their floating-point evaluation order is
+  *    identical (see `perms4` / `det4` / `det4Sql`).
+  * The fit is one gram-matrix aggregation pass over the training data
+  * (the same plan the reference's gpuLm normal-equation path implements on
+  * CUDA, 03:78) — k=4, so the driver-side solve is O(1). MLlib estimator
+  * training itself is exercised by TreePipeline and ModelIO.
   */
 object OlsPipeline {
 
   val featureCols: Seq[String] = Seq("l_quantity", "l_discount", "l_tax")
+  private val dec = DecimalType(38, 12)
+
+  /** Exact decimal sum of a deterministic per-row double expression. */
+  private def dsum(c: Column): Column = sum(c.cast(dec))
 
   /** Fact table with constructed label; `l_orderkey % 10 == 0` rows form the
     * forecast universe (label NULL — the counties with unpublished results,
@@ -37,7 +51,11 @@ object OlsPipeline {
       .select((Seq("l_orderkey", "l_partkey", "l_returnflag") ++ featureCols)
         .map(col): _*)
       .withColumn("county", (col("l_partkey") % 500).cast(LongType))
-      .withColumn("noise", sin(col("l_orderkey").cast(DoubleType) * 0.7) * 5)
+      // LCG pseudo-noise, uniform on [-5, 5): exact integer arithmetic +
+      // one exact division, bit-identical in DuckDB (sin() is not)
+      .withColumn("noise",
+        pmod(col("l_orderkey") * 2654435761L + 7L, lit(1000003L))
+          .cast(DoubleType) / 1000003.0 * 10.0 - 5.0)
       .withColumn("label_true",
         col("l_quantity") * 3 - col("l_discount") * 200 +
           col("l_tax") * 50 + col("noise"))
@@ -46,111 +64,162 @@ object OlsPipeline {
           .otherwise(col("label_true")))
       .drop("noise")
 
-  /** Deterministic seeded 75/25 split on a key column: rows with
-    * xxhash64(key, seed) mod 4 < 3 train, the rest test. Membership depends
-    * only on the key value — stable across partitioning, parallelism and
-    * scale factor (unlike randomSplit's per-partition draws). */
+  /** Deterministic seeded 75/25 split on a key column: the top two bits of
+    * a multiplicative hash pick the bucket (0–2 train, 3 test). Membership
+    * depends only on the key value — stable across partitioning,
+    * parallelism and scale factor (unlike randomSplit's per-partition
+    * draws) — and, being exact integer arithmetic, replayable in the
+    * DuckDB oracles. */
   def keySplit(df: DataFrame, keyCol: String, seed: Int): (DataFrame, DataFrame) = {
-    val bucket = pmod(xxhash64(col(keyCol), lit(seed)), lit(4))
+    val bucket = shiftright(
+      pmod(col(keyCol) * 1103515245L + seed, lit(2147483648L)), 29)
     (df.filter(bucket < 3), df.filter(bucket === 3))
   }
 
+  // -- Cramer solve with driver/SQL evaluation-order parity ---------------
+
+  /** Permutations of 0..3 in lexicographic order with parity signs. BOTH
+    * `det4` and `det4Sql` iterate this exact sequence, so the driver-side
+    * and DuckDB determinants perform identical floating-point operations
+    * in identical order. */
+  val perms4: Seq[(IndexedSeq[Int], Int)] =
+    (0 to 3).permutations.toSeq.map { p =>
+      val inv = (for (i <- p.indices; j <- i + 1 until p.length
+                      if p(i) > p(j)) yield 1).sum
+      (p, if (inv % 2 == 0) 1 else -1)
+    }
+
+  /** 4×4 determinant: first permutation's product, then ± the rest in
+    * `perms4` order, products associated left-to-right. */
+  def det4(m: (Int, Int) => Double): Double = {
+    def prod(p: IndexedSeq[Int]) =
+      ((m(0, p(0)) * m(1, p(1))) * m(2, p(2))) * m(3, p(3))
+    perms4.tail.foldLeft(prod(perms4.head._1)) { case (acc, (p, s)) =>
+      if (s > 0) acc + prod(p) else acc - prod(p)
+    }
+  }
+
+  /** The same determinant as SQL text over cell references. */
+  def det4Sql(cell: (Int, Int) => String): String = {
+    def prod(p: IndexedSeq[Int]) =
+      s"${cell(0, p(0))} * ${cell(1, p(1))} * ${cell(2, p(2))} * ${cell(3, p(3))}"
+    prod(perms4.head._1) + perms4.tail.map { case (p, s) =>
+      (if (s > 0) " + " else " - ") + prod(p)
+    }.mkString
+  }
+
   final case class Fitted(
-      model: LinearRegressionModel,
-      scaler: ZScalerModel,
+      beta: Array[Double], // (intercept, b_quantity, b_discount, b_tax)
       train: DataFrame,
       test: DataFrame,
       forecast: DataFrame)
 
-  /** M1+M3+M4: scale, split observed/forecast, seeded 75/25, fit.
-    *
-    * The scaled projection is cached once: everything downstream (LR fit,
-    * per-universe metrics, county aggregation, calibration) is a repeated
-    * pass over it, and without the cache each pass re-reads parquet and
-    * re-applies the narrow prep. At cluster scale the same role is played
-    * by a stage checkpoint (CsvIO.checkpoint) when the projection exceeds
-    * memory; the column pruning below keeps the cached footprint to the
-    * 7 columns the passes actually touch. */
+  /** Gram cells: x0=1 (intercept), x1..x3 = features, index 4 = label.
+    * s(0,0)=n; one aggregation pass of exact decimal sums. */
+  private def gram(train: DataFrame): (Int, Int) => Double = {
+    val xs: Seq[Column] = lit(1.0) +: featureCols.map(col) :+ col("label")
+    val aggs =
+      (for (i <- 0 to 4; j <- i to 4 if !(i == 0 && j == 0))
+        yield dsum(if (i == 0) xs(j) else xs(i) * xs(j))
+          .cast(DoubleType).as(s"s_${i}_$j")) :+
+        count(lit(1)).cast(DoubleType).as("s_0_0")
+    val row = train.agg(aggs.head, aggs.tail: _*).collect()(0)
+    (i, j) => {
+      val (a, b) = (math.min(i, j), math.max(i, j))
+      row.getDouble(row.fieldIndex(s"s_${a}_$b"))
+    }
+  }
+
+  /** M4: β via Cramer over the gram cells (label column index 4 is the
+    * right-hand side). */
+  private def solveBeta(s: (Int, Int) => Double): Array[Double] = {
+    val d = det4((i, j) => s(i, j))
+    Array.tabulate(4) { k =>
+      det4((i, j) => if (j == k) s(i, 4) else s(i, j)) / d
+    }
+  }
+
+  /** Score: β-affine of the raw features, same association order as the
+    * oracle SQL text. */
+  private def predCol(beta: Array[Double]): Column =
+    lit(beta(0)) + col("l_quantity") * beta(1) +
+      col("l_discount") * beta(2) + col("l_tax") * beta(3)
+
+  /** M3+M4+M6: split observed/forecast, seeded 75/25, exact normal-equation
+    * fit, score every universe. The projected dataset is cached once:
+    * everything downstream (gram pass, per-universe metrics, county
+    * aggregation, calibration) is a repeated pass over it. */
   def fit(spark: SparkSession, dir: String): Fitted = {
     val ds = dataset(spark, dir)
-    val scaler = ZScaler.fit(ds.filter(col("label").isNotNull), featureCols)
-    val scaled = scaler.transform(ds)
-      .select((Seq("county", "label", "label_true", "l_orderkey") ++ featureCols)
-        .map(col): _*)
+      .select((Seq("county", "label", "label_true", "l_orderkey") ++
+        featureCols).map(col): _*)
       .cache()
-    val observed = scaled.filter(col("label").isNotNull)
-    val forecast = scaled.filter(col("label").isNull)
-    // seeded 75/25 split, derived from the ROW KEY (hash mod 4), not
-    // randomSplit: randomSplit draws per-partition, so membership changes
-    // with file splits / parallelism; a key-derived split is identical on
-    // any cluster layout — the property the reference gets from set.seed
-    // on a single machine (03_LinearRegression.R:53-59)
+    val observed = ds.filter(col("label").isNotNull)
+    val forecast = ds.filter(col("label").isNull)
     val (train, test) = keySplit(observed, "l_orderkey", seed = 123)
-    val assembler = new VectorAssembler()
-      .setInputCols(featureCols.toArray).setOutputCol("features")
-    val lr = new LinearRegression()
-      .setFeaturesCol("features").setLabelCol("label")
-      .setSolver("normal") // exact normal-equation solve, deterministic
-    val model = lr.fit(assembler.transform(train))
-    Fitted(model, scaler, assembler.transform(train),
-      assembler.transform(test), assembler.transform(forecast))
+    val beta = solveBeta(gram(train))
+    def score(df: DataFrame) = df.withColumn("prediction", predCol(beta))
+    Fitted(beta, score(train), score(test), score(forecast))
   }
 
-  /** M6+A3-A5+J3: score a universe, aggregate per county (count + mean,
-    * HAVING > minCount), left-join truth, distinct. */
-  def countyForecast(f: Fitted, universe: DataFrame, minCount: Long): DataFrame = {
-    val scored = f.model.transform(universe)
-    val perCounty = scored.groupBy("county")
-      .agg(count(lit(1)).as("cnt"), avg("prediction").as("forecast"),
-           avg("label_true").as("actual"))
+  /** M6+A3-A5: aggregate a scored universe per county (count + exact-sum
+    * means, HAVING > minCount). */
+  def countyForecast(f: Fitted, universe: DataFrame, minCount: Long): DataFrame =
+    universe.groupBy("county")
+      .agg(count(lit(1)).as("cnt"),
+        (dsum(col("prediction")).cast(DoubleType) / count(lit(1)))
+          .as("forecast"),
+        (dsum(col("label_true")).cast(DoubleType) / count(lit(1)))
+          .as("actual"))
       .where(col("cnt") > minCount)
-    perCounty.distinct()
-  }
 
   /** M7: calibration meta-regression lm(actual ~ forecast) on the county
-    * aggregates; returns (intercept, slope). The input is a few hundred
-    * county rows, so this uses the engine's own normal-equation OLS
-    * (Diagnostics.fitOls — one aggregation pass + driver-side 2×2 solve)
-    * instead of paying a full MLlib estimator round-trip. */
+    * aggregates — 2×2 normal equations from exact decimal moment sums,
+    * formulas mirrored verbatim in the oracle SQL. Returns
+    * (intercept, slope). */
   def calibrate(county: DataFrame): (Double, Double) = {
-    val beta = Diagnostics.fitOls(county, Seq("forecast"), "actual")
-    (beta(0), beta(1))
+    val r = county.agg(
+      count(lit(1)).cast(DoubleType).as("n"),
+      dsum(col("forecast")).cast(DoubleType).as("sf"),
+      dsum(col("actual")).cast(DoubleType).as("sa"),
+      dsum(col("forecast") * col("forecast")).cast(DoubleType).as("sff"),
+      dsum(col("forecast") * col("actual")).cast(DoubleType).as("sfa"))
+      .collect()(0)
+    val (n, sf, sa, sff, sfa) = (r.getDouble(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    val slope = (n * sfa - sf * sa) / (n * sff - sf * sf)
+    val icpt = (sa - slope * sf) / n
+    (icpt, slope)
   }
 
-  /** M13: RMSE / R² / adjusted R² per universe. */
+  /** M13: RMSE / R² / adjusted R² of a scored universe (dev/test metric —
+    * the oracle-checked form is `metricsLong`). */
   def metrics(f: Fitted, universe: DataFrame, k: Int): (Double, Double, Double) = {
-    val scored = f.model.transform(universe)
+    val row = universe
       .select(col("label_true").as("a"), col("prediction").as("p"))
-    val row = scored.agg(
-      sqrt(avg(pow(col("p") - col("a"), 2))).as("rmse"),
-      pow(corr(col("a"), col("p")), 2).as("r2"),
-      count(lit(1)).as("n")).collect()(0)
+      .agg(
+        sqrt(avg(pow(col("p") - col("a"), 2))).as("rmse"),
+        pow(corr(col("a"), col("p")), 2).as("r2"),
+        count(lit(1)).as("n")).collect()(0)
     val (rmse, r2, n) = (row.getDouble(0), row.getDouble(1), row.getLong(2))
     val adjR2 = 1 - (1 - r2) * (n - 1).toDouble / (n - k - 1).toDouble
     (rmse, r2, adjR2)
   }
 
   /** Fit-once cache: q_ols_forecast and q_ols_metrics share the same seeded
-    * fit; re-deriving it per query would double the training cost in every
+    * fit; re-deriving it per query would double the gram pass in every
     * bench round for no semantic difference (fit is deterministic).
-    * Keyed on (session, dir): the cached Fitted holds session-bound
-    * DataFrames/models, so a cache hit from a NEW session after a stop/
-    * restart in the same JVM would hand back dead references. Note for
-    * bench reading: whichever of q_ols_forecast/q_ols_metrics runs first
-    * absorbs the full training cost. */
+    * Keyed on (session, dir); entries of stopped sessions are evicted. */
   private val fitCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Fitted]
   def fitCached(spark: SparkSession, dir: String): Fitted = {
-    // evict entries whose session has been stopped: their Fitted holds
-    // dead session-bound DataFrames/models that would otherwise stay
-    // strongly referenced for the life of the JVM
     fitCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     fitCache.getOrElseUpdate((spark, dir), fit(spark, dir))
   }
 
   /** Registered query: the full OLS dataflow — calibrated county forecasts
-    * for the unpublished universe (03_LinearRegression.R:236-241). ML output
-    * → rows-only driver check (no oracle; DuckDB can't train). */
+    * for the unpublished universe (03_LinearRegression.R:236-241). Fully
+    * deterministic ⇒ full DuckDB hash oracle. */
   def query(spark: SparkSession, dir: String): DataFrame = {
     val f = fitCached(spark, dir)
     val county = countyForecast(f, f.forecast, 5)
@@ -161,24 +230,38 @@ object OlsPipeline {
       .orderBy("county")
   }
 
-  /** M13+M14: metric table reshaped wide→long via stack (reference
-    * `gather`, 04_1:319). Deterministic given the seeded split.
-    * Train and test are scored in ONE pass: a split-tagged union scored
-    * once and reduced by one grouped aggregation, instead of two separate
-    * score+agg jobs per universe. */
+  /** M13+M14: metric table in long form (reference `gather`, 04_1:319).
+    * RMSE and R² per split from one exact-moment aggregation per split;
+    * formulas mirrored verbatim in the oracle SQL. */
   def metricsLong(spark: SparkSession, dir: String): DataFrame = {
     val f = fitCached(spark, dir)
-    val both = f.model.transform(
-      f.train.withColumn("split", lit("train"))
-        .unionByName(f.test.withColumn("split", lit("test"))))
-      .select(col("split"), col("label_true").as("a"),
-        col("prediction").as("p"))
-    both.groupBy("split")
-      .agg(
-        sqrt(avg(pow(col("p") - col("a"), 2))).as("rmse"),
-        pow(corr(col("a"), col("p")), 2).as("r2"))
-      .selectExpr("split", "stack(2, 'rmse', rmse, 'r2', r2) AS (metric, value)")
-      .select(col("split"), col("metric"), round(col("value"), 4).as("value"))
+    def m(split: String, df: DataFrame): Seq[(String, String, Double)] = {
+      val r = df.select(col("label_true").as("a"), col("prediction").as("p"))
+        .agg(
+          count(lit(1)).cast(DoubleType).as("n"),
+          dsum(col("a")).cast(DoubleType).as("sa"),
+          dsum(col("p")).cast(DoubleType).as("sp"),
+          dsum(col("a") * col("a")).cast(DoubleType).as("saa"),
+          dsum(col("p") * col("p")).cast(DoubleType).as("spp"),
+          dsum(col("a") * col("p")).cast(DoubleType).as("sap"),
+          dsum((col("p") - col("a")) * (col("p") - col("a")))
+            .cast(DoubleType).as("se2"))
+        .collect()(0)
+      val (n, sa, sp, saa, spp, sap, se2) = (r.getDouble(0), r.getDouble(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6))
+      val rmse = math.sqrt(se2 / n)
+      val corr = (n * sap - sa * sp) /
+        math.sqrt((n * saa - sa * sa) * (n * spp - sp * sp))
+      val r2 = corr * corr
+      def r4(v: Double) = // HALF_UP on positives == DuckDB ROUND
+        BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq((split, "r2", r4(r2)), (split, "rmse", r4(rmse)))
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    (m("train", f.train) ++ m("test", f.test))
+      .toDF("split", "metric", "value")
       .orderBy("split", "metric")
   }
 }
