@@ -137,7 +137,7 @@ object SparkEntry {
     * the SAME permutation sequence as the driver fold (det4Sql ⇔ det4),
     * so both engines perform identical double operations in identical
     * order. */
-  private def olsPrefix: String = {
+  private def olsPrefix(gramFilter: String): String = {
     def s(i: Int, j: Int) = s"s_${math.min(i, j)}_${math.max(i, j)}"
     val gramCells =
       (for (i <- 0 to 4; j <- i to 4 if !(i == 0 && j == 0)) yield {
@@ -163,22 +163,109 @@ object SparkEntry {
        |g AS (
        |  SELECT
        |${gramCells.mkString(",\n")}
-       |  FROM ds WHERE NOT is_forecast AND bucket < 3),
+       |  FROM ds WHERE $gramFilter),
        |beta AS (
        |  SELECT
        |${betas.mkString(",\n")}
        |  FROM g)""".stripMargin
   }
 
+  /** DuckDB replay of ml.Diagnostics.query: the gram over ALL observed
+    * rows (olsPrefix), the e²-weighted moment pass, then BP / VIF / HC0 as
+    * the SAME closed-form algebra the driver runs — generated det3/det4
+    * expansions, adjugate inverse rows, quadratic forms — term for term in
+    * the same evaluation order. */
+  private def olsDiagnosticsSql: String = {
+    import graft.ml.OlsPipeline.{det3Sql, det4Sql}
+    def sc(i: Int, j: Int) = s"s_${math.min(i, j)}_${math.max(i, j)}"
+    def mc(i: Int, j: Int) = s"m_${math.min(i, j)}_${math.max(i, j)}"
+    val detA = det4Sql(sc)
+    val x = Map(1 -> "x1", 2 -> "x2", 3 -> "x3")
+    val mCells = (for (i <- 0 to 3; j <- i to 3) yield {
+      val term =
+        if (i == 0 && j == 0) "e * e"
+        else if (i == 0) s"(e * e) * ${x(j)}"
+        else s"(e * e) * ${x(i)} * ${x(j)}"
+      s"  CAST(SUM(CAST($term AS DECIMAL(38,12))) AS DOUBLE) AS ${mc(i, j)}"
+    }) :+ ("  CAST(SUM(CAST((e * e) * (e * e) AS DECIMAL(38,12))) AS DOUBLE)" +
+      " AS se4")
+    val gammas = (0 to 3).map { k =>
+      val dk = det4Sql((i, j) => if (j == k) mc(0, i) else sc(i, j))
+      s"  ($dk) / ($detA) AS g$k"
+    }
+    val vifExprs = (1 to 3).map { j =>
+      val o = (0 to 3).filterNot(_ == j)
+      val d3 = det3Sql((r, c) => sc(o(r), o(c)))
+      val deltas = (0 to 2).map { k =>
+        "(" + det3Sql((r, c) => if (c == k) sc(o(r), j) else sc(o(r), o(c))) +
+          s") / ($d3)"
+      }
+      val sse = s"${sc(j, j)} - ((${deltas(0)}) * ${sc(o(0), j)} + " +
+        s"(${deltas(1)}) * ${sc(o(1), j)} + (${deltas(2)}) * ${sc(o(2), j)})"
+      val sst = s"${sc(j, j)} - s_0_0 * (${sc(0, j)} / s_0_0) * " +
+        s"(${sc(0, j)} / s_0_0)"
+      s"  1.0 / (1.0 - (1.0 - ($sse) / ($sst))) AS v$j"
+    }
+    val invCells = (0 to 1).flatMap { r =>
+      (0 to 3).map { j =>
+        val rows = (0 to 3).filterNot(_ == j)
+        val cols = (0 to 3).filterNot(_ == r)
+        val minor = det3Sql((rr, cc) => sc(rows(rr), cols(cc)))
+        val signed = if ((r + j) % 2 == 0) s"($minor)" else s"(- ($minor))"
+        s"  $signed / ($detA) AS i$r$j"
+      }
+    }
+    def quadExpr(r: Int) =
+      (for (k <- 0 to 3; l <- 0 to 3)
+        yield s"i$r$k * ${mc(k, l)} * i$r$l").mkString(" + ")
+    s"""WITH ${olsPrefix("NOT is_forecast")},
+       |em AS (
+       |  SELECT (y - (b.b0 + x1 * b.b1 + x2 * b.b2 + x3 * b.b3)) AS e,
+       |    x1, x2, x3
+       |  FROM ds CROSS JOIN beta b WHERE NOT is_forecast),
+       |mm AS (
+       |  SELECT
+       |${mCells.mkString(",\n")}
+       |  FROM em),
+       |gam AS (
+       |  SELECT
+       |${gammas.mkString(",\n")}
+       |  FROM g CROSS JOIN mm),
+       |bp AS (
+       |  SELECT s_0_0 * (1.0 - sse / sst) AS lm FROM (
+       |    SELECT s_0_0,
+       |      se4 - (g0 * m_0_0 + g1 * m_0_1 + g2 * m_0_2 + g3 * m_0_3)
+       |        AS sse,
+       |      se4 - s_0_0 * (m_0_0 / s_0_0) * (m_0_0 / s_0_0) AS sst
+       |    FROM g CROSS JOIN mm CROSS JOIN gam)),
+       |vifs AS (
+       |  SELECT
+       |${vifExprs.mkString(",\n")}
+       |  FROM g),
+       |inv AS (
+       |  SELECT
+       |${invCells.mkString(",\n")}
+       |  FROM g),
+       |hc AS (
+       |  SELECT sqrt(q0) AS se0, sqrt(q1) AS se1 FROM (
+       |    SELECT ${quadExpr(0)} AS q0, ${quadExpr(1)} AS q1
+       |    FROM inv CROSS JOIN mm))
+       |SELECT ROUND(lm, 4) AS bp_lm, CAST(3 AS INTEGER) AS bp_df,
+       |  ROUND(GREATEST(v1, v2, v3), 4) AS max_vif,
+       |  ROUND(se0, 4) AS hc0_se_intercept, ROUND(se1, 4) AS hc0_se_qty
+       |FROM bp CROSS JOIN vifs CROSS JOIN hc""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q_ols_diagnostics" -> olsDiagnosticsSql,
     // full replay of the deterministic OLS dataflow: fit (see olsPrefix),
     // score the forecast universe, county aggregation with exact-decimal
     // means, calibration meta-regression on the test counties, calibrated
     // output. Every formula mirrors the Scala text operator-for-operator.
     "q_ols_forecast" ->
-      s"""WITH $olsPrefix,
+      s"""WITH ${olsPrefix("NOT is_forecast AND bucket < 3")},
          |fsc AS (
          |  SELECT county, b.b0 + x1 * b.b1 + x2 * b.b2 + x3 * b.b3 AS p
          |  FROM ds CROSS JOIN beta b WHERE is_forecast),
@@ -215,7 +302,7 @@ object SparkEntry {
          |ORDER BY county""".stripMargin,
     // same fit; exact-moment RMSE/R² per split, long form
     "q_ols_metrics" ->
-      s"""WITH $olsPrefix,
+      s"""WITH ${olsPrefix("NOT is_forecast AND bucket < 3")},
          |sc AS (
          |  SELECT bucket, b.b0 + x1 * b.b1 + x2 * b.b2 + x3 * b.b3 AS p, y
          |  FROM ds CROSS JOIN beta b WHERE NOT is_forecast),

@@ -136,27 +136,108 @@ object Diagnostics {
     Array.tabulate(xs.length)(i => math.sqrt(v(i)(i)))
   }
 
-  /** Registered query: one diagnostics row over the OLS fixture (rows-only
-    * driver check; thresholds asserted in DiagnosticsSpec). */
+  // -- exact (oracle-checkable) diagnostics query -------------------------
+
+  private val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+  private def dsum(c: Column) = sum(c.cast(dec))
+
+  /** Registered query, bit-deterministic and hash-oracle-checked: BP, VIF
+    * and HC0 all reduce to TWO distributed aggregation passes of exact
+    * DECIMAL(38,12) sums — the (1,x,y) gram and the e²-weighted moments —
+    * followed by driver-side closed-form algebra (Cramer solves, adjugate
+    * inverse rows, quadratic forms) whose every formula is mirrored
+    * verbatim, in the same evaluation order, by the generated DuckDB SQL
+    * (SparkEntry "q_ols_diagnostics"):
+    *  - BP LM = n·R² of e² on the features, both from moments;
+    *  - VIF_j from 3×3 Cramer solves over the same gram cells;
+    *  - HC0 SEs from rows 0,1 of (X'X)⁻¹ (adjugate/det) and the
+    *    e²-weighted meat matrix, as explicit quadratic forms.
+    * Threshold semantics are asserted separately in DiagnosticsSpec via
+    * the general (double-sum) implementations above. */
   def query(spark: SparkSession, dir: String): DataFrame = {
     val features = OlsPipeline.featureCols
-    // BP + VIF + HC0 together make ~13 aggregation passes; cache the
-    // (features, label) projection once so they reduce over memory, not
-    // over repeated parquet scans of the full-width table.
     val ds = OlsPipeline.dataset(spark, dir).filter(col("label").isNotNull)
       .select((features :+ "label").map(col): _*)
       .cache()
-    val (lm, dfree) = breuschPagan(ds, features, "label")
-    val vifs = vif(ds, features)
-    val ses = hc0(ds, features, "label")
+    val s = OlsPipeline.gram(ds) // pass 1: (1,x1..x3,label) gram
+    val beta = OlsPipeline.solveBeta(s)
+    val n = s(0, 0)
+
+    // pass 2: e²-weighted moments m(i,j)=Σe²·xi·xj (x0=1) and Σ(e²)²
+    val xs: Seq[Column] = lit(1.0) +: features.map(col)
+    val e = col("label") - (lit(beta(0)) + col(features(0)) * beta(1) +
+      col(features(1)) * beta(2) + col(features(2)) * beta(3))
+    val e2 = e * e
+    val aggs =
+      (for (i <- 0 to 3; j <- i to 3)
+        yield dsum(if (i == 0 && j == 0) e2
+                   else if (i == 0) e2 * xs(j)
+                   else e2 * xs(i) * xs(j))
+          .cast(org.apache.spark.sql.types.DoubleType).as(s"m_${i}_$j")) :+
+        dsum(e2 * e2).cast(org.apache.spark.sql.types.DoubleType).as("se4")
+    val row = ds.agg(aggs.head, aggs.tail: _*).collect()(0)
     ds.unpersist(blocking = false)
+    def m(i: Int, j: Int): Double = {
+      val (a, b) = (math.min(i, j), math.max(i, j))
+      row.getDouble(row.fieldIndex(s"m_${a}_$b"))
+    }
+    val se4 = row.getDouble(row.fieldIndex("se4"))
+
+    // BP: regress z=e² on features (X'X = gram cells, X'z = m(0,·))
+    val gamma = OlsPipeline.solveCramer4((i, j) => s(i, j), i => m(0, i))
+    val sseAux = se4 -
+      (gamma(0) * m(0, 0) + gamma(1) * m(0, 1) + gamma(2) * m(0, 2) +
+        gamma(3) * m(0, 3))
+    val zbar = m(0, 0) / n
+    val sstAux = se4 - n * zbar * zbar
+    val lm = n * (1.0 - sseAux / sstAux)
+
+    // VIF_j: regress xj on (1, other two) — 3×3 Cramer over gram cells
+    val maxVif = (1 to 3).map { j =>
+      val o = (0 to 3).filterNot(_ == j) // (0, a, b)
+      val d3 = OlsPipeline.det3((r, c) => s(o(r), o(c)))
+      val delta = Array.tabulate(3) { k =>
+        OlsPipeline.det3((r, c) =>
+          if (c == k) s(o(r), j) else s(o(r), o(c))) / d3
+      }
+      val sse = s(j, j) -
+        (delta(0) * s(o(0), j) + delta(1) * s(o(1), j) +
+          delta(2) * s(o(2), j))
+      val xbar = s(0, j) / n
+      val sst = s(j, j) - n * xbar * xbar
+      1.0 / (1.0 - (1.0 - sse / sst))
+    }.max
+
+    // HC0: v = (X'X)⁻¹ M (X'X)⁻¹; only rows 0 and 1 of the inverse are
+    // needed for the two reported SEs. inv[i][j] = (-1)^(i+j)·det3(minor
+    // without row j, col i)/det — X'X symmetric, same adjugate order as
+    // the SQL.
+    val dA = OlsPipeline.det4((i, j) => s(i, j))
+    def invCell(i: Int, j: Int): Double = {
+      val rows = (0 to 3).filterNot(_ == j)
+      val cols = (0 to 3).filterNot(_ == i)
+      val minor = OlsPipeline.det3((r, c) => s(rows(r), cols(c)))
+      (if ((i + j) % 2 == 0) minor else -minor) / dA
+    }
+    def quad(br: Array[Double]): Double = {
+      var acc = 0.0
+      var first = true
+      for (k <- 0 to 3; l <- 0 to 3) {
+        val t = br(k) * m(k, l) * br(l)
+        if (first) { acc = t; first = false } else acc += t
+      }
+      acc
+    }
+    val inv0 = Array.tabulate(4)(j => invCell(0, j))
+    val inv1 = Array.tabulate(4)(j => invCell(1, j))
+    val se0 = math.sqrt(quad(inv0))
+    val se1 = math.sqrt(quad(inv1))
+
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     val spark2 = spark
     import spark2.implicits._
-    Seq((
-      math.round(lm * 10000).toDouble / 10000, dfree,
-      math.round(vifs.values.max * 10000).toDouble / 10000,
-      math.round(ses(0) * 10000).toDouble / 10000,
-      math.round(ses(1) * 10000).toDouble / 10000))
+    Seq((r4(lm), 3, r4(maxVif), r4(se0), r4(se1)))
       .toDF("bp_lm", "bp_df", "max_vif", "hc0_se_intercept", "hc0_se_qty")
   }
 }

@@ -108,6 +108,40 @@ object OlsPipeline {
     }.mkString
   }
 
+  /** 3×3 analogue of perms4/det4/det4Sql (VIF auxiliary regressions and
+    * the 4×4 adjugate cofactors in Diagnostics). */
+  val perms3: Seq[(IndexedSeq[Int], Int)] =
+    (0 to 2).permutations.toSeq.map { p =>
+      val inv = (for (i <- p.indices; j <- i + 1 until p.length
+                      if p(i) > p(j)) yield 1).sum
+      (p, if (inv % 2 == 0) 1 else -1)
+    }
+
+  def det3(m: (Int, Int) => Double): Double = {
+    def prod(p: IndexedSeq[Int]) =
+      (m(0, p(0)) * m(1, p(1))) * m(2, p(2))
+    perms3.tail.foldLeft(prod(perms3.head._1)) { case (acc, (p, s)) =>
+      if (s > 0) acc + prod(p) else acc - prod(p)
+    }
+  }
+
+  def det3Sql(cell: (Int, Int) => String): String = {
+    def prod(p: IndexedSeq[Int]) =
+      s"${cell(0, p(0))} * ${cell(1, p(1))} * ${cell(2, p(2))}"
+    prod(perms3.head._1) + perms3.tail.map { case (p, s) =>
+      (if (s > 0) " + " else " - ") + prod(p)
+    }.mkString
+  }
+
+  /** Cramer solve of a 4×4 system over abstract cells (rhs = column the
+    * driver and SQL both substitute per unknown). */
+  def solveCramer4(a: (Int, Int) => Double, rhs: Int => Double): Array[Double] = {
+    val d = det4(a)
+    Array.tabulate(4) { k =>
+      det4((i, j) => if (j == k) rhs(i) else a(i, j)) / d
+    }
+  }
+
   final case class Fitted(
       beta: Array[Double], // (intercept, b_quantity, b_discount, b_tax)
       train: DataFrame,
@@ -116,7 +150,7 @@ object OlsPipeline {
 
   /** Gram cells: x0=1 (intercept), x1..x3 = features, index 4 = label.
     * s(0,0)=n; one aggregation pass of exact decimal sums. */
-  private def gram(train: DataFrame): (Int, Int) => Double = {
+  private[ml] def gram(train: DataFrame): (Int, Int) => Double = {
     val xs: Seq[Column] = lit(1.0) +: featureCols.map(col) :+ col("label")
     val aggs =
       (for (i <- 0 to 4; j <- i to 4 if !(i == 0 && j == 0))
@@ -132,16 +166,12 @@ object OlsPipeline {
 
   /** M4: β via Cramer over the gram cells (label column index 4 is the
     * right-hand side). */
-  private def solveBeta(s: (Int, Int) => Double): Array[Double] = {
-    val d = det4((i, j) => s(i, j))
-    Array.tabulate(4) { k =>
-      det4((i, j) => if (j == k) s(i, 4) else s(i, j)) / d
-    }
-  }
+  private[ml] def solveBeta(s: (Int, Int) => Double): Array[Double] =
+    solveCramer4((i, j) => s(i, j), i => s(i, 4))
 
   /** Score: β-affine of the raw features, same association order as the
     * oracle SQL text. */
-  private def predCol(beta: Array[Double]): Column =
+  private[ml] def predCol(beta: Array[Double]): Column =
     lit(beta(0)) + col("l_quantity") * beta(1) +
       col("l_discount") * beta(2) + col("l_tax") * beta(3)
 
