@@ -132,7 +132,8 @@ object SparkEntry {
 
   /** Shared CTE prefix replaying the deterministic OLS pipeline
     * (ml.OlsPipeline) in DuckDB: the constructed dataset (LCG noise, LCG
-    * 75/25 split), the exact DECIMAL(38,12) gram sums over the training
+    * 75/25 split), the exact floor-quantized BIGINT-micros gram sums
+    * (OlsPipeline.esum) over the training
     * rows, and the Cramer solve whose determinant expressions come from
     * the SAME permutation sequence as the driver fold (det4Sql ⇔ det4),
     * so both engines perform identical double operations in identical
@@ -143,7 +144,7 @@ object SparkEntry {
       (for (i <- 0 to 4; j <- i to 4 if !(i == 0 && j == 0)) yield {
         val x = Map(1 -> "x1", 2 -> "x2", 3 -> "x3", 4 -> "y")
         val term = if (i == 0) x(j) else s"${x(i)} * ${x(j)}"
-        s"  CAST(SUM(CAST($term AS DECIMAL(38,12))) AS DOUBLE) AS ${s(i, j)}"
+        s"  CAST(SUM(CAST(FLOOR(($term) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS ${s(i, j)}"
       }) :+ "  CAST(COUNT(*) AS DOUBLE) AS s_0_0"
     val detA = graft.ml.OlsPipeline.det4Sql((i, j) => s(i, j))
     val betas = (0 to 3).map { k =>
@@ -186,8 +187,8 @@ object SparkEntry {
         if (i == 0 && j == 0) "e * e"
         else if (i == 0) s"(e * e) * ${x(j)}"
         else s"(e * e) * ${x(i)} * ${x(j)}"
-      s"  CAST(SUM(CAST($term AS DECIMAL(38,12))) AS DOUBLE) AS ${mc(i, j)}"
-    }) :+ ("  CAST(SUM(CAST((e * e) * (e * e) AS DECIMAL(38,12))) AS DOUBLE)" +
+      s"  CAST(SUM(CAST(FLOOR(($term) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS ${mc(i, j)}"
+    }) :+ ("  CAST(SUM(CAST(FLOOR(((e * e) * (e * e)) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0" +
       " AS se4")
     val gammas = (0 to 3).map { k =>
       val dk = det4Sql((i, j) => if (j == k) mc(0, i) else sc(i, j))
@@ -271,7 +272,7 @@ object SparkEntry {
          |  FROM ds CROSS JOIN beta b WHERE is_forecast),
          |cty AS (
          |  SELECT county, COUNT(*) AS cnt,
-         |    CAST(SUM(CAST(p AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS f
+         |    CAST(SUM(CAST(FLOOR((p) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*) AS f
          |  FROM fsc GROUP BY county HAVING COUNT(*) > 5),
          |tsc AS (
          |  SELECT county, b.b0 + x1 * b.b1 + x2 * b.b2 + x3 * b.b3 AS p, y
@@ -279,15 +280,15 @@ object SparkEntry {
          |  WHERE NOT is_forecast AND bucket = 3),
          |tc AS (
          |  SELECT county, COUNT(*) AS cnt,
-         |    CAST(SUM(CAST(p AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS f,
-         |    CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS a
+         |    CAST(SUM(CAST(FLOOR((p) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*) AS f,
+         |    CAST(SUM(CAST(FLOOR((y) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*) AS a
          |  FROM tsc GROUP BY county HAVING COUNT(*) > 5),
          |calm AS (
          |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-         |    CAST(SUM(CAST(f AS DECIMAL(38,12))) AS DOUBLE) AS sf,
-         |    CAST(SUM(CAST(a AS DECIMAL(38,12))) AS DOUBLE) AS sa,
-         |    CAST(SUM(CAST(f * f AS DECIMAL(38,12))) AS DOUBLE) AS sff,
-         |    CAST(SUM(CAST(f * a AS DECIMAL(38,12))) AS DOUBLE) AS sfa
+         |    CAST(SUM(CAST(FLOOR((f) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sf,
+         |    CAST(SUM(CAST(FLOOR((a) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sa,
+         |    CAST(SUM(CAST(FLOOR((f * f) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sff,
+         |    CAST(SUM(CAST(FLOOR((f * a) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sfa
          |  FROM tc),
          |cal AS (
          |  SELECT slope, (sa - slope * sf) / n AS icpt FROM (
@@ -309,12 +310,12 @@ object SparkEntry {
          |m1 AS (
          |  SELECT CASE WHEN bucket < 3 THEN 'train' ELSE 'test' END AS split,
          |    CAST(COUNT(*) AS DOUBLE) AS n,
-         |    CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sa,
-         |    CAST(SUM(CAST(p AS DECIMAL(38,12))) AS DOUBLE) AS sp,
-         |    CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS saa,
-         |    CAST(SUM(CAST(p * p AS DECIMAL(38,12))) AS DOUBLE) AS spp,
-         |    CAST(SUM(CAST(y * p AS DECIMAL(38,12))) AS DOUBLE) AS sap,
-         |    CAST(SUM(CAST((p - y) * (p - y) AS DECIMAL(38,12))) AS DOUBLE)
+         |    CAST(SUM(CAST(FLOOR((y) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sa,
+         |    CAST(SUM(CAST(FLOOR((p) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sp,
+         |    CAST(SUM(CAST(FLOOR((y * y) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS saa,
+         |    CAST(SUM(CAST(FLOOR((p * p) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS spp,
+         |    CAST(SUM(CAST(FLOOR((y * p) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sap,
+         |    CAST(SUM(CAST(FLOOR(((p - y) * (p - y)) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0
          |      AS se2
          |  FROM sc GROUP BY 1),
          |m2 AS (

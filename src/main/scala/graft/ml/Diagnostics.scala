@@ -138,12 +138,10 @@ object Diagnostics {
 
   // -- exact (oracle-checkable) diagnostics query -------------------------
 
-  private val dec = org.apache.spark.sql.types.DecimalType(38, 12)
-  private def dsum(c: Column) = sum(c.cast(dec))
 
   /** Registered query, bit-deterministic and hash-oracle-checked: BP, VIF
     * and HC0 all reduce to TWO distributed aggregation passes of exact
-    * DECIMAL(38,12) sums — the (1,x,y) gram and the e²-weighted moments —
+    * decimal sums — the (1,x,y) gram and the e²-weighted moments —
     * followed by driver-side closed-form algebra (Cramer solves, adjugate
     * inverse rows, quadratic forms) whose every formula is mirrored
     * verbatim, in the same evaluation order, by the generated DuckDB SQL
@@ -170,11 +168,10 @@ object Diagnostics {
     val e2 = e * e
     val aggs =
       (for (i <- 0 to 3; j <- i to 3)
-        yield dsum(if (i == 0 && j == 0) e2
+        yield OlsPipeline.esum(if (i == 0 && j == 0) e2
                    else if (i == 0) e2 * xs(j)
-                   else e2 * xs(i) * xs(j))
-          .cast(org.apache.spark.sql.types.DoubleType).as(s"m_${i}_$j")) :+
-        dsum(e2 * e2).cast(org.apache.spark.sql.types.DoubleType).as("se4")
+                   else e2 * xs(i) * xs(j)).as(s"m_${i}_$j")) :+
+        OlsPipeline.esum(e2 * e2).as("se4")
     val row = ds.agg(aggs.head, aggs.tail: _*).collect()(0)
     ds.unpersist(blocking = false)
     def m(i: Int, j: Int): Double = {

@@ -23,9 +23,11 @@ import graft.Tables
   *    libm implementations);
   *  - the 75/25 split takes the high bits of a multiplicative hash of the
   *    key (exact integers; xxhash64 would not be replayable in SQL);
-  *  - every distributed sum is an exact DECIMAL(38,12) sum of a
-  *    deterministic per-row double — order-independent at ANY parallelism,
-  *    where a double sum would vary with partition layout;
+  *  - every distributed sum floor-quantizes the deterministic per-row
+  *    double to integer micros and sums BIGINTs — exact, order-independent
+  *    at ANY parallelism (a double sum would vary with partition layout),
+  *    with no cast-rounding mode to keep in parity across engines
+  *    (see `esum` for the overflow envelope);
   *  - the 4×4 normal-equation solve uses Cramer's rule with BOTH the
   *    driver fold and the generated oracle SQL iterating the same
   *    permutation sequence, so their floating-point evaluation order is
@@ -38,10 +40,16 @@ import graft.Tables
 object OlsPipeline {
 
   val featureCols: Seq[String] = Seq("l_quantity", "l_discount", "l_tax")
-  private val dec = DecimalType(38, 12)
 
-  /** Exact decimal sum of a deterministic per-row double expression. */
-  private def dsum(c: Column): Column = sum(c.cast(dec))
+  /** Exact order-independent sum, rescaled to a double: per-row values
+    * are floor-quantized to integer micros (floor is EXACT on doubles —
+    * unlike a decimal cast there is no rounding mode to keep in parity
+    * across engines) and summed as BIGINT — codegen'd long adds, exact
+    * and identical at any parallelism — then rescaled once. Overflow
+    * (Σ|x| ≳ 9.2e12, far past the tested scale factors) yields a null
+    * sum and fails loudly rather than corrupting. */
+  private[ml] def esum(c: Column): Column =
+    sum(floor(c * 1000000.0).cast(LongType)).cast(DoubleType) / 1000000.0
 
   /** Fact table with constructed label; `l_orderkey % 10 == 0` rows form the
     * forecast universe (label NULL — the counties with unpublished results,
@@ -154,8 +162,7 @@ object OlsPipeline {
     val xs: Seq[Column] = lit(1.0) +: featureCols.map(col) :+ col("label")
     val aggs =
       (for (i <- 0 to 4; j <- i to 4 if !(i == 0 && j == 0))
-        yield dsum(if (i == 0) xs(j) else xs(i) * xs(j))
-          .cast(DoubleType).as(s"s_${i}_$j")) :+
+        yield esum(if (i == 0) xs(j) else xs(i) * xs(j)).as(s"s_${i}_$j")) :+
         count(lit(1)).cast(DoubleType).as("s_0_0")
     val row = train.agg(aggs.head, aggs.tail: _*).collect()(0)
     (i, j) => {
@@ -197,9 +204,9 @@ object OlsPipeline {
   def countyForecast(f: Fitted, universe: DataFrame, minCount: Long): DataFrame =
     universe.groupBy("county")
       .agg(count(lit(1)).as("cnt"),
-        (dsum(col("prediction")).cast(DoubleType) / count(lit(1)))
+        (esum(col("prediction")) / count(lit(1)))
           .as("forecast"),
-        (dsum(col("label_true")).cast(DoubleType) / count(lit(1)))
+        (esum(col("label_true")) / count(lit(1)))
           .as("actual"))
       .where(col("cnt") > minCount)
 
@@ -210,10 +217,10 @@ object OlsPipeline {
   def calibrate(county: DataFrame): (Double, Double) = {
     val r = county.agg(
       count(lit(1)).cast(DoubleType).as("n"),
-      dsum(col("forecast")).cast(DoubleType).as("sf"),
-      dsum(col("actual")).cast(DoubleType).as("sa"),
-      dsum(col("forecast") * col("forecast")).cast(DoubleType).as("sff"),
-      dsum(col("forecast") * col("actual")).cast(DoubleType).as("sfa"))
+      esum(col("forecast")).as("sf"),
+      esum(col("actual")).as("sa"),
+      esum(col("forecast") * col("forecast")).as("sff"),
+      esum(col("forecast") * col("actual")).as("sfa"))
       .collect()(0)
     val (n, sf, sa, sff, sfa) = (r.getDouble(0), r.getDouble(1),
       r.getDouble(2), r.getDouble(3), r.getDouble(4))
@@ -269,13 +276,12 @@ object OlsPipeline {
       val r = df.select(col("label_true").as("a"), col("prediction").as("p"))
         .agg(
           count(lit(1)).cast(DoubleType).as("n"),
-          dsum(col("a")).cast(DoubleType).as("sa"),
-          dsum(col("p")).cast(DoubleType).as("sp"),
-          dsum(col("a") * col("a")).cast(DoubleType).as("saa"),
-          dsum(col("p") * col("p")).cast(DoubleType).as("spp"),
-          dsum(col("a") * col("p")).cast(DoubleType).as("sap"),
-          dsum((col("p") - col("a")) * (col("p") - col("a")))
-            .cast(DoubleType).as("se2"))
+          esum(col("a")).as("sa"),
+          esum(col("p")).as("sp"),
+          esum(col("a") * col("a")).as("saa"),
+          esum(col("p") * col("p")).as("spp"),
+          esum(col("a") * col("p")).as("sap"),
+          esum((col("p") - col("a")) * (col("p") - col("a"))).as("se2"))
         .collect()(0)
       val (n, sa, sp, saa, spp, sap, se2) = (r.getDouble(0), r.getDouble(1),
         r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
