@@ -156,9 +156,11 @@ object SparkEntry {
        |  SELECT l_orderkey, l_partkey % 500 AS county,
        |    l_quantity AS x1, l_discount AS x2, l_tax AS x3,
        |    l_quantity * 3 - l_discount * 200 + l_tax * 50 +
-       |      (CAST((l_orderkey * 2654435761 + 7) % 1000003 AS DOUBLE)
+       |      (CAST(((l_orderkey % 1000003) * 2654435761 + 7) % 1000003
+       |            AS DOUBLE)
        |       / 1000003.0 * 10.0 - 5.0) AS y,
-       |    ((l_orderkey * 1103515245 + 123) % 2147483648) >> 29 AS bucket,
+       |    (((l_orderkey % 2147483648) * 1103515245 + 123) % 2147483648)
+       |      >> 29 AS bucket,
        |    l_orderkey % 10 = 0 AS is_forecast
        |  FROM lineitem),
        |g AS (
@@ -342,7 +344,8 @@ object SparkEntry {
          |c0 AS (
          |  SELECT j, c FROM (
          |    SELECT CAST(ROW_NUMBER() OVER (ORDER BY
-         |        (vec_id * 2654435761 + 99) % 2147483648, vec_id) AS BIGINT)
+         |        ((vec_id % 2147483648) * 2654435761 + 99) % 2147483648,
+         |        vec_id) AS BIGINT)
          |      AS j, emb AS c
          |    FROM samp) WHERE j <= 16),
          |${ivfRound(1, "c0")},
@@ -417,16 +420,6 @@ object SparkEntry {
         |  COUNT(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
-    "q_region_rollup" ->
-      """SELECT r.r_name, COUNT(*) AS cnt,
-        |  COUNT(DISTINCT n.n_name) AS nations,
-        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
-        |    AS sum_price_cents
-        |FROM orders o
-        |JOIN customer c ON o.o_custkey = c.c_custkey
-        |JOIN nation n ON c.c_nationkey = n.n_nationkey
-        |JOIN region r ON n.n_regionkey = r.r_regionkey
-        |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin,
     "q_region_rollup" ->
       """SELECT r.r_name, COUNT(*) AS cnt,
         |  COUNT(DISTINCT n.n_name) AS nations,

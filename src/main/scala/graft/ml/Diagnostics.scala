@@ -141,7 +141,8 @@ object Diagnostics {
 
   /** Registered query, bit-deterministic and hash-oracle-checked: BP, VIF
     * and HC0 all reduce to TWO distributed aggregation passes of exact
-    * decimal sums — the (1,x,y) gram and the e²-weighted moments —
+    * BIGINT-micros sums (`esum`) — the (1,x,y) gram and the e²-weighted
+    * moments —
     * followed by driver-side closed-form algebra (Cramer solves, adjugate
     * inverse rows, quadratic forms) whose every formula is mirrored
     * verbatim, in the same evaluation order, by the generated DuckDB SQL
@@ -154,6 +155,13 @@ object Diagnostics {
     * the general (double-sum) implementations above. */
   def query(spark: SparkSession, dir: String): DataFrame = {
     val features = OlsPipeline.featureCols
+    // The closed-form path below is structurally pinned to k=3 features
+    // (4×4 gram, Cramer-4 solves, 3×3 cofactors, the beta(1..3) residual).
+    // Fail at the entry point if the Seq ever changes, instead of
+    // reporting silently wrong diagnostics. The general-k path is the
+    // double-sum API above (fitOls/breuschPagan/vif/hc0).
+    require(features.length == 3,
+      s"diagnostics query is specialized to 3 features, got $features")
     val ds = OlsPipeline.dataset(spark, dir).filter(col("label").isNotNull)
       .select((features :+ "label").map(col): _*)
       .cache()
@@ -234,7 +242,7 @@ object Diagnostics {
       BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     val spark2 = spark
     import spark2.implicits._
-    Seq((r4(lm), 3, r4(maxVif), r4(se0), r4(se1)))
+    Seq((r4(lm), features.length, r4(maxVif), r4(se0), r4(se1)))
       .toDF("bp_lm", "bp_df", "max_vif", "hc0_se_intercept", "hc0_se_qty")
   }
 }

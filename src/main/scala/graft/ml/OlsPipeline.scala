@@ -8,7 +8,7 @@ import graft.Tables
 /** The reference's OLS path (03_LinearRegression.R), Spark-first:
   * null-split → seeded 75/25 split → normal-equation OLS → score →
   * group-aggregate (count+mean, HAVING>n) → calibration meta-regression →
-  * metrics. (SURVEY.md §3.2; operators M3, M4, M6, M7, M13, A3–A5, J3, P14.)
+  * metrics. (SURVEY.md §3.2; operators M3, M4, M6, M7, M13, A3–A5, P14.)
   *
   * The testdata columns are mutually independent (no learnable signal), so
   * the label is constructed as a known linear function of the features plus
@@ -46,10 +46,21 @@ object OlsPipeline {
     * unlike a decimal cast there is no rounding mode to keep in parity
     * across engines) and summed as BIGINT — codegen'd long adds, exact
     * and identical at any parallelism — then rescaled once. Overflow
-    * (Σ|x| ≳ 9.2e12, far past the tested scale factors) yields a null
-    * sum and fails loudly rather than corrupting. */
+    * (Σ|x| ≳ 9.2e12, far past the tested scale factors) throws
+    * ArithmeticException under ANSI mode (Spark 4's default, which this
+    * session keeps) — loud, never silently corrupting. */
   private[ml] def esum(c: Column): Column =
     sum(floor(c * 1000000.0).cast(LongType)).cast(DoubleType) / 1000000.0
+
+  /** LCG pseudo-noise, uniform on [-5, 5): exact integer arithmetic +
+    * one exact division, bit-identical in DuckDB (sin() is not). The key
+    * is reduced mod m BEFORE the multiply — (k·c) mod m ≡
+    * ((k mod m)·c) mod m — so the widest intermediate is (m−1)·c ≈
+    * 2.7e15 ≪ Long.Max for ANY key value; an unreduced k·c would
+    * overflow (ANSI throw / DuckDB error) past k ≈ 3.5e9. */
+  private[graft] def noiseCol(key: Column): Column =
+    pmod(pmod(key, lit(1000003L)) * 2654435761L + 7L,
+      lit(1000003L)).cast(DoubleType) / 1000003.0 * 10.0 - 5.0
 
   /** Fact table with constructed label; `l_orderkey % 10 == 0` rows form the
     * forecast universe (label NULL — the counties with unpublished results,
@@ -59,11 +70,7 @@ object OlsPipeline {
       .select((Seq("l_orderkey", "l_partkey", "l_returnflag") ++ featureCols)
         .map(col): _*)
       .withColumn("county", (col("l_partkey") % 500).cast(LongType))
-      // LCG pseudo-noise, uniform on [-5, 5): exact integer arithmetic +
-      // one exact division, bit-identical in DuckDB (sin() is not)
-      .withColumn("noise",
-        pmod(col("l_orderkey") * 2654435761L + 7L, lit(1000003L))
-          .cast(DoubleType) / 1000003.0 * 10.0 - 5.0)
+      .withColumn("noise", noiseCol(col("l_orderkey")))
       .withColumn("label_true",
         col("l_quantity") * 3 - col("l_discount") * 200 +
           col("l_tax") * 50 + col("noise"))
@@ -77,69 +84,56 @@ object OlsPipeline {
     * depends only on the key value — stable across partitioning,
     * parallelism and scale factor (unlike randomSplit's per-partition
     * draws) — and, being exact integer arithmetic, replayable in the
-    * DuckDB oracles. */
+    * DuckDB oracles. The key is reduced mod 2³¹ before the multiply so
+    * the widest intermediate (≈2.4e18) fits a Long for any key value —
+    * see the noise column in `dataset` for the congruence argument. */
   def keySplit(df: DataFrame, keyCol: String, seed: Int): (DataFrame, DataFrame) = {
     val bucket = shiftright(
-      pmod(col(keyCol) * 1103515245L + seed, lit(2147483648L)), 29)
+      pmod(pmod(col(keyCol), lit(2147483648L)) * 1103515245L + seed,
+        lit(2147483648L)), 29)
     (df.filter(bucket < 3), df.filter(bucket === 3))
   }
 
   // -- Cramer solve with driver/SQL evaluation-order parity ---------------
 
-  /** Permutations of 0..3 in lexicographic order with parity signs. BOTH
-    * `det4` and `det4Sql` iterate this exact sequence, so the driver-side
-    * and DuckDB determinants perform identical floating-point operations
-    * in identical order. */
-  val perms4: Seq[(IndexedSeq[Int], Int)] =
-    (0 to 3).permutations.toSeq.map { p =>
+  /** Permutations of 0..n−1 in lexicographic order with parity signs.
+    * The driver fold (`detN`) and the generated SQL (`detNSql`) BOTH
+    * iterate this exact sequence, so driver-side and DuckDB determinants
+    * perform identical floating-point operations in identical order —
+    * edits to either side can't drift because there is one sequence. */
+  def permsWithSigns(n: Int): Seq[(IndexedSeq[Int], Int)] =
+    (0 until n).permutations.toSeq.map { p =>
       val inv = (for (i <- p.indices; j <- i + 1 until p.length
                       if p(i) > p(j)) yield 1).sum
       (p, if (inv % 2 == 0) 1 else -1)
     }
 
-  /** 4×4 determinant: first permutation's product, then ± the rest in
-    * `perms4` order, products associated left-to-right. */
-  def det4(m: (Int, Int) => Double): Double = {
+  /** n×n determinant: first permutation's product, then ± the rest in
+    * `perms` order, products associated left-to-right (reduceLeft). */
+  def detN(perms: Seq[(IndexedSeq[Int], Int)])(m: (Int, Int) => Double): Double = {
     def prod(p: IndexedSeq[Int]) =
-      ((m(0, p(0)) * m(1, p(1))) * m(2, p(2))) * m(3, p(3))
-    perms4.tail.foldLeft(prod(perms4.head._1)) { case (acc, (p, s)) =>
+      p.indices.map(i => m(i, p(i))).reduceLeft(_ * _)
+    perms.tail.foldLeft(prod(perms.head._1)) { case (acc, (p, s)) =>
       if (s > 0) acc + prod(p) else acc - prod(p)
     }
   }
 
-  /** The same determinant as SQL text over cell references. */
-  def det4Sql(cell: (Int, Int) => String): String = {
+  /** The same determinant as SQL text over cell references (SQL `*` is
+    * left-associative — the same association order as `detN`'s fold). */
+  def detNSql(perms: Seq[(IndexedSeq[Int], Int)])(cell: (Int, Int) => String): String = {
     def prod(p: IndexedSeq[Int]) =
-      s"${cell(0, p(0))} * ${cell(1, p(1))} * ${cell(2, p(2))} * ${cell(3, p(3))}"
-    prod(perms4.head._1) + perms4.tail.map { case (p, s) =>
+      p.indices.map(i => cell(i, p(i))).mkString(" * ")
+    prod(perms.head._1) + perms.tail.map { case (p, s) =>
       (if (s > 0) " + " else " - ") + prod(p)
     }.mkString
   }
 
-  /** 3×3 analogue of perms4/det4/det4Sql (VIF auxiliary regressions and
-    * the 4×4 adjugate cofactors in Diagnostics). */
-  val perms3: Seq[(IndexedSeq[Int], Int)] =
-    (0 to 2).permutations.toSeq.map { p =>
-      val inv = (for (i <- p.indices; j <- i + 1 until p.length
-                      if p(i) > p(j)) yield 1).sum
-      (p, if (inv % 2 == 0) 1 else -1)
-    }
-
-  def det3(m: (Int, Int) => Double): Double = {
-    def prod(p: IndexedSeq[Int]) =
-      (m(0, p(0)) * m(1, p(1))) * m(2, p(2))
-    perms3.tail.foldLeft(prod(perms3.head._1)) { case (acc, (p, s)) =>
-      if (s > 0) acc + prod(p) else acc - prod(p)
-    }
-  }
-
-  def det3Sql(cell: (Int, Int) => String): String = {
-    def prod(p: IndexedSeq[Int]) =
-      s"${cell(0, p(0))} * ${cell(1, p(1))} * ${cell(2, p(2))}"
-    prod(perms3.head._1) + perms3.tail.map { case (p, s) =>
-      (if (s > 0) " + " else " - ") + prod(p)
-    }.mkString
-  }
+  val perms4: Seq[(IndexedSeq[Int], Int)] = permsWithSigns(4)
+  val perms3: Seq[(IndexedSeq[Int], Int)] = permsWithSigns(3)
+  def det4(m: (Int, Int) => Double): Double = detN(perms4)(m)
+  def det4Sql(cell: (Int, Int) => String): String = detNSql(perms4)(cell)
+  def det3(m: (Int, Int) => Double): Double = detN(perms3)(m)
+  def det3Sql(cell: (Int, Int) => String): String = detNSql(perms3)(cell)
 
   /** Cramer solve of a 4×4 system over abstract cells (rhs = column the
     * driver and SQL both substitute per unknown). */
@@ -157,7 +151,9 @@ object OlsPipeline {
       forecast: DataFrame)
 
   /** Gram cells: x0=1 (intercept), x1..x3 = features, index 4 = label.
-    * s(0,0)=n; one aggregation pass of exact decimal sums. */
+    * s(0,0)=n; one aggregation pass of floor-quantized BIGINT-micros sums
+    * (`esum` — exact long adds at any parallelism, ≤1µ-per-row floor
+    * truncation replayed identically by the oracle SQL). */
   private[ml] def gram(train: DataFrame): (Int, Int) => Double = {
     val xs: Seq[Column] = lit(1.0) +: featureCols.map(col) :+ col("label")
     val aggs =
@@ -211,9 +207,9 @@ object OlsPipeline {
       .where(col("cnt") > minCount)
 
   /** M7: calibration meta-regression lm(actual ~ forecast) on the county
-    * aggregates — 2×2 normal equations from exact decimal moment sums,
-    * formulas mirrored verbatim in the oracle SQL. Returns
-    * (intercept, slope). */
+    * aggregates — 2×2 normal equations from floor-quantized BIGINT-micros
+    * moment sums (`esum`), formulas mirrored verbatim in the oracle SQL.
+    * Returns (intercept, slope). */
   def calibrate(county: DataFrame): (Double, Double) = {
     val r = county.agg(
       count(lit(1)).cast(DoubleType).as("n"),
@@ -268,36 +264,39 @@ object OlsPipeline {
   }
 
   /** M13+M14: metric table in long form (reference `gather`, 04_1:319).
-    * RMSE and R² per split from one exact-moment aggregation per split;
-    * formulas mirrored verbatim in the oracle SQL. */
+    * RMSE and R² for BOTH splits from ONE grouped exact-moment aggregation
+    * job (split-tagged union → groupBy), not a job per split; formulas
+    * mirrored verbatim in the oracle SQL. */
   def metricsLong(spark: SparkSession, dir: String): DataFrame = {
     val f = fitCached(spark, dir)
-    def m(split: String, df: DataFrame): Seq[(String, String, Double)] = {
-      val r = df.select(col("label_true").as("a"), col("prediction").as("p"))
-        .agg(
-          count(lit(1)).cast(DoubleType).as("n"),
-          esum(col("a")).as("sa"),
-          esum(col("p")).as("sp"),
-          esum(col("a") * col("a")).as("saa"),
-          esum(col("p") * col("p")).as("spp"),
-          esum(col("a") * col("p")).as("sap"),
-          esum((col("p") - col("a")) * (col("p") - col("a"))).as("se2"))
-        .collect()(0)
-      val (n, sa, sp, saa, spp, sap, se2) = (r.getDouble(0), r.getDouble(1),
-        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
-        r.getDouble(6))
+    val rows = f.train.withColumn("split", lit("train"))
+      .unionByName(f.test.withColumn("split", lit("test")))
+      .select(col("split"), col("label_true").as("a"),
+        col("prediction").as("p"))
+      .groupBy("split")
+      .agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        esum(col("a")).as("sa"),
+        esum(col("p")).as("sp"),
+        esum(col("a") * col("a")).as("saa"),
+        esum(col("p") * col("p")).as("spp"),
+        esum(col("a") * col("p")).as("sap"),
+        esum((col("p") - col("a")) * (col("p") - col("a"))).as("se2"))
+      .collect()
+    def r4(v: Double) = // HALF_UP on positives == DuckDB ROUND
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = rows.toSeq.flatMap { r =>
+      val (n, sa, sp, saa, spp, sap, se2) = (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7))
       val rmse = math.sqrt(se2 / n)
       val corr = (n * sap - sa * sp) /
         math.sqrt((n * saa - sa * sa) * (n * spp - sp * sp))
-      val r2 = corr * corr
-      def r4(v: Double) = // HALF_UP on positives == DuckDB ROUND
-        BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-      Seq((split, "r2", r4(r2)), (split, "rmse", r4(rmse)))
+      Seq((r.getString(0), "r2", r4(corr * corr)),
+        (r.getString(0), "rmse", r4(rmse)))
     }
     val spark2 = spark
     import spark2.implicits._
-    (m("train", f.train) ++ m("test", f.test))
-      .toDF("split", "metric", "value")
-      .orderBy("split", "metric")
+    out.toDF("split", "metric", "value").orderBy("split", "metric")
   }
 }

@@ -172,8 +172,10 @@ object Similarity {
   private[operators] def kmeansCentroids(sample: DataFrame, k: Int,
                                          iters: Int): Array[Array[Double]] = {
     var cents: Array[Array[Double]] = sample
-      .withColumn("h",
-        pmod(col("vec_id") * 2654435761L + 99L, lit(2147483648L)))
+      .withColumn("h", // key reduced mod 2³¹ first: no Long overflow at
+        // any vec_id (congruence: (k·c) mod m ≡ ((k mod m)·c) mod m)
+        pmod(pmod(col("vec_id"), lit(2147483648L)) * 2654435761L + 99L,
+          lit(2147483648L)))
       .orderBy("h", "vec_id").limit(k)
       .select(col("embedding").cast(ArrayType(DoubleType)))
       .collect().map(_.getSeq[Double](0).toArray)

@@ -42,14 +42,34 @@ class MlSpec extends AnyFunSuite {
     assert(frac > 0.70 && frac < 0.80)
   }
 
+  test("LCG noise and keySplit survive huge keys (no Long overflow at scale)") {
+    // Keys past ~3.5e9 would overflow an unreduced key*constant multiply
+    // (ANSI ArithmeticException — Spark 4 default); the reduced-mod form
+    // must stay exact up to Long.MaxValue. Also pin the congruence: a key
+    // and key + lcm(m_noise, m_split) agree on noise AND bucket.
+    import spark.implicits._
+    val m = 1000003L * 2147483648L // lcm of the two moduli (m_noise prime)
+    val keys = Seq(1L, 3470000000L, 8500000000L, Long.MaxValue - 1,
+      7L, 7L + m).toDF("l_orderkey")
+    val got = keys
+      .select(col("l_orderkey"),
+        OlsPipeline.noiseCol(col("l_orderkey")).as("noise"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.values.foreach(n => assert(n >= -5.0 && n < 5.0, s"noise=$n"))
+    assert(got(7L) === got(7L + m)) // congruence, not truncation
+    val (tr, te) = OlsPipeline.keySplit(keys, "l_orderkey", seed = 123)
+    assert(tr.count() + te.count() === 6) // no ANSI throw on any key
+  }
+
   test("M4/M6/M13 OLS recovers the planted signal (R² threshold, SURVEY §5.4)") {
     val f = OlsPipeline.fit(spark, sf)
     val (rmse, r2, adjR2) = OlsPipeline.metrics(f, f.test, 3)
-    // label = 3q - 200d + 50t + sin-noise(amp 5): noise var ≈ 12.5, label
-    // var ≈ 1900 → R² ≈ 0.99; threshold leaves slack for the small SF
+    // label = 3q - 200d + 50t + LCG noise uniform on [-5,5): noise var
+    // = 100/12 ≈ 8.3, label var ≈ 1900 → R² ≈ 0.996; threshold leaves
+    // slack for the small SF
     assert(r2 > 0.95, s"r2=$r2")
     assert(adjR2 > 0.95)
-    assert(rmse < 6.0, s"rmse=$rmse") // ≈ noise sd (3.5), bounded above
+    assert(rmse < 6.0, s"rmse=$rmse") // ≳ noise sd (≈2.9), bounded above
   }
 
   test("M7 calibration on county aggregates is ~identity (slope≈1, icpt≈0)") {
