@@ -156,20 +156,26 @@ object Dedup {
   // -- Survivor selection (connected components) --------------------------
 
   /** Connected components over an undirected pair set by iterative
-    * min-label propagation (the DataFrame form of the large-star/small-star
-    * pattern): every node starts labeled with itself; each round a node
-    * takes the minimum label among itself and its neighbors; fixpoint in
-    * O(component diameter) rounds. Each round is one shuffle join + one
-    * grouped min — no driver-side graph, no GraphX/RDD detour — so the same
-    * loop runs on a web-scale pair set.
+    * min-label propagation PLUS pointer jumping: every node starts labeled
+    * with itself; each round a node takes the minimum label among itself
+    * and its neighbors, then short-circuits through its label's own label
+    * (l(n) := l(l(n)) — the pointer-jumping step of the
+    * large-star/small-star family). One-hop propagation alone needs
+    * O(component diameter) rounds — a chain-shaped duplicate cluster
+    * deeper than maxIter would abort; jumping halves the remaining chain
+    * depth every round, so convergence is O(log diameter). Each round is
+    * two shuffle joins + one grouped min — no driver-side graph, no
+    * GraphX/RDD detour — so the same loop runs on a web-scale pair set.
     *
-    * Convergence: labels are monotonically non-increasing, so the fixpoint
-    * is reached exactly when `sum(label)` stops changing — ONE aggregate
-    * per round (which also fully materializes the round's cache), no
-    * changed-rows join. If `maxIter` rounds pass without reaching the
-    * fixpoint (a component with diameter > maxIter, e.g. a long duplicate
-    * chain), the result would be silently split — so that case THROWS
-    * rather than returning wrong components. */
+    * Convergence: labels are monotonically non-increasing (labels start
+    * as self; min only decreases, and l(l(n)) ≤ l(n) since l(x) ≤ x),
+    * so the fixpoint is reached exactly when `sum(label)` stops
+    * changing — ONE aggregate per round (which also fully materializes
+    * the round's cache), no changed-rows join. At the fixpoint every
+    * label is a root (l(l(n)) = l(n)) and no neighbor offers a smaller
+    * one — the component minimum. If `maxIter` rounds pass without
+    * reaching the fixpoint, the result would be silently split — so that
+    * case THROWS rather than returning wrong components. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
     val edges = pairs.select(col("a"), col("b"))
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
@@ -182,9 +188,19 @@ object Dedup {
     while (!done && iter < maxIter) {
       val prop = edges.join(labels, edges("b") === labels("node"))
         .select(edges("a").as("node"), col("label"))
-      val next = labels.select("node", "label").unionByName(prop)
+      val minned = labels.select("node", "label").unionByName(prop)
         .groupBy("node").agg(min("label").as("label"))
-        .cache()
+      // pointer jumping: follow the label one hop (every label IS a node
+      // of the same frame, so the inner self-join always matches). The
+      // self-join references `minned` twice — without lineage truncation
+      // the logical plan would DOUBLE per round (exponential analysis
+      // cost); localCheckpoint materializes the round and resets the
+      // plan (durable `checkpoint` on a real cluster).
+      val parents = minned
+        .select(col("node").as("p_node"), col("label").as("p_label"))
+      val next = minned.join(parents, minned("label") === col("p_node"))
+        .select(minned("node").as("node"), col("p_label").as("label"))
+        .localCheckpoint(eager = true)
       val nextSum = next.agg(coalesce(sum("label"), lit(0L))).collect()(0).getLong(0)
       done = nextSum == prevSum
       prevSum = nextSum

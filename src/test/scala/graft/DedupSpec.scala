@@ -92,11 +92,23 @@ class DedupSpec extends AnyFunSuite {
   test("connected components throws instead of returning split components") {
     val spark2 = spark
     import spark2.implicits._
-    // a 5-node chain has diameter 4 > maxIter=2 → must throw, not split
+    // a 5-node chain has diameter 4; maxIter=2 can't confirm the fixpoint
+    // (the sum-unchanged round) → must throw, not split
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
     assertThrows[IllegalStateException] {
       Dedup.connectedComponents(chain, maxIter = 2).collect()
     }
+  }
+
+  test("pointer jumping: a 200-deep chain converges in O(log n) rounds") {
+    val spark2 = spark
+    import spark2.implicits._
+    // one-hop min propagation needs ~199 rounds for this chain — far past
+    // maxIter=30; the pointer-jumping step must bring it to ~⌈log₂ 200⌉+2
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Dedup.connectedComponents(chain, maxIter = 30).collect()
+    assert(labels.length === 200)
+    assert(labels.forall(_.getLong(1) === 1L)) // single component, min label
   }
 
   test("simhash: identical texts hash equal; near texts within Hamming 10") {
