@@ -26,20 +26,9 @@ object Bench {
       try Tables.load(spark, sfDir, t).limit(1).collect()
       catch { case _: Throwable => () }
     }
-    // dev filter: SPARK_GRAFT_ONLY=q_a,q_b times just those queries.
-    // The filter is echoed in the JSON ("only") and unknown names abort,
-    // so a partial run can never masquerade as a full-suite timing.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    only.foreach { names =>
-      val unknown = names.diff(SparkEntry.queries.keySet)
-      require(unknown.isEmpty,
-        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(",")}")
-    }
-    val queries = only match {
-      case Some(names) => SparkEntry.queries.filter(q => names(q._1))
-      case None => SparkEntry.queries
-    }
+    // dev filter: SPARK_GRAFT_ONLY=q_a,q_b times just those queries,
+    // echoed in the JSON ("only") — see ToolSupport.onlyFilter
+    val (queries, only) = ToolSupport.onlyFilter(SparkEntry.queries)
     // a failed query is excluded from "queries"/"value" (which stay
     // non-negative successful durations summing to the total) and reported
     // in "errors" instead, so a fast failure can't masquerade as a fast run
@@ -55,11 +44,9 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       (name, sec, err)
     }
+    import ToolSupport.jstr
     val qs = results.collect { case (k, v, None) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    def jstr(s: String) =
-      "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
-        case c if c < ' ' => " "; case c => c.toString } + "\""
     val errs = results.collect { case (k, _, Some(m)) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum

@@ -456,17 +456,44 @@ object SparkEntry {
     "q_histogram" ->
       """SELECT CAST(FLOOR(value / 50) AS BIGINT) AS bucket, COUNT(*) AS cnt
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // μ/σ from exact decimal sums (not AVG/STDDEV over doubles, whose
+    // partial-merge order is engine/partition-dependent); the double
+    // arithmetic mirrors Relational.zscore term for term
     "q_zscore" ->
-      """WITH s AS (SELECT AVG(c_acctbal) AS mu, STDDEV_SAMP(c_acctbal) AS sigma
-        |           FROM customer)
-        |SELECT c_custkey, ROUND((c_acctbal - mu) / sigma, 6) AS z
+      """WITH s AS (SELECT
+        |    SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sx,
+        |    SUM(CAST(c_acctbal AS DECIMAL(18,2))
+        |        * CAST(c_acctbal AS DECIMAL(18,2))) AS sxx,
+        |    CAST(COUNT(*) AS DOUBLE) AS n
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  ROUND((c_acctbal - CAST(sx AS DOUBLE) / n) /
+        |        SQRT((CAST(sxx AS DOUBLE)
+        |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+        |             / (n - 1)), 6) AS z
         |FROM customer, s ORDER BY c_custkey""".stripMargin,
+    // exact decimal moment sums (e = a−p = price·disc at scale 4; squares
+    // at scale 8), closed-form corr²; mirrors Relational.metrics
     "q_metrics" ->
-      """SELECT
-        |  ROUND(SQRT(AVG(POW(l_extendedprice * (1 - l_discount) - l_extendedprice, 2))), 4) AS rmse,
-        |  ROUND(POW(CORR(l_extendedprice * (1 - l_discount), l_extendedprice), 2), 6) AS r2,
-        |  COUNT(*) AS n
-        |FROM lineitem""".stripMargin,
+      """WITH r AS (SELECT
+        |    CAST(l_extendedprice AS DECIMAL(19,2)) AS a,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |         * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(19,4)) AS e
+        |  FROM lineitem),
+        |r2 AS (SELECT a, e, CAST(a - e AS DECIMAL(19,4)) AS p FROM r),
+        |s AS (SELECT
+        |    CAST(COUNT(*) AS DOUBLE) AS n, COUNT(*) AS cnt,
+        |    SUM(a) AS sa, SUM(p) AS sp, SUM(a * a) AS saa,
+        |    SUM(p * p) AS spp, SUM(a * p) AS sap, SUM(e * e) AS se2
+        |  FROM r2)
+        |SELECT
+        |  ROUND(SQRT(CAST(se2 AS DOUBLE) / n), 4) AS rmse,
+        |  ROUND((n * CAST(sap AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sp AS DOUBLE))
+        |        * (n * CAST(sap AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sp AS DOUBLE))
+        |        / ((n * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+        |           * (n * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 6) AS r2,
+        |  cnt AS n
+        |FROM s""".stripMargin,
     "q_na_profile" ->
       """SELECT
         |  ROUND(AVG(CASE WHEN event_id IS NULL THEN 1.0 ELSE 0.0 END), 6) AS na_frac_event_id,
@@ -1106,10 +1133,15 @@ object SparkEntry {
         |chunks AS (
         |  SELECT doc_id, simhash, c,
         |    (simhash >> CAST(c * 16 AS INTEGER)) & 65535 AS key
-        |  FROM sim, range(0, 4) r(c))
+        |  FROM sim, range(0, 4) r(c)),
+        |bucketed AS (
+        |  SELECT c, key FROM chunks GROUP BY c, key
+        |  HAVING COUNT(*) BETWEEN 2 AND 100)
         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
-        |FROM chunks x JOIN chunks y
+        |FROM chunks x
+        |JOIN bucketed bk ON x.c = bk.c AND x.key = bk.key
+        |JOIN chunks y
         |  ON x.c = y.c AND x.key = y.key AND x.doc_id < y.doc_id
         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 10
         |ORDER BY a, b""".stripMargin,

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared plumbing for the driver-contract mains (Bench/Verify),
+  * single-sourced so the two tools can't drift: the SPARK_GRAFT_ONLY dev
+  * filter and JSON string escaping.
+  */
+object ToolSupport {
+  type Query = (SparkSession, String) => DataFrame
+
+  /** SPARK_GRAFT_ONLY=q_a,q_b selects a subset of the query map; unknown
+    * names abort, so a typo'd partial run can never masquerade as a full
+    * one. Returns the selected queries plus the parsed filter (Bench
+    * echoes it in its JSON). Unset ⇒ the full map (the driver contract). */
+  def onlyFilter(all: Map[String, Query]): (Map[String, Query], Option[Set[String]]) = {
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(all.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(",")}")
+    }
+    (only match {
+      case Some(names) => all.filter(q => names(q._1))
+      case None        => all
+    }, only)
+  }
+
+  /** JSON string escape: backslash, quote, and ALL control chars (<0x20) —
+    * a tab or CR in builder-authored SQL or an exception message would
+    * otherwise break the driver's json.load and silently zero a round. */
+  def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'          => "\\\""
+    case '\\'         => "\\\\"
+    case '\n'         => "\\n"
+    case '\r'         => "\\r"
+    case '\t'         => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c            => c.toString
+  } + "\""
+}

@@ -140,7 +140,12 @@ object Dedup {
   /** Near-dedup end to end: candidates → exact-Jaccard verification. */
   def minhashNearDup(spark: SparkSession, dir: String,
                      threshold: Double = 0.5): DataFrame = {
-    val sigs = signatures(corpus(spark, dir)).cache()
+    // localCheckpoint, not cache: the signature frame (the heaviest dedup
+    // intermediate) feeds the pair generation and both join sides; a
+    // cache would stay pinned in the CacheManager for the JVM's lifetime,
+    // while checkpoint blocks are GC-scoped — released once the result
+    // frame is dropped (durable `checkpoint` on a real cluster)
+    val sigs = signatures(corpus(spark, dir)).localCheckpoint(true)
     val pairs = candidatePairs(sigs)
     val sa = sigs.select(col("doc_id").as("a"), col("shingles").as("sh_a"))
     val sb = sigs.select(col("doc_id").as("b"), col("shingles").as("sh_b"))
@@ -309,7 +314,9 @@ object Dedup {
       .groupBy(col("ck.chunk"), col("ck.key"))
       .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash"))))
         .as("ms"))
-      .filter(size(col("ms")) >= 2)
+      // same degenerate-bucket cap as candidatePairs: a boilerplate chunk
+      // key at web scale must cost one dropped row, not a g²/2 blowup
+      .filter(size(col("ms")).between(2, MaxBucket))
       .select(explode(expr(
         """flatten(transform(ms, (x, i) ->
           |  transform(slice(ms, i + 2, size(ms)), y ->

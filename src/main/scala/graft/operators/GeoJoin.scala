@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -25,13 +25,19 @@ import graft.Tables
   */
 object GeoJoin {
 
-  /** Deterministic synthetic points: lat ∈ [-60, 60), lon ∈ [-180, 180). */
-  def points(spark: SparkSession, dir: String): DataFrame =
+  /** Deterministic synthetic point for a key: lat ∈ [-60, 60),
+    * lon ∈ [-180, 180). The ONE Scala copy of the formula (also used by
+    * EnrichPipeline's geo stage) — its mirrors live only in the q_geo_join
+    * / q_enrich_pipeline oracle SQL. */
+  def pointCols(key: Column): (Column, Column) = (
+    (key * 7 % 120 - 60 + lit(0.25)).cast(DoubleType),
+    (key * 13 % 36 * 10 - 180 + lit(0.25)).cast(DoubleType))
+
+  def points(spark: SparkSession, dir: String): DataFrame = {
+    val (lat, lon) = pointCols(col("c_custkey"))
     Tables.customer(spark, dir).select(
-      col("c_custkey"),
-      (col("c_custkey") * 7 % 120 - 60 + lit(0.25)).cast(DoubleType).as("lat"),
-      (col("c_custkey") * 13 % 36 * 10 - 180 + lit(0.25)).cast(DoubleType)
-        .as("lon"))
+      col("c_custkey"), lat.as("lat"), lon.as("lon"))
+  }
 
   /** The lookup grid: one row per (1° lat × 10° lon) cell mapping to a
     * region id — the rasterized polygon index (bounded: 120×36 = 4,320

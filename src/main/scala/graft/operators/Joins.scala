@@ -69,21 +69,40 @@ object Joins {
     a.unionByName(b).orderBy("src", "key")
   }
 
-  /** W1: decile binning via ntile (reference 05:129-130). Total order is
-    * pinned with the unique key so tile assignment is deterministic. The
-    * global window runs over the (small) presentation result — the grouped
-    * profile keeps the output bounded. */
-  def ntileDecile(spark: SparkSession, dir: String): DataFrame =
-    Tables.customer(spark, dir)
+  /** W1: decile binning with EXACT ntile semantics (reference 05:129-130)
+    * but no single-partition window: `ntile(10).over(Window.orderBy(...))`
+    * funnels the whole table through ONE task — the global-window
+    * bottleneck the module header warns about. Instead: distributed range
+    * sort on (acctbal, custkey) (unique-key tie-break ⇒ deterministic
+    * total order), zipWithIndex for the global rank (one count job for
+    * partition offsets — rank stays distributed), and the SQL-standard
+    * tile rule (first n mod t tiles get one extra row) applied per row in
+    * closed form. The DuckDB oracle states the same result with plain
+    * NTILE, so the equivalence is hash-checked. */
+  def ntileDecile(spark: SparkSession, dir: String): DataFrame = {
+    val tiles = 10
+    val sorted = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_acctbal"))
-      .withColumn("decile",
-        ntile(10).over(Window.orderBy("c_acctbal", "c_custkey"))
-          .cast(LongType))
+      .orderBy("c_acctbal", "c_custkey")
+    val n = sorted.count()
+    val q = n / tiles
+    val rem = n % tiles
+    val spark2 = spark
+    import spark2.implicits._
+    sorted.rdd.zipWithIndex()
+      .map { case (row, idx) =>
+        val tile =
+          if (idx < rem * (q + 1)) idx / (q + 1) + 1
+          else rem + (idx - rem * (q + 1)) / q + 1
+        (tile, row.getDouble(1))
+      }
+      .toDF("decile", "c_acctbal")
       .groupBy("decile")
       .agg(count(lit(1)).as("cnt"),
            round(min("c_acctbal"), 2).as("lo"),
            round(max("c_acctbal"), 2).as("hi"))
       .orderBy("decile")
+  }
 
   /** U2/J7: the reference's positional cbind (04_1:296-300 — vectors glued
     * by row order) rewritten key-carrying: both sides get an EXPLICIT

@@ -194,31 +194,61 @@ object Relational {
   // ---------------------------------------------------------------------
   // A12: z-score scaling (reference 03_LinearRegression.R:29-34). Global
   // (μ,σ) via a single-row aggregate broadcast back over the rows — at scale
-  // this is one reduce + a map, no per-row shuffle.
+  // this is one reduce + a map, no per-row shuffle. μ and σ derive from
+  // EXACT decimal sums of x and x² (avg/stddev_samp over doubles merge
+  // partials in nondeterministic partition order — a z within an ulp of a
+  // 6dp rounding boundary would then flip between runs/engines); the
+  // double arithmetic below mirrors the oracle SQL term for term.
   // ---------------------------------------------------------------------
   def zscore(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
+    val d = col("c_acctbal").cast(DecimalType(18, 2))
     val stats = c.agg(
-      avg(col("c_acctbal")).as("mu"),
-      stddev_samp(col("c_acctbal")).as("sigma"))
+      sum(d).as("sx"),
+      sum(d * d).as("sxx"),
+      count(lit(1)).cast(DoubleType).as("n"))
+    val sx = col("sx").cast(DoubleType)
+    val sxx = col("sxx").cast(DoubleType)
     // no Spark-side sort: the driver (and check_oracle.py) sort rows before
     // hashing, so a global range-shuffle of the widest output buys nothing
     c.crossJoin(broadcast(stats))
       .select(
         col("c_custkey"),
-        round((col("c_acctbal") - col("mu")) / col("sigma"), 6).as("z"))
+        round((col("c_acctbal") - sx / col("n")) /
+          sqrt((sxx - sx * sx / col("n")) / (col("n") - 1)), 6).as("z"))
   }
 
-  /** A10/M13: global metric aggregates — RMSE, R² via corr (reference
-    * 05_OutcomeAndVisualization.R:49-59). */
+  /** A10/M13: global metric aggregates — RMSE, R² (reference
+    * 05_OutcomeAndVisualization.R:49-59) — from ONE pass of exact decimal
+    * moment sums (p−a = −price·disc is exact at scale 4, its square exact
+    * at scale 8), so the result is identical at any parallelism; the
+    * closed-form corr² and the final double arithmetic mirror the oracle
+    * SQL term for term. */
   def metrics(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-      .withColumn("p", col("l_extendedprice") * (lit(1) - col("l_discount")))
-      .withColumn("a", col("l_extendedprice"))
-    li.agg(
-      round(sqrt(avg(pow(col("p") - col("a"), 2))), 4).as("rmse"),
-      round(pow(corr(col("p"), col("a")), 2), 6).as("r2"),
-      count(lit(1)).as("n"))
+    val a = col("l_extendedprice").cast(DecimalType(18, 2))
+    val e = (a * col("l_discount").cast(DecimalType(18, 2)))
+      .cast(DecimalType(18, 4)) // a − p, exact (scale-2 × scale-2)
+    val p = (a - e).cast(DecimalType(18, 4))
+    val s = li
+      .select(a.as("a"), e.as("e"), p.as("p"))
+      .agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        count(lit(1)).as("cnt"),
+        sum(col("a")).as("sa"),
+        sum(col("p")).as("sp"),
+        sum(col("a") * col("a")).as("saa"),
+        sum(col("p") * col("p")).as("spp"),
+        sum(col("a") * col("p")).as("sap"),
+        sum(col("e") * col("e")).as("se2"))
+    def dbl(c: String) = col(c).cast(DoubleType)
+    val num = col("n") * dbl("sap") - dbl("sa") * dbl("sp")
+    s.select(
+      round(sqrt(dbl("se2") / col("n")), 4).as("rmse"),
+      round(num * num /
+        ((col("n") * dbl("saa") - dbl("sa") * dbl("sa")) *
+          (col("n") * dbl("spp") - dbl("sp") * dbl("sp"))), 6).as("r2"),
+      col("cnt").as("n"))
   }
 
   /** JSON column extraction over `events.props` (multimodal/typed-metadata

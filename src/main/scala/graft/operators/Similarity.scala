@@ -217,7 +217,12 @@ object Similarity {
     * search is one bucketed join, the same shuffle discipline as the LSH
     * path but data-adaptive. */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(Tables.embeddings(spark, dir)).cache()
+    // localCheckpoint, not cache: reused by every Lloyd round AND the
+    // final search, but a cache would stay pinned in the CacheManager for
+    // the JVM's lifetime (no post-materialization hook to unpersist from);
+    // checkpoint blocks are GC-scoped — released once the result frame
+    // is dropped (durable `checkpoint` on a real cluster)
+    val e = withNorm(Tables.embeddings(spark, dir)).localCheckpoint(true)
     val centroids = kmeansCentroids(
       e.filter(col("vec_id") % 4 === 0).select("vec_id", "embedding"),
       NumLists, iters = 3)

@@ -44,11 +44,11 @@ object EnrichPipeline {
   def stages(spark: SparkSession, dir: String): Seq[Stage] = Seq(
     Stage("geo_enrich", { df =>
       // synthetic point per order's customer → grid cell → region id
+      // (GeoJoin.pointCols is the one Scala copy of the point formula)
+      val (latC, lonC) = GeoJoin.pointCols(col("o_custkey"))
       val withCells = df
-        .withColumn("lat", (col("o_custkey") * 7 % 120 - 60 + lit(0.25))
-          .cast(DoubleType))
-        .withColumn("lon", (col("o_custkey") * 13 % 36 * 10 - 180 + lit(0.25))
-          .cast(DoubleType))
+        .withColumn("lat", latC)
+        .withColumn("lon", lonC)
         .withColumn("lat_cell", floor(col("lat")).cast(LongType))
         .withColumn("lon_cell", floor(col("lon") / 10).cast(LongType))
       withCells.join(broadcast(GeoJoin.grid(spark)),
