@@ -261,6 +261,74 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** DuckDB replay of the MinHash-LSH candidate pipeline
+    * (Dedup.signatures → candidatePairs → Jaccard verify): planted
+    * corpus, distinct word 3-shingles, ONE polynomial code-point roll per
+    * shingle (base 131 mod 2147483647 — mirrors PolyHash.minhash), the
+    * affine seed family, 4-value band signatures grouped as lists with
+    * the 2..MaxBucket cap, then exact-Jaccard verification of the
+    * candidates. Ends with the `verified(a, b, jaccard)` CTE shared by
+    * q_minhash_neardup and q_dedup_survivors. */
+  private def minhashPrefix: String = {
+    import graft.operators.Dedup.{Bands, MaxBucket, NumHashes, RowsPerBand}
+    s"""corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, text || ' qq zz' FROM documents
+       |  WHERE doc_id % 7 = 0),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(tokens) < 3
+       |      THEN [array_to_string(tokens, ' ')]
+       |      ELSE list_transform(range(0, len(tokens) - 2),
+       |             i -> array_to_string(tokens[i+1:i+3], ' '))
+       |    END) AS shingles
+       |  FROM (SELECT doc_id,
+       |          string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+       |                       ' ') AS tokens
+       |        FROM corpus)),
+       |ph AS (
+       |  SELECT doc_id,
+       |    list_transform(shingles, s ->
+       |      CASE WHEN strlen(s) = 0 THEN 0 ELSE list_reduce(
+       |        list_transform(range(1, strlen(s) + 1),
+       |                       i -> CAST(unicode(s[i]) AS BIGINT)),
+       |        (a, c) -> (a * 131 + c) % 2147483647) END) AS ps
+       |  FROM sh),
+       |mh AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, $NumHashes), j ->
+       |      list_min(list_transform(ps, p ->
+       |        ((1103515245 * (j + 1)) % 2147483647 * p
+       |         + (12345 * (j + 1)) % 2147483647) % 2147483647))) AS mh
+       |  FROM ph),
+       |bands AS (
+       |  SELECT doc_id, bd,
+       |    mh[bd * $RowsPerBand + 1 : bd * $RowsPerBand + $RowsPerBand]
+       |      AS sig
+       |  FROM mh, range(0, $Bands) r(bd)),
+       |bucketed AS (
+       |  SELECT bd, sig FROM bands GROUP BY bd, sig
+       |  HAVING COUNT(*) BETWEEN 2 AND $MaxBucket),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x
+       |  JOIN bucketed bk ON x.bd = bk.bd AND x.sig = bk.sig
+       |  JOIN bands y ON x.bd = y.bd AND x.sig = y.sig
+       |    AND x.doc_id < y.doc_id),
+       |verified AS (
+       |  SELECT c.a, c.b,
+       |    ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles))
+       |               AS DOUBLE) /
+       |          len(list_distinct(list_concat(sa.shingles, sb.shingles))),
+       |      4) AS jaccard
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.a
+       |  JOIN sh sb ON sb.doc_id = c.b)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_ols_diagnostics" -> olsDiagnosticsSql,
     // full replay of the deterministic OLS dataflow: fit (see olsPrefix),
@@ -1024,74 +1092,33 @@ object SparkEntry {
     // The Spark side generates candidates with banded MinHash-LSH (never
     // all-pairs); equality against this oracle demonstrates zero false
     // negatives on the planted corpus (deterministic hashes -> stable)
+    // full SQL replay of the MinHash-LSH operator — shingles, poly-roll +
+    // affine-seed signatures, banded buckets (capped), exact-Jaccard
+    // verification — so the oracle states the LSH's ACTUAL output. An
+    // exhaustive ground-truth oracle only matches when banding recall
+    // happens to be 1, which provably fails at some SFs (sf0.001: two
+    // true pairs miss all 5 bands).
     "q_minhash_neardup" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 2000000, text || ' qq zz' FROM documents
-        |  WHERE doc_id % 7 = 0),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE WHEN len(tokens) < 3
-        |      THEN [array_to_string(tokens, ' ')]
-        |      ELSE list_transform(range(0, len(tokens) - 2),
-        |             i -> array_to_string(tokens[i+1:i+3], ' '))
-        |    END) AS shingles
-        |  FROM (SELECT doc_id,
-        |          string_split(regexp_replace(lower(text), '\s+', ' ', 'g'),
-        |                       ' ') AS tokens
-        |        FROM corpus)),
-        |pairs AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b,
-        |    ROUND(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
-        |          len(list_distinct(list_concat(x.shingles, y.shingles))), 4)
-        |      AS jaccard
-        |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
-        |SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.5
-        |ORDER BY a, b""".stripMargin,
-    // survivor selection: connected components over the near-dup pair set.
-    // Spark runs iterative min-label propagation; the oracle computes the
-    // transitive closure with a recursive CTE over the same exhaustive
-    // pair set — equal results prove the fixpoint converged to true
-    // components.
+      s"""WITH $minhashPrefix
+         |SELECT a, b, jaccard FROM verified WHERE jaccard >= 0.5
+         |ORDER BY a, b""".stripMargin,
+    // survivor selection: connected components over the SAME replayed
+    // LSH pair set; the oracle computes the transitive closure with a
+    // recursive CTE — equal results prove the pointer-jumping fixpoint
+    // converged to true components.
     "q_dedup_survivors" ->
-      """WITH RECURSIVE corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 2000000, text || ' qq zz' FROM documents
-        |  WHERE doc_id % 7 = 0),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE WHEN len(tokens) < 3
-        |      THEN [array_to_string(tokens, ' ')]
-        |      ELSE list_transform(range(0, len(tokens) - 2),
-        |             i -> array_to_string(tokens[i+1:i+3], ' '))
-        |    END) AS shingles
-        |  FROM (SELECT doc_id,
-        |          string_split(regexp_replace(lower(text), '\s+', ' ', 'g'),
-        |                       ' ') AS tokens
-        |        FROM corpus)),
-        |pairs AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b
-        |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
-        |  WHERE ROUND(
-        |    CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
-        |    len(list_distinct(list_concat(x.shingles, y.shingles))), 4)
-        |    >= 0.5),
-        |edges AS (
-        |  SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
-        |reach(node, label) AS (
-        |  SELECT a, a FROM edges
-        |  UNION
-        |  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node),
-        |comp AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node)
-        |SELECT label AS survivor_id, COUNT(*) AS n_members,
-        |  MAX(node) AS max_member
-        |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH RECURSIVE $minhashPrefix,
+         |pairs AS (SELECT a, b FROM verified WHERE jaccard >= 0.5),
+         |edges AS (
+         |  SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+         |reach(node, label) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node),
+         |comp AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node)
+         |SELECT label AS survivor_id, COUNT(*) AS n_members,
+         |  MAX(node) AS max_member
+         |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin,
     // exact replay of the SimHash operator — polynomial token hashes, 64
     // bit-votes, 16-bit chunk banding, Hamming filter — in pure SQL. The
     // pair set mirrors the banding semantics (pairs sharing >= 1 chunk).

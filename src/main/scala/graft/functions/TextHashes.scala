@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -105,23 +105,48 @@ object PolyHash {
     new GenericArrayData(arr)
   }
 
-  /** MinHash signature: for each seed j in [0, numHashes), the minimum of
-    * `xxhash64(shingle, j)` over all shingles. Bit-exact with the built-in
-    * `xxhash64(s, j)` (seed 42, then chain the int j), so swapping the HOF
-    * form for this one changes no query output. */
+  /** MinHash signature over a DuckDB-replayable hash family: each shingle
+    * reduces ONCE to a polynomial code-point roll p (base 131 mod
+    * P = 2147483647 — the same roll as SimHash h1), and seed j applies the
+    * affine h_j = (a_j·p + b_j) mod P with a_j = (1103515245·(j+1)) mod P
+    * and b_j = (12345·(j+1)) mod P (a_j ≠ 0: P prime, both factors nonzero
+    * mod P). minhash[j] = min over shingles of h_j; every intermediate
+    * < 2^62, so DuckDB's overflow-checked BIGINT arithmetic reproduces the
+    * signature — which lets the oracle state the LSH's ACTUAL candidate
+    * set instead of an exhaustive ground truth that only matches when
+    * banding recall happens to be 1 (it provably isn't at every SF).
+    * Also cheaper than the previous xxhash64 family: one char pass per
+    * shingle instead of one xxhash64 per (shingle, seed). */
   def minhash(shingles: ArrayData, numHashes: Int): ArrayData = {
+    val P = 2147483647L
     val mins = new Array[Long](numHashes)
     java.util.Arrays.fill(mins, Long.MaxValue)
+    val as = new Array[Long](numHashes)
+    val bs = new Array[Long](numHashes)
+    var j = 0
+    while (j < numHashes) {
+      as(j) = (1103515245L * (j + 1)) % P
+      bs(j) = (12345L * (j + 1)) % P
+      j += 1
+    }
     val n = shingles.numElements()
     var i = 0
     while (i < n) {
       val s = shingles.getUTF8String(i)
-      // a null element leaves the seed untouched, exactly like the
-      // built-in xxhash64(NULL, j) the HOF form evaluated
-      val base = if (s == null) 42L else XXH64.hashUTF8String(s, 42L)
-      var j = 0
+      // null or empty → p = 0 (the SQL CASE strlen = 0 branch)
+      var p = 0L
+      if (s != null) {
+        val str = s.toString
+        var k = 0
+        while (k < str.length) {
+          val c = str.codePointAt(k)
+          p = (p * 131 + c) % P
+          k += Character.charCount(c)
+        }
+      }
+      j = 0
       while (j < numHashes) {
-        val h = XXH64.hashInt(j, base)
+        val h = (as(j) * p + bs(j)) % P
         if (h < mins(j)) mins(j) = h
         j += 1
       }

@@ -19,8 +19,9 @@ import graft.Tables
   * on (band, signature); cost is O(n·bands + Σ bucket²) with a bucket-size
   * cap dropping degenerate buckets (boilerplate text at web scale),
   * the standard guard against quadratic blowup on skewed buckets. Signatures
-  * are built with codegen'd built-ins (xxhash64/transform/aggregate), no
-  * UDFs.
+  * are built with native codegen kernels over DuckDB-replayable polynomial
+  * hash families (see functions.PolyHash), no UDFs — so the LSH candidate
+  * generation itself is stated exactly by the oracles.
   *
   * The testdata corpus is random words (no natural dups), so `corpus` plants
   * deterministic exact (+1M ids) and near (+2M ids, 2 appended tokens)
@@ -70,7 +71,8 @@ object Dedup {
       .withColumn("minhash", expr(s"minhash_sigs(shingles, $NumHashes)"))
       .select("doc_id", "shingles", "minhash")
 
-  /** The original HOF formulation of the shingle + minhash signature —
+  /** The original HOF formulation of the shingle + minhash signature
+    * (poly roll per shingle, affine per seed — see PolyHash.minhash) —
     * kept (unregistered) as the executable spec the native kernels are
     * equivalence-tested against. */
   def signaturesHof(docs: DataFrame): DataFrame =
@@ -84,8 +86,12 @@ object Dedup {
           |                 i -> concat_ws(' ', slice(tokens, i + 1, 3)))
           |END)""".stripMargin))
       .withColumn("minhash", expr(
-        s"""transform(sequence(0, $NumHashes - 1),
-           |  j -> array_min(transform(shingles, s -> xxhash64(s, j))))"""
+        s"""transform(sequence(0, $NumHashes - 1), j ->
+           |  array_min(transform(shingles, s ->
+           |    ((1103515245L * (j + 1)) % 2147483647L
+           |       * aggregate(split(s, ''), 0L,
+           |           (a, c) -> (a * 131 + ascii(c)) % 2147483647L)
+           |     + (12345L * (j + 1)) % 2147483647L) % 2147483647L)))"""
           .stripMargin))
       .select("doc_id", "shingles", "minhash")
 
@@ -101,11 +107,15 @@ object Dedup {
   def candidatePairs(sigs: DataFrame): DataFrame =
     sigs.select(
       col("doc_id"),
+      // the band signature is the raw 4-value slice (an array<bigint>
+      // grouping key), not an xxhash64 of it — same shuffle shape, but
+      // replayable in the DuckDB oracle (GROUP BY the list) and free of
+      // hash-collision false positives across buckets
       explode(expr(
         s"""transform(sequence(0, $Bands - 1),
            |  b -> struct(b AS band,
-           |              xxhash64(slice(minhash, b * $RowsPerBand + 1,
-           |                             $RowsPerBand), b) AS sig))"""
+           |              slice(minhash, b * $RowsPerBand + 1,
+           |                    $RowsPerBand) AS sig))"""
           .stripMargin)).as("bs"))
       .groupBy(col("bs.band"), col("bs.sig"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))

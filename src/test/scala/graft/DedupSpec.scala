@@ -72,7 +72,7 @@ class DedupSpec extends AnyFunSuite {
     assert(diff === 0L)
   }
 
-  test("native shingles3+minhash_sigs kernels match the xxhash64 HOF forms") {
+  test("native shingles3+minhash_sigs kernels match the HOF executable spec") {
     val spark2 = spark
     import spark2.implicits._
     val edge = Seq((9000001L, ""), (9000002L, " x y z"), (9000003L, "x "),
