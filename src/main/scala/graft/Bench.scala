@@ -29,9 +29,12 @@ object Bench {
     // dev filter: SPARK_GRAFT_ONLY=q_a,q_b times just those queries,
     // echoed in the JSON ("only") — see ToolSupport.onlyFilter
     val (queries, only) = ToolSupport.onlyFilter(SparkEntry.queries)
-    // a failed query is excluded from "queries"/"value" (which stay
-    // non-negative successful durations summing to the total) and reported
-    // in "errors" instead, so a fast failure can't masquerade as a fast run
+    // a failed query appears in "queries" with a NEGATIVE elapsed sentinel
+    // (-sec) AND in "errors"; "value" sums only successful durations. Both
+    // conventions are kept so a consumer reading either per-query keys or
+    // the errors map sees the failure — a fast failure can't masquerade as
+    // a fast run, and a partially-failed run can't masquerade as a smaller
+    // successful one.
     val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err =
@@ -45,8 +48,9 @@ object Bench {
       (name, sec, err)
     }
     import ToolSupport.jstr
-    val qs = results.collect { case (k, v, None) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, v, err) =>
+      s"\"" + k + "\":" + (if (err.isEmpty) v else -v)
+    }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum

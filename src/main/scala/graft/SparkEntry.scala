@@ -292,8 +292,8 @@ object SparkEntry {
        |ph AS (
        |  SELECT doc_id,
        |    list_transform(shingles, s ->
-       |      CASE WHEN strlen(s) = 0 THEN 0 ELSE list_reduce(
-       |        list_transform(range(1, strlen(s) + 1),
+       |      CASE WHEN length(s) = 0 THEN 0 ELSE list_reduce(
+       |        list_transform(range(1, length(s) + 1),
        |                       i -> CAST(unicode(s[i]) AS BIGINT)),
        |        (a, c) -> (a * 131 + c) % 2147483647) END) AS ps
        |  FROM sh),
@@ -1078,12 +1078,15 @@ object SparkEntry {
         |SELECT q_id, rank, vec_id AS neighbor_id, cos
         |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     // Rabin–Karp char-stream fold: DuckDB list_reduce seeds with the first
-    // element, which equals Spark's aggregate from zero ((0*131+c0)%p = c0)
+    // element, which equals Spark's aggregate from zero ((0*131+c0)%p = c0).
+    // length() (characters), not strlen() (bytes): the Spark side rolls
+    // over code points, and s[i] indexes characters — byte length would
+    // hash garbage positions on any non-ASCII text.
     "q_fingerprint" ->
       """SELECT doc_id,
-        |  CASE WHEN strlen(text) = 0 THEN 0
+        |  CASE WHEN length(text) = 0 THEN 0
         |       ELSE list_reduce(
-        |         list_transform(range(1, strlen(text) + 1),
+        |         list_transform(range(1, length(text) + 1),
         |                        i -> CAST(unicode(text[i]) AS BIGINT)),
         |         (acc, c) -> (acc * 131 + c) % 1000000007)
         |  END AS fingerprint

@@ -186,7 +186,10 @@ object Dedup {
     * as self; min only decreases, and l(l(n)) ≤ l(n) since l(x) ≤ x),
     * so the fixpoint is reached exactly when `sum(label)` stops
     * changing — ONE aggregate per round (which also fully materializes
-    * the round's cache), no changed-rows join. At the fixpoint every
+    * the round's cache), no changed-rows join. The sum runs in
+    * DECIMAL(38,0), not Long: at web-scale 64-bit doc ids a Long sum can
+    * overflow and alias two different label states, silently declaring
+    * convergence early (wrong components). At the fixpoint every
     * label is a root (l(l(n)) = l(n)) and no neighbor offers a smaller
     * one — the component minimum. If `maxIter` rounds pass without
     * reaching the fixpoint, the result would be silently split — so that
@@ -197,7 +200,11 @@ object Dedup {
       .cache()
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node")).cache()
-    var prevSum = labels.agg(coalesce(sum("label"), lit(0L))).collect()(0).getLong(0)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast(DecimalType(38, 0))),
+          lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 0))))
+        .collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -216,8 +223,8 @@ object Dedup {
       val next = minned.join(parents, minned("label") === col("p_node"))
         .select(minned("node").as("node"), col("p_label").as("label"))
         .localCheckpoint(eager = true)
-      val nextSum = next.agg(coalesce(sum("label"), lit(0L))).collect()(0).getLong(0)
-      done = nextSum == prevSum
+      val nextSum = labelSum(next)
+      done = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       labels.unpersist()
       labels = next

@@ -57,6 +57,13 @@ object Streaming {
   final case class SessionOut(user_id: Long, session_start: Timestamp,
                               cnt: Long)
 
+  /** Epoch microseconds of a Timestamp — the precision the events table
+    * actually carries. getTime() alone truncates to ms, which is NOT safe
+    * for gap comparisons (see sessionizeStream); getNanos() holds the full
+    * fractional second, so rebuild micros from whole seconds + nanos. */
+  private def micros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   /** Streaming sessionization via flatMapGroupsWithState (brief-required
     * stateful operator; the streaming form of `EventWindows.sessions`):
     * per user, events within `gapMinutes` of the previous one extend the
@@ -71,6 +78,7 @@ object Streaming {
                        watermarkDelay: String = "0 seconds"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60L * 1000L
+    val gapUs = gapMs * 1000L
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
@@ -82,21 +90,29 @@ object Streaming {
             state.remove()
             Iterator(SessionOut(s.user_id, s.start, s.events))
           } else {
-            val sorted = batch.toArray.sortBy(_.ts.getTime)
+            val sorted = batch.toArray.sortBy(e => micros(e.ts))
             val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
             var open = state.getOption
             sorted.foreach { e =>
               open match {
-                case Some(s) if e.ts.getTime - s.end.getTime < gapMs =>
+                // gap compare in MICROSECONDS: session_window and the
+                // gaps-and-islands oracle compare full timestamp
+                // precision, and events carry sub-millisecond micros — a
+                // gap in (30min-1ms, 30min) must split the session on
+                // both sides, so ms truncation here would silently
+                // diverge. Only the timeout timestamp (a state-eviction
+                // bound, not a session-boundary decision) stays in ms,
+                // the unit GroupState requires.
+                case Some(s) if micros(e.ts) - micros(s.end) < gapUs =>
                   // extend with min/max, not overwrite: an allowed late
                   // event (watermarkDelay > 0) arriving in a later batch
                   // may precede the open session's bounds, and rewinding
                   // `end` would mis-measure the next gap (session_window
                   // merges such an event into the existing window)
                   open = Some(s.copy(
-                    start = if (e.ts.getTime < s.start.getTime) e.ts
+                    start = if (micros(e.ts) < micros(s.start)) e.ts
                             else s.start,
-                    end = if (e.ts.getTime > s.end.getTime) e.ts else s.end,
+                    end = if (micros(e.ts) > micros(s.end)) e.ts else s.end,
                     events = s.events + 1))
                 case Some(s) =>
                   closed += SessionOut(s.user_id, s.start, s.events)
