@@ -18,6 +18,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // bucketed checkpoints (saveAsTable) land in tmp, not ./spark-warehouse
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warm-up: JVM/codegen + one tiny scan per table

@@ -82,6 +82,7 @@ object SparkEntry {
     // sources/sinks (SURVEY §2.1)
     "q_csv_roundtrip"     -> (graft.sources.CsvIO.csvRoundTrip _),
     "q_checkpoint_prune"  -> (graft.sources.CsvIO.checkpointPrune _),
+    "q_bucketed_join"     -> ((s, d) => graft.sources.CsvIO.bucketedJoin(s, d)),
     "q_model_roundtrip"   -> (graft.ml.ModelIO.modelRoundTrip _),
     // event-time windows (SURVEY §2.10, §7.1(7))
     "q_window_tumbling"   -> (graft.streaming.EventWindows.tumbling _),
@@ -773,6 +774,14 @@ object SparkEntry {
         |    AS sum_value_cents,
         |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
         |FROM events WHERE event_type = 'click'""".stripMargin,
+    // the oracle joins the ORIGINAL tables — the bucketed write + catalog
+    // read + co-located SMJ on the Spark side must be lossless
+    "q_bucketed_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS sum_price_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the oracle states the round-trip INVARIANT independently: every row
     // of the training universe scored, zero prediction mismatches between
     // the fitted and the reloaded model

@@ -98,6 +98,51 @@ object CsvIO {
         max(col("event_id")).as("max_id"))
   }
 
+  /** S3 at scale, part two: BUCKETED checkpoint (bucketBy + sortBy on the
+    * join key, saveAsTable — bucketing lives in the catalog, not the
+    * directory layout). Two tables bucketed on their join keys with the
+    * same bucket count join WITHOUT a shuffle on either side: each bucket
+    * pair is already co-located, so the sort-merge join reads bucket files
+    * directly — the standard way to amortize ONE shuffle-by-write across
+    * every downstream join of a 100 TB fact table. */
+  def checkpointBucketed(df: DataFrame, table: String, bucketCol: String,
+                         buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
+
+  /** Oracle-checked bucketed-join lifecycle: orders + customer → bucketed
+    * checkpoints on the join key → co-located sort-merge join (the MERGE
+    * hint pins SMJ — a broadcast would be fine for 15k customers but would
+    * skip the co-location being demonstrated; asserted shuffle-free on the
+    * join keys in PlanSpec) → segment profile. The oracle runs the same
+    * join+profile on the ORIGINAL tables, so the bucketed write+read must
+    * be lossless. Table names carry dataset + pid so concurrent JVMs
+    * (bench and verify) can't overwrite each other's buckets. */
+  def bucketedJoin(spark: SparkSession, dir: String,
+                   buckets: Int = 8): DataFrame = {
+    val key = dir.replaceAll("[^A-Za-z0-9_]", "_") +
+      s"_pid${ProcessHandle.current().pid()}"
+    val ot = s"graft_bkt_orders_$key"
+    val ct = s"graft_bkt_customer_$key"
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    Seq(ot, ct).foreach(t => cleanupOnExit(s"$wh/${t.toLowerCase}"))
+    checkpointBucketed(Tables.orders(spark, dir)
+      .select("o_custkey", "o_totalprice"), ot, "o_custkey", buckets)
+    checkpointBucketed(Tables.customer(spark, dir)
+      .select("c_custkey", "c_mktsegment"), ct, "c_custkey", buckets)
+    val o = spark.table(ot)
+    val c = spark.table(ct)
+    o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("cnt"),
+        (sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+          .cast(LongType).as("sum_price_cents"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Oracle-checked round-trip: customer → CSV (typed re-scan) → aggregate.
     * Values survive the text round-trip exactly (Java double formatting is
     * round-trip exact; money compared as DECIMAL), so the oracle is the

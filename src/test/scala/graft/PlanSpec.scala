@@ -113,6 +113,22 @@ class PlanSpec extends AnyFunSuite {
         .count())
   }
 
+  test("bucketed-checkpoint join shuffles NEITHER side on the join key") {
+    // both tables are bucketed on their join key with the same bucket
+    // count, so the sort-merge join must read co-located bucket files with
+    // no Exchange keyed on o_custkey/c_custkey — the only exchanges in the
+    // plan belong to the downstream profile (hash agg + presentation sort).
+    // This is the property that amortizes one shuffle-by-write across every
+    // downstream join at 100 TB; a silent fallback to a full shuffle would
+    // be invisible to the value oracle.
+    val df = graft.sources.CsvIO.bucketedJoin(spark, sf)
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("hashpartitioning(o_custkey") &&
+      !p.contains("hashpartitioning(c_custkey"), p)
+    assert(p.contains("Bucketed: true"), p)
+  }
+
   private def scanCount(df: DataFrame): Int =
     df.queryExecution.explainString(FormattedMode)
       .linesIterator.count(_.contains("Scan parquet"))
