@@ -80,7 +80,10 @@ object TreePipeline {
   def rfImportance(spark: SparkSession, dir: String): DataFrame = {
     val ds = dataset(spark, dir, sampleMod = 9)
     // key-derived split: stable across partition layouts (see OlsPipeline)
-    val (train, _) = OlsPipeline.keySplit(ds, "l_orderkey", seed = 123)
+    // cached: the indexer aggregate, the forest's input conversion and the
+    // attribute-names probe each re-walk the scan+filter chain otherwise
+    val (train0, _) = OlsPipeline.keySplit(ds, "l_orderkey", seed = 123)
+    val train = train0.cache()
     val rf = new RandomForestRegressor()
       .setFeaturesCol("features").setLabelCol("label")
       .setNumTrees(20).setMaxDepth(6).setSeed(123)
@@ -89,6 +92,7 @@ object TreePipeline {
     val fitted = model.stages.last.asInstanceOf[
       org.apache.spark.ml.regression.RandomForestRegressionModel]
     val names = featureNames(model.transform(train.limit(1)))
+    train.unpersist(blocking = false)
     val spark2 = spark
     import spark2.implicits._
     fitted.featureImportances.toArray.zipWithIndex
@@ -108,7 +112,10 @@ object TreePipeline {
       .setFeaturesCol("features").setLabelCol("label")
       .setMaxIter(20).setMaxDepth(4).setStepSize(0.2).setSeed(123)
       .setValidationIndicatorCol("is_val")
+    // cached: the indexer fit, the boosting input conversion AND the
+    // train-split metric pass below each re-walk the scan chain otherwise
     val trainVal = train.withColumn("is_val", col("l_orderkey") % 4 === 1)
+      .cache()
     val pipe = new Pipeline().setStages(featureStages() :+ gbt)
     val model = pipe.fit(trainVal)
     // one scoring pass + one joint agg per split (not a job per metric);
@@ -123,7 +130,10 @@ object TreePipeline {
     }
     val spark2 = spark
     import spark2.implicits._
-    Seq(m("train", trainVal), m("test", test.withColumn("is_val", lit(false))))
+    val out =
+      Seq(m("train", trainVal), m("test", test.withColumn("is_val", lit(false))))
+    trainVal.unpersist(blocking = false)
+    out
       .toDF("split", "rmse", "r2")
       .select(col("split"), round(col("rmse"), 4).as("rmse"),
         round(col("r2"), 4).as("r2"))
@@ -135,24 +145,30 @@ object TreePipeline {
     * deterministic subsample like the reference's 10% tuning sample. */
   def cvBestParams(spark: SparkSession, dir: String): DataFrame = {
     val ds = dataset(spark, dir, sampleMod = 60)
+    // the feature prep (indexer/encoder/assembler) is label-independent, so
+    // fitting it ONCE outside the CV loop leaks nothing into the folds —
+    // and the grid×fold fits (8 of them) then tune only the forest over a
+    // cached vector frame instead of each re-running the indexer aggregate
+    // + transform chain from the parquet scan
+    val prep = new Pipeline().setStages(featureStages()).fit(ds)
+    val vec = prep.transform(ds).select("features", "label").cache()
     val rf = new RandomForestRegressor()
       .setFeaturesCol("features").setLabelCol("label")
       .setNumTrees(10).setSeed(123)
-    val pipe = new Pipeline().setStages(featureStages() :+ rf)
     val grid = new ParamGridBuilder()
       .addGrid(rf.maxDepth, Array(3, 6))
       .addGrid(rf.subsamplingRate, Array(0.8, 1.0))
       .build()
     val cv = new CrossValidator()
-      .setEstimator(pipe)
+      .setEstimator(rf)
       .setEvaluator(new RegressionEvaluator().setLabelCol("label")
         .setMetricName("rmse"))
       .setEstimatorParamMaps(grid)
       .setNumFolds(2).setParallelism(8).setSeed(123)
-    val model = cv.fit(ds)
-    val best = model.bestModel.asInstanceOf[org.apache.spark.ml.PipelineModel]
-      .stages.last.asInstanceOf[
-        org.apache.spark.ml.regression.RandomForestRegressionModel]
+    val model = cv.fit(vec)
+    vec.unpersist(blocking = false)
+    val best = model.bestModel.asInstanceOf[
+      org.apache.spark.ml.regression.RandomForestRegressionModel]
     val spark2 = spark
     import spark2.implicits._
     Seq((best.getMaxDepth, best.getSubsamplingRate,
