@@ -172,7 +172,10 @@ object Dedup {
 
   /** Connected components over an undirected pair set by iterative
     * min-label propagation PLUS pointer jumping: every node starts labeled
-    * with itself; each round a node takes the minimum label among itself
+    * with the minimum of itself and its direct neighbors (the first
+    * propagation round folded into the initialization groupBy — one
+    * aggregate instead of a distinct + a join round); each round a node
+    * then takes the minimum label among itself
     * and its neighbors, then short-circuits through its label's own label
     * (l(n) := l(l(n)) — the pointer-jumping step of the
     * large-star/small-star family). One-hop propagation alone needs
@@ -198,8 +201,13 @@ object Dedup {
     val edges = pairs.select(col("a"), col("b"))
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       .cache()
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node")).cache()
+    // init = min(self, neighbors): every label is a node of the component
+    // (a's own id or a neighbor's), so the jump self-join below always
+    // matches and the monotone-decrease convergence argument is unchanged
+    var labels = edges.groupBy(col("a"))
+      .agg(min(col("b")).as("mn"))
+      .select(col("a").as("node"), least(col("a"), col("mn")).as("label"))
+      .cache()
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("label").cast(DecimalType(38, 0))),
           lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 0))))

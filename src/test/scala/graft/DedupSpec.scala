@@ -92,11 +92,12 @@ class DedupSpec extends AnyFunSuite {
   test("connected components throws instead of returning split components") {
     val spark2 = spark
     import spark2.implicits._
-    // a 5-node chain has diameter 4; maxIter=2 can't confirm the fixpoint
-    // (the sum-unchanged round) → must throw, not split
+    // a 5-node chain has diameter 4; with the first propagation folded
+    // into init, maxIter=1 still can't both finish propagating AND confirm
+    // the fixpoint (the sum-unchanged round) → must throw, not split
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
     assertThrows[IllegalStateException] {
-      Dedup.connectedComponents(chain, maxIter = 2).collect()
+      Dedup.connectedComponents(chain, maxIter = 1).collect()
     }
   }
 
