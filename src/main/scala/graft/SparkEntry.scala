@@ -83,6 +83,8 @@ object SparkEntry {
     "q_csv_roundtrip"     -> (graft.sources.CsvIO.csvRoundTrip _),
     "q_checkpoint_prune"  -> (graft.sources.CsvIO.checkpointPrune _),
     "q_bucketed_join"     -> ((s, d) => graft.sources.CsvIO.bucketedJoin(s, d)),
+    // hot-key salted join (100 TB skew discipline; result == plain join)
+    "q_skew_join"         -> (Skew.query _),
     "q_model_roundtrip"   -> (graft.ml.ModelIO.modelRoundTrip _),
     // event-time windows (SURVEY §2.10, §7.1(7))
     "q_window_tumbling"   -> (graft.streaming.EventWindows.tumbling _),
@@ -774,6 +776,18 @@ object SparkEntry {
         |    AS sum_value_cents,
         |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
         |FROM events WHERE event_type = 'click'""".stripMargin,
+    // the oracle states the PLAIN join — the salted replication on the
+    // Spark side must produce the identical row set for any salt assignment
+    "q_skew_join" ->
+      """WITH dim AS (
+        |  SELECT event_type, MIN(event_id) AS first_id
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS sum_value_cents,
+        |  MAX(dim.first_id) AS first_id
+        |FROM events e JOIN dim ON e.event_type = dim.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the oracle joins the ORIGINAL tables — the bucketed write + catalog
     // read + co-located SMJ on the Spark side must be lossless
     "q_bucketed_join" ->
