@@ -85,6 +85,8 @@ object SparkEntry {
     "q_bucketed_join"     -> ((s, d) => graft.sources.CsvIO.bucketedJoin(s, d)),
     // hot-key salted join (100 TB skew discipline; result == plain join)
     "q_skew_join"         -> (Skew.query _),
+    // as-of temporal join (union + one window pass; oracle = DuckDB ASOF)
+    "q_asof_join"         -> (AsOfJoin.query _),
     "q_model_roundtrip"   -> (graft.ml.ModelIO.modelRoundTrip _),
     // event-time windows (SURVEY §2.10, §7.1(7))
     "q_window_tumbling"   -> (graft.streaming.EventWindows.tumbling _),
@@ -788,6 +790,20 @@ object SparkEntry {
         |  MAX(dim.first_id) AS first_id
         |FROM events e JOIN dim ON e.event_type = dim.event_type
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // DuckDB's native ASOF JOIN is the oracle for the union+window
+    // formulation: inclusive `>=` match, NULL state before the first
+    // purchase (left semantics)
+    "q_asof_join" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, MAX(value) AS p_value FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |c AS (
+        |  SELECT user_id, event_id, ts FROM events
+        |  WHERE event_type = 'click')
+        |SELECT c.user_id, c.event_id, c.ts,
+        |  p.ts AS asof_ts, p.p_value AS asof_value
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
     // the oracle joins the ORIGINAL tables — the bucketed write + catalog
     // read + co-located SMJ on the Spark side must be lossless
     "q_bucketed_join" ->

@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.ExplainMode
+import graft.operators.AsOfJoin
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsOfJoinSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // small fixture with every interesting shape: state before/after probe,
+  // exact timestamp tie, probe with no preceding state, multi-key
+  private lazy val probes = {
+    import spark.implicits._
+    Seq(
+      (1L, 100L, ts("2024-01-01 00:00:00")), // before any state -> NULL
+      (1L, 101L, ts("2024-01-01 02:00:00")), // after s1
+      (1L, 102L, ts("2024-01-01 03:00:00")), // tie with s2 -> inclusive
+      (1L, 103L, ts("2024-01-01 09:00:00")), // after s2 (latest wins)
+      (2L, 200L, ts("2024-01-01 05:00:00"))  // other key, after its state
+    ).toDF("k", "probe_id", "t")
+  }
+  private lazy val states = {
+    import spark.implicits._
+    Seq(
+      (1L, ts("2024-01-01 01:00:00"), 10.0), // s1
+      (1L, ts("2024-01-01 03:00:00"), 20.0), // s2 (ties probe 102)
+      (2L, ts("2024-01-01 04:00:00"), 30.0),
+      (3L, ts("2024-01-01 00:30:00"), 99.0)  // key with no probes
+    ).toDF("k", "t", "v")
+  }
+
+  test("as-of picks the latest state at-or-before each probe (inclusive >=)") {
+    val got = AsOfJoin.asOf(probes, states, "k", "t", Seq("v"))
+      .orderBy("probe_id")
+      .collect()
+      .map(r => (r.getAs[Long]("probe_id"),
+        Option(r.getAs[Timestamp]("asof_t")),
+        Option(r.getAs[java.lang.Double]("asof_v")).map(_.doubleValue)))
+    assert(got.toSeq === Seq(
+      (100L, None, None),
+      (101L, Some(ts("2024-01-01 01:00:00")), Some(10.0)),
+      (102L, Some(ts("2024-01-01 03:00:00")), Some(20.0)), // tie matches
+      (103L, Some(ts("2024-01-01 03:00:00")), Some(20.0)),
+      (200L, Some(ts("2024-01-01 04:00:00")), Some(30.0))))
+  }
+
+  test("as-of equals the quadratic reference formulation on real data") {
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("value").as("p_value"))
+    val c = ev.filter(col("event_type") === "click")
+      .select("user_id", "event_id", "ts")
+    // reference: inequality join + per-probe argmax — O(n*m) per key,
+    // fine at test SF, the formulation asOf exists to avoid
+    val byLatest = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_id")
+      .orderBy(col("p_ts").desc)
+    val expect = c.join(p.withColumnRenamed("ts", "p_ts")
+        .withColumnRenamed("user_id", "p_user"),
+        col("user_id") === col("p_user") && col("ts") >= col("p_ts"), "left")
+      .withColumn("rn", row_number().over(byLatest))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("p_ts"), col("p_value"))
+    val got = AsOfJoin.query(spark, sf)
+      .select(col("event_id"), col("asof_ts"), col("asof_value"))
+    assert(got.count() === c.count(), "left semantics: no probe dropped")
+    assert(got.except(expect).isEmpty && expect.except(got).isEmpty)
+  }
+
+  test("as-of core is join-free: one window pass, no pair expansion") {
+    val plan = AsOfJoin.asOf(probes, states, "k", "t", Seq("v"))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Join"), s"expected no join operator:\n$plan")
+    assert(plan.contains("Window"), "expected the single window pass")
+  }
+}
