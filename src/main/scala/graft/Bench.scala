@@ -38,17 +38,23 @@ object Bench {
     // the errors map sees the failure — a fast failure can't masquerade as
     // a fast run, and a partially-failed run can't masquerade as a smaller
     // successful one.
-    val results = queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err =
-        try {
-          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          None
-        } catch { case e: Throwable =>
-          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
-        }
-      val sec = (System.nanoTime() - t0) / 1e9
-      (name, sec, err)
+    // dev knob: SPARK_GRAFT_REPEAT=2 times each query N times ("q#2" rows
+    // for later passes) to split steady-state cost from first-run
+    // warm-up/scan effects; the driver runs with it unset → one pass each
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val results = queries.toSeq.flatMap { case (name, fn) =>
+      (1 to repeat).map { i =>
+        val t0 = System.nanoTime()
+        val err =
+          try {
+            fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+            None
+          } catch { case e: Throwable =>
+            Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+          }
+        val sec = (System.nanoTime() - t0) / 1e9
+        (if (i == 1) name else s"$name#$i", sec, err)
+      }
     }
     import ToolSupport.jstr
     val qs = results.map { case (k, v, err) =>
