@@ -87,6 +87,8 @@ object SparkEntry {
     "q_skew_join"         -> (Skew.query _),
     // as-of temporal join (union + one window pass; oracle = DuckDB ASOF)
     "q_asof_join"         -> (AsOfJoin.query _),
+    // bucketed interval join (equi-join on derived day bucket + residual)
+    "q_range_join"        -> (RangeJoin.query _),
     "q_model_roundtrip"   -> (graft.ml.ModelIO.modelRoundTrip _),
     // event-time windows (SURVEY §2.10, §7.1(7))
     "q_window_tumbling"   -> (graft.streaming.EventWindows.tumbling _),
@@ -804,6 +806,18 @@ object SparkEntry {
         |  p.ts AS asof_ts, p.p_value AS asof_value
         |FROM c ASOF LEFT JOIN p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+    // the oracle states the PLAIN inequality join; the Spark side's
+    // bucket-refined equi-join + residual must be row-identical to it
+    "q_range_join" ->
+      """WITH p AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, event_id, ts FROM events
+        |  WHERE event_type = 'click')
+        |SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+        |  p.ts AS purchase_ts
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 DAY""".stripMargin,
     // the oracle joins the ORIGINAL tables — the bucketed write + catalog
     // read + co-located SMJ on the Spark side must be lossless
     "q_bucketed_join" ->

@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.ExplainMode
+import graft.operators.RangeJoin
+import org.scalatest.funsuite.AnyFunSuite
+
+class RangeJoinSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("range join matches the naive inequality join on real data") {
+    val ev = Tables.events(spark, sf)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+    val naive = c.join(p,
+        col("user_id") === col("p_user") &&
+        col("click_ts") >= col("purchase_ts") &&
+        col("click_ts") < col("purchase_ts") + expr("INTERVAL 1 DAY"))
+      .select("user_id", "click_id", "click_ts", "purchase_ts")
+    val got = SparkEntry.queries("q_range_join")(spark, sf)
+    assert(got.count() === naive.count())
+    assert(got.except(naive).isEmpty && naive.except(got).isEmpty)
+  }
+
+  test("boundaries: inclusive start, exclusive end, cross-bucket match") {
+    import spark.implicits._
+    val probes = Seq(
+      (1L, 10L, ts("2024-01-02 00:00:00")), // == start -> in
+      (1L, 11L, ts("2024-01-03 00:00:00")), // == end -> out
+      // next calendar day bucket, still inside the window -> in
+      (1L, 12L, ts("2024-01-02 23:59:59")),
+      (2L, 20L, ts("2024-01-02 12:00:00"))  // other key -> out
+    ).toDF("k", "id", "t")
+    val ivls = Seq(
+      (1L, ts("2024-01-02 00:00:00"), ts("2024-01-03 00:00:00"))
+    ).toDF("k", "s", "e")
+    val got = RangeJoin.rangeJoin(probes, ivls, "k", "t", "s", "e")
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === Seq(10L, 12L))
+  }
+
+  test("join key is refined with the bucket (bounds per-key expansion)") {
+    val plan = SparkEntry.queries("q_range_join")(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the equi-join must be on (user_id, __bucket), not user_id alone —
+    // that refinement is what keeps a hot user from quadratic expansion
+    assert(plan.contains("__bucket"), s"bucket key missing from plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
