@@ -56,6 +56,9 @@ object SparkEntry {
     "q_rare_other"        -> (RareCategory.query _),
     // reshape (SURVEY §2.9 M14)
     "q_melt"              -> (Relational.meltWideToLong _),
+    // exact grouped quantiles (oracle = quantile_cont; approx variant is
+    // the scale path, error-bound-tested in RelationalSpec)
+    "q_percentile"        -> (Relational.percentiles _),
     // ML module (SURVEY §2.9) — model outputs: rows-only driver check
     "q_ols_forecast"      -> (graft.ml.OlsPipeline.query _),
     "q_ols_metrics"       -> (graft.ml.OlsPipeline.metricsLong _),
@@ -704,6 +707,17 @@ object SparkEntry {
         |  COUNT(*) AS cnt
         |FROM documents d JOIN freq f ON d.source = f.source
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // DuckDB quantile_cont == Spark exact percentile (both R-7 linear
+    // interpolation); rounded to 4dp on both sides
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4)
+        |    AS p50,
+        |  ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95), 4)
+        |    AS p95,
+        |  ROUND(quantile_cont(CAST(l_discount AS DOUBLE), 0.5), 4)
+        |    AS disc_p50
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_melt" ->
       """WITH w AS (
         |  SELECT l_returnflag,

@@ -266,6 +266,38 @@ object Relational {
         max(col("props_t.k")).as("max_k"))
       .orderBy("event_type")
 
+  /** Grouped quantiles. The oracle-gated form uses EXACT `percentile`
+    * (R-7 linear interpolation, same definition as DuckDB's
+    * `quantile_cont`), which buffers each group's values — fine for
+    * bounded group counts, but the 100 TB path is `approx_percentile`
+    * (KLL-style mergeable sketch, one pass, bounded memory per group):
+    * sketches can't hash-match across engines, so the approx variant is
+    * verified in-engine instead (RelationalSpec pins its rank-error bound
+    * against this exact result). */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.5)"), 4)
+          .as("p50"),
+        round(expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.95)"), 4)
+          .as("p95"),
+        round(expr("percentile(CAST(l_discount AS DOUBLE), 0.5)"), 4)
+          .as("disc_p50"))
+      .orderBy("l_returnflag")
+
+  /** The scale-path variant: same shape, mergeable one-pass sketch. */
+  def percentilesApprox(spark: SparkSession, dir: String,
+                        accuracy: Int = 10000): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr(s"approx_percentile(CAST(l_extendedprice AS DOUBLE), 0.5, $accuracy)")
+          .as("p50"),
+        expr(s"approx_percentile(CAST(l_extendedprice AS DOUBLE), 0.95, $accuracy)")
+          .as("p95"))
+      .orderBy("l_returnflag")
+
   /** M14-shaped reshape: wide metric columns → long (metric, value) rows via
     * `stack` (reference `gather` on the training log, 04_1:319). Pure
     * dataflow — oracle-checked; the model-metric variant lives in

@@ -48,6 +48,26 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_percentile stays inside its rank-error bound vs exact") {
+    val sf01 = "/root/testdata/sf0.01"
+    val exact = graft.operators.Relational.percentiles(spark, sf01)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val approx = graft.operators.Relational.percentilesApprox(spark, sf01)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(approx.keySet === exact.keySet)
+    // accuracy=10000 bounds rank error by n/10000; with group n ~ 20k at
+    // sf0.01 the value at the approx rank stays within a tight relative
+    // band of the exact quantile on this distribution
+    approx.foreach { case (k, (p50, p95)) =>
+      assert(math.abs(p50 - exact(k)._1) / exact(k)._1 < 0.01,
+        s"$k p50 approx=$p50 exact=${exact(k)._1}")
+      assert(math.abs(p95 - exact(k)._2) / exact(k)._2 < 0.01,
+        s"$k p95 approx=$p95 exact=${exact(k)._2}")
+    }
+  }
+
   test("group_mean_having respects the HAVING gate") {
     val cnts = SparkEntry.queries("q_group_mean_having")(spark, "/root/testdata/sf0.01")
       .select("cnt").collect().map(_.getLong(0))
