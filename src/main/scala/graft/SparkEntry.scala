@@ -104,6 +104,9 @@ object SparkEntry {
     // AvailableNow → Append memory sink); oracle = batch sessions minus
     // each user's still-open last session
     "q_stream_sessions"   -> (graft.streaming.Streaming.streamSessions _),
+    // REAL stream-static join run (readStream ⋈ customer dim → windowed
+    // agg); oracle = the equivalent batch join+agg
+    "q_stream_enrich"     -> (graft.streaming.Streaming.streamEnrich _),
     // geo join (SURVEY §2.3 J5, §2.1 S7)
     "q_geo_join"          -> (GeoJoin.query _),
     // positional-append rewrite (SURVEY §2.7 U2, §2.3 J7)
@@ -867,6 +870,14 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
         |    AS sum_value_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the streaming join+agg must reproduce this batch join+agg
+    "q_stream_enrich" ->
+      """SELECT strftime(date_trunc('day', e.ts), '%Y-%m-%d') AS day,
+        |  c.c_mktsegment AS segment, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS sum_value_cents
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_window_sliding" ->
       """WITH w AS (
         |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')

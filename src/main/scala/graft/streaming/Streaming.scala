@@ -251,4 +251,42 @@ object Streaming {
     q.awaitTermination()
     spark.table(name).orderBy("hour_start", "event_type")
   }
+
+  /** Stream–static join executed as a REAL streaming job: the events
+    * file-stream enriched against the static customer dimension
+    * (user_id = c_custkey), then a daily windowed count/sum per market
+    * segment — the standard "enrich the stream against a slowly-changing
+    * table" pattern. The static side re-plans per micro-batch, so it
+    * carries NO broadcast hint: customer is fact-proportional, and
+    * Catalyst/AQE picks broadcast only while it actually fits.
+    * Oracle: the equivalent batch join+agg stated in DuckDB — streaming
+    * execution itself must reproduce the batch answer through the hash
+    * gate (same discipline as streamTumbling). */
+  def streamEnrich(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val landing = stageLanding(dir)
+    val events = spark.readStream.schema(schema)
+      .parquet(landing)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val dim = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+    val agg = events
+      .join(dim, events("user_id") === dim("c_custkey"))
+      .groupBy(window(col("ts"), "1 day"), col("segment"))
+      .agg(count(lit(1)).as("cnt"), EventWindows.sumValueCents)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("segment"), col("cnt"), col("sum_value_cents"))
+    val name = s"graft_stream_enrich_${runSeq.incrementAndGet()}"
+    val q = agg.writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("day", "segment")
+  }
 }

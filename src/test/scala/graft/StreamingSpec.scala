@@ -136,6 +136,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join reproduces the batch join+agg exactly") {
+    val got = Streaming.streamEnrich(spark, sf)
+    val ev = Tables.events(spark, sf)
+    val dim = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+    val expect = ev.join(dim, ev("user_id") === dim("c_custkey"))
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+        .as("day"), col("segment"))
+      .agg(count(lit(1)).as("cnt"),
+        (sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          * 100).cast(org.apache.spark.sql.types.LongType)
+          .as("sum_value_cents"))
+    assert(got.count() > 0)
+    assert(got.except(expect).isEmpty && expect.except(got).isEmpty)
+  }
+
   test("streaming dedup keeps first-seen doc per content hash") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
