@@ -107,6 +107,9 @@ object SparkEntry {
     // REAL stream-static join run (readStream ⋈ customer dim → windowed
     // agg); oracle = the equivalent batch join+agg
     "q_stream_enrich"     -> (graft.streaming.Streaming.streamEnrich _),
+    // REAL stream-stream interval join (watermarked both sides; range
+    // condition bounds the state); oracle = q_range_join's batch SQL
+    "q_stream_range"      -> (graft.streaming.Streaming.streamRangeJoin _),
     // geo join (SURVEY §2.3 J5, §2.1 S7)
     "q_geo_join"          -> (GeoJoin.query _),
     // positional-append rewrite (SURVEY §2.7 U2, §2.3 J7)
@@ -826,6 +829,18 @@ object SparkEntry {
     // the oracle states the PLAIN inequality join; the Spark side's
     // bucket-refined equi-join + residual must be row-identical to it
     "q_range_join" ->
+      """WITH p AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, event_id, ts FROM events
+        |  WHERE event_type = 'click')
+        |SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+        |  p.ts AS purchase_ts
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 DAY""".stripMargin,
+    // identical oracle to q_range_join: the stream-stream execution must
+    // reproduce the batch pair set
+    "q_stream_range" ->
       """WITH p AS (
         |  SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
         |c AS (

@@ -289,4 +289,46 @@ object Streaming {
     q.awaitTermination()
     spark.table(name).orderBy("day", "segment")
   }
+
+  /** Stream–stream interval join executed as a REAL streaming job: the
+    * attribution pairs of `RangeJoin.query` (clicks inside same-user 24h
+    * post-purchase windows), but with BOTH sides unbounded streams. The
+    * event-time range condition (`click_ts` in [purchase_ts,
+    * purchase_ts + 1 day)) plus watermarks on both sides is exactly what
+    * lets Spark bound the join state: a buffered purchase can be evicted
+    * once the click watermark passes its window end, and vice versa —
+    * without the range bound the state would grow forever. Append mode
+    * (inner join emits once per matched pair). Oracle: the SAME DuckDB
+    * inequality join as q_range_join — the streaming execution must
+    * reproduce the batch pair set through the hash gate. */
+  def streamRangeJoin(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val landing = stageLanding(dir)
+    def stream() = spark.readStream.schema(schema)
+      .parquet(landing)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = stream().filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "0 seconds")
+    val purchases = stream().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "0 seconds")
+    val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("click_ts") >= col("purchase_ts") &&
+        col("click_ts") < col("purchase_ts") + expr("INTERVAL 1 DAY"))
+      .select("user_id", "click_id", "click_ts", "purchase_ts")
+    val name = s"graft_stream_range_${runSeq.incrementAndGet()}"
+    val q = joined.writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("user_id", "click_id", "purchase_ts")
+  }
 }

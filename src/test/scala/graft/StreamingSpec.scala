@@ -152,6 +152,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.except(expect).isEmpty && expect.except(got).isEmpty)
   }
 
+  test("stream-stream interval join reproduces the batch range join") {
+    val got = Streaming.streamRangeJoin(spark, sf)
+    val expect = graft.operators.RangeJoin.query(spark, sf)
+    assert(got.count() === expect.count())
+    assert(got.except(expect).isEmpty && expect.except(got).isEmpty)
+  }
+
   test("streaming dedup keeps first-seen doc per content hash") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
