@@ -59,6 +59,9 @@ object SparkEntry {
     // exact grouped quantiles (oracle = quantile_cont; approx variant is
     // the scale path, error-bound-tested in RelationalSpec)
     "q_percentile"        -> (Relational.percentiles _),
+    // HLL++ distinct sketch beside the exact count — rows-only (sketches
+    // aren't replayable cross-engine); error bound pinned in-engine
+    "q_approx_distinct"   -> (Relational.approxDistinct _),
     // ML module (SURVEY §2.9) — model outputs: rows-only driver check
     "q_ols_forecast"      -> (graft.ml.OlsPipeline.query _),
     "q_ols_metrics"       -> (graft.ml.OlsPipeline.metricsLong _),

@@ -286,6 +286,21 @@ object Relational {
           .as("disc_p50"))
       .orderBy("l_returnflag")
 
+  /** HLL++ distinct-count sketch next to the exact answer. At 100 TB the
+    * sketch (fixed ~kB of state per group, mergeable, one pass) replaces
+    * the exact distinct's full shuffle of every key. Deterministic given
+    * the data, but not replayable in another engine (sketch internals
+    * differ), so — like the tree-ensemble queries — this is a rows-only
+    * driver row; the error bound is pinned in-engine (RelationalSpec)
+    * against the exact column computed in the same scan. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"))
+      .orderBy("event_type")
+
   /** The scale-path variant: same shape, mergeable one-pass sketch. */
   def percentilesApprox(spark: SparkSession, dir: String,
                         accuracy: Int = 10000): DataFrame =

@@ -68,6 +68,19 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL sketch stays inside its rsd bound vs the exact distinct") {
+    val rows = graft.operators.Relational
+      .approxDistinct(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_users").toDouble
+      val approx = r.getAs[Long]("approx_users").toDouble
+      // rsd=0.02 ⇒ ~3σ relative error 6%
+      assert(math.abs(approx - exact) / exact < 0.06,
+        s"${r.getString(0)}: approx=$approx exact=$exact")
+    }
+  }
+
   test("group_mean_having respects the HAVING gate") {
     val cnts = SparkEntry.queries("q_group_mean_having")(spark, "/root/testdata/sf0.01")
       .select("cnt").collect().map(_.getLong(0))
