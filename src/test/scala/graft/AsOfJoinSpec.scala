@@ -71,6 +71,40 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got.except(expect).isEmpty && expect.except(got).isEmpty)
   }
 
+  test("as-of matches an in-memory reference on seeded random histories") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    // dense key space + second-granularity times force collisions and
+    // exact probe==state timestamp ties
+    val probeRows = Seq.tabulate(400) { i =>
+      (rnd.nextInt(8).toLong, i.toLong,
+        new Timestamp(1700000000000L + rnd.nextInt(5000) * 1000L))
+    }
+    val stateRows0 = Seq.tabulate(250) { i =>
+      (rnd.nextInt(8).toLong,
+        new Timestamp(1700000000000L + rnd.nextInt(5000) * 1000L),
+        i.toDouble)
+    }
+    // unique per (key, time): keep the max value, mirroring query()'s
+    // pre-aggregation contract
+    val stateRows = stateRows0.groupBy(r => (r._1, r._2.getTime))
+      .map { case (_, g) => g.maxBy(_._3) }.toSeq
+    val got = AsOfJoin.asOf(
+        probeRows.toDF("k", "probe_id", "t"),
+        stateRows.toDF("k", "t", "v"), "k", "t", Seq("v"))
+      .select("probe_id", "asof_v").collect()
+      .map(r => r.getAs[Long]("probe_id") ->
+        Option(r.getAs[java.lang.Double]("asof_v")).map(_.doubleValue))
+      .toMap
+    val byKey = stateRows.groupBy(_._1)
+    val expect = probeRows.map { case (k, id, t) =>
+      id -> byKey.getOrElse(k, Seq.empty)
+        .filter(_._2.getTime <= t.getTime)
+        .sortBy(_._2.getTime).lastOption.map(_._3)
+    }.toMap
+    assert(got === expect)
+  }
+
   test("as-of core is join-free: one window pass, no pair expansion") {
     val plan = AsOfJoin.asOf(probes, states, "k", "t", Seq("v"))
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
