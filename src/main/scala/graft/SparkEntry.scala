@@ -93,6 +93,8 @@ object SparkEntry {
     "q_skew_join"         -> (Skew.query _),
     // as-of temporal join (union + one window pass; oracle = DuckDB ASOF)
     "q_asof_join"         -> (AsOfJoin.query _),
+    // the skew-resilient two-pass as-of through the SAME oracle
+    "q_asof_skew"         -> (AsOfJoin.querySkew _),
     // bucketed interval join (equi-join on derived day bucket + residual)
     "q_range_join"        -> (RangeJoin.query _),
     "q_model_roundtrip"   -> (graft.ml.ModelIO.modelRoundTrip _),
@@ -819,6 +821,19 @@ object SparkEntry {
     // formulation: inclusive `>=` match, NULL state before the first
     // purchase (left semantics)
     "q_asof_join" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, MAX(value) AS p_value FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |c AS (
+        |  SELECT user_id, event_id, ts FROM events
+        |  WHERE event_type = 'click')
+        |SELECT c.user_id, c.event_id, c.ts,
+        |  p.ts AS asof_ts, p.p_value AS asof_value
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+    // identical oracle: the two-pass carry-forward rewrite must reproduce
+    // the single-window as-of exactly
+    "q_asof_skew" ->
       """WITH p AS (
         |  SELECT user_id, ts, MAX(value) AS p_value FROM events
         |  WHERE event_type = 'purchase' GROUP BY user_id, ts),

@@ -58,6 +58,87 @@ object AsOfJoin {
     enriched.filter(col("__side") === 1).drop("__side" +: payload: _*)
   }
 
+  /** Skew-resilient as-of join — the two-pass form for hot keys. `asOf`
+    * partitions its window by key alone, so one hyperactive key's entire
+    * history serializes through a single task. This variant partitions by
+    * (key, time-bucket) instead and repairs cross-bucket visibility with a
+    * carry-forward pass:
+    *
+    *  1. per (key, bucket): the bucket's CLOSING state (its latest state
+    *     row) — a plain aggregate, fully parallel;
+    *  2. per key over the DISTINCT bucket set (tiny: #buckets, not #rows):
+    *     forward-fill each bucket's carry-in = the closing state of the
+    *     latest earlier non-empty bucket. This is the only per-key-serial
+    *     step, and it scales with time range / bucket width, independent
+    *     of row count;
+    *  3. per (key, bucket): the same union + last(ignoreNulls) window as
+    *     `asOf`, with one synthetic carry-in state row injected at the
+    *     bucket's start (side -1, so a real state at exactly the boundary
+    *     still wins as the newer fact).
+    *
+    * Result is row-identical to `asOf` (equivalence-tested); the hot key's
+    * work now spreads over (time-range / bucketUs) tasks. */
+  def asOfBucketed(left: DataFrame, right: DataFrame, key: String,
+                   time: String, payload: Seq[String],
+                   bucketUs: Long = 86400L * 1000000L): DataFrame = {
+    val bucket = floor(unix_micros(col(time)) / bucketUs).cast("long")
+    val packed = struct((time +: payload).map(col): _*)
+
+    val p = left.withColumn("__b", bucket)
+    val s = right.withColumn("__b", bucket)
+
+    // 1. bucket-closing state; max over (time, payload…) struct = latest
+    //    row (right is unique per (key, time) — the asOf contract)
+    val closing = s.groupBy(col(key), col("__b"))
+      .agg(max(packed).as("__close"))
+
+    // 2. carry-in per occupied bucket: closing state of the latest
+    //    STRICTLY EARLIER bucket, forward-filled over the distinct bucket
+    //    set of both sides (probe-only buckets need a carry-in too)
+    val buckets = p.select(col(key), col("__b"))
+      .union(s.select(col(key), col("__b"))).distinct()
+    val carryW = Window.partitionBy(key).orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = buckets.join(closing, Seq(key, "__b"), "left")
+      .withColumn("__carry", last(col("__close"), ignoreNulls = true).over(carryW))
+      .filter(col("__carry").isNotNull)
+
+    // 3. synthetic carry-in rows: sort position = the bucket's start with
+    //    side -1 (before every real row); the carried ORIGINAL state
+    //    timestamp rides along in __carry_t so asof_<time> reports the
+    //    real state time, exactly as the plain asOf does
+    val synth = payload.foldLeft(
+      carry.select(col(key), col("__b"),
+        timestamp_micros(col("__b") * bucketUs).as(time),
+        col(s"__carry.$time").as("__carry_t"),
+        col("__carry"))
+    ) { (d, c) => d.withColumn(c, col(s"__carry.$c")) }
+      .drop("__carry")
+      .withColumn("__side", lit(-1))
+
+    val probes = p.withColumn("__side", lit(1))
+    val states = s.withColumn("__side", lit(0))
+    val tagged = probes
+      .unionByName(states, allowMissingColumns = true)
+      .unionByName(synth, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key), col("__b"))
+      .orderBy(col(time).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val enriched = payload.foldLeft(
+      tagged
+        .withColumn("__state_t",
+          when(col("__side") === 0, col(time))
+            .when(col("__side") === -1, col("__carry_t")))
+        .withColumn(s"asof_$time",
+          last(col("__state_t"), ignoreNulls = true).over(w))
+    ) { (d, c) =>
+      d.withColumn(s"asof_$c",
+        last(when(col("__side") =!= 1, col(c)), ignoreNulls = true).over(w))
+    }
+    enriched.filter(col("__side") === 1)
+      .drop("__side" +: "__b" +: "__state_t" +: "__carry_t" +: payload: _*)
+  }
+
   /** The engine's as-of query: attach to every click event the user's most
     * recent purchase (timestamp + value) at click time — the "feature state
     * as of interaction time" join every training-data pipeline needs.
@@ -72,6 +153,22 @@ object AsOfJoin {
     val clicks = ev.filter(col("event_type") === "click")
       .select("user_id", "event_id", "ts")
     asOf(clicks, purchases, "user_id", "ts", Seq("p_value"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("asof_ts"), col("asof_p_value").as("asof_value"))
+  }
+
+  /** The same query through the skew-resilient two-pass path (6h buckets)
+    * — driver-gated against the identical DuckDB ASOF oracle, so the
+    * carry-forward rewrite is hash-verified, not just equivalence-tested. */
+  def querySkew(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts")
+      .agg(max(col("value")).as("p_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "event_id", "ts")
+    asOfBucketed(clicks, purchases, "user_id", "ts", Seq("p_value"),
+        bucketUs = 6L * 3600L * 1000000L)
       .select(col("user_id"), col("event_id"), col("ts"),
         col("asof_ts"), col("asof_p_value").as("asof_value"))
   }

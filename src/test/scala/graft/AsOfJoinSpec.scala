@@ -105,6 +105,44 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("bucketed as-of is row-identical to the plain as-of on real data") {
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("value").as("p_value"))
+    val c = ev.filter(col("event_type") === "click")
+      .select("user_id", "event_id", "ts")
+    val plain = AsOfJoin.asOf(c, p, "user_id", "ts", Seq("p_value"))
+    // 6h buckets: events span 30 days, so carry-forward crosses ~120
+    // buckets including state-free ones
+    val bucketed = AsOfJoin.asOfBucketed(c, p, "user_id", "ts",
+      Seq("p_value"), bucketUs = 6L * 3600L * 1000000L)
+    assert(bucketed.count() === plain.count())
+    assert(bucketed.except(plain).isEmpty && plain.except(bucketed).isEmpty)
+  }
+
+  test("bucketed as-of survives ties, empty buckets and probe-only buckets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(424242L)
+    val probeRows = Seq.tabulate(300) { i =>
+      (rnd.nextInt(5).toLong, i.toLong,
+        new Timestamp(1700000000000L + rnd.nextInt(4000) * 1000L))
+    }
+    val stateRows = Seq.tabulate(150) { i =>
+      (rnd.nextInt(5).toLong,
+        new Timestamp(1700000000000L + rnd.nextInt(4000) * 1000L),
+        i.toDouble)
+    }.groupBy(r => (r._1, r._2.getTime))
+      .map { case (_, g) => g.maxBy(_._3) }.toSeq
+    val probes = probeRows.toDF("k", "probe_id", "t")
+    val states = stateRows.toDF("k", "t", "v")
+    val plain = AsOfJoin.asOf(probes, states, "k", "t", Seq("v"))
+    // 97s buckets (prime, misaligned with the 1s grid) over a 4000s span
+    val bucketed = AsOfJoin.asOfBucketed(probes, states, "k", "t",
+      Seq("v"), bucketUs = 97L * 1000000L)
+    assert(bucketed.count() === plain.count())
+    assert(bucketed.except(plain).isEmpty && plain.except(bucketed).isEmpty)
+  }
+
   test("as-of core is join-free: one window pass, no pair expansion") {
     val plan = AsOfJoin.asOf(probes, states, "k", "t", Seq("v"))
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
