@@ -45,6 +45,36 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(10L, 12L))
   }
 
+  test("random intervals incl. multi-bucket spans match a brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77L)
+    val base = 1700000000000L
+    val probeRows = Seq.tabulate(300) { i =>
+      (rnd.nextInt(6).toLong, i.toLong,
+        new Timestamp(base + rnd.nextInt(5000) * 1000L))
+    }
+    // lengths 0..3000s vs 97s buckets: many intervals span 30+ buckets,
+    // exercising the sequence() explosion path well past the 2-bucket case
+    val ivlRows = Seq.tabulate(120) { i =>
+      val s = base + rnd.nextInt(5000) * 1000L
+      (rnd.nextInt(6).toLong, i.toLong, new Timestamp(s),
+        new Timestamp(s + rnd.nextInt(3000) * 1000L))
+    }
+    val probes = probeRows.toDF("k", "pid", "t")
+    val ivls = ivlRows.toDF("k", "iid", "s", "e")
+    val got = RangeJoin.rangeJoin(probes, ivls, "k", "t", "s", "e",
+        bucketUs = 97L * 1000000L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val expect = (for {
+      (pk, pid, pt) <- probeRows
+      (ik, iid, is, ie) <- ivlRows
+      if pk == ik && pt.getTime >= is.getTime && pt.getTime < ie.getTime
+    } yield (pid, iid)).toSet
+    assert(got === expect)
+    assert(expect.nonEmpty, "fixture must actually produce matches")
+  }
+
   test("join key is refined with the bucket (bounds per-key expansion)") {
     val plan = SparkEntry.queries("q_range_join")(spark, sf)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
