@@ -24,6 +24,8 @@ object SparkEntry {
     "q_agg_sum"           -> (Relational.aggSum _),
     "q_group_mean_having" -> (Relational.groupMeanHaving _),
     "q_region_rollup"     -> (Relational.regionRollup _),
+    // one-pass ROLLUP with grouping() flags (leaf + subtotal + total)
+    "q_rollup"            -> (Relational.regionNationRollup _),
     "q_minmax"            -> (Relational.minMax _),
     "q_distinct"          -> (Relational.distinctPairs _),
     "q_freq_table"        -> (Relational.freqTable _),
@@ -119,6 +121,10 @@ object SparkEntry {
     "q_geo_join"          -> (GeoJoin.query _),
     // positional-append rewrite (SURVEY §2.7 U2, §2.3 J7)
     "q_cbind"             -> (Joins.cbindByIndex _),
+    // EXISTS / NOT EXISTS as key-only-shuffle joins; full outer presence
+    "q_semi_join"         -> (Joins.semiJoin _),
+    "q_anti_join"         -> (Joins.antiJoin _),
+    "q_full_outer"        -> (Joins.fullOuterJoin _),
     // OLS diagnostics (SURVEY §2.9 M5) — rows-only
     "q_ols_diagnostics"   -> (graft.ml.Diagnostics.query _),
     // full 01+02 chain as one lineage (SURVEY §3.1, §7.1(3))
@@ -817,6 +823,47 @@ object SparkEntry {
         |  MAX(dim.first_id) AS first_id
         |FROM events e JOIN dim ON e.event_type = dim.event_type
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rollup" ->
+      """SELECT r_name, n_name,
+        |  CAST(GROUPING(r_name) AS BIGINT) AS g_region,
+        |  CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS sum_price_cents
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY 3, 4, 1, 2""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_mktsegment AS segment, COUNT(*) AS cnt
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_mktsegment AS segment, COUNT(*) AS cnt
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_full_outer" ->
+      """WITH c AS (
+        |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_c,
+        |    COUNT(*) AS clicks
+        |  FROM events WHERE event_type = 'click' AND day(ts) <= 20
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_p,
+        |    COUNT(*) AS purchases
+        |  FROM events WHERE event_type = 'purchase' AND day(ts) >= 10
+        |  GROUP BY 1)
+        |SELECT COALESCE(day_c, day_p) AS day, clicks, purchases
+        |FROM c FULL OUTER JOIN p ON day_c = day_p
+        |ORDER BY 1""".stripMargin,
     // DuckDB's native ASOF JOIN is the oracle for the union+window
     // formulation: inclusive `>=` match, NULL state before the first
     // purchase (left semantics)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -53,6 +53,62 @@ object Joins {
     li.join(s, li("l_suppkey") === s("s_suppkey"), "left")
       .select(col("l_suppkey"), col("l_returnflag"), col("s_name"))
       .distinct()
+  }
+
+  /** Left-SEMI join: customers holding at least one URGENT order, counted
+    * per segment. Semi joins are the EXISTS of the join family — the probe
+    * row is emitted at most once however many build rows match, and the
+    * build side's columns never materialize, so the shuffle carries only
+    * the build KEY (a fraction of a full inner join + distinct, which is
+    * the rewrite this operator exists to avoid). */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey")
+    c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("segment")
+  }
+
+  /** Left-ANTI join: customers with NO urgent order — NOT EXISTS as a
+    * join, same key-only shuffle economics as the semi form. Anti of the
+    * SAME build side as `semiJoin`, so the two exactly partition the
+    * probe side (asserted in JoinsSpec) and the anti output is genuinely
+    * populated (every customer has some order at every SF, so anti
+    * against all orders would be a degenerate empty result). */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey")
+    c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("segment")
+  }
+
+  /** FULL OUTER join of two aggregated day series (clicks vs purchases per
+    * day): days present on only one side survive with NULLs on the other —
+    * the union-of-presence semantics left/inner can't express. Aggregating
+    * BEFORE the join keeps both sides tiny (days, not events). */
+  def fullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    // clicks: first 20 days; purchases: day 10 on — partial overlap, so
+    // the output has left-only, both, and right-only days
+    def daily(t: String, out: String, dayGate: Column) = ev
+      .filter(col("event_type") === t && dayGate)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+        .as(s"day_$out"))
+      .agg(count(lit(1)).as(out))
+    val c = daily("click", "clicks", dayofmonth(col("ts")) <= 20)
+    val p = daily("purchase", "purchases", dayofmonth(col("ts")) >= 10)
+    c.join(p, c("day_clicks") === p("day_purchases"), "full_outer")
+      .select(
+        coalesce(col("day_clicks"), col("day_purchases")).as("day"),
+        col("clicks"), col("purchases"))
+      .orderBy("day")
   }
 
   /** U1: union all by name (reference 05_OutcomeAndVisualization.R:183 —

@@ -130,6 +130,33 @@ object Relational {
       .orderBy("r_name")
   }
 
+  /** Hierarchical ROLLUP over region → nation with `grouping()` flags:
+    * one pass emits leaf rows, per-region subtotals and the grand total —
+    * versus three scans + union. Spark plans rollup as a single Expand +
+    * aggregate (rows duplicated per grouping set BEFORE the shuffle, so
+    * partial aggregation still applies); the grouping-id flags
+    * disambiguate real NULL keys from subtotal rows. */
+  def regionNationRollup(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    val o = Tables.orders(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        // grouping() is only resolvable inside the rollup's own agg list
+        grouping(col("r_name")).cast(LongType).as("g_region"),
+        grouping(col("n_name")).cast(LongType).as("g_nation"),
+        count(lit(1)).as("cnt"),
+        (sum(money(col("o_totalprice"))) * 100).cast(LongType)
+          .as("sum_price_cents"))
+      .select(col("r_name"), col("n_name"), col("g_region"),
+        col("g_nation"), col("cnt"), col("sum_price_cents"))
+      .orderBy("g_region", "g_nation", "r_name", "n_name")
+  }
+
   def groupMeanHaving(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)

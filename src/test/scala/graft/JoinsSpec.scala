@@ -42,6 +42,43 @@ class JoinsSpec extends AnyFunSuite {
     assert(t.toSeq === t.sorted(Ordering[Double].reverse).toSeq)
   }
 
+  test("semi + anti joins partition the probe side exactly") {
+    // same build side (urgent orders) on both: semi ∪ anti = all customers
+    val c = Tables.customer(spark, sf)
+    def total(q: String) = SparkEntry.queries(q)(spark, sf)
+      .agg(coalesce(sum("cnt"), lit(0L))).collect()(0).getLong(0)
+    assert(total("q_semi_join") + total("q_anti_join") === c.count())
+    // and the semi never duplicates a multi-match probe row
+    val urgent = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    val semi = c.join(urgent, c("c_custkey") === urgent("o_custkey"),
+      "left_semi")
+    assert(semi.count() === semi.select("c_custkey").distinct().count())
+  }
+
+  test("full outer keeps left-only, both and right-only days") {
+    val rows = SparkEntry.queries("q_full_outer")(spark, sf).collect()
+    assert(rows.exists(r => !r.isNullAt(1) && r.isNullAt(2)), "left-only")
+    assert(rows.exists(r => !r.isNullAt(1) && !r.isNullAt(2)), "both")
+    assert(rows.exists(r => r.isNullAt(1) && !r.isNullAt(2)), "right-only")
+  }
+
+  test("rollup subtotals and grand total are consistent with leaves") {
+    val rows = SparkEntry.queries("q_rollup")(spark, sf).collect()
+    val leaves = rows.filter(r => r.getAs[Long]("g_region") == 0 &&
+      r.getAs[Long]("g_nation") == 0)
+    val regionSub = rows.filter(r => r.getAs[Long]("g_region") == 0 &&
+      r.getAs[Long]("g_nation") == 1)
+    val grand = rows.filter(_.getAs[Long]("g_region") == 1)
+    assert(grand.length === 1)
+    assert(grand(0).getAs[Long]("cnt") ===
+      leaves.map(_.getAs[Long]("cnt")).sum)
+    assert(regionSub.map(_.getAs[Long]("cnt")).sum ===
+      leaves.map(_.getAs[Long]("cnt")).sum)
+    assert(grand(0).getAs[Long]("sum_price_cents") ===
+      leaves.map(_.getAs[Long]("sum_price_cents")).sum)
+  }
+
   test("F12 rare-category model is deterministic and bounded") {
     val d = Tables.documents(spark, sf)
     val m1 = RareCategory.fit(d, "source", 0.045)
