@@ -26,6 +26,8 @@ object SparkEntry {
     "q_region_rollup"     -> (Relational.regionRollup _),
     // one-pass ROLLUP with grouping() flags (leaf + subtotal + total)
     "q_rollup"            -> (Relational.regionNationRollup _),
+    // running total over the monthly aggregate (window AFTER agg)
+    "q_cumsum"            -> (Relational.cumulativeSum _),
     "q_minmax"            -> (Relational.minMax _),
     "q_distinct"          -> (Relational.distinctPairs _),
     "q_freq_table"        -> (Relational.freqTable _),
@@ -836,6 +838,18 @@ object SparkEntry {
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY 3, 4, 1, 2""".stripMargin,
+    "q_cumsum" ->
+      """WITH m AS (
+        |  SELECT o_orderpriority AS priority,
+        |    strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS month_cents
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT priority, month, month_cents,
+        |  CAST(SUM(month_cents) OVER (PARTITION BY priority ORDER BY month
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_cents
+        |FROM m ORDER BY priority, month""".stripMargin,
     "q_semi_join" ->
       """SELECT c_mktsegment AS segment, COUNT(*) AS cnt
         |FROM customer c

@@ -157,6 +157,29 @@ object Relational {
       .orderBy("g_region", "g_nation", "r_name", "n_name")
   }
 
+  /** Running (cumulative) totals: monthly order value per priority with a
+    * cumulative sum over months. Aggregate FIRST (months × priorities
+    * rows), window over the small aggregate — never a running sum over
+    * raw fact rows, which would range-sort the whole table for a
+    * presentation concern. Decimal cents keep the running sum exact and
+    * order-independent within each frame. */
+  def cumulativeSum(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(
+        col("o_orderpriority").as("priority"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
+          .as("month"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast(LongType)
+        .as("month_cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("priority").orderBy("month")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    monthly
+      .withColumn("cum_cents", sum(col("month_cents")).over(w))
+      .orderBy("priority", "month")
+  }
+
   def groupMeanHaving(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
