@@ -23,12 +23,24 @@ object Bench {
         s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warm-up: JVM/codegen + one tiny scan per table
+    // untimed warm-up: JVM/codegen + one FULL scan per table — footer
+    // decode and OS page cache are first-touch costs that would otherwise
+    // land on whichever query happens to scan a table first (Map order
+    // shifts when queries are added, so per-query numbers would jump
+    // across rounds for reasons unrelated to the query)
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.names.foreach { t =>
-      try Tables.load(spark, sfDir, t).limit(1).collect()
+      try Tables.load(spark, sfDir, t).write.mode("overwrite")
+        .format("noop").save()
       catch { case _: Throwable => () }
     }
+    // ... and one tiny shuffle+agg through the noop sink: the first
+    // shuffle and the noop committer carry one-time init the first TIMED
+    // query would otherwise absorb
+    try spark.range(100000).selectExpr("id % 7 AS k", "id AS v")
+      .groupBy("k").sum("v")
+      .write.mode("overwrite").format("noop").save()
+    catch { case _: Throwable => () }
     // dev filter: SPARK_GRAFT_ONLY=q_a,q_b times just those queries,
     // echoed in the JSON ("only") — see ToolSupport.onlyFilter
     val (queries, only) = ToolSupport.onlyFilter(SparkEntry.queries)
