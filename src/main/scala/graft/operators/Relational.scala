@@ -328,12 +328,17 @@ object Relational {
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        round(expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.5)"), 4)
-          .as("p50"),
-        round(expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.95)"), 4)
-          .as("p95"),
+        // one array-percentile call per column: the exact aggregate
+        // buffers the column's values once per agg expression, so asking
+        // for 0.5 and 0.95 separately would buffer (and sort) twice
+        expr("percentile(CAST(l_extendedprice AS DOUBLE), array(0.5D, 0.95D))")
+          .as("ep"),
         round(expr("percentile(CAST(l_discount AS DOUBLE), 0.5)"), 4)
           .as("disc_p50"))
+      .select(col("l_returnflag"),
+        round(col("ep").getItem(0), 4).as("p50"),
+        round(col("ep").getItem(1), 4).as("p95"),
+        col("disc_p50"))
       .orderBy("l_returnflag")
 
   /** HLL++ distinct-count sketch next to the exact answer. At 100 TB the
