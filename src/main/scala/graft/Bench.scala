@@ -54,6 +54,9 @@ object Bench {
     // for later passes) to split steady-state cost from first-run
     // warm-up/scan effects; the driver runs with it unset → one pass each
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    require(repeat >= 1,
+      s"SPARK_GRAFT_REPEAT must be >= 1 (got $repeat): 0 or negative would " +
+        "silently emit an empty-but-successful-looking run")
     val results = queries.toSeq.flatMap { case (name, fn) =>
       (1 to repeat).map { i =>
         val t0 = System.nanoTime()

@@ -358,6 +358,34 @@ object SparkEntry {
        |  JOIN sh sb ON sb.doc_id = c.b)""".stripMargin
   }
 
+  /** Shared by q_asof_join and q_asof_skew: two implementations, one
+    * contract (DuckDB's native ASOF LEFT JOIN). */
+  private val asofOracle: String =
+    """WITH p AS (
+      |  SELECT user_id, ts, MAX(value) AS p_value FROM events
+      |  WHERE event_type = 'purchase' GROUP BY user_id, ts),
+      |c AS (
+      |  SELECT user_id, event_id, ts FROM events
+      |  WHERE event_type = 'click')
+      |SELECT c.user_id, c.event_id, c.ts,
+      |  p.ts AS asof_ts, p.p_value AS asof_value
+      |FROM c ASOF LEFT JOIN p
+      |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin
+
+  /** Shared by q_range_join and q_stream_range: the batch bucket+residual
+    * rewrite and the watermarked stream-stream join must both reproduce
+    * the plain inequality join. */
+  private val rangeOracle: String =
+    """WITH p AS (
+      |  SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, event_id, ts FROM events
+      |  WHERE event_type = 'click')
+      |SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+      |  p.ts AS purchase_ts
+      |FROM c JOIN p ON c.user_id = p.user_id
+      |  AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 DAY""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_ols_diagnostics" -> olsDiagnosticsSql,
     // full replay of the deterministic OLS dataflow: fit (see olsPrefix),
@@ -880,55 +908,16 @@ object SparkEntry {
         |ORDER BY 1""".stripMargin,
     // DuckDB's native ASOF JOIN is the oracle for the union+window
     // formulation: inclusive `>=` match, NULL state before the first
-    // purchase (left semantics)
-    "q_asof_join" ->
-      """WITH p AS (
-        |  SELECT user_id, ts, MAX(value) AS p_value FROM events
-        |  WHERE event_type = 'purchase' GROUP BY user_id, ts),
-        |c AS (
-        |  SELECT user_id, event_id, ts FROM events
-        |  WHERE event_type = 'click')
-        |SELECT c.user_id, c.event_id, c.ts,
-        |  p.ts AS asof_ts, p.p_value AS asof_value
-        |FROM c ASOF LEFT JOIN p
-        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
-    // identical oracle: the two-pass carry-forward rewrite must reproduce
-    // the single-window as-of exactly
-    "q_asof_skew" ->
-      """WITH p AS (
-        |  SELECT user_id, ts, MAX(value) AS p_value FROM events
-        |  WHERE event_type = 'purchase' GROUP BY user_id, ts),
-        |c AS (
-        |  SELECT user_id, event_id, ts FROM events
-        |  WHERE event_type = 'click')
-        |SELECT c.user_id, c.event_id, c.ts,
-        |  p.ts AS asof_ts, p.p_value AS asof_value
-        |FROM c ASOF LEFT JOIN p
-        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+    // purchase (left semantics). q_asof_skew shares the SAME val — the
+    // two-pass carry-forward rewrite must reproduce the single-window
+    // as-of exactly, and sharing makes that identity structural.
+    "q_asof_join" -> asofOracle,
+    "q_asof_skew" -> asofOracle,
     // the oracle states the PLAIN inequality join; the Spark side's
     // bucket-refined equi-join + residual must be row-identical to it
-    "q_range_join" ->
-      """WITH p AS (
-        |  SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
-        |c AS (
-        |  SELECT user_id, event_id, ts FROM events
-        |  WHERE event_type = 'click')
-        |SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
-        |  p.ts AS purchase_ts
-        |FROM c JOIN p ON c.user_id = p.user_id
-        |  AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 DAY""".stripMargin,
-    // identical oracle to q_range_join: the stream-stream execution must
-    // reproduce the batch pair set
-    "q_stream_range" ->
-      """WITH p AS (
-        |  SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
-        |c AS (
-        |  SELECT user_id, event_id, ts FROM events
-        |  WHERE event_type = 'click')
-        |SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
-        |  p.ts AS purchase_ts
-        |FROM c JOIN p ON c.user_id = p.user_id
-        |  AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 DAY""".stripMargin,
+    // (q_stream_range shares the val: streaming must reproduce batch)
+    "q_range_join" -> rangeOracle,
+    "q_stream_range" -> rangeOracle,
     // the oracle joins the ORIGINAL tables — the bucketed write + catalog
     // read + co-located SMJ on the Spark side must be lossless
     "q_bucketed_join" ->

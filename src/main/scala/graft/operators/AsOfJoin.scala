@@ -47,15 +47,21 @@ object AsOfJoin {
     val w = Window.partitionBy(key)
       .orderBy(col(time).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val stateTime = when(col("__side") === 0, col(time))
-    val enriched = payload.foldLeft(
-      tagged.withColumn(s"asof_$time", last(stateTime, ignoreNulls = true).over(w))
-    ) { (d, c) =>
-      // payload cols are null on probe rows (allowMissingColumns), so
-      // last(ignoreNulls) only ever picks up genuine state values
-      d.withColumn(s"asof_$c", last(col(c), ignoreNulls = true).over(w))
-    }
-    enriched.filter(col("__side") === 1).drop("__side" +: payload: _*)
+    // ONE packed struct per state row, carried atomically: per-column
+    // last(ignoreNulls) calls would skip a NULL payload value and pair
+    // the newest state's timestamp with an OLDER state's value — the
+    // whole-row struct is never null on a state row, so the latest state
+    // is taken as a unit even when some of its payload fields are NULL
+    // (matching ASOF semantics)
+    val packed = when(col("__side") === 0,
+      struct((time +: payload).map(col): _*))
+    val unpacked = tagged
+      .withColumn("__asof", last(packed, ignoreNulls = true).over(w))
+    val out = payload.foldLeft(
+      unpacked.withColumn(s"asof_$time", col(s"__asof.$time"))
+    ) { (d, c) => d.withColumn(s"asof_$c", col(s"__asof.$c")) }
+    out.filter(col("__side") === 1)
+      .drop("__side" +: "__asof" +: payload: _*)
   }
 
   /** Skew-resilient as-of join — the two-pass form for hot keys. `asOf`
@@ -124,52 +130,56 @@ object AsOfJoin {
     val w = Window.partitionBy(col(key), col("__b"))
       .orderBy(col(time).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val enriched = payload.foldLeft(
-      tagged
-        .withColumn("__state_t",
-          when(col("__side") === 0, col(time))
-            .when(col("__side") === -1, col("__carry_t")))
-        .withColumn(s"asof_$time",
-          last(col("__state_t"), ignoreNulls = true).over(w))
-    ) { (d, c) =>
-      d.withColumn(s"asof_$c",
-        last(when(col("__side") =!= 1, col(c)), ignoreNulls = true).over(w))
-    }
-    enriched.filter(col("__side") === 1)
-      .drop("__side" +: "__b" +: "__state_t" +: "__carry_t" +: payload: _*)
+    // same atomic whole-row struct as asOf (see there): the latest state
+    // must be taken as a unit even when payload fields are NULL; carry-in
+    // rows contribute their ORIGINAL state time via __carry_t
+    val packedRow = when(col("__side") === 0,
+        struct((time +: payload).map(col): _*))
+      .when(col("__side") === -1,
+        struct(col("__carry_t").as(time) +: payload.map(col): _*))
+    val unpacked = tagged
+      .withColumn("__asof", last(packedRow, ignoreNulls = true).over(w))
+    val out = payload.foldLeft(
+      unpacked.withColumn(s"asof_$time", col(s"__asof.$time"))
+    ) { (d, c) => d.withColumn(s"asof_$c", col(s"__asof.$c")) }
+    out.filter(col("__side") === 1)
+      .drop("__side" +: "__b" +: "__carry_t" +: "__asof" +: payload: _*)
   }
 
-  /** The engine's as-of query: attach to every click event the user's most
-    * recent purchase (timestamp + value) at click time — the "feature state
-    * as of interaction time" join every training-data pipeline needs.
-    * Clicks before a user's first purchase keep NULL state (left
-    * semantics). Purchases are pre-aggregated to one row per (user, ts) so
-    * the as-of result is well-defined at any SF. */
-  def query(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared click/purchase prep both query variants run on — ONE copy
+    * of the pre-aggregation contract (one purchase row per (user, ts))
+    * that the as-of's well-definedness depends on. */
+  private def clicksAndPurchases(spark: SparkSession,
+                                 dir: String): (DataFrame, DataFrame) = {
     val ev = Tables.events(spark, dir)
     val purchases = ev.filter(col("event_type") === "purchase")
       .groupBy("user_id", "ts")
       .agg(max(col("value")).as("p_value"))
     val clicks = ev.filter(col("event_type") === "click")
       .select("user_id", "event_id", "ts")
-    asOf(clicks, purchases, "user_id", "ts", Seq("p_value"))
-      .select(col("user_id"), col("event_id"), col("ts"),
-        col("asof_ts"), col("asof_p_value").as("asof_value"))
+    (clicks, purchases)
+  }
+
+  private def attributionShape(joined: DataFrame): DataFrame =
+    joined.select(col("user_id"), col("event_id"), col("ts"),
+      col("asof_ts"), col("asof_p_value").as("asof_value"))
+
+  /** The engine's as-of query: attach to every click event the user's most
+    * recent purchase (timestamp + value) at click time — the "feature state
+    * as of interaction time" join every training-data pipeline needs.
+    * Clicks before a user's first purchase keep NULL state (left
+    * semantics). */
+  def query(spark: SparkSession, dir: String): DataFrame = {
+    val (clicks, purchases) = clicksAndPurchases(spark, dir)
+    attributionShape(asOf(clicks, purchases, "user_id", "ts", Seq("p_value")))
   }
 
   /** The same query through the skew-resilient two-pass path (6h buckets)
     * — driver-gated against the identical DuckDB ASOF oracle, so the
     * carry-forward rewrite is hash-verified, not just equivalence-tested. */
   def querySkew(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .groupBy("user_id", "ts")
-      .agg(max(col("value")).as("p_value"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .select("user_id", "event_id", "ts")
-    asOfBucketed(clicks, purchases, "user_id", "ts", Seq("p_value"),
-        bucketUs = 6L * 3600L * 1000000L)
-      .select(col("user_id"), col("event_id"), col("ts"),
-        col("asof_ts"), col("asof_p_value").as("asof_value"))
+    val (clicks, purchases) = clicksAndPurchases(spark, dir)
+    attributionShape(asOfBucketed(clicks, purchases, "user_id", "ts",
+      Seq("p_value"), bucketUs = 6L * 3600L * 1000000L))
   }
 }

@@ -61,29 +61,26 @@ object Joins {
     * build side's columns never materialize, so the shuffle carries only
     * the build KEY (a fraction of a full inner join + distinct, which is
     * the rewrite this operator exists to avoid). */
-  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
-    val c = Tables.customer(spark, dir)
-    val urgent = Tables.orders(spark, dir)
-      .filter(col("o_orderpriority") === "1-URGENT")
-      .select("o_custkey")
-    c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
-      .groupBy(col("c_mktsegment").as("segment"))
-      .agg(count(lit(1)).as("cnt"))
-      .orderBy("segment")
-  }
+  def semiJoin(spark: SparkSession, dir: String): DataFrame =
+    existenceJoin(spark, dir, "left_semi")
 
   /** Left-ANTI join: customers with NO urgent order — NOT EXISTS as a
     * join, same key-only shuffle economics as the semi form. Anti of the
-    * SAME build side as `semiJoin`, so the two exactly partition the
-    * probe side (asserted in JoinsSpec) and the anti output is genuinely
-    * populated (every customer has some order at every SF, so anti
-    * against all orders would be a degenerate empty result). */
-  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    * SAME build side as `semiJoin` (one shared helper, so the build
+    * sides cannot drift apart): the two exactly partition the probe side
+    * (asserted in JoinsSpec) and the anti output is genuinely populated
+    * (every customer has some order at every SF, so anti against all
+    * orders would be a degenerate empty result). */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame =
+    existenceJoin(spark, dir, "left_anti")
+
+  private def existenceJoin(spark: SparkSession, dir: String,
+                            joinType: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     val urgent = Tables.orders(spark, dir)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select("o_custkey")
-    c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
+    c.join(urgent, c("c_custkey") === urgent("o_custkey"), joinType)
       .groupBy(col("c_mktsegment").as("segment"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy("segment")

@@ -32,11 +32,12 @@ object RangeJoin {
     floor(unix_micros(t) / bucketUs).cast("long")
 
   /** Join each probe row to every interval of the same key whose
-    * [start, end) half-open window contains the probe's time.
-    * `bucketUs` must be ≥ the longest interval (asserted per row:
-    * intervals longer than the bucket would explode into >2 buckets —
-    * allowed, sequence() handles it, just more build-side rows).
-    */
+    * [start, end) half-open window contains the probe's time. Intervals
+    * longer than `bucketUs` are handled correctly — sequence() just
+    * explodes them into proportionally more buckets (stress-tested to 30+
+    * buckets per interval) — so the bucket width is purely a cost knob:
+    * keep it ≥ the TYPICAL interval length so most intervals land in ≤ 2
+    * buckets. */
   def rangeJoin(probes: DataFrame, intervals: DataFrame, key: String,
                 time: String, start: String, end: String,
                 bucketUs: Long = DayUs): DataFrame = {

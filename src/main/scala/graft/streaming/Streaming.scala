@@ -144,25 +144,12 @@ object Streaming {
     * not an approximation. */
   def streamSessions(spark: org.apache.spark.sql.SparkSession,
                      dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val landing = stageLanding(dir)
-    val events = spark.readStream.schema(schema)
-      .parquet(landing)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = eventsStream(spark, dir)
       .select("ts", "user_id", "event_type", "value")
       .as[Event]
-    val name = s"graft_stream_sessions_${runSeq.incrementAndGet()}"
-    val q = sessionizeStream(events)
-      .writeStream
-      .format("memory").queryName(name)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    runToMemory(sessionizeStream(events).toDF(), "graft_stream_sessions",
+        OutputMode.Append())
       .select(col("user_id"),
         date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss")
           .as("session_start"),
@@ -215,6 +202,35 @@ object Streaming {
     landing.toString
   }
 
+  /** readStream over the staged events parquet with `ts` rebuilt from its
+    * TIMESTAMP(NANOS) physical long — the ONE copy of the source wiring
+    * every streaming run shares (a change to the nanos handling or the
+    * landing staging must happen here, nowhere else). */
+  private def eventsStream(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema)
+      .parquet(stageLanding(dir))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming frame to completion (AvailableNow) into a uniquely
+    * named memory sink and return the sink table — the shared tail of
+    * every oracle-gated streaming run. */
+  private def runToMemory(df: DataFrame, prefix: String,
+                          mode: OutputMode): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val name = s"${prefix}_${runSeq.incrementAndGet()}"
+    val q = df.writeStream
+      .format("memory").queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
   /** The tumbling-window aggregation executed as a REAL Structured
     * Streaming job, oracle-checked: readStream over the events parquet
     * (file-stream source), the same window/agg transform as the batch
@@ -226,30 +242,15 @@ object Streaming {
     * sink for a table; the transform is untouched. */
   def streamTumbling(spark: org.apache.spark.sql.SparkSession,
                      dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    // events.ts is parquet TIMESTAMP(NANOS): same legacy-long read +
-    // micros conversion as the batch path (Tables.events)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val landing = stageLanding(dir)
-    val events = spark.readStream.schema(schema)
-      .parquet(landing)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val agg = events
+    val agg = eventsStream(spark, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), EventWindows.sumValueCents)
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
           .as("hour_start"),
         col("event_type"), col("cnt"), col("sum_value_cents"))
-    val name = s"graft_stream_tumbling_${runSeq.incrementAndGet()}"
-    val q = agg.writeStream
-      .format("memory").queryName(name)
-      .outputMode(OutputMode.Complete())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name).orderBy("hour_start", "event_type")
+    runToMemory(agg, "graft_stream_tumbling", OutputMode.Complete())
+      .orderBy("hour_start", "event_type")
   }
 
   /** Stream–static join executed as a REAL streaming job: the events
@@ -264,13 +265,7 @@ object Streaming {
     * gate (same discipline as streamTumbling). */
   def streamEnrich(spark: org.apache.spark.sql.SparkSession,
                    dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val landing = stageLanding(dir)
-    val events = spark.readStream.schema(schema)
-      .parquet(landing)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = eventsStream(spark, dir)
     val dim = graft.Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment").as("segment"))
     val agg = events
@@ -280,14 +275,8 @@ object Streaming {
       .select(
         date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("segment"), col("cnt"), col("sum_value_cents"))
-    val name = s"graft_stream_enrich_${runSeq.incrementAndGet()}"
-    val q = agg.writeStream
-      .format("memory").queryName(name)
-      .outputMode(OutputMode.Complete())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name).orderBy("day", "segment")
+    runToMemory(agg, "graft_stream_enrich", OutputMode.Complete())
+      .orderBy("day", "segment")
   }
 
   /** Stream–stream interval join executed as a REAL streaming job: the
@@ -303,18 +292,13 @@ object Streaming {
     * reproduce the batch pair set through the hash gate. */
   def streamRangeJoin(spark: org.apache.spark.sql.SparkSession,
                       dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val landing = stageLanding(dir)
-    def stream() = spark.readStream.schema(schema)
-      .parquet(landing)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val clicks = stream().filter(col("event_type") === "click")
+    val clicks = eventsStream(spark, dir)
+      .filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
         col("ts").as("click_ts"))
       .withWatermark("click_ts", "0 seconds")
-    val purchases = stream().filter(col("event_type") === "purchase")
+    val purchases = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
       .withWatermark("purchase_ts", "0 seconds")
     val joined = clicks.join(purchases,
@@ -322,13 +306,7 @@ object Streaming {
         col("click_ts") >= col("purchase_ts") &&
         col("click_ts") < col("purchase_ts") + expr("INTERVAL 1 DAY"))
       .select("user_id", "click_id", "click_ts", "purchase_ts")
-    val name = s"graft_stream_range_${runSeq.incrementAndGet()}"
-    val q = joined.writeStream
-      .format("memory").queryName(name)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name).orderBy("user_id", "click_id", "purchase_ts")
+    runToMemory(joined, "graft_stream_range", OutputMode.Append())
+      .orderBy("user_id", "click_id", "purchase_ts")
   }
 }

@@ -105,6 +105,27 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("a NULL payload on the latest state row is reported, not skipped") {
+    import spark.implicits._
+    // ASOF semantics: the newest state row wins AS A UNIT — its NULL
+    // payload must surface, never an older state's non-null value
+    val probes = Seq((1L, 100L, ts("2024-01-01 05:00:00")))
+      .toDF("k", "probe_id", "t")
+    val states = Seq(
+      (1L, ts("2024-01-01 01:00:00"), Some(5.0)),
+      (1L, ts("2024-01-01 03:00:00"), None: Option[Double])
+    ).toDF("k", "t", "v")
+    for (joined <- Seq(
+        AsOfJoin.asOf(probes, states, "k", "t", Seq("v")),
+        AsOfJoin.asOfBucketed(probes, states, "k", "t", Seq("v"),
+          bucketUs = 3600L * 1000000L))) {
+      val r = joined.collect()(0)
+      assert(r.getAs[Timestamp]("asof_t") === ts("2024-01-01 03:00:00"))
+      assert(r.isNullAt(r.fieldIndex("asof_v")),
+        "latest state's NULL payload must win over the older 5.0")
+    }
+  }
+
   test("bucketed as-of is row-identical to the plain as-of on real data") {
     val ev = Tables.events(spark, sf)
     val p = ev.filter(col("event_type") === "purchase")
