@@ -119,6 +119,9 @@ object SparkEntry {
     // REAL stream-stream interval join (watermarked both sides; range
     // condition bounds the state); oracle = q_range_join's batch SQL
     "q_stream_range"      -> (graft.streaming.Streaming.streamRangeJoin _),
+    // exactly-once streaming parquet sink (foreachBatch + dynamic
+    // partition overwrite), gated by reading the sink back
+    "q_stream_sink"       -> (graft.streaming.Streaming.streamToParquet _),
     // geo join (SURVEY §2.3 J5, §2.1 S7)
     "q_geo_join"          -> (GeoJoin.query _),
     // positional-append rewrite (SURVEY §2.7 U2, §2.3 J7)
@@ -918,6 +921,15 @@ object SparkEntry {
     // (q_stream_range shares the val: streaming must reproduce batch)
     "q_range_join" -> rangeOracle,
     "q_stream_range" -> rangeOracle,
+    // the batch statement of the streaming sink's day/type aggregate; the
+    // Spark side must survive the foreachBatch write + partitioned
+    // read-back losslessly
+    "q_stream_sink" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS sum_value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the oracle joins the ORIGINAL tables — the bucketed write + catalog
     // read + co-located SMJ on the Spark side must be lossless
     "q_bucketed_join" ->

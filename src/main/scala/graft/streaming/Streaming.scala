@@ -279,6 +279,44 @@ object Streaming {
       .orderBy("day", "segment")
   }
 
+  /** Streaming → partitioned parquet with idempotent restarts — the
+    * exactly-once sink discipline for files: `foreachBatch` writes each
+    * micro-batch's changed day-partitions via DYNAMIC partition overwrite,
+    * so replaying a batch (failure/restart, or a full re-run) rewrites
+    * the same partitions with the same content instead of appending
+    * duplicates. Update output mode keeps per-batch writes at
+    * changed-group size. The query returns the parquet read BACK from the
+    * sink, so the driver's oracle gates the entire write→read lifecycle
+    * (same pattern as the CSV round-trip); idempotence itself is pinned
+    * by running the stream twice in the spec. */
+  def streamToParquet(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val out = graft.sources.CsvIO.scratch("stream_sink_q", dir)
+    val agg = eventsStream(spark, dir)
+      .groupBy(
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), EventWindows.sumValueCents)
+    val q = agg.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("day")
+          .parquet(out)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      // partition-column type inference may read `day` back as DATE
+      .select(col("day").cast("string").as("day"), col("event_type"),
+        col("cnt"), col("sum_value_cents"))
+      .orderBy("day", "event_type")
+  }
+
   /** Stream–stream interval join executed as a REAL streaming job: the
     * attribution pairs of `RangeJoin.query` (clicks inside same-user 24h
     * post-purchase windows), but with BOTH sides unbounded streams. The

@@ -159,6 +159,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.except(expect).isEmpty && expect.except(got).isEmpty)
   }
 
+  test("exactly-once sink: re-running the stream leaves the table unchanged") {
+    val first = Streaming.streamToParquet(spark, sf).collect()
+    // second full run replays every batch into the same sink path —
+    // dynamic partition overwrite must rewrite, never duplicate
+    val second = Streaming.streamToParquet(spark, sf).collect()
+    assert(first.nonEmpty)
+    assert(first.toSeq === second.toSeq)
+    // and the sink round-trip equals the direct batch aggregate
+    val batch = Tables.events(spark, sf)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+        .as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        (sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          * 100).cast(org.apache.spark.sql.types.LongType)
+          .as("sum_value_cents"))
+      .orderBy("day", "event_type").collect()
+    assert(first.toSeq === batch.toSeq)
+  }
+
   test("streaming dedup keeps first-seen doc per content hash") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
