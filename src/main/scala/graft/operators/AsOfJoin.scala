@@ -42,7 +42,11 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, key: String, time: String,
            payload: Seq[String]): DataFrame = {
     val probe = left.withColumn("__side", lit(1))
-    val state = right.withColumn("__side", lit(0))
+    // a NULL-time state row can never satisfy `probe.t >= state.t` (ASOF
+    // semantics: the comparison is unknown), but NULLS FIRST ordering
+    // would make it visible to every probe — drop such rows up front
+    val state = right.filter(col(time).isNotNull)
+      .withColumn("__side", lit(0))
     val tagged = probe.unionByName(state, allowMissingColumns = true)
     val w = Window.partitionBy(key)
       .orderBy(col(time).asc, col("__side").asc)
@@ -91,7 +95,9 @@ object AsOfJoin {
     val packed = struct((time +: payload).map(col): _*)
 
     val p = left.withColumn("__b", bucket)
-    val s = right.withColumn("__b", bucket)
+    // NULL-time states never match (see asOf) and would land in a NULL
+    // bucket of their own anyway
+    val s = right.filter(col(time).isNotNull).withColumn("__b", bucket)
 
     // 1. bucket-closing state; max over (time, payload…) struct = latest
     //    row (right is unique per (key, time) — the asOf contract)

@@ -301,9 +301,14 @@ object Streaming {
     val q = agg.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // partition = EXACTLY one output group: Update mode emits only
+        // the groups a batch changed, so a coarser partition (day alone)
+        // would be rewritten with just the changed subset and silently
+        // drop its other groups whenever the source splits into multiple
+        // micro-batches
         batch.write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("day")
+          .partitionBy("day", "event_type")
           .parquet(out)
         ()
       }
@@ -312,7 +317,8 @@ object Streaming {
     q.awaitTermination()
     spark.read.parquet(out)
       // partition-column type inference may read `day` back as DATE
-      .select(col("day").cast("string").as("day"), col("event_type"),
+      .select(col("day").cast("string").as("day"),
+        col("event_type").cast("string").as("event_type"),
         col("cnt"), col("sum_value_cents"))
       .orderBy("day", "event_type")
   }
@@ -330,12 +336,14 @@ object Streaming {
     * reproduce the batch pair set through the hash gate. */
   def streamRangeJoin(spark: org.apache.spark.sql.SparkSession,
                       dir: String): DataFrame = {
-    val clicks = eventsStream(spark, dir)
+    // one source wiring (schema probe + landing staging), two branches
+    val src = eventsStream(spark, dir)
+    val clicks = src
       .filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
         col("ts").as("click_ts"))
       .withWatermark("click_ts", "0 seconds")
-    val purchases = eventsStream(spark, dir)
+    val purchases = src
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
       .withWatermark("purchase_ts", "0 seconds")

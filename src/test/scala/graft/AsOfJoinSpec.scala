@@ -126,6 +126,22 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("NULL-time state rows never match (ASOF comparison is unknown)") {
+    import spark.implicits._
+    val probes = Seq((1L, 100L, ts("2024-01-01 05:00:00")))
+      .toDF("k", "probe_id", "t")
+    val states = Seq(
+      (1L, None: Option[Timestamp], Some(7.0)) // t NULL: must be invisible
+    ).toDF("k", "t", "v")
+    for (joined <- Seq(
+        AsOfJoin.asOf(probes, states, "k", "t", Seq("v")),
+        AsOfJoin.asOfBucketed(probes, states, "k", "t", Seq("v")))) {
+      val r = joined.collect()(0)
+      assert(r.isNullAt(r.fieldIndex("asof_t")))
+      assert(r.isNullAt(r.fieldIndex("asof_v")))
+    }
+  }
+
   test("bucketed as-of is row-identical to the plain as-of on real data") {
     val ev = Tables.events(spark, sf)
     val p = ev.filter(col("event_type") === "purchase")

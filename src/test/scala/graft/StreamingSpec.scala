@@ -178,6 +178,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(first.toSeq === batch.toSeq)
   }
 
+  test("sink partitions are one group each: partial replays lose nothing") {
+    // the property that makes the foreachBatch sink safe under Update
+    // mode: a batch containing only SOME of a day's groups must rewrite
+    // only those groups' partitions. If partitioning were by day alone,
+    // this partial write would wipe the day's other groups.
+    import spark.implicits._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_sink_gran").toString + "/t"
+    def write(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day", "event_type").parquet(out)
+    write(Seq(("2024-01-01", "click", 5L), ("2024-01-01", "purchase", 3L))
+      .toDF("day", "event_type", "cnt"))
+    // partial "micro-batch": only the click group of that day changed
+    write(Seq(("2024-01-01", "click", 9L)).toDF("day", "event_type", "cnt"))
+    val back = spark.read.parquet(out)
+      .collect().map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("cnt"))).toMap
+    assert(back === Map("click" -> 9L, "purchase" -> 3L))
+  }
+
   test("streaming dedup keeps first-seen doc per content hash") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
