@@ -129,6 +129,38 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Bucketed: true"), p)
   }
 
+  test("semi/anti compile to real existence joins, not inner+distinct") {
+    // the key-only-shuffle economics exist only if the planner keeps the
+    // LeftSemi/LeftAnti operator: a rewrite through inner join + distinct
+    // would materialize every matching pair first
+    val semi = SparkEntry.queries("q_semi_join")(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+    val anti = SparkEntry.queries("q_anti_join")(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+    assert(semi.contains("LeftSemi"), semi)
+    assert(anti.contains("LeftAnti"), anti)
+  }
+
+  test("rollup is one Expand+aggregate pass, not a union of scans") {
+    val p = SparkEntry.queries("q_rollup")(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("Expand"), p)
+    // one orders scan feeds all three grouping levels
+    assert(p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("orders")) <= 1, p)
+  }
+
+  test("cumulative sum windows over the aggregate, not the fact table") {
+    // Window must sit ABOVE the HashAggregate: a window over raw orders
+    // would range-sort the whole fact table for a presentation concern
+    val plan = SparkEntry.queries("q_cumsum")(spark, sf).queryExecution
+      .optimizedPlan.toString
+    val winIdx = plan.indexOf("Window")
+    val aggIdx = plan.indexOf("Aggregate")
+    assert(winIdx >= 0 && aggIdx >= 0 && winIdx < aggIdx,
+      s"expected Window above Aggregate:\n$plan")
+  }
+
   private def scanCount(df: DataFrame): Int =
     df.queryExecution.explainString(FormattedMode)
       .linesIterator.count(_.contains("Scan parquet"))
