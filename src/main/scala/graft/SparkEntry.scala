@@ -28,6 +28,8 @@ object SparkEntry {
     "q_rollup"            -> (Relational.regionNationRollup _),
     // running total over the monthly aggregate (window AFTER agg)
     "q_cumsum"            -> (Relational.cumulativeSum _),
+    // full grouping-set power set (margins + total) in one Expand pass
+    "q_cube"              -> (Relational.segmentPriorityCube _),
     "q_minmax"            -> (Relational.minMax _),
     "q_distinct"          -> (Relational.distinctPairs _),
     "q_freq_table"        -> (Relational.freqTable _),
@@ -868,6 +870,16 @@ object SparkEntry {
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY 3, 4, 1, 2""".stripMargin,
+    "q_cube" ->
+      """SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+        |  CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_segment,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS sum_price_cents
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY CUBE(c_mktsegment, o_orderpriority)
         |ORDER BY 3, 4, 1, 2""".stripMargin,
     "q_cumsum" ->
       """WITH m AS (

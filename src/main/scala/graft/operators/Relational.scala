@@ -180,6 +180,28 @@ object Relational {
       .orderBy("priority", "month")
   }
 
+  /** CUBE over (mktsegment, orderpriority): all four grouping sets —
+    * leaves, both one-dimension margins, grand total — in the same single
+    * Expand+aggregate pass as the rollup (rollup emits the prefix sets
+    * only; cube emits the power set, the standard OLAP margin table). */
+  def segmentPriorityCube(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      // grouping() resolves against the RAW cube columns, not aliases
+      .cube(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(
+        grouping(col("c_mktsegment")).cast(LongType).as("g_segment"),
+        grouping(col("o_orderpriority")).cast(LongType).as("g_priority"),
+        count(lit(1)).as("cnt"),
+        (sum(money(col("o_totalprice"))) * 100).cast(LongType)
+          .as("sum_price_cents"))
+      .select(col("c_mktsegment").as("segment"),
+        col("o_orderpriority").as("priority"), col("g_segment"),
+        col("g_priority"), col("cnt"), col("sum_price_cents"))
+      .orderBy("g_segment", "g_priority", "segment", "priority")
+  }
+
   def groupMeanHaving(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)

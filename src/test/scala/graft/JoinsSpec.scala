@@ -79,6 +79,19 @@ class JoinsSpec extends AnyFunSuite {
       leaves.map(_.getAs[Long]("sum_price_cents")).sum)
   }
 
+  test("cube emits all four grouping sets consistently") {
+    val rows = SparkEntry.queries("q_cube")(spark, sf).collect()
+    def cnt(gs: Long, gp: Long) = rows.filter(r =>
+      r.getAs[Long]("g_segment") == gs && r.getAs[Long]("g_priority") == gp)
+      .map(_.getAs[Long]("cnt")).sum
+    val leaves = cnt(0, 0)
+    assert(leaves > 0)
+    // both margins and the grand total each re-partition the same rows
+    assert(cnt(0, 1) === leaves, "segment margin")
+    assert(cnt(1, 0) === leaves, "priority margin")
+    assert(cnt(1, 1) === leaves, "grand total")
+  }
+
   test("F12 rare-category model is deterministic and bounded") {
     val d = Tables.documents(spark, sf)
     val m1 = RareCategory.fit(d, "source", 0.045)
