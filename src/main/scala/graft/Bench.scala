@@ -7,7 +7,11 @@ import org.apache.spark.sql.SparkSession
   * evaluates every output column, projection and sort in the plan, so the
   * numbers measure the work the query actually declares. A small untimed
   * warm-up absorbs session/codegen/parquet-footer first-touch costs so the
-  * first timed query isn't charged for them.
+  * first timed query isn't charged for them. Reported numbers are per-query
+  * MEDIANS of `SPARK_GRAFT_REPEAT` (default 3) runs with untimed
+  * cache-clear + GC between runs — single-pass numbers showed 2–8× JVM
+  * noise on unchanged queries once the catalog hit 80 entries in one
+  * process (BENCH_r05 vs r04).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -50,30 +54,56 @@ object Bench {
     // the errors map sees the failure — a fast failure can't masquerade as
     // a fast run, and a partially-failed run can't masquerade as a smaller
     // successful one.
-    // dev knob: SPARK_GRAFT_REPEAT=2 times each query N times ("q#2" rows
-    // for later passes) to split steady-state cost from first-run
-    // warm-up/scan effects; the driver runs with it unset → one pass each
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    // SPARK_GRAFT_REPEAT=n runs each query n times; default 3. In the
+    // default (driver) mode each query's reported number is the MEDIAN of
+    // its runs — one pass per query measured r5-level cross-query JVM
+    // noise of 2–8× on queries whose code hadn't changed. With
+    // SPARK_GRAFT_ONLY set (dev mode) every pass is emitted ("q#2"… rows)
+    // so warm-up vs steady-state stays visible.
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
     require(repeat >= 1,
       s"SPARK_GRAFT_REPEAT must be >= 1 (got $repeat): 0 or negative would " +
         "silently emit an empty-but-successful-looking run")
-    val results = queries.toSeq.flatMap { case (name, fn) =>
-      (1 to repeat).map { i =>
+    val runs = queries.toSeq.map { case (name, fn) =>
+      val timed = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
         val err =
           try {
             fn(spark, sfDir).write.mode("overwrite").format("noop").save()
             None
           } catch { case e: Throwable =>
-            Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+            Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(60)}")
           }
         val sec = (System.nanoTime() - t0) / 1e9
-        (if (i == 1) name else s"$name#$i", sec, err)
+        // inter-run hygiene, OUTSIDE the timer: drop any cache a query
+        // leaked and let the ContextCleaner reap GC-scoped checkpoint /
+        // shuffle state — so one query's leftovers aren't billed to the
+        // next (the r5 "unchanged query regressed 6×" failure mode)
+        spark.catalog.clearCache()
+        System.gc()
+        (sec, err)
+      }
+      (name, timed)
+    }
+    // median of successful runs (lower-middle for even n); any failed run
+    // poisons the query: negative sentinel + first error message
+    val results = runs.flatMap { case (name, timed) =>
+      val firstErr = timed.collectFirst { case (_, Some(m)) => m }
+      if (only.isEmpty) {
+        val med = timed.map(_._1).sorted.apply((timed.size - 1) / 2)
+        Seq((name, med, firstErr))
+      } else timed.zipWithIndex.map { case ((sec, err), i) =>
+        (if (i == 0) name else s"$name#${i + 1}", sec, err)
       }
     }
     import ToolSupport.jstr
+    // Locale.ROOT: a comma decimal separator would corrupt the JSON line.
+    // 2 decimals keeps the 80+-entry line inside the driver's 2000-char
+    // tail window (r4/r5 overflowed it → "parsed": null).
+    def r2(v: Double): String =
+      "%.2f".formatLocal(java.util.Locale.ROOT, math.abs(v))
     val qs = results.map { case (k, v, err) =>
-      s"\"" + k + "\":" + (if (err.isEmpty) v else -v)
+      s"\"" + k + "\":" + (if (err.isEmpty) r2(v) else "-" + r2(v))
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
@@ -81,7 +111,7 @@ object Bench {
     val onlyField = only.map(n =>
       s""","only":${n.toSeq.sorted.map(jstr).mkString("[", ",", "]")}""")
       .getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs$onlyField,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"errors":$errs$onlyField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

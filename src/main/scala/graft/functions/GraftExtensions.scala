@@ -39,5 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("shingles3"),
       Shingles3.info,
       cs => { val c = arity(1, "shingles3")(cs); Shingles3(c(0)) }))
+    ext.injectFunction((
+      FunctionIdentifier("token_profile"),
+      TokenProfile.info,
+      cs => { val c = arity(2, "token_profile")(cs)
+              TokenProfile(c(0), c(1)) }))
   }
 }

@@ -105,6 +105,74 @@ object PolyHash {
     new GenericArrayData(arr)
   }
 
+  /** Identity-memoized conversion of the foldable profile literal (an
+    * array<array<string>>) to plain JVM arrays: the codegen'd call site
+    * passes the SAME Literal-backed ArrayData instance every row, so one
+    * ThreadLocal (ref, converted) pair makes the conversion once per task
+    * instead of ~30 UTF8String→String allocations per row. */
+  private val profileWordsCache =
+    new ThreadLocal[(ArrayData, Array[Array[String]])]
+
+  private def profileWords(profiles: ArrayData): Array[Array[String]] = {
+    val c = profileWordsCache.get()
+    if (c != null && (c._1 eq profiles)) c._2
+    else {
+      val out = Array.tabulate(profiles.numElements()) { p =>
+        val a = profiles.getArray(p)
+        (0 until a.numElements())
+          .map(a.getUTF8String)
+          .filter(_ != null)
+          .map(_.toString)
+          .toArray
+      }
+      profileWordsCache.set((profiles, out))
+      out
+    }
+  }
+
+  /** One-pass token profile of a whitespace-normalized string against a
+    * list of word sets: out(0) = token count (split on single spaces,
+    * empties kept — exactly `size(split(s, ' '))`), out(p+1) = number of
+    * tokens string-equal to any word of profile p (exactly the
+    * `aggregate(tokens, 0, acc + array_contains(...))` HOF this kernel
+    * replaces — equivalence-tested in LlmOpsSpec). Tokens are matched by
+    * char-region comparison against the in-place string: no per-token or
+    * per-shingle allocation anywhere in the loop. */
+  def tokenProfile(s: UTF8String, profiles: ArrayData): ArrayData = {
+    val str = s.toString
+    val words = profileWords(profiles)
+    val nProf = words.length
+    val counts = new Array[Long](nProf + 1)
+    val len = str.length
+    var start = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || str.charAt(i) == ' ') {
+        counts(0) += 1
+        val tokLen = i - start
+        var p = 0
+        while (p < nProf) {
+          val ws = words(p)
+          var w = 0
+          var hit = false
+          while (w < ws.length && !hit) {
+            val word = ws(w)
+            if (word.length == tokLen &&
+                str.regionMatches(start, word, 0, tokLen)) {
+              counts(p + 1) += 1
+              hit = true
+            }
+            w += 1
+          }
+          p += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
   /** MinHash signature over a DuckDB-replayable hash family: each shingle
     * reduces ONCE to a polynomial code-point roll p (base 131 mod
     * P = 2147483647 — the same roll as SimHash h1), and seed j applies the
@@ -248,4 +316,42 @@ case class MinHashSigs(left: Expression, right: Expression)
 object MinHashSigs {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[MinHashSigs].getName, "minhash_sigs")
+}
+
+/** token_profile(normalized_text, array(array<string>...)) →
+  * ARRAY<BIGINT> [n_tokens, cnt_profile0, ...]. The profile list must be
+  * foldable (a literal) — it is converted once per task, not per row.
+  * Null text → null out. */
+case class TokenProfile(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(ArrayType(StringType, _), _))
+          if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "token_profile expects (string, foldable array<array<string>>), " +
+          s"got ${left.dataType.simpleString} / ${right.dataType.simpleString}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    PolyHash.tokenProfile(a.asInstanceOf[UTF8String], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.PolyHash.tokenProfile($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TokenProfile =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "token_profile"
+}
+
+object TokenProfile {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[TokenProfile].getName, "token_profile")
 }

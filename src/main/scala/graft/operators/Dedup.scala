@@ -198,20 +198,30 @@ object Dedup {
     * reaching the fixpoint, the result would be silently split — so that
     * case THROWS rather than returning wrong components. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
-    val edges = pairs.select(col("a"), col("b"))
-      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
-      .cache()
+    // ONE eager materialization of the (possibly expensive) pair set: the
+    // symmetric union reads it twice and the loop re-reads it every round,
+    // so without this the upstream plan (here: the LSH candidate join)
+    // would re-execute 2 + 2·rounds times (durable `checkpoint` on a real
+    // cluster). Checkpoint blocks are GC-scoped — released when the frame
+    // goes out of reach, unlike cache() which pins until unpersist.
+    val p = pairs.select(col("a"), col("b")).localCheckpoint(eager = true)
+    val edges = p.unionByName(p.select(col("b").as("a"), col("a").as("b")))
     // init = min(self, neighbors): every label is a node of the component
     // (a's own id or a neighbor's), so the jump self-join below always
     // matches and the monotone-decrease convergence argument is unchanged
-    var labels = edges.groupBy(col("a"))
-      .agg(min(col("b")).as("mn"))
-      .select(col("a").as("node"), least(col("a"), col("mn")).as("label"))
-      .cache()
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("label").cast(DecimalType(38, 0))),
           lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 0))))
         .collect()(0).getDecimal(0)
+    // LAZY localCheckpoint throughout the loop: the convergence-sum action
+    // materializes the checkpoint as its side effect, so each round is ONE
+    // driver-synchronized job (sum + materialization fused) — the eager
+    // checkpoint + separate sum-collect form was 2 jobs/round and made
+    // this loop the r5 bench whale (47 s for a 238-pair graph).
+    var labels = edges.groupBy(col("a"))
+      .agg(min(col("b")).as("mn"))
+      .select(col("a").as("node"), least(col("a"), col("mn")).as("label"))
+      .localCheckpoint(eager = false)
     var prevSum = labelSum(labels)
     var iter = 0
     var done = false
@@ -224,23 +234,19 @@ object Dedup {
       // of the same frame, so the inner self-join always matches). The
       // self-join references `minned` twice — without lineage truncation
       // the logical plan would DOUBLE per round (exponential analysis
-      // cost); localCheckpoint materializes the round and resets the
-      // plan (durable `checkpoint` on a real cluster).
+      // cost); the checkpoint resets the plan each round.
       val parents = minned
         .select(col("node").as("p_node"), col("label").as("p_label"))
       val next = minned.join(parents, minned("label") === col("p_node"))
         .select(minned("node").as("node"), col("p_label").as("label"))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       val nextSum = labelSum(next)
       done = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
-      labels.unpersist()
       labels = next
       iter += 1
     }
-    edges.unpersist()
     if (!done) {
-      labels.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
           "a component's diameter exceeds maxIter; raise maxIter " +
@@ -252,24 +258,15 @@ object Dedup {
   /** Survivor selection — the step after candidate generation + verification
     * in a real dedup pipeline: near-dup pairs → connected components →
     * keep-first (min doc_id) per duplicate group. Emits one row per group
-    * with its survivor, size, and largest member.
-    *
-    * The per-group aggregate (one row per duplicate group — a small
-    * fraction of the corpus) is eagerly localCheckpoint'ed so the loop's
-    * cached label frame can be released immediately instead of staying
-    * pinned until some later consumer materializes the result. On a real
-    * cluster the local checkpoint would be a durable `checkpoint` (block
-    * loss would otherwise kill the query); the lifecycle is the point. */
-  def dedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
-    val labels = connectedComponents(minhashNearDup(spark, dir))
-    val out = labels
+    * with its survivor, size, and largest member. The label frame is
+    * checkpoint-backed (see connectedComponents), so the group aggregate
+    * here is one cheap pass over materialized blocks that the GC releases
+    * once the result frame is dropped. */
+  def dedupSurvivors(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(minhashNearDup(spark, dir))
       .groupBy(col("label").as("survivor_id"))
       .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_member"))
       .orderBy("survivor_id")
-      .localCheckpoint(eager = true)
-    labels.unpersist(blocking = false)
-    out
-  }
 
   // -- SimHash -----------------------------------------------------------
 

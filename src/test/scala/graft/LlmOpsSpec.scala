@@ -16,6 +16,42 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(asEn.toDouble / total > 0.7, s"en accuracy ${asEn.toDouble / total}")
   }
 
+  test("token_profile kernel == HOF aggregate spec (incl. non-ASCII/empty)") {
+    import spark.implicits._
+    val docs = Seq(
+      "the cat and the hat", // en hits
+      "der Ütest und die übung ist gut", // non-ASCII chars, de hits
+      "", // empty → 1 empty token, 0 hits
+      "  padded   text  ", // collapsing whitespace upstream
+      "le la le la le") // repeated fr hits
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val langs = TextAnalysis.langProfiles.keys.toSeq.sorted
+    val profLit = langs
+      .map(l => TextAnalysis.langProfiles(l).map(w => s"'$w'")
+        .mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+    val norm = "regexp_replace(lower(text), '\\\\s+', ' ')"
+    val kernel = docs.selectExpr("doc_id", s"token_profile($norm, $profLit) AS tp")
+    val hofCols = s"size(split($norm, ' ')) AS n" +: langs.zipWithIndex.map {
+      case (l, i) =>
+        val arr = TextAnalysis.langProfiles(l).map(w => s"'$w'").mkString(",")
+        s"""aggregate(split($norm, ' '), 0L, (acc, t) ->
+           |  acc + CASE WHEN array_contains(array($arr), t)
+           |  THEN 1 ELSE 0 END) AS c$i""".stripMargin
+    }
+    val hof = docs.selectExpr("doc_id" +: hofCols: _*)
+    val k = kernel.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Long](1)).toMap
+    hof.collect().foreach { r =>
+      val exp = r.getInt(1).toLong +: langs.indices.map(i => r.getLong(2 + i))
+      assert(k(r.getLong(0)) === exp, s"doc ${r.getLong(0)}")
+    }
+    // the per-profile counts are only a partition of token hits because
+    // the profiles never share a word — pin that invariant
+    val all = TextAnalysis.langProfiles.values.flatten.toSeq
+    assert(all.distinct.size === all.size, "lang profiles must be disjoint")
+  }
+
   test("fingerprint is order-sensitive and deterministic") {
     import spark.implicits._
     val fp = TextAnalysis.fingerprint(spark, sf)
