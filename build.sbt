@@ -2,6 +2,12 @@ ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
 name := "mbfbigdatarandomforestspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
+// currently Spark 4.1.2. NOTE on upgrades: ml.TreePipeline disables the
+// GBT model-size cap by reflection against the private[spark]
+// o.a.s.ml.tree.TreeConfig global (uninitialized outside Spark Connect —
+// it silently truncates boosting at 0 bytes otherwise). A Spark upgrade
+// that renames that field downgrades the workaround to a loud stderr
+// warning; re-pin it when bumping Spark.
 unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything
 // else is intentionally not resolvable (COURSIER_MODE=offline).

@@ -124,6 +124,11 @@ object SparkEntry {
     // exactly-once streaming parquet sink (foreachBatch + dynamic
     // partition overwrite), gated by reading the sink back
     "q_stream_sink"       -> (graft.streaming.Streaming.streamToParquet _),
+    // REAL watermarked streaming dedup run (readStream →
+    // dropDuplicatesWithinWatermark → Append memory sink); oracle = the
+    // deduped key set (survivor payload is processing-order dependent in
+    // ANY engine, the key set is the stable contract)
+    "q_stream_dedup"      -> (graft.streaming.Streaming.streamDedup _),
     // geo join (SURVEY §2.3 J5, §2.1 S7)
     "q_geo_join"          -> (GeoJoin.query _),
     // positional-append rewrite (SURVEY §2.7 U2, §2.3 J7)
@@ -942,6 +947,13 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
         |    AS sum_value_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // streaming dedup: the stable contract is the surviving KEY SET (which
+    // duplicate row survives is processing-order dependent in any engine);
+    // the 31-day watermark covers the events table's full disorder, so the
+    // streamed first-seen set must equal batch DISTINCT
+    "q_stream_dedup" ->
+      """SELECT DISTINCT user_id AS content_hash FROM events
+        |ORDER BY content_hash""".stripMargin,
     // the oracle joins the ORIGINAL tables — the bucketed write + catalog
     // read + co-located SMJ on the Spark side must be lossless
     "q_bucketed_join" ->
@@ -1121,7 +1133,12 @@ object SparkEntry {
         |FROM base GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the multimodal stub derives features from raw bytes only, and the
     // corpus is ASCII — so DuckDB can replay the "decode" with code points
-    // (unicode(char) == byte) and match the profile exactly
+    // (unicode(char) == byte) and match the profile exactly.
+    // strlen() here is INTENTIONALLY byte length (unlike the text-op
+    // oracles, which use length()): the Spark side measures the payload as
+    // text.cast(BinaryType) — UTF-8 bytes — so byte semantics are the
+    // contract on both sides; only mean_byte's unicode() replay depends on
+    // the ASCII corpus, as noted above
     "q_multimodal_meta" ->
       """WITH f AS (
         |  SELECT doc_id, strlen(text) AS n_bytes,
@@ -1324,13 +1341,17 @@ object SparkEntry {
         |           ' ')) AS t
         |  FROM corpus),
         |th AS (
+        |  -- length() (characters), not strlen() (bytes): the Spark kernel
+        |  -- rolls CODE POINTS and t[i] indexes characters — byte length
+        |  -- would hash garbage positions on non-ASCII text (same fix as
+        |  -- the q_fingerprint / q_minhash_neardup oracles)
         |  SELECT doc_id,
-        |    CASE WHEN strlen(t) = 0 THEN 0 ELSE list_reduce(
-        |      list_transform(range(1, strlen(t) + 1),
+        |    CASE WHEN length(t) = 0 THEN 0 ELSE list_reduce(
+        |      list_transform(range(1, length(t) + 1),
         |                     i -> CAST(unicode(t[i]) AS BIGINT)),
         |      (a, c) -> (a * 131 + c) % 2147483647) END AS h1,
-        |    CASE WHEN strlen(t) = 0 THEN 0 ELSE list_reduce(
-        |      list_transform(range(1, strlen(t) + 1),
+        |    CASE WHEN length(t) = 0 THEN 0 ELSE list_reduce(
+        |      list_transform(range(1, length(t) + 1),
         |                     i -> CAST(unicode(t[i]) AS BIGINT)),
         |      (a, c) -> (a * 137 + c) % 2147483629) END AS h2
         |  FROM tok),

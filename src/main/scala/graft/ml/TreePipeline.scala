@@ -95,12 +95,22 @@ object TreePipeline {
     train.unpersist(blocking = false)
     val spark2 = spark
     import spark2.implicits._
-    fitted.featureImportances.toArray.zipWithIndex
+    val imps = fitted.featureImportances.toArray
+    // self-gating check (metric-threshold standard, SURVEY §5.4): gain
+    // importances must be a valid distribution, and the constructed label
+    // (3·quantity − 200·discount + 50·tax + noise) makes quantity the
+    // dominant signal by range — a forest that doesn't find it is broken
+    val top = imps.zipWithIndex.maxBy(_._1)
+    val gateOk = imps.forall(v => v >= 0.0 && v <= 1.0) &&
+      math.abs(imps.sum - 1.0) < 1e-6 &&
+      names(top._2) == "l_quantity" && top._1 > 0.5
+    imps.zipWithIndex
       .map { case (imp, i) => (names(i), imp) }
       .toSeq.toDF("feature", "importance")
       .orderBy(desc("importance"), asc("feature"))
       .limit(10)
-      .select(col("feature"), round(col("importance"), 4).as("importance"))
+      .select(col("feature"), round(col("importance"), 4).as("importance"),
+        lit(gateOk).as("check"))
   }
 
   /** M10+M11 (GBT): boosted trees with early stopping via a validation
@@ -137,6 +147,15 @@ object TreePipeline {
       .toDF("split", "rmse", "r2")
       .select(col("split"), round(col("rmse"), 4).as("rmse"),
         round(col("r2"), 4).as("r2"))
+      // self-gating band (the reference's own correctness standard for
+      // models is metric thresholds, 05_OutcomeAndVisualization.R:49-90 /
+      // SURVEY §5.4): the label's construction noise is U(-5,5) (sd≈2.9),
+      // and the trained model sits at rmse≈3.6-4.0, r²≈0.992-0.993 at
+      // sf0.01/sf0.1 — a NaN or degenerate fit fails the band (NaN fails
+      // `between` on the upper bound), and the driver hashes the column,
+      // so "rows-only" still asserts model QUALITY, not just rows>0
+      .withColumn("check",
+        col("rmse").between(0.001, 8.0) && col("r2").between(0.95, 1.0))
       .orderBy("split")
   }
 
@@ -171,9 +190,16 @@ object TreePipeline {
       org.apache.spark.ml.regression.RandomForestRegressionModel]
     val spark2 = spark
     import spark2.implicits._
-    Seq((best.getMaxDepth, best.getSubsamplingRate,
-      BigDecimal(model.avgMetrics.min).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
-      .toDF("best_max_depth", "best_subsample_rate", "best_cv_rmse")
+    val bestRmse = BigDecimal(model.avgMetrics.min)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // self-gating check (SURVEY §5.4): the winner must come from the
+    // declared grid and its CV rmse must sit in a sane band (observed
+    // 8.7-9.8 at sf0.01/sf0.1 on the 1/60 sample; NaN/degenerate fails)
+    val gateOk = Seq(3, 6).contains(best.getMaxDepth) &&
+      Seq(0.8, 1.0).contains(best.getSubsamplingRate) &&
+      bestRmse > 0.0 && bestRmse < 20.0
+    Seq((best.getMaxDepth, best.getSubsamplingRate, bestRmse, gateOk))
+      .toDF("best_max_depth", "best_subsample_rate", "best_cv_rmse", "check")
   }
 
   /** Feature-slot names from the assembled vector's ML attribute metadata. */

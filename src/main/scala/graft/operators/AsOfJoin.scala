@@ -44,8 +44,13 @@ object AsOfJoin {
     val probe = left.withColumn("__side", lit(1))
     // a NULL-time state row can never satisfy `probe.t >= state.t` (ASOF
     // semantics: the comparison is unknown), but NULLS FIRST ordering
-    // would make it visible to every probe — drop such rows up front
+    // would make it visible to every probe — drop such rows up front.
+    // Project the right side to exactly (key, time, payload) BEFORE the
+    // union: any other right-side column would otherwise ride through
+    // unionByName(allowMissingColumns) as an all-NULL column on every
+    // probe row of the output
     val state = right.filter(col(time).isNotNull)
+      .select((key +: time +: payload).map(col): _*)
       .withColumn("__side", lit(0))
     val tagged = probe.unionByName(state, allowMissingColumns = true)
     val w = Window.partitionBy(key)
@@ -96,8 +101,11 @@ object AsOfJoin {
 
     val p = left.withColumn("__b", bucket)
     // NULL-time states never match (see asOf) and would land in a NULL
-    // bucket of their own anyway
-    val s = right.filter(col(time).isNotNull).withColumn("__b", bucket)
+    // bucket of their own anyway; same (key, time, payload) projection
+    // discipline as asOf — stray right columns must not leak as NULLs
+    val s = right.filter(col(time).isNotNull)
+      .select((key +: time +: payload).map(col): _*)
+      .withColumn("__b", bucket)
 
     // 1. bucket-closing state; max over (time, payload…) struct = latest
     //    row (right is unique per (key, time) — the asOf contract)

@@ -37,13 +37,33 @@ object RangeJoin {
     * explodes them into proportionally more buckets (stress-tested to 30+
     * buckets per interval) — so the bucket width is purely a cost knob:
     * keep it ≥ the TYPICAL interval length so most intervals land in ≤ 2
-    * buckets. */
+    * buckets.
+    *
+    * Degenerate intervals are guarded, not passed to explode:
+    *  - `end <= start` matches NOTHING under the half-open semantics (and
+    *    sequence() would silently count DOWN for end < start), so such
+    *    rows are filtered out — semantics-preserving, row-identical to
+    *    the plain inequality join;
+    *  - a span wider than `maxBucketsPerInterval` (one corrupt year-9999
+    *    end date = millions of exploded rows per interval, and sequence()
+    *    hard-fails past ~Int.MaxValue elements) FAILS LOUDLY instead of
+    *    sinking the job — at corpus scale a silent multi-million-row
+    *    explosion from one bad row is the worse failure mode. */
   def rangeJoin(probes: DataFrame, intervals: DataFrame, key: String,
                 time: String, start: String, end: String,
-                bucketUs: Long = DayUs): DataFrame = {
+                bucketUs: Long = DayUs,
+                maxBucketsPerInterval: Int = 4096): DataFrame = {
     val p = probes.withColumn("__bucket", bucketOf(col(time), bucketUs))
-    val ivl = intervals.withColumn("__bucket", explode(sequence(
-      bucketOf(col(start), bucketUs), bucketOf(col(end), bucketUs))))
+    val b0 = bucketOf(col(start), bucketUs)
+    val b1 = bucketOf(col(end), bucketUs)
+    val ivl = intervals
+      .filter(unix_micros(col(end)) > unix_micros(col(start)))
+      .withColumn("__bucket", explode(
+        when(b1 - b0 < maxBucketsPerInterval, sequence(b0, b1))
+          .otherwise(raise_error(concat(
+            lit(s"rangeJoin: interval [$start, $end) spans "), b1 - b0,
+            lit(s" buckets (>= $maxBucketsPerInterval) — corrupt interval " +
+              "end or too-narrow bucketUs"))))))
     p.join(ivl, Seq(key, "__bucket"))
       .filter(unix_micros(col(time)) >= unix_micros(col(start)) &&
               unix_micros(col(time)) < unix_micros(col(end)))

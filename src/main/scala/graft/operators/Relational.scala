@@ -376,6 +376,13 @@ object Relational {
       .agg(
         countDistinct(col("user_id")).as("exact_users"),
         approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"))
+      // self-gating error bound (sketches aren't cross-engine replayable,
+      // so this is the query's own oracle): at rsd=0.02 a 10%-of-exact
+      // deviation is ≥5σ — a broken sketch fails the hashed check column
+      // while legitimate HLL++ estimates always pass
+      .withColumn("check",
+        abs(col("approx_users") - col("exact_users")) <=
+          greatest(col("exact_users") * 0.1, lit(5.0)))
       .orderBy("event_type")
 
   /** The scale-path variant: same shape, mergeable one-pass sketch. */

@@ -163,12 +163,38 @@ object Streaming {
     * first-seen wins per content hash, with the watermark bounding the
     * dedup state to the late-data horizon (without it, state grows with
     * every distinct document ever seen; with it, a hash is only held for
-    * 1 hour of event time — the standard design for continuous ingest
-    * dedup at corpus scale). */
-  def dedupStream(docs: Dataset[Doc]): Dataset[Doc] =
+    * `delay` of event time — the standard design for continuous ingest
+    * dedup at corpus scale). `delay` must cover the source's maximum
+    * disorder: a duplicate arriving later than that re-enters as new. */
+  def dedupStream(docs: Dataset[Doc], delay: String = "1 hour"): Dataset[Doc] =
     docs
-      .withWatermark("ts", "1 hour")
+      .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** The streaming dedup executed as a REAL streaming run over the events
+    * parquet, oracle-gated: event stream → (ts, doc_id=event_id,
+    * content_hash=user_id) → dropDuplicatesWithinWatermark → the deduped
+    * hash set. Emitting only the KEY SET is deliberate: within a
+    * micro-batch, WHICH duplicate row survives is processing-order
+    * dependent (both in Spark streaming and any batch `dropDuplicates`),
+    * so the payload of the survivor is not a stable contract — the set of
+    * surviving hashes is, and it's what the DuckDB oracle states
+    * (DISTINCT user_id). The watermark delay is the full 30-day event
+    * span so no hash's state can expire mid-replay regardless of how the
+    * source splits into micro-batches (same disorder-covering discipline
+    * as streamRangeJoin). */
+  def streamDedup(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = eventsStream(spark, dir)
+      .select(col("ts"), col("event_id").as("doc_id"),
+        col("user_id").as("content_hash"))
+      .as[Doc]
+    runToMemory(dedupStream(docs, delay = "31 days").toDF(),
+        "graft_stream_dedup", OutputMode.Append())
+      .select(col("content_hash"))
+      .orderBy("content_hash")
+  }
 
   /** writeStream wiring for the windowed agg (update mode; the test drives
     * it with a memory sink, production swaps the sink only). */
@@ -336,17 +362,27 @@ object Streaming {
     * reproduce the batch pair set through the hash gate. */
   def streamRangeJoin(spark: org.apache.spark.sql.SparkSession,
                       dir: String): DataFrame = {
-    // one source wiring (schema probe + landing staging), two branches
+    // one source wiring (schema probe + landing staging), two branches.
+    // Watermark delay = the data's FULL disorder span (the events table
+    // covers ~30 days and the file-stream source reads it in storage
+    // order, not time order): with a 0-second watermark, correctness
+    // would silently depend on the landing dir arriving as ONE
+    // micro-batch — if the source ever split, out-of-time-order events in
+    // later batches would fall behind the watermark and matching pairs
+    // would be dropped. Trigger.AvailableNow bounds the run, so the wide
+    // delay costs state (both sides buffered), not an unbounded stream;
+    // on a continuous production source this knob becomes the real
+    // late-data horizon.
     val src = eventsStream(spark, dir)
     val clicks = src
       .filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
         col("ts").as("click_ts"))
-      .withWatermark("click_ts", "0 seconds")
+      .withWatermark("click_ts", "31 days")
     val purchases = src
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
-      .withWatermark("purchase_ts", "0 seconds")
+      .withWatermark("purchase_ts", "31 days")
     val joined = clicks.join(purchases,
         col("user_id") === col("p_user") &&
         col("click_ts") >= col("purchase_ts") &&

@@ -48,6 +48,27 @@ class AsOfJoinSpec extends AnyFunSuite {
       (200L, Some(ts("2024-01-01 04:00:00")), Some(30.0))))
   }
 
+  test("stray right-side columns do not leak into the output") {
+    // a right side carrying columns that are neither key, time, nor
+    // payload: before r6 these rode through the tagged union as all-NULL
+    // columns on every output row (latent — in-repo callers pre-project)
+    val dirty = states.withColumn("audit_note", lit("ingested"))
+      .withColumn("batch_id", lit(42L))
+    for (out <- Seq(
+        AsOfJoin.asOf(probes, dirty, "k", "t", Seq("v")),
+        AsOfJoin.asOfBucketed(probes, dirty, "k", "t", Seq("v"),
+          bucketUs = 3600L * 1000000L))) {
+      assert(!out.columns.contains("audit_note") &&
+        !out.columns.contains("batch_id"),
+        s"right-side columns leaked: ${out.columns.mkString(",")}")
+      // and the as-of result itself is unchanged by the stray columns
+      val clean = AsOfJoin.asOf(probes, states, "k", "t", Seq("v"))
+      assert(out.orderBy("probe_id").collect().toSeq ===
+        clean.select(out.columns.map(col): _*).orderBy("probe_id")
+          .collect().toSeq)
+    }
+  }
+
   test("as-of equals the quadratic reference formulation on real data") {
     val ev = Tables.events(spark, sf)
     val p = ev.filter(col("event_type") === "purchase")

@@ -62,8 +62,13 @@ class DedupSpec extends AnyFunSuite {
     // trailing/leading spaces (empty tokens), single token
     val spark2 = spark
     import spark2.implicits._
+    // non-ASCII (BMP) chars included: the token hashes roll CODE POINTS,
+    // and the DuckDB oracle's length()/unicode() must see the same values
+    // — the q_simhash_neardup oracle used byte-length strlen() until r6,
+    // which only passed because the corpus is ASCII
     val edge = Seq((9000001L, ""), (9000002L, " x"), (9000003L, "x "),
-      (9000004L, "one"), (9000005L, "a b c d e"))
+      (9000004L, "one"), (9000005L, "a b c d e"),
+      (9000006L, "über die straße 中文 test"))
       .toDF("doc_id", "text")
     val docs = Dedup.corpus(spark, sf).limit(200).unionByName(edge)
     val native = Dedup.simhash(docs).withColumnRenamed("simhash", "n")
@@ -76,7 +81,8 @@ class DedupSpec extends AnyFunSuite {
     val spark2 = spark
     import spark2.implicits._
     val edge = Seq((9000001L, ""), (9000002L, " x y z"), (9000003L, "x "),
-      (9000004L, "one two"), (9000005L, "a b c d e"), (9000006L, "a b a b a"))
+      (9000004L, "one two"), (9000005L, "a b c d e"), (9000006L, "a b a b a"),
+      (9000007L, "naïve café résumé über tokens"))
       .toDF("doc_id", "text")
     val docs = Dedup.corpus(spark, sf).limit(200).unionByName(edge)
     val native = Dedup.signatures(docs)

@@ -81,18 +81,23 @@ class MlSpec extends AnyFunSuite {
   }
 
   test("M11/M12 RandomForest importances: planted features dominate") {
-    val imp = SparkEntry.queries("q_rf_importance")(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val collected = SparkEntry.queries("q_rf_importance")(spark, sf).collect()
+    val imp = collected.map(r => r.getString(0) -> r.getDouble(1)).toMap
     // l_quantity carries ~98% of label variance → must rank far above the
     // unrelated one-hot flag slots
     assert(imp("l_quantity") > 0.5, s"importances=$imp")
     assert(imp.values.sum > 0.99 && imp.values.sum < 1.01)
+    // the self-gating band the driver hashes must agree
+    assert(collected.forall(_.getAs[Boolean]("check")), "rf check column")
   }
 
   test("M10/M11/M13 GBT metrics beat the trivial predictor") {
-    val rows = SparkEntry.queries("q_gbt_metrics")(spark, sf).collect()
+    val collected = SparkEntry.queries("q_gbt_metrics")(spark, sf).collect()
+    val rows = collected
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     assert(rows("test")._2 > 0.8, s"test r2=${rows("test")._2}")
     assert(rows("train")._2 > 0.8)
+    // the self-gating band the driver hashes must agree
+    assert(collected.forall(_.getAs[Boolean]("check")), "gbt check column")
   }
 }

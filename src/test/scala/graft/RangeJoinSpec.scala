@@ -75,6 +75,38 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(expect.nonEmpty, "fixture must actually produce matches")
   }
 
+  test("reversed/empty intervals are dropped, matching half-open semantics") {
+    import spark.implicits._
+    val probes = Seq((1L, 10L, ts("2024-01-02 12:00:00"))).toDF("k", "id", "t")
+    val ivls = Seq(
+      (1L, ts("2024-01-02 00:00:00"), ts("2024-01-03 00:00:00")), // valid
+      (1L, ts("2024-01-03 00:00:00"), ts("2024-01-02 00:00:00")), // reversed
+      (1L, ts("2024-01-02 12:00:00"), ts("2024-01-02 12:00:00"))  // empty
+    ).toDF("k", "s", "e")
+    // a reversed interval would make sequence() count DOWN into buckets
+    // the residual then filters — correct but untested before; an
+    // end==start interval matches nothing under [start, end). Both must
+    // produce exactly what the plain inequality join produces: one match.
+    val got = RangeJoin.rangeJoin(probes, ivls, "k", "t", "s", "e").collect()
+    assert(got.length === 1)
+  }
+
+  test("a corrupt far-future interval end fails loudly, not quadratically") {
+    import spark.implicits._
+    val probes = Seq((1L, 10L, ts("2024-01-02 12:00:00"))).toDF("k", "id", "t")
+    val ivls = Seq(
+      (1L, ts("2024-01-02 00:00:00"), ts("9999-12-31 00:00:00"))
+    ).toDF("k", "s", "e")
+    val e = intercept[Throwable] {
+      RangeJoin.rangeJoin(probes, ivls, "k", "t", "s", "e").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("rangeJoin: interval")),
+      s"wrong failure: $e")
+  }
+
   test("join key is refined with the bucket (bounds per-key expansion)") {
     val plan = SparkEntry.queries("q_range_join")(spark, sf)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))

@@ -78,6 +78,8 @@ class RelationalSpec extends AnyFunSuite {
       // rsd=0.02 ⇒ ~3σ relative error 6%
       assert(math.abs(approx - exact) / exact < 0.06,
         s"${r.getString(0)}: approx=$approx exact=$exact")
+      // the wider self-gating band the driver hashes must agree a fortiori
+      assert(r.getAs[Boolean]("check"), s"${r.getString(0)}: check column")
     }
   }
 
