@@ -81,6 +81,37 @@ class PlanSpec extends AnyFunSuite {
     assert(projLine.exists(_.contains("*(")), cg)
   }
 
+  test("tfidf top-k is a per-doc aggregate, not a row_number window") {
+    // the r5 whale fix: ranking every (doc,term) row with a window sorts
+    // the whole exploded term set within each shuffle partition; the
+    // collect/sort_array/slice aggregate shuffles the same rows but sorts
+    // only each doc's own term list — no WindowExec anywhere in the plan
+    val p = plan("q_tfidf")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("lang-id evaluates token_profile ONCE; no interpreted HOF survives") {
+    // the r5 whale fix: one native scan of the normalized text instead of
+    // three interpreted aggregate() HOF passes. The kernel feeds 6
+    // element_at references (3 scores × numerator/denominator) — if
+    // CollapseProject ever inlined it into each (the simhashHof 64×
+    // re-evaluation trap), the count below would jump from 1 to 6.
+    val cg = SparkEntry.queries("q_lang_id")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val kernelEvals = "token_profile".r.findAllIn(cg).length
+    assert(kernelEvals === 1, s"token_profile evaluated $kernelEvals times:\n$cg")
+    assert(!cg.contains("lambdafunction"), cg)
+    // and the kernel itself codegens (plain projection → non-adaptive
+    // plan, so the WholeStageCodegen span is visible — same probe shape
+    // as the simhash64 test above)
+    val pure = Tables.documents(spark, sf).selectExpr(
+      "token_profile(regexp_replace(lower(text), '\\\\s+', ' '), " +
+        "array(array('the','a'))) AS tp")
+      .queryExecution.executedPlan.toString
+    val projLine = pure.linesIterator.find(_.contains("token_profile"))
+    assert(projLine.exists(_.contains("*(")), pure)
+  }
+
   test("fact-side joins carry no user broadcast hint (AQE decides)") {
     // logical plans of the fact⨝customer/supplier joins must not pin a
     // broadcast: at test SF Catalyst still broadcasts (small stats), but the
