@@ -86,6 +86,11 @@ object SparkEntry {
     "q_token_count"       -> (TextAnalysis.tokenCount _),
     "q_fingerprint"       -> (TextAnalysis.fingerprint _),
     "q_tfidf"             -> ((s, d) => TextAnalysis.tfidf(s, d)),
+    // corpus curation: PII redaction, pretraining-mix sampling, sequence
+    // packing (brief first-class; the steps between dedup and the trainer)
+    "q_redact"            -> (Curation.redact _),
+    "q_sample_mix"        -> (Curation.sampleMixture _),
+    "q_seq_pack"          -> ((s, d) => Curation.seqPack(s, d)),
     "q_ann_topk"          -> (Similarity.bruteForceTopK _),
     "q_ann_lsh"           -> (Similarity.lshTopK _),
     "q_ann_ivf"           -> (Similarity.ivfTopK _),
@@ -1279,6 +1284,79 @@ object SparkEntry {
         |  FROM scored)
         |SELECT q_id, rank, vec_id AS neighbor_id, cos
         |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // PII redaction: planted corpus mirrored verbatim; DuckDB needs the
+    // 'g' flag to match Spark's replace-all regexp_replace semantics; the
+    // patterns are dialect-portable (no backreferences/lookaround, same
+    // language under Java regex and RE2); redacted text is verified by
+    // the same rolling fingerprint as q_fingerprint
+    "q_redact" ->
+      s"""WITH pii AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 11 = 0
+         |      THEN ' reach me at alice.w@example.com ok' ELSE '' END ||
+         |    CASE WHEN doc_id % 13 = 0
+         |      THEN ' call 555-123-4567 today' ELSE '' END ||
+         |    CASE WHEN doc_id % 17 = 0
+         |      THEN ' from 10.0.42.7 gateway' ELSE '' END AS text
+         |  FROM documents),
+         |red AS (
+         |  SELECT doc_id, text,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      '${Curation.EmailRe}', '<EMAIL>', 'g'),
+         |      '${Curation.PhoneRe}', '<PHONE>', 'g'),
+         |      '${Curation.IpRe}', '<IP>', 'g') AS rtext
+         |  FROM pii)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${Curation.EmailRe}'))
+         |    AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(text, '${Curation.PhoneRe}'))
+         |    AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_extract_all(text, '${Curation.IpRe}'))
+         |    AS BIGINT) AS n_ip,
+         |  CASE WHEN length(rtext) = 0 THEN 0 ELSE list_reduce(
+         |    list_transform(range(1, length(rtext) + 1),
+         |                   i -> CAST(unicode(rtext[i]) AS BIGINT)),
+         |    (acc, c) -> (acc * 131 + c) % 1000000007) END AS red_fp
+         |FROM red""".stripMargin,
+    // mixture sampling: the LCG keep-decision is exact integer arithmetic
+    // (operands < 2^52), replayed bit-for-bit; CASE mirrors the sorted
+    // when-chain (conditions disjoint, so order is immaterial)
+    "q_sample_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+        |      AS n_tok,
+        |    ((doc_id % 1000003) * 2654435761 + 7) % 1000003 % 1000 <
+        |      CASE lang WHEN 'de' THEN 500 WHEN 'en' THEN 800
+        |                WHEN 'es' THEN 300 WHEN 'fr' THEN 400
+        |                WHEN 'zh' THEN 200 ELSE 100 END AS keep
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT)
+        |    AS kept_tokens
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    // sequence packing: the oracle states the concat-and-chunk rule as a
+    // plain exclusive-prefix window; the Spark side must reproduce it with
+    // its distributed two-pass prefix sum (no single-task window)
+    "q_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+        |      AS n_tok
+        |  FROM documents),
+        |p AS (
+        |  -- DuckDB SUM(BIGINT) widens to DECIMAL(38,0); cast back so the
+        |  -- bin division stays BIGINT like the Spark side
+        |  SELECT doc_id, n_tok,
+        |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS prefix
+        |  FROM t)
+        |SELECT prefix // 2048 AS bin, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     // Rabin–Karp char-stream fold: DuckDB list_reduce seeds with the first
     // element, which equals Spark's aggregate from zero ((0*131+c0)%p = c0).
     // length() (characters), not strlen() (bytes): the Spark side rolls

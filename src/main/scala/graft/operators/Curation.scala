@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Corpus-curation operators for LLM training-data pipelines over
+  * `documents` — the steps that sit between dedup/quality-scoring and the
+  * trainer in a real 100 TB pipeline:
+  *
+  *  - PII redaction (emails / phone numbers / IPv4 → placeholder tokens),
+  *  - deterministic mixture sampling (per-source keep rates, the dataset
+  *    re-weighting step of every pretraining mix),
+  *  - sequence packing (concat-and-chunk assignment of documents to
+  *    fixed-token-budget context windows).
+  *
+  * All three are oracle-gated: redaction counts/fingerprints, the sampling
+  * decision, and the packing prefix-sums are exact integer (or
+  * regex-dialect-portable) arithmetic that DuckDB replays verbatim.
+  *
+  * Scale shapes: redaction and sampling are narrow per-row projections
+  * (scan-speed on any corpus); packing needs one global range sort + two
+  * linear passes (see `seqPack` — no single-task window anywhere).
+  */
+object Curation {
+
+  // -- PII redaction ------------------------------------------------------
+
+  /** Dialect-portable PII patterns (same language under Java regex and
+    * RE2): no backreferences, no lookaround, explicit character classes. */
+  val EmailRe = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val IpRe = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+
+  /** The testdata corpus is random words (no natural PII), so deterministic
+    * PII is planted on key-derived rows — same discipline as Dedup.corpus,
+    * mirrored verbatim in the oracle SQL. */
+  def piiCorpus(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 11 === 0,
+          lit(" reach me at alice.w@example.com ok")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          lit(" call 555-123-4567 today")).otherwise(lit("")),
+        when(col("doc_id") % 17 === 0,
+          lit(" from 10.0.42.7 gateway")).otherwise(lit("")))
+        .as("text"))
+
+  /** Rabin–Karp rolling fingerprint of a string column — the same
+    * DuckDB-replayable fold as TextAnalysis.fingerprint, factored so the
+    * redacted text can be fingerprinted without materializing it in the
+    * result (the redacted corpus itself would be the real output at scale;
+    * the fingerprint proves the transform byte-for-byte). */
+  private def rollingFp(c: Column): Column =
+    aggregate(split(c, ""), lit(0L),
+      (acc, ch) => (acc * 131 + ascii(ch)) % 1000000007L)
+
+  /** PII redaction: match counts per category on the input text plus the
+    * fingerprint of the fully-redacted text (emails → `<EMAIL>`, phones →
+    * `<PHONE>`, IPv4 → `<IP>`, applied in that fixed order). A narrow
+    * per-row projection — streams over a 100 TB corpus at scan speed. */
+  def redact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = piiCorpus(spark, dir)
+    val red = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      IpRe, "<IP>")
+    // Column API (not expr()): the SQL parser would eat the patterns'
+    // backslashes before the regex engine ever saw them
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+        .cast(LongType).as("n_email"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
+        .cast(LongType).as("n_phone"),
+      size(regexp_extract_all(col("text"), lit(IpRe), lit(0)))
+        .cast(LongType).as("n_ip"),
+      rollingFp(red).as("red_fp"))
+  }
+
+  // -- deterministic mixture sampling ------------------------------------
+
+  /** Per-source keep rates in permille — the pretraining-mix re-weighting
+    * knob. Sorted-seq order keeps the generated when-chain deterministic
+    * (the conditions are disjoint, so order never changes results). */
+  val mixRatesPermille: Seq[(String, Int)] =
+    Seq("de" -> 500, "en" -> 800, "es" -> 300, "fr" -> 400, "zh" -> 200)
+  val mixDefaultPermille = 100
+
+  /** The sampling decision for a key: an LCG hash reduced mod 1000,
+    * compared against the source's permille rate. Key-derived (membership
+    * independent of partitioning/scale — same argument as
+    * OlsPipeline.keySplit) and exact integer arithmetic, so the oracle
+    * replays the decision bit-for-bit. */
+  def mixKeep(key: Column, rate: Column): Column =
+    pmod(pmod(key, lit(1000003L)) * 2654435761L + 7L, lit(1000003L)) % 1000 <
+      rate
+
+  /** Mixture sampling: keep each document with its source's (lang's)
+    * permille rate, deterministically by doc_id. Emits the per-source
+    * audit every pipeline run logs: total vs kept docs and kept
+    * whitespace-token volume. Narrow projection + one small aggregate. */
+  def sampleMixture(spark: SparkSession, dir: String): DataFrame = {
+    val rate = mixRatesPermille.foldLeft(lit(mixDefaultPermille)) {
+      case (acc, (l, r)) => when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), "\\s+")).cast(LongType).as("n_tok"),
+        mixKeep(col("doc_id"), rate).as("keep"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("kept_tokens"))
+      .orderBy("lang")
+  }
+
+  // -- sequence packing ---------------------------------------------------
+
+  /** Sequence packing, concat-and-chunk: documents in deterministic
+    * doc_id order are conceptually concatenated and cut into
+    * `budgetTokens`-sized context windows; each document is assigned to
+    * the window its FIRST token lands in (bin = exclusive-prefix-sum /
+    * budget — the standard GPT-style pretraining packing). Emits the
+    * per-bin manifest (doc count, token total, doc range).
+    *
+    * Scale shape: `ntile` has the same global-order problem and the same
+    * fix (Joins.ntileDecile) — a distributed RANGE SORT on doc_id, then
+    * per-partition token sums collected once (#partitions values, not
+    * rows), then one linear pass per partition carrying its exact global
+    * prefix offset. No `Window.orderBy` (single-task) anywhere; the sort
+    * is executed once (persisted) and feeds both passes. */
+  def seqPack(spark: SparkSession, dir: String,
+              budgetTokens: Long = 2048L): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast(LongType).as("n_tok"))
+      .orderBy("doc_id")
+    val rdd = toks.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sums = rdd.mapPartitionsWithIndex(
+      (pi, it) => Iterator((pi, it.map(_.getLong(1)).sum)),
+      preservesPartitioning = true).collect().sortBy(_._1).map(_._2)
+    val offsets = sums.scanLeft(0L)(_ + _)
+    val spark2 = spark
+    import spark2.implicits._
+    val agg = rdd
+      .mapPartitionsWithIndex { (pi, it) =>
+        var prefix = offsets(pi)
+        it.map { row =>
+          val t = row.getLong(1)
+          val bin = prefix / budgetTokens
+          prefix += t
+          (bin, row.getLong(0), t)
+        }
+      }
+      .toDF("bin", "doc_id", "n_tok")
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("bin")
+    // bins rows only — materialize eagerly so the cached sort is released
+    // now, not when some later consumer runs (same lifecycle as ntile)
+    val rows = agg.collect()
+    rdd.unpersist(blocking = false)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("redact: planted PII is counted and scrubbed; clean docs untouched") {
+    val out = SparkEntry.queries("q_redact")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val fpClean = graft.operators.TextAnalysis.fingerprint(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (id, (e, p, ip, fp)) =>
+      assert(e === (if (id % 11 == 0) 1L else 0L), s"doc $id email")
+      assert(p === (if (id % 13 == 0) 1L else 0L), s"doc $id phone")
+      assert(ip === (if (id % 17 == 0) 1L else 0L), s"doc $id ip")
+      // a doc with no planted PII is byte-identical to the raw corpus
+      // (same rolling fingerprint); a redacted doc is not
+      if (id % 11 != 0 && id % 13 != 0 && id % 17 != 0)
+        assert(fp === fpClean(id), s"doc $id unchanged")
+      else assert(fp !== fpClean(id), s"doc $id must differ after redaction")
+    }
+  }
+
+  test("redact leaves no matchable PII behind") {
+    import spark.implicits._
+    // re-scan the REDACTED text with the same patterns: zero hits
+    val red = Curation.piiCorpus(spark, sf)
+      .withColumn("rtext", regexp_replace(regexp_replace(regexp_replace(
+        col("text"), Curation.EmailRe, "<EMAIL>"),
+        Curation.PhoneRe, "<PHONE>"), Curation.IpRe, "<IP>"))
+    val leftover = red.select(
+      sum(size(regexp_extract_all(col("rtext"), lit(Curation.EmailRe),
+        lit(0)))).as("e"),
+      sum(size(regexp_extract_all(col("rtext"), lit(Curation.PhoneRe),
+        lit(0)))).as("p"))
+      .collect()(0)
+    assert(leftover.getLong(0) === 0L && leftover.getLong(1) === 0L)
+  }
+
+  test("mixture sampling is deterministic and tracks the permille rates") {
+    val a = SparkEntry.queries("q_sample_mix")(spark, sf).collect()
+    val b = SparkEntry.queries("q_sample_mix")(spark, sf).collect()
+    assert(a.toSeq === b.toSeq, "same inputs must sample identically")
+    val rates = Curation.mixRatesPermille.toMap
+    a.foreach { r =>
+      val (lang, n, kept) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val rate = rates.getOrElse(lang, Curation.mixDefaultPermille) / 1000.0
+      assert(kept <= n)
+      // LCG-uniform keep decision: observed rate within ±4σ of binomial
+      val sigma = math.sqrt(n * rate * (1 - rate))
+      assert(math.abs(kept - n * rate) <= 4 * sigma + 1,
+        s"$lang: kept $kept of $n at rate $rate")
+    }
+  }
+
+  test("sequence packing: contiguous doc ranges, lossless totals, full bins") {
+    val docs = Tables.documents(spark, sf)
+    val totalDocs = docs.count()
+    val totalTokens = docs
+      .agg(sum(size(split(col("text"), "\\s+")).cast("long")))
+      .collect()(0).getLong(0)
+    val budget = 512L
+    val bins = Curation.seqPack(spark, sf, budgetTokens = budget).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(bins.map(_._2).sum === totalDocs, "every doc lands in one bin")
+    assert(bins.map(_._3).sum === totalTokens, "token volume preserved")
+    // bins are contiguous, disjoint doc ranges in order
+    bins.sliding(2).foreach {
+      case Array((_, _, _, _, lastA), (_, _, _, firstB, _)) =>
+        assert(lastA < firstB, "bins must partition the doc order")
+      case _ => ()
+    }
+    // concat-and-chunk: every bin's token span covers its windows — a
+    // bin's exclusive prefix start is < (bin+1)·budget and its docs start
+    // before the boundary, so every bin except possibly the last holds at
+    // least one full budget's worth of starts; cheap sanity: no empty bins
+    assert(bins.forall(_._2 >= 1))
+    assert(bins.map(_._1).toSeq === bins.map(_._1).toSeq.sorted)
+  }
+}
