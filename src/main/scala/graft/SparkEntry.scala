@@ -98,6 +98,9 @@ object SparkEntry {
     "q_multimodal_meta"   -> (Multimodal.query _),
     // sources/sinks (SURVEY §2.1)
     "q_csv_roundtrip"     -> (graft.sources.CsvIO.csvRoundTrip _),
+    // JSONL (the LLM-corpus interchange format): declared-schema scan,
+    // DROPMALFORMED corrupt lines, lossless text round-trip
+    "q_jsonl_roundtrip"   -> (graft.sources.JsonIO.jsonlRoundTrip _),
     "q_checkpoint_prune"  -> (graft.sources.CsvIO.checkpointPrune _),
     "q_bucketed_join"     -> ((s, d) => graft.sources.CsvIO.bucketedJoin(s, d)),
     // hot-key salted join (100 TB skew discipline; result == plain join)
@@ -979,6 +982,17 @@ object SparkEntry {
         |    AS sum_bal,
         |  MIN(c_name) AS min_name, MAX(c_mktsegment) AS max_segment
         |FROM customer""".stripMargin,
+    // the JSONL write→corrupt-plant→DROPMALFORMED-read lifecycle must
+    // reproduce the original table's profile exactly: equality proves
+    // both the lossless text round-trip (sum of text lengths) and that
+    // exactly the planted corrupt lines were dropped
+    "q_jsonl_roundtrip" ->
+      """SELECT COUNT(*) AS rows, COUNT(DISTINCT doc_id) AS keys,
+        |  COUNT(DISTINCT lang) AS langs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_text_chars,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM documents""".stripMargin,
     "q_window_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
         |    AS hour_start,

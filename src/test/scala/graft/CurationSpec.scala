@@ -82,4 +82,17 @@ class CurationSpec extends AnyFunSuite {
     assert(bins.forall(_._2 >= 1))
     assert(bins.map(_._1).toSeq === bins.map(_._1).toSeq.sorted)
   }
+
+  test("sequence packing is layout-stable: same bins at any parallelism") {
+    // the two-pass prefix sum must not depend on how the range sort
+    // partitions the data — the precondition for verifying a
+    // 1000-executor packing run against a laptop run
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    def run(parts: String) = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try Curation.seqPack(spark, sf, budgetTokens = 512L).collect().toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    }
+    assert(run("2") === run("9"))
+  }
 }
