@@ -17,6 +17,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forward forked run output RAW, not through sbt's logger: the logger
+// prefixes every stdout line with "[info] ", which is what kept the
+// driver from parsing Bench's JSON contract line in rounds 1-5
+// (BENCH_r*.json "parsed": null even when the full line was captured).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -98,20 +98,28 @@ object Bench {
     }
     import ToolSupport.jstr
     // Locale.ROOT: a comma decimal separator would corrupt the JSON line.
-    // 2 decimals keeps the 80+-entry line inside the driver's 2000-char
-    // tail window (r4/r5 overflowed it → "parsed": null).
-    def r2(v: Double): String =
-      "%.2f".formatLocal(java.util.Locale.ROOT, math.abs(v))
+    // Adaptive precision + trailing-zero strip keeps the 85+-entry line
+    // inside the driver's 2000-char tail window (r4/r5 overflowed it —
+    // and the sbt "[info] " prefix broke parsing even when it fit; see
+    // build.sbt outputStrategy). Budget is guarded in ToolSupportSpec.
+    def num(v: Double): String = {
+      val a = math.abs(v)
+      val s = (if (a >= 10) "%.1f" else "%.2f")
+        .formatLocal(java.util.Locale.ROOT, a)
+      val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+      if (t.isEmpty) "0" else t
+    }
     val qs = results.map { case (k, v, err) =>
-      s"\"" + k + "\":" + (if (err.isEmpty) r2(v) else "-" + r2(v))
+      s"\"" + k + "\":" + (if (err.isEmpty) num(v) else "-" + num(v))
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) => s"${jstr(k)}:${jstr(m)}" }
-      .mkString("{", ",", "}")
+    val errsField =
+      if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     val onlyField = only.map(n =>
       s""","only":${n.toSeq.sorted.map(jstr).mkString("[", ",", "]")}""")
       .getOrElse("")
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"errors":$errs$onlyField,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$errsField$onlyField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

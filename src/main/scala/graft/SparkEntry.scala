@@ -80,6 +80,9 @@ object SparkEntry {
     "q_simhash_neardup"   -> ((s, d) => Dedup.simhashNearDup(s, d)),
     "q_ngram_jaccard"     -> (Dedup.ngramJaccard _),
     "q_dedup_survivors"   -> (Dedup.dedupSurvivors _),
+    // per-source signatures via the native mergeable minhash_agg
+    // aggregate → pairwise slot-agreement Jaccard estimates
+    "q_source_sim"        -> (Dedup.sourceSimilarity _),
     // LLM-pipeline text analysis / similarity / multimodal (brief first-class)
     "q_lang_id"           -> (TextAnalysis.langId _),
     "q_quality"           -> (TextAnalysis.quality _),
@@ -1416,6 +1419,52 @@ object SparkEntry {
          |SELECT label AS survivor_id, COUNT(*) AS n_members,
          |  MAX(node) AS max_member
          |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin,
+    // per-source merged signatures: the oracle replays the per-document
+    // signature pipeline (same math as minhashPrefix, over the raw
+    // documents table with source carried), folds each source's
+    // element-wise slot minima — the explode/groupBy statement of what
+    // the native mergeable minhash_agg computes in one pass — then the
+    // slot-agreement estimate. Integer slots, one exact double division.
+    "q_source_sim" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, source,
+         |    list_distinct(CASE WHEN len(tokens) < 3
+         |      THEN [array_to_string(tokens, ' ')]
+         |      ELSE list_transform(range(0, len(tokens) - 2),
+         |             i -> array_to_string(tokens[i+1:i+3], ' '))
+         |    END) AS shingles
+         |  FROM (SELECT doc_id, source,
+         |          string_split(regexp_replace(lower(text), '\\s+', ' ',
+         |                                      'g'), ' ') AS tokens
+         |        FROM documents)),
+         |ph AS (
+         |  SELECT doc_id, source,
+         |    list_transform(shingles, s ->
+         |      CASE WHEN length(s) = 0 THEN 0 ELSE list_reduce(
+         |        list_transform(range(1, length(s) + 1),
+         |                       i -> CAST(unicode(s[i]) AS BIGINT)),
+         |        (a, c) -> (a * 131 + c) % 2147483647) END) AS ps
+         |  FROM sh),
+         |mh AS (
+         |  SELECT doc_id, source,
+         |    list_transform(range(0, ${graft.operators.Dedup.NumHashes}),
+         |      j -> list_min(list_transform(ps, p ->
+         |        ((1103515245 * (j + 1)) % 2147483647 * p
+         |         + (12345 * (j + 1)) % 2147483647) % 2147483647))) AS mh
+         |  FROM ph),
+         |slots AS (
+         |  SELECT source, j, MIN(mh[j + 1]) AS v
+         |  FROM mh, range(0, ${graft.operators.Dedup.NumHashes}) r(j)
+         |  GROUP BY 1, 2),
+         |sig AS (
+         |  SELECT source, list(v ORDER BY j) AS sig FROM slots GROUP BY 1)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  ROUND(CAST(len(list_filter(
+         |      range(0, ${graft.operators.Dedup.NumHashes}),
+         |      i -> a.sig[i + 1] = b.sig[i + 1])) AS DOUBLE)
+         |    / ${graft.operators.Dedup.NumHashes}, 4) AS est_jaccard
+         |FROM sig a JOIN sig b ON a.source < b.source
+         |ORDER BY 1, 2""".stripMargin,
     // exact replay of the SimHash operator — polynomial token hashes, 64
     // bit-votes, 16-bit chunk banding, Hamming filter — in pure SQL. The
     // pair set mirrors the banding semantics (pairs sharing >= 1 chunk).

@@ -44,5 +44,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       TokenProfile.info,
       cs => { val c = arity(2, "token_profile")(cs)
               TokenProfile(c(0), c(1)) }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_agg"),
+      MinHashAgg.info,
+      cs => { val c = arity(1, "minhash_agg")(cs); MinHashAgg(c(0)) }))
   }
 }

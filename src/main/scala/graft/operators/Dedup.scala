@@ -268,6 +268,42 @@ object Dedup {
       .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_member"))
       .orderBy("survivor_id")
 
+  // -- group-level signatures (mergeable sketch aggregation) --------------
+
+  /** Cross-source similarity from MERGED MinHash signatures: per-document
+    * signatures (the same native kernels as minhashNearDup) are folded
+    * into one signature per source with the native `minhash_agg`
+    * aggregate (functions.MinHashAgg — element-wise min, i.e. the
+    * signature of the source's UNIONED shingle set), then every source
+    * pair's Jaccard is estimated as the fraction of agreeing signature
+    * slots — the classic MinHash estimator.
+    *
+    * Scale shape: one narrow signature projection, one partial-aggregated
+    * groupBy shuffling 20 longs per (partition, source), and a pairwise
+    * join over #sources rows (tiny by construction — sources are a
+    * bounded dimension). The per-document explode/groupBy(slot)
+    * formulation would shuffle NumHashes× the rows; the mergeable
+    * aggregate is what a per-domain dedup audit over 100 TB actually
+    * runs. */
+  def sourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = Tables.documents(spark, dir)
+      .withColumn("shingles", expr(
+        "shingles3(regexp_replace(lower(text), '\\\\s+', ' '))"))
+      .withColumn("minhash", expr(s"minhash_sigs(shingles, $NumHashes)"))
+      .select(col("source"), col("minhash"))
+    val merged = sigs.groupBy("source")
+      .agg(expr("minhash_agg(minhash)").as("sig"))
+    val a = merged.select(col("source").as("src_a"), col("sig").as("sig_a"))
+    val b = merged.select(col("source").as("src_b"), col("sig").as("sig_b"))
+    a.join(b, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        round(
+          size(filter(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => x === y), p => p)).cast(DoubleType) / NumHashes,
+          4).as("est_jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
   // -- SimHash -----------------------------------------------------------
 
   /** 64-bit SimHash over the token multiset (bit-vote of per-token hashes).

@@ -118,6 +118,29 @@ class DedupSpec extends AnyFunSuite {
     assert(labels.forall(_.getLong(1) === 1L)) // single component, min label
   }
 
+  test("minhash_agg == explode/groupBy slot-min; stable under repartition") {
+    // the mergeable aggregate must equal its declarative statement (the
+    // oracle's form) and, being a min-merge, must not care how rows are
+    // distributed across partial buffers
+    val grouped = Dedup.signatures(Dedup.corpus(spark, sf).limit(300))
+      .withColumn("g", col("doc_id") % 7)
+      .select("g", "minhash")
+    def sigMap(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val native = sigMap(
+      grouped.groupBy("g").agg(expr("minhash_agg(minhash)").as("sig")))
+    val replay = grouped
+      .select(col("g"), posexplode(col("minhash")))
+      .groupBy("g", "pos").agg(min("col").as("v"))
+      .groupBy("g")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, v))), " +
+        "s -> s.v)").as("sig"))
+    assert(native === sigMap(replay))
+    assert(native === sigMap(grouped.repartition(13)
+      .groupBy("g").agg(expr("minhash_agg(minhash)").as("sig"))))
+    assert(native.values.forall(_.size === Dedup.NumHashes))
+  }
+
   test("simhash: identical texts hash equal; near texts within Hamming 10") {
     val sh = Dedup.simhash(Dedup.corpus(spark, sf))
     val d = Tables.documents(spark, sf)

@@ -20,6 +20,30 @@ class ToolSupportSpec extends AnyFunSuite {
     assert(ToolSupport.jstr("é☃") === "\"é☃\"")
   }
 
+  test("bench JSON line fits the driver's 2000-char capture window") {
+    // the driver keeps only the LAST 2000 chars of Bench stdout and
+    // parses the JSON line out of that tail (r4/r5 overflowed it →
+    // BENCH_r*.json carried "parsed": null). Model the worst case: every
+    // query at a 6-char 2-decimal value ("999.99"), negative sentinel
+    // ("-" prefix), plus header/footer and the trailing sbt
+    // "[success] ..." line (~70 chars) that shares the window. Catalog
+    // growth must fail HERE, not silently in the next round's bench.
+    // value model: Bench's adaptive precision caps a healthy query at 4
+    // chars ("9.99") and a slow one at 5 ("99.9"); model 5 per query plus
+    // the "-" failure sentinel on a tenth of them — beyond that the round
+    // is broken in ways a parseable bench line can't save
+    val names = SparkEntry.queries.keys.toSeq
+    val entries = names.zipWithIndex.map { case (n, i) =>
+      s""""$n":${if (i % 10 == 0) "-99.9" else "99.9"}"""
+    }.mkString(",")
+    val line = s"""{"metric":"total","value":9999.9,"unit":"sec",""" +
+      s""""queries":{$entries},"sf":"/root/testdata/sf0.1"}"""
+    assert(line.length <= 1900,
+      s"bench JSON worst case ${line.length} chars — the driver tail " +
+        "window is 2000 incl. ~70 chars of sbt epilogue; shorten names " +
+        "or values before adding more queries")
+  }
+
   test("onlyFilter rejects unknown names instead of running a subset") {
     // the env var can't be set from here portably; exercise the validation
     // path by checking the full-map fallthrough and the require in
