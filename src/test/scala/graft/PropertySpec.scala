@@ -105,6 +105,26 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("token_profile kernel matches a split/count reference for any string") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val profiles: Seq[Seq[String]] =
+      Seq(Seq("the", "a", "é", "中"), Seq("und", "-", "."), Seq())
+    val profilesArr = new GenericArrayData(profiles.map(ws =>
+      new GenericArrayData(ws.map(UTF8String.fromString).toArray[Any]))
+      .toArray[Any])
+    def ref(s: String): Seq[Long] = {
+      val toks = s.split(" ", -1).toSeq
+      toks.length.toLong +: profiles.map(ws =>
+        toks.count(ws.contains).toLong)
+    }
+    check(Prop.forAll(text) { s =>
+      val got = graft.functions.PolyHash.tokenProfile(
+        UTF8String.fromString(s), profilesArr)
+      (0 until got.numElements()).map(got.getLong) == ref(s)
+    })
+  }
+
   test("solve() recovers x for random diagonally-dominant systems") {
     val n = 4
     val row = Gen.listOfN(n, Gen.chooseNum(-1.0, 1.0))
