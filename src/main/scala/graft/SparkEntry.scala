@@ -83,6 +83,9 @@ object SparkEntry {
     // per-source signatures via the native mergeable minhash_agg
     // aggregate → pairwise slot-agreement Jaccard estimates
     "q_source_sim"        -> (Dedup.sourceSimilarity _),
+    // the production dedup workload: a new batch classified against the
+    // indexed history (exact hash hit → cross-set LSH → Jaccard verify)
+    "q_incr_dedup"        -> (Dedup.incrementalDedup _),
     // LLM-pipeline text analysis / similarity / multimodal (brief first-class)
     "q_lang_id"           -> (TextAnalysis.langId _),
     "q_quality"           -> (TextAnalysis.quality _),
@@ -1419,6 +1422,88 @@ object SparkEntry {
          |SELECT label AS survivor_id, COUNT(*) AS n_members,
          |  MAX(node) AS max_member
          |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin,
+    // incremental dedup: full replay — planted batch, md5 exact hits,
+    // signatures over history ∪ surviving batch (same math as
+    // minhashPrefix), history-side capped band buckets probed by batch
+    // bands ONLY (cross-set candidates), exact-Jaccard verify, then the
+    // three-way classification. NULL matched_id marks genuinely-new docs.
+    "q_incr_dedup" ->
+      s"""WITH hist AS (SELECT doc_id, text FROM documents),
+         |batch AS (
+         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, text || ' qq zz' FROM documents
+         |  WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 3000000, reverse(text) FROM documents
+         |  WHERE doc_id % 9 = 0),
+         |hh AS (SELECT md5(text) AS h, MIN(doc_id) AS hid
+         |       FROM hist GROUP BY 1),
+         |exact AS (
+         |  SELECT b.doc_id, hh.hid FROM batch b
+         |  JOIN hh ON md5(b.text) = hh.h),
+         |rest AS (
+         |  SELECT * FROM batch
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM exact)),
+         |alld AS (SELECT doc_id, text FROM hist
+         |         UNION ALL SELECT doc_id, text FROM rest),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(CASE WHEN len(tokens) < 3
+         |      THEN [array_to_string(tokens, ' ')]
+         |      ELSE list_transform(range(0, len(tokens) - 2),
+         |             i -> array_to_string(tokens[i+1:i+3], ' '))
+         |    END) AS shingles
+         |  FROM (SELECT doc_id,
+         |          string_split(regexp_replace(lower(text), '\\s+', ' ',
+         |                                      'g'), ' ') AS tokens
+         |        FROM alld)),
+         |ph AS (
+         |  SELECT doc_id,
+         |    list_transform(shingles, s ->
+         |      CASE WHEN length(s) = 0 THEN 0 ELSE list_reduce(
+         |        list_transform(range(1, length(s) + 1),
+         |                       i -> CAST(unicode(s[i]) AS BIGINT)),
+         |        (a, c) -> (a * 131 + c) % 2147483647) END) AS ps
+         |  FROM sh),
+         |mh AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, ${graft.operators.Dedup.NumHashes}),
+         |      j -> list_min(list_transform(ps, p ->
+         |        ((1103515245 * (j + 1)) % 2147483647 * p
+         |         + (12345 * (j + 1)) % 2147483647) % 2147483647))) AS mh
+         |  FROM ph),
+         |bands AS (
+         |  SELECT doc_id, bd,
+         |    mh[bd * ${graft.operators.Dedup.RowsPerBand} + 1 :
+         |       bd * ${graft.operators.Dedup.RowsPerBand} +
+         |       ${graft.operators.Dedup.RowsPerBand}] AS sig
+         |  FROM mh, range(0, ${graft.operators.Dedup.Bands}) r(bd)),
+         |hbuck AS (
+         |  SELECT bd, sig, list(doc_id ORDER BY doc_id) AS ids
+         |  FROM bands WHERE doc_id < 1000000 GROUP BY bd, sig
+         |  HAVING COUNT(*) <= ${graft.operators.Dedup.MaxBucket}),
+         |cand AS (
+         |  SELECT DISTINCT b.doc_id AS bid, unnest(k.ids) AS hid
+         |  FROM bands b JOIN hbuck k ON b.bd = k.bd AND b.sig = k.sig
+         |  WHERE b.doc_id >= 1000000),
+         |near AS (
+         |  SELECT c.bid AS doc_id, MIN(c.hid) AS hid
+         |  FROM cand c
+         |  JOIN sh sb ON sb.doc_id = c.bid
+         |  JOIN sh sh2 ON sh2.doc_id = c.hid
+         |  WHERE CAST(len(list_intersect(sb.shingles, sh2.shingles))
+         |          AS DOUBLE) /
+         |        len(list_distinct(list_concat(sb.shingles, sh2.shingles)))
+         |        >= 0.5
+         |  GROUP BY 1)
+         |SELECT doc_id, 'exact_dup' AS status, hid AS matched_id FROM exact
+         |UNION ALL SELECT doc_id, 'near_dup', hid FROM near
+         |UNION ALL
+         |SELECT doc_id, 'new', CAST(NULL AS BIGINT) FROM rest
+         |WHERE doc_id NOT IN (SELECT doc_id FROM near)
+         |ORDER BY doc_id""".stripMargin,
     // per-source merged signatures: the oracle replays the per-document
     // signature pipeline (same math as minhashPrefix, over the raw
     // documents table with source carried), folds each source's

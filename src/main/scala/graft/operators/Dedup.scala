@@ -104,20 +104,26 @@ object Dedup {
     * costs one dropped row, never a quadratic pair blowup; per-reducer
     * memory is one bucket's id list, same as the window form's per-key
     * partition. */
-  def candidatePairs(sigs: DataFrame): DataFrame =
+  /** (doc_id, band, sig) band rows of a signature frame — the shared
+    * derivation of candidatePairs (within-set) and incrementalDedup
+    * (cross-set). The band signature is the raw 4-value slice (an
+    * array<bigint> grouping key), not an xxhash64 of it — same shuffle
+    * shape, but replayable in the DuckDB oracle (GROUP BY the list) and
+    * free of hash-collision false positives across buckets. */
+  private def bandsOf(sigs: DataFrame): DataFrame =
     sigs.select(
       col("doc_id"),
-      // the band signature is the raw 4-value slice (an array<bigint>
-      // grouping key), not an xxhash64 of it — same shuffle shape, but
-      // replayable in the DuckDB oracle (GROUP BY the list) and free of
-      // hash-collision false positives across buckets
       explode(expr(
         s"""transform(sequence(0, $Bands - 1),
            |  b -> struct(b AS band,
            |              slice(minhash, b * $RowsPerBand + 1,
            |                    $RowsPerBand) AS sig))"""
           .stripMargin)).as("bs"))
-      .groupBy(col("bs.band"), col("bs.sig"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+
+  def candidatePairs(sigs: DataFrame): DataFrame =
+    bandsOf(sigs)
+      .groupBy(col("band"), col("sig"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, MaxBucket))
       .select(explode(expr(
@@ -267,6 +273,75 @@ object Dedup {
       .groupBy(col("label").as("survivor_id"))
       .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_member"))
       .orderBy("survivor_id")
+
+  // -- incremental dedup ---------------------------------------------------
+
+  /** Incremental dedup — THE production dedup workload at corpus scale:
+    * a new ingest batch is deduplicated against the INDEXED history (its
+    * content hashes and LSH bands), never by re-deduping the whole
+    * corpus. Pipeline: exact content-hash hit → banded LSH candidates
+    * BETWEEN batch and history only (a batch band probes the history's
+    * capped buckets — no batch×batch or history×history pairs) → exact
+    * Jaccard verify → every batch row classified `exact_dup` /
+    * `near_dup` / `new` with its matched history doc.
+    *
+    * The batch is planted (same discipline as `corpus`): +1M = exact
+    * copies, +2M = near copies (two appended tokens), +3M = genuinely
+    * new (character-reversed text — shares no shingles). Every status
+    * branch is exercised and the whole classification is replayed by
+    * the DuckDB oracle.
+    *
+    * Scale shape: the history side is ONE hash aggregate (in production
+    * a precomputed index table) plus capped band buckets; batch-side
+    * work is proportional to the batch, not the corpus. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.documents(spark, dir).select("doc_id", "text")
+    val batch = hist.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      .unionByName(hist.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" qq zz")).as("text")))
+      .unionByName(hist.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          reverse(col("text")).as("text")))
+    // 1. exact: content-hash lookup against the history's hash index
+    val histHash = hist.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("hid"))
+    val exact = batch.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(histHash, "h")
+      .select(col("doc_id"), col("hid"))
+    val rest = batch.join(exact.select("doc_id"), Seq("doc_id"), "left_anti")
+    // 2. near: batch bands probe the history's capped band buckets
+    val rs = signatures(rest).localCheckpoint(eager = true)
+    val hs = signatures(hist).localCheckpoint(eager = true)
+    val hb = bandsOf(hs)
+      .groupBy(col("band"), col("sig"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= MaxBucket)
+    val cand = bandsOf(rs)
+      .join(hb, Seq("band", "sig"))
+      .select(col("doc_id").as("b"), explode(col("ids")).as("h"))
+      .distinct()
+    val near = cand
+      .join(rs.select(col("doc_id").as("b"), col("shingles").as("sh_b")), "b")
+      .join(hs.select(col("doc_id").as("h"), col("shingles").as("sh_h")), "h")
+      .filter(
+        size(array_intersect(col("sh_b"), col("sh_h"))).cast(DoubleType) /
+          size(array_union(col("sh_b"), col("sh_h"))).cast(DoubleType)
+          >= 0.5)
+      .groupBy(col("b").as("doc_id"))
+      .agg(min(col("h")).as("hid"))
+    // 3. classify (exact/rest disjoint by construction; near ⊆ rest)
+    val fresh = rest.select("doc_id")
+      .join(near.select("doc_id"), Seq("doc_id"), "left_anti")
+    exact.select(col("doc_id"), lit("exact_dup").as("status"),
+        col("hid").as("matched_id"))
+      .unionByName(near.select(col("doc_id"), lit("near_dup").as("status"),
+        col("hid").as("matched_id")))
+      .unionByName(fresh.select(col("doc_id"), lit("new").as("status"),
+        lit(null).cast(LongType).as("matched_id")))
+      .orderBy("doc_id")
+  }
 
   // -- group-level signatures (mergeable sketch aggregation) --------------
 

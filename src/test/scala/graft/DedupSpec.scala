@@ -118,6 +118,41 @@ class DedupSpec extends AnyFunSuite {
     assert(labels.forall(_.getLong(1) === 1L)) // single component, min label
   }
 
+  test("incremental dedup classifies every planted batch row correctly") {
+    val rows = SparkEntry.queries("q_incr_dedup")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    rows.foreach { case (id, (status, matched)) =>
+      if (id >= 3000000) {
+        // reversed text shares no shingles with anything in history
+        assert(status === "new" && matched === -1L, s"doc $id")
+      } else if (id >= 2000000) {
+        // two appended tokens: when the banding surfaces the pair the
+        // Jaccard verify must accept it with the origin as the smallest
+        // match — but banding recall is < 1 by design (a true pair can
+        // miss all 5 bands at tiny SF), so 'new' is a legitimate outcome
+        // for SOME rows; the recall floor is asserted below
+        assert(status === "near_dup" || status === "new", s"doc $id")
+        if (status === "near_dup")
+          assert(matched <= id - 2000000, s"doc $id matched $matched")
+      } else {
+        // exact copy: content hash hits the origin (min doc per hash)
+        assert(status === "exact_dup" && matched === id - 1000000,
+          s"doc $id matched $matched")
+      }
+    }
+    // every planted batch row is classified exactly once
+    val d = Tables.documents(spark, sf).count()
+    val expected = (0L until d).count(_ % 5 == 0) +
+      (0L until d).count(_ % 7 == 0) + (0L until d).count(_ % 9 == 0)
+    assert(rows.size === expected)
+    // banding recall floor on the planted near dups
+    val nearIds = rows.keys.filter(id => id >= 2000000 && id < 3000000)
+    val caught = nearIds.count(id => rows(id)._1 == "near_dup")
+    assert(caught.toDouble / nearIds.size > 0.7,
+      s"near-dup recall ${caught.toDouble / nearIds.size}")
+  }
+
   test("minhash_agg == explode/groupBy slot-min; stable under repartition") {
     // the mergeable aggregate must equal its declarative statement (the
     // oracle's form) and, being a min-merge, must not care how rows are
