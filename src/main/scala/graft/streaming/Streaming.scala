@@ -141,7 +141,14 @@ object Streaming {
     * below the watermark — only final sessions ending within the gap of
     * max(ts) remain open (unemitted) when the query terminates. The
     * streaming-specific emission rule is part of the verified contract,
-    * not an approximation. */
+    * not an approximation.
+    *
+    * The 0-second watermark is safe here because the landing dir is ONE
+    * file and the file-stream source processes whole files per
+    * micro-batch — one data batch, structurally (eventsStream stages
+    * exactly one symlink; a multi-file source would need a
+    * disorder-covering delay like streamRangeJoin's, and a different
+    * oracle, since the emission rule above is watermark-dependent). */
   def streamSessions(spark: org.apache.spark.sql.SparkSession,
                      dir: String): DataFrame = {
     import spark.implicits._
