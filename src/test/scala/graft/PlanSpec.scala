@@ -81,6 +81,19 @@ class PlanSpec extends AnyFunSuite {
     assert(projLine.exists(_.contains("*(")), cg)
   }
 
+  test("PII redaction is a pure narrow projection: no shuffle, no join") {
+    // the scaladoc's "streams over a 100 TB corpus at scan speed" claim,
+    // held structurally: regex counts + redacted fingerprint must not
+    // introduce an Exchange or a Join anywhere in the plan
+    val p = plan("q_redact")
+    assert(!p.contains("Exchange") && !p.contains("Join"), p)
+  }
+
+  test("incremental dedup joins stay hash/merge — never cartesian") {
+    val p = plan("q_incr_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("tfidf top-k is a per-doc aggregate, not a row_number window") {
     // the r5 whale fix: ranking every (doc,term) row with a window sorts
     // the whole exploded term set within each shuffle partition; the
