@@ -97,18 +97,12 @@ object Bench {
       }
     }
     import ToolSupport.jstr
-    // Locale.ROOT: a comma decimal separator would corrupt the JSON line.
-    // Adaptive precision + trailing-zero strip keeps the 85+-entry line
-    // inside the driver's 2000-char tail window (r4/r5 overflowed it —
-    // and the sbt "[info] " prefix broke parsing even when it fit; see
-    // build.sbt outputStrategy). Budget is guarded in ToolSupportSpec.
-    def num(v: Double): String = {
-      val a = math.abs(v)
-      val s = (if (a >= 10) "%.1f" else "%.2f")
-        .formatLocal(java.util.Locale.ROOT, a)
-      val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
-      if (t.isEmpty) "0" else t
-    }
+    // Adaptive precision + trailing-zero strip (ToolSupport.fmtSecs) keeps
+    // the 85+-entry line inside the driver's 2000-char tail window (r4/r5
+    // overflowed it — and the sbt "[info] " prefix broke parsing even when
+    // it fit; see build.sbt outputStrategy). Budget guarded in
+    // ToolSupportSpec.
+    def num(v: Double): String = ToolSupport.fmtSecs(v)
     val qs = results.map { case (k, v, err) =>
       s"\"" + k + "\":" + (if (err.isEmpty) num(v) else "-" + num(v))
     }.mkString("{", ",", "}")

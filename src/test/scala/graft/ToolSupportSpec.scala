@@ -20,6 +20,23 @@ class ToolSupportSpec extends AnyFunSuite {
     assert(ToolSupport.jstr("é☃") === "\"é☃\"")
   }
 
+  test("fmtSecs: adaptive precision, stripped zeros, locale-safe") {
+    assert(ToolSupport.fmtSecs(0.456) === "0.46")
+    assert(ToolSupport.fmtSecs(0.5) === "0.5")
+    assert(ToolSupport.fmtSecs(1.0) === "1")
+    assert(ToolSupport.fmtSecs(9.99) === "9.99")
+    assert(ToolSupport.fmtSecs(12.34) === "12.3")
+    assert(ToolSupport.fmtSecs(100.0) === "100")
+    assert(ToolSupport.fmtSecs(0.0) === "0")
+    assert(ToolSupport.fmtSecs(0.001) === "0")
+    // magnitude only — the caller owns the failure-sentinel sign
+    assert(ToolSupport.fmtSecs(-12.34) === "12.3")
+    // every output must be a valid JSON number (no bare ".", no comma)
+    Seq(0.456, 0.5, 1.0, 12.34, 0.0).foreach { v =>
+      assert(ToolSupport.fmtSecs(v).matches("""\d+(\.\d+)?"""))
+    }
+  }
+
   test("bench JSON line fits the driver's 2000-char capture window") {
     // the driver keeps only the LAST 2000 chars of Bench stdout and
     // parses the JSON line out of that tail (r4/r5 overflowed it →
