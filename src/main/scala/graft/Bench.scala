@@ -113,7 +113,10 @@ object Bench {
     val onlyField = only.map(n =>
       s""","only":${n.toSeq.sorted.map(jstr).mkString("[", ",", "]")}""")
       .getOrElse("")
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$errsField$onlyField,"sf":"$sfDir"}""")
+    // sf as the basename ("sf0.1"), not the full path: 15 chars of the
+    // 2000-char capture window buy most of one more catalog entry
+    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$errsField$onlyField,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -143,6 +143,10 @@ object SparkEntry {
     // deduped key set (survivor payload is processing-order dependent in
     // ANY engine, the key set is the stable contract)
     "q_stream_dedup"      -> (graft.streaming.Streaming.streamDedup _),
+    // REAL mapGroupsWithState run (per-user running totals, Update mode);
+    // cents-in-double arithmetic makes the stateful fold exact → oracle =
+    // the batch per-user aggregate
+    "q_stream_totals"     -> (graft.streaming.Streaming.streamTotals _),
     // geo join (SURVEY §2.3 J5, §2.1 S7)
     "q_geo_join"          -> (GeoJoin.query _),
     // positional-append rewrite (SURVEY §2.7 U2, §2.3 J7)
@@ -968,6 +972,13 @@ object SparkEntry {
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id AS content_hash FROM events
         |ORDER BY content_hash""".stripMargin,
+    // the stateful running-totals fold must reproduce the batch per-user
+    // aggregate exactly (integer-valued cents in double are order-safe)
+    "q_stream_totals" ->
+      """SELECT user_id, COUNT(*) AS events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+        |    AS total_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // the oracle joins the ORIGINAL tables — the bucketed write + catalog
     // read + co-located SMJ on the Spark side must be lossless
     "q_bucketed_join" ->

@@ -52,6 +52,34 @@ object Streaming {
       }
   }
 
+  /** The mapGroupsWithState running totals executed as a REAL streaming
+    * run (readStream → Update-mode memory sink), oracle-gated. `value` is
+    * converted to CENTS before entering the typed fold, so every addend
+    * is integer-valued in the Double field and the per-user sum is exact
+    * long-in-double arithmetic — order-independent across batches and
+    * shuffle layouts, hence replayable by the DuckDB oracle (the raw
+    * double sum would depend on iterator order). Update mode emits one
+    * row per user per batch; the max-(events, total) pick keeps each
+    * user's LAST emission, so the query stays correct if the source ever
+    * splits into multiple micro-batches. */
+  def streamTotals(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    import spark.implicits._
+    val events = eventsStream(spark, dir)
+      .select(col("ts"), col("user_id"), col("event_type"),
+        (col("value").cast(DecimalType(18, 2)) * 100)
+          .cast(DoubleType).as("value"))
+      .as[Event]
+    runToMemory(runningTotals(events).toDF(), "graft_stream_totals",
+        OutputMode.Update())
+      .groupBy("user_id")
+      .agg(max(struct(col("events"), col("total"))).as("s"))
+      .select(col("user_id"), col("s.events").as("events"),
+        col("s.total").cast(LongType).as("total_cents"))
+      .orderBy("user_id")
+  }
+
   final case class OpenSession(user_id: Long, start: Timestamp,
                                end: Timestamp, events: Long)
   final case class SessionOut(user_id: Long, session_start: Timestamp,

@@ -54,7 +54,7 @@ class ToolSupportSpec extends AnyFunSuite {
       s""""$n":${if (i % 10 == 0) "-99.9" else "99.9"}"""
     }.mkString(",")
     val line = s"""{"metric":"total","value":9999.9,"unit":"sec",""" +
-      s""""queries":{$entries},"sf":"/root/testdata/sf0.1"}"""
+      s""""queries":{$entries},"sf":"sf0.001"}"""
     assert(line.length <= 1900,
       s"bench JSON worst case ${line.length} chars — the driver tail " +
         "window is 2000 incl. ~70 chars of sbt epilogue; shorten names " +
