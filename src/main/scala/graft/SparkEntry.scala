@@ -125,6 +125,9 @@ object SparkEntry {
     // REAL Structured Streaming run (readStream → AvailableNow → memory
     // sink) sharing the batch tumbling oracle
     "q_stream_tumbling"   -> (graft.streaming.Streaming.streamTumbling _),
+    // REAL streaming sliding windows (each event updates two window
+    // states) sharing the batch sliding oracle
+    "q_stream_sliding"    -> (graft.streaming.Streaming.streamSliding _),
     // REAL flatMapGroupsWithState sessionization run (readStream →
     // AvailableNow → Append memory sink); oracle = batch sessions minus
     // each user's still-open last session
@@ -385,6 +388,21 @@ object SparkEntry {
        |  JOIN sh sa ON sa.doc_id = c.a
        |  JOIN sh sb ON sb.doc_id = c.b)""".stripMargin
   }
+
+  /** Shared by q_window_sliding and q_stream_sliding: the 2h/1h sliding
+    * windows stated as a two-copy union (each event lands in two hourly
+    * window starts). */
+  private val slidingOracle: String =
+    """WITH w AS (
+      |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+      |           AS win_start, value FROM events
+      |  UNION ALL
+      |  SELECT strftime(date_trunc('hour', ts) - INTERVAL 1 HOUR,
+      |                  '%Y-%m-%d %H:%M:%S'), value FROM events)
+      |SELECT win_start, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |    AS sum_value_cents
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Shared by q_asof_join and q_asof_skew: two implementations, one
     * contract (DuckDB's native ASOF LEFT JOIN). */
@@ -1033,17 +1051,9 @@ object SparkEntry {
         |    AS sum_value_cents
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "q_window_sliding" ->
-      """WITH w AS (
-        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
-        |           AS win_start, value FROM events
-        |  UNION ALL
-        |  SELECT strftime(date_trunc('hour', ts) - INTERVAL 1 HOUR,
-        |                  '%Y-%m-%d %H:%M:%S'), value FROM events)
-        |SELECT win_start, COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
-        |    AS sum_value_cents
-        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_window_sliding" -> slidingOracle,
+    // the streaming run must reproduce the batch sliding windows exactly
+    "q_stream_sliding" -> slidingOracle,
     // streaming sessionizer: gaps-and-islands sessions, minus each user's
     // LAST session unless its event-time timeout fired. Non-last sessions
     // are always emitted (closed inline by the next event); a last session

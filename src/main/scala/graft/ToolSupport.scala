@@ -42,12 +42,14 @@ object ToolSupport {
 
   /** Seconds → compact JSON number for the bench contract line: Locale.ROOT
     * (a comma decimal separator would corrupt the JSON), adaptive precision
-    * (2dp under 10 s, 1dp above — per-query medians don't carry more
-    * signal), trailing zeros stripped. Sign is the CALLER's concern (Bench
-    * prepends "-" as its failure sentinel), so the magnitude is returned. */
+    * (2dp under 1 s where granularity matters, 1dp above — per-query
+    * medians don't carry more signal), trailing zeros stripped. Sign is
+    * the CALLER's concern (Bench prepends "-" as its failure sentinel), so
+    * the magnitude is returned. The precision ladder is part of the
+    * 2000-char capture-window budget guarded in ToolSupportSpec. */
   def fmtSecs(v: Double): String = {
     val a = math.abs(v)
-    val s = (if (a >= 10) "%.1f" else "%.2f")
+    val s = (if (a >= 1) "%.1f" else "%.2f")
       .formatLocal(java.util.Locale.ROOT, a)
     val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
     if (t.isEmpty) "0" else t

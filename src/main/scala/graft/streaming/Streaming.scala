@@ -314,6 +314,26 @@ object Streaming {
       .orderBy("hour_start", "event_type")
   }
 
+  /** The sliding-window aggregation executed as a REAL streaming job —
+    * completes the batch↔streaming window parity (tumbling and session
+    * already have streaming twins): same 2h/1h window/agg transform as
+    * the batch `EventWindows.sliding`, complete-mode memory sink, shared
+    * batch oracle. Each event updates TWO window states; the overlap is
+    * exactly what the streaming state store deduplicates against
+    * recomputation. */
+  def streamSliding(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("cnt"), EventWindows.sumValueCents)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("win_start"),
+        col("cnt"), col("sum_value_cents"))
+    runToMemory(agg, "graft_stream_sliding", OutputMode.Complete())
+      .orderBy("win_start")
+  }
+
   /** Stream–static join executed as a REAL streaming job: the events
     * file-stream enriched against the static customer dimension
     * (user_id = c_custkey), then a daily windowed count/sum per market
