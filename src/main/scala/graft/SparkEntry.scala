@@ -102,6 +102,9 @@ object SparkEntry {
     "q_ann_ivf"           -> (Similarity.ivfTopK _),
     "q_embed_neardup"     -> ((s, d) => Similarity.cosineNearDup(s, d)),
     "q_multimodal_meta"   -> (Multimodal.query _),
+    // per-doc byte-level decode gate: header fields parsed from actual
+    // payload bytes at fixed offsets; dims/pixel sums from the real codec
+    "q_image_decode"      -> (Multimodal.decodeQuery _),
     // sources/sinks (SURVEY §2.1)
     "q_csv_roundtrip"     -> (graft.sources.CsvIO.csvRoundTrip _),
     // JSONL (the LLM-corpus interchange format): declared-schema scan,
@@ -1177,27 +1180,62 @@ object SparkEntry {
         |  CAST(SUM(price) * 100 AS BIGINT) AS sum_price_cents,
         |  MAX(ratio) AS max_ratio
         |FROM base GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    // the multimodal stub derives features from raw bytes only, and the
-    // corpus is ASCII — so DuckDB can replay the "decode" with code points
-    // (unicode(char) == byte) and match the profile exactly.
-    // strlen() here is INTENTIONALLY byte length (unlike the text-op
-    // oracles, which use length()): the Spark side measures the payload as
-    // text.cast(BinaryType) — UTF-8 bytes — so byte semantics are the
-    // contract on both sides; only mean_byte's unicode() replay depends on
-    // the ASCII corpus, as noted above
+    // multimodal decode is REAL (javax.imageio) over images *generated*
+    // deterministically from doc_id — so the oracle reconstructs the whole
+    // decode contract from closed forms: the PNG signature+IHDR prefix is
+    // spec-fixed given (w, h, 8-bit grayscale, no interlace); the manual
+    // 24bpp BMP layout is byte-deterministic incl. file size (54 + padded
+    // rows); and pixel(i) = (s+i) mod 256 sums via g(m) = 32640*(m div 256)
+    // + r(r-1)/2 so sum_{i<n} = g(s+n) - g(s). The spec CTE below is the
+    // oracle-side mirror of Multimodal.imageSpec.
     "q_multimodal_meta" ->
-      """WITH f AS (
-        |  SELECT doc_id, strlen(text) AS n_bytes,
-        |    ROUND(list_aggregate(list_transform(range(1, strlen(text) + 1),
-        |          i -> unicode(text[i])), 'avg'), 4) AS mean_byte,
-        |    greatest(1, strlen(text) // 64) AS frames
-        |  FROM documents)
+      """WITH spec AS (
+        |  SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id * 7) % 16 AS h,
+        |    (doc_id * 131 + 17) % 256 AS s,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt
+        |  FROM documents),
+        |f AS (
+        |  SELECT fmt, w, h,
+        |    (32640*((s+w*h)//256) + ((s+w*h)%256)*((s+w*h)%256 - 1)//2)
+        |    - (32640*(s//256) + (s%256)*((s%256) - 1)//2) AS px_sum
+        |  FROM spec)
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_assets,
-        |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
-        |  ROUND(CAST(SUM(CAST(ROUND(mean_byte * 10000) AS BIGINT)) AS DOUBLE)
-        |        / COUNT(*) / 10000.0, 4) AS avg_mean_byte,
-        |  CAST(SUM(frames) AS BIGINT) AS total_frames
+        |  CAST(SUM(CASE WHEN fmt='png' THEN 1 ELSE 0 END) AS BIGINT) AS n_png,
+        |  CAST(SUM(CASE WHEN fmt='bmp' THEN 1 ELSE 0 END) AS BIGINT) AS n_bmp,
+        |  CAST(SUM(w*h) AS BIGINT) AS total_px,
+        |  CAST(SUM(px_sum) AS BIGINT) AS total_px_sum,
+        |  CAST(SUM(CASE WHEN fmt='bmp' THEN 54 + h*((3*w+3)//4*4)
+        |            ELSE 0 END) AS BIGINT) AS bmp_bytes
         |FROM f""".stripMargin,
+    // q_image_decode: per-doc gate. hdr_hex/hdr_w/hdr_h are parsed from the
+    // ACTUAL encoder-produced bytes at fixed offsets on the Spark side; the
+    // oracle rebuilds the expected bytes from the spec (PNG header prefix
+    // concatenated per the PNG spec, BMP dims = spec dims). dec_* / px sums
+    // are real ImageIO decoder output; rz_px_sum replays nearest-neighbor
+    // source indexing at the fixed 10x8 target. n_bytes only for BMP —
+    // PNG's deflate length is an encoder detail, not decode contract.
+    "q_image_decode" ->
+      """WITH spec AS (
+        |  SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id * 7) % 16 AS h,
+        |    (doc_id * 131 + 17) % 256 AS s,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt
+        |  FROM documents)
+        |SELECT doc_id, fmt,
+        |  CASE WHEN fmt='png'
+        |    THEN '89504E470D0A1A0A0000000D49484452' || lpad(hex(w),8,'0')
+        |         || lpad(hex(h),8,'0') || '0800000000'
+        |    ELSE '424D' END AS hdr_hex,
+        |  CAST(w AS BIGINT) AS hdr_w, CAST(h AS BIGINT) AS hdr_h,
+        |  CAST(w AS BIGINT) AS dec_w, CAST(h AS BIGINT) AS dec_h,
+        |  CAST(CASE WHEN fmt='png' THEN 1 ELSE 3 END AS BIGINT) AS dec_bands,
+        |  CAST((32640*((s+w*h)//256) + ((s+w*h)%256)*((s+w*h)%256 - 1)//2)
+        |    - (32640*(s//256) + (s%256)*((s%256) - 1)//2) AS BIGINT) AS px_sum,
+        |  CAST(list_sum(flatten(list_transform(range(0, 8), ty ->
+        |    list_transform(range(0, 10), tx ->
+        |      (s + (ty*h//8)*w + (tx*w//10)) % 256)))) AS BIGINT) AS rz_px_sum,
+        |  CAST(CASE WHEN fmt='bmp' THEN 54 + h*((3*w+3)//4*4) END AS BIGINT)
+        |    AS n_bytes
+        |FROM spec ORDER BY doc_id""".stripMargin,
     // TF-IDF mirrors term-for-term: integer tf/df/N, one double ln both
     // sides, rank over the ROUNDED score with a term tie-break
     "q_tfidf" ->

@@ -1,92 +1,215 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
 
-/** Multimodal-column plumbing (builder-brief first-class component).
+/** Multimodal columns: media as opaque `binary` + typed metadata, decoded
+  * with REAL codecs (reference analogue: the pipeline's binary artifact
+  * handling, 04_1_XGB_traintest.R:402).
   *
-  * Pattern: media lives as an opaque `binary` column + typed metadata
-  * struct; decode / feature-extract run per-partition over the typed
-  * Dataset (the Scala analogue of `mapInPandas` batches). The image/audio
-  * codecs are NOT in this container, so `decodeStub` is a clearly-marked
-  * deterministic fake — the Spark-side contract (schema, batch iteration,
-  * partition parallelism, binary handling) is real and tested, and swapping
-  * the stub for a JNI/libffi codec changes no plumbing.
+  * The corpus ships no media files, so the asset table is *generated*
+  * deterministically from `documents.doc_id`: a tiny grayscale raster whose
+  * pixel(i) = (seed + i) mod 256, encoded as a real PNG (`javax.imageio`,
+  * JDK built-in, headless — no native codecs) for even doc_ids and a
+  * byte-exact 24bpp BMP for odd ones. Decode is the REAL `ImageIO.read`
+  * path for both formats — PNG dimensions/pixels only exist after a real
+  * inflate + unfilter, so the decoded pixel sum is genuine decoder output,
+  * not an echo of the generator. The DuckDB oracle replays everything from
+  * closed forms: the PNG header prefix is fixed by the spec given
+  * (w, h, 8-bit, grayscale), the BMP layout is fully deterministic, and
+  * sum_{i<n} (s+i) mod 256 has a closed form.
   *
-  * Scale notes: payloads never leave their partition (no shuffle before
-  * feature extraction); metadata-only queries prune the binary column from
-  * the parquet scan.
+  * Scale notes: payloads are created and decoded inside one `mapPartitions`
+  * pass — they never shuffle; the `documents` scan prunes to `doc_id` only.
   */
 object Multimodal {
 
-  final case class Asset(doc_id: Long, mime: String, width: Int, height: Int,
+  final case class Asset(doc_id: Long, fmt: String, width: Int, height: Int,
                          payload: Array[Byte])
-  final case class AssetFeature(doc_id: Long, n_bytes: Long, mean_byte: Double,
-                                frames_sampled: Int)
+  /** Real decoder output: dims/bands/pixel-sum from `ImageIO.read`, plus a
+    * nearest-neighbor resize of the decoded raster to `RzW`×`RzH`. */
+  final case class DecodedAsset(doc_id: Long, fmt: String,
+                                dec_w: Long, dec_h: Long, dec_bands: Long,
+                                px_sum: Long, rz_px_sum: Long,
+                                payload: Array[Byte])
 
-  /** Synthesize the asset table from `documents` (text bytes as the opaque
-    * payload — the testdata ships no real media). */
+  /** Fixed resize target for the registered query (oracle replays the
+    * nearest-neighbor source-index arithmetic at these dims). */
+  val RzW = 10
+  val RzH = 8
+
+  /** Deterministic per-doc image spec — the single source of truth shared
+    * with the oracle SQL (see SparkEntry q_image_decode). */
+  def imageSpec(docId: Long): (Int, Int, Long) = {
+    val w = (8 + docId % 24).toInt
+    val h = (8 + (docId * 7) % 16).toInt
+    val seed = (docId * 131 + 17) % 256
+    (w, h, seed)
+  }
+
+  private def grayImage(w: Int, h: Int, seed: Long): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var i = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        r.setSample(x, y, 0, ((seed + i) % 256).toInt)
+        x += 1; i += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Real PNG encode (JDK ImageIO writer; 8-bit grayscale → color type 0,
+    * no interlace — the 29-byte signature+IHDR prefix is spec-fixed). */
+  def encodePng(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(grayImage(w, h, seed), "png", bos)
+    bos.toByteArray
+  }
+
+  /** Byte-exact 24bpp bottom-up BMP (54-byte header, 4-byte row padding) —
+    * manual layout so EVERY byte, including file size, is oracle-computable;
+    * decoding still goes through the real ImageIO BMP codec. */
+  def encodeBmp(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val stride = (w * 3 + 3) / 4 * 4
+    val fileSize = 54 + stride * h
+    val b = new Array[Byte](fileSize)
+    def putLE(off: Int, v: Int, n: Int): Unit = {
+      var i = 0
+      while (i < n) { b(off + i) = (v >>> (8 * i)).toByte; i += 1 }
+    }
+    b(0) = 'B'; b(1) = 'M'
+    putLE(2, fileSize, 4); putLE(10, 54, 4); putLE(14, 40, 4)
+    putLE(18, w, 4); putLE(22, h, 4); putLE(26, 1, 2); putLE(28, 24, 2)
+    putLE(34, stride * h, 4)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((seed + y.toLong * w + x) % 256).toByte
+        val off = 54 + (h - 1 - y) * stride + x * 3 // bottom-up rows
+        b(off) = v; b(off + 1) = v; b(off + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    b
+  }
+
+  /** Generate the asset table: real PNG payloads (even doc_id) / real BMP
+    * payloads (odd). Only `doc_id` is read from `documents` — the scan
+    * prunes to one column. */
   def assets(spark: SparkSession, dir: String): Dataset[Asset] = {
     val spark2 = spark
     import spark2.implicits._
-    Tables.documents(spark, dir)
-      .select(
-        col("doc_id"),
-        lit("image/fake").as("mime"),
-        (col("n_chars") % 640).cast(IntegerType).as("width"),
-        lit(480).as("height"),
-        col("text").cast(BinaryType).as("payload"))
-      .as[Asset]
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h, seed) = imageSpec(id)
+        if (id % 2 == 0) Asset(id, "png", w, h, encodePng(w, h, seed))
+        else Asset(id, "bmp", w, h, encodeBmp(w, h, seed))
+      })
   }
 
-  /** STUB — stands in for the real media decoder (not available in this
-    * container). Deterministic: derives features from the raw bytes only.
-    * The real implementation replaces ONLY this function. */
-  def decodeStub(a: Asset): AssetFeature = {
-    val bytes = a.payload
-    val mean =
-      if (bytes.isEmpty) 0.0
-      else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
-    // "frame sampling": every 64th byte-offset window stands in for a frame
-    val frames = math.max(1, bytes.length / 64)
-    AssetFeature(a.doc_id, bytes.length.toLong,
-      math.round(mean * 10000).toDouble / 10000, frames)
+  /** REAL decode: `ImageIO.read` (PNG inflate+unfilter / BMP bottom-up
+    * 24bpp), then band-0 pixel sum and a nearest-neighbor resample of the
+    * decoded raster. For the grayscale corpus band 0 is the gray channel in
+    * both layouts (PNG gray → 1 band; BMP → 3 identical BGR bands). */
+  def decodeAsset(a: Asset): DecodedAsset = {
+    val img = ImageIO.read(new ByteArrayInputStream(a.payload))
+    require(img != null, s"undecodable ${a.fmt} payload for doc ${a.doc_id}")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    var pxSum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { pxSum += raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    var rzSum = 0L
+    var ty = 0
+    while (ty < RzH) {
+      var tx = 0
+      while (tx < RzW) {
+        rzSum += raster.getSample(tx * w / RzW, ty * h / RzH, 0)
+        tx += 1
+      }
+      ty += 1
+    }
+    DecodedAsset(a.doc_id, a.fmt, w, h, raster.getNumBands.toLong,
+      pxSum, rzSum, a.payload)
   }
 
-  /** Per-partition batch decode over the typed Dataset — the mapInPandas
-    * batch shape: one iterator per partition, features out. */
-  def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeature] = {
+  /** Per-partition batch decode over the typed Dataset — payloads stay in
+    * their partition; one decoder pass per row. */
+  def extractFeatures(assets: Dataset[Asset]): Dataset[DecodedAsset] = {
     import assets.sparkSession.implicits._
-    assets.mapPartitions(_.map(decodeStub))
+    assets.mapPartitions(_.map(decodeAsset))
   }
 
-  /** STUB resize — stands in for a real scaler. Deterministic: metadata is
-    * rewritten to the target dims; the payload is resampled proportionally
-    * (every k-th byte) so payload size tracks the area ratio the way a real
-    * resampler's output would. Payloads never leave their partition. */
-  def resizeStub(a: Asset, w: Int, h: Int): Asset = {
-    val srcArea = math.max(1L, a.width.toLong * a.height)
-    val ratio = math.min(1.0, (w.toLong * h).toDouble / srcArea)
-    val keep = math.max(1, math.round(a.payload.length * ratio).toInt)
-    val step = math.max(1, a.payload.length / keep)
-    val out = a.payload.indices.collect {
-      case i if i % step == 0 => a.payload(i)
-    }.toArray
-    Asset(a.doc_id, a.mime, w, h, out)
-  }
-
-  def resize(assets: Dataset[Asset], w: Int, h: Int): Dataset[Asset] = {
+  /** Real resize: decode, nearest-neighbor resample the decoded raster to
+    * `tw`×`th`, re-encode in the asset's own format. */
+  def resize(assets: Dataset[Asset], tw: Int, th: Int): Dataset[Asset] = {
     import assets.sparkSession.implicits._
-    assets.mapPartitions(_.map(resizeStub(_, w, h)))
+    assets.mapPartitions(_.map { a =>
+      val img = ImageIO.read(new ByteArrayInputStream(a.payload))
+      require(img != null, s"undecodable ${a.fmt} payload for doc ${a.doc_id}")
+      val (sw, sh) = (img.getWidth, img.getHeight)
+      val out = new BufferedImage(tw, th, BufferedImage.TYPE_BYTE_GRAY)
+      var ty = 0
+      while (ty < th) {
+        var tx = 0
+        while (tx < tw) {
+          out.getRaster.setSample(tx, ty, 0,
+            img.getRaster.getSample(tx * sw / tw, ty * sh / th, 0))
+          tx += 1
+        }
+        ty += 1
+      }
+      val payload =
+        if (a.fmt == "png") {
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(out, "png", bos)
+          bos.toByteArray
+        } else {
+          // re-encode BMP from the resized raster via the byte-exact layout
+          val stride = (tw * 3 + 3) / 4 * 4
+          val b = new Array[Byte](54 + stride * th)
+          System.arraycopy(encodeBmp(tw, th, 0), 0, b, 0, 54)
+          var y = 0
+          while (y < th) {
+            var x = 0
+            while (x < tw) {
+              val v = out.getRaster.getSample(x, y, 0).toByte
+              val off = 54 + (th - 1 - y) * stride + x * 3
+              b(off) = v; b(off + 1) = v; b(off + 2) = v
+              x += 1
+            }
+            y += 1
+          }
+          b
+        }
+      Asset(a.doc_id, a.fmt, tw, th, payload)
+    })
   }
 
   final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
-  /** Frame sampling: every `stride`-th byte window stands in for a decoded
-    * video frame (the real decoder replaces the windowing only). One input
-    * row fans out to its frames within the partition — no shuffle. */
+  /** Frame sampling for video-shaped payloads: fixed-stride byte windows.
+    * The JDK ships no video codec (`javax.imageio` is stills-only), so the
+    * "frame" is an honest byte-window chunk of the payload, not a decoded
+    * picture; a real demuxer would replace only the windowing. One input
+    * row fans out within its partition — no shuffle. */
   def frameSamples(assets: Dataset[Asset], stride: Int = 64): Dataset[Frame] = {
     import assets.sparkSession.implicits._
     assets.flatMap { a =>
@@ -99,16 +222,45 @@ object Multimodal {
     }
   }
 
-  /** Registered query: metadata + stub features profile. The corpus-level
-    * mean is derived from an exact integer sum of the (already 4dp-rounded)
-    * per-doc means — AVG over doubles would depend on partition summation
-    * order, which can flip the rounded hash at a different parallelism. */
+  /** q_image_decode: the per-doc byte-level decode gate. Header fields are
+    * parsed from the ACTUAL payload bytes at fixed offsets in SQL (PNG IHDR
+    * big-endian at byte 17; BMP BITMAPINFOHEADER little-endian at byte 19);
+    * decoded dims/bands/pixel-sums come from the real decoder. The oracle
+    * reconstructs all of it from the doc_id spec. */
+  def decodeQuery(spark: SparkSession, dir: String): DataFrame = {
+    def byteAt(off: Int) = // 1-based offset → unsigned byte value
+      conv(hex(substring(col("payload"), off, 1)), 16, 10).cast(LongType)
+    def le4(off: Int) =
+      byteAt(off) + byteAt(off + 1) * 256L + byteAt(off + 2) * 65536L +
+        byteAt(off + 3) * 16777216L
+    val isPng = col("fmt") === "png"
+    extractFeatures(assets(spark, dir)).toDF()
+      .select(
+        col("doc_id"), col("fmt"),
+        when(isPng, hex(substring(col("payload"), 1, 29)))
+          .otherwise(hex(substring(col("payload"), 1, 2))).as("hdr_hex"),
+        when(isPng, conv(hex(substring(col("payload"), 17, 4)), 16, 10)
+          .cast(LongType)).otherwise(le4(19)).as("hdr_w"),
+        when(isPng, conv(hex(substring(col("payload"), 21, 4)), 16, 10)
+          .cast(LongType)).otherwise(le4(23)).as("hdr_h"),
+        col("dec_w"), col("dec_h"), col("dec_bands"),
+        col("px_sum"), col("rz_px_sum"),
+        when(!isPng, length(col("payload")).cast(LongType)).as("n_bytes"))
+      .orderBy("doc_id")
+  }
+
+  /** q_multimodal_meta: corpus-level profile of the REAL decode — asset and
+    * per-format counts, decoded pixel totals, and the (deterministic) BMP
+    * byte volume. PNG byte volume is intentionally absent: deflate output
+    * length is an encoder detail, not part of the decode contract. */
   def query(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(assets(spark, dir)).toDF()
       .agg(
         count(lit(1)).as("n_assets"),
-        sum(col("n_bytes")).as("total_bytes"),
-        round(sum(round(col("mean_byte") * 10000).cast(LongType))
-          .cast(DoubleType) / count(lit(1)) / 10000.0, 4).as("avg_mean_byte"),
-        sum(col("frames_sampled")).as("total_frames"))
+        sum(when(col("fmt") === "png", 1L).otherwise(0L)).as("n_png"),
+        sum(when(col("fmt") === "bmp", 1L).otherwise(0L)).as("n_bmp"),
+        sum(col("dec_w") * col("dec_h")).as("total_px"),
+        sum(col("px_sum")).as("total_px_sum"),
+        sum(when(col("fmt") === "bmp", length(col("payload")).cast(LongType))
+          .otherwise(0L)).as("bmp_bytes"))
 }

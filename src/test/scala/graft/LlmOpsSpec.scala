@@ -99,15 +99,36 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("multimodal: stub features are deterministic; payload bytes = n_chars") {
-    val f = Multimodal.extractFeatures(Multimodal.assets(spark, sf))
-      .toDF().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val chars = Tables.documents(spark, sf).select("doc_id", "n_chars")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // text is ascii words → utf-8 byte length == char count
-    assert(f === chars)
+  test("multimodal: real ImageIO decode matches the generated spec") {
+    val decoded = Multimodal.extractFeatures(Multimodal.assets(spark, sf))
+      .collect()
+    assert(decoded.nonEmpty)
+    decoded.foreach { d =>
+      val (w, h, seed) = Multimodal.imageSpec(d.doc_id)
+      assert(d.dec_w === w.toLong)
+      assert(d.dec_h === h.toLong)
+      // PNG gray → 1 band; 24bpp BMP → 3 (identical) bands
+      assert(d.dec_bands === (if (d.fmt == "png") 1L else 3L))
+      val expSum = (0L until w.toLong * h).map(i => (seed + i) % 256).sum
+      assert(d.px_sum === expSum, s"doc ${d.doc_id} fmt ${d.fmt}")
+    }
     val agg = SparkEntry.queries("q_multimodal_meta")(spark, sf).collect()(0)
-    assert(agg.getAs[Long]("n_assets") === chars.size)
+    assert(agg.getAs[Long]("n_assets") === decoded.length)
+    assert(agg.getAs[Long]("n_png") + agg.getAs[Long]("n_bmp") ===
+      decoded.length)
+  }
+
+  test("image decode gate: header fields parsed from bytes equal decoded dims") {
+    val rows = SparkEntry.queries("q_image_decode")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("hdr_w") === r.getAs[Long]("dec_w"))
+      assert(r.getAs[Long]("hdr_h") === r.getAs[Long]("dec_h"))
+      val hdr = r.getAs[String]("hdr_hex")
+      if (r.getAs[String]("fmt") == "png")
+        assert(hdr.startsWith("89504E470D0A1A0A")) // PNG signature bytes
+      else assert(hdr === "424D") // "BM"
+    }
   }
 
   test("tfidf: stopwords removed, ≤3 ranked terms per doc, idf sane") {
@@ -125,19 +146,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Double]("tfidf") > 0.0))
   }
 
-  test("multimodal resize: target dims set, payload tracks the area ratio") {
+  test("multimodal resize: real nearest-neighbor resample of decoded raster") {
     val a = Multimodal.assets(spark, sf)
-    val r = Multimodal.resize(a, 320, 240).collect()
-    assert(r.nonEmpty)
-    assert(r.forall(x => x.width === 320 && x.height === 240))
-    val orig = a.collect().map(x => x.doc_id -> x.payload.length).toMap
-    // resample never grows the payload and keeps at least one byte
-    assert(r.forall(x => x.payload.length <= orig(x.doc_id) &&
-      x.payload.length >= 1))
-    // deterministic
-    val again = Multimodal.resize(a, 320, 240).collect()
-      .map(x => x.doc_id -> x.payload.toSeq).toMap
-    assert(r.map(x => x.doc_id -> x.payload.toSeq).toMap === again)
+    val resized = Multimodal.resize(a, Multimodal.RzW, Multimodal.RzH)
+    // decoding the RESIZED payload through the real codec must yield the
+    // target dims and exactly the nearest-neighbor samples of the source
+    val back = Multimodal.extractFeatures(resized).collect()
+    back.foreach { d =>
+      assert(d.dec_w === Multimodal.RzW.toLong)
+      assert(d.dec_h === Multimodal.RzH.toLong)
+      val (w, h, seed) = Multimodal.imageSpec(d.doc_id)
+      val exp = (for {
+        ty <- 0 until Multimodal.RzH; tx <- 0 until Multimodal.RzW
+      } yield (seed + (ty * h / Multimodal.RzH).toLong * w
+        + (tx * w / Multimodal.RzW)) % 256).sum
+      assert(d.px_sum === exp, s"doc ${d.doc_id} fmt ${d.fmt}")
+    }
+    // deterministic payload bytes
+    val once = resized.collect().map(x => x.doc_id -> x.payload.toSeq).toMap
+    val again = Multimodal.resize(a, Multimodal.RzW, Multimodal.RzH)
+      .collect().map(x => x.doc_id -> x.payload.toSeq).toMap
+    assert(once === again)
   }
 
   test("multimodal frame sampling: max(1, len/stride) frames per asset") {

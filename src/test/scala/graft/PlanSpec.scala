@@ -30,6 +30,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!read.contains("c_acctbal") && !read.contains("c_address"), read)
   }
 
+  test("image decode prunes the documents scan to doc_id only") {
+    // payload generation/decoding is mapPartitions over doc_id alone — the
+    // text/lang/source columns must never be read from parquet
+    val p = plan("q_image_decode")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("doc_id"), read)
+    assert(!read.contains("text") && !read.contains("lang"), read)
+  }
+
   test("left-join build-side filter is pushed down to the parquet scan") {
     val p = plan("q_left_join")
     assert(p.contains("GreaterThan(c_acctbal,5000.0)"), p)
