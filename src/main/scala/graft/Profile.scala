@@ -23,6 +23,19 @@ object Profile {
     time("survivors")(Dedup.dedupSurvivors(spark, sf).count())
     time("simhash sigs")(Dedup.simhash(Dedup.corpus(spark, sf)).count())
     time("simhashNearDup")(Dedup.simhashNearDup(spark, sf).count())
+    // rolling_fp codegen kernel vs the interpreted HOF fold it replaced
+    // (r7): same arithmetic, sum-reduced so only the fold cost is timed
+    val docs = Tables.documents(spark, sf).select("text")
+    docs.persist().count()
+    for (i <- 1 to 3) {
+      time(s"fp HOF fold #$i")(docs.selectExpr(
+        """sum(aggregate(split(text, ''), 0L,
+          |  (acc, c) -> (acc * 131 + ascii(c)) % 1000000007))"""
+          .stripMargin).collect())
+      time(s"fp rolling_fp #$i")(
+        docs.selectExpr("sum(rolling_fp(text))").collect())
+    }
+    docs.unpersist()
     spark.stop()
   }
 }

@@ -1418,8 +1418,11 @@ object SparkEntry {
     // sequence packing: the oracle states the concat-and-chunk rule as a
     // plain exclusive-prefix window; the Spark side must reproduce it with
     // its distributed two-pass prefix sum (no single-task window)
+    // token budget interpolated from Curation.DefaultBudgetTokens — the
+    // single constant the Spark registration also uses (raw interpolator:
+    // the \s+ pattern must reach DuckDB's regex engine untouched)
     "q_seq_pack" ->
-      """WITH t AS (
+      raw"""WITH t AS (
         |  SELECT doc_id,
         |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
         |      AS n_tok
@@ -1432,7 +1435,8 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |      AS BIGINT) AS prefix
         |  FROM t)
-        |SELECT prefix // 2048 AS bin, COUNT(*) AS n_docs,
+        |SELECT prefix // ${Curation.DefaultBudgetTokens} AS bin,
+        |  COUNT(*) AS n_docs,
         |  CAST(SUM(n_tok) AS BIGINT) AS tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -45,6 +45,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       cs => { val c = arity(2, "token_profile")(cs)
               TokenProfile(c(0), c(1)) }))
     ext.injectFunction((
+      FunctionIdentifier("rolling_fp"),
+      RollingFp.info,
+      cs => { val c = arity(1, "rolling_fp")(cs); RollingFp(c(0)) }))
+    ext.injectFunction((
       FunctionIdentifier("minhash_agg"),
       MinHashAgg.info,
       cs => { val c = arity(1, "minhash_agg")(cs); MinHashAgg(c(0)) }))

@@ -36,11 +36,16 @@ case class MinHashAgg(
 
   override def nullable: Boolean = true
 
+  // containsNull = false only: ArrayData.toLongArray reads a NULL element
+  // as 0, and 0 would then win every slot min — silent sketch corruption.
+  // minhash_sigs emits non-null elements; ad-hoc SQL with a nullable array
+  // is rejected at analysis, honoring the "corruption throws" contract.
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
-      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
       case t => TypeCheckResult.TypeCheckFailure(
-        s"minhash_agg expects array<bigint>, got ${t.simpleString}")
+        "minhash_agg expects array<bigint> with non-null elements, got " +
+          t.simpleString)
     }
 
   // empty array = "no input yet" sentinel (a real signature is never

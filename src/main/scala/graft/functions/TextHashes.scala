@@ -107,9 +107,15 @@ object PolyHash {
 
   /** Identity-memoized conversion of the foldable profile literal (an
     * array<array<string>>) to plain JVM arrays: the codegen'd call site
-    * passes the SAME Literal-backed ArrayData instance every row, so one
-    * ThreadLocal (ref, converted) pair makes the conversion once per task
-    * instead of ~30 UTF8String→String allocations per row. */
+    * passes the SAME Literal-backed ArrayData instance every row (the
+    * checkInputDataTypes `foldable` gate + ConstantFolding collapse the arg
+    * to a single Literal), so one ThreadLocal (ref, converted) pair makes
+    * the conversion once per task instead of ~30 UTF8String→String
+    * allocations per row. If that assumption ever breaks (a foldable arg
+    * surviving un-collapsed would present a fresh ArrayData per row), the
+    * identity check misses and the kernel stays CORRECT — it just converts
+    * per row. The ThreadLocal is cleared at task completion so pooled
+    * executor threads don't retain the last profile between tasks. */
   private val profileWordsCache =
     new ThreadLocal[(ArrayData, Array[Array[String]])]
 
@@ -124,6 +130,11 @@ object PolyHash {
           .filter(_ != null)
           .map(_.toString)
           .toArray
+      }
+      if (c == null) { // first use in this task: arm the cleanup
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null)
+          tc.addTaskCompletionListener[Unit](_ => profileWordsCache.remove())
       }
       profileWordsCache.set((profiles, out))
       out
@@ -171,6 +182,26 @@ object PolyHash {
       i += 1
     }
     new GenericArrayData(counts)
+  }
+
+  /** Rabin–Karp rolling fingerprint over code points:
+    * acc ← (acc·131 + cp) mod 1e9+7; empty → 0. Exact semantics of the HOF
+    * form `aggregate(split(s,''), 0L, (acc,c) -> (acc*131+ascii(c)) % p)`
+    * it replaces (Java regex split('') yields one element per code point,
+    * and ascii() returns the code point) and of the DuckDB `list_reduce`
+    * replay in the q_fingerprint / q_redact oracles. The HOF form was the
+    * last interpreted per-character fold in the engine: `ArrayAggregate`
+    * is CodegenFallback and `split` materializes a char array per row. */
+  def rollingFp(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val c = str.codePointAt(i)
+      acc = (acc * 131 + c) % 1000000007L
+      i += Character.charCount(c)
+    }
+    acc
   }
 
   /** MinHash signature over a DuckDB-replayable hash family: each shingle
@@ -251,6 +282,35 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 object SimHash64 {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[SimHash64].getName, "simhash64")
+}
+
+/** rolling_fp(text) → BIGINT. Null in → null out. */
+case class RollingFp(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"rolling_fp expects string, got ${t.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    PolyHash.rollingFp(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyHash.rollingFp($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingFp =
+    copy(child = newChild)
+
+  override def prettyName: String = "rolling_fp"
+}
+
+object RollingFp {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[RollingFp].getName, "rolling_fp")
 }
 
 /** shingles3(normalized_text) → ARRAY<STRING>. Null in → null out. */

@@ -48,13 +48,12 @@ object Curation {
         .as("text"))
 
   /** Rabin–Karp rolling fingerprint of a string column — the same
-    * DuckDB-replayable fold as TextAnalysis.fingerprint, factored so the
-    * redacted text can be fingerprinted without materializing it in the
-    * result (the redacted corpus itself would be the real output at scale;
-    * the fingerprint proves the transform byte-for-byte). */
-  private def rollingFp(c: Column): Column =
-    aggregate(split(c, ""), lit(0L),
-      (acc, ch) => (acc * 131 + ascii(ch)) % 1000000007L)
+    * DuckDB-replayable fold as TextAnalysis.fingerprint (the native
+    * `rolling_fp` codegen kernel), factored so the redacted text can be
+    * fingerprinted without materializing it in the result (the redacted
+    * corpus itself would be the real output at scale; the fingerprint
+    * proves the transform byte-for-byte). */
+  private def rollingFp(c: Column): Column = call_function("rolling_fp", c)
 
   /** PII redaction: match counts per category on the input text plus the
     * fingerprint of the fully-redacted text (emails → `<EMAIL>`, phones →
@@ -120,6 +119,11 @@ object Curation {
 
   // -- sequence packing ---------------------------------------------------
 
+  /** Context-window token budget shared by the q_seq_pack registration and
+    * its oracle SQL (interpolated there) — one constant, so changing it
+    * can't desynchronize query and oracle. */
+  val DefaultBudgetTokens = 2048L
+
   /** Sequence packing, concat-and-chunk: documents in deterministic
     * doc_id order are conceptually concatenated and cut into
     * `budgetTokens`-sized context windows; each document is assigned to
@@ -134,7 +138,7 @@ object Curation {
     * prefix offset. No `Window.orderBy` (single-task) anywhere; the sort
     * is executed once (persisted) and feeds both passes. */
   def seqPack(spark: SparkSession, dir: String,
-              budgetTokens: Long = 2048L): DataFrame = {
+              budgetTokens: Long = DefaultBudgetTokens): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"),
         size(split(col("text"), "\\s+")).cast(LongType).as("n_tok"))

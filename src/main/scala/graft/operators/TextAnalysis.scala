@@ -137,18 +137,15 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
-  /** Document fingerprint: Rabin–Karp rolling hash over the character
-    * stream — acc ← (acc·131 + codepoint) mod (1e9+7). Order-sensitive,
-    * allocation-free (one codegen'd fold over the split chars), and exactly
-    * ANSI-expressible: the modulus keeps every intermediate below 2^63, so
-    * DuckDB's overflow-checked BIGINT arithmetic reproduces it bit-for-bit
-    * (an xxhash64 chain would be Spark-only and uncheckable). */
+  /** Document fingerprint: Rabin–Karp rolling hash over the code-point
+    * stream — acc ← (acc·131 + codepoint) mod (1e9+7). Order-sensitive and
+    * exactly ANSI-expressible: the modulus keeps every intermediate below
+    * 2^63, so DuckDB's overflow-checked BIGINT arithmetic reproduces it
+    * bit-for-bit (an xxhash64 chain would be Spark-only and uncheckable).
+    * Runs as the native `rolling_fp` kernel (functions.RollingFp — a tight
+    * codegen loop; the previous `aggregate(split(text,''), …)` HOF was an
+    * interpreted per-character fold, equivalence-pinned in LlmOpsSpec). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(
-        col("doc_id"),
-        expr(
-          """aggregate(split(text, ''), 0L,
-            |  (acc, c) -> (acc * 131 + ascii(c)) % 1000000007)"""
-            .stripMargin).as("fingerprint"))
+      .select(col("doc_id"), expr("rolling_fp(text)").as("fingerprint"))
 }

@@ -176,6 +176,18 @@ class DedupSpec extends AnyFunSuite {
     assert(native.values.forall(_.size === Dedup.NumHashes))
   }
 
+  test("minhash_agg rejects nullable-element arrays at analysis") {
+    // ArrayData.toLongArray would read a NULL element as 0, and 0 wins
+    // every slot min — reject the type up front instead of corrupting
+    import spark.implicits._
+    val df = Seq((1L, Seq[Option[Long]](Some(1L), None)))
+      .toDF("g", "minhash") // encodes as array<bigint> containsNull=true
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy("g").agg(expr("minhash_agg(minhash)")).collect()
+    }
+    assert(e.getMessage.contains("non-null"), e.getMessage)
+  }
+
   test("simhash: identical texts hash equal; near texts within Hamming 10") {
     val sh = Dedup.simhash(Dedup.corpus(spark, sf))
     val d = Tables.documents(spark, sf)

@@ -52,6 +52,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(all.distinct.size === all.size, "lang profiles must be disjoint")
   }
 
+  test("rolling_fp kernel == HOF aggregate spec (incl. non-ASCII/empty)") {
+    import spark.implicits._
+    val docs = Seq(
+      "the cat and the hat",
+      "der Ütest und die übung ist gut", // non-ASCII code points
+      "",                                // empty → 0
+      "  padded   text  ",
+      "a",                               // single char → its code point
+      "😀 emoji pair")                   // supplementary-plane code point
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = docs.selectExpr("doc_id", "rolling_fp(text) AS fp")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hof = docs.selectExpr("doc_id",
+      """aggregate(split(text, ''), 0L,
+        |  (acc, c) -> (acc * 131 + ascii(c)) % 1000000007) AS fp"""
+        .stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === hof)
+    assert(got(2L) === 0L) // empty string
+    assert(got(4L) === 'a'.toLong)
+  }
+
   test("fingerprint is order-sensitive and deterministic") {
     import spark.implicits._
     val fp = TextAnalysis.fingerprint(spark, sf)

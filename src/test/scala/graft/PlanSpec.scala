@@ -88,6 +88,13 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     val projLine = cg.linesIterator.find(_.contains("simhash64"))
     assert(projLine.exists(_.contains("*(")), cg)
+    // rolling_fp likewise: the fingerprint projection must be codegen'd,
+    // and no interpreted ArrayAggregate fold may survive in the plan
+    val fp = SparkEntry.queries("q_fingerprint")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val fpLine = fp.linesIterator.find(_.contains("rolling_fp"))
+    assert(fpLine.exists(_.contains("*(")), fp)
+    assert(!fp.contains("aggregate("), fp)
   }
 
   test("PII redaction is a pure narrow projection: no shuffle, no join") {
