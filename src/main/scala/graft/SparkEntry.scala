@@ -105,6 +105,9 @@ object SparkEntry {
     // per-doc byte-level decode gate: header fields parsed from actual
     // payload bytes at fixed offsets; dims/pixel sums from the real codec
     "q_image_decode"      -> (Multimodal.decodeQuery _),
+    // county-cardinality geo join: 3,000 jittered quads, candidate-pruned
+    // exact ray casting, full SQL replay (the reference's county scale)
+    "q_geo_county"        -> (GeoJoin.countyQuery _),
     // sources/sinks (SURVEY §2.1)
     "q_csv_roundtrip"     -> (graft.sources.CsvIO.csvRoundTrip _),
     // JSONL (the LLM-corpus interchange format): declared-schema scan,
@@ -1122,6 +1125,69 @@ object SparkEntry {
         |SELECT ((lat_cell + 60) + (lon_cell + 18) * 120) % 25 AS region_id,
         |  COUNT(*) AS cnt
         |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin,
+    // county-scale geo: full replay of GeoJoin.countyQuery — jittered
+    // lattice vertices (integer LCG, one /1000.0), candidate window ±1
+    // cell, and the 4-edge ray-cast crossing test in GeoJoin.contains'
+    // exact (i, j=prev) pairing and operation order. Every double literal
+    // is CAST to DOUBLE: DuckDB's bare 4.8 is DECIMAL (exact) while
+    // Scala's is an inexact double — mixing them diverges in the last bit.
+    // Horizontal frame edges: the crossing conjunct is false before the
+    // division matters (NULL/inf both collapse to 0 in the CASE).
+    // Exactly-one-owner per point is ASSERTED by the compare itself: a
+    // double-claimed point would emit two oracle rows and break the match.
+    "q_geo_county" ->
+      """WITH p AS (
+        |  SELECT c_custkey,
+        |    CAST((c_custkey * 7) % 120 - 60 + 0.25 AS DOUBLE) AS lat,
+        |    CAST((c_custkey * 13) % 36 * 10 - 180 + 0.25 AS DOUBLE) AS lon
+        |  FROM customer),
+        |p2 AS (
+        |  SELECT c_custkey, lat, lon,
+        |    CAST(FLOOR((lat + 60.0) / CAST(3.0 AS DOUBLE)) AS BIGINT) AS r0,
+        |    CAST(FLOOR((lon + 180.0) / CAST(4.8 AS DOUBLE)) AS BIGINT) AS c0
+        |  FROM p),
+        |vtx AS (
+        |  SELECT r, c,
+        |    CASE WHEN r=0 OR r=40 OR c=0 OR c=75
+        |      THEN -60.0 + CAST(3.0 AS DOUBLE) * r
+        |      ELSE -60.0 + CAST(3.0 AS DOUBLE) * r +
+        |        (((r*76 + c) * 2654435761 + 7) % 1000003 % 1201 - 600)
+        |          / CAST(1000.0 AS DOUBLE) END AS vlat,
+        |    CASE WHEN r=0 OR r=40 OR c=0 OR c=75
+        |      THEN -180.0 + CAST(4.8 AS DOUBLE) * c
+        |      ELSE -180.0 + CAST(4.8 AS DOUBLE) * c +
+        |        (((r*76 + c) * 1103515245 + 12345) % 1000003 % 1921 - 960)
+        |          / CAST(1000.0 AS DOUBLE) END AS vlon
+        |  FROM range(0, 41) t1(r) CROSS JOIN range(0, 76) t2(c)),
+        |quad AS (
+        |  SELECT p2.c_custkey, p2.lat, p2.lon, t.r * 75 + t.c AS county_id,
+        |    v0.vlat AS la0, v0.vlon AS lo0, v1.vlat AS la1, v1.vlon AS lo1,
+        |    v2.vlat AS la2, v2.vlon AS lo2, v3.vlat AS la3, v3.vlon AS lo3
+        |  FROM p2
+        |  JOIN (SELECT r, c FROM range(0, 40) a(r) CROSS JOIN
+        |        range(0, 75) b(c)) t
+        |    ON t.r BETWEEN p2.r0 - 1 AND p2.r0 + 1
+        |   AND t.c BETWEEN p2.c0 - 1 AND p2.c0 + 1
+        |  JOIN vtx v0 ON v0.r = t.r     AND v0.c = t.c
+        |  JOIN vtx v1 ON v1.r = t.r     AND v1.c = t.c + 1
+        |  JOIN vtx v2 ON v2.r = t.r + 1 AND v2.c = t.c + 1
+        |  JOIN vtx v3 ON v3.r = t.r + 1 AND v3.c = t.c),
+        |hit AS (
+        |  SELECT c_custkey, county_id FROM quad
+        |  WHERE ((CASE WHEN (la0 > lat) <> (la3 > lat) AND
+        |      lon < (lo3 - lo0) * (lat - la0) / (la3 - la0) + lo0
+        |      THEN 1 ELSE 0 END)
+        |    + (CASE WHEN (la1 > lat) <> (la0 > lat) AND
+        |      lon < (lo0 - lo1) * (lat - la1) / (la0 - la1) + lo1
+        |      THEN 1 ELSE 0 END)
+        |    + (CASE WHEN (la2 > lat) <> (la1 > lat) AND
+        |      lon < (lo1 - lo2) * (lat - la2) / (la1 - la2) + lo2
+        |      THEN 1 ELSE 0 END)
+        |    + (CASE WHEN (la3 > lat) <> (la2 > lat) AND
+        |      lon < (lo2 - lo3) * (lat - la3) / (la2 - la3) + lo3
+        |      THEN 1 ELSE 0 END)) % 2 = 1)
+        |SELECT county_id, COUNT(*) AS n_pts
+        |FROM hit GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_cbind" ->
       """WITH base AS (SELECT * FROM customer ORDER BY c_custkey LIMIT 200),
         |a AS (SELECT ROW_NUMBER() OVER (ORDER BY c_custkey) AS idx, c_name

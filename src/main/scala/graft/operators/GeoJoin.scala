@@ -94,4 +94,94 @@ object GeoJoin {
     udf((lat: Double, lon: Double) =>
       bc.value.find(p => contains(p.ring, lat, lon)).map(_.id))
   }
+
+  // -- county-scale dimension (reference cardinality: ~3,000 counties,
+  // -- 06_presentation.Rmd:123; the county-name/boundary data loss was the
+  // -- reference's real pain, 01_DataMerge.R:119-128) -------------------
+
+  /** 40 lat rows × 75 lon cols = 3,000 counties tiling lat ∈ [-60, 60) ×
+    * lon ∈ [-180, 180). Interior lattice vertices are deterministically
+    * jittered (integer LCG, ±20% of a cell — shared by all adjacent
+    * counties, so the tiling stays gap-free), making every county a
+    * non-axis-aligned quadrilateral that genuinely exercises ray casting.
+    * The outer frame is unjittered so the cover is exactly the rectangle. */
+  val CountyRows = 40
+  val CountyCols = 75
+  val CountyLatDeg = 3.0
+  val CountyLonDeg = 4.8
+
+  /** Lattice vertex (r ∈ 0..40, c ∈ 0..75) — the ONE Scala copy of the
+    * jitter formula; its mirror lives only in the q_geo_county oracle SQL.
+    * All arithmetic is integer-LCG then one /1000.0, so DuckDB reproduces
+    * the coordinates bit-for-bit. */
+  def countyVertex(r: Int, c: Int): (Double, Double) = {
+    val latBase = -60.0 + CountyLatDeg * r
+    val lonBase = -180.0 + CountyLonDeg * c
+    if (r == 0 || r == CountyRows || c == 0 || c == CountyCols)
+      (latBase, lonBase)
+    else {
+      val k = (r * 76 + c).toLong
+      val dlat = ((k * 2654435761L + 7L) % 1000003L % 1201L - 600L) / 1000.0
+      val dlon = ((k * 1103515245L + 12345L) % 1000003L % 1921L - 960L) / 1000.0
+      (latBase + dlat, lonBase + dlon)
+    }
+  }
+
+  /** The 3,000 county quads, id = row·75 + col, ring order
+    * (r,c)(r,c+1)(r+1,c+1)(r+1,c) — the same convention as the lattice
+    * boundary specs, so shared edges/vertices resolve half-open. */
+  def counties: Seq[Polygon] =
+    for (r <- 0 until CountyRows; c <- 0 until CountyCols) yield Polygon(
+      (r * CountyCols + c).toLong,
+      Seq(countyVertex(r, c), countyVertex(r, c + 1),
+        countyVertex(r + 1, c + 1), countyVertex(r + 1, c)))
+
+  /** Broadcast spatial index: base cell → the ≤9 counties whose jittered
+    * quad can reach into it (jitter < half a cell, so ±1 in each axis
+    * bounds the candidates). Per-point cost is O(9 quads × 4 edges), not
+    * O(3,000) — the candidate-pruned shape that holds when the dimension is
+    * every county on earth. ~3,000 quads × 4 vertices ≈ 200 KB broadcast. */
+  def countyIndex: Map[(Int, Int), Array[Polygon]] = {
+    val all = counties
+    val m = scala.collection.mutable.Map
+      .empty[(Int, Int), scala.collection.mutable.ArrayBuffer[Polygon]]
+    for (p <- all) {
+      val r = (p.id / CountyCols).toInt
+      val c = (p.id % CountyCols).toInt
+      for {
+        dr <- -1 to 1; dc <- -1 to 1
+        rr = r + dr; cc = c + dc
+        if rr >= 0 && rr < CountyRows && cc >= 0 && cc < CountyCols
+      } m.getOrElseUpdate((rr, cc),
+        scala.collection.mutable.ArrayBuffer.empty) += p
+    }
+    m.view.mapValues(_.toArray).toMap
+  }
+
+  /** q_geo_county: J5 at county cardinality. Every customer point is
+    * assigned its containing county by exact ray casting over the candidate
+    * set from the broadcast index, then profiled per county. The oracle
+    * replays the FULL pipeline in SQL — jittered vertices, candidate
+    * window, the 4-edge crossing test with identical operation order (IEEE
+    * doubles: same ops, same order → bit-identical on both engines). */
+  def countyQuery(spark: SparkSession, dir: String): DataFrame = {
+    val bc = spark.sparkContext.broadcast(countyIndex)
+    val assign = udf((lat: Double, lon: Double) => {
+      val r0 = math.floor((lat + 60.0) / CountyLatDeg).toInt
+      val c0 = math.floor((lon + 180.0) / CountyLonDeg).toInt
+      bc.value.getOrElse((r0, c0), Array.empty[Polygon])
+        .find(p => contains(p.ring, lat, lon)).map(_.id)
+    })
+    // isNotNull mirrors the oracle's `hit` CTE (only owned points emit a
+    // row). A point can be ownerless only when it sits bit-exactly ON a
+    // jittered edge — measure-zero, identical arithmetic both engines —
+    // and GeoJoinSpec's conservation test fails loudly if real data ever
+    // hits it (the reference's silent county loss, made unsilent).
+    points(spark, dir)
+      .withColumn("county_id", assign(col("lat"), col("lon")))
+      .filter(col("county_id").isNotNull)
+      .groupBy("county_id")
+      .agg(count(lit(1)).as("n_pts"))
+      .orderBy("county_id")
+  }
 }

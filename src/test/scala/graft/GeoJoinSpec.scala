@@ -68,6 +68,98 @@ class GeoJoinSpec extends AnyFunSuite {
     assert(out((3.0, n.toDouble)) === None)
   }
 
+  test("county lattice: 3,000 jittered quads, bounded index, small broadcast") {
+    val cs = GeoJoin.counties
+    assert(cs.size === 3000)
+    assert(cs.map(_.id).distinct.size === 3000)
+    // every quad is a 4-ring and its corners stay within one jitter bound
+    // of the base cell (the ±1-cell candidate-window premise)
+    cs.foreach { p =>
+      assert(p.ring.size === 4)
+      val r = p.id / GeoJoin.CountyCols
+      val c = p.id % GeoJoin.CountyCols
+      p.ring.foreach { case (la, lo) =>
+        assert(la >= -60.0 + 3.0 * r - 0.601 && la <= -60.0 + 3.0 * (r + 1) + 0.601)
+        assert(lo >= -180.0 + 4.8 * c - 0.961 && lo <= -180.0 + 4.8 * (c + 1) + 0.961)
+      }
+    }
+    // the broadcast payload is tiny (3,000 × 4 vertices) and the spatial
+    // index hands the UDF at most 9 candidates per cell
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(cs.toArray); oos.close(); bos.size()
+    }
+    assert(bytes < (1 << 20), s"county broadcast grew to $bytes bytes")
+    val idx = GeoJoin.countyIndex
+    assert(idx.values.forall(_.length <= 9))
+    assert(idx.keySet.size === 3000)
+  }
+
+  test("jittered county tiling: boundary-sitting probes get exactly one owner") {
+    // the reference's county join lost points exactly on shared boundaries
+    // (01_DataMerge.R:119-128). Probe the HARD points of the jittered
+    // tiling: every shared (jittered) lattice vertex, shared-edge
+    // midpoints, and cell centers — each must resolve to exactly one
+    // county (outer top/right frame: none, consistent half-open cover).
+    val idx = GeoJoin.countyIndex
+    def owners(lat: Double, lon: Double): Seq[Long] = {
+      val r0 = math.floor((lat + 60.0) / GeoJoin.CountyLatDeg).toInt
+      val c0 = math.floor((lon + 180.0) / GeoJoin.CountyLonDeg).toInt
+      idx.getOrElse((r0, c0), Array.empty[GeoJoin.Polygon]).toSeq
+        .filter(p => GeoJoin.contains(p.ring, lat, lon)).map(p => p.id)
+    }
+    // a probe subgrid (every 5th lattice node) keeps the spec fast while
+    // still covering interior jittered vertices and frame rows/cols
+    for (r <- 0 to GeoJoin.CountyRows by 5; c <- 0 to GeoJoin.CountyCols by 5) {
+      val (la, lo) = GeoJoin.countyVertex(r, c)
+      val expected =
+        if (r == GeoJoin.CountyRows || c == GeoJoin.CountyCols) 0 else 1
+      assert(owners(la, lo).size === expected, s"vertex ($r,$c) at ($la,$lo)")
+    }
+    for (r <- 1 until GeoJoin.CountyRows by 7; c <- 1 until GeoJoin.CountyCols by 7) {
+      // shared-edge midpoints: a point bit-exactly ON a jittered edge can
+      // be claimed by NEITHER quad (both `lon < xcross` tests are strict
+      // when xcross == lon) — measure-zero, and the oracle replays the
+      // identical arithmetic, so no silent divergence is possible. The
+      // guarantees to pin: never DOUBLE-assigned on the line, and exactly
+      // one owner per side of it (no gap wider than fp rounding).
+      val (la1, lo1) = GeoJoin.countyVertex(r, c - 1)
+      val (la2, lo2) = GeoJoin.countyVertex(r, c)
+      val (mla, mlo) = ((la1 + la2) / 2, (lo1 + lo2) / 2)
+      assert(owners(mla, mlo).size <= 1, s"edge midpoint below ($r,$c)")
+      val above = owners(mla + 1e-7, mlo)
+      val below = owners(mla - 1e-7, mlo)
+      assert(above.size === 1 && below.size === 1,
+        s"edge-midpoint neighborhood at ($r,$c): $above / $below")
+      assert(above !== below, s"sides must fall to different counties ($r,$c)")
+      // cell center: strictly interior
+      val (cla, clo) = (-60.0 + 3.0 * (r - 1) + 1.5, -180.0 + 4.8 * (c - 1) + 2.4)
+      assert(owners(cla, clo).size === 1, s"center of ($r,$c)")
+    }
+  }
+
+  test("county query conserves every point and matches brute force") {
+    val out = SparkEntry.queries("q_geo_county")(spark, sf).collect()
+    val total = out.map(_.getAs[Long]("n_pts")).sum
+    val nCust = Tables.customer(spark, sf).count()
+    assert(total === nCust, "county assignment must lose no points")
+    assert(out.forall(!_.isNullAt(0)), "all points are inside the frame")
+    // index-pruned assignment == linear scan over all 3,000 counties
+    val all = GeoJoin.counties
+    val idx = GeoJoin.countyIndex
+    val probe = GeoJoin.points(spark, sf).limit(50).collect()
+    probe.foreach { row =>
+      val (lat, lon) = (row.getDouble(1), row.getDouble(2))
+      val r0 = math.floor((lat + 60.0) / GeoJoin.CountyLatDeg).toInt
+      val c0 = math.floor((lon + 180.0) / GeoJoin.CountyLonDeg).toInt
+      val pruned = idx.getOrElse((r0, c0), Array.empty[GeoJoin.Polygon])
+        .find(p => GeoJoin.contains(p.ring, lat, lon)).map(_.id)
+      val brute = all.find(p => GeoJoin.contains(p.ring, lat, lon)).map(_.id)
+      assert(pruned === brute, s"point ($lat,$lon)")
+    }
+  }
+
   test("grid cells on exact boundaries keep every point (left join, no loss)") {
     import spark.implicits._
     // points exactly on 1°×10° cell boundaries — floor() assigns each to

@@ -39,6 +39,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!read.contains("text") && !read.contains("lang"), read)
   }
 
+  test("geo joins: grid side broadcasts; county path joins nothing at all") {
+    // the 4,320-cell grid must stay a BroadcastHashJoin (fact side never
+    // shuffles for the dimension), and the county assignment must run as a
+    // broadcast-variable UDF — no Join operator anywhere in its plan
+    assert(plan("q_geo_join").contains("BroadcastHashJoin"),
+      plan("q_geo_join"))
+    val county = plan("q_geo_county")
+    assert(!county.contains("Join"), county)
+  }
+
   test("left-join build-side filter is pushed down to the parquet scan") {
     val p = plan("q_left_join")
     assert(p.contains("GreaterThan(c_acctbal,5000.0)"), p)
