@@ -138,12 +138,16 @@ object SparkEntry {
     // AvailableNow → Append memory sink); oracle = batch sessions minus
     // each user's still-open last session
     "q_stream_sessions"   -> (graft.streaming.Streaming.streamSessions _),
+    // the sessionizer under REAL multi-batch arrival: 4 chronological
+    // time-range files, one micro-batch each, disorder-covering watermark
+    "q_stream_sessions_multi" ->
+      (graft.streaming.Streaming.streamSessionsMulti _),
     // REAL stream-static join run (readStream ⋈ customer dim → windowed
     // agg); oracle = the equivalent batch join+agg
     "q_stream_enrich"     -> (graft.streaming.Streaming.streamEnrich _),
     // REAL stream-stream interval join (watermarked both sides; range
     // condition bounds the state); oracle = q_range_join's batch SQL
-    "q_stream_range"      -> (graft.streaming.Streaming.streamRangeJoin _),
+    "q_stream_range"      -> ((s, d) => graft.streaming.Streaming.streamRangeJoin(s, d)),
     // exactly-once streaming parquet sink (foreachBatch + dynamic
     // partition overwrite), gated by reading the sink back
     "q_stream_sink"       -> (graft.streaming.Streaming.streamToParquet _),
@@ -1094,6 +1098,37 @@ object SparkEntry {
         |CROSS JOIN mx
         |WHERE last.sid IS NULL
         |   OR epoch_ms(session_end) + 1800000 < epoch_ms(mx.mt)
+        |ORDER BY 1, 2""".stripMargin,
+    // multi-batch sessionizer: same gaps-and-islands, but the emission
+    // rule under a disorder-covering watermark — the watermark never
+    // passes any event time, so NO timeout fires and every user's final
+    // session is withheld; everything else emitted inline. File-boundary
+    // independent (chronological range-split batches + within-batch sort
+    // == batch sessionization), which is exactly why this oracle needs no
+    // knowledge of the split.
+    "q_stream_sessions_multi" ->
+      """WITH b AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM b),
+        |sess AS (
+        |  SELECT user_id, sid,
+        |    strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |    COUNT(*) AS cnt
+        |  FROM s GROUP BY user_id, sid),
+        |last AS (SELECT user_id, MAX(sid) AS sid FROM sess GROUP BY user_id)
+        |SELECT sess.user_id, session_start, cnt
+        |FROM sess
+        |LEFT JOIN last ON sess.user_id = last.user_id AND sess.sid = last.sid
+        |WHERE last.sid IS NULL
         |ORDER BY 1, 2""".stripMargin,
     "q_window_session" ->
       """WITH b AS (

@@ -192,6 +192,41 @@ object Streaming {
       .orderBy("user_id", "session_start")
   }
 
+  /** File-split width for the multi-batch sessionizer run. */
+  val SplitFiles = 4
+
+  /** The sessionizer under MULTI-BATCH arrival — the stress streamSessions
+    * structurally avoids (its landing dir is one file). The source is the
+    * events table split into `SplitFiles` chronological time-range files
+    * (one micro-batch each), and the watermark is DISORDER-COVERING
+    * (31 days ≥ the data's span), so no event is ever late regardless of
+    * how the files batch — the same discipline as streamRangeJoin.
+    *
+    * The emission rule, which the oracle states exactly: every session
+    * closed by a later event's ≥30-minute gap emits inline in whatever
+    * micro-batch that event arrives; and because the watermark never
+    * advances past ANY event time (delay ≥ span), no event-time timeout
+    * fires before termination — each user's FINAL session is withheld.
+    * Chronological range-split batches + within-batch sort make the
+    * incremental sessionization equal batch gaps-and-islands exactly, so
+    * the oracle is simply "all sessions minus each user's last",
+    * independent of where the file boundaries fall. */
+  def streamSessionsMulti(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): DataFrame = {
+    import spark.implicits._
+    val events = eventsStreamSplit(spark, dir, SplitFiles)
+      .select("ts", "user_id", "event_type", "value")
+      .as[Event]
+    runToMemory(
+        sessionizeStream(events, watermarkDelay = "31 days").toDF(),
+        "graft_stream_sessions_multi", OutputMode.Append())
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("cnt"))
+      .orderBy("user_id", "session_start")
+  }
+
   final case class Doc(ts: Timestamp, doc_id: Long, content_hash: Long)
 
   /** Streaming exact dedup: the streaming half of `operators.Dedup` —
@@ -214,10 +249,12 @@ object Streaming {
     * dependent (both in Spark streaming and any batch `dropDuplicates`),
     * so the payload of the survivor is not a stable contract — the set of
     * surviving hashes is, and it's what the DuckDB oracle states
-    * (DISTINCT user_id). The watermark delay is the full 30-day event
-    * span so no hash's state can expire mid-replay regardless of how the
-    * source splits into micro-batches (same disorder-covering discipline
-    * as streamRangeJoin). */
+    * (DISTINCT user_id). PRODUCTION WATERMARK SIZING (same rule as
+    * streamRangeJoin): `delay` in `dedupStream` = the INGEST DISORDER
+    * bound, not the data span — it is both the late-duplicate horizon and
+    * the per-hash state lifetime. This replay passes the full 31-day span
+    * because a storage-order file replay's disorder IS the span; a
+    * continuous source with ≤1 hour of skew passes "1 hour". */
   def streamDedup(spark: org.apache.spark.sql.SparkSession,
                   dir: String): DataFrame = {
     import spark.implicits._
@@ -276,6 +313,54 @@ object Streaming {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Stage the events table as `n` TIME-RANGE-SPLIT parquet files with
+    * strictly increasing modification times: `repartitionByRange(ts)`
+    * makes file k's max ts ≤ file k+1's min ts, and the file-stream
+    * source (oldest-mtime first, `maxFilesPerTrigger=1`) then replays
+    * them as n chronological micro-batches — the multi-batch arrival
+    * shape a continuous deployment actually sees. */
+  private def stageLandingSplit(spark: org.apache.spark.sql.SparkSession,
+                                dir: String, n: Int): String = {
+    val landing = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_stream_split${n}_" + graft.sources.CsvIO.pathKey(dir))
+    val done = landing.resolve("_SPLIT_DONE")
+    if (!java.nio.file.Files.exists(done)) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/events.parquet")
+        .repartitionByRange(n, col("ts")) // ts is the physical nanos long
+        .write.mode("overwrite").parquet(landing.toString)
+      import scala.jdk.CollectionConverters._
+      val parts = java.nio.file.Files.list(landing).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .toSeq.sortBy(_.getFileName.toString) // part index = range index
+      parts.zipWithIndex.foreach { case (p, i) =>
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1600000000000L + i * 60000L))
+      }
+      java.nio.file.Files.createFile(done)
+    }
+    landing.toString
+  }
+
+  /** The split-landing twin of `eventsStream`: n time-ordered files, one
+    * per micro-batch. */
+  private def eventsStreamSplit(spark: org.apache.spark.sql.SparkSession,
+                                dir: String, n: Int): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stageLandingSplit(spark, dir, n))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Data micro-batch count of the last `runToMemory` run — exposed so
+    * specs can pin multi-batch execution mechanically (a silent revert to
+    * a one-file landing shows 1 here and fails the spec). */
+  @volatile var lastRunDataBatches: Int = -1
+
   /** Run a streaming frame to completion (AvailableNow) into a uniquely
     * named memory sink and return the sink table — the shared tail of
     * every oracle-gated streaming run. */
@@ -289,6 +374,7 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    lastRunDataBatches = q.recentProgress.count(_.numInputRows > 0)
     df.sparkSession.table(name)
   }
 
@@ -415,29 +501,34 @@ object Streaming {
     * (inner join emits once per matched pair). Oracle: the SAME DuckDB
     * inequality join as q_range_join — the streaming execution must
     * reproduce the batch pair set through the hash gate. */
+  /** PRODUCTION WATERMARK SIZING: `delay` must bound the source's INGEST
+    * DISORDER — how far behind the newest-seen event a straggler can
+    * arrive — NOT the dataset's time span. The default covers this replay
+    * (the file-stream source reads a ~30-day table in storage order, so
+    * the replay's "disorder" IS the span); a continuous deployment with,
+    * say, ≤2 hours of cross-partition skew should pass "2 hours", which
+    * bounds both sides' join state to ~that horizon per key instead of
+    * holding a month of events. Too small silently drops matching pairs;
+    * too large only costs state. */
   def streamRangeJoin(spark: org.apache.spark.sql.SparkSession,
-                      dir: String): DataFrame = {
+                      dir: String, delay: String = "31 days"): DataFrame = {
     // one source wiring (schema probe + landing staging), two branches.
-    // Watermark delay = the data's FULL disorder span (the events table
-    // covers ~30 days and the file-stream source reads it in storage
-    // order, not time order): with a 0-second watermark, correctness
-    // would silently depend on the landing dir arriving as ONE
-    // micro-batch — if the source ever split, out-of-time-order events in
-    // later batches would fall behind the watermark and matching pairs
-    // would be dropped. Trigger.AvailableNow bounds the run, so the wide
-    // delay costs state (both sides buffered), not an unbounded stream;
-    // on a continuous production source this knob becomes the real
-    // late-data horizon.
+    // With a 0-second watermark, correctness would silently depend on the
+    // landing dir arriving as ONE micro-batch — if the source ever split,
+    // out-of-time-order events in later batches would fall behind the
+    // watermark and matching pairs would be dropped. Trigger.AvailableNow
+    // bounds the run, so the wide delay costs state (both sides
+    // buffered), not an unbounded stream.
     val src = eventsStream(spark, dir)
     val clicks = src
       .filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
         col("ts").as("click_ts"))
-      .withWatermark("click_ts", "31 days")
+      .withWatermark("click_ts", delay)
     val purchases = src
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
-      .withWatermark("purchase_ts", "31 days")
+      .withWatermark("purchase_ts", delay)
     val joined = clicks.join(purchases,
         col("user_id") === col("p_user") &&
         col("click_ts") >= col("purchase_ts") &&

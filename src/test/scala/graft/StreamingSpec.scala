@@ -136,6 +136,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("multi-batch sessionizer: split source really batches; finals withheld") {
+    // the spec that fails if someone silently reverts the split landing to
+    // the one-file assumption: the run must execute >1 DATA micro-batch
+    val out = SparkEntry.queries("q_stream_sessions_multi")(spark, sf)
+      .collect()
+    assert(Streaming.lastRunDataBatches >= 2,
+      s"split source must arrive as multiple micro-batches, " +
+        s"got ${Streaming.lastRunDataBatches}")
+    // emission rule: all sessions except each user's final one — the
+    // disorder-covering watermark never fires a timeout, so emitted count
+    // = total sessions − distinct users (content is oracle-gated)
+    val batchSessions = SparkEntry.queries("q_window_session")(spark, sf)
+      .collect()
+    val nUsers = batchSessions.map(_.getLong(0)).distinct.length
+    assert(out.length === batchSessions.length - nUsers)
+    // and every emitted session matches a batch session exactly
+    val batchSet = batchSessions
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    out.foreach { r =>
+      assert(batchSet.contains((r.getLong(0), r.getString(1), r.getLong(2))),
+        s"streamed session not in batch gaps-and-islands: $r")
+    }
+  }
+
   test("stream-static join reproduces the batch join+agg exactly") {
     val got = Streaming.streamEnrich(spark, sf)
     val ev = Tables.events(spark, sf)
