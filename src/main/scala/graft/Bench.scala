@@ -85,28 +85,38 @@ object Bench {
       }
       (name, timed)
     }
-    // median of successful runs (lower-middle for even n); any failed run
-    // poisons the query: negative sentinel + first error message
+    // median of SUCCESSFUL runs only (lower-middle for even n) — a query
+    // failing fast on 1 of 3 repeats must not understate the magnitude;
+    // when every run failed the median falls back to all runs. Any failed
+    // run still poisons the query: negative sentinel + first error message.
     val results = runs.flatMap { case (name, timed) =>
       val firstErr = timed.collectFirst { case (_, Some(m)) => m }
       if (only.isEmpty) {
-        val med = timed.map(_._1).sorted.apply((timed.size - 1) / 2)
+        val ok = timed.collect { case (sec, None) => sec }
+        val pool = if (ok.nonEmpty) ok else timed.map(_._1)
+        val med = pool.sorted.apply((pool.size - 1) / 2)
         Seq((name, med, firstErr))
       } else timed.zipWithIndex.map { case ((sec, err), i) =>
         (if (i == 0) name else s"$name#${i + 1}", sec, err)
       }
     }
     import ToolSupport.jstr
-    // Adaptive precision + trailing-zero strip (ToolSupport.fmtSecs) keeps
-    // the 85+-entry line inside the driver's 2000-char tail window (r4/r5
+    // Adaptive precision + trailing-zero strip (ToolSupport.fmtSecs) and
+    // abbreviated wire keys (ToolSupport.benchKey — full names live in
+    // Verify/CORRECTNESS) keep the 90+-entry line inside the driver's
+    // 2000-char tail window with >=15% headroom at 95 entries (r4/r5
     // overflowed it — and the sbt "[info] " prefix broke parsing even when
     // it fit; see build.sbt outputStrategy). Budget guarded in
-    // ToolSupportSpec.
+    // ToolSupportSpec. Failure sentinels floor the magnitude at 0.01 s so
+    // a <5 ms failure can't format as "-0", which JSON-parses equal to 0
+    // and would lose the sign-based failure signal.
     def num(v: Double): String = ToolSupport.fmtSecs(v)
     val qs = results.map { case (k, v, err) =>
-      s"\"" + k + "\":" + (if (err.isEmpty) num(v) else "-" + num(v))
+      s"\"" + ToolSupport.benchKey(k) + "\":" +
+        (if (err.isEmpty) num(v) else "-" + num(math.max(v, 0.01)))
     }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m)) => s"${jstr(k)}:${jstr(m)}" }
+    val errs = results.collect { case (k, _, Some(m)) =>
+      s"${jstr(ToolSupport.benchKey(k))}:${jstr(m)}" }
     val errsField =
       if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum

@@ -40,6 +40,23 @@ object ToolSupport {
     case c            => c.toString
   } + "\""
 
+  /** Stable short keys for the bench contract line's "queries" map: the
+    * uniform "q_" prefix dropped plus a fixed token-abbreviation table.
+    * Purely a WIRE format for the 2000-char capture window — Verify,
+    * CORRECTNESS and the query registry keep full names; the mapping is
+    * deterministic (mechanical to reverse) and collision-checked in
+    * ToolSupportSpec, so a new query name can never silently alias an
+    * existing bench key. */
+  val benchKeySubs: Seq[(String, String)] = Seq(
+    "stream_" -> "st_", "window_" -> "win_", "roundtrip" -> "rt",
+    "neardup" -> "nd", "distinct" -> "dist", "sessions" -> "sess",
+    "importance" -> "imp", "diagnostics" -> "diag", "checkpoint" -> "ckpt")
+
+  def benchKey(name: String): String =
+    benchKeySubs.foldLeft(name.stripPrefix("q_")) {
+      case (k, (a, b)) => k.replace(a, b)
+    }
+
   /** Seconds → compact JSON number for the bench contract line: Locale.ROOT
     * (a comma decimal separator would corrupt the JSON), adaptive precision
     * (2dp under 1 s where granularity matters, 1dp above — per-query

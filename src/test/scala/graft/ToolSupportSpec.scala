@@ -38,31 +38,43 @@ class ToolSupportSpec extends AnyFunSuite {
     }
   }
 
-  test("bench JSON line fits the driver's 2000-char capture window") {
+  test("benchKey: collision-free over the catalog, deterministic, reversible-ish") {
+    val names = SparkEntry.queries.keys.toSeq
+    val keys = names.map(ToolSupport.benchKey)
+    assert(keys.distinct.size === keys.size,
+      "benchKey collision: two catalog queries map to one wire key")
+    assert(ToolSupport.benchKey("q_stream_sessions_multi") === "st_sess_multi")
+    assert(ToolSupport.benchKey("q_csv_roundtrip") === "csv_rt")
+    assert(ToolSupport.benchKey("q_agg_sum") === "agg_sum")
+    // dev-mode repeat suffixes pass through
+    assert(ToolSupport.benchKey("q_topk#2") === "topk#2")
+  }
+
+  test("bench JSON line keeps >=15% of the 2000-char window free at 95 entries") {
     // the driver keeps only the LAST 2000 chars of Bench stdout and
     // parses the JSON line out of that tail (r4/r5 overflowed it →
-    // BENCH_r*.json carried "parsed": null). Model the worst case: every
-    // query at a 6-char 2-decimal value ("999.99"), negative sentinel
-    // ("-" prefix), plus header/footer and the trailing sbt
-    // "[success] ..." line (~70 chars) that shares the window. Catalog
-    // growth must fail HERE, not silently in the next round's bench.
-    // value model: a NORMAL run — every query in the 1-10 s band after
-    // fmtSecs ("9.9", 3 chars; sub-second queries print 3-4, the couple
-    // of >10 s ones 4) with the "-" failure sentinel on a tenth. The
-    // threshold then reserves 130 chars for the sbt epilogue (~75 worst
-    // observed) plus slow-query/value drift. A run where EVERY query
-    // needs 5-char values is already failing the driver's perf gate —
-    // that case is not what this guard protects.
-    val names = SparkEntry.queries.keys.toSeq
-    val entries = names.zipWithIndex.map { case (n, i) =>
+    // BENCH_r*.json carried "parsed": null); the trailing sbt
+    // "[success] ..." epilogue (~75 chars observed) shares the window.
+    // Model a NORMAL run at a hypothetical 95-entry catalog: every query
+    // in the 1-10 s band after fmtSecs ("9.9"), the "-" failure sentinel
+    // on a tenth, padding entries at the catalog's average key length.
+    // 15% of the window (300 chars) must stay free ON TOP of the
+    // epilogue's share — catalog growth fails HERE, not silently in the
+    // next round's bench. A run where every query needs 5-char values is
+    // already failing the driver's perf gate; not this guard's case.
+    val keys = SparkEntry.queries.keys.toSeq.map(ToolSupport.benchKey)
+    val avg = math.round(keys.map(_.length).sum.toDouble / keys.size).toInt
+    val pad = keys ++ (keys.size until 95).map(i =>
+      s"hyp_$i".padTo(avg, 'x').take(avg))
+    val entries = pad.zipWithIndex.map { case (n, i) =>
       s""""$n":${if (i % 10 == 0) "-9.9" else "9.9"}"""
     }.mkString(",")
     val line = s"""{"metric":"total","value":9999.9,"unit":"sec",""" +
       s""""queries":{$entries},"sf":"sf0.001"}"""
-    assert(line.length <= 1870,
-      s"bench JSON normal-run model ${line.length} chars — the driver " +
-        "tail window is 2000 incl. sbt epilogue and value drift; shorten " +
-        "names or values before adding more queries")
+    assert(line.length <= 1700,
+      s"bench JSON 95-entry model ${line.length} chars > 1700 — shorten " +
+        "keys (ToolSupport.benchKeySubs) or values before growing the " +
+        "catalog; the driver tail window is 2000 incl. sbt epilogue")
   }
 
   test("onlyFilter rejects unknown names instead of running a subset") {
