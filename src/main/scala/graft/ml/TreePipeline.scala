@@ -192,12 +192,17 @@ object TreePipeline {
     import spark2.implicits._
     val bestRmse = BigDecimal(model.avgMetrics.min)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    // self-gating check (SURVEY §5.4): the winner must come from the
-    // declared grid and its CV rmse must sit in a sane band (observed
-    // 8.7-9.8 at sf0.01/sf0.1 on the 1/60 sample; NaN/degenerate fails)
-    val gateOk = Seq(3, 6).contains(best.getMaxDepth) &&
-      Seq(0.8, 1.0).contains(best.getSubsamplingRate) &&
-      bestRmse > 0.0 && bestRmse < 20.0
+    // self-gating check (SURVEY §5.4), tightened to the RECORDED winner:
+    // the search is fully seeded (sample, folds, forest all derive from
+    // seed 123), so the chosen params are a deterministic artifact, not a
+    // band — (maxDepth=6, subsamplingRate=1.0) at every measured SF, with
+    // CV rmse 9.7638 (sf0.01) / 8.6874 (sf0.1) on the 1/60 sample (full
+    // history in docs/TUNING.md; the r6 gate was the loose declared-grid
+    // membership + rmse<20). The rmse band brackets the recorded values
+    // with margin for data-scale drift; a different winner, NaN, or a
+    // degenerate fit all fail the hashed check column.
+    val gateOk = best.getMaxDepth == 6 && best.getSubsamplingRate == 1.0 &&
+      bestRmse > 7.5 && bestRmse < 11.0
     Seq((best.getMaxDepth, best.getSubsamplingRate, bestRmse, gateOk))
       .toDF("best_max_depth", "best_subsample_rate", "best_cv_rmse", "check")
   }
