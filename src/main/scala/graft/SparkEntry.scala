@@ -172,6 +172,9 @@ object SparkEntry {
     "q_ols_diagnostics"   -> (graft.ml.Diagnostics.query _),
     // full 01+02 chain as one lineage (SURVEY §3.1, §7.1(3))
     "q_enrich_pipeline"   -> (graft.plans.EnrichPipeline.query _),
+    // the flagship 01→03 chain: enrich → OLS fit → county forecast →
+    // calibration as ONE lazy lineage through a single oracle
+    "q_e2e"               -> (graft.ml.E2eChain.query _),
     // JSON column extraction (events.props)
     "q_json_extract"      -> (Relational.jsonExtract _),
   )
@@ -207,8 +210,11 @@ object SparkEntry {
     * rows, and the Cramer solve whose determinant expressions come from
     * the SAME permutation sequence as the driver fold (det4Sql ⇔ det4),
     * so both engines perform identical double operations in identical
-    * order. */
-  private def olsPrefix(gramFilter: String): String = {
+    * order. `dsCtes` supplies the fit input (default: the lineitem replay
+    * of OlsPipeline.dataset; q_e2e passes the enriched-orders ds) — it
+    * must expose county, x1..x3, y, bucket, is_forecast. */
+  private def olsPrefix(gramFilter: String,
+                        dsCtes: String = lineitemDsCte): String = {
     def s(i: Int, j: Int) = s"s_${math.min(i, j)}_${math.max(i, j)}"
     val gramCells =
       (for (i <- 0 to 4; j <- i to 4 if !(i == 0 && j == 0)) yield {
@@ -222,17 +228,7 @@ object SparkEntry {
         if (j == k) s"s_${i}_4" else s(i, j))
       s"  ($detK) / ($detA) AS b$k"
     }
-    s"""ds AS (
-       |  SELECT l_orderkey, l_partkey % 500 AS county,
-       |    l_quantity AS x1, l_discount AS x2, l_tax AS x3,
-       |    l_quantity * 3 - l_discount * 200 + l_tax * 50 +
-       |      (CAST(((l_orderkey % 1000003) * 2654435761 + 7) % 1000003
-       |            AS DOUBLE)
-       |       / 1000003.0 * 10.0 - 5.0) AS y,
-       |    (((l_orderkey % 2147483648) * 1103515245 + 123) % 2147483648)
-       |      >> 29 AS bucket,
-       |    l_orderkey % 10 = 0 AS is_forecast
-       |  FROM lineitem),
+    s"""$dsCtes,
        |g AS (
        |  SELECT
        |${gramCells.mkString(",\n")}
@@ -242,6 +238,134 @@ object SparkEntry {
        |${betas.mkString(",\n")}
        |  FROM g)""".stripMargin
   }
+
+  /** The lineitem fit-input CTE — OlsPipeline.dataset's replay (LCG noise,
+    * LCG 75/25 bucket, forecast mask). */
+  private def lineitemDsCte: String =
+    """ds AS (
+      |  SELECT l_orderkey, l_partkey % 500 AS county,
+      |    l_quantity AS x1, l_discount AS x2, l_tax AS x3,
+      |    l_quantity * 3 - l_discount * 200 + l_tax * 50 +
+      |      (CAST(((l_orderkey % 1000003) * 2654435761 + 7) % 1000003
+      |            AS DOUBLE)
+      |       / 1000003.0 * 10.0 - 5.0) AS y,
+      |    (((l_orderkey % 2147483648) * 1103515245 + 123) % 2147483648)
+      |      >> 29 AS bucket,
+      |    l_orderkey % 10 = 0 AS is_forecast
+      |  FROM lineitem)""".stripMargin
+
+  /** The enrich-chain CTEs (plans.EnrichPipeline replay): priority-ratio
+    * dimension, rare-category frequency model, geo grid cell, the cleaning
+    * filters — ending in the per-order `base`. ONE copy shared by
+    * q_enrich_pipeline (aggregates it) and q_e2e (fits a regression on
+    * it), so the two replays can't drift. */
+  private def enrichBaseCtes: String =
+    """piv AS (
+      |  SELECT n.n_name,
+      |    CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+      |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) * 100
+      |      AS BIGINT) AS urgent_cents,
+      |    CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '2-HIGH'
+      |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) * 100
+      |      AS BIGINT) AS high_cents
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY n.n_name),
+      |ratio AS (
+      |  SELECT n_name, CASE WHEN urgent_cents + high_cents = 0 THEN NULL
+      |    ELSE ROUND(CAST(urgent_cents AS DOUBLE) /
+      |               CAST(urgent_cents + high_cents AS DOUBLE), 6)
+      |  END AS ratio FROM piv),
+      |cats AS (
+      |  SELECT *, o_orderstatus ||
+      |    CASE WHEN o_orderkey % 50 = 0 THEN '_rare' ELSE '' END AS cat
+      |  FROM orders),
+      |freq AS (
+      |  SELECT cat,
+      |    CAST(COUNT(*) AS DOUBLE) /
+      |      (SELECT CAST(COUNT(*) AS DOUBLE) FROM orders) AS share
+      |  FROM cats GROUP BY 1),
+      |base AS (
+      |  SELECT o.o_orderkey,
+      |    ((CAST(FLOOR((o.o_custkey * 7) % 120 - 60 + 0.25) AS BIGINT) + 60)
+      |     + (CAST(FLOOR(((o.o_custkey * 13) % 36 * 10 - 180 + 0.25) / 10)
+      |             AS BIGINT) + 18) * 120) % 25 AS region_id,
+      |    CASE WHEN f.share >= 0.05 THEN o.cat
+      |         ELSE 'Other' END AS status_cat,
+      |    CAST(o.o_totalprice AS DECIMAL(18,2)) AS price,
+      |    r.ratio
+      |  FROM cats o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  LEFT JOIN ratio r ON n.n_name = r.n_name
+      |  JOIN freq f ON o.cat = f.cat
+      |  WHERE r.ratio IS NOT NULL
+      |    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND (CAST(o.o_totalprice AS DECIMAL(18,2)) < 400000
+      |         OR o.o_totalprice IS NULL))""".stripMargin
+
+  /** The enriched-orders fit input for q_e2e (ml.E2eChain.dataset replay):
+    * features from the ENRICHMENT products — ratio, exact-cents k$ price,
+    * rare-category indicator — with the same LCG label/bucket machinery
+    * as the lineitem ds, keyed on o_orderkey. */
+  private def e2eDsCtes: String =
+    s"""$enrichBaseCtes,
+       |ds AS (
+       |  SELECT o_orderkey, region_id AS county,
+       |    ratio AS x1,
+       |    CAST(CAST(price * 100 AS BIGINT) AS DOUBLE) / 10000000.0 AS x2,
+       |    CASE WHEN status_cat = 'Other' THEN 1.0 ELSE 0.0 END AS x3,
+       |    ratio * 3
+       |      - CAST(CAST(price * 100 AS BIGINT) AS DOUBLE) / 10000000.0 * 200
+       |      + CASE WHEN status_cat = 'Other' THEN 1.0 ELSE 0.0 END * 50
+       |      + (CAST(((o_orderkey % 1000003) * 2654435761 + 7) % 1000003
+       |              AS DOUBLE)
+       |         / 1000003.0 * 10.0 - 5.0) AS y,
+       |    (((o_orderkey % 2147483648) * 1103515245 + 123) % 2147483648)
+       |      >> 29 AS bucket,
+       |    -- residue 3, NOT 0: the %50 rare tail is a subset of residue 0
+       |    -- and must stay in training (see ml.E2eChain.dataset)
+       |    o_orderkey % 10 = 3 AS is_forecast
+       |  FROM base)""".stripMargin
+
+  /** Score→county-forecast→calibration tail shared verbatim by
+    * q_ols_forecast and q_e2e — entirely in terms of ds/beta. */
+  private def olsForecastBody: String =
+    """fsc AS (
+      |  SELECT county, b.b0 + x1 * b.b1 + x2 * b.b2 + x3 * b.b3 AS p
+      |  FROM ds CROSS JOIN beta b WHERE is_forecast),
+      |cty AS (
+      |  SELECT county, COUNT(*) AS cnt,
+      |    CAST(SUM(CAST(FLOOR((p) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*) AS f
+      |  FROM fsc GROUP BY county HAVING COUNT(*) > 5),
+      |tsc AS (
+      |  SELECT county, b.b0 + x1 * b.b1 + x2 * b.b2 + x3 * b.b3 AS p, y
+      |  FROM ds CROSS JOIN beta b
+      |  WHERE NOT is_forecast AND bucket = 3),
+      |tc AS (
+      |  SELECT county, COUNT(*) AS cnt,
+      |    CAST(SUM(CAST(FLOOR((p) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*) AS f,
+      |    CAST(SUM(CAST(FLOOR((y) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*) AS a
+      |  FROM tsc GROUP BY county HAVING COUNT(*) > 5),
+      |calm AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(FLOOR((f) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sf,
+      |    CAST(SUM(CAST(FLOOR((a) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sa,
+      |    CAST(SUM(CAST(FLOOR((f * f) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sff,
+      |    CAST(SUM(CAST(FLOOR((f * a) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sfa
+      |  FROM tc),
+      |cal AS (
+      |  SELECT slope, (sa - slope * sf) / n AS icpt FROM (
+      |    SELECT n, sf, sa,
+      |      (n * sfa - sf * sa) / (n * sff - sf * sf) AS slope
+      |    FROM calm)),
+      |out AS (
+      |  SELECT county, cnt,
+      |    ROUND(f * cal.slope + cal.icpt, 4) AS calibrated_forecast
+      |  FROM cty CROSS JOIN cal)
+      |SELECT county, cnt, calibrated_forecast FROM out
+      |ORDER BY county""".stripMargin
 
   /** DuckDB replay of ml.Diagnostics.query: the gram over ALL observed
     * rows (olsPrefix), the e²-weighted moment pass, then BP / VIF / HC0 as
@@ -450,40 +574,7 @@ object SparkEntry {
     // output. Every formula mirrors the Scala text operator-for-operator.
     "q_ols_forecast" ->
       s"""WITH ${olsPrefix("NOT is_forecast AND bucket < 3")},
-         |fsc AS (
-         |  SELECT county, b.b0 + x1 * b.b1 + x2 * b.b2 + x3 * b.b3 AS p
-         |  FROM ds CROSS JOIN beta b WHERE is_forecast),
-         |cty AS (
-         |  SELECT county, COUNT(*) AS cnt,
-         |    CAST(SUM(CAST(FLOOR((p) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*) AS f
-         |  FROM fsc GROUP BY county HAVING COUNT(*) > 5),
-         |tsc AS (
-         |  SELECT county, b.b0 + x1 * b.b1 + x2 * b.b2 + x3 * b.b3 AS p, y
-         |  FROM ds CROSS JOIN beta b
-         |  WHERE NOT is_forecast AND bucket = 3),
-         |tc AS (
-         |  SELECT county, COUNT(*) AS cnt,
-         |    CAST(SUM(CAST(FLOOR((p) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*) AS f,
-         |    CAST(SUM(CAST(FLOOR((y) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*) AS a
-         |  FROM tsc GROUP BY county HAVING COUNT(*) > 5),
-         |calm AS (
-         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-         |    CAST(SUM(CAST(FLOOR((f) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sf,
-         |    CAST(SUM(CAST(FLOOR((a) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sa,
-         |    CAST(SUM(CAST(FLOOR((f * f) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sff,
-         |    CAST(SUM(CAST(FLOOR((f * a) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sfa
-         |  FROM tc),
-         |cal AS (
-         |  SELECT slope, (sa - slope * sf) / n AS icpt FROM (
-         |    SELECT n, sf, sa,
-         |      (n * sfa - sf * sa) / (n * sff - sf * sf) AS slope
-         |    FROM calm)),
-         |out AS (
-         |  SELECT county, cnt,
-         |    ROUND(f * cal.slope + cal.icpt, 4) AS calibrated_forecast
-         |  FROM cty CROSS JOIN cal)
-         |SELECT county, cnt, calibrated_forecast FROM out
-         |ORDER BY county""".stripMargin,
+         |$olsForecastBody""".stripMargin,
     // same fit; exact-moment RMSE/R² per split, long form
     "q_ols_metrics" ->
       s"""WITH ${olsPrefix("NOT is_forecast AND bucket < 3")},
@@ -1233,54 +1324,18 @@ object SparkEntry {
         |SELECT CAST(idx AS BIGINT) AS idx, a.c_name, b.acctbal
         |FROM a JOIN b USING (idx) ORDER BY idx""".stripMargin,
     "q_enrich_pipeline" ->
-      """WITH piv AS (
-        |  SELECT n.n_name,
-        |    CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT'
-        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) * 100
-        |      AS BIGINT) AS urgent_cents,
-        |    CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '2-HIGH'
-        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) * 100
-        |      AS BIGINT) AS high_cents
-        |  FROM orders o
-        |  JOIN customer c ON o.o_custkey = c.c_custkey
-        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
-        |  GROUP BY n.n_name),
-        |ratio AS (
-        |  SELECT n_name, CASE WHEN urgent_cents + high_cents = 0 THEN NULL
-        |    ELSE ROUND(CAST(urgent_cents AS DOUBLE) /
-        |               CAST(urgent_cents + high_cents AS DOUBLE), 6)
-        |  END AS ratio FROM piv),
-        |cats AS (
-        |  SELECT *, o_orderstatus ||
-        |    CASE WHEN o_orderkey % 50 = 0 THEN '_rare' ELSE '' END AS cat
-        |  FROM orders),
-        |freq AS (
-        |  SELECT cat,
-        |    CAST(COUNT(*) AS DOUBLE) /
-        |      (SELECT CAST(COUNT(*) AS DOUBLE) FROM orders) AS share
-        |  FROM cats GROUP BY 1),
-        |base AS (
-        |  SELECT
-        |    ((CAST(FLOOR((o.o_custkey * 7) % 120 - 60 + 0.25) AS BIGINT) + 60)
-        |     + (CAST(FLOOR(((o.o_custkey * 13) % 36 * 10 - 180 + 0.25) / 10)
-        |             AS BIGINT) + 18) * 120) % 25 AS region_id,
-        |    CASE WHEN f.share >= 0.05 THEN o.cat
-        |         ELSE 'Other' END AS status_cat,
-        |    CAST(o.o_totalprice AS DECIMAL(18,2)) AS price,
-        |    r.ratio
-        |  FROM cats o
-        |  JOIN customer c ON o.o_custkey = c.c_custkey
-        |  LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
-        |  LEFT JOIN ratio r ON n.n_name = r.n_name
-        |  JOIN freq f ON o.cat = f.cat
-        |  WHERE r.ratio IS NOT NULL
-        |    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
-        |    AND (CAST(o.o_totalprice AS DECIMAL(18,2)) < 400000
-        |         OR o.o_totalprice IS NULL))
-        |SELECT region_id, status_cat, COUNT(*) AS cnt,
-        |  CAST(SUM(price) * 100 AS BIGINT) AS sum_price_cents,
-        |  MAX(ratio) AS max_ratio
-        |FROM base GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      s"""WITH $enrichBaseCtes
+         |SELECT region_id, status_cat, COUNT(*) AS cnt,
+         |  CAST(SUM(price) * 100 AS BIGINT) AS sum_price_cents,
+         |  MAX(ratio) AS max_ratio
+         |FROM base GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the flagship chain: enrich (shared CTEs above, per-order `base`) →
+    // constructed label → seeded split → exact gram/Cramer fit → score →
+    // county forecast → calibration, all in ONE oracle — the same
+    // forecast body q_ols_forecast uses, over the enriched ds
+    "q_e2e" ->
+      s"""WITH ${olsPrefix("NOT is_forecast AND bucket < 3", e2eDsCtes)},
+         |$olsForecastBody""".stripMargin,
     // multimodal decode is REAL (javax.imageio) over images *generated*
     // deterministically from doc_id — so the oracle reconstructs the whole
     // decode contract from closed forms: the PNG signature+IHDR prefix is

@@ -153,9 +153,11 @@ object OlsPipeline {
   /** Gram cells: x0=1 (intercept), x1..x3 = features, index 4 = label.
     * s(0,0)=n; one aggregation pass of floor-quantized BIGINT-micros sums
     * (`esum` — exact long adds at any parallelism, ≤1µ-per-row floor
-    * truncation replayed identically by the oracle SQL). */
-  private[ml] def gram(train: DataFrame): (Int, Int) => Double = {
-    val xs: Seq[Column] = lit(1.0) +: featureCols.map(col) :+ col("label")
+    * truncation replayed identically by the oracle SQL). `feats` defaults
+    * to the lineitem features; E2eChain passes its enriched-order ones. */
+  private[ml] def gram(train: DataFrame,
+                       feats: Seq[String] = featureCols): (Int, Int) => Double = {
+    val xs: Seq[Column] = lit(1.0) +: feats.map(col) :+ col("label")
     val aggs =
       (for (i <- 0 to 4; j <- i to 4 if !(i == 0 && j == 0))
         yield esum(if (i == 0) xs(j) else xs(i) * xs(j)).as(s"s_${i}_$j")) :+
@@ -173,10 +175,12 @@ object OlsPipeline {
     solveCramer4((i, j) => s(i, j), i => s(i, 4))
 
   /** Score: β-affine of the raw features, same association order as the
-    * oracle SQL text. */
-  private[ml] def predCol(beta: Array[Double]): Column =
-    lit(beta(0)) + col("l_quantity") * beta(1) +
-      col("l_discount") * beta(2) + col("l_tax") * beta(3)
+    * oracle SQL text (foldLeft == SQL's left-associative `+` chain). */
+  private[ml] def predCol(beta: Array[Double],
+                          feats: Seq[String] = featureCols): Column =
+    feats.zipWithIndex.foldLeft(lit(beta(0))) { case (acc, (f, i)) =>
+      acc + col(f) * beta(i + 1)
+    }
 
   /** M3+M4+M6: split observed/forecast, seeded 75/25, exact normal-equation
     * fit, score every universe. The projected dataset is cached once:
@@ -197,7 +201,7 @@ object OlsPipeline {
 
   /** M6+A3-A5: aggregate a scored universe per county (count + exact-sum
     * means, HAVING > minCount). */
-  def countyForecast(f: Fitted, universe: DataFrame, minCount: Long): DataFrame =
+  def countyForecast(universe: DataFrame, minCount: Long): DataFrame =
     universe.groupBy("county")
       .agg(count(lit(1)).as("cnt"),
         (esum(col("prediction")) / count(lit(1)))
@@ -255,8 +259,8 @@ object OlsPipeline {
     * deterministic ⇒ full DuckDB hash oracle. */
   def query(spark: SparkSession, dir: String): DataFrame = {
     val f = fitCached(spark, dir)
-    val county = countyForecast(f, f.forecast, 5)
-    val (a, b) = calibrate(countyForecast(f, f.test, 5))
+    val county = countyForecast(f.forecast, 5)
+    val (a, b) = calibrate(countyForecast(f.test, 5))
     county.select(
       col("county"), col("cnt"),
       round(col("forecast") * b + a, 4).as("calibrated_forecast"))

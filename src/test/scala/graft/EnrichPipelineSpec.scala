@@ -7,6 +7,39 @@ import org.scalatest.funsuite.AnyFunSuite
 class EnrichPipelineSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("e2e chain: regression over the enrichment recovers the planted betas") {
+    import graft.ml.{E2eChain, OlsPipeline}
+    val beta = E2eChain.fitBeta(spark, sf)
+    // label = 3·ratio − 200·price₁₀₀ₖ + 50·isOther + U(−5,5): the fit over
+    // the ENRICHED features must recover the construction. Tolerances are
+    // per-coefficient standard errors at the sf0.001 spec data: ratio has
+    // a ~0.1 spread (25 nation values near 0.5) → se(b1) ≈ 3; price and
+    // the indicator are well identified.
+    assert(math.abs(beta(1) - 3.0) < 9.0, s"b1=${beta(1)}")
+    assert(math.abs(beta(2) + 200.0) < 5.0, s"b2=${beta(2)}")
+    assert(math.abs(beta(3) - 50.0) < 5.0, s"b3=${beta(3)}")
+    // the x3 indicator must VARY in training (the singular-gram regression
+    // guard: the rare tail is on %50, the forecast mask on %10=3)
+    val (train, _) = OlsPipeline.keySplit(
+      E2eChain.dataset(spark, sf).filter(col("label").isNotNull),
+      "o_orderkey", 123)
+    val x3s = train.agg(sum(col("x3")), count(lit(1))).collect()(0)
+    assert(x3s.getDouble(0) > 0 && x3s.getDouble(0) < x3s.getLong(1))
+    val out = SparkEntry.queries("q_e2e")(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => !r.getAs[Double]("calibrated_forecast").isNaN))
+  }
+
+  test("e2e chain is one lineage: no disk checkpoint between enrich and fit") {
+    // the returned frame's plan must reach the orders parquet scan
+    // directly — a checkpoint/persisted-to-disk barrier would show as an
+    // RDDScan/LogicalRDD instead of the file scan
+    val p = SparkEntry.queries("q_e2e")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("Relation") && p.contains("orders"), p.take(2000))
+    assert(!p.contains("LogicalRDD"), "disk/RDD barrier found in e2e plan")
+  }
+
   test("chain fuses to one plan with pushed filters (no per-stage barriers)") {
     val full = EnrichPipeline.pipe(
       Tables.orders(spark, sf), EnrichPipeline.stages(spark, sf))

@@ -74,7 +74,7 @@ class MlSpec extends AnyFunSuite {
 
   test("M7 calibration on county aggregates is ~identity (slope≈1, icpt≈0)") {
     val f = OlsPipeline.fit(spark, sf)
-    val county = OlsPipeline.countyForecast(f, f.test, 2)
+    val county = OlsPipeline.countyForecast(f.test, 2)
     val (a, b) = OlsPipeline.calibrate(county)
     assert(math.abs(b - 1.0) < 0.15, s"slope=$b")
     assert(math.abs(a) < 2.0, s"intercept=$a")
