@@ -97,6 +97,11 @@ object SparkEntry {
     "q_redact"            -> (Curation.redact _),
     "q_sample_mix"        -> (Curation.sampleMixture _),
     "q_seq_pack"          -> ((s, d) => Curation.seqPack(s, d)),
+    // eval-overlap decontamination: broadcast benchmark 8-gram set vs the
+    // corpus's word_ngrams — the pre-trainer hygiene pass
+    "q_decontam"          -> (Curation.decontaminate _),
+    // Gopher-style repetition metrics: one repeat_stats kernel pass/row
+    "q_repetition"        -> (TextAnalysis.repetition _),
     "q_ann_topk"          -> (Similarity.bruteForceTopK _),
     "q_ann_lsh"           -> (Similarity.lshTopK _),
     "q_ann_ivf"           -> (Similarity.ivfTopK _),
@@ -1596,6 +1601,81 @@ object SparkEntry {
         |  CAST(SUM(n_tok) AS BIGINT) AS tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    // eval-overlap decontamination: full replay — the benchmark snippet
+    // derivation (tokens 5..28 of every 13th doc), the planted leaked
+    // docs, the distinct word 8-grams (DecontamGramSize interpolated from
+    // the one shared constant) and the overlap fractions. The corpus side
+    // never self-joins; only benchmark-gram hits reach the aggregate.
+    "q_decontam" -> {
+      val g = Curation.DecontamGramSize
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+         |                 ' ') AS ts
+         |  FROM documents),
+         |bench AS (
+         |  SELECT doc_id AS bench_id, ts[5:28] AS st
+         |  FROM tok WHERE doc_id % 13 = 5 AND len(ts) >= 28),
+         |corpus AS (
+         |  SELECT doc_id, ts FROM tok
+         |  UNION ALL
+         |  SELECT bench_id + 4000000, list_concat(st, ['xx', 'yy'])
+         |  FROM bench),
+         |bgrams AS (
+         |  SELECT DISTINCT unnest(list_transform(range(0, len(st) - ${g - 1}),
+         |    i -> array_to_string(st[i+1:i+$g], ' '))) AS gram
+         |  FROM bench),
+         |grams AS (
+         |  SELECT doc_id,
+         |    list_distinct(CASE WHEN len(ts) < $g
+         |      THEN [array_to_string(ts, ' ')]
+         |      ELSE list_transform(range(0, len(ts) - ${g - 1}),
+         |             i -> array_to_string(ts[i+1:i+$g], ' '))
+         |    END) AS gs
+         |  FROM corpus),
+         |expl AS (
+         |  SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
+         |    unnest(gs) AS gram
+         |  FROM grams)
+         |SELECT e.doc_id, e.n_grams, COUNT(*) AS n_hit,
+         |  ROUND(CAST(COUNT(*) AS DOUBLE) / n_grams, 4) AS overlap_frac,
+         |  CAST(COUNT(*) AS DOUBLE) / n_grams >= ${Curation.ContamThreshold}
+         |    AS contaminated
+         |FROM expl e JOIN bgrams b ON e.gram = b.gram
+         |GROUP BY e.doc_id, e.n_grams
+         |ORDER BY e.doc_id""".stripMargin
+    },
+    // repetition metrics: the oracle states the set-based explode +
+    // groupBy(doc_id, token) form; the Spark side must reproduce it with
+    // the one-pass repeat_stats kernel (per-row hash maps, no shuffle)
+    "q_repetition" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+         |                 ' ') AS ts
+         |  FROM documents),
+         |t1 AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tok,
+         |         unnest(ts) AS t FROM tok),
+         |tc AS (SELECT doc_id, ANY_VALUE(n_tok) AS n_tok, t, COUNT(*) AS c
+         |       FROM t1 GROUP BY doc_id, t),
+         |tm AS (SELECT doc_id, ANY_VALUE(n_tok) AS n_tok, MAX(c) AS top_cnt,
+         |         COUNT(*) AS uniq_tok FROM tc GROUP BY doc_id),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(0, len(ts) - 1),
+         |         i -> ts[i+1] || ' ' || ts[i+2])) AS b FROM tok),
+         |bm AS (SELECT doc_id, COUNT(DISTINCT b) AS uniq_bg
+         |       FROM bg GROUP BY doc_id)
+         |SELECT tm.doc_id, n_tok, top_cnt, uniq_tok,
+         |  COALESCE(uniq_bg, 0) AS uniq_bg,
+         |  ROUND(CAST(top_cnt AS DOUBLE) / n_tok, 4) AS top_tok_frac,
+         |  ROUND(1.0 - CAST(uniq_tok AS DOUBLE) / n_tok, 4) AS dup_tok_frac,
+         |  CASE WHEN n_tok < 2 THEN 0.0
+         |       ELSE ROUND(1.0 - CAST(uniq_bg AS DOUBLE) / (n_tok - 1), 4)
+         |  END AS dup_2gram_frac,
+         |  CASE WHEN n_tok < 2 THEN 0.0
+         |       ELSE ROUND(1.0 - CAST(uniq_bg AS DOUBLE) / (n_tok - 1), 4)
+         |  END > ${TextAnalysis.RepetitionThreshold} AS repetitive
+         |FROM tm LEFT JOIN bm USING (doc_id)
+         |ORDER BY tm.doc_id""".stripMargin,
     // Rabin–Karp char-stream fold: DuckDB list_reduce seeds with the first
     // element, which equals Spark's aggregate from zero ((0*131+c0)%p = c0).
     // length() (characters), not strlen() (bytes): the Spark side rolls

@@ -52,5 +52,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_agg"),
       MinHashAgg.info,
       cs => { val c = arity(1, "minhash_agg")(cs); MinHashAgg(c(0)) }))
+    ext.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      WordNGrams.info,
+      cs => { val c = arity(2, "word_ngrams")(cs)
+              WordNGrams(c(0), c(1)) }))
+    ext.injectFunction((
+      FunctionIdentifier("repeat_stats"),
+      RepeatStats.info,
+      cs => { val c = arity(1, "repeat_stats")(cs); RepeatStats(c(0)) }))
   }
 }

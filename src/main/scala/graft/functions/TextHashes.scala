@@ -204,6 +204,86 @@ object PolyHash {
     acc
   }
 
+  /** Distinct word n-grams of a whitespace-normalized string, first
+    * occurrence order — the generalization of `shingles3` (n = 3 is
+    * equivalence-tested against it): tokens split on single spaces
+    * (empties kept), < n tokens → one gram = the whole string, else
+    * token n-tuples joined by single spaces, which on a single-spaced
+    * string are exactly substrings from token t's start to token
+    * t+n-1's end — no per-gram string assembly. Used by the
+    * benchmark-decontamination operator (word 8-grams, the PaLM-style
+    * eval-overlap unit). */
+  def wordNGrams(s: UTF8String, n: Int): ArrayData = {
+    if (n < 1) throw new IllegalArgumentException(
+      s"word_ngrams: n must be >= 1, got $n")
+    val str = s.toString
+    val len = str.length
+    val starts = new java.util.ArrayList[Integer]()
+    starts.add(0)
+    var i = 0
+    while (i < len) {
+      if (str.charAt(i) == ' ') starts.add(i + 1)
+      i += 1
+    }
+    val nTok = starts.size()
+    val out = new java.util.LinkedHashSet[String]()
+    if (nTok < n) {
+      out.add(str)
+    } else {
+      var t = 0
+      while (t + n - 1 < nTok) {
+        // end of token t+n-1 = (start of token t+n) - 1, or end of string
+        val end = if (t + n < nTok) starts.get(t + n) - 1 else len
+        out.add(str.substring(starts.get(t), end))
+        t += 1
+      }
+    }
+    val arr = new Array[Any](out.size())
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** One-pass repetition statistics of a whitespace-normalized string —
+    * the Gopher-style quality signals, per row with no shuffle:
+    * [n_tokens, max_token_count, distinct_tokens, distinct_bigrams].
+    * Tokens split on single spaces (empties kept — `size(split(s,' '))`
+    * semantics, so "" counts 1 empty token); bigrams are adjacent token
+    * pairs joined by a single space (n_tokens − 1 of them, 0 when
+    * n_tokens < 2). Derived ratios (top-token fraction, duplicate-token
+    * fraction, duplicate-bigram fraction) are left to the caller so the
+    * kernel stays integer-exact and DuckDB-replayable via unnest/groupBy. */
+  def repeatStats(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val len = str.length
+    val starts = new java.util.ArrayList[Integer]()
+    starts.add(0)
+    var i = 0
+    while (i < len) {
+      if (str.charAt(i) == ' ') starts.add(i + 1)
+      i += 1
+    }
+    val nTok = starts.size()
+    val tokCounts = new java.util.HashMap[String, Long]()
+    val bigrams = new java.util.HashSet[String]()
+    var maxCnt = 0L
+    var t = 0
+    while (t < nTok) {
+      val tokEnd = if (t + 1 < nTok) starts.get(t + 1) - 1 else len
+      val tok = str.substring(starts.get(t), tokEnd)
+      val c = tokCounts.merge(tok, 1L, (a, b) => a + b)
+      if (c > maxCnt) maxCnt = c
+      if (t + 1 < nTok) {
+        val bgEnd = if (t + 2 < nTok) starts.get(t + 2) - 1 else len
+        bigrams.add(str.substring(starts.get(t), bgEnd))
+      }
+      t += 1
+    }
+    new GenericArrayData(Array[Any](
+      nTok.toLong, maxCnt, tokCounts.size().toLong, bigrams.size().toLong))
+  }
+
   /** MinHash signature over a DuckDB-replayable hash family: each shingle
     * reduces ONCE to a polynomial code-point roll p (base 131 mod
     * P = 2147483647 — the same roll as SimHash h1), and seed j applies the
@@ -414,4 +494,70 @@ case class TokenProfile(left: Expression, right: Expression)
 object TokenProfile {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[TokenProfile].getName, "token_profile")
+}
+
+/** word_ngrams(normalized_text, n) → ARRAY<STRING> distinct word n-grams.
+  * n must be a foldable positive int. Null text → null out. */
+case class WordNGrams(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "word_ngrams expects (string, foldable int), got " +
+          s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    PolyHash.wordNGrams(a.asInstanceOf[UTF8String], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.PolyHash.wordNGrams($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordNGrams =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "word_ngrams"
+}
+
+object WordNGrams {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[WordNGrams].getName, "word_ngrams")
+}
+
+/** repeat_stats(normalized_text) → ARRAY<BIGINT>
+  * [n_tokens, max_token_count, distinct_tokens, distinct_bigrams].
+  * Null in → null out. */
+case class RepeatStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"repeat_stats expects string, got ${t.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    PolyHash.repeatStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyHash.repeatStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepeatStats =
+    copy(child = newChild)
+
+  override def prettyName: String = "repeat_stats"
+}
+
+object RepeatStats {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[RepeatStats].getName, "repeat_stats")
 }

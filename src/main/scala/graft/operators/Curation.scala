@@ -117,6 +117,72 @@ object Curation {
       .orderBy("lang")
   }
 
+  // -- benchmark decontamination ------------------------------------------
+
+  /** Word-n-gram size for eval-overlap matching (the PaLM-style unit: a
+    * training doc sharing 8 consecutive words with an eval doc is a hit)
+    * and the overlap fraction above which a doc is dropped as
+    * contaminated. Shared with the q_decontam oracle SQL (interpolated
+    * there) so query and oracle can't desynchronize. */
+  val DecontamGramSize = 8
+  val ContamThreshold = 0.5
+
+  /** The simulated eval/benchmark set: a 24-token snippet (tokens 5..28 of
+    * the whitespace-normalized text) of every 13th document — the corpus
+    * has no real benchmark, so the overlap is planted from within it, same
+    * discipline as Dedup.corpus. 24 tokens → 17 distinct 8-grams each. */
+  def benchmarkSet(spark: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(lower(col("text")), "\\s+", " ")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(norm, " ").as("toks"))
+      .filter(col("doc_id") % 13 === 5 && size(col("toks")) >= 28)
+      .select(col("doc_id").as("bench_id"),
+        concat_ws(" ", slice(col("toks"), 5, 24)).as("snippet"))
+  }
+
+  /** Benchmark decontamination — the eval-overlap hygiene pass every
+    * pretraining pipeline runs before the trainer sees a byte: flag
+    * training documents sharing word 8-grams with the benchmark set.
+    * Corpus = documents ∪ planted leaked docs (benchmark snippets + two
+    * extra tokens, +4M ids — near-total overlap, the true-leak branch);
+    * the snippets' source docs overlap partially, and the corpus's own
+    * natural near-duplicate pairs surface as full-snippet hits (a doc
+    * sharing a long span with a bench doc IS contaminated — the operator
+    * catching them is the point; chance 8-gram collisions don't happen).
+    *
+    * Scale shape: the benchmark side is an eval suite — thousands of docs
+    * regardless of corpus size — so its distinct gram set is BROADCAST;
+    * the corpus side is one narrow projection (native `word_ngrams`
+    * kernel) + explode + broadcast semi-match + one groupBy(doc_id)
+    * shuffle of only the HIT rows. No corpus-side self-join anywhere. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(lower(col("text")), "\\s+", " ")
+    val bench = benchmarkSet(spark, dir)
+    val corpus = Tables.documents(spark, dir)
+      .select(col("doc_id"), norm.as("nt"))
+      .unionByName(bench.select(
+        (col("bench_id") + 4000000).as("doc_id"),
+        concat(col("snippet"), lit(" xx yy")).as("nt")))
+    val bgrams = bench
+      .select(explode(expr(s"word_ngrams(snippet, $DecontamGramSize)"))
+        .as("gram"))
+      .distinct()
+    corpus
+      .select(col("doc_id"), expr(s"word_ngrams(nt, $DecontamGramSize)")
+        .as("gs"))
+      .select(col("doc_id"), size(col("gs")).cast(LongType).as("n_grams"),
+        explode(col("gs")).as("gram"))
+      .join(broadcast(bgrams), "gram")
+      .groupBy("doc_id", "n_grams")
+      .agg(count(lit(1)).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast(DoubleType) /
+          col("n_grams").cast(DoubleType), 4).as("overlap_frac"),
+        (col("n_hit").cast(DoubleType) / col("n_grams").cast(DoubleType)
+          >= ContamThreshold).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   // -- sequence packing ---------------------------------------------------
 
   /** Context-window token budget shared by the q_seq_pack registration and

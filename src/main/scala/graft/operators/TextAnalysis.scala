@@ -137,6 +137,46 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  /** Repetition / boilerplate metrics — the Gopher-style quality-filter
+    * signals (repeated content is the strongest single low-quality
+    * indicator at web scale): per document, the top-token fraction,
+    * duplicate-token fraction and duplicate-bigram fraction, plus a
+    * `repetitive` flag at the given duplicate-bigram threshold.
+    *
+    * ONE codegen'd pass per row via the native `repeat_stats` kernel
+    * (functions.RepeatStats: [n_tokens, max_token_count, distinct_tokens,
+    * distinct_bigrams]) — a narrow projection, no shuffle, scan speed on
+    * a 100 TB corpus. The explode + two-level groupBy(doc_id, token)
+    * formulation computes the same counts with two full-token-stream
+    * shuffles; the oracle SQL states exactly that set-based form, so the
+    * kernel's per-row hash maps are pinned against it. */
+  val RepetitionThreshold = 0.2
+
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(
+        "repeat_stats(regexp_replace(lower(text), '\\\\s+', ' '))").as("rs"))
+      .select(
+        col("doc_id"),
+        element_at(col("rs"), 1).as("n_tok"),
+        element_at(col("rs"), 2).as("top_cnt"),
+        element_at(col("rs"), 3).as("uniq_tok"),
+        element_at(col("rs"), 4).as("uniq_bg"))
+      .select(
+        col("doc_id"), col("n_tok"), col("top_cnt"), col("uniq_tok"),
+        col("uniq_bg"),
+        round(col("top_cnt").cast(DoubleType) /
+          col("n_tok").cast(DoubleType), 4).as("top_tok_frac"),
+        round(lit(1.0) - col("uniq_tok").cast(DoubleType) /
+          col("n_tok").cast(DoubleType), 4).as("dup_tok_frac"),
+        when(col("n_tok") < 2, lit(0.0)).otherwise(
+          round(lit(1.0) - col("uniq_bg").cast(DoubleType) /
+            (col("n_tok") - 1).cast(DoubleType), 4)).as("dup_2gram_frac"))
+      .withColumn("repetitive",
+        col("dup_2gram_frac") > RepetitionThreshold)
+    // no orderBy: the driver compare sorts rows itself, and an Exchange
+    // here would break the operator's no-shuffle scan-speed shape
+
   /** Document fingerprint: Rabin–Karp rolling hash over the code-point
     * stream — acc ← (acc·131 + codepoint) mod (1e9+7). Order-sensitive and
     * exactly ANSI-expressible: the modulus keeps every intermediate below

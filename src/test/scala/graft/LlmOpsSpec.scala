@@ -198,4 +198,104 @@ class LlmOpsSpec extends AnyFunSuite {
     val lens = a.collect().map(x => x.doc_id -> x.payload.length).toMap
     assert(frames === lens.map { case (id, n) => id -> math.max(1, n / 64) })
   }
+
+  private val ngramDocs = Seq(
+    "the cat and the hat sat on the mat today now here",
+    "a b",                                   // < n tokens → whole string
+    "",                                      // empty → one empty gram
+    "über ärger zählt mehr als öde länge worte immer noch",
+    "x y z x y z x y z x y z")               // duplicate windows collapse
+
+  test("word_ngrams(s, 3) == shingles3(s); n=8 == HOF transform spec") {
+    import spark.implicits._
+    val docs = ngramDocs.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val norm = "regexp_replace(lower(text), '\\\\s+', ' ')"
+    def grams(e: String) = docs.selectExpr("doc_id", s"$e AS g")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // the generalized kernel at n=3 IS shingles3 (first-occurrence order
+    // included — both use insertion-ordered sets)
+    assert(grams(s"word_ngrams($norm, 3)") === grams(s"shingles3($norm)"))
+    // and at the decontam size it matches the interpreted HOF spec
+    val hof8 =
+      s"""array_distinct(CASE WHEN size(split($norm, ' ')) < 8
+         |  THEN array(concat_ws(' ', split($norm, ' ')))
+         |  ELSE transform(sequence(0, size(split($norm, ' ')) - 8),
+         |                 i -> concat_ws(' ', slice(split($norm, ' '), i + 1, 8)))
+         |END)""".stripMargin
+    assert(grams(s"word_ngrams($norm, 8)") === grams(hof8))
+  }
+
+  test("repeat_stats kernel == plain-Scala token/bigram counting spec") {
+    import spark.implicits._
+    val docs = (ngramDocs :+ "spam spam spam spam").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = docs.selectExpr("doc_id",
+      "repeat_stats(regexp_replace(lower(text), '\\\\s+', ' ')) AS rs")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    docs.collect().foreach { r =>
+      val toks = r.getString(1).toLowerCase.replaceAll("\\s+", " ")
+        .split(" ", -1).toSeq // -1: keep trailing empties, split(col) semantics
+      val bigrams = toks.sliding(2).filter(_.size == 2)
+        .map(_.mkString(" ")).toSet
+      val exp = Seq[Long](toks.size, toks.groupBy(identity).values
+        .map(_.size).max, toks.distinct.size, bigrams.size)
+      assert(got(r.getLong(0)) === exp, s"doc ${r.getLong(0)}")
+    }
+    // the planted all-one-token doc: 4 tokens, top count 4, 1 distinct
+    // token, 1 distinct bigram
+    assert(got(ngramDocs.size.toLong) === Seq(4L, 4L, 1L, 1L))
+  }
+
+  test("repetition: ratios well-formed; flag matches the threshold rule") {
+    val rows = SparkEntry.queries("q_repetition")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTok, topCnt, uniqTok) =
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(topCnt >= 1 && topCnt <= nTok)
+      assert(uniqTok >= 1 && uniqTok <= nTok)
+      Seq(5, 6, 7).foreach { i =>
+        assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0, s"col $i")
+      }
+      assert(r.getBoolean(8) ===
+        (r.getDouble(7) > TextAnalysis.RepetitionThreshold))
+    }
+    // the corpus repeats words heavily (small per-doc vocab): the
+    // duplicate-token signal must actually fire somewhere
+    assert(rows.exists(_.getDouble(6) > 0.3))
+  }
+
+  test("decontam: planted leaks flagged; sources partial; no false hits") {
+    val rows = SparkEntry.queries("q_decontam")(spark, sf).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    val bench = graft.operators.Curation.benchmarkSet(spark, sf)
+      .collect().map(_.getLong(0))
+    assert(bench.nonEmpty)
+    bench.foreach { b =>
+      // the leaked doc (+4M) is 24 snippet tokens + 2 foreign ones: 17 of
+      // its 19 grams hit → frac ≈ 0.89, flagged contaminated
+      val leaked = byId(b + 4000000)
+      assert(leaked.getBoolean(4), s"leak of $b not flagged")
+      assert(leaked.getDouble(3) > 0.8, s"leak of $b frac ${leaked.getDouble(3)}")
+      // the snippet's source doc overlaps partially (its own 17 grams)
+      val src = byId(b)
+      assert(src.getLong(2) >= 15, s"source $b n_hit ${src.getLong(2)}")
+      assert(src.getBoolean(4) ===
+        (src.getLong(2).toDouble / src.getLong(1) >=
+          graft.operators.Curation.ContamThreshold))
+    }
+    // beyond sources and planted leaks, the only other hits are the
+    // corpus's own natural near-duplicate pairs (docs sharing a long
+    // span with a bench doc — e.g. 16↔369 at this SF): every one must
+    // carry a substantial contiguous overlap (≥ 8 of the snippet's 17
+    // grams), never a chance single-gram collision
+    val expected = bench.toSet.flatMap((b: Long) => Set(b, b + 4000000L))
+    val extras = rows.filterNot(r => expected(r.getLong(0)))
+    extras.foreach { r =>
+      assert(r.getLong(2) >= 8,
+        s"doc ${r.getLong(0)}: suspicious low-overlap hit ${r.getLong(2)}")
+    }
+    assert(expected.subsetOf(rows.map(_.getLong(0)).toSet))
+  }
 }

@@ -120,6 +120,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("decontam broadcasts the benchmark gram set; never cartesian") {
+    // the corpus side must only ever meet the (eval-suite-sized) gram set
+    // through a broadcast hash join — a shuffle or cartesian here would
+    // move the 100 TB side for a megabyte dimension
+    val p = plan("q_decontam")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("repetition metrics are a pure narrow projection: no shuffle") {
+    // one repeat_stats kernel pass per row — the explode + double-groupBy
+    // formulation (which the oracle states) would shuffle the full token
+    // stream twice; the registered plan must contain no Exchange at all
+    val p = plan("q_repetition")
+    assert(!p.contains("Exchange") && !p.contains("Join"), p)
+    val line = p.linesIterator.find(_.contains("repeat_stats"))
+    assert(line.nonEmpty, p)
+  }
+
   test("tfidf top-k is a per-doc aggregate, not a row_number window") {
     // the r5 whale fix: ranking every (doc,term) row with a window sorts
     // the whole exploded term set within each shuffle partition; the
