@@ -102,6 +102,9 @@ object SparkEntry {
     "q_decontam"          -> (Curation.decontaminate _),
     // Gopher-style repetition metrics: one repeat_stats kernel pass/row
     "q_repetition"        -> (TextAnalysis.repetition _),
+    // the LLM-side flagship: lang-ID → repetition → dedup → decontam →
+    // redact as ONE lazy lineage (the curation mirror of q_e2e)
+    "q_curate_chain"      -> (Curation.curateChain _),
     "q_ann_topk"          -> (Similarity.bruteForceTopK _),
     "q_ann_lsh"           -> (Similarity.lshTopK _),
     "q_ann_ivf"           -> (Similarity.ivfTopK _),
@@ -1676,6 +1679,116 @@ object SparkEntry {
          |  END > ${TextAnalysis.RepetitionThreshold} AS repetitive
          |FROM tm LEFT JOIN bm USING (doc_id)
          |ORDER BY tm.doc_id""".stripMargin,
+    // the composed curation chain: every stage's oracle fragment chained
+    // as CTEs in pipeline order — language argmax (q_lang_id), duplicate
+    // -bigram fraction (q_repetition), md5 keep-first (q_exact_dedup),
+    // benchmark-gram overlap (q_decontam), PII planting + redaction
+    // fingerprint (q_redact). One SQL statement = one lineage, matching
+    // the Spark side's single-lineage composition claim.
+    "q_curate_chain" -> {
+      val g = Curation.DecontamGramSize
+      s"""WITH d0 AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0),
+         |tok AS (
+         |  SELECT doc_id, text,
+         |    string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+         |                 ' ') AS ts
+         |  FROM d0),
+         |lang AS (
+         |  SELECT doc_id, text, ts,
+         |    CAST(len(list_filter(ts, x -> x IN
+         |      ('the','a','of','and','to','in','is','it','that','on')))
+         |      AS DOUBLE) / greatest(len(ts), 1) AS s_en,
+         |    CAST(len(list_filter(ts, x -> x IN
+         |      ('der','die','das','und','ist','nicht','ein','zu','mit')))
+         |      AS DOUBLE) / greatest(len(ts), 1) AS s_de,
+         |    CAST(len(list_filter(ts, x -> x IN
+         |      ('le','la','et','les','des','un','une','est','dans')))
+         |      AS DOUBLE) / greatest(len(ts), 1) AS s_fr
+         |  FROM tok),
+         |en AS (
+         |  SELECT doc_id, text, ts FROM lang
+         |  WHERE greatest(s_de, s_en, s_fr) >= 0.01
+         |    AND CASE WHEN s_fr = greatest(s_de, s_en, s_fr) THEN 'fr'
+         |             WHEN s_en = greatest(s_de, s_en, s_fr) THEN 'en'
+         |             ELSE 'de' END = 'en'),
+         |bgr AS (SELECT doc_id, unnest(list_transform(range(0, len(ts) - 1),
+         |          i -> ts[i+1] || ' ' || ts[i+2])) AS b FROM en),
+         |bgm AS (SELECT doc_id, COUNT(DISTINCT b) AS uniq_bg
+         |        FROM bgr GROUP BY doc_id),
+         |rep AS (
+         |  SELECT en.doc_id, text, ts, CAST(len(ts) AS BIGINT) AS n_tok,
+         |    CASE WHEN len(ts) < 2 THEN 0.0
+         |         ELSE ROUND(1.0 - CAST(COALESCE(uniq_bg, 0) AS DOUBLE) /
+         |                    (len(ts) - 1), 4)
+         |    END AS dup_2gram_frac
+         |  FROM en LEFT JOIN bgm USING (doc_id)),
+         |lowrep AS (SELECT * FROM rep
+         |           WHERE dup_2gram_frac <= ${TextAnalysis.RepetitionThreshold}),
+         |ded AS (
+         |  SELECT * FROM lowrep
+         |  WHERE doc_id IN (SELECT MIN(doc_id) FROM lowrep
+         |                   GROUP BY md5(text))),
+         |btok AS (
+         |  SELECT doc_id,
+         |    string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+         |                 ' ') AS bts
+         |  FROM documents),
+         |bench AS (SELECT bts[5:28] AS st FROM btok
+         |          WHERE doc_id % 13 = 5 AND len(bts) >= 28),
+         |bgrams AS (
+         |  SELECT DISTINCT unnest(list_transform(range(0, len(st) - ${g - 1}),
+         |    i -> array_to_string(st[i+1:i+$g], ' '))) AS gram
+         |  FROM bench),
+         |dg AS (
+         |  SELECT doc_id,
+         |    list_distinct(CASE WHEN len(ts) < $g
+         |      THEN [array_to_string(ts, ' ')]
+         |      ELSE list_transform(range(0, len(ts) - ${g - 1}),
+         |             i -> array_to_string(ts[i+1:i+$g], ' '))
+         |    END) AS gs
+         |  FROM ded),
+         |hits AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
+         |           unnest(gs) AS gram FROM dg),
+         |contam AS (
+         |  SELECT h.doc_id FROM hits h JOIN bgrams USING (gram)
+         |  GROUP BY h.doc_id, h.n_grams
+         |  HAVING CAST(COUNT(*) AS DOUBLE) / n_grams >=
+         |    ${Curation.ContamThreshold}),
+         |clean AS (SELECT * FROM ded
+         |          WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         |pii AS (
+         |  SELECT doc_id, n_tok, dup_2gram_frac,
+         |    text ||
+         |    CASE WHEN doc_id % 11 = 0
+         |      THEN ' reach me at alice.w@example.com ok' ELSE '' END ||
+         |    CASE WHEN doc_id % 13 = 0
+         |      THEN ' call 555-123-4567 today' ELSE '' END ||
+         |    CASE WHEN doc_id % 17 = 0
+         |      THEN ' from 10.0.42.7 gateway' ELSE '' END AS ptext
+         |  FROM clean),
+         |red AS (
+         |  SELECT doc_id, n_tok, dup_2gram_frac, ptext,
+         |    regexp_replace(regexp_replace(regexp_replace(ptext,
+         |      '${Curation.EmailRe}', '<EMAIL>', 'g'),
+         |      '${Curation.PhoneRe}', '<PHONE>', 'g'),
+         |      '${Curation.IpRe}', '<IP>', 'g') AS rtext
+         |  FROM pii)
+         |SELECT doc_id, n_tok, dup_2gram_frac,
+         |  CAST(len(regexp_extract_all(ptext, '${Curation.EmailRe}'))
+         |    AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(ptext, '${Curation.PhoneRe}'))
+         |    AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_extract_all(ptext, '${Curation.IpRe}'))
+         |    AS BIGINT) AS n_ip,
+         |  CASE WHEN length(rtext) = 0 THEN 0 ELSE list_reduce(
+         |    list_transform(range(1, length(rtext) + 1),
+         |                   i -> CAST(unicode(rtext[i]) AS BIGINT)),
+         |    (acc, c) -> (acc * 131 + c) % 1000000007) END AS red_fp
+         |FROM red""".stripMargin
+    },
     // Rabin–Karp char-stream fold: DuckDB list_reduce seeds with the first
     // element, which equals Spark's aggregate from zero ((0*131+c0)%p = c0).
     // length() (characters), not strlen() (bytes): the Spark side rolls

@@ -33,19 +33,21 @@ object Curation {
   val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
   val IpRe = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
 
-  /** The testdata corpus is random words (no natural PII), so deterministic
-    * PII is planted on key-derived rows — same discipline as Dedup.corpus,
-    * mirrored verbatim in the oracle SQL. */
+  /** The key-derived PII-planting column (the testdata corpus is random
+    * words with no natural PII — same discipline as Dedup.corpus, mirrored
+    * verbatim in the oracle SQL). Shared by piiCorpus and curateChain. */
+  def plantedPii(text: Column, key: Column): Column =
+    concat(text,
+      when(key % 11 === 0,
+        lit(" reach me at alice.w@example.com ok")).otherwise(lit("")),
+      when(key % 13 === 0,
+        lit(" call 555-123-4567 today")).otherwise(lit("")),
+      when(key % 17 === 0,
+        lit(" from 10.0.42.7 gateway")).otherwise(lit("")))
+
   def piiCorpus(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(col("doc_id"),
-      concat(col("text"),
-        when(col("doc_id") % 11 === 0,
-          lit(" reach me at alice.w@example.com ok")).otherwise(lit("")),
-        when(col("doc_id") % 13 === 0,
-          lit(" call 555-123-4567 today")).otherwise(lit("")),
-        when(col("doc_id") % 17 === 0,
-          lit(" from 10.0.42.7 gateway")).otherwise(lit("")))
-        .as("text"))
+      plantedPii(col("text"), col("doc_id")).as("text"))
 
   /** Rabin–Karp rolling fingerprint of a string column — the same
     * DuckDB-replayable fold as TextAnalysis.fingerprint (the native
@@ -181,6 +183,117 @@ object Curation {
         (col("n_hit").cast(DoubleType) / col("n_grams").cast(DoubleType)
           >= ContamThreshold).as("contaminated"))
       .orderBy("doc_id")
+  }
+
+  // -- composed curation chain --------------------------------------------
+
+  /** The LLM-side flagship: the full curation pipeline a pretraining run
+    * applies between raw corpus and trainer, composed as ONE lazy lineage
+    * (the batch mirror of what q_e2e is for the ML side — no
+    * materialization barrier between stages):
+    *
+    *   1. language ID (token_profile kernel) → keep predicted English;
+    *   2. repetition filter (repeat_stats kernel) → drop boilerplate docs
+    *      (duplicate-bigram fraction above TextAnalysis.RepetitionThreshold);
+    *   3. exact dedup, keep-first — the input plants exact copies
+    *      (doc_id%5==0, +1M ids, Dedup.corpus's rule) so the stage visibly
+    *      removes rows;
+    *   4. decontamination → drop docs whose word-8-gram overlap with the
+    *      benchmark set reaches ContamThreshold;
+    *   5. PII redaction → per-doc match counts + redacted-text fingerprint.
+    *
+    * Scale shape: stages 1, 2 and 5 are narrow kernel/regex projections;
+    * stage 3 is one hash shuffle (md5 keep-first semi-join); stage 4 is the
+    * broadcast gram probe plus a broadcast anti-join on the (tiny)
+    * contaminated-id set. The whole chain reads `documents` through one
+    * lineage — Catalyst sees every stage and prunes/pushes across them. */
+  def curateChain(spark: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(lower(col("text")), "\\s+", " ")
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val base = d
+      .unionByName(d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    // The declared order puts exact dedup FIRST: equal texts have equal
+    // language and repetition metrics, so a duplicate group passes or
+    // fails stages 1-2 wholesale and keep-first commutes with them — the
+    // oracle states the logical lang → repetition → dedup order, and the
+    // hash match proves the rewrite sound. keep-first is groupBy(text) →
+    // min(doc_id): a HASH aggregate with a primitive buffer (the
+    // min-id-set + semi-join form recomputed every upstream stage on both
+    // join sides; a first()-carrying aggregate forces a string buffer and
+    // degrades to SortAggregate). Catalyst then pushes the stage-1/2
+    // filters back below the aggregate to the scans — group-key-derived
+    // predicates commute with the agg — which is the right 100 TB plan:
+    // kernels gate rows BEFORE the shuffle, and only survivors move.
+    val deduped = base
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .withColumn("nt", norm)
+    // 1. language filter. Not predLangOn's greatest-of-structs argmax:
+    // predicate pushdown inlines the scorer into the filter condition
+    // once per reference, so the condition is written to touch the
+    // token_profile array a minimal number of times. Equivalence with the
+    // argmax ('en' wins ⟺ its score is ≥ 0.01, beats fr strictly — fr
+    // outranks en on greatest's string tie-break — and is ≥ de):
+    // same-denominator scores compare as raw counts, and only the
+    // absolute threshold needs the division (kept in the oracle's exact
+    // s_en >= 0.01 double form; a multiplied-out tp3 >= 0.01·g would
+    // diverge in ulp cases).
+    val tp = expr(s"token_profile(nt, ${TextAnalysis.langProfileLit})")
+    val en = deduped
+      .withColumn("tp", tp)
+      .filter(
+        element_at(col("tp"), 3).cast(DoubleType) /
+          greatest(element_at(col("tp"), 1), lit(1L)).cast(DoubleType)
+          >= 0.01 &&
+        element_at(col("tp"), 3) > element_at(col("tp"), 4) &&
+        element_at(col("tp"), 3) >= element_at(col("tp"), 2))
+      .drop("tp")
+    // 2. repetition filter
+    val lowRep = en
+      .withColumn("rs", expr("repeat_stats(nt)"))
+      .withColumn("n_tok", element_at(col("rs"), 1))
+      .withColumn("dup_2gram_frac",
+        when(col("n_tok") < 2, lit(0.0)).otherwise(
+          round(lit(1.0) - element_at(col("rs"), 4).cast(DoubleType) /
+            (col("n_tok") - 1).cast(DoubleType), 4)))
+      .filter(col("dup_2gram_frac") <= TextAnalysis.RepetitionThreshold)
+      .drop("rs")
+    // 4. decontamination: drop contaminated survivors (the id set that
+    // reaches the threshold is eval-suite-sized → broadcast anti-join)
+    val bgrams = benchmarkSet(spark, dir)
+      .select(explode(expr(s"word_ngrams(snippet, $DecontamGramSize)"))
+        .as("gram"))
+      .distinct()
+    val contaminated = lowRep
+      .select(col("doc_id"),
+        expr(s"word_ngrams(nt, $DecontamGramSize)").as("gs"))
+      .select(col("doc_id"), size(col("gs")).cast(LongType).as("n_grams"),
+        explode(col("gs")).as("gram"))
+      .join(broadcast(bgrams), "gram")
+      .groupBy("doc_id", "n_grams")
+      .agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit").cast(DoubleType) / col("n_grams").cast(DoubleType)
+        >= ContamThreshold)
+      .select("doc_id")
+    val clean = lowRep.join(broadcast(contaminated), Seq("doc_id"),
+      "left_anti")
+    // 5. PII redaction on the survivors (planted by the piiCorpus rule)
+    val ptext = plantedPii(col("text"), col("doc_id"))
+    val red = regexp_replace(
+      regexp_replace(
+        regexp_replace(ptext, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      IpRe, "<IP>")
+    clean.select(
+      col("doc_id"), col("n_tok"), col("dup_2gram_frac"),
+      size(regexp_extract_all(ptext, lit(EmailRe), lit(0)))
+        .cast(LongType).as("n_email"),
+      size(regexp_extract_all(ptext, lit(PhoneRe), lit(0)))
+        .cast(LongType).as("n_phone"),
+      size(regexp_extract_all(ptext, lit(IpRe), lit(0)))
+        .cast(LongType).as("n_ip"),
+      call_function("rolling_fp", red).as("red_fp"))
   }
 
   // -- sequence packing ---------------------------------------------------

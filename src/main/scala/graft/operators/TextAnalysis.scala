@@ -39,16 +39,23 @@ object TextAnalysis {
     * saves.) Scores/argmax semantics are unchanged and pinned by the
     * DuckDB oracle plus the kernel-vs-HOF equivalence test in
     * LlmOpsSpec. */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val langs = langProfiles.keys.toSeq.sorted
-    val profLit = langs
+  /** Attach a per-document `pred_lang` column (the token_profile scoring +
+    * argmax of `langId`) to any frame carrying a text column; `ntExpr` is
+    * the SQL expression for the whitespace-normalized text. Shared by
+    * langId's corpus profile and the curation chain's language filter. */
+  /** The language-profile SQL literal fed to token_profile — profiles in
+    * sorted-language order (de, en, fr), so tp = [n_tokens, de, en, fr]. */
+  private[graft] def langProfileLit: String =
+    langProfiles.keys.toSeq.sorted
       .map(l => langProfiles(l).map(w => s"'$w'").mkString("array(", ",", ")"))
       .mkString("array(", ",", ")")
-    val scored0 = Tables.documents(spark, dir)
-      .withColumn("tp", expr(
-        s"token_profile(regexp_replace(lower(text), '\\\\s+', ' '), $profLit)"))
-    val scored = langs.zipWithIndex.foldLeft(scored0) { case (df, (l, i)) =>
-      df.withColumn(s"score_$l",
+
+  private[graft] def predLangOn(df: DataFrame, ntExpr: String): DataFrame = {
+    val langs = langProfiles.keys.toSeq.sorted
+    val scored0 =
+      df.withColumn("tp", expr(s"token_profile($ntExpr, $langProfileLit)"))
+    val scored = langs.zipWithIndex.foldLeft(scored0) { case (d, (l, i)) =>
+      d.withColumn(s"score_$l",
         element_at(col("tp"), i + 2).cast(DoubleType) /
           greatest(element_at(col("tp"), 1), lit(1L)))
     }
@@ -57,10 +64,15 @@ object TextAnalysis {
       .withColumn("best", greatest(best: _*))
       .withColumn("pred_lang",
         when(col("best.s") >= 0.01, col("best.l")).otherwise(lit("und")))
+      .drop("tp" +: "best" +: langs.map(l => s"score_$l"): _*)
+  }
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    predLangOn(Tables.documents(spark, dir),
+      "regexp_replace(lower(text), '\\\\s+', ' ')")
       .groupBy("lang", "pred_lang")
       .agg(count(lit(1)).as("cnt"))
       .orderBy("lang", "pred_lang")
-  }
 
   /** Quality scoring: length, token count, mean token length, stopword
     * ratio, non-alpha ratio → composite score (the usual pre-training

@@ -95,4 +95,36 @@ class CurationSpec extends AnyFunSuite {
     }
     assert(run("2") === run("9"))
   }
+
+  test("curate chain: every stage's contract visible in the survivors") {
+    val out = SparkEntry.queries("q_curate_chain")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val ids = out.map(_.getLong(0)).toSet
+    // stage 3 (exact dedup keep-first): a planted +1M copy can never
+    // survive — its original has the smaller id and identical metrics, so
+    // both reach the dedup together and min() keeps the original
+    assert(ids.forall(_ < 1000000), ids.filter(_ >= 1000000).take(5).toString)
+    // stage 2 (repetition): every survivor is under the threshold
+    out.foreach(r => assert(
+      r.getDouble(2) <= graft.operators.TextAnalysis.RepetitionThreshold))
+    // stage 4 (decontam): any natural doc q_decontam flags as contaminated
+    // must be absent here (whether it fell at an earlier stage or at
+    // decontam itself, it may not survive)
+    val contaminated = SparkEntry.queries("q_decontam")(spark, sf).collect()
+      .filter(r => r.getLong(0) < 1000000 && r.getBoolean(4))
+      .map(_.getLong(0))
+    assert(contaminated.nonEmpty, "decontam gate exercised by no doc")
+    contaminated.foreach(c => assert(!ids(c), s"contaminated $c survived"))
+    // stage 5 (redaction): the planted PII rule shows in the counts
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(3) === (if (id % 11 == 0) 1L else 0L), s"email $id")
+      assert(r.getLong(4) === (if (id % 13 == 0) 1L else 0L), s"phone $id")
+      assert(r.getLong(5) === (if (id % 17 == 0) 1L else 0L), s"ip $id")
+    }
+    // stage 1 (language): deterministic — rerunning yields the same set
+    val again = SparkEntry.queries("q_curate_chain")(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(again === ids)
+  }
 }

@@ -129,6 +129,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("curate chain is one lineage: kernel stages fused, no barriers") {
+    // the five stages must compose lazily — Catalyst sees the whole chain
+    // (no LogicalRDD/checkpoint between stages), the gram probe broadcasts,
+    // and nothing degenerates to a cartesian
+    val df = SparkEntry.queries("q_curate_chain")(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("LogicalRDD"), "barrier found in curate chain")
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // both per-row kernels run inside the fused projections
+    assert(p.contains("token_profile") && p.contains("repeat_stats"), "kernels")
+  }
+
   test("repetition metrics are a pure narrow projection: no shuffle") {
     // one repeat_stats kernel pass per row — the explode + double-groupBy
     // formulation (which the oracle states) would shuffle the full token
