@@ -105,6 +105,8 @@ object SparkEntry {
     // the LLM-side flagship: lang-ID → repetition → dedup → decontam →
     // redact as ONE lazy lineage (the curation mirror of q_e2e)
     "q_curate_chain"      -> (Curation.curateChain _),
+    // key-derived shard assignment + per-shard write manifest
+    "q_shard_manifest"    -> ((s, d) => Curation.shardManifest(s, d)),
     "q_ann_topk"          -> (Similarity.bruteForceTopK _),
     "q_ann_lsh"           -> (Similarity.lshTopK _),
     "q_ann_ivf"           -> (Similarity.ivfTopK _),
@@ -1679,6 +1681,27 @@ object SparkEntry {
          |  END > ${TextAnalysis.RepetitionThreshold} AS repetitive
          |FROM tm LEFT JOIN bm USING (doc_id)
          |ORDER BY tm.doc_id""".stripMargin,
+    // shard manifest: the LCG shard decision is the q_sample_mix integer
+    // arithmetic (operands < 2^52, bit-exact); the checksum is bit_xor of
+    // the q_fingerprint roll — order-independent, so engine-side
+    // aggregation order can't matter
+    "q_shard_manifest" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    ((doc_id % 1000003) * 2654435761 + 7) % 1000003 %
+         |      ${Curation.DefaultShards} AS shard,
+         |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)
+         |      AS n_tok,
+         |    CASE WHEN length(text) = 0 THEN 0 ELSE list_reduce(
+         |      list_transform(range(1, length(text) + 1),
+         |                     i -> CAST(unicode(text[i]) AS BIGINT)),
+         |      (acc, c) -> (acc * 131 + c) % 1000000007) END AS fp
+         |  FROM documents)
+         |SELECT shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS tokens,
+         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+         |  bit_xor(fp) AS fp_xor
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     // the composed curation chain: every stage's oracle fragment chained
     // as CTEs in pipeline order — language argmax (q_lang_id), duplicate
     // -bigram fraction (q_repetition), md5 keep-first (q_exact_dedup),

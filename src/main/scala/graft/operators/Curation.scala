@@ -185,6 +185,41 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  // -- shard assignment / manifest ----------------------------------------
+
+  /** Shard count shared by the q_shard_manifest registration and its
+    * oracle SQL (interpolated there). */
+  val DefaultShards = 16
+
+  /** Deterministic shard assignment + manifest — the write-layout step
+    * between curation and the trainer: every document lands in a
+    * key-derived shard (the same LCG family as mixKeep — membership
+    * independent of partitioning and cluster size, so a 1000-executor
+    * writer and a laptop produce identical shards), and the manifest is
+    * the audit a shard writer emits per output file: doc/token counts,
+    * id range, and an order-independent content checksum (bit_xor of the
+    * rolling fingerprints — overflow-free and DuckDB-replayable, unlike a
+    * wrapping BIGINT sum under ANSI arithmetic).
+    *
+    * At scale the actual write is `.repartition(n, col("shard"))
+    * .write.partitionBy("shard")`; the registered query emits the
+    * manifest: one narrow projection (rolling_fp kernel) + one
+    * nShards-group aggregate with map-side combine. */
+  def shardManifest(spark: SparkSession, dir: String,
+                    nShards: Int = DefaultShards): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (pmod(pmod(col("doc_id"), lit(1000003L)) * 2654435761L + 7L,
+          lit(1000003L)) % nShards).as("shard"),
+        size(split(col("text"), "\\s+")).cast(LongType).as("n_tok"),
+        call_function("rolling_fp", col("text")).as("fp"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tokens"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+        expr("bit_xor(fp)").as("fp_xor"))
+      .orderBy("shard")
+
   // -- composed curation chain --------------------------------------------
 
   /** The LLM-side flagship: the full curation pipeline a pretraining run

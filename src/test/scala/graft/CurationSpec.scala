@@ -96,6 +96,27 @@ class CurationSpec extends AnyFunSuite {
     assert(run("2") === run("9"))
   }
 
+  test("shard manifest: covering, balanced-ish, layout-stable") {
+    val rows = Curation.shardManifest(spark, sf).collect()
+    // every shard occupied, ids partition the corpus exactly
+    assert(rows.length === Curation.DefaultShards)
+    val total = rows.map(_.getLong(1)).sum
+    assert(total === graft.Tables.documents(spark, sf).count())
+    // LCG spray: no shard grossly over/under-loaded (key-derived, so this
+    // is a property of the hash, not of partitioning luck)
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max < 4 * sizes.min, sizes.mkString(","))
+    // layout stability: the shard decision and the xor checksum must not
+    // depend on parallelism — the laptop-verifies-the-cluster precondition
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    def run(parts: String) = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try Curation.shardManifest(spark, sf).collect().toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    }
+    assert(run("2") === run("7"))
+  }
+
   test("curate chain: every stage's contract visible in the survivors") {
     val out = SparkEntry.queries("q_curate_chain")(spark, sf).collect()
     assert(out.nonEmpty)
