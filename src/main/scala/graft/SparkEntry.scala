@@ -166,6 +166,9 @@ object SparkEntry {
     // deduped key set (survivor payload is processing-order dependent in
     // ANY engine, the key set is the stable contract)
     "q_stream_dedup"      -> (graft.streaming.Streaming.streamDedup _),
+    // the ingest-side curation gate: lang-ID + repetition kernels running
+    // statelessly per micro-batch over a documents file stream
+    "q_stream_curate"     -> (graft.streaming.Streaming.streamCurate _),
     // REAL mapGroupsWithState run (per-user running totals, Update mode);
     // cents-in-double arithmetic makes the stateful fold exact → oracle =
     // the batch per-user aggregate
@@ -1101,6 +1104,45 @@ object SparkEntry {
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id AS content_hash FROM events
         |ORDER BY content_hash""".stripMargin,
+    // the stateless ingest gate: streaming execution must reproduce the
+    // batch predicate exactly — the oracle is the curate-chain's first
+    // two stage fragments (language argmax + duplicate-bigram fraction)
+    // applied directly to documents
+    "q_stream_curate" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+         |                 ' ') AS ts
+         |  FROM documents),
+         |lang AS (
+         |  SELECT doc_id, ts,
+         |    CAST(len(list_filter(ts, x -> x IN
+         |      ('the','a','of','and','to','in','is','it','that','on')))
+         |      AS DOUBLE) / greatest(len(ts), 1) AS s_en,
+         |    CAST(len(list_filter(ts, x -> x IN
+         |      ('der','die','das','und','ist','nicht','ein','zu','mit')))
+         |      AS DOUBLE) / greatest(len(ts), 1) AS s_de,
+         |    CAST(len(list_filter(ts, x -> x IN
+         |      ('le','la','et','les','des','un','une','est','dans')))
+         |      AS DOUBLE) / greatest(len(ts), 1) AS s_fr
+         |  FROM tok),
+         |en AS (
+         |  SELECT doc_id, ts FROM lang
+         |  WHERE s_en >= 0.01 AND s_en > s_fr AND s_en >= s_de),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(0, len(ts) - 1),
+         |         i -> ts[i+1] || ' ' || ts[i+2])) AS b FROM en),
+         |bm AS (SELECT doc_id, COUNT(DISTINCT b) AS uniq_bg
+         |       FROM bg GROUP BY doc_id),
+         |rep AS (
+         |  SELECT en.doc_id, CAST(len(ts) AS BIGINT) AS n_tok,
+         |    CASE WHEN len(ts) < 2 THEN 0.0
+         |         ELSE ROUND(1.0 - CAST(COALESCE(uniq_bg, 0) AS DOUBLE) /
+         |                    (len(ts) - 1), 4)
+         |    END AS dup_2gram_frac
+         |  FROM en LEFT JOIN bm USING (doc_id))
+         |SELECT doc_id, n_tok, dup_2gram_frac FROM rep
+         |WHERE dup_2gram_frac <= ${graft.operators.TextAnalysis.RepetitionThreshold}
+         |ORDER BY doc_id""".stripMargin,
     // the stateful running-totals fold must reproduce the batch per-user
     // aggregate exactly (integer-valued cents in double are order-safe)
     "q_stream_totals" ->

@@ -5,6 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DoubleType
 
 /** Structured Streaming surface (builder brief: readStream → transforms →
   * writeStream; watermark + windowed agg; mapGroupsWithState custom state).
@@ -376,6 +377,64 @@ object Streaming {
     q.awaitTermination()
     lastRunDataBatches = q.recentProgress.count(_.numInputRows > 0)
     df.sparkSession.table(name)
+  }
+
+  /** Stage the documents table into its own landing directory (separate
+    * from the events landing — a file-stream source reads every file in
+    * its directory, so mixing tables would cross-feed schemas). Same
+    * symlink + verification discipline as stageLanding. */
+  private def stageDocsLanding(dir: String): String = {
+    val landing = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_stream_docsrc_" + graft.sources.CsvIO.pathKey(dir))
+    java.nio.file.Files.createDirectories(landing)
+    val link = landing.resolve("documents.parquet")
+    val target = java.nio.file.Paths.get(s"$dir/documents.parquet")
+    if (java.nio.file.Files.isSymbolicLink(link) &&
+        java.nio.file.Files.readSymbolicLink(link) != target)
+      java.nio.file.Files.delete(link)
+    if (!java.nio.file.Files.exists(link,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      java.nio.file.Files.createSymbolicLink(link, target)
+    landing.toString
+  }
+
+  /** The ingest-side curation gate executed as a REAL streaming run:
+    * documents arrive as a file stream and the curate-chain's first two
+    * stages — language ID (token_profile) and the repetition filter
+    * (repeat_stats) — run per micro-batch, dropping non-English and
+    * boilerplate docs in flight. Deliberately STATELESS (no watermark, no
+    * state store): every kernel is a narrow per-row projection, so the
+    * gate rides each micro-batch at scan speed and deploys in front of
+    * dedup/decontam (which need state or batch jobs) exactly as a
+    * production filter-on-ingest does. The oracle is the identical batch
+    * predicate — streaming execution itself passes the hash gate. */
+  def streamCurate(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .parquet(stageDocsLanding(dir))
+      .withColumn("nt", regexp_replace(lower(col("text")), "\\s+", " "))
+    val gated = docs
+      .withColumn("tp", expr(
+        s"token_profile(nt, ${graft.operators.TextAnalysis.langProfileLit})"))
+      .filter(
+        element_at(col("tp"), 3).cast(DoubleType) /
+          greatest(element_at(col("tp"), 1), lit(1L)).cast(DoubleType)
+          >= 0.01 &&
+        element_at(col("tp"), 3) > element_at(col("tp"), 4) &&
+        element_at(col("tp"), 3) >= element_at(col("tp"), 2))
+      .withColumn("rs", expr("repeat_stats(nt)"))
+      .withColumn("n_tok", element_at(col("rs"), 1))
+      .withColumn("dup_2gram_frac",
+        when(col("n_tok") < 2, lit(0.0)).otherwise(
+          round(lit(1.0) - element_at(col("rs"), 4).cast(DoubleType) /
+            (col("n_tok") - 1).cast(DoubleType), 4)))
+      .filter(col("dup_2gram_frac") <=
+        graft.operators.TextAnalysis.RepetitionThreshold)
+      .select(col("doc_id"), col("n_tok"), col("dup_2gram_frac"))
+    runToMemory(gated, "graft_stream_curate", OutputMode.Append())
+      .orderBy("doc_id")
   }
 
   /** The tumbling-window aggregation executed as a REAL Structured

@@ -180,4 +180,36 @@ class PropertySpec extends AnyFunSuite {
       inside && !outside
     })
   }
+
+  test("word_ngrams matches sliding-window reference for any string and n") {
+    def ref(s: String, n: Int): Seq[String] = {
+      val toks = s.split(" ", -1).toSeq
+      val all = if (toks.length < n) Seq(toks.mkString(" "))
+      else toks.sliding(n).map(_.mkString(" ")).toSeq
+      all.distinct
+    }
+    val gen = for { s <- text; n <- Gen.chooseNum(1, 10) } yield (s, n)
+    check(Prop.forAll(gen) { case (s, n) =>
+      val got = graft.functions.PolyHash.wordNGrams(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), n)
+      (0 until got.numElements()).map(got.getUTF8String(_).toString) ==
+        ref(s, n)
+    })
+  }
+
+  test("repeat_stats matches a split/group reference for any string") {
+    def ref(s: String): Seq[Long] = {
+      val toks = s.split(" ", -1).toSeq
+      val bigrams = toks.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      Seq(toks.size.toLong,
+        toks.groupBy(identity).values.map(_.size).max.toLong,
+        toks.distinct.size.toLong,
+        bigrams.toSet.size.toLong)
+    }
+    check(Prop.forAll(text) { s =>
+      val got = graft.functions.PolyHash.repeatStats(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      (0 until got.numElements()).map(got.getLong) == ref(s)
+    })
+  }
 }
