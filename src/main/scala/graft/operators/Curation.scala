@@ -264,25 +264,15 @@ object Curation {
       .groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"))
       .withColumn("nt", norm)
-    // 1. language filter. Not predLangOn's greatest-of-structs argmax:
-    // predicate pushdown inlines the scorer into the filter condition
-    // once per reference, so the condition is written to touch the
-    // token_profile array a minimal number of times. Equivalence with the
-    // argmax ('en' wins ⟺ its score is ≥ 0.01, beats fr strictly — fr
-    // outranks en on greatest's string tie-break — and is ≥ de):
-    // same-denominator scores compare as raw counts, and only the
-    // absolute threshold needs the division (kept in the oracle's exact
-    // s_en >= 0.01 double form; a multiplied-out tp3 >= 0.01·g would
+    // 1. language filter — the shared 3-conjunct English predicate (see
+    // TextAnalysis.isEnglish for the equivalence argument; only the
+    // absolute threshold needs a division, kept in the oracle's exact
+    // s_en >= 0.01 double form — a multiplied-out tp3 >= 0.01·g would
     // diverge in ulp cases).
-    val tp = expr(s"token_profile(nt, ${TextAnalysis.langProfileLit})")
     val en = deduped
-      .withColumn("tp", tp)
-      .filter(
-        element_at(col("tp"), 3).cast(DoubleType) /
-          greatest(element_at(col("tp"), 1), lit(1L)).cast(DoubleType)
-          >= 0.01 &&
-        element_at(col("tp"), 3) > element_at(col("tp"), 4) &&
-        element_at(col("tp"), 3) >= element_at(col("tp"), 2))
+      .withColumn("tp",
+        expr(s"token_profile(nt, ${TextAnalysis.langProfileLit})"))
+      .filter(TextAnalysis.isEnglish(col("tp")))
       .drop("tp")
     // 2. repetition filter
     val lowRep = en

@@ -50,6 +50,20 @@ object TextAnalysis {
       .map(l => langProfiles(l).map(w => s"'$w'").mkString("array(", ",", ")"))
       .mkString("array(", ",", ")")
 
+  /** The 3-conjunct English-argmax predicate over a token_profile column
+    * (tp = [n_tokens, de, en, fr]): en score ≥ 0.01, beats fr strictly
+    * (fr outranks en on greatest's string tie-break), ≥ de. Equivalent to
+    * predLangOn's argmax + threshold (proved by the chain oracle's hash
+    * match); written to touch tp a minimal number of times because
+    * predicate pushdown inlines the scorer once per reference. Shared by
+    * Curation.curateChain and Streaming.streamCurate. */
+  private[graft] def isEnglish(tp: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    element_at(tp, 3).cast(DoubleType) /
+      greatest(element_at(tp, 1), lit(1L)).cast(DoubleType) >= 0.01 &&
+    element_at(tp, 3) > element_at(tp, 4) &&
+    element_at(tp, 3) >= element_at(tp, 2)
+
   private[graft] def predLangOn(df: DataFrame, ntExpr: String): DataFrame = {
     val langs = langProfiles.keys.toSeq.sorted
     val scored0 =

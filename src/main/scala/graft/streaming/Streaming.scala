@@ -418,12 +418,7 @@ object Streaming {
     val gated = docs
       .withColumn("tp", expr(
         s"token_profile(nt, ${graft.operators.TextAnalysis.langProfileLit})"))
-      .filter(
-        element_at(col("tp"), 3).cast(DoubleType) /
-          greatest(element_at(col("tp"), 1), lit(1L)).cast(DoubleType)
-          >= 0.01 &&
-        element_at(col("tp"), 3) > element_at(col("tp"), 4) &&
-        element_at(col("tp"), 3) >= element_at(col("tp"), 2))
+      .filter(graft.operators.TextAnalysis.isEnglish(col("tp")))
       .withColumn("rs", expr("repeat_stats(nt)"))
       .withColumn("n_tok", element_at(col("rs"), 1))
       .withColumn("dup_2gram_frac",
