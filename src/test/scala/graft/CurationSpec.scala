@@ -117,6 +117,37 @@ class CurationSpec extends AnyFunSuite {
     assert(run("2") === run("7"))
   }
 
+  test("shard manifest describes a REAL partitioned write exactly") {
+    // the manifest is only honest if an actual partitionBy(shard) write
+    // produces directories whose contents re-aggregate to the same rows:
+    // write the sharded corpus, read it back, recompute the manifest from
+    // the files on disk, compare cell-for-cell
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_shards").toString
+    val assigned = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"),
+        (pmod(pmod(col("doc_id"), lit(1000003L)) * 2654435761L + 7L,
+          lit(1000003L)) % Curation.DefaultShards).as("shard"))
+    assigned.write.mode("overwrite").partitionBy("shard").parquet(out)
+    val back = spark.read.parquet(out)
+      .select(col("shard").cast(LongType).as("shard"), col("doc_id"),
+        size(split(col("text"), "\\s+")).cast(LongType).as("n_tok"),
+        expr("rolling_fp(text)").as("fp"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+        expr("bit_xor(fp)").as("fp_xor"))
+      .orderBy("shard")
+    assert(back.collect().toSeq ===
+      Curation.shardManifest(spark, sf).collect().toSeq)
+    // and the on-disk layout really is one directory per shard
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(dirs.length === Curation.DefaultShards, dirs.mkString(","))
+  }
+
   test("curate chain: every stage's contract visible in the survivors") {
     val out = SparkEntry.queries("q_curate_chain")(spark, sf).collect()
     assert(out.nonEmpty)
