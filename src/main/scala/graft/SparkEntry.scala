@@ -115,6 +115,9 @@ object SparkEntry {
     // per-doc byte-level decode gate: header fields parsed from actual
     // payload bytes at fixed offsets; dims/pixel sums from the real codec
     "q_image_decode"      -> (Multimodal.decodeQuery _),
+    // real javax.sound WAV decode: RIFF/fmt header bytes + decoder-framed
+    // PCM sample sums, oracle-replayed from the doc_id spec
+    "q_audio_decode"      -> (Multimodal.audioDecodeQuery _),
     // county-cardinality geo join: 3,000 jittered quads, candidate-pruned
     // exact ray casting, full SQL replay (the reference's county scale)
     "q_geo_county"        -> (GeoJoin.countyQuery _),
@@ -1443,6 +1446,33 @@ object SparkEntry {
         |      (s + (ty*h//8)*w + (tx*w//10)) % 256)))) AS BIGINT) AS rz_px_sum,
         |  CAST(CASE WHEN fmt='bmp' THEN 54 + h*((3*w+3)//4*4) END AS BIGINT)
         |    AS n_bytes
+        |FROM spec ORDER BY doc_id""".stripMargin,
+    // audio decode: the WAV spec (rate/channels/frames/seed) is a pure
+    // function of doc_id; the canonical 44-byte PCM header makes every
+    // header field and the interleaved sample stream closed-form — the
+    // Spark side must read them back from the real payload bytes and the
+    // real javax.sound decoder
+    "q_audio_decode" ->
+      """WITH spec AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 11025
+        |                    WHEN 2 THEN 16000 ELSE 22050 END AS rate,
+        |    1 + doc_id % 2 AS ch, 64 + doc_id % 192 AS fr,
+        |    (doc_id * 37 + 5) % 65536 AS seed
+        |  FROM documents)
+        |SELECT doc_id,
+        |  '52494646' AS riff_hex, '57415645' AS wave_hex,
+        |  CAST(ch AS BIGINT) AS hdr_channels,
+        |  CAST(rate AS BIGINT) AS hdr_rate,
+        |  CAST(16 AS BIGINT) AS hdr_bits,
+        |  CAST(fr * ch * 2 AS BIGINT) AS data_bytes,
+        |  CAST(rate AS BIGINT) AS dec_rate,
+        |  CAST(ch AS BIGINT) AS dec_channels,
+        |  CAST(16 AS BIGINT) AS dec_bits,
+        |  CAST(fr AS BIGINT) AS dec_frames,
+        |  CAST(list_sum(list_transform(range(0, fr * ch),
+        |    i -> (seed + 13 * i) % 65536 - 32768)) AS BIGINT) AS sample_sum,
+        |  CAST(44 + fr * ch * 2 AS BIGINT) AS n_bytes
         |FROM spec ORDER BY doc_id""".stripMargin,
     // TF-IDF mirrors term-for-term: integer tf/df/N, one double ln both
     // sides, rank over the ROUNDED score with a term tie-break

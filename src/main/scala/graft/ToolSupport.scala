@@ -50,7 +50,9 @@ object ToolSupport {
   val benchKeySubs: Seq[(String, String)] = Seq(
     "stream_" -> "st_", "window_" -> "win_", "roundtrip" -> "rt",
     "neardup" -> "nd", "distinct" -> "dist", "sessions" -> "sess",
-    "importance" -> "imp", "diagnostics" -> "diag", "checkpoint" -> "ckpt")
+    "importance" -> "imp", "diagnostics" -> "diag", "checkpoint" -> "ckpt",
+    "decode" -> "dec", "manifest" -> "mf", "pipeline" -> "pipe",
+    "survivors" -> "surv")
 
   def benchKey(name: String): String =
     benchKeySubs.foldLeft(name.stripPrefix("q_")) {

@@ -263,4 +263,114 @@ object Multimodal {
         sum(col("px_sum")).as("total_px_sum"),
         sum(when(col("fmt") === "bmp", length(col("payload")).cast(LongType))
           .otherwise(0L)).as("bmp_bytes"))
+
+  // -- audio --------------------------------------------------------------
+
+  final case class AudioAsset(doc_id: Long, payload: Array[Byte])
+  /** Real `javax.sound` decoder output: format fields and frame count from
+    * `AudioSystem.getAudioInputStream`, sample sum from the stream's
+    * decoded PCM bytes. */
+  final case class DecodedAudio(doc_id: Long, dec_rate: Long,
+                                dec_channels: Long, dec_bits: Long,
+                                dec_frames: Long, sample_sum: Long,
+                                payload: Array[Byte])
+
+  /** Deterministic per-doc WAV spec (rate, channels, frames, seed) — the
+    * single source of truth shared with the q_audio_decode oracle.
+    * 16-bit PCM throughout; sample(i) over the interleaved stream is
+    * ((seed + 13·i) mod 65536) − 32768. */
+  def audioSpec(docId: Long): (Int, Int, Int, Long) = {
+    val rate = Seq(8000, 11025, 16000, 22050)((docId % 4).toInt)
+    val channels = 1 + (docId % 2).toInt
+    val frames = 64 + (docId % 192).toInt
+    val seed = (docId * 37 + 5) % 65536
+    (rate, channels, frames, seed)
+  }
+
+  /** Byte-exact canonical 44-byte-header PCM WAV — manual layout so every
+    * byte is oracle-computable; decoding still goes through the real
+    * `javax.sound` RIFF/WAVE parser. */
+  def encodeWav(rate: Int, channels: Int, frames: Int,
+                seed: Long): Array[Byte] = {
+    val dataSize = frames * channels * 2
+    val b = new Array[Byte](44 + dataSize)
+    def putLE(off: Int, v: Int, n: Int): Unit = {
+      var i = 0
+      while (i < n) { b(off + i) = (v >>> (8 * i)).toByte; i += 1 }
+    }
+    def putTag(off: Int, s: String): Unit =
+      s.getBytes("US-ASCII").copyToArray(b, off)
+    putTag(0, "RIFF"); putLE(4, 36 + dataSize, 4); putTag(8, "WAVE")
+    putTag(12, "fmt "); putLE(16, 16, 4); putLE(20, 1, 2)
+    putLE(22, channels, 2); putLE(24, rate, 4)
+    putLE(28, rate * channels * 2, 4); putLE(32, channels * 2, 2)
+    putLE(34, 16, 2); putTag(36, "data"); putLE(40, dataSize, 4)
+    var i = 0
+    while (i < frames * channels) {
+      val s = (((seed + 13L * i) % 65536) - 32768).toInt
+      putLE(44 + i * 2, s & 0xFFFF, 2)
+      i += 1
+    }
+    b
+  }
+
+  /** Generate the audio asset table — real WAV payloads from the doc_id
+    * spec; the documents scan prunes to doc_id only. */
+  def audioAssets(spark: SparkSession, dir: String): Dataset[AudioAsset] = {
+    val spark2 = spark
+    import spark2.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (rate, ch, fr, seed) = audioSpec(id)
+        AudioAsset(id, encodeWav(rate, ch, fr, seed))
+      })
+  }
+
+  /** REAL audio decode: `AudioSystem.getAudioInputStream` parses the
+    * RIFF/WAVE chunk structure (headless, JDK built-in) and exposes the
+    * PCM format + framed stream; the sample sum is computed from the
+    * BYTES THE DECODER RETURNS, not from the generator — a mis-parsed
+    * header (wrong data offset, wrong frame size) changes the sum. */
+  def decodeAudio(a: AudioAsset): DecodedAudio = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(a.payload))
+    val fmt = in.getFormat
+    val frames = in.getFrameLength
+    val data = in.readAllBytes()
+    in.close()
+    var sum = 0L
+    var i = 0
+    while (i + 1 < data.length) {
+      // little-endian signed 16-bit, interleaved channels
+      sum += ((data(i) & 0xFF) | (data(i + 1).toInt << 8)).toShort.toLong
+      i += 2
+    }
+    DecodedAudio(a.doc_id, fmt.getSampleRate.toLong, fmt.getChannels.toLong,
+      fmt.getSampleSizeInBits.toLong, frames, sum, a.payload)
+  }
+
+  /** q_audio_decode: per-doc byte-level audio gate — RIFF/WAVE/fmt header
+    * fields parsed from the ACTUAL payload bytes at fixed offsets in SQL
+    * style, decode fields from the real `javax.sound` parser. The oracle
+    * reconstructs everything from the doc_id spec. */
+  def audioDecodeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    def byteAt(off: Int) = // 1-based offset → unsigned byte value
+      conv(hex(substring(col("payload"), off, 1)), 16, 10).cast(LongType)
+    def le(off: Int, n: Int): org.apache.spark.sql.Column =
+      (0 until n).map(i => byteAt(off + i) * (1L << (8 * i)))
+        .reduce(_ + _)
+    audioAssets(spark, dir).mapPartitions(_.map(decodeAudio)).toDF()
+      .select(
+        col("doc_id"),
+        hex(substring(col("payload"), 1, 4)).as("riff_hex"),
+        hex(substring(col("payload"), 9, 4)).as("wave_hex"),
+        le(23, 2).as("hdr_channels"), le(25, 4).as("hdr_rate"),
+        le(35, 2).as("hdr_bits"), le(41, 4).as("data_bytes"),
+        col("dec_rate"), col("dec_channels"), col("dec_bits"),
+        col("dec_frames"), col("sample_sum"),
+        length(col("payload")).cast(LongType).as("n_bytes"))
+      .orderBy("doc_id")
+  }
 }

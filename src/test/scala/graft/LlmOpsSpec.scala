@@ -199,6 +199,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(frames === lens.map { case (id, n) => id -> math.max(1, n / 64) })
   }
 
+  test("audio decode: real javax.sound parse matches the generator spec") {
+    val assets = Multimodal.audioAssets(spark, sf).collect()
+    assert(assets.length > 0)
+    assets.take(25).foreach { a =>
+      val d = Multimodal.decodeAudio(a)
+      val (rate, ch, fr, seed) = Multimodal.audioSpec(a.doc_id)
+      assert(d.dec_rate === rate.toLong)
+      assert(d.dec_channels === ch.toLong)
+      assert(d.dec_bits === 16L)
+      assert(d.dec_frames === fr.toLong)
+      val exp = (0 until fr * ch)
+        .map(i => ((seed + 13L * i) % 65536) - 32768).sum
+      assert(d.sample_sum === exp, s"doc ${a.doc_id}")
+    }
+    // a truncated fmt chunk must fail the RIFF parse loudly, not decode
+    // to garbage
+    val a0 = assets.head
+    intercept[Exception] {
+      Multimodal.decodeAudio(Multimodal.AudioAsset(a0.doc_id,
+        a0.payload.take(20)))
+    }
+  }
+
   private val ngramDocs = Seq(
     "the cat and the hat sat on the mat today now here",
     "a b",                                   // < n tokens → whole string
