@@ -20,6 +20,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // streaming runs size their state-store count by state volume, not
+      // CPU count (see Streaming.withStreamShuffle): 8 store instances
+      // per stateful stage instead of 32 — per-micro-batch commit
+      // constants dominate at bench state sizes. Correctness is
+      // layout-independent (Verify gates the default layout; a
+      // StreamingSpec test pins 8-vs-32 result equality).
+      .config("graft.stream.shufflePartitions", "8")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // bucketed checkpoints (saveAsTable) land in tmp, not ./spark-warehouse

@@ -362,22 +362,42 @@ object Streaming {
     * a one-file landing shows 1 here and fails the spec). */
   @volatile var lastRunDataBatches: Int = -1
 
+  /** State-store sizing knob: streaming state lives in ONE store instance
+    * per shuffle partition and every micro-batch commits every instance,
+    * so at small per-key state volumes the commit constant dominates and
+    * CPU-count-sized partitioning (32 here) overpays. Streaming runs honor
+    * `graft.stream.shufflePartitions` when set (Bench sets 8; Verify
+    * leaves the session default, so correctness is gated at BOTH
+    * layouts — result equality across layouts is also pinned by a
+    * StreamingSpec test). Production sizes this by state volume per
+    * key-range, not executor count; the session value is restored after
+    * the run because the knob must never leak into batch queries. */
+  private def withStreamShuffle[T](
+      spark: org.apache.spark.sql.SparkSession)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    val want = spark.conf.getOption("graft.stream.shufflePartitions")
+    want.foreach(spark.conf.set(key, _))
+    try f finally spark.conf.set(key, before)
+  }
+
   /** Run a streaming frame to completion (AvailableNow) into a uniquely
     * named memory sink and return the sink table — the shared tail of
     * every oracle-gated streaming run. */
   private def runToMemory(df: DataFrame, prefix: String,
-                          mode: OutputMode): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val name = s"${prefix}_${runSeq.incrementAndGet()}"
-    val q = df.writeStream
-      .format("memory").queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    lastRunDataBatches = q.recentProgress.count(_.numInputRows > 0)
-    df.sparkSession.table(name)
-  }
+                          mode: OutputMode): DataFrame =
+    withStreamShuffle(df.sparkSession) {
+      import org.apache.spark.sql.streaming.Trigger
+      val name = s"${prefix}_${runSeq.incrementAndGet()}"
+      val q = df.writeStream
+        .format("memory").queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastRunDataBatches = q.recentProgress.count(_.numInputRows > 0)
+      df.sparkSession.table(name)
+    }
 
   /** Stage the documents table into its own landing directory (separate
     * from the events landing — a file-stream source reads every file in
@@ -511,7 +531,7 @@ object Streaming {
     * (same pattern as the CSV round-trip); idempotence itself is pinned
     * by running the stream twice in the spec. */
   def streamToParquet(spark: org.apache.spark.sql.SparkSession,
-                      dir: String): DataFrame = {
+                      dir: String): DataFrame = withStreamShuffle(spark) {
     import org.apache.spark.sql.streaming.Trigger
     val out = graft.sources.CsvIO.scratch("stream_sink_q", dir)
     val agg = eventsStream(spark, dir)

@@ -224,6 +224,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(back === Map("click" -> 9L, "purchase" -> 3L))
   }
 
+  test("stream results are state-layout independent: 8 vs 32 stores equal") {
+    // the graft.stream.shufflePartitions knob changes ONLY the state-store
+    // instance count; emitted results must be identical — the precondition
+    // for Bench (8) and Verify (session default) gating the same contract
+    val key = "graft.stream.shufflePartitions"
+    def run() = Seq(
+      Streaming.streamTumbling(spark, sf).collect().toSeq,
+      Streaming.streamRangeJoin(spark, sf).collect().toSeq)
+    spark.conf.set(key, "8")
+    val at8 = try run() finally spark.conf.unset(key)
+    val atDefault = run()
+    assert(at8 === atDefault)
+    // and the knob must not leak into the session after a run
+    assert(spark.conf.get("spark.sql.shuffle.partitions") !== "8")
+  }
+
   test("stream curate gate reproduces the batch predicate; truly stateless") {
     val got = Streaming.streamCurate(spark, sf)
     // the batch form of the same two-stage predicate, built from the
