@@ -211,7 +211,8 @@ object SparkEntry {
        |u$i AS (
        |  SELECT list_id,
        |    list_reduce(list(emb ORDER BY vec_id),
-       |      (a, b) -> list_transform(range(1, 65), x -> a[x] + b[x])) AS sumv,
+       |      (a, b) -> list_transform(range(1, len(a) + 1), x -> a[x] + b[x]))
+       |      AS sumv,
        |    COUNT(*) AS n
        |  FROM a$i GROUP BY 1),
        |c$i AS (
@@ -617,18 +618,25 @@ object SparkEntry {
          |UNION ALL
          |SELECT split, 'rmse', ROUND(rmse, 4) FROM m2
          |ORDER BY split, metric""".stripMargin,
-    // full SQL replay of the IVF ANN path: LCG-ordered init, three
-    // unrolled bit-deterministic Lloyd rounds (see ivfRound), full-corpus
-    // assignment and 4-probe query fan-out with the final centroids,
-    // exact cosine on candidates, top-k. Like q_ann_lsh, the approximate
-    // structure itself is part of the verified contract.
+    // full SQL replay of the IVF ANN path: the BOUNDED lowest-SampleK-
+    // LCG-hash training sample (fixed size at any corpus scale — the r7
+    // review's top fix), LCG-ordered init, three unrolled bit-deterministic
+    // Lloyd rounds (see ivfRound), full-corpus assignment and 4-probe
+    // query fan-out with the final centroids, exact cosine on candidates,
+    // top-k. Like q_ann_lsh, the approximate structure itself is part of
+    // the verified contract.
     "q_ann_ivf" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS emb,
          |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
          |      AS norm
          |  FROM embeddings),
-         |samp AS (SELECT vec_id, emb FROM e WHERE vec_id % 4 = 0),
+         |samp AS (
+         |  SELECT vec_id, emb FROM (
+         |    SELECT vec_id, emb, ROW_NUMBER() OVER (ORDER BY
+         |        ((vec_id % 2147483648) * 2654435761 + 99) % 2147483648,
+         |        vec_id) AS srn
+         |    FROM e) WHERE srn <= ${Similarity.SampleK}),
          |c0 AS (
          |  SELECT j, c FROM (
          |    SELECT CAST(ROW_NUMBER() OVER (ORDER BY
@@ -1557,32 +1565,49 @@ object SparkEntry {
         |  FROM scored)
         |SELECT q_id, rank, vec_id AS neighbor_id, cos
         |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
-    // full SQL replay of the SRP-LSH ANN path: LCG-derived hyperplanes
-    // (exact integer arithmetic + one exact double division → bit-identical
-    // planes), sign-bit signatures, 4×4-bit band keys (first plane = high
-    // bit, matching the left-fold acc*2+v), bucket-joined candidates,
-    // exact cosine on candidates only, top-k. Approximate output, exact
-    // oracle — the banding itself is part of the verified contract.
+    // full SQL replay of the SRP-LSH ANN path at the COUNT-DERIVED
+    // parameterization (r8): bits from the corpus count via
+    // length(bin(n // TargetBucket)) — the same exact integer arithmetic
+    // as Similarity.bitsForCount — and bands from the interpolated pinned
+    // table (annBandsFor, StrictMath in the same JVM that emits this SQL).
+    // Planes are LCG-derived with the probed dim as seed stride
+    // (bit-identical doubles), sign-bit signatures, variable-width band
+    // keys (first plane = high bit, matching the left-fold acc*2+v),
+    // bucket-joined candidates, exact cosine on candidates only, top-k.
+    // Approximate output, exact oracle — bits, bands, and the banding
+    // itself are all part of the verified contract.
     "q_ann_lsh" ->
-      """WITH e AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS emb,
-        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-        |      AS norm
-        |  FROM embeddings),
-        |planes AS (
-        |  SELECT j, list_transform(range(0, 64), d ->
-        |    (((j * 64 + d) * 2654435761 + 12345) % 2147483648)
-        |      / 2147483648.0 - 0.5) AS p
-        |  FROM range(0, 16) r(j)),
-        |bits AS (
-        |  SELECT e.vec_id, p.j,
-        |    CASE WHEN list_dot_product(p.p, e.emb) >= 0 THEN 1 ELSE 0 END
-        |      AS bit
-        |  FROM e CROSS JOIN planes p),
-        |keys AS (
-        |  SELECT vec_id, j // 4 AS band,
-        |    SUM(bit << CAST(3 - (j % 4) AS INTEGER)) AS key
-        |  FROM bits GROUP BY 1, 2),
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+         |      AS norm
+         |  FROM embeddings),
+         |params AS (
+         |  SELECT dim, bits,
+         |    CASE bits ${(Similarity.MinBits to Similarity.MaxBitsAnn)
+                 .map(b => s"WHEN $b THEN ${Similarity.annBandsFor(b)}")
+                 .mkString(" ")} END AS bands
+         |  FROM (SELECT
+         |    (SELECT MAX(len(emb)) FROM e) AS dim,
+         |    LEAST(${Similarity.MaxBitsAnn}, GREATEST(${Similarity.MinBits},
+         |      length(bin(GREATEST(1,
+         |        (SELECT COUNT(*) FROM e) // ${Similarity.TargetBucket})))))
+         |      AS bits)),
+         |planes AS (
+         |  SELECT j, list_transform(range(0, pa.dim), d ->
+         |    (((j * pa.dim + d) * 2654435761 + 12345) % 2147483648)
+         |      / 2147483648.0 - 0.5) AS p
+         |  FROM range(0, 256) r(j), params pa
+         |  WHERE j < pa.bands * pa.bits),
+         |bits_t AS (
+         |  SELECT e.vec_id, p.j,
+         |    CASE WHEN list_dot_product(p.p, e.emb) >= 0 THEN 1 ELSE 0 END
+         |      AS bit
+         |  FROM e CROSS JOIN planes p),
+         |keys AS (
+         |  SELECT vec_id, j // pa.bits AS band,
+         |    SUM(bit << CAST(pa.bits - 1 - (j % pa.bits) AS INTEGER)) AS key
+         |  FROM bits_t, params pa GROUP BY 1, 2),
         |cand AS (
         |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id
         |  FROM keys q JOIN keys c ON q.band = c.band AND q.key = c.key

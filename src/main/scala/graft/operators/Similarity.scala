@@ -18,12 +18,74 @@ import graft.Tables
   *    banded into buckets; candidates only WITHIN buckets, exact cosine on
   *    candidates. Hyperplanes are seeded literals (deterministic plans).
   *
-  * Dot products use zip_with + aggregate — codegen'd built-ins, no UDF.
+  * Dot products use the native codegen'd `vec_dot` — no UDF.
+  *
+  * Every structural parameter is derived, not pinned to a corpus size:
+  * the embedding dimensionality comes from the data (`dimOf`, with an
+  * in-plan ragged-row guard), and the banding comes from the corpus COUNT
+  * via `bitsForCount`/`annBandsFor`/`ndBandsFor` (see the candidate-volume
+  * algebra below and docs/SCALE.md §ANN) — the r7 review flagged the fixed
+  * 4×4-bit scheme as the one quadratic-at-scale path in the engine.
   */
 object Similarity {
 
   val K = 10
   val QueryMod = 50 // vec_id % QueryMod == 0 → bounded query set
+
+  // -- corpus-derived SRP parameterization (docs/SCALE.md §ANN) ----------
+  // SRP sign bits agree on an unrelated (cos≈0) pair with probability 1/2,
+  // so a band of `bits` sign tests spreads n vectors over 2^bits buckets
+  // with mean occupancy n/2^bits. Pinning occupancy at TargetBucket gives
+  //     bits  = ceil-ish log2(n / TargetBucket)            (clamped)
+  // and holding expected recall at the design cosine c requires
+  //     bands = ln(1/miss) / p^bits,   p = 1 − acos(c)/π
+  // i.e. bands ≈ (n/TargetBucket)^ρ with ρ = log2(1/p):
+  //   ρ ≈ 0.224 at c = 0.9 (near-dup — cheap all the way to web scale),
+  //   ρ ≈ 0.664 at c = 0.4 (far-neighbor ANN — why MaxBitsAnn clamps the
+  //     growth and the far regime belongs to IVF, whose list count is the
+  //     data-adaptive analogue).
+  // At bits = 4 both tables reproduce the r7 constants (4 bands of 4), so
+  // small corpora (n ≤ 16·TargetBucket) are bit-identical to r7.
+  val TargetBucket = 64
+  val MinBits = 4
+  val MaxBitsAnn = 8 // ANN design point: cos 0.4, expected recall 1/2
+  val MaxBitsNd = 12 // near-dup design point: cos 0.9, expected recall 0.9
+
+  /** Bucket-membership cap applied BEFORE pair expansion in the near-dup
+    * self-join — the same discipline as `Dedup.candidatePairs`: a
+    * degenerate bucket (e.g. a constant/boilerplate embedding repeated at
+    * web scale) costs one dropped bucket row, never a quadratic pair
+    * blow-up. Mean occupancy is held near TargetBucket by construction, so
+    * a 16×-mean bucket is pathological, not data. */
+  val MaxBucket = 1024
+
+  /** Bits per band from the corpus count: bit-length of n/TargetBucket,
+    * clamped. Exact integer arithmetic — DuckDB replays it as
+    * `length(bin(greatest(1, n // TargetBucket)))` (see q_ann_lsh). */
+  def bitsForCount(n: Long, maxBits: Int): Int = {
+    val x = math.max(1L, n / TargetBucket)
+    val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    math.min(maxBits, math.max(MinBits, bitlen))
+  }
+
+  private def bandsFor(designCos: Double, lnInvMiss: Double,
+                       bits: Int): Int = {
+    val p = 1.0 - StrictMath.acos(designCos) / StrictMath.PI
+    math.max(1,
+      StrictMath.round(lnInvMiss / StrictMath.pow(p, bits.toDouble)).toInt)
+  }
+
+  /** Bands for the ANN top-k path: round(ln 2 / p^bits) at design cosine
+    * 0.4 — the L that holds expected recall at 1/2 (the r7 operating
+    * point; bits=4 → 4 bands, the r7 constants). StrictMath, so the value
+    * is identical on any JVM — it is interpolated into the oracle SQL. */
+  def annBandsFor(bits: Int): Int = bandsFor(0.4, StrictMath.log(2.0), bits)
+
+  /** Bands for the near-dup path: round(ln 10 / p^bits) at design cosine
+    * 0.9 (the dedup threshold) — expected recall 0.9 AT the threshold;
+    * pairs near cos 1 (what dedup must catch) are found w.p. ≈ 1.
+    * bits=4 → 4 bands, the r7 constants. */
+  def ndBandsFor(bits: Int): Int = bandsFor(0.9, StrictMath.log(10.0), bits)
 
   /** Native codegen'd dot product (graft.functions.DotProduct via the
     * GraftExtensions-registered `vec_dot`) — a tight primitive loop inside
@@ -31,9 +93,23 @@ object Similarity {
   private def dot(a: String, b: String): Column =
     call_function("vec_dot", col(a), col(b))
 
-  /** Embeddings with precomputed L2 norm (one narrow pass). */
-  def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("norm", sqrt(dot("embedding", "embedding")))
+  /** Embedding dimensionality probed from the data (one-row job) — the
+    * schema's ArrayType carries no length, so the first row is the source
+    * of truth and `withNorm` enforces it on every row in-plan. */
+  def dimOf(e: DataFrame): Int =
+    e.select(size(col("embedding")).as("d")).head.getInt(0)
+
+  /** Embeddings with precomputed L2 norm (one narrow pass). The embedding
+    * is re-emitted through a dim guard: a ragged row (size ≠ dim) raises
+    * a descriptive error instead of silently hashing wrong — the guard
+    * rides the norm projection, so it cannot be pruned away. */
+  def withNorm(df: DataFrame, dim: Int): DataFrame =
+    df.withColumn("embedding",
+        when(size(col("embedding")) === dim, col("embedding"))
+          .otherwise(raise_error(concat(
+            lit(s"graft: ragged embedding (expected dim $dim) at vec_id "),
+            col("vec_id").cast(StringType)))))
+      .withColumn("norm", sqrt(dot("embedding", "embedding")))
 
   private def queries(e: DataFrame): DataFrame =
     e.filter(col("vec_id") % QueryMod === 0)
@@ -47,7 +123,8 @@ object Similarity {
 
   /** Brute-force exact top-k per query (baseline). */
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(Tables.embeddings(spark, dir))
+    val base = Tables.embeddings(spark, dir)
+    val e = withNorm(base, dimOf(base))
     val scored = score(e.crossJoin(broadcast(queries(e))))
       .filter(col("vec_id") =!= col("q_id"))
     // two-stage top-k: partial heads per (query, partition) first, so the
@@ -69,40 +146,36 @@ object Similarity {
 
   // -- SRP-LSH -----------------------------------------------------------
 
-  // 4 bands × 4 bits: for neighbor cosines ~0.4 (θ≈1.16), per-band collision
-  // (1-θ/π)^4 ≈ 0.16 → recall ≈ 1-(1-0.16)^4 ≈ 0.5, with bucket fan-out
-  // 2^4 per band keeping candidate sets ~4·n/16 per query
-  val NumPlanes = 16
-  val Bands = 4
-  val BitsPerBand = NumPlanes / Bands
-
-  /** Deterministic hyperplanes as a literal array<array<double>> column —
-    * identical on every executor, no side channel. Components are
-    * LCG-derived uniforms in [−0.5, 0.5): exact integer arithmetic and one
-    * exact double division, so DuckDB regenerates bit-identical planes and
-    * the whole SRP path (sign tests, band keys, candidates) is
-    * SQL-replayable — which is what lets q_ann_lsh carry a full hash
-    * oracle. Uniform-cube directions are not perfectly spherical, but the
-    * SRP recall at these cosines is equivalent (recall-tested). */
-  private[operators] def planeComponent(j: Int, d: Int): Double =
-    (((j * 64L + d) * 2654435761L + 12345L) % 2147483648L).toDouble /
+  /** Deterministic hyperplane component — LCG-derived uniform in
+    * [−0.5, 0.5): exact integer arithmetic and one exact double division,
+    * so DuckDB regenerates bit-identical planes and the whole SRP path
+    * (sign tests, band keys, candidates) is SQL-replayable — which is what
+    * lets q_ann_lsh carry a full hash oracle. The seed stride is the
+    * embedding dimensionality, so plane streams never overlap at any dim.
+    * Uniform-cube directions are not perfectly spherical, but the SRP
+    * recall at these cosines is equivalent (recall-tested). At dim 64 the
+    * values are bit-identical to the r7 constants. */
+  private[operators] def planeComponent(j: Int, d: Int, dim: Int): Double =
+    (((j.toLong * dim + d) * 2654435761L + 12345L) % 2147483648L).toDouble /
       2147483648.0 - 0.5
-  private lazy val planesCol: Column =
-    array((0 until NumPlanes).map { j =>
-      array((0 until 64).map(d => lit(planeComponent(j, d))): _*)
+
+  private def planesCol(dim: Int, numPlanes: Int): Column =
+    array((0 until numPlanes).map { j =>
+      array((0 until dim).map(d => lit(planeComponent(j, d, dim))): _*)
     }: _*)
 
-  /** Bit signature + band bucket keys per vector. */
-  def signatures(e: DataFrame): DataFrame =
-    e.withColumn("planes", planesCol)
+  /** Bit signature + band bucket keys per vector, at the given corpus-
+    * derived (bits, bands) parameterization. */
+  def signatures(e: DataFrame, dim: Int, bits: Int, bands: Int): DataFrame =
+    e.withColumn("planes", planesCol(dim, bits * bands))
       .withColumn("sig", expr(
         """transform(planes, p ->
           |  CASE WHEN vec_dot(p, embedding) >= 0
           |  THEN 1L ELSE 0L END)""".stripMargin))
       .withColumn("buckets", expr(
-        s"""transform(sequence(0, $Bands - 1), b ->
+        s"""transform(sequence(0, $bands - 1), b ->
            |  struct(b AS band,
-           |         aggregate(slice(sig, b * $BitsPerBand + 1, $BitsPerBand),
+           |         aggregate(slice(sig, b * $bits + 1, $bits),
            |                   0L, (acc, v) -> acc * 2 + v) AS key))"""
           .stripMargin))
       .drop("planes", "sig")
@@ -121,38 +194,79 @@ object Similarity {
       .select((col("vec_id") + 1000000).as("vec_id"),
         concat(
           array(element_at(col("embedding"), 1) + lit(0.05)),
-          expr("slice(embedding, 2, 63)")).as("embedding"))
+          expr("slice(embedding, 2, size(embedding) - 1)")).as("embedding"))
     e.unionByName(planted)
   }
 
   /** Embedding-cosine near-duplicate detection (brief dedup variant):
-    * ALL-vector LSH bucketing (not just the query subset), pairs within
-    * buckets, cosine ≥ threshold ⇒ near-dup pair. Same banded discipline as
-    * MinHash — candidate volume is Σ bucket², never n². At cos ≈ 0.9999 the
-    * per-pair SRP miss probability is (θ/π)^4·bands ≈ 1e-7, so the banded
-    * output equals the exhaustive ground truth (oracle-verified). */
+    * ALL-vector SRP bucketing at the count-derived (bits, ndBands)
+    * parameterization, pairs expanded INSIDE each bucket's collected
+    * member array with the `MaxBucket` membership cap applied BEFORE
+    * expansion (the `Dedup.candidatePairs` discipline — one groupBy
+    * shuffle, Σ min(bucket, cap)² candidate volume, never n²), then exact
+    * cosine ≥ threshold on candidates only. At cos ≈ 0.9999 the per-pair
+    * SRP miss probability is ≈ (bits·ε)^bands with ε ≈ 0.01 per plane, so
+    * the banded output equals the exhaustive ground truth
+    * (oracle-verified). */
   def cosineNearDup(spark: SparkSession, dir: String,
                     threshold: Double = 0.9): DataFrame = {
-    val e = signatures(withNorm(nearDupCorpus(spark, dir)))
-    val flat = e.select(col("vec_id"), col("embedding"), col("norm"),
-      explode(col("buckets")).as("bk"))
-      .select(col("vec_id"), col("embedding"), col("norm"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = flat.select(col("band"), col("key"), col("vec_id").as("q_id"),
-      col("embedding").as("q_emb"), col("norm").as("q_norm"))
-    val b = flat.select(col("band"), col("key"), col("vec_id"),
-      col("embedding"), col("norm"))
-    score(a.join(b, Seq("band", "key")).filter(col("q_id") < col("vec_id")))
+    val corpus = nearDupCorpus(spark, dir)
+    val dim = dimOf(corpus)
+    val bits = bitsForCount(corpus.count(), MaxBitsNd)
+    // localCheckpoint, not cache: the signature frame feeds the bucket
+    // pass and both scoring sides; checkpoint blocks are GC-scoped,
+    // a cache would pin in the CacheManager for the JVM's lifetime
+    // (durable `checkpoint` on a real cluster)
+    val e = signatures(withNorm(corpus, dim), dim, bits, ndBandsFor(bits))
+      .localCheckpoint(eager = true)
+    val pairs = bucketPairs(e)
+    val sa = e.select(col("vec_id").as("a"), col("embedding").as("q_emb"),
+      col("norm").as("q_norm"))
+    val sb = e.select(col("vec_id").as("b"), col("embedding"), col("norm"))
+    score(pairs.join(sa, "a").join(sb, "b"))
       .filter(col("cos") >= threshold)
-      .select(col("q_id").as("a"), col("vec_id").as("b"), col("cos"))
-      .distinct()
+      .select(col("a"), col("b"), col("cos"))
       .orderBy("a", "b")
   }
+
+  /** Capped within-bucket pair expansion over a signature frame — the
+    * `Dedup.candidatePairs` discipline verbatim: one groupBy shuffle,
+    * membership bounded by `maxBucket` BEFORE expansion (a hot bucket is
+    * dropped whole, never expanded), pairs built inside each bucket's
+    * sorted member array, then distinct across bands. Candidate volume is
+    * Σ min(bucket, cap)² — never n². */
+  private[graft] def bucketPairs(e: DataFrame,
+                                 maxBucket: Int = MaxBucket): DataFrame =
+    e.select(col("vec_id"), explode(col("buckets")).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y ->
+          |    struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
 
   // -- IVF -------------------------------------------------------------
 
   val NumLists = 16
   val NumProbes = 4
+
+  /** Fixed size of the quantizer training sample: the `SampleK` corpus
+    * vectors with the LOWEST LCG key hash — deterministic, partitioning-
+    * independent, and BOUNDED regardless of corpus size (constant across
+    * SFs, spec-asserted), unlike a proportional `% k` draw. 100 TB grows
+    * the corpus, not the k-means working set. */
+  val SampleK = 256
+
+  /** The LCG sample/init order key — key reduced mod 2³¹ first so there is
+    * no Long overflow at any vec_id (congruence:
+    * (k·c) mod m ≡ ((k mod m)·c) mod m). */
+  private def sampleHash: Column =
+    pmod(pmod(col("vec_id"), lit(2147483648L)) * 2654435761L + 99L,
+      lit(2147483648L))
 
   /** Coarse k-means quantizer as plain DataFrame aggregation, built to be
     * BIT-DETERMINISTIC so DuckDB can replay it (q_ann_ivf's oracle unrolls
@@ -163,19 +277,16 @@ object Similarity {
     *  - update: per list, members are folded in vec_id order (sorted
     *    collect, left fold, one division) — canonical-order double sums,
     *    identical on any partitioning, instead of a partition-order `avg`.
-    * Each round collects k·dim doubles — bounded, independent of corpus
-    * size. A coarse quantizer doesn't need convergence, and it never
-    * trains on the full corpus at scale — a deterministic key-derived
-    * sample is what a 100 TB IVF build clusters, which is also why the
-    * canonical-order fold (a sort of the bounded sample per round) is
-    * affordable. */
+    * The caller hands in the bounded `SampleK`-row sample, so the
+    * per-list `collect_list` buffer holds at most SampleK vectors and each
+    * round collects k·dim doubles — both independent of corpus size, which
+    * is what makes the canonical-order fold affordable. A coarse quantizer
+    * doesn't need convergence and never trains on the full corpus at
+    * scale. */
   private[operators] def kmeansCentroids(sample: DataFrame, k: Int,
                                          iters: Int): Array[Array[Double]] = {
     var cents: Array[Array[Double]] = sample
-      .withColumn("h", // key reduced mod 2³¹ first: no Long overflow at
-        // any vec_id (congruence: (k·c) mod m ≡ ((k mod m)·c) mod m)
-        pmod(pmod(col("vec_id"), lit(2147483648L)) * 2654435761L + 99L,
-          lit(2147483648L)))
+      .withColumn("h", sampleHash)
       .orderBy("h", "vec_id").limit(k)
       .select(col("embedding").cast(ArrayType(DoubleType)))
       .collect().map(_.getSeq[Double](0).toArray)
@@ -209,23 +320,34 @@ object Similarity {
     cents
   }
 
+  /** The bounded quantizer training sample: lowest-`SampleK` LCG hashes,
+    * ties broken by vec_id — a TakeOrdered (top-k) job, never a shuffle of
+    * the corpus. Public so the constant-size-across-SFs property is
+    * spec-assertable. */
+  def ivfTrainingSample(e: DataFrame): DataFrame =
+    e.withColumn("h", sampleHash)
+      .orderBy("h", "vec_id").limit(SampleK)
+      .select("vec_id", "embedding")
+
   /** IVF ANN: a k-means coarse quantizer assigns every vector to its
     * nearest centroid list; a query probes only the `NumProbes` nearest
     * lists and scores those candidates exactly. The centroids are trained
-    * once (seeded, on a 25% key-derived sample) and shipped as plan
-    * literals — the inverted-file structure is just a groupBy key, so the
-    * search is one bucketed join, the same shuffle discipline as the LSH
-    * path but data-adaptive. */
+    * once (seeded, on the bounded lowest-`SampleK`-hash sample) and
+    * shipped as plan literals — the inverted-file structure is just a
+    * groupBy key, so the search is one bucketed join, the same shuffle
+    * discipline as the LSH path but data-adaptive. */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
-    // localCheckpoint, not cache: reused by every Lloyd round AND the
-    // final search, but a cache would stay pinned in the CacheManager for
-    // the JVM's lifetime (no post-materialization hook to unpersist from);
+    // localCheckpoint, not cache: reused by the sample draw AND the final
+    // search, but a cache would stay pinned in the CacheManager for the
+    // JVM's lifetime (no post-materialization hook to unpersist from);
     // checkpoint blocks are GC-scoped — released once the result frame
     // is dropped (durable `checkpoint` on a real cluster)
-    val e = withNorm(Tables.embeddings(spark, dir)).localCheckpoint(true)
-    val centroids = kmeansCentroids(
-      e.filter(col("vec_id") % 4 === 0).select("vec_id", "embedding"),
-      NumLists, iters = 3)
+    val base = Tables.embeddings(spark, dir)
+    val e = withNorm(base, dimOf(base)).localCheckpoint(true)
+    // the bounded sample is itself checkpointed: every Lloyd round
+    // re-reads it, and SampleK rows is driver-trivial to pin
+    val samp = ivfTrainingSample(e).localCheckpoint(eager = true)
+    val centroids = kmeansCentroids(samp, NumLists, iters = 3)
     // centroids → one literal array<array<double>> column
     val cents = array(centroids.map(c => array(c.map(lit): _*)): _*)
     // squared distance to centroid c: x·x − 2x·c + c·c; x·x is constant
@@ -258,10 +380,15 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  /** LSH ANN: bucket-join queries to candidates, exact cosine on the
-    * candidate set only, top-k. */
+  /** LSH ANN: bucket-join queries to candidates at the count-derived
+    * (bits, annBands) parameterization, exact cosine on the candidate set
+    * only, top-k. Per-query candidate volume ≈ bands · TargetBucket by
+    * construction (see the parameterization algebra above). */
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = signatures(withNorm(Tables.embeddings(spark, dir)))
+    val base = Tables.embeddings(spark, dir)
+    val dim = dimOf(base)
+    val bits = bitsForCount(base.count(), MaxBitsAnn)
+    val e = signatures(withNorm(base, dim), dim, bits, annBandsFor(bits))
     val cand = e.select(col("vec_id"), col("embedding"), col("norm"),
       explode(col("buckets")).as("bk"))
       .select(col("vec_id"), col("embedding"), col("norm"),

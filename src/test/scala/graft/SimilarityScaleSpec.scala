@@ -1,0 +1,101 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The r8 scale-parameterization contract of the ANN/near-dup structures:
+  * corpus-derived banding, the bounded IVF quantizer sample, the hot-bucket
+  * cap, and data-derived embedding dimensionality. */
+class SimilarityScaleSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("bitsForCount: bit-length of n/TargetBucket, clamped per use") {
+    // n ≤ 16·TargetBucket → MinBits (the r7 operating point)
+    assert(Similarity.bitsForCount(500, Similarity.MaxBitsAnn) === 4)
+    assert(Similarity.bitsForCount(1, Similarity.MaxBitsAnn) === 4)
+    // 2000/64 = 31 → bitlen 5 (the sf0.1 corpus)
+    assert(Similarity.bitsForCount(2000, Similarity.MaxBitsAnn) === 5)
+    // growth is logarithmic: ~1e9 vectors → bitlen 24, clamped per path
+    assert(Similarity.bitsForCount(1000000000L, Similarity.MaxBitsAnn) === 8)
+    assert(Similarity.bitsForCount(1000000000L, Similarity.MaxBitsNd) === 12)
+  }
+
+  test("band tables: r7 constants at bits=4; pinned values feed the oracle") {
+    // bits=4 reproduces the r7 4×4 scheme on BOTH design points, so small
+    // corpora are bit-identical to the r7-verified outputs
+    assert(Similarity.annBandsFor(4) === 4)
+    assert(Similarity.ndBandsFor(4) === 4)
+    // the ANN table is interpolated into q_ann_lsh's oracle SQL — pin the
+    // full clamp range so any numeric drift breaks HERE, not in the oracle
+    assert((Similarity.MinBits to Similarity.MaxBitsAnn)
+      .map(Similarity.annBandsFor) === Seq(4, 7, 11, 17, 28))
+    // near-dup bands grow ~n^0.22 — web-scale-cheap (docs/SCALE.md §ANN)
+    assert((4 to 6).map(Similarity.ndBandsFor) === Seq(4, 5, 6))
+  }
+
+  test("IVF quantizer sample is SampleK rows at EVERY corpus scale") {
+    for (dir <- Seq(sf, "/root/testdata/sf0.1")) {
+      val n = Similarity
+        .ivfTrainingSample(Tables.embeddings(spark, dir)).count()
+      assert(n === Similarity.SampleK.toLong, dir)
+    }
+  }
+
+  test("hot bucket is dropped whole before pair expansion, never expanded") {
+    import spark.implicits._
+    // 40 copies of one vector (one degenerate bucket per band) + 2 planted
+    // near-identical outliers that share their own small bucket
+    val hot = (0 until 40).map(i => (i.toLong, Array.fill(8)(1.0f)))
+    val pair = Seq(
+      (100L, Array(-1.0f, -1f, -1f, -1f, -1f, -1f, -1f, -1f)),
+      (101L, Array(-1.02f, -1f, -1f, -1f, -1f, -1f, -1f, -1f)))
+    val corpus = (hot ++ pair).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val dim = Similarity.dimOf(corpus)
+    assert(dim === 8)
+    val sigs = Similarity.signatures(
+      Similarity.withNorm(corpus, dim), dim, bits = 4, bands = 4)
+    // capped: the 40-member bucket exceeds maxBucket=16 and is dropped —
+    // only the planted outlier pair survives; uncapped it would be 782
+    val capped = Similarity.bucketPairs(sigs, maxBucket = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSeq === Seq((100L, 101L)))
+    val uncapped = Similarity.bucketPairs(sigs, maxBucket = 1000).count()
+    assert(uncapped === 40L * 39 / 2 + 1)
+  }
+
+  test("non-64-dim corpus: dim probed from data, neighbors still exact") {
+    import spark.implicits._
+    // an 8-dim corpus where vec 0's nearest neighbor is 1 (cos≈1), then 2
+    val rows = Seq(
+      (0L, Array(1.0f, 2f, 3f, 4f, 5f, 6f, 7f, 8f)),
+      (1L, Array(1.01f, 2f, 3f, 4f, 5f, 6f, 7f, 8f)),
+      (2L, Array(2.0f, 2f, 3f, 4f, 5f, 6f, 7f, 8f)),
+      (3L, Array(-1.0f, -2f, -3f, -4f, -5f, -6f, -7f, -8f)))
+    val corpus = rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val dim = Similarity.dimOf(corpus)
+    assert(dim === 8)
+    val sigs = Similarity.signatures(
+      Similarity.withNorm(corpus, dim), dim, bits = 4, bands = 4)
+    assert(sigs.select("buckets").head.getSeq[Any](0).size === 4)
+    // near-identical pair (0,1) must share every band bucket
+    val pairs = Similarity.bucketPairs(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("ragged embedding fails loudly in-plan, not by silent wrong hash") {
+    import spark.implicits._
+    val ragged = Seq(
+      (0L, Array(1.0, 2, 3, 4, 5, 6, 7, 8)),
+      (1L, Array(1.0, 2, 3))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.withNorm(ragged, 8).select("norm").collect()
+    }
+    assert(ex.getMessage.contains("ragged embedding") ||
+      Option(ex.getCause).exists(_.getMessage.contains("ragged embedding")),
+      ex.getMessage)
+  }
+}
