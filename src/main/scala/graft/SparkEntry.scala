@@ -118,6 +118,9 @@ object SparkEntry {
     // real javax.sound WAV decode: RIFF/fmt header bytes + decoder-framed
     // PCM sample sums, oracle-replayed from the doc_id spec
     "q_audio_decode"      -> (Multimodal.audioDecodeQuery _),
+    // real MJPEG-style video: SOI-marker demux + per-sampled-frame ImageIO
+    // JPEG decode, closed-form pixel sums replayed from the doc_id spec
+    "q_video_frames"      -> (Multimodal.videoFramesQuery _),
     // county-cardinality geo join: 3,000 jittered quads, candidate-pruned
     // exact ray casting, full SQL replay (the reference's county scale)
     "q_geo_county"        -> (GeoJoin.countyQuery _),
@@ -1482,6 +1485,25 @@ object SparkEntry {
         |    i -> (seed + 13 * i) % 65536 - 32768)) AS BIGINT) AS sample_sum,
         |  CAST(44 + fr * ch * 2 AS BIGINT) AS n_bytes
         |FROM spec ORDER BY doc_id""".stripMargin,
+    // video decode: the MJPEG-style container is concatenated REAL JPEG
+    // frames; frames are solid gray (DC-only blocks reconstruct exactly
+    // through the lossy codec — verified for all 256 grays at every spec
+    // dim), so the demuxed frame count and each sampled frame's decoded
+    // dims/pixel sum are closed-form in doc_id
+    "q_video_frames" ->
+      s"""WITH spec AS (
+         |  SELECT doc_id, 16 + 8 * (doc_id % 3) AS w,
+         |    16 + 8 * (doc_id % 2) AS h, 4 + doc_id % 5 AS n,
+         |    (doc_id * 53 + 11) % 256 AS seed
+         |  FROM documents),
+         |f AS (SELECT doc_id, w, h, n, seed, unnest(range(0, n)) AS f
+         |      FROM spec)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_frames,
+         |  CAST(f AS BIGINT) AS frame_idx,
+         |  CAST(w AS BIGINT) AS dec_w, CAST(h AS BIGINT) AS dec_h,
+         |  CAST(w * h * ((seed + 17 * f) % 256) AS BIGINT) AS px_sum
+         |FROM f WHERE f % ${Multimodal.FrameStride} = 0
+         |ORDER BY doc_id, frame_idx""".stripMargin,
     // TF-IDF mirrors term-for-term: integer tf/df/N, one double ln both
     // sides, rank over the ROUNDED score with a term tie-break
     "q_tfidf" ->

@@ -52,7 +52,10 @@ object ToolSupport {
     "neardup" -> "nd", "distinct" -> "dist", "sessions" -> "sess",
     "importance" -> "imp", "diagnostics" -> "diag", "checkpoint" -> "ckpt",
     "decode" -> "dec", "manifest" -> "mf", "pipeline" -> "pipe",
-    "survivors" -> "surv")
+    "survivors" -> "surv", "video_" -> "vid_", "frames" -> "frs",
+    "feature_" -> "feat_", "matrix" -> "mx", "multimodal_" -> "mm_",
+    "group_" -> "grp_", "outlier_" -> "outl_", "extract" -> "ext",
+    "filter" -> "flt", "notnull" -> "nn")
 
   def benchKey(name: String): String =
     benchKeySubs.foldLeft(name.stripPrefix("q_")) {

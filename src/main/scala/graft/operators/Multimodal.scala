@@ -203,23 +203,110 @@ object Multimodal {
     })
   }
 
-  final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+  // -- video --------------------------------------------------------------
 
-  /** Frame sampling for video-shaped payloads: fixed-stride byte windows.
-    * The JDK ships no video codec (`javax.imageio` is stills-only), so the
-    * "frame" is an honest byte-window chunk of the payload, not a decoded
-    * picture; a real demuxer would replace only the windowing. One input
-    * row fans out within its partition — no shuffle. */
-  def frameSamples(assets: Dataset[Asset], stride: Int = 64): Dataset[Frame] = {
-    import assets.sparkSession.implicits._
-    assets.flatMap { a =>
-      val n = math.max(1, a.payload.length / stride)
-      (0 until n).map { i =>
-        Frame(a.doc_id, i,
-          a.payload.slice(i * stride, math.min((i + 1) * stride,
-            a.payload.length)))
+  final case class VideoAsset(doc_id: Long, payload: Array[Byte])
+  /** Real per-frame decoder output for a sampled video frame. */
+  final case class VideoFrame(doc_id: Long, n_frames: Long, frame_idx: Long,
+                              dec_w: Long, dec_h: Long, px_sum: Long)
+
+  /** Every `FrameStride`-th frame of each video is decoded (frame 0 always
+    * included) — the sampling knob of the frame-extraction operator. */
+  val FrameStride = 2
+
+  /** Deterministic per-doc video spec (w, h, frames, seed) — the single
+    * source of truth shared with the q_video_frames oracle. Dims are
+    * 8-aligned (whole JPEG MCUs); frame f is SOLID gray
+    * (seed + 17·f) mod 256. A constant 8×8 block is a DC-only DCT whose
+    * quantized coefficient reconstructs the value exactly (verified for
+    * all 256 grays at every spec dim), so the REAL lossy codec yields a
+    * closed-form pixel sum: w·h·gray(f). */
+  def videoSpec(docId: Long): (Int, Int, Int, Long) = {
+    val w = (16 + 8 * (docId % 3)).toInt
+    val h = (16 + 8 * (docId % 2)).toInt
+    val frames = (4 + docId % 5).toInt
+    val seed = (docId * 53 + 11) % 256
+    (w, h, frames, seed)
+  }
+
+  def frameGray(seed: Long, f: Int): Int = ((seed + 17L * f) % 256).toInt
+
+  /** MJPEG-style container: the payload is simply the concatenation of
+    * real JPEG frames (`ImageIO` JPEG writer) — exactly the layout of
+    * motion-JPEG streams, where a demuxer splits on JPEG markers. */
+  def encodeVideo(w: Int, h: Int, frames: Int, seed: Long): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    var f = 0
+    while (f < frames) {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      val v = frameGray(seed, f)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.getRaster.setSample(x, y, 0, v); x += 1 }
+        y += 1
       }
+      ImageIO.write(img, "jpg", bos)
+      f += 1
     }
+    bos.toByteArray
+  }
+
+  /** Generate the video asset table — real concatenated-JPEG payloads from
+    * the doc_id spec; the documents scan prunes to doc_id only. */
+  def videoAssets(spark: SparkSession, dir: String): Dataset[VideoAsset] = {
+    val spark2 = spark
+    import spark2.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h, frames, seed) = videoSpec(id)
+        VideoAsset(id, encodeVideo(w, h, frames, seed))
+      })
+  }
+
+  /** REAL frame demux + decode: split the payload at JPEG SOI markers
+    * (0xFFD8 — unambiguous in a JPEG stream: entropy-coded 0xFF bytes are
+    * stuffed as FF00, so SOI only opens a frame), decode every
+    * `stride`-th frame with `ImageIO.read` (the real lossy JPEG path:
+    * huffman decode → dequant → IDCT), and report dims + pixel sum FROM
+    * THE DECODER OUTPUT. A truncated or corrupt frame fails loudly. */
+  def decodeVideoFrames(a: VideoAsset,
+                        stride: Int = FrameStride): Seq[VideoFrame] = {
+    val p = a.payload
+    val soi = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i + 1 < p.length) {
+      if ((p(i) & 0xFF) == 0xFF && (p(i + 1) & 0xFF) == 0xD8) soi += i
+      i += 1
+    }
+    require(soi.nonEmpty, s"no JPEG frames in video payload for doc ${a.doc_id}")
+    val n = soi.length
+    (0 until n by stride).map { f =>
+      val end = if (f + 1 < n) soi(f + 1) else p.length
+      val img = ImageIO.read(
+        new ByteArrayInputStream(p, soi(f), end - soi(f)))
+      require(img != null, s"undecodable frame $f for doc ${a.doc_id}")
+      val (w, h) = (img.getWidth, img.getHeight)
+      var pxSum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { pxSum += img.getRaster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      VideoFrame(a.doc_id, n.toLong, f.toLong, w.toLong, h.toLong, pxSum)
+    }
+  }
+
+  /** q_video_frames: per-doc sampled-frame decode gate — the demuxed frame
+    * count and every sampled frame's decoded dims + pixel sum, all
+    * reconstructed by the oracle from the doc_id spec's closed forms. One
+    * input row fans out WITHIN its partition — no shuffle. */
+  def videoFramesQuery(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    videoAssets(spark, dir).flatMap(decodeVideoFrames(_)).toDF()
+      .orderBy("doc_id", "frame_idx")
   }
 
   /** q_image_decode: the per-doc byte-level decode gate. Header fields are

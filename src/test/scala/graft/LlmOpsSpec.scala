@@ -191,12 +191,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(once === again)
   }
 
-  test("multimodal frame sampling: max(1, len/stride) frames per asset") {
-    val a = Multimodal.assets(spark, sf)
-    val frames = Multimodal.frameSamples(a, stride = 64).collect()
-      .groupBy(_.doc_id).view.mapValues(_.length).toMap
-    val lens = a.collect().map(x => x.doc_id -> x.payload.length).toMap
-    assert(frames === lens.map { case (id, n) => id -> math.max(1, n / 64) })
+  test("video: real JPEG demux+decode matches the generator spec") {
+    val assets = Multimodal.videoAssets(spark, sf).collect()
+    assert(assets.nonEmpty)
+    assets.take(25).foreach { a =>
+      val (w, h, n, seed) = Multimodal.videoSpec(a.doc_id)
+      val frames = Multimodal.decodeVideoFrames(a)
+      // every FrameStride-th frame sampled, frame 0 always included
+      assert(frames.map(_.frame_idx) ===
+        (0 until n by Multimodal.FrameStride).map(_.toLong))
+      frames.foreach { fr =>
+        assert(fr.n_frames === n.toLong)
+        assert(fr.dec_w === w.toLong && fr.dec_h === h.toLong)
+        // the REAL lossy codec reconstructs solid DC-only frames exactly
+        assert(fr.px_sum ===
+          w.toLong * h * Multimodal.frameGray(seed, fr.frame_idx.toInt),
+          s"doc ${a.doc_id} frame ${fr.frame_idx}")
+      }
+      // stride 1 decodes every frame
+      assert(Multimodal.decodeVideoFrames(a, stride = 1).size === n)
+    }
+    // a payload truncated mid-frame must fail the decode loudly
+    val a0 = assets.head
+    intercept[Exception] {
+      Multimodal.decodeVideoFrames(
+        Multimodal.VideoAsset(a0.doc_id, a0.payload.take(40)))
+    }
   }
 
   test("audio decode: real javax.sound parse matches the generator spec") {
