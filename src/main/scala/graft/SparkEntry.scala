@@ -71,6 +71,10 @@ object SparkEntry {
     // ML module (SURVEY §2.9) — model outputs: rows-only driver check
     "q_ols_forecast"      -> (graft.ml.OlsPipeline.query _),
     "q_ols_metrics"       -> (graft.ml.OlsPipeline.metricsLong _),
+    // the one-hot design matrix the tree estimators consume, read back
+    // from the assembled vector — the deterministic stage around the
+    // self-gated ensembles, now oracle-hashed
+    "q_feature_matrix"    -> (graft.ml.TreePipeline.featureMatrix _),
     "q_rf_importance"     -> (graft.ml.TreePipeline.rfImportance _),
     "q_gbt_metrics"       -> (graft.ml.TreePipeline.gbtMetrics _),
     "q_cv_tuning"         -> (graft.ml.TreePipeline.cvBestParams _),
@@ -1485,6 +1489,37 @@ object SparkEntry {
         |    i -> (seed + 13 * i) % 65536 - 32768)) AS BIGINT) AS sample_sum,
         |  CAST(44 + fr * ch * 2 AS BIGINT) AS n_bytes
         |FROM spec ORDER BY doc_id""".stripMargin,
+    // the tree pipeline's one-hot design matrix, replayed end to end:
+    // same sampled dataset (label non-null, l_orderkey % 15 = 1), the
+    // LCG label, StringIndexer's documented frequencyDesc order with
+    // alphabetical tie-break as a windowed rank, OneHotEncoder
+    // dropLast=false as indicator columns plus the handleInvalid=keep
+    // __unknown slot (oh_3 — structurally zero on seen data). The Spark
+    // side emits the ASSEMBLED VECTOR's slots, so the whole feature stage
+    // is inside the hash; row multiset compare needs no key column.
+    "q_feature_matrix" ->
+      """WITH ds AS (
+        |  SELECT l_partkey % 500 AS county, l_returnflag,
+        |    l_quantity, l_discount, l_tax,
+        |    l_quantity * 3 - l_discount * 200 + l_tax * 50 +
+        |      (CAST(((l_orderkey % 1000003) * 2654435761 + 7) % 1000003
+        |            AS DOUBLE)
+        |       / 1000003.0 * 10.0 - 5.0) AS label
+        |  FROM lineitem
+        |  WHERE l_orderkey % 10 <> 0 AND l_orderkey % 15 = 1),
+        |idx AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, l_returnflag)
+        |         - 1 AS BIGINT) AS flag_idx
+        |  FROM ds GROUP BY 1)
+        |SELECT d.county, i.flag_idx, d.label,
+        |  d.l_quantity AS x_quantity, d.l_discount AS x_discount,
+        |  d.l_tax AS x_tax,
+        |  CAST(CASE WHEN i.flag_idx = 0 THEN 1 ELSE 0 END AS DOUBLE) AS oh_0,
+        |  CAST(CASE WHEN i.flag_idx = 1 THEN 1 ELSE 0 END AS DOUBLE) AS oh_1,
+        |  CAST(CASE WHEN i.flag_idx = 2 THEN 1 ELSE 0 END AS DOUBLE) AS oh_2,
+        |  CAST(0 AS DOUBLE) AS oh_3
+        |FROM ds d JOIN idx i ON d.l_returnflag = i.flag""".stripMargin,
     // video decode: the MJPEG-style container is concatenated REAL JPEG
     // frames; frames are solid gray (DC-only blocks reconstruct exactly
     // through the lossy codec — verified for all 256 grays at every spec

@@ -75,6 +75,41 @@ object TreePipeline {
     Array(idx, ohe, asm)
   }
 
+  /** M2 as an ORACLE-GATED artifact (r8): the one-hot design matrix the
+    * tree estimators consume, emitted per row straight from the assembled
+    * `features` VECTOR (vector_to_array → element_at), not from the raw
+    * columns — so the StringIndexer fit (frequencyDesc order, alphabetical
+    * tie-break: documented, SQL-replayable), the OneHotEncoder layout
+    * (dropLast=false) and the VectorAssembler slot order are all inside
+    * the DuckDB hash. This shrinks the catalog's self-gated surface to the
+    * tree ensembles themselves: the deterministic feature stage they
+    * consume — and the county key their predictions aggregate on — is now
+    * cross-engine-verified like any relational operator. */
+  def featureMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val ds = dataset(spark, dir, sampleMod = 15)
+    val prep = new Pipeline().setStages(featureStages()).fit(ds)
+    val out = prep.transform(ds)
+    val names = featureNames(out)
+    val numCols = OlsPipeline.featureCols
+    val ohSlots = names.length - numCols.size
+    // 3 return flags + the indexer's handleInvalid=keep __unknown bucket
+    // (all-zero on seen data, but part of the layout the trees consume).
+    // lineitem carries all three flags at every SF; a corpus that dropped
+    // one would silently shrink the one-hot width — fail loudly instead
+    // of hash-mismatching the static 4-slot oracle
+    require(ohSlots == 4, s"expected 4 one-hot slots, got $ohSlots " +
+      s"(vector slots: ${names.mkString(",")})")
+    val arr = org.apache.spark.ml.functions.vector_to_array(col("features"))
+    val cols = Seq(col("county"),
+      col("flag_idx").cast(org.apache.spark.sql.types.LongType).as("flag_idx"),
+      col("label")) ++
+      numCols.zipWithIndex.map { case (f, i) =>
+        element_at(arr, i + 1).as("x_" + f.stripPrefix("l_")) } ++
+      (0 until ohSlots).map(i =>
+        element_at(arr, numCols.size + i + 1).as(s"oh_$i"))
+    out.select(cols: _*)
+  }
+
   /** M11 (RandomForest) + M12: fit on the seeded 75/25 split, emit
     * gain-based feature importances top-k (04_1:330-331). */
   def rfImportance(spark: SparkSession, dir: String): DataFrame = {

@@ -7,6 +7,18 @@ import org.scalatest.funsuite.AnyFunSuite
 class MlSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("feature matrix: slots read back from the vector are unit one-hots") {
+    val rows = SparkEntry.queries("q_feature_matrix")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val oh = (0 to 3).map(i => r.getDouble(r.fieldIndex(s"oh_$i")))
+      assert(oh.sum === 1.0)               // exactly one category fires
+      assert(oh(3) === 0.0)                // __unknown never on seen data
+      // the hot slot is the indexed category
+      assert(oh(r.getLong(r.fieldIndex("flag_idx")).toInt) === 1.0)
+    }
+  }
+
   test("M1 z-scaler round-trips: inverse(transform(x)) == x") {
     val df = Tables.customer(spark, sf).select("c_custkey", "c_acctbal")
     val m = ZScaler.fit(df, Seq("c_acctbal"))

@@ -46,6 +46,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!read.contains("text") && !read.contains("lang"), read)
   }
 
+  test("video frame decode prunes the documents scan to doc_id only") {
+    val p = plan("q_video_frames")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("doc_id"), read)
+    assert(!read.contains("text") && !read.contains("lang"), read)
+  }
+
   test("geo joins: grid side broadcasts; county path joins nothing at all") {
     // the 4,320-cell grid must stay a BroadcastHashJoin (fact side never
     // shuffles for the dimension), and the county assignment must run as a

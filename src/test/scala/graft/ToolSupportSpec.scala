@@ -77,6 +77,26 @@ class ToolSupportSpec extends AnyFunSuite {
         "catalog; the driver tail window is 2000 incl. sbt epilogue")
   }
 
+  test("README test count matches the registered ScalaTest count") {
+    // the count drifted twice when hand-bumped (r6: 157→163, r7: 163→164
+    // unnoticed) — derive it from the sources instead: every suite in this
+    // package registers via AnyFunSuite's `test("...")`, one per line
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get("src/test/scala/graft")
+    val actual = java.nio.file.Files.list(dir).iterator.asScala
+      .filter(_.toString.endsWith(".scala"))
+      .map(p => new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .linesIterator.count(_.matches("""\s*test\(".*""")))
+      .sum
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    val m = """\((\d+) tests""".r.findFirstMatchIn(readme)
+    assert(m.nonEmpty, "README must state the suite size as '(N tests'")
+    assert(m.get.group(1).toInt === actual,
+      s"README claims ${m.get.group(1)} tests, suite registers $actual — " +
+        "update README.md")
+  }
+
   test("onlyFilter rejects unknown names instead of running a subset") {
     // the env var can't be set from here portably; exercise the validation
     // path by checking the full-map fallthrough and the require in
