@@ -112,7 +112,11 @@ object Multimodal {
   def assets(spark: SparkSession, dir: String): Dataset[Asset] = {
     val spark2 = spark
     import spark2.implicits._
+    // repartition the 8-byte key column before the codec pass: each row
+    // fans out into a real PNG/BMP encode, and a single-file scan of the
+    // tiny pruned column would otherwise serialize that on one core
     Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .repartition(col("doc_id"))
       .mapPartitions(_.map { id =>
         val (w, h, seed) = imageSpec(id)
         if (id % 2 == 0) Asset(id, "png", w, h, encodePng(w, h, seed))
@@ -472,6 +476,7 @@ object Multimodal {
     val spark2 = spark
     import spark2.implicits._
     Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .repartition(col("doc_id")) // see assets(): spread the codec fan-out
       .mapPartitions(_.map { id =>
         val (rate, ch, fr, seed) = audioSpec(id)
         AudioAsset(id, encodeWav(rate, ch, fr, seed))
