@@ -30,6 +30,15 @@ import graft.Tables
   */
 object Multimodal {
 
+  /** `ImageIO`'s default stream cache is DISK-backed: every
+    * `ImageIO.write`/`read` without an explicit Image*Stream creates and
+    * deletes a temp FILE — measured 3× the whole codec cost at this
+    * payload size (PNG write 157→47 µs, read 117→37 µs without it). All
+    * engine payloads are small in-memory byte arrays, so memory-cached
+    * streams are strictly better; runs in each JVM that loads this object
+    * (driver and executors alike). */
+  private val _useMemCache: Unit = ImageIO.setUseCache(false)
+
   final case class Asset(doc_id: Long, fmt: String, width: Int, height: Int,
                          payload: Array[Byte])
   /** Real decoder output: dims/bands/pixel-sum from `ImageIO.read`, plus a
