@@ -100,6 +100,8 @@ object SparkEntry {
     // packing (brief first-class; the steps between dedup and the trainer)
     "q_redact"            -> (Curation.redact _),
     "q_sample_mix"        -> (Curation.sampleMixture _),
+    // per-domain document quota via the skew-proof two-stage top-k
+    "q_domain_cap"        -> ((s, d) => Curation.domainCap(s, d)),
     "q_seq_pack"          -> ((s, d) => Curation.seqPack(s, d)),
     // eval-overlap decontamination: broadcast benchmark 8-gram set vs the
     // corpus's word_ngrams — the pre-trainer hygiene pass
@@ -1735,6 +1737,23 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT)
         |    AS kept_tokens
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    // per-domain quota: the oracle states the cap as a plain per-source
+    // rank over the LCG draw; the Spark side must reproduce it with the
+    // skew-proof two-stage selection (partial heads per input partition,
+    // then the global per-source rank over ≤ k·P survivors)
+    "q_domain_cap" ->
+      s"""WITH h AS (
+         |  SELECT source, doc_id,
+         |    ((doc_id % 1000003) * 2654435761 + 13) % 1000003 AS h
+         |  FROM documents),
+         |r AS (
+         |  SELECT source, doc_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |         ORDER BY h, doc_id) AS BIGINT) AS rank
+         |  FROM h)
+         |SELECT source, rank, doc_id FROM r
+         |WHERE rank <= ${Curation.DomainCapK}
+         |ORDER BY source, rank""".stripMargin,
     // sequence packing: the oracle states the concat-and-chunk rule as a
     // plain exclusive-prefix window; the Spark side must reproduce it with
     // its distributed two-pass prefix sum (no single-task window)

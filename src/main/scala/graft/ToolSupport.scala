@@ -55,7 +55,8 @@ object ToolSupport {
     "survivors" -> "surv", "video_" -> "vid_", "frames" -> "frs",
     "feature_" -> "feat_", "matrix" -> "mx", "multimodal_" -> "mm_",
     "group_" -> "grp_", "outlier_" -> "outl_", "extract" -> "ext",
-    "filter" -> "flt", "notnull" -> "nn")
+    "filter" -> "flt", "notnull" -> "nn", "domain_" -> "dom_",
+    "percentile" -> "pct", "forecast" -> "fc", "metrics" -> "met")
 
   def benchKey(name: String): String =
     benchKeySubs.foldLeft(name.stripPrefix("q_")) {

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -117,6 +118,42 @@ object Curation {
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("kept_tokens"))
       .orderBy("lang")
+  }
+
+  /** Per-domain document quota (web-corpus curation: no source may
+    * contribute more than `DomainCapK` documents to the mixture —
+    * over-represented domains are down-sampled, small ones kept whole).
+    * Selection within a domain is by LCG hash of doc_id (ties by doc_id):
+    * a deterministic uniform draw, independent of partitioning and scale —
+    * the same key-derivation discipline as `mixKeep`. */
+  val DomainCapK = 20
+
+  /** Skew-proof quota selection: a naive per-source row_number window
+    * sorts EVERY document of a hot domain on one reducer — at web scale a
+    * single domain can be 10⁸ docs. Instead the two-stage top-k idiom
+    * (Similarity.bruteForceTopK): per-(source, input-partition) heads
+    * first — each task emits at most k rows per source it sees — then the
+    * global per-source rank over the ≤ k·P survivors. No reducer ever
+    * sorts more than k·P rows per domain, at any skew. */
+  def domainCap(spark: SparkSession, dir: String,
+                k: Int = DomainCapK): DataFrame = {
+    val hashed = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("h",
+        pmod(pmod(col("doc_id"), lit(1000003L)) * 2654435761L + 13L,
+          lit(1000003L)))
+    val partial = hashed
+      .withColumn("part", spark_partition_id())
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source", "part").orderBy("h", "doc_id")))
+      .filter(col("rn") <= k)
+      .drop("rn", "part")
+    partial
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("source").orderBy("h", "doc_id")).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("rank"), col("doc_id"))
+      .orderBy("source", "rank")
   }
 
   // -- benchmark decontamination ------------------------------------------

@@ -179,4 +179,32 @@ class CurationSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet
     assert(again === ids)
   }
+
+  test("domain cap: every source capped at k; two-stage == single window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.Curation.domainCap(spark, sf, k = 20).collect()
+    val perSource = out.groupBy(_.getString(0)).view.mapValues(_.length)
+    // every source holds 25 docs at this SF — the cap binds everywhere
+    assert(perSource.values.forall(_ === 20), perSource.toMap)
+    assert(perSource.keys.size === 20)
+    // ranks are 1..k with no gaps
+    out.groupBy(_.getString(0)).values.foreach { rows =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq === (1L to 20L))
+    }
+    // the skew-proof two-stage selection returns EXACTLY the naive
+    // single-window result (the executable spec it optimizes)
+    val naive = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"))
+      .withColumn("h",
+        pmod(pmod(col("doc_id"), lit(1000003L)) * 2654435761L + 13L,
+          lit(1000003L)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("source").orderBy("h", "doc_id")))
+      .filter(col("rank") <= 20)
+      .select(col("source"), col("rank").cast("long"), col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out.map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSet === naive)
+  }
 }
