@@ -212,7 +212,14 @@ object Similarity {
                     threshold: Double = 0.9): DataFrame = {
     val corpus = nearDupCorpus(spark, dir)
     val dim = dimOf(corpus)
-    val bits = bitsForCount(corpus.count(), MaxBitsNd)
+    // size the banding from the BASE count (metadata-only parquet count),
+    // scaled by the planted fraction — counting the union corpus itself
+    // would evaluate the whole construction once just to pick a bucket
+    // width; any deterministic monotone proxy of the corpus size works
+    // here because bits only selects the bucket granularity (the oracle
+    // is the exhaustive ground truth, not a banding replay)
+    val n = Tables.embeddings(spark, dir).count()
+    val bits = bitsForCount(n + n / 5, MaxBitsNd)
     // localCheckpoint, not cache: the signature frame feeds the bucket
     // pass and both scoring sides; checkpoint blocks are GC-scoped,
     // a cache would pin in the CacheManager for the JVM's lifetime
