@@ -117,6 +117,8 @@ object SparkEntry {
     "q_ann_lsh"           -> (Similarity.lshTopK _),
     "q_ann_ivf"           -> (Similarity.ivfTopK _),
     "q_embed_neardup"     -> ((s, d) => Similarity.cosineNearDup(s, d)),
+    // embedding-modality survivor selection (pairs → components → keeper)
+    "q_embed_survivors"   -> (Similarity.embedSurvivors _),
     "q_multimodal_meta"   -> (Multimodal.query _),
     // per-doc byte-level decode gate: header fields parsed from actual
     // payload bytes at fixed offsets; dims/pixel sums from the real codec
@@ -481,6 +483,31 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** DuckDB exhaustive ground truth for the embedding near-dup corpus
+    * (Similarity.nearDupCorpus): base ∪ planted +1M near copies, full
+    * quadratic cosine, threshold 0.9. Ends with the `nd_pairs(a, b, cos)`
+    * CTE shared by q_embed_neardup and q_embed_survivors. The cos is the
+    * same left-to-right double accumulation on both sides (vec_dot /
+    * list_dot_product), so the rounded values match bit-for-bit. */
+  private def embedNdPrefix: String =
+    """base AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |corpus AS (
+      |  SELECT vec_id, emb FROM base
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, [emb[1] + 0.05] || emb[2:]
+      |  FROM base WHERE vec_id % 5 = 0),
+      |n AS (
+      |  SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS norm
+      |  FROM corpus),
+      |nd_pairs AS (
+      |  SELECT a, b, cos FROM (
+      |    SELECT x.vec_id AS a, y.vec_id AS b,
+      |      ROUND(list_dot_product(x.emb, y.emb) / (x.norm * y.norm), 6)
+      |        AS cos
+      |    FROM n x JOIN n y ON x.vec_id < y.vec_id)
+      |  WHERE cos >= 0.9)""".stripMargin
+
   /** DuckDB replay of the MinHash-LSH candidate pipeline
     * (Dedup.signatures → candidatePairs → Jaccard verify): planted
     * corpus, distinct word 3-shingles, ONE polynomial code-point roll per
@@ -2220,22 +2247,24 @@ object SparkEntry {
     // the same left-to-right double accumulation on both sides (vec_dot /
     // list_dot_product), so the rounded values match bit-for-bit.
     "q_embed_neardup" ->
-      """WITH base AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        |corpus AS (
-        |  SELECT vec_id, emb FROM base
-        |  UNION ALL
-        |  SELECT vec_id + 1000000, [emb[1] + 0.05] || emb[2:]
-        |  FROM base WHERE vec_id % 5 = 0),
-        |n AS (
-        |  SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS norm
-        |  FROM corpus),
-        |pairs AS (
-        |  SELECT x.vec_id AS a, y.vec_id AS b,
-        |    ROUND(list_dot_product(x.emb, y.emb) / (x.norm * y.norm), 6)
-        |      AS cos
-        |  FROM n x JOIN n y ON x.vec_id < y.vec_id)
-        |SELECT a, b, cos FROM pairs WHERE cos >= 0.9 ORDER BY a, b""".stripMargin,
+      s"""WITH $embedNdPrefix
+         |SELECT a, b, cos FROM nd_pairs ORDER BY a, b""".stripMargin,
+    // embedding survivor selection: transitive closure of the SAME
+    // exhaustive ground-truth pair set via a recursive CTE — equal
+    // results prove the banded candidates + pointer-jumping fixpoint
+    // found the true components (mirror of q_dedup_survivors).
+    "q_embed_survivors" ->
+      s"""WITH RECURSIVE $embedNdPrefix,
+         |edges AS (
+         |  SELECT a, b FROM nd_pairs UNION ALL SELECT b, a FROM nd_pairs),
+         |reach(node, label) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node),
+         |comp AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node)
+         |SELECT label AS survivor_id, COUNT(*) AS n_members,
+         |  MAX(node) AS max_member
+         |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)

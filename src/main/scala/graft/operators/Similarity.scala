@@ -256,6 +256,21 @@ object Similarity {
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
 
+  /** Survivor selection for the EMBEDDING dedup modality — the same
+    * pipeline step q_dedup_survivors verifies for the text/MinHash path:
+    * near-dup pairs → connected components (pointer-jumping, O(log d)
+    * rounds — `Dedup.connectedComponents`) → keep-first (min vec_id) per
+    * duplicate group. One row per group: survivor, size, largest member.
+    * The oracle recomputes the transitive closure of the exhaustive
+    * ground-truth pair set with a recursive CTE, so equal results prove
+    * the banded candidates + the distributed fixpoint found the true
+    * components. */
+  def embedSurvivors(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(cosineNearDup(spark, dir))
+      .groupBy(col("label").as("survivor_id"))
+      .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_member"))
+      .orderBy("survivor_id")
+
   // -- IVF -------------------------------------------------------------
 
   val NumLists = 16

@@ -86,6 +86,17 @@ class SimilarityScaleSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("embed survivors: components are real groups; planted copies merge") {
+    val out = SparkEntry.queries("q_embed_survivors")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) >= 2L)            // singletons are not groups
+      assert(r.getLong(2) > r.getLong(0))   // survivor is the group min
+    }
+    // a planted +1M near copy collapses into its original's component
+    assert(out.exists(r => r.getLong(2) === r.getLong(0) + 1000000))
+  }
+
   test("ragged embedding fails loudly in-plan, not by silent wrong hash") {
     import spark.implicits._
     val ragged = Seq(
