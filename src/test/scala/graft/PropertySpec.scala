@@ -197,6 +197,25 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("ANN parameterization: bits monotone+clamped, band tables monotone") {
+    import graft.operators.Similarity
+    check(Prop.forAll(Gen.chooseNum(1L, Long.MaxValue / 2),
+        Gen.chooseNum(1L, Long.MaxValue / 2)) { (a, b) =>
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      val mono = Similarity.bitsForCount(lo, Similarity.MaxBitsNd) <=
+        Similarity.bitsForCount(hi, Similarity.MaxBitsNd)
+      val v = Similarity.bitsForCount(a, Similarity.MaxBitsAnn)
+      mono && v >= Similarity.MinBits && v <= Similarity.MaxBitsAnn
+    })
+    // narrower buckets (more bits) always need at least as many bands to
+    // hold the design recall — a non-monotone table would mean the
+    // recall algebra (docs/SCALE.md §ANN) was mis-derived
+    assert((Similarity.MinBits until Similarity.MaxBitsAnn)
+      .forall(b => Similarity.annBandsFor(b) <= Similarity.annBandsFor(b + 1)))
+    assert((Similarity.MinBits until Similarity.MaxBitsNd)
+      .forall(b => Similarity.ndBandsFor(b) <= Similarity.ndBandsFor(b + 1)))
+  }
+
   test("repeat_stats matches a split/group reference for any string") {
     def ref(s: String): Seq[Long] = {
       val toks = s.split(" ", -1).toSeq
