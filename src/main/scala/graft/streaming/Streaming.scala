@@ -301,17 +301,17 @@ object Streaming {
     landing.toString
   }
 
-  /** readStream over the staged events parquet with `ts` rebuilt from its
-    * TIMESTAMP(NANOS) physical long — the ONE copy of the source wiring
-    * every streaming run shares (a change to the nanos handling or the
-    * landing staging must happen here, nowhere else). */
+  /** readStream over the staged events parquet with `ts` normalized via
+    * `Tables.withEventTs` (nanos-long or timestamp[us] physical type) —
+    * the ONE copy of the source wiring every streaming run shares (a
+    * change to the ts handling or the landing staging must happen here,
+    * nowhere else). */
   private def eventsStream(spark: org.apache.spark.sql.SparkSession,
                            dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema)
-      .parquet(stageLanding(dir))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.withEventTs(
+      spark.readStream.schema(schema).parquet(stageLanding(dir)))
   }
 
   /** Stage the events table as `n` TIME-RANGE-SPLIT parquet files with
@@ -322,14 +322,20 @@ object Streaming {
     * shape a continuous deployment actually sees. */
   private def stageLandingSplit(spark: org.apache.spark.sql.SparkSession,
                                 dir: String, n: Int): String = {
+    // Key the cached staging by the source's physical ts type so a staged
+    // copy from a prior testdata generation (epoch-nanos long vs
+    // timestamp[us]) can never be replayed against a mismatched schema.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsTag = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType.typeName.replaceAll("[^a-z]", "")
     val landing = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      s"graft_stream_split${n}_" + graft.sources.CsvIO.pathKey(dir))
+      s"graft_stream_split${n}_${tsTag}_" + graft.sources.CsvIO.pathKey(dir))
     val done = landing.resolve("_SPLIT_DONE")
     if (!java.nio.file.Files.exists(done)) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/events.parquet")
-        .repartitionByRange(n, col("ts")) // ts is the physical nanos long
+        .repartitionByRange(n, col("ts")) // physical ts: long or timestamp
         .write.mode("overwrite").parquet(landing.toString)
       import scala.jdk.CollectionConverters._
       val parts = java.nio.file.Files.list(landing).iterator().asScala
@@ -351,10 +357,10 @@ object Streaming {
                                 dir: String, n: Int): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(stageLandingSplit(spark, dir, n))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.withEventTs(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stageLandingSplit(spark, dir, n)))
   }
 
   /** Data micro-batch count of the last `runToMemory` run — exposed so
