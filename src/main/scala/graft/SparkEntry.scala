@@ -90,6 +90,9 @@ object SparkEntry {
     // the production dedup workload: a new batch classified against the
     // indexed history (exact hash hit → cross-set LSH → Jaccard verify)
     "q_incr_dedup"        -> (Dedup.incrementalDedup _),
+    // bloom-prefiltered ingest dedup: history sketch probe classifies the
+    // non-dup majority with zero shuffle; only "maybe" rows join
+    "q_bloom_dedup"       -> (Dedup.bloomDedup _),
     // LLM-pipeline text analysis / similarity / multimodal (brief first-class)
     "q_lang_id"           -> (TextAnalysis.langId _),
     "q_quality"           -> (TextAnalysis.quality _),
@@ -103,6 +106,8 @@ object SparkEntry {
     // per-domain document quota via the skew-proof two-stage top-k
     "q_domain_cap"        -> ((s, d) => Curation.domainCap(s, d)),
     "q_seq_pack"          -> ((s, d) => Curation.seqPack(s, d)),
+    // overlapping context-window chunking (long doc → training samples)
+    "q_chunk_windows"     -> (Curation.chunkWindows _),
     // eval-overlap decontamination: broadcast benchmark 8-gram set vs the
     // corpus's word_ngrams — the pre-trainer hygiene pass
     "q_decontam"          -> (Curation.decontaminate _),
@@ -137,6 +142,8 @@ object SparkEntry {
     // JSONL (the LLM-corpus interchange format): declared-schema scan,
     // DROPMALFORMED corrupt lines, lossless text round-trip
     "q_jsonl_roundtrip"   -> (graft.sources.JsonIO.jsonlRoundTrip _),
+    // ORC sink/source (the Hive-era columnar interchange format)
+    "q_orc_roundtrip"     -> (graft.sources.CsvIO.orcRoundTrip _),
     "q_checkpoint_prune"  -> (graft.sources.CsvIO.checkpointPrune _),
     "q_bucketed_join"     -> ((s, d) => graft.sources.CsvIO.bucketedJoin(s, d)),
     // hot-key salted join (100 TB skew discipline; result == plain join)
@@ -1228,6 +1235,44 @@ object SparkEntry {
         |  CAST(SUM(length(text)) AS BIGINT) AS sum_text_chars,
         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
         |FROM documents""".stripMargin,
+    // ORC round-trip: equality against the same profile computed from the
+    // original parquet proves the ORC write+read lossless
+    "q_orc_roundtrip" ->
+      """SELECT COUNT(*) AS rows, COUNT(DISTINCT l_orderkey) AS keys,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS sum_qty_cents,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS sum_price_cents,
+        |  MIN(l_returnflag) AS min_flag, MAX(l_returnflag) AS max_flag
+        |FROM lineitem""".stripMargin,
+    // context-window chunking: the chunk count, window slices, and md5
+    // fingerprints are replayed exactly (list slicing is 1-based inclusive
+    // on both engines; `//`+`div` are both exact integer ceil-div)
+    "q_chunk_windows" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' ')
+         |      AS toks
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, toks,
+         |    CAST(CASE WHEN len(toks) <= ${Curation.ChunkWin} THEN 1
+         |      ELSE (len(toks) - ${Curation.ChunkWin} +
+         |            ${Curation.ChunkStride} - 1) // ${Curation.ChunkStride}
+         |           + 1 END AS BIGINT) AS nc
+         |  FROM t),
+         |x AS (
+         |  SELECT doc_id, unnest(range(nc)) AS chunk_id, toks
+         |  FROM c)
+         |SELECT doc_id, chunk_id,
+         |  CAST(len(toks[chunk_id * ${Curation.ChunkStride} + 1 :
+         |        chunk_id * ${Curation.ChunkStride} + ${Curation.ChunkWin}])
+         |    AS BIGINT) AS n_tok,
+         |  md5(array_to_string(
+         |    toks[chunk_id * ${Curation.ChunkStride} + 1 :
+         |         chunk_id * ${Curation.ChunkStride} + ${Curation.ChunkWin}],
+         |    ' ')) AS chunk_md5
+         |FROM x ORDER BY doc_id, chunk_id""".stripMargin,
     "q_window_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
         |    AS hour_start,
@@ -2139,6 +2184,24 @@ object SparkEntry {
          |SELECT doc_id, 'new', CAST(NULL AS BIGINT) FROM rest
          |WHERE doc_id NOT IN (SELECT doc_id FROM near)
          |ORDER BY doc_id""".stripMargin,
+    // bloom prefilter dedup: the bloom sketch is pure pruning — the final
+    // classification is decided by the exact md5 confirm join, so the
+    // oracle is the plain hash-join statement of the same classification
+    "q_bloom_dedup" ->
+      """WITH hh AS (SELECT md5(text) AS h, MIN(doc_id) AS hid
+        |            FROM documents GROUP BY 1),
+        |batch AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, reverse(text) FROM documents
+        |  WHERE doc_id % 6 = 0)
+        |SELECT b.doc_id,
+        |  CASE WHEN hh.hid IS NULL THEN 'new' ELSE 'exact_dup' END
+        |    AS status,
+        |  hh.hid AS matched_id
+        |FROM batch b LEFT JOIN hh ON md5(b.text) = hh.h
+        |ORDER BY b.doc_id""".stripMargin,
     // per-source merged signatures: the oracle replays the per-document
     // signature pipeline (same math as minhashPrefix, over the raw
     // documents table with source carried), folds each source's

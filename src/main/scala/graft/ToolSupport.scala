@@ -56,7 +56,13 @@ object ToolSupport {
     "feature_" -> "feat_", "matrix" -> "mx", "multimodal_" -> "mm_",
     "group_" -> "grp_", "outlier_" -> "outl_", "extract" -> "ext",
     "filter" -> "flt", "notnull" -> "nn", "domain_" -> "dom_",
-    "percentile" -> "pct", "forecast" -> "fc", "metrics" -> "met")
+    "percentile" -> "pct", "forecast" -> "fc", "metrics" -> "met",
+    // r8 widening (106-entry catalog): keep the 95-entry wire model
+    // under the driver's 2000-char tail window with headroom
+    "join" -> "jn", "dedup" -> "dd", "mean_having" -> "mh",
+    "tumbling" -> "tumb", "rollup" -> "rup", "windows" -> "win",
+    "fingerprint" -> "fp", "repetition" -> "rep", "histogram" -> "hist",
+    "select_" -> "sel_", "region_" -> "reg_")
 
   def benchKey(name: String): String =
     benchKeySubs.foldLeft(name.stripPrefix("q_")) {

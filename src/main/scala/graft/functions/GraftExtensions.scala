@@ -61,5 +61,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("repeat_stats"),
       RepeatStats.info,
       cs => { val c = arity(1, "repeat_stats")(cs); RepeatStats(c(0)) }))
+    // Spark's internal runtime-filter bloom sketch, exposed as SQL
+    // functions so the dedup prefilter (operators.Dedup.bloomDedup) can
+    // build/probe it explicitly: graft_bloom_agg(xxhash64(key), est_items)
+    // aggregates a binary bloom filter; graft_might_contain(bloom, hash)
+    // probes it. Both are codegen'd catalyst expressions, not UDFs.
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate].getName, "graft_bloom_agg"),
+      cs => { val c = arity(2, "graft_bloom_agg")(cs)
+              new org.apache.spark.sql.catalyst.expressions.aggregate
+                .BloomFilterAggregate(c(0), c(1)) }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain].getName, "graft_might_contain"),
+      cs => { val c = arity(2, "graft_might_contain")(cs)
+              org.apache.spark.sql.catalyst.expressions
+                .BloomFilterMightContain(c(0), c(1)) }))
   }
 }

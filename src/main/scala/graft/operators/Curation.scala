@@ -156,6 +156,47 @@ object Curation {
       .orderBy("source", "rank")
   }
 
+  // -- context-window chunking --------------------------------------------
+
+  /** Chunk window (tokens) and stride; overlap = ChunkWin - ChunkStride.
+    * A long-context trainer picks these per tokenizer/context length; the
+    * arithmetic below is parameter-independent. */
+  val ChunkWin = 64
+  val ChunkStride = 48
+
+  /** Overlapping context-window chunking: split each document into
+    * whitespace tokens and emit one row per `ChunkWin`-token window at
+    * `ChunkStride` spacing — the standard long-document → training-sample
+    * expansion (overlap keeps boundary context in at least one chunk).
+    * Chunk count is exact integer arithmetic
+    * (`(n - win + stride - 1) div stride + 1`, min 1), windows come from
+    * `sequence`+`slice` on the one tokens array, and each chunk is emitted
+    * as (n_tok, md5) — narrow, exact, and DuckDB-replayable.
+    *
+    * Scale shape: a pure per-row projection + explode — no shuffle, no
+    * state; output rows ≈ input tokens / stride regardless of document
+    * length skew. A 10⁶-token outlier document becomes ~2·10⁴ rows on its
+    * own partition, never a hot key. */
+  def chunkWindows(spark: SparkSession, dir: String): DataFrame = {
+    val stride = lit(ChunkStride)
+    // exact integer ceil-div (SQL `div`, not `/` — Column./ is double)
+    val nChunks = when(size(col("toks")) <= ChunkWin, lit(1L))
+      .otherwise(expr(
+        s"(size(toks) - $ChunkWin + $ChunkStride - 1) div $ChunkStride") +
+        lit(1L))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L), nChunks.cast(LongType) - 1)))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("toks"), (col("chunk_id") * stride + 1).cast(IntegerType),
+          lit(ChunkWin)).as("w"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("w")).cast(LongType).as("n_tok"),
+        md5(concat_ws(" ", col("w"))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   // -- benchmark decontamination ------------------------------------------
 
   /** Word-n-gram size for eval-overlap matching (the PaLM-style unit: a

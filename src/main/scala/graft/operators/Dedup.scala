@@ -343,6 +343,67 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // -- bloom-filter ingest prefilter --------------------------------------
+
+  /** Estimated item count for the history bloom sketch. At this estimate
+    * Spark sizes the filter for ~3% false positives (~1.2 MB serialized);
+    * in production it is the indexed history's row count from the index
+    * metadata, and the sketch grows at ~1.2 bytes/doc — 1B docs ≈ 1.2 GB,
+    * a broadcast-sized structure maintained incrementally, never rebuilt
+    * per batch. */
+  val BloomEstItems: Long = 1L << 21
+
+  /** Bloom-prefiltered incremental exact dedup — the 100 TB fast path for
+    * ingest-vs-history dedup. A plain anti-join shuffles the ENTIRE batch
+    * against the history hash index every ingest; but in a healthy crawl
+    * most batch rows are genuinely new, so almost all of that shuffle is
+    * wasted motion. Instead: aggregate the history's content hashes into
+    * one bloom sketch (`graft_bloom_agg`, Spark's runtime-filter bloom as
+    * an explicit aggregate), then probe it with a codegen'd
+    * `graft_might_contain` scan over the batch. Bloom "no" is definitive —
+    * those rows are classified `new` with NO join at all; only the bloom
+    * "maybe" sliver (true dups + ~3% false positives) enters the exact
+    * md5 confirm join, whose verdict — not the bloom's — decides the
+    * final status. Shuffle volume is therefore proportional to the
+    * DUPLICATE count, not the batch size, and the result is exact: the
+    * oracle replays the whole classification as a plain hash join.
+    *
+    * Batch planting: +1M = exact copies of doc_id%4==0 (bloom hits,
+    * confirmed dup), +3M = reversed text of doc_id%6==0 (bloom misses bar
+    * FP noise, classified new either way).
+    *
+    * (Reference analogue: the eager merge-then-filter of repeated loads,
+    * 01_DataMerge.R:97-118 — re-expressed as an index probe.) */
+  def bloomDedup(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.documents(spark, dir).select("doc_id", "text")
+    val batch = hist.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      .unionByName(hist.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          reverse(col("text")).as("text")))
+    // Bounded-sketch collect (same class as centroids/quantiles): one
+    // ~1.2 MB binary row, independent of corpus size at fixed estimate.
+    val bloom = hist
+      .agg(expr(s"graft_bloom_agg(xxhash64(text), ${BloomEstItems}L)")
+        .as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val probed = batch.withColumn("maybe",
+      call_function("graft_might_contain", lit(bloom), xxhash64(col("text"))))
+    val definiteNew = probed.filter(!col("maybe"))
+      .select(col("doc_id"), lit("new").as("status"),
+        lit(null).cast(LongType).as("matched_id"))
+    val histIdx = hist.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("hid"))
+    val confirmed = probed.filter(col("maybe"))
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .join(histIdx, Seq("h"), "left")
+      .select(col("doc_id"),
+        when(col("hid").isNull, lit("new")).otherwise(lit("exact_dup"))
+          .as("status"),
+        col("hid").as("matched_id"))
+    definiteNew.unionByName(confirmed).orderBy("doc_id")
+  }
+
   // -- group-level signatures (mergeable sketch aggregation) --------------
 
   /** Cross-source similarity from MERGED MinHash signatures: per-document

@@ -166,4 +166,28 @@ object CsvIO {
         min(col("c_name")).as("min_name"),
         max(col("c_mktsegment")).as("max_segment"))
   }
+
+  /** S3/S4 alternate columnar format: ORC sink + source (Spark-native,
+    * predicate-pushdown- and column-pruning-capable like parquet — the
+    * interchange format half the Hive-era lakes still speak). The
+    * write→read→profile must reproduce the source table's profile
+    * exactly; the oracle computes the same profile from the original
+    * parquet, so the ORC round-trip is proven lossless for longs,
+    * decimals-in-double, and strings. */
+  def orcRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val src = graft.Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+    val path = scratch("orc_roundtrip", dir)
+    src.write.mode("overwrite").orc(path)
+    spark.read.orc(path)
+      .agg(
+        count(lit(1)).as("rows"),
+        countDistinct(col("l_orderkey")).as("keys"),
+        (sum(col("l_quantity").cast(DecimalType(18, 2))) * 100)
+          .cast(LongType).as("sum_qty_cents"),
+        (sum(col("l_extendedprice").cast(DecimalType(18, 2))) * 100)
+          .cast(LongType).as("sum_price_cents"),
+        min(col("l_returnflag")).as("min_flag"),
+        max(col("l_returnflag")).as("max_flag"))
+  }
 }

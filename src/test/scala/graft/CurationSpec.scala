@@ -207,4 +207,30 @@ class CurationSpec extends AnyFunSuite {
     assert(out.map(r =>
       (r.getString(0), r.getLong(1), r.getLong(2))).toSet === naive)
   }
+
+  test("chunk windows: count, widths, and coverage match the closed form") {
+    import graft.operators.Curation.{ChunkStride, ChunkWin}
+    val out = SparkEntry.queries("q_chunk_windows")(spark, sf).collect()
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), "\\s+")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet === toks.keySet) // every document chunked
+    byDoc.foreach { case (id, chunks) =>
+      val n = toks(id)
+      val expected =
+        if (n <= ChunkWin) 1 else (n - ChunkWin + ChunkStride - 1) / ChunkStride + 1
+      assert(chunks.length === expected, s"doc $id: n=$n")
+      val sorted = chunks.sortBy(_.getAs[Long]("chunk_id"))
+      assert(sorted.map(_.getAs[Long]("chunk_id")).toSeq ===
+        (0L until expected.toLong))
+      // all chunks full-width except possibly the last, and the strided
+      // windows exactly cover the token sequence
+      sorted.init.foreach(c => assert(c.getAs[Long]("n_tok") === ChunkWin))
+      val last = sorted.last.getAs[Long]("n_tok")
+      assert(last >= 1 && last <= ChunkWin)
+      assert((expected - 1).toLong * ChunkStride + last === n,
+        s"doc $id: n=$n coverage gap")
+    }
+  }
 }

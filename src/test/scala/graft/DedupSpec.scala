@@ -205,4 +205,30 @@ class DedupSpec extends AnyFunSuite {
     assert(hit.toDouble / nearIds.length > 0.8,
       s"simhash recall ${hit.toDouble / nearIds.length}")
   }
+
+  test("bloom prefilter dedup: exact classification, one join in the plan") {
+    val df = SparkEntry.queries("q_bloom_dedup")(spark, sf)
+    val rows = df.collect()
+    val d = Tables.documents(spark, sf)
+    val nCopies = d.filter(col("doc_id") % 4 === 0).count()
+    // every +1M planted exact copy is confirmed against its original
+    val dups = rows.filter(_.getAs[String]("status") == "exact_dup")
+    assert(dups.count(r => r.getAs[Long]("doc_id") >= 1000000L &&
+      r.getAs[Long]("doc_id") < 2000000L) === nCopies)
+    dups.foreach(r => assert(!r.isNullAt(r.fieldIndex("matched_id"))))
+    // reversed-text rows are new (bloom FPs must be corrected by the
+    // confirm join, so none of them may surface as dup)
+    val fresh = rows.filter(_.getAs[Long]("doc_id") >= 3000000L)
+    assert(fresh.nonEmpty)
+    assert(fresh.forall(_.getAs[String]("status") == "new"))
+    // plan shape: the probe is a codegen'd might_contain scan, and ONLY
+    // the bloom-maybe branch joins — exactly one join in the whole plan
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0) // AQE prints the pre-adaptive plan too
+    assert(p.contains("might_contain"), p.take(2000))
+    val joins = p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin") ||
+        l.contains("ShuffledHashJoin"))
+    assert(joins === 1, s"expected 1 join (maybe-branch only), got $joins")
+  }
 }
