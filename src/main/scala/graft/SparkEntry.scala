@@ -99,12 +99,17 @@ object SparkEntry {
     "q_token_count"       -> (TextAnalysis.tokenCount _),
     "q_fingerprint"       -> (TextAnalysis.fingerprint _),
     "q_tfidf"             -> ((s, d) => TextAnalysis.tfidf(s, d)),
+    // inverted-index build: df + capped postings via two-stage top-k
+    "q_inverted_index"    -> ((s, d) => TextAnalysis.invertedIndex(s, d)),
     // corpus curation: PII redaction, pretraining-mix sampling, sequence
     // packing (brief first-class; the steps between dedup and the trainer)
     "q_redact"            -> (Curation.redact _),
     "q_sample_mix"        -> (Curation.sampleMixture _),
     // per-domain document quota via the skew-proof two-stage top-k
     "q_domain_cap"        -> ((s, d) => Curation.domainCap(s, d)),
+    // α=1/2 temperature-rebalanced mixture (sqrt is correctly rounded →
+    // the rate derivation is cross-engine exact)
+    "q_temp_mix"          -> (Curation.temperatureMix _),
     "q_seq_pack"          -> ((s, d) => Curation.seqPack(s, d)),
     // overlapping context-window chunking (long doc → training samples)
     "q_chunk_windows"     -> (Curation.chunkWindows _),
@@ -1640,6 +1645,54 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, rank, term, tfidf
         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // inverted index: the oracle states the capped posting selection as a
+    // plain per-term rank; the Spark side must reproduce it with the
+    // skew-proof two-stage top-k (no full posting list ever sorted)
+    "q_inverted_index" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(string_split(regexp_replace(lower(text), '\\s+', ' ',
+         |           'g'), ' ')) AS term
+         |  FROM documents),
+         |filt AS (
+         |  SELECT doc_id, term FROM toks
+         |  WHERE length(term) > 0 AND term NOT IN
+         |    ('the','a','of','and','to','in','is','it','that','on')),
+         |tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM filt GROUP BY 1, 2),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+         |          HAVING COUNT(*) >= ${TextAnalysis.IndexMinDf}),
+         |ranked AS (
+         |  SELECT t.term, d.df, t.doc_id, t.tf,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY t.term
+         |         ORDER BY t.tf DESC, t.doc_id) AS BIGINT) AS rank
+         |  FROM tf t JOIN dfreq d USING (term))
+         |SELECT term, df, rank, doc_id, tf
+         |FROM ranked WHERE rank <= ${TextAnalysis.IndexTopK}
+         |ORDER BY term, rank""".stripMargin,
+    // temperature mix: sqrt (unlike pow) is IEEE-correctly-rounded, so the
+    // whole rate derivation — floor(1000·T·√n/(Σ√n·n)) — is bit-exact in
+    // both engines; the keep decision is the q_sample_mix LCG replay
+    "q_temp_mix" ->
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+         |s AS (SELECT SUM(sqrt(n)) AS ssum, SUM(n) AS ntot FROM c),
+         |r AS (
+         |  SELECT lang, n, LEAST(1000, CAST(FLOOR(1000.0 *
+         |    FLOOR(ntot * ${Curation.TempTargetPermille / 1000.0}) *
+         |    sqrt(n) / (ssum * n)) AS BIGINT)) AS rate_permille
+         |  FROM c, s),
+         |d AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)
+         |      AS n_tok,
+         |    ((doc_id % 1000003) * 2654435761 + 7) % 1000003 % 1000 AS draw
+         |  FROM documents)
+         |SELECT d.lang, COUNT(*) AS n_docs, r.rate_permille,
+         |  CAST(SUM(CASE WHEN draw < r.rate_permille THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN draw < r.rate_permille THEN n_tok ELSE 0 END)
+         |    AS BIGINT) AS kept_tokens
+         |FROM d JOIN r USING (lang)
+         |GROUP BY d.lang, r.rate_permille ORDER BY d.lang""".stripMargin,
     // lang-ID is exact SQL: stopword counts are integers, the score division
     // is the same double op both sides, and the argmax tie-break (max score,
     // then max lang) mirrors Spark's greatest() over (score, lang) structs

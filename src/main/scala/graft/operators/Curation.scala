@@ -156,6 +156,54 @@ object Curation {
       .orderBy("source", "rank")
   }
 
+  // -- temperature-rebalanced mixture -------------------------------------
+
+  /** Target kept volume for the temperature mix, as a permille of the
+    * corpus. */
+  val TempTargetPermille = 400
+
+  /** Temperature-rebalanced mixture sampling (the multilingual-pretraining
+    * rebalancing step: raw proportions p_l are flattened to p_l^α so
+    * low-resource languages are up-weighted). α = 1/2 exactly, computed
+    * with `sqrt` — unlike `pow`, IEEE 754 requires sqrt to be CORRECTLY
+    * ROUNDED, so the weights are bit-identical in any engine and the whole
+    * rate derivation stays oracle-exact (the one transcendental the
+    * cross-engine gate can trust). Per-language keep rate:
+    * min(1000, floor(1000 · T · w_l / n_l)) permille, where
+    * w_l = sqrt(n_l)/Σ_j sqrt(n_j) and T = floor(N · target/1000) docs;
+    * the per-document decision is the same key-derived LCG as `mixKeep`.
+    *
+    * Scale shape: one tiny per-language count aggregate (map-side partial,
+    * ~|langs| rows) broadcast back onto the scan; the decision pass is a
+    * narrow projection. Two scans of the corpus (stats, then decisions) —
+    * at 100 TB the stats pass reads one dictionary-encoded column and in
+    * production is a maintained table, not recomputed per run. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+    val totals = counts.agg(
+      sum(sqrt(col("n"))).as("ssum"), sum(col("n")).as("ntot"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .withColumn("rate_permille",
+        least(lit(1000L),
+          floor(lit(1000.0) *
+            floor(col("ntot") * (TempTargetPermille / 1000.0)) *
+            sqrt(col("n")) / (col("ssum") * col("n")))))
+      .select(col("lang"), col("rate_permille"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), "\\s+")).cast(LongType).as("n_tok"))
+      .join(broadcast(rates), "lang")
+      .withColumn("keep", mixKeep(col("doc_id"), col("rate_permille")))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        first(col("rate_permille")).as("rate_permille"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("kept_tokens"))
+      .orderBy("lang")
+  }
+
   // -- context-window chunking --------------------------------------------
 
   /** Chunk window (tokens) and stride; overlap = ChunkWin - ChunkStride.

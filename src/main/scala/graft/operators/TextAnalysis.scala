@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -161,6 +162,48 @@ object TextAnalysis {
       .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("rank"),
         col("col.term").as("term"), col("col.tfidf").as("tfidf"))
       .orderBy("doc_id", "rank")
+  }
+
+  /** Posting-list cap and minimum document frequency for the inverted
+    * index — k bounds per-term output, MinDf drops the hapax tail (the
+    * bulk of any vocabulary) from the index. */
+  val IndexTopK = 5
+  val IndexMinDf = 3
+
+  /** Inverted index build (retrieval infra over the corpus): term →
+    * document frequency + the top-k postings by term frequency (ties by
+    * doc_id). One row per (term, rank).
+    *
+    * Scale shape: the killer at web scale is the posting list of a hot
+    * term ("the" appears in ~every document), so the top-k selection is
+    * the same two-stage idiom as `Curation.domainCap`: per-(term,
+    * input-partition) heads straight off the (term, doc_id) aggregate —
+    * each task emits ≤ k rows per term it holds — then the global
+    * per-term rank over the ≤ k·P survivors. No reducer ever sorts a full
+    * posting list. Document frequency is a count-only aggregate
+    * (map-side partial, never materializes postings). */
+  def invertedIndex(spark: SparkSession, dir: String,
+                    k: Int = IndexTopK): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokensCol).as("term"))
+      .filter(length(col("term")) > 0 && !col("term").isin(stopwords: _*))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= IndexMinDf)
+    val partial = tf
+      .withColumn("part", spark_partition_id())
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("term", "part")
+          .orderBy(col("tf").desc, col("doc_id"))))
+      .filter(col("rn") <= k).drop("rn", "part")
+    partial
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("term").orderBy(col("tf").desc, col("doc_id")))
+        .cast(LongType))
+      .filter(col("rank") <= k)
+      .join(dfreq, "term")
+      .select(col("term"), col("df"), col("rank"), col("doc_id"), col("tf"))
+      .orderBy("term", "rank")
   }
 
   /** Repetition / boilerplate metrics — the Gopher-style quality-filter

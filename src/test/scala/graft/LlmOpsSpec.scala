@@ -341,4 +341,58 @@ class LlmOpsSpec extends AnyFunSuite {
     }
     assert(expected.subsetOf(rows.map(_.getLong(0)).toSet))
   }
+
+  test("inverted index: two-stage top-k == naive per-term window") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.TextAnalysis.{IndexMinDf, IndexTopK, stopwords}
+    val out = SparkEntry.queries("q_inverted_index")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(out.nonEmpty)
+    // executable spec: plain single-window rank over full posting lists
+    val tf = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(
+        regexp_replace(lower(col("text")), "\\s+", " "), " ")).as("term"))
+      .filter(length(col("term")) > 0 && !col("term").isin(stopwords: _*))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= IndexMinDf)
+    val naive = tf.join(dfreq, "term")
+      .withColumn("rank", row_number().over(Window.partitionBy("term")
+        .orderBy(col("tf").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= IndexTopK)
+      .select("term", "df", "rank", "doc_id", "tf").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(out === naive)
+    // every surviving term's df really is >= MinDf and ranks are 1..k dense
+    out.groupBy(_._1).foreach { case (term, rows) =>
+      assert(rows.forall(_._2 >= IndexMinDf))
+      assert(rows.map(_._3).toSeq.sorted ===
+        (1L to math.min(IndexTopK.toLong, rows.head._2)))
+    }
+  }
+
+  test("temperature mix: α=1/2 flattens rates toward low-resource langs") {
+    val rows = SparkEntry.queries("q_temp_mix")(spark, sf).collect()
+    assert(rows.length >= 2)
+    val byN = rows.sortBy(_.getAs[Long]("n_docs"))
+    // smaller languages must get a keep-rate at least as high as bigger
+    // ones (that is what temperature flattening IS)
+    byN.sliding(2).foreach { case Array(small, big) =>
+      assert(small.getAs[Long]("rate_permille") >=
+        big.getAs[Long]("rate_permille"),
+        s"${small.getString(0)} vs ${big.getString(0)}")
+      case _ => ()
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("rate_permille") <= 1000L)
+    }
+    // kept volume lands near the target: rates are floored permille of a
+    // per-lang LCG draw, so allow generous slack around 40%
+    val total = rows.map(_.getAs[Long]("n_docs")).sum.toDouble
+    val kept = rows.map(_.getAs[Long]("n_kept")).sum.toDouble
+    assert(kept / total > 0.25 && kept / total < 0.55, kept / total)
+  }
 }
