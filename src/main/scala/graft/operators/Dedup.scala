@@ -345,13 +345,17 @@ object Dedup {
 
   // -- bloom-filter ingest prefilter --------------------------------------
 
-  /** Estimated item count for the history bloom sketch. At this estimate
-    * Spark sizes the filter for ~3% false positives (~1.2 MB serialized);
-    * in production it is the indexed history's row count from the index
-    * metadata, and the sketch grows at ~1.2 bytes/doc — 1B docs ≈ 1.2 GB,
-    * a broadcast-sized structure maintained incrementally, never rebuilt
-    * per batch. */
-  val BloomEstItems: Long = 1L << 21
+  /** Floor for the history bloom sketch's item estimate (guards tiny
+    * corpora from degenerate sizing). The real estimate is the history's
+    * row count — a parquet-metadata-only count job here, the index's
+    * maintained row count in production. Sizing from the actual count
+    * matters twice: a fixed large estimate makes EVERY partial-aggregation
+    * task zero and merge a megabyte-scale buffer (pure overhead on small
+    * histories), and an under-estimate blows the FP rate at scale. At
+    * Spark's default 3% FPP the sketch grows at ~7.3 bits/doc — 1B docs
+    * ≈ 0.9 GB, a broadcast-sized structure maintained incrementally,
+    * never rebuilt per batch. */
+  val BloomMinEstItems: Long = 1024L
 
   /** Bloom-prefiltered incremental exact dedup — the 100 TB fast path for
     * ingest-vs-history dedup. A plain anti-join shuffles the ENTIRE batch
@@ -382,9 +386,10 @@ object Dedup {
         .select((col("doc_id") + 3000000).as("doc_id"),
           reverse(col("text")).as("text")))
     // Bounded-sketch collect (same class as centroids/quantiles): one
-    // ~1.2 MB binary row, independent of corpus size at fixed estimate.
+    // count-sized binary row (~1 byte/history doc at 3% FPP).
+    val estItems = math.max(hist.count(), BloomMinEstItems)
     val bloom = hist
-      .agg(expr(s"graft_bloom_agg(xxhash64(text), ${BloomEstItems}L)")
+      .agg(expr(s"graft_bloom_agg(xxhash64(text), ${estItems}L)")
         .as("bf"))
       .head().getAs[Array[Byte]]("bf")
     val probed = batch.withColumn("maybe",
