@@ -123,6 +123,11 @@ object SparkEntry {
     "q_curate_chain"      -> (Curation.curateChain _),
     // key-derived shard assignment + per-shard write manifest
     "q_shard_manifest"    -> ((s, d) => Curation.shardManifest(s, d)),
+    // iterative graph analytics: 5 power-iteration PageRank rounds in
+    // exact integer micro-units (order-independent, oracle-replayable)
+    "q_pagerank"          -> (Graph.pageRank _),
+    // dataset-versioning: snapshot diff by content hash
+    "q_snapshot_diff"     -> (Graph.snapshotDiff _),
     "q_ann_topk"          -> (Similarity.bruteForceTopK _),
     "q_ann_lsh"           -> (Similarity.lshTopK _),
     "q_ann_ivf"           -> (Similarity.ivfTopK _),
@@ -1693,6 +1698,31 @@ object SparkEntry {
          |    AS BIGINT) AS kept_tokens
          |FROM d JOIN r USING (lang)
          |GROUP BY d.lang, r.rate_permille ORDER BY d.lang""".stripMargin,
+    // PageRank: integer micro-unit arithmetic makes the repeated
+    // aggregation order-independent, so the oracle replays all 5 rounds
+    // as unrolled CTEs generated from the same PrIters constant
+    "q_pagerank" -> Graph.pageRankOracleSql,
+    // snapshot diff: plain full-outer hash-compare replay
+    "q_snapshot_diff" ->
+      """WITH old AS (SELECT doc_id, md5(text) AS h_old FROM documents),
+        |cur AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END)
+        |      AS h_new
+        |  FROM documents WHERE doc_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, md5(text) FROM documents
+        |  WHERE doc_id % 9 = 0),
+        |j AS (
+        |  SELECT COALESCE(o.doc_id, c.doc_id) AS doc_id,
+        |    CASE WHEN o.h_old IS NULL THEN 'added'
+        |         WHEN c.h_new IS NULL THEN 'removed'
+        |         WHEN o.h_old <> c.h_new THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM old o FULL OUTER JOIN cur c ON o.doc_id = c.doc_id)
+        |SELECT status, COUNT(*) AS n,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     // lang-ID is exact SQL: stopword counts are integers, the score division
     // is the same double op both sides, and the argmax tie-break (max score,
     // then max lang) mirrors Spark's greatest() over (score, lang) structs

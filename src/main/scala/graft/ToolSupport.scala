@@ -62,7 +62,11 @@ object ToolSupport {
     "join" -> "jn", "dedup" -> "dd", "mean_having" -> "mh",
     "tumbling" -> "tumb", "rollup" -> "rup", "windows" -> "win",
     "fingerprint" -> "fp", "repetition" -> "rep", "histogram" -> "hist",
-    "select_" -> "sel_", "region_" -> "reg_")
+    "select_" -> "sel_", "region_" -> "reg_", "pagerank" -> "pr",
+    "snapshot_" -> "snap_", "inverted_index" -> "inv_idx",
+    "temp_mix" -> "tmix", "jaccard" -> "jac", "blank_to_null" -> "b2null",
+    "keepnull" -> "keepn", "sess_multi" -> "sessm", "curate_" -> "cur_",
+    "bucketed_" -> "bkt_", "approx_" -> "apx_")
 
   def benchKey(name: String): String =
     benchKeySubs.foldLeft(name.stripPrefix("q_")) {

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Iterative graph analytics over a derived link structure — the classic
+  * "many rounds of join + aggregate" workload class (PageRank here), which
+  * stresses a different engine axis than any single-pass query: lineage
+  * across iterations, shuffle reuse, and numeric determinism under
+  * repeated aggregation.
+  *
+  * Numeric design: ranks are INTEGER micro-units (1.0 ≡ 1,000,000), the
+  * damping step is `(r * 850000) div (1000000 * deg)` and the teleport
+  * term is `+150000` — all exact 64-bit integer arithmetic. Integer sums
+  * are associative and order-independent, so the result is bit-identical
+  * at any partitioning/parallelism AND replayable by the DuckDB oracle as
+  * five unrolled join+aggregate CTEs (floating-point PageRank would be
+  * neither: FP addition order varies with the shuffle). Long headroom:
+  * r ≤ ~4e6 · 850000 ≈ 3.4e12 per contribution, far under 2^63.
+  *
+  * Scale shape (100 TB / 10^9+ nodes): per iteration ONE equi-join of the
+  * edge table with the rank table on src plus ONE hash aggregate on dst —
+  * no windows, no driver state but a single max(id) scalar. The edge+deg
+  * table is materialized once (`localCheckpoint`, same discipline as
+  * `Dedup.connectedComponents`) and reused by all iterations; in
+  * production both sides would be bucketed by id so the per-iteration
+  * join re-uses one co-partitioning end to end. Iteration count is fixed
+  * (power iteration converges geometrically; 5 rounds is the catalog's
+  * pinned budget, spec-asserted against the oracle's unrolled replay).
+  *
+  * (Reference analogue: none — the reference has no graph module; this is
+  * brief-side completeness for the analytics-engine surface.)
+  */
+object Graph {
+
+  /** Fixed iteration budget, shared by plan and oracle. */
+  val PrIters = 5
+
+  /** Synthetic deterministic link graph over the documents' doc_id space:
+    * each node links to (id·31+7), (id·17+3), (id·13+1) mod (max_id+1),
+    * self-loops dropped, targets kept only if they exist (sparse id
+    * spaces stay correct), duplicate targets kept (multigraph — both
+    * engines count multiplicity identically). */
+  private def edgesWithDeg(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = Tables.documents(spark, dir).select(col("doc_id").as("id"))
+    val m = nodes.agg(max(col("id"))).head().getLong(0) + 1L
+    val raw = nodes.select(col("id").as("src"),
+        explode(array(
+          (col("id") * 31 + 7) % m,
+          (col("id") * 17 + 3) % m,
+          (col("id") * 13 + 1) % m)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val edges = raw.join(nodes.withColumnRenamed("id", "dst"),
+      Seq("dst"), "left_semi")
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    edges.join(deg, "src")
+  }
+
+  /** Five power-iteration rounds of damped PageRank in exact integer
+    * micro-units; returns (id, r) for every node, ordered by id. */
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = Tables.documents(spark, dir).select(col("doc_id").as("id"))
+    // one materialization job; every iteration reuses the result
+    val ed = edgesWithDeg(spark, dir).localCheckpoint(true)
+    var ranks = nodes.select(col("id"), lit(1000000L).as("r"))
+    for (_ <- 1 to PrIters) {
+      val contrib = ed.join(ranks, ed("src") === ranks("id"))
+        .select(col("dst").as("id"),
+          expr("(r * 850000) div (1000000 * deg)").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("cin"))
+      ranks = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(150000L) + coalesce(col("cin"), lit(0L))).as("r"))
+    }
+    ranks.orderBy("id")
+  }
+
+  /** The unrolled-CTE DuckDB replay of `pageRank` — generated from the
+    * same PrIters constant so plan and oracle can never disagree on the
+    * iteration count. */
+  def pageRankOracleSql: String = {
+    val iters = (1 to PrIters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.id, 150000 + COALESCE(s.cin, 0) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS id,
+         |      SUM((p.r * 850000) // (1000000 * e.deg)) AS cin
+         |    FROM ed e JOIN r${i - 1} p ON e.src = p.id
+         |    GROUP BY 1) s USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nodes AS (SELECT doc_id AS id FROM documents),
+       |mx AS (SELECT MAX(id) + 1 AS m FROM nodes),
+       |raw AS (
+       |  SELECT id AS src, (id * 31 + 7) % m AS dst FROM nodes, mx
+       |  UNION ALL SELECT id, (id * 17 + 3) % m FROM nodes, mx
+       |  UNION ALL SELECT id, (id * 13 + 1) % m FROM nodes, mx),
+       |e0 AS (
+       |  SELECT src, dst FROM raw
+       |  WHERE src <> dst AND dst IN (SELECT id FROM nodes)),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM e0 GROUP BY 1),
+       |ed AS (SELECT e0.src, e0.dst, deg.deg FROM e0 JOIN deg USING (src)),
+       |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |$iters
+       |SELECT id, CAST(r AS BIGINT) AS r FROM r$PrIters
+       |ORDER BY id""".stripMargin
+  }
+
+  /** Corpus snapshot diff — the dataset-versioning primitive: classify
+    * every doc_id across two corpus versions as `added` / `removed` /
+    * `changed` / `unchanged` by content hash, and emit the per-status
+    * profile (count + id range) a version manifest records.
+    *
+    * The "new" snapshot is planted from the old one: doc_id%10==0 deleted,
+    * doc_id%7==0 re-texted (' v2' appended), +1M copies of doc_id%9==0
+    * added — every branch exercised, fully SQL-replayable.
+    *
+    * Scale shape: one full-outer equi-join on the id (the narrow md5
+    * comparison travels with the key — text itself never shuffles) and
+    * one 4-row aggregate. At 100 TB both snapshots are id-bucketed tables
+    * and the join is shuffle-free. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val old = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("h_old"))
+    val cur = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("h_new"))
+      .unionByName(Tables.documents(spark, dir)
+        .filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          md5(col("text")).as("h_new")))
+    old.join(cur, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_old").isNull, lit("added"))
+          .when(col("h_new").isNull, lit("removed"))
+          .when(col("h_old") =!= col("h_new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("status")
+  }
+}
