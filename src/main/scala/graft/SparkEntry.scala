@@ -128,6 +128,14 @@ object SparkEntry {
     "q_pagerank"          -> (Graph.pageRank _),
     // dataset-versioning: snapshot diff by content hash
     "q_snapshot_diff"     -> (Graph.snapshotDiff _),
+    // dataset-versioning: CDC MERGE (delete/update/insert apply) profile
+    "q_merge_upsert"      -> (Versioning.mergeUpsert _),
+    // Z-order layout: Morton-key zone map for two-column data skipping
+    "q_zorder"            -> (Layout.zOrderLayout _),
+    // BPE tokenizer-training pair statistics (deterministic top-20)
+    "q_bpe_pairs"         -> ((s, d) => TextAnalysis.bpePairs(s, d)),
+    // LAG window: per-customer order-gap days, profiled per priority
+    "q_lag_gaps"          -> (Relational.orderGaps _),
     "q_ann_topk"          -> (Similarity.bruteForceTopK _),
     "q_ann_lsh"           -> (Similarity.lshTopK _),
     "q_ann_ivf"           -> (Similarity.ivfTopK _),
@@ -1723,6 +1731,55 @@ object SparkEntry {
         |SELECT status, COUNT(*) AS n,
         |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // CDC MERGE: same planted change-set, one full-outer join, delete wins
+    "q_merge_upsert" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |chg AS (
+        |  SELECT doc_id, 'D' AS op, CAST(NULL AS VARCHAR) AS c_text
+        |  FROM base WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'U', text || ' v2'
+        |  FROM base WHERE doc_id % 10 <> 0 AND doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'U', text FROM base WHERE doc_id % 9 = 0),
+        |m AS (
+        |  SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+        |    COALESCE(c.c_text, b.text) AS text
+        |  FROM base b FULL OUTER JOIN chg c ON b.doc_id = c.doc_id
+        |  WHERE COALESCE(c.op, '') <> 'D')
+        |SELECT doc_id % 16 AS bucket, COUNT(*) AS n,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_len,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM m GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // Z-order zone map: interleave expression generated from the same
+    // ZBits/ShardBits constants as the plan — bit layout can't drift
+    "q_zorder" -> Layout.zOrderOracleSql,
+    // BPE pair statistics: lateral-free unnest(generate_series) explosion;
+    // (n DESC, pair ASC) is a total order so the top-20 cut is exact
+    "q_bpe_pairs" ->
+      """WITH pos AS (
+        |  SELECT text, unnest(generate_series(1, length(text) - 1)) AS i
+        |  FROM documents WHERE length(text) >= 2)
+        |SELECT substring(text, CAST(i AS INT), 2) AS pair, COUNT(*) AS n
+        |FROM pos GROUP BY 1
+        |ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
+    // LAG gaps: exact epoch-day integers, same (day, orderkey) ordering
+    "q_lag_gaps" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, o_orderpriority AS priority,
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS day
+        |  FROM orders),
+        |g AS (
+        |  SELECT priority,
+        |    day - lag(day) OVER
+        |      (PARTITION BY o_custkey ORDER BY day, o_orderkey) AS gap
+        |  FROM o)
+        |SELECT priority, COUNT(*) AS n_gaps,
+        |  CAST(SUM(gap) AS BIGINT) AS sum_gap_days,
+        |  MIN(gap) AS min_gap_days, MAX(gap) AS max_gap_days
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY 1 ORDER BY priority""".stripMargin,
     // lang-ID is exact SQL: stopword counts are integers, the score division
     // is the same double op both sides, and the argmax tie-break (max score,
     // then max lang) mirrors Spark's greatest() over (score, lang) structs

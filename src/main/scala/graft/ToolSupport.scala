@@ -66,7 +66,15 @@ object ToolSupport {
     "snapshot_" -> "snap_", "inverted_index" -> "inv_idx",
     "temp_mix" -> "tmix", "jaccard" -> "jac", "blank_to_null" -> "b2null",
     "keepnull" -> "keepn", "sess_multi" -> "sessm", "curate_" -> "cur_",
-    "bucketed_" -> "bkt_", "approx_" -> "apx_")
+    "bucketed_" -> "bkt_", "approx_" -> "apx_",
+    // r8 second widening (114-entry catalog): same budget discipline
+    "string_" -> "str_", "enrich_" -> "enr_", "model_" -> "mdl_",
+    "schema_" -> "sch_", "exact_" -> "ex_", "ngram_" -> "ng_",
+    "source_" -> "src_", "sample_" -> "smp_", "embed_" -> "emb_",
+    "decontam" -> "decon", "audio_" -> "aud_", "image_" -> "img_",
+    "minhash_" -> "mh_", "simhash_" -> "sh_", "quality" -> "qual",
+    "merge_upsert" -> "mrg_up", "bpe_pairs" -> "bpe",
+    "lag_gaps" -> "lag", "zorder" -> "zord")
 
   def benchKey(name: String): String =
     benchKeySubs.foldLeft(name.stripPrefix("q_")) {

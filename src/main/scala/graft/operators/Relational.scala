@@ -180,6 +180,33 @@ object Relational {
       .orderBy("priority", "month")
   }
 
+  /** Adjacent-row delta analytics (LAG): per-customer gap in days between
+    * consecutive orders, profiled per order priority. The reference's
+    * closest shape is its date arithmetic (02_DataCleaning.R:139), but
+    * LAG/LEAD is standard engine surface the catalog should pin
+    * explicitly, not only inside the sessionizer.
+    *
+    * Scale shape: the window partitions by o_custkey — millions of small
+    * independent partitions, so the sort is a per-key in-memory sort after
+    * one hash exchange, never a single-task window. Days are exact
+    * integers (epoch-day via datediff), so gap sums replay bit-for-bit in
+    * the oracle. */
+  def orderGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderpriority").as("priority"),
+        datediff(col("o_orderdate").cast(DateType),
+          lit("1970-01-01").cast(DateType)).cast(LongType).as("day"))
+      .withColumn("gap", col("day") - lag(col("day"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap")).as("sum_gap_days"),
+        min(col("gap")).as("min_gap_days"), max(col("gap")).as("max_gap_days"))
+      .orderBy("priority")
+  }
+
   /** CUBE over (mktsegment, orderpriority): all four grouping sets —
     * leaves, both one-dimension margins, grand total — in the same single
     * Expand+aggregate pass as the rollup (rollup emits the prefix sets

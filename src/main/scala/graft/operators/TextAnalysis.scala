@@ -257,4 +257,29 @@ object TextAnalysis {
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), expr("rolling_fp(text)").as("fingerprint"))
+
+  /** Deterministic top-k (n desc, pair asc — a total order, so the cut is
+    * unambiguous) adjacent-character-pair counts over the corpus: the
+    * pair-statistics inner loop of BPE tokenizer training, run at corpus
+    * scale.
+    *
+    * Scale shape: `explode(sequence(...))` is a narrow flatMap (no
+    * shuffle), the pair count is one hash aggregate whose map-side
+    * partials collapse each partition to its ≤|alphabet|² distinct pairs
+    * before the exchange, and the final cut is TakeOrderedAndProject —
+    * the identical dataflow a full BPE trainer repeats per merge round
+    * (each round rewrites the symbol stream and re-counts; one round is
+    * the representative cost unit). Texts shorter than 2 chars are
+    * excluded up front: Spark's `sequence(1, 0)` counts DOWN while the
+    * oracle's `generate_series(1, 0)` is empty — the guard keeps the
+    * engines' row sets identical as well as safe. */
+  def bpePairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 2)
+      .select(col("text"),
+        explode(sequence(lit(1), length(col("text")) - 1)).as("i"))
+      .select(expr("substring(text, i, 2)").as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(k)
 }

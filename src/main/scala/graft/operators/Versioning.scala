@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Dataset-versioning primitives: applying a CDC change-set to a corpus
+  * snapshot (the MERGE/upsert half of the story whose read-side diff lives
+  * in [[Graph.snapshotDiff]]).
+  *
+  * A 100 TB training corpus is not rebuilt per release — it is patched:
+  * a change-set of upserts (re-crawled / re-cleaned documents) and
+  * deletes (takedowns, opt-outs, decontamination hits) is merged into the
+  * previous snapshot. The scale shape is ONE id-equi full-outer join
+  * between snapshot and change-set plus a bounded profile aggregate; with
+  * both sides bucketed by doc_id (the layout [[graft.sources.Bucketing]]
+  * writes), the join is shuffle-free and the cost is one pass over the
+  * changed partitions. Only the narrow change columns travel — the merge
+  * never shuffles unchanged document text.
+  *
+  * (Reference analogue: none — the reference rebuilds `./ffdfClean` from
+  * scratch each run, 02_DataCleaning.R:269; incremental maintenance is
+  * brief-side completeness for a production corpus.)
+  */
+object Versioning {
+
+  /** Deterministic planted change-set over `documents`, exercising every
+    * MERGE branch: doc_id%10==0 → delete; else doc_id%7==0 → update
+    * (text gains " v2"); doc_id%9==0 → insert as doc_id+1,000,000 (a copy
+    * landing in fresh id space). Unique doc_id per change row by
+    * construction (the update branch excludes the delete ids; insert ids
+    * are disjoint from base ids). */
+  private def changeSet(base: DataFrame): DataFrame = {
+    val del = base.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), lit("D").as("op"),
+        lit(null).cast(StringType).as("c_text"))
+    val upd = base.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 0)
+      .select(col("doc_id"), lit("U").as("op"),
+        concat(col("text"), lit(" v2")).as("c_text"))
+    val ins = base.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), lit("U").as("op"),
+        col("text").as("c_text"))
+    del.unionByName(upd).unionByName(ins)
+  }
+
+  /** MERGE the change-set into the snapshot (delete wins; update replaces
+    * text; insert appends) and emit the 16-row per-bucket profile a
+    * version manifest records: count, total text length, id range. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val merged = base.join(changeSet(base), Seq("doc_id"), "full_outer")
+      .filter(coalesce(col("op"), lit("")) =!= "D")
+      .select(col("doc_id"), coalesce(col("c_text"), col("text")).as("text"))
+    merged
+      .groupBy((col("doc_id") % 16).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("text"))).as("sum_len"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("bucket")
+  }
+}

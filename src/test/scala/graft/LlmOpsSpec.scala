@@ -395,4 +395,24 @@ class LlmOpsSpec extends AnyFunSuite {
     val kept = rows.map(_.getAs[Long]("n_kept")).sum.toDouble
     assert(kept / total > 0.25 && kept / total < 0.55, kept / total)
   }
+
+  test("bpe pairs: top-20 matches an independent in-memory recount") {
+    val rows = SparkEntry.queries("q_bpe_pairs")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(rows.length === 20)
+    // deterministic total order: n desc, pair asc
+    assert(rows.sliding(2).forall { case Array((p1, n1), (p2, n2)) =>
+      n1 > n2 || (n1 == n2 && p1 < p2)
+      case _ => true
+    })
+    // independent recount: plain Scala sliding-window over collected text
+    val expected = Tables.documents(spark, sf).select("text").collect()
+      .iterator.map(_.getString(0)).filter(_.length >= 2)
+      .flatMap(t => t.sliding(2))
+      .foldLeft(Map.empty[String, Long]) { (m, p) =>
+        m.updated(p, m.getOrElse(p, 0L) + 1L)
+      }
+      .toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(rows.toSeq === expected)
+  }
 }

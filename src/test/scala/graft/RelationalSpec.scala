@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, LongType}
 import org.scalatest.funsuite.AnyFunSuite
 
 object TestSpark {
@@ -87,5 +89,22 @@ class RelationalSpec extends AnyFunSuite {
     val cnts = SparkEntry.queries("q_group_mean_having")(spark, "/root/testdata/sf0.01")
       .select("cnt").collect().map(_.getLong(0))
     assert(cnts.forall(_ > 10))
+  }
+
+  test("lag gaps: totals telescope to per-customer date ranges") {
+    val rows = SparkEntry.queries("q_lag_gaps")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(3) >= 0L)) // min_gap_days
+    val o = Tables.orders(spark, sf)
+    // each customer's first order has no predecessor
+    assert(rows.map(_.getLong(1)).sum ===
+      o.count() - o.select("o_custkey").distinct().count())
+    // consecutive gaps telescope: Σ gaps = Σ_cust (max day − min day)
+    val span = o
+      .groupBy("o_custkey")
+      .agg((datediff(max(col("o_orderdate")).cast(DateType),
+        min(col("o_orderdate")).cast(DateType))).cast(LongType).as("span"))
+      .agg(sum("span")).head().getLong(0)
+    assert(rows.map(_.getLong(2)).sum === span)
   }
 }
