@@ -87,6 +87,15 @@ object Bench {
         // shuffle state — so one query's leftovers aren't billed to the
         // next (the r5 "unchanged query regressed 6×" failure mode)
         spark.catalog.clearCache()
+        // clearCache() misses RDD-level persistence: localCheckpoint
+        // blocks (pointer-jumping components, PageRank's edge table, the
+        // ANN quantizer sample) sit in storage memory until the async
+        // ContextCleaner reaps them AFTER a GC notices the dropped refs —
+        // a race the next timed run loses at 114 queries/JVM (r8 sweeps:
+        // mid-catalog queries 2-6× their isolated medians). Unpersist
+        // them synchronously instead of hoping.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
         System.gc()
         (sec, err)
       }

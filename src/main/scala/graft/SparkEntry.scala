@@ -36,6 +36,8 @@ object SparkEntry {
     "q_histogram"         -> (Relational.histogram _),
     "q_zscore"            -> (Relational.zscore _),
     "q_metrics"           -> (Relational.metrics _),
+    // pairwise Pearson matrix from one exact-decimal cross-moment pass
+    "q_corr_matrix"       -> (Relational.corrMatrix _),
     "q_na_profile"        -> (Relational.naProfileEvents _),
     // cleaning / projection surface (SURVEY §2.2)
     "q_cond_update"       -> (Cleaning.condUpdate _),
@@ -219,6 +221,8 @@ object SparkEntry {
     // EXISTS / NOT EXISTS as key-only-shuffle joins; full outer presence
     "q_semi_join"         -> (Joins.semiJoin _),
     "q_anti_join"         -> (Joins.antiJoin _),
+    // ANSI INTERSECT/EXCEPT distinct set ops as explicit surface
+    "q_set_ops"           -> (Joins.setOps _),
     "q_full_outer"        -> (Joins.fullOuterJoin _),
     // OLS diagnostics (SURVEY §2.9 M5) — rows-only
     "q_ols_diagnostics"   -> (graft.ml.Diagnostics.query _),
@@ -1134,6 +1138,20 @@ object SparkEntry {
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderpriority = '1-URGENT')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // ANSI INTERSECT/EXCEPT are distinct set ops in both engines
+    "q_set_ops" ->
+      """WITH u AS (SELECT CAST(o_orderdate AS DATE) AS day FROM orders
+        |           WHERE o_orderpriority = '1-URGENT'),
+        |h AS (SELECT CAST(o_orderdate AS DATE) AS day FROM orders
+        |      WHERE o_orderpriority = '2-HIGH')
+        |SELECT day, 'both' AS tag FROM (SELECT day FROM u INTERSECT SELECT day FROM h)
+        |UNION ALL
+        |SELECT day, 'urgent_only' FROM (SELECT day FROM u EXCEPT SELECT day FROM h)
+        |UNION ALL
+        |SELECT day, 'high_only' FROM (SELECT day FROM h EXCEPT SELECT day FROM u)
+        |ORDER BY tag, day""".stripMargin,
+    // Pearson matrix: generated from the same CorrCols/moment formula
+    "q_corr_matrix" -> Relational.corrMatrixOracleSql,
     "q_full_outer" ->
       """WITH c AS (
         |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_c,

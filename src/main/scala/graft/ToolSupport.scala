@@ -74,7 +74,11 @@ object ToolSupport {
     "decontam" -> "decon", "audio_" -> "aud_", "image_" -> "img_",
     "minhash_" -> "mh_", "simhash_" -> "sh_", "quality" -> "qual",
     "merge_upsert" -> "mrg_up", "bpe_pairs" -> "bpe",
-    "lag_gaps" -> "lag", "zorder" -> "zord")
+    "lag_gaps" -> "lag", "zorder" -> "zord",
+    // fold order matters: "matrix"->"mx" above has already produced
+    // corr_mx by the time this entry applies
+    "corr_mx" -> "corr", "token_count" -> "tok_cnt",
+    "freq_table" -> "freq")
 
   def benchKey(name: String): String =
     benchKeySubs.foldLeft(name.stripPrefix("q_")) {

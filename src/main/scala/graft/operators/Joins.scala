@@ -203,4 +203,25 @@ object Joins {
       .orderBy(desc("c_acctbal"), asc("c_custkey"))
       .limit(15)
       .select(col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"))
+
+  /** INTERSECT / EXCEPT set semantics (distinct, per ANSI), pinned as
+    * explicit engine surface rather than only via the semi/anti joins
+    * they lower to: the active-day sets of two order priorities,
+    * classified as present in both / first only / second only.
+    *
+    * Scale shape: Catalyst compiles intersect/except to an aggregate
+    * (distinct) feeding a left-semi resp. left-anti hash join on the full
+    * row — one key shuffle each, the same cost class as q_semi_join, with
+    * the distinct collapsing map-side first. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def days(p: String) = o.filter(col("o_orderpriority") === p)
+      .select(col("o_orderdate").cast(DateType).as("day"))
+    val urgent = days("1-URGENT")
+    val high = days("2-HIGH")
+    urgent.intersect(high).withColumn("tag", lit("both"))
+      .unionByName(urgent.except(high).withColumn("tag", lit("urgent_only")))
+      .unionByName(high.except(urgent).withColumn("tag", lit("high_only")))
+      .orderBy("tag", "day")
+  }
 }

@@ -207,6 +207,68 @@ object Relational {
       .orderBy("priority")
   }
 
+  /** The four lineitem measures the correlation matrix profiles. */
+  private[graft] val CorrCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Pairwise Pearson correlation matrix over the lineitem measures — the
+    * multi-column generalization of [[metrics]]' R², and the standard
+    * first look at a numeric dataset (the reference computes pairwise
+    * model diagnostics the same way, 03_LinearRegression.R:111-136).
+    *
+    * Exactness discipline (same as metrics/OLS): ONE pass accumulates all
+    * 15 cross-moments as exact DECIMAL sums — order-independent, so the
+    * result is bit-identical at any parallelism — and only the final
+    * 6-value correlation formula drops to double, written as the
+    * identical IEEE expression in the oracle SQL. At 100 TB this is one
+    * map-side-combinable aggregate over a narrow 4-column projection:
+    * scan-bound, no shuffle beyond the 15-value partial merge. */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val cs = CorrCols
+    val li = Tables.lineitem(spark, dir)
+      .select(cs.map(c => col(c).cast(DecimalType(18, 2)).as(c)): _*)
+    val aggs =
+      cs.map(c => sum(col(c)).as(s"s_$c")) ++
+        (for { i <- cs.indices; j <- i until cs.size }
+          yield sum(col(cs(i)) * col(cs(j))).as(s"s_${i}_${j}")) :+
+        count(lit(1)).cast(DoubleType).as("n")
+    val m = li.agg(aggs.head, aggs.tail: _*)
+    def d(c: String) = col(c).cast(DoubleType)
+    val pairs = for { i <- cs.indices; j <- i + 1 until cs.size } yield
+      struct(lit(cs(i)).as("x"), lit(cs(j)).as("y"),
+        round((col("n") * d(s"s_${i}_${j}") - d(s"s_${cs(i)}") * d(s"s_${cs(j)}")) /
+          sqrt((col("n") * d(s"s_${i}_${i}") - d(s"s_${cs(i)}") * d(s"s_${cs(i)}")) *
+            (col("n") * d(s"s_${j}_${j}") - d(s"s_${cs(j)}") * d(s"s_${cs(j)}"))), 6)
+          .as("corr"))
+    m.select(inline(array(pairs: _*))).orderBy("x", "y")
+  }
+
+  /** DuckDB replay of [[corrMatrix]]: generated from the same CorrCols
+    * list with the same moment names and the same double-op order, so the
+    * formula can never drift between plan and oracle. */
+  def corrMatrixOracleSql: String = {
+    val cs = CorrCols
+    val moments =
+      cs.map(c => s"SUM($c) AS s_$c") ++
+        (for { i <- cs.indices; j <- i until cs.size }
+          yield s"SUM(${cs(i)} * ${cs(j)}) AS s_${i}_${j}")
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    val rows = for { i <- cs.indices; j <- i + 1 until cs.size } yield
+      s"""SELECT '${cs(i)}' AS x, '${cs(j)}' AS y,
+         |  ROUND((n * ${d(s"s_${i}_${j}")} - ${d(s"s_${cs(i)}")} * ${d(s"s_${cs(j)}")})
+         |    / SQRT((n * ${d(s"s_${i}_${i}")} - ${d(s"s_${cs(i)}")} * ${d(s"s_${cs(i)}")})
+         |      * (n * ${d(s"s_${j}_${j}")} - ${d(s"s_${cs(j)}")} * ${d(s"s_${cs(j)}")})), 6)
+         |    AS corr FROM s""".stripMargin
+    s"""WITH r AS (SELECT
+       |    ${cs.map(c => s"CAST($c AS DECIMAL(18,2)) AS $c").mkString(",\n    ")}
+       |  FROM lineitem),
+       |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |    ${moments.mkString(",\n    ")}
+       |  FROM r)
+       |${rows.mkString("\nUNION ALL\n")}
+       |ORDER BY x, y""".stripMargin
+  }
+
   /** CUBE over (mktsegment, orderpriority): all four grouping sets —
     * leaves, both one-dimension margins, grand total — in the same single
     * Expand+aggregate pass as the rollup (rollup emits the prefix sets

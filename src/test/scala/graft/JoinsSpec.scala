@@ -92,6 +92,23 @@ class JoinsSpec extends AnyFunSuite {
     assert(cnt(1, 1) === leaves, "grand total")
   }
 
+  test("set ops: tags partition the two distinct day-sets exactly") {
+    val rows = SparkEntry.queries("q_set_ops")(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)))
+    assert(rows.distinct.length === rows.length) // distinct semantics
+    val byTag = rows.groupBy(_._2).map { case (t, v) => t -> v.map(_._1).toSet }
+    val o = Tables.orders(spark, sf)
+    import org.apache.spark.sql.functions.col
+    def days(p: String) = o.filter(col("o_orderpriority") === p)
+      .select(col("o_orderdate")
+        .cast(org.apache.spark.sql.types.DateType)).distinct().collect()
+      .map(_.getDate(0).toString).toSet
+    val u = days("1-URGENT"); val h = days("2-HIGH")
+    assert(byTag.getOrElse("both", Set()) === (u intersect h))
+    assert(byTag.getOrElse("urgent_only", Set()) === (u diff h))
+    assert(byTag.getOrElse("high_only", Set()) === (h diff u))
+  }
+
   test("F12 rare-category model is deterministic and bounded") {
     val d = Tables.documents(spark, sf)
     val m1 = RareCategory.fit(d, "source", 0.045)

@@ -91,6 +91,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(cnts.forall(_ > 10))
   }
 
+  test("corr matrix: bounded, symmetric-complete, matches built-in corr") {
+    val rows = SparkEntry.queries("q_corr_matrix")(spark, sf).collect()
+    assert(rows.length === 6) // C(4,2) unordered pairs, no self-pairs
+    rows.foreach { r =>
+      val c = r.getDouble(2)
+      assert(c >= -1.0 && c <= 1.0, s"corr out of range: $r")
+      // independent check: Spark's built-in streaming-covariance corr
+      // (a different algorithm) must agree with the exact-moment formula
+      val b = Tables.lineitem(spark, sf)
+        .agg(corr(col(r.getString(0)), col(r.getString(1)))).head().getDouble(0)
+      assert(math.abs(c - b) < 1e-5, s"$r vs built-in $b")
+    }
+    // every unordered pair appears exactly once, ordered by CorrCols index
+    val idx = graft.operators.Relational.CorrCols.zipWithIndex.toMap
+    val pairSet = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairSet.size === 6)
+    assert(pairSet.forall { case (x, y) => idx(x) < idx(y) })
+  }
+
   test("lag gaps: totals telescope to per-customer date ranges") {
     val rows = SparkEntry.queries("q_lag_gaps")(spark, sf).collect()
     assert(rows.nonEmpty)
