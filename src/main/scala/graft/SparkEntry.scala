@@ -103,6 +103,8 @@ object SparkEntry {
     "q_tfidf"             -> ((s, d) => TextAnalysis.tfidf(s, d)),
     // inverted-index build: df + capped postings via two-stage top-k
     "q_inverted_index"    -> ((s, d) => TextAnalysis.invertedIndex(s, d)),
+    // exact heavy hitters via mergeable Misra-Gries sketch + recount
+    "q_heavy_hitters"     -> (TextAnalysis.heavyHitters _),
     // corpus curation: PII redaction, pretraining-mix sampling, sequence
     // packing (brief first-class; the steps between dedup and the trainer)
     "q_redact"            -> (Curation.redact _),
@@ -1700,6 +1702,21 @@ object SparkEntry {
          |SELECT term, df, rank, doc_id, tf
          |FROM ranked WHERE rank <= ${TextAnalysis.IndexTopK}
          |ORDER BY term, rank""".stripMargin,
+    // heavy hitters: the sketch only PRUNES (HhK >= HhFraction keeps the
+    // MG guarantee above the report threshold), so the oracle is the
+    // plain exact groupBy-HAVING the two-pass plan must equal
+    "q_heavy_hitters" ->
+      s"""WITH t AS (
+         |  SELECT unnest(string_split(regexp_replace(lower(text), '\\s+',
+         |         ' ', 'g'), ' ')) AS term
+         |  FROM documents),
+         |t2 AS (SELECT term FROM t WHERE length(term) > 0),
+         |n AS (SELECT COUNT(*) AS n FROM t2)
+         |SELECT term, COUNT(*) AS cnt
+         |FROM t2, n
+         |GROUP BY term, n.n
+         |HAVING COUNT(*) > n.n // ${TextAnalysis.HhFraction}
+         |ORDER BY cnt DESC, term""".stripMargin,
     // temperature mix: sqrt (unlike pow) is IEEE-correctly-rounded, so the
     // whole rate derivation — floor(1000·T·√n/(Σ√n·n)) — is bit-exact in
     // both engines; the keep decision is the q_sample_mix LCG replay

@@ -78,7 +78,8 @@ object ToolSupport {
     // fold order matters: "matrix"->"mx" above has already produced
     // corr_mx by the time this entry applies
     "corr_mx" -> "corr", "token_count" -> "tok_cnt",
-    "freq_table" -> "freq")
+    "freq_table" -> "freq", "heavy_hitters" -> "hh",
+    "session" -> "sess", "ckpt_prune" -> "ckpt")
 
   def benchKey(name: String): String =
     benchKeySubs.foldLeft(name.stripPrefix("q_")) {

@@ -273,6 +273,46 @@ object TextAnalysis {
     * excluded up front: Spark's `sequence(1, 0)` counts DOWN while the
     * oracle's `generate_series(1, 0)` is empty — the guard keeps the
     * engines' row sets identical as well as safe. */
+  /** Sketch capacity and report threshold for [[heavyHitters]]. The
+    * invariant that makes the result EXACT: HhK ≥ HhFraction, so the
+    * Misra–Gries guarantee (every value with frequency > n/(HhK+1)
+    * survives the sketch) covers everything the n/HhFraction report
+    * threshold can admit. */
+  val HhK = 256
+  val HhFraction = 200L
+
+  /** Exact corpus heavy hitters (tokens appearing in more than
+    * n/HhFraction of all token occurrences) via a two-pass
+    * sketch-then-verify: pass 1 runs the mergeable Misra–Gries aggregate
+    * (`mg_topk`, functions.MisraGriesAgg) alongside the token count in
+    * ONE scan — partial summaries of ≤ HhK entries merge like a built-in
+    * agg, so no shuffle carries more than k strings; pass 2 recounts just
+    * the ≤ HhK candidates exactly (the IN-filter prunes at the scan) and
+    * applies the threshold. Because HhK ≥ HhFraction the sketch can't
+    * drop a qualifying token, so the output equals the sketch-free
+    * groupBy-HAVING — which is exactly what the DuckDB oracle runs.
+    *
+    * Scale shape: the sketch-free form shuffles one row per DISTINCT
+    * token (vocabulary-sized — fine at sf0.1, 10⁸+ rows of mostly-junk
+    * long-tail at web scale); the sketch form shuffles ≤ k entries per
+    * partition regardless of vocabulary, and the recount shuffles only
+    * rows matching the ≤ k candidates. This is the standard production
+    * heavy-hitters topology (sketch to prune, exact pass to decide). */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(tokensCol).as("term"))
+      .filter(length(col("term")) > 0)
+    val row = toks
+      .agg(count(lit(1)).as("n"), expr(s"mg_topk(term, $HhK)").as("cands"))
+      .head()
+    val thresh = row.getLong(0) / HhFraction
+    val cands = row.getSeq[String](1)
+    toks.filter(col("term").isin(cands: _*))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > thresh)
+      .orderBy(col("cnt").desc, col("term").asc)
+  }
+
   def bpePairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
     Tables.documents(spark, dir)
       .filter(length(col("text")) >= 2)

@@ -396,6 +396,36 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(kept / total > 0.25 && kept / total < 0.55, kept / total)
   }
 
+  test("heavy hitters: equals the sketch-free exact groupBy-HAVING") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q_heavy_hitters")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty) // stopwords dominate any natural corpus
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split(regexp_replace(lower(col("text")), "\\s+", " "),
+        " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val n = toks.count()
+    val exact = toks.groupBy("term").count()
+      .filter(col("count") > n / operators.TextAnalysis.HhFraction)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === exact)
+  }
+
+  test("mg_topk: MG guarantee holds on planted skew at any layout") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 300 occurrences of "hot" (30%) in a sea of 700 unique fillers;
+    // k=9 guarantees survival of anything over n/10 = 100
+    val data = (Seq.fill(300)("hot") ++ (0 until 700).map(i => s"u$i"))
+    for (parts <- Seq(1, 7, 32)) {
+      val cands = data.toDF("term").repartition(parts)
+        .agg(expr("mg_topk(term, 9)")).head().getSeq[String](0)
+      assert(cands.size <= 9, s"parts=$parts: ${cands.size}")
+      assert(cands.contains("hot"), s"parts=$parts dropped the heavy item")
+    }
+  }
+
   test("bpe pairs: top-20 matches an independent in-memory recount") {
     val rows = SparkEntry.queries("q_bpe_pairs")(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1))
