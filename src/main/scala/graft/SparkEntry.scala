@@ -38,6 +38,8 @@ object SparkEntry {
     "q_metrics"           -> (Relational.metrics _),
     // pairwise Pearson matrix from one exact-decimal cross-moment pass
     "q_corr_matrix"       -> (Relational.corrMatrix _),
+    // daily-grid resample with forward fill + auditable gap flag
+    "q_resample_ffill"    -> (Relational.resampleFfill _),
     "q_na_profile"        -> (Relational.naProfileEvents _),
     // cleaning / projection surface (SURVEY §2.2)
     "q_cond_update"       -> (Cleaning.condUpdate _),
@@ -1154,6 +1156,26 @@ object SparkEntry {
         |ORDER BY tag, day""".stripMargin,
     // Pearson matrix: generated from the same CorrCols/moment formula
     "q_corr_matrix" -> Relational.corrMatrixOracleSql,
+    // resample + ffill: integer epoch-day spine, IGNORE NULLS carry
+    "q_resample_ffill" ->
+      """WITH daily AS (
+        |  SELECT event_type AS k,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+        |    COUNT(*) AS cnt
+        |  FROM events
+        |  WHERE datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 3 <> 1
+        |  GROUP BY 1, 2),
+        |b AS (SELECT k, MIN(d) AS mn, MAX(d) AS mx FROM daily GROUP BY 1),
+        |spine AS (SELECT k, unnest(generate_series(mn, mx)) AS d FROM b),
+        |j AS (
+        |  SELECT s.k, s.d, daily.cnt
+        |  FROM spine s LEFT JOIN daily ON s.k = daily.k AND s.d = daily.d)
+        |SELECT k, d,
+        |  last_value(cnt IGNORE NULLS) OVER
+        |    (PARTITION BY k ORDER BY d
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt_ffill,
+        |  CAST(cnt IS NULL AS BIGINT) AS is_gap
+        |FROM j ORDER BY k, d""".stripMargin,
     "q_full_outer" ->
       """WITH c AS (
         |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_c,

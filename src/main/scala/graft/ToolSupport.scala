@@ -79,7 +79,10 @@ object ToolSupport {
     // corr_mx by the time this entry applies
     "corr_mx" -> "corr", "token_count" -> "tok_cnt",
     "freq_table" -> "freq", "heavy_hitters" -> "hh",
-    "session" -> "sess", "ckpt_prune" -> "ckpt")
+    "session" -> "sess", "ckpt_prune" -> "ckpt",
+    "resample_ffill" -> "resamp", "date_" -> "dt_",
+    "rare_other" -> "rare", "cond_update" -> "cond_up",
+    "sliding" -> "slid")
 
   def benchKey(name: String): String =
     benchKeySubs.foldLeft(name.stripPrefix("q_")) {

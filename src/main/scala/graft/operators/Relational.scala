@@ -207,6 +207,47 @@ object Relational {
       .orderBy("priority")
   }
 
+  /** Time-series resampling to a regular daily grid with forward fill —
+    * the gap-repair primitive every downstream window/forecast step
+    * assumes (the reference implicitly assumes gapless county series when
+    * it joins predictions back by date, 03_LinearRegression.R:137-162).
+    *
+    * Per event type: aggregate to (key, epoch-day) counts, explode the
+    * key's own [min, max] day range into a spine, left-join the
+    * observations onto it, and carry the last observation forward
+    * (`last(ignoreNulls)` over a per-key ordered window); emit a gap flag
+    * so filled rows stay auditable.
+    *
+    * Scale shape: the heavy input collapses in the FIRST aggregate
+    * (map-side combinable, one row per key-day); everything after —
+    * spine explode, (key, day) join, per-key window — operates on
+    * key-count × span-days rows, and each window partition holds only
+    * one key's days (bounded by the calendar, not the event volume), so
+    * there is no single-task window at any corpus size. Epoch-days are
+    * exact integers; counts are exact; the fill replays bit-for-bit. */
+  def resampleFfill(spark: SparkSession, dir: String): DataFrame = {
+    // the synthetic events table is gapless per type at every SF, so a
+    // planted outage (every day ≡ 1 mod 3 dropped) keeps the fill branch
+    // data-exercised — and oracle-gated — rather than vacuous
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type").as("k"),
+        datediff(col("ts").cast(DateType),
+          lit("1970-01-01").cast(DateType)).cast(LongType).as("d"))
+      .filter(col("d") % 3 =!= 1)
+      .groupBy("k", "d").agg(count(lit(1)).as("cnt"))
+    val spine = daily.groupBy("k").agg(min("d").as("mn"), max("d").as("mx"))
+      .select(col("k"), explode(sequence(col("mn"), col("mx"))).as("d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy("d")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    spine.join(daily, Seq("k", "d"), "left")
+      .select(col("k"), col("d"),
+        last(col("cnt"), ignoreNulls = true).over(w).as("cnt_ffill"),
+        col("cnt").isNull.cast(LongType).as("is_gap"))
+      .orderBy("k", "d")
+  }
+
   /** The four lineitem measures the correlation matrix profiles. */
   private[graft] val CorrCols =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")

@@ -110,6 +110,36 @@ class RelationalSpec extends AnyFunSuite {
     assert(pairSet.forall { case (x, y) => idx(x) < idx(y) })
   }
 
+  test("resample ffill: contiguous spine, exact fills, auditable gaps") {
+    val rows = SparkEntry.queries("q_resample_ffill")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // per key: days are exactly the contiguous [min, max] range
+    rows.groupBy(_._1).foreach { case (k, v) =>
+      val days = v.map(_._2).sorted
+      assert(days === (days.head to days.last), s"spine gap for $k")
+    }
+    // non-gap rows carry their own exact daily count; gap rows carry the
+    // most recent preceding non-gap value
+    val obs = rows.filter(_._4 == 0L).map(t => (t._1, t._2) -> t._3).toMap
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type").as("k"),
+        datediff(col("ts").cast(DateType),
+          lit("1970-01-01").cast(DateType)).cast(LongType).as("d"))
+      .filter(col("d") % 3 =!= 1)
+      .groupBy("k", "d").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(obs === daily)
+    assert(rows.exists(_._4 == 1L), "planted outage produced no gap rows")
+    rows.groupBy(_._1).foreach { case (_, v) =>
+      var carry = -1L
+      v.sortBy(_._2).foreach { case (k, d, f, gap) =>
+        if (gap == 0L) carry = obs((k, d))
+        assert(f === carry, s"bad fill at ($k,$d)")
+      }
+    }
+  }
+
   test("lag gaps: totals telescope to per-customer date ranges") {
     val rows = SparkEntry.queries("q_lag_gaps")(spark, sf).collect()
     assert(rows.nonEmpty)
