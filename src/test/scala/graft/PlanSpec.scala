@@ -22,6 +22,43 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("bpe pair top-20 executes as TakeOrderedAndProject over the count") {
+    val p = plan("q_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  // count operator nodes via the details section's "(id) OpName" headers —
+  // substring counting would double-count tree + details renderings
+  private def nodeCount(p: String, op: String): Int =
+    p.linesIterator.count(_.matches(s"""\\(\\d+\\) $op.*"""))
+
+  test("corr matrix is one partial+final aggregate pair, no join") {
+    // 15 cross-moments accumulate in a single pass: the only exchanges
+    // are the 1-row partial merge (+ the 6-row final sort), never a join
+    val p = plan("q_corr_matrix")
+    assert(nodeCount(p, "Exchange") <= 2, p)
+    assert(nodeCount(p, ".*Join") === 0, p)
+  }
+
+  test("z-order zone map has no join and only aggregate/sort exchanges") {
+    val p = plan("q_zorder")
+    assert(nodeCount(p, ".*Join") === 0, p)
+    assert(nodeCount(p, "Exchange") <= 2, p)
+  }
+
+  test("set ops lower to real semi/anti joins, never cartesian") {
+    val p = plan("q_set_ops")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(nodeCount(p, "CartesianProduct") === 0, p)
+  }
+
+  test("merge upsert is ONE full-outer join on the id") {
+    val p = plan("q_merge_upsert")
+    assert(p.contains("FullOuter"), p)
+    assert(nodeCount(p, ".*Join") === 1, p)
+  }
+
   test("projection queries prune the parquet scan to referenced columns") {
     val p = plan("q_select_rename")
     val read = p.linesIterator.find(_.contains("ReadSchema")).get
