@@ -80,7 +80,8 @@ object ToolSupport {
     "corr_mx" -> "corr", "token_count" -> "tok_cnt",
     "freq_table" -> "freq", "heavy_hitters" -> "hh",
     "session" -> "sess", "ckpt_prune" -> "ckpt",
-    "resample_ffill" -> "resamp", "date_" -> "dt_",
+    // ("sample_" above has already turned resample_ffill into resmp_ffill)
+    "resmp_ffill" -> "resamp", "date_" -> "dt_",
     "rare_other" -> "rare", "cond_update" -> "cond_up",
     "sliding" -> "slid")
 
