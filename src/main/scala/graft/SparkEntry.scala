@@ -227,6 +227,8 @@ object SparkEntry {
     "q_anti_join"         -> (Joins.antiJoin _),
     // ANSI INTERSECT/EXCEPT distinct set ops as explicit surface
     "q_set_ops"           -> (Joins.setOps _),
+    // RANK / DENSE_RANK / PERCENT_RANK tie semantics in one window pass
+    "q_rank_funcs"        -> (Joins.rankFunctions _),
     "q_full_outer"        -> (Joins.fullOuterJoin _),
     // OLS diagnostics (SURVEY §2.9 M5) — rows-only
     "q_ols_diagnostics"   -> (graft.ml.Diagnostics.query _),
@@ -1156,6 +1158,27 @@ object SparkEntry {
         |ORDER BY tag, day""".stripMargin,
     // Pearson matrix: generated from the same CorrCols/moment formula
     "q_corr_matrix" -> Relational.corrMatrixOracleSql,
+    // ranking trio: same tie key (whole-unit balance), same windows;
+    // percent_rank is one IEEE division of two exact ints on both sides
+    "q_rank_funcs" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_mktsegment AS segment,
+        |    ROUND(c_acctbal, -2) AS acctbal
+        |  FROM customer),
+        |r AS (
+        |  SELECT c_custkey, segment, acctbal,
+        |    CAST(ROW_NUMBER() OVER
+        |      (PARTITION BY segment ORDER BY acctbal DESC, c_custkey)
+        |      AS BIGINT) AS rn,
+        |    CAST(RANK() OVER
+        |      (PARTITION BY segment ORDER BY acctbal DESC) AS BIGINT) AS rnk,
+        |    CAST(DENSE_RANK() OVER
+        |      (PARTITION BY segment ORDER BY acctbal DESC) AS BIGINT) AS drnk,
+        |    ROUND(PERCENT_RANK() OVER
+        |      (PARTITION BY segment ORDER BY acctbal DESC), 6) AS prnk
+        |  FROM c)
+        |SELECT c_custkey, segment, acctbal, rn, rnk, drnk, prnk
+        |FROM r WHERE rn <= 5 ORDER BY segment, rn""".stripMargin,
     // resample + ffill: integer epoch-day spine, IGNORE NULLS carry
     "q_resample_ffill" ->
       """WITH daily AS (

@@ -83,7 +83,7 @@ object ToolSupport {
     // ("sample_" above has already turned resample_ffill into resmp_ffill)
     "resmp_ffill" -> "resamp", "date_" -> "dt_",
     "rare_other" -> "rare", "cond_update" -> "cond_up",
-    "sliding" -> "slid")
+    "sliding" -> "slid", "rank_funcs" -> "ranks")
 
   def benchKey(name: String): String =
     benchKeySubs.foldLeft(name.stripPrefix("q_")) {

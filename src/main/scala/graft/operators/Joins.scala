@@ -204,6 +204,36 @@ object Joins {
       .limit(15)
       .select(col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"))
 
+  /** Ranking-function surface (RANK / DENSE_RANK / PERCENT_RANK) in one
+    * window pass: the top-5 customers per market segment by rounded
+    * account balance, with tie-aware rank, gap-free dense rank and the
+    * normalized percentile position. row_number alone (W2) hides tie
+    * semantics; this pins all three ANSI ranking behaviors against the
+    * oracle on real ties (balances bucketed to hundreds, so the top of
+    * every segment collides).
+    *
+    * Scale shape: one hash exchange on the segment key, per-segment sort;
+    * segments are balanced categories, so no single-task window. The
+    * top-5 filter keeps the output bounded at 5·|segments| rows.
+    *
+    * PERCENT_RANK is (rank-1)/(n-1) computed in double — both engines
+    * evaluate the same two exact integers through one IEEE division, so
+    * the replay is bit-exact without rounding. */
+  def rankFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("segment")
+      .orderBy(col("acctbal").desc, col("c_custkey").asc)
+    val tiesW = Window.partitionBy("segment").orderBy(col("acctbal").desc)
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+        (round(col("c_acctbal"), -2)).as("acctbal"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .withColumn("rnk", rank().over(tiesW).cast(LongType))
+      .withColumn("drnk", dense_rank().over(tiesW).cast(LongType))
+      .withColumn("prnk", round(percent_rank().over(tiesW), 6))
+      .filter(col("rn") <= 5)
+      .orderBy("segment", "rn")
+  }
+
   /** INTERSECT / EXCEPT set semantics (distinct, per ANSI), pinned as
     * explicit engine surface rather than only via the semi/anti joins
     * they lower to: the active-day sets of two order priorities,

@@ -109,6 +109,37 @@ class JoinsSpec extends AnyFunSuite {
     assert(byTag.getOrElse("high_only", Set()) === (h diff u))
   }
 
+  test("rank functions: tie-aware rank, gap-free dense rank, exact prnk") {
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q_rank_funcs")(spark, sf01).collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getDouble(6)))
+    // per segment: rn is exactly 1..5
+    rows.groupBy(_._1).foreach { case (s, v) =>
+      assert(v.map(_._3).sorted === (1L to 5L), s)
+      // ties (same bucketed balance) share rnk/drnk/prnk; after a k-way
+      // tie rank jumps by k while dense rank steps by 1
+      v.sortBy(_._3).sliding(2).foreach {
+        case Array((_, b1, _, k1, d1, p1), (_, b2, _, k2, d2, p2)) =>
+          if (b1 == b2) { assert(k1 === k2); assert(d1 === d2)
+            assert(p1 === p2) }
+          else { assert(k2 > k1); assert(d2 === d1 + 1) }
+        case _ => ()
+      }
+    }
+    // hundreds-bucketing must actually produce a tie somewhere in the
+    // output — otherwise the tie semantics above were vacuous
+    assert(rows.groupBy(r => (r._1, r._2)).exists(_._2.length > 1))
+    // percent_rank replays as (rank-1)/(n-1) against independent counts
+    val sizes = Tables.customer(spark, sf01)
+      .groupBy("c_mktsegment").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (s, _, _, rnk, _, prnk) =>
+      val expect = (rnk - 1).toDouble / (sizes(s) - 1).toDouble
+      assert(math.abs(prnk - expect) < 1e-6, s"$s rank $rnk")
+    }
+  }
+
   test("F12 rare-category model is deterministic and bounded") {
     val d = Tables.documents(spark, sf)
     val m1 = RareCategory.fit(d, "source", 0.045)
