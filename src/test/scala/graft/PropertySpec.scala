@@ -216,6 +216,48 @@ class PropertySpec extends AnyFunSuite {
       .forall(b => Similarity.ndBandsFor(b) <= Similarity.ndBandsFor(b + 1)))
   }
 
+  test("mg_topk: stream-update guarantee holds for arbitrary merge trees") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val agg = graft.functions.MisraGriesAgg(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, StringType, nullable = false), Literal(7))
+    // a planted heavy item (> n/(k+1) of the stream, k=7) must survive
+    // ANY split of the stream into partitions + left-fold merge
+    val stream = Gen.listOfN(200, Gen.oneOf(
+      Gen.const("HOT"), Gen.alphaLowerStr.map(_.take(4))))
+    val cuts = Gen.listOfN(3, Gen.chooseNum(0, 199))
+    check(Prop.forAll(stream, cuts) { (s, cs) =>
+      val heavyEnough = s.count(_ == "HOT") > s.length / 8
+      val parts = (0 +: cs.sorted :+ s.length).distinct.sliding(2).map {
+        case Seq(a, b) => s.slice(a, b)
+        case _ => Nil
+      }.toSeq
+      val merged = parts.map { p =>
+        val m = agg.createAggregationBuffer()
+        p.foreach { v =>
+          agg.update(m, org.apache.spark.sql.catalyst.InternalRow(
+            UTF8String.fromString(v)))
+        }
+        m
+      }.reduce(agg.merge)
+      assert(merged.size <= 7)
+      !heavyEnough || merged.keys.exists(_.toString == "HOT")
+    })
+  }
+
+  test("mg_topk: serialize/deserialize round-trips any buffer") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val agg = graft.functions.MisraGriesAgg(
+      Literal.create("x", StringType), Literal(16))
+    val entries = Gen.mapOf(Gen.zip(
+      Gen.alphaNumStr.map(s => s.take(12)), Gen.chooseNum(1L, 1000000L)))
+    check(Prop.forAll(entries) { m =>
+      val buf = scala.collection.mutable.HashMap.empty[UTF8String, Long]
+      m.foreach { case (k, v) => buf(UTF8String.fromString(k)) = v }
+      agg.deserialize(agg.serialize(buf)) == buf
+    })
+  }
+
   test("repeat_stats matches a split/group reference for any string") {
     def ref(s: String): Seq[Long] = {
       val toks = s.split(" ", -1).toSeq
