@@ -40,6 +40,8 @@ object SparkEntry {
     "q_corr_matrix"       -> (Relational.corrMatrix _),
     // daily-grid resample with forward fill + auditable gap flag
     "q_resample_ffill"    -> (Relational.resampleFfill _),
+    // trailing 7-day RANGE-frame moving average (calendar-aware window)
+    "q_moving_avg"        -> (Relational.movingAvg _),
     "q_na_profile"        -> (Relational.naProfileEvents _),
     // cleaning / projection surface (SURVEY §2.2)
     "q_cond_update"       -> (Cleaning.condUpdate _),
@@ -1130,6 +1132,27 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS cum_cents
         |FROM m ORDER BY priority, month""".stripMargin,
+    // RANGE frame over integer epoch-days: gaps shrink the trailing window;
+    // exact BIGINT cents both sides, one IEEE division for the average
+    "q_moving_avg" ->
+      """WITH d AS (
+        |  SELECT o_orderpriority AS priority,
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS day,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS day_cents
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (
+        |  SELECT priority, day, day_cents,
+        |    CAST(SUM(day_cents) OVER (PARTITION BY priority ORDER BY day
+        |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS w_cents,
+        |    COUNT(*) OVER (PARTITION BY priority ORDER BY day
+        |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS w_days
+        |  FROM d)
+        |SELECT priority, day, day_cents, w_cents, w_days,
+        |  ROUND(CAST(w_cents AS DOUBLE) / w_days, 4) AS avg7_cents
+        |FROM w ORDER BY priority, day""".stripMargin,
     "q_semi_join" ->
       """SELECT c_mktsegment AS segment, COUNT(*) AS cnt
         |FROM customer c

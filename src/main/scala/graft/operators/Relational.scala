@@ -248,6 +248,38 @@ object Relational {
       .orderBy("k", "d")
   }
 
+  /** Trailing 7-day moving average over a RANGE frame — the calendar-aware
+    * smoothing primitive (vs [[cumulativeSum]]'s ROWS frame): the frame is
+    * `RANGE BETWEEN 6 PRECEDING AND CURRENT ROW` over the integer epoch-day
+    * key, so a day with no orders SHRINKS the trailing window instead of
+    * silently reaching further back — the semantics ROWS frames get wrong
+    * on gappy series. (The reference smooths county series by date the same
+    * way it joins them, 03_LinearRegression.R:137-162.)
+    *
+    * Scale shape: aggregate FIRST — the raw orders collapse to one row per
+    * (priority, day) in a map-side-combinable hash aggregate — then the
+    * window runs over priorities × calendar-days rows, each partition
+    * bounded by the calendar, never by order volume. Sums are exact BIGINT
+    * cents; the average is ONE IEEE division at the end, replayed
+    * identically in the oracle. */
+  def movingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("priority"),
+        datediff(col("o_orderdate").cast(DateType),
+          lit("1970-01-01").cast(DateType)).cast(LongType).as("day"),
+        money(col("o_totalprice")).as("price"))
+      .groupBy("priority", "day")
+      .agg((sum(col("price")) * 100).cast(LongType).as("day_cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("priority").orderBy("day").rangeBetween(-6, 0)
+    daily
+      .withColumn("w_cents", sum(col("day_cents")).over(w))
+      .withColumn("w_days", count(lit(1)).over(w))
+      .withColumn("avg7_cents",
+        round(col("w_cents").cast(DoubleType) / col("w_days"), 4))
+      .orderBy("priority", "day")
+  }
+
   /** The four lineitem measures the correlation matrix profiles. */
   private[graft] val CorrCols =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")

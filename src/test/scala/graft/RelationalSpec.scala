@@ -140,6 +140,29 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("moving avg: RANGE frame is calendar-aware, exact vs recompute") {
+    val rows = SparkEntry.queries("q_moving_avg")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    // recompute each trailing window from the daily series itself: the
+    // frame is day ∈ [d-6, d], NOT "the 7 preceding rows" — on a day-gapped
+    // series the two disagree, and this pins the RANGE semantics
+    rows.groupBy(_._1).foreach { case (p, v) =>
+      val byDay = v.map(t => t._2 -> t._3).toMap
+      v.foreach { case (_, d, _, wCents, wDays) =>
+        val frame = (d - 6 to d).flatMap(byDay.get)
+        assert(wCents === frame.sum, s"w_cents mismatch at ($p,$d)")
+        assert(wDays === frame.size && wDays >= 1 && wDays <= 7)
+      }
+      // the series must actually exercise the gap branch somewhere
+      val days = v.map(_._2).sorted
+      val gapped = days.zip(days.tail).exists { case (a, b) => b - a > 1 }
+      if (gapped)
+        assert(v.exists(_._5 < 7L), s"gaps present but every frame full ($p)")
+    }
+  }
+
   test("lag gaps: totals telescope to per-customer date ranges") {
     val rows = SparkEntry.queries("q_lag_gaps")(spark, sf).collect()
     assert(rows.nonEmpty)
