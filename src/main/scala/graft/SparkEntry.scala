@@ -42,6 +42,10 @@ object SparkEntry {
     "q_resample_ffill"    -> (Relational.resampleFfill _),
     // trailing 7-day RANGE-frame moving average (calendar-aware window)
     "q_moving_avg"        -> (Relational.movingAvg _),
+    // ordered 3-step conversion funnel (earliest-completion state per user)
+    "q_funnel"            -> (Behavior.funnel _),
+    // weekly cohort retention grid (first-week cohorts × activity offsets)
+    "q_cohort"            -> (Behavior.cohortRetention _),
     "q_na_profile"        -> (Relational.naProfileEvents _),
     // cleaning / projection surface (SURVEY §2.2)
     "q_cond_update"       -> (Cleaning.condUpdate _),
@@ -1132,6 +1136,10 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS cum_cents
         |FROM m ORDER BY priority, month""".stripMargin,
+    // funnel/cohort: generated beside the operators so the step chain and
+    // the week derivation can't drift between plan and oracle
+    "q_funnel" -> graft.operators.Behavior.funnelOracleSql,
+    "q_cohort" -> graft.operators.Behavior.cohortOracleSql,
     // RANGE frame over integer epoch-days: gaps shrink the trailing window;
     // exact BIGINT cents both sides, one IEEE division for the average
     "q_moving_avg" ->

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Behavioral / product-analytics operators over the events stream table:
+  * ordered conversion funnels and cohort retention — the two queries every
+  * event-warehouse engine is asked for first. The reference has no event
+  * stream, but its per-county time bucketing (02_DataCleaning.R:139) is the
+  * same derive-a-grain-then-aggregate shape.
+  *
+  * Scale notes (100 TB discipline):
+  *  - every pass is either a map-side-combinable hash aggregate keyed by
+  *    user_id or an equi-join on user_id — co-partitioned by AQE, no
+  *    windows, no per-user sorts;
+  *  - the funnel's per-step state is ONE timestamp per user (the earliest
+  *    time the step could have completed), not the user's event list —
+  *    state size is users × steps, independent of event volume;
+  *  - timestamps stay exact (micros); counts are exact BIGINTs; the only
+  *    doubles are final conversion ratios (one IEEE division, rounded,
+  *    replayed identically in the oracle).
+  */
+object Behavior {
+
+  /** Ordered 3-step funnel view → click → purchase: a user completes step
+    * k only with an event of step-k's type STRICTLY AFTER their step-(k−1)
+    * completion time; completion time is the earliest such event (greedy
+    * earliest-completion is optimal for ordered funnels: any valid
+    * witness sequence can be pointwise lowered onto the greedy one).
+    *
+    * Three filtered aggregate passes — one per step — each a pushed-down
+    * type filter, an equi-join on user_id against the (users-sized)
+    * previous-step state, and a min() hash aggregate. No sort anywhere. */
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    funnelFrom(spark, Tables.events(spark, dir))
+
+  /** Core of [[funnel]] over any (user_id, ts, event_type) frame. */
+  def funnelFrom(spark: SparkSession, ev: DataFrame): DataFrame = {
+    def step(typ: String) =
+      ev.filter(col("event_type") === typ).select(col("user_id"), col("ts"))
+    val s1 = step("view").groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = step("click").join(s1, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = step("purchase").join(s2, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    // three bounded scalar counts (users-per-step), then the 3-row summary;
+    // the division/rounding runs through the same engine ops as the oracle
+    val Seq(n1, n2, n3) = Seq(s1, s2, s3).map(_.count())
+    val w = org.apache.spark.sql.expressions.Window.orderBy("step")
+    spark.createDataFrame(Seq(
+        (1, "view", n1), (2, "click", n2), (3, "purchase", n3)))
+      .toDF("step", "step_name", "users")
+      .withColumn("conv_prev",
+        round(col("users").cast(DoubleType) /
+          nullif(coalesce(lag(col("users"), 1).over(w), col("users")),
+            lit(0L)), 6))
+      .orderBy("step")
+  }
+
+  /** DuckDB replay of [[funnel]]: the same three min() passes chained as
+    * CTEs; counts exact, conversions the same single rounded division. */
+  val funnelOracleSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+      |  WHERE e.event_type = 'click' GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+      |  WHERE e.event_type = 'purchase' GROUP BY 1),
+      |n AS (SELECT (SELECT COUNT(*) FROM s1) AS n1,
+      |             (SELECT COUNT(*) FROM s2) AS n2,
+      |             (SELECT COUNT(*) FROM s3) AS n3)
+      |SELECT step, step_name, users, conv_prev FROM (
+      |  SELECT 1 AS step, 'view' AS step_name, n1 AS users,
+      |    ROUND(CAST(n1 AS DOUBLE) / NULLIF(n1, 0), 6) AS conv_prev FROM n
+      |  UNION ALL SELECT 2, 'click', n2,
+      |    ROUND(CAST(n2 AS DOUBLE) / NULLIF(n1, 0), 6) FROM n
+      |  UNION ALL SELECT 3, 'purchase', n3,
+      |    ROUND(CAST(n3 AS DOUBLE) / NULLIF(n2, 0), 6) FROM n)
+      |ORDER BY step""".stripMargin
+
+  /** Weekly cohort retention: users cohorted by the epoch-week of their
+    * first event; a cohort-week cell counts the users of that cohort with
+    * any activity `week_offset` weeks later. Weeks are exact integer
+    * epoch-day div 7 — no calendar/locale dependence to drift between
+    * engines.
+    *
+    * Two passes: (1) per-user first-week — map-side-combinable min; (2) the
+    * distinct (user, offset) activity grid — an equi-join on user_id plus a
+    * distinct-aggregate, then the small (cohorts × offsets) count. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val wk = Tables.events(spark, dir)
+      .select(col("user_id"),
+        (datediff(col("ts").cast(DateType), lit("1970-01-01").cast(DateType))
+          .cast(LongType) / 7).cast(LongType).as("week"))
+    val first = wk.groupBy("user_id").agg(min("week").as("cohort_week"))
+    wk.join(first, "user_id")
+      .select(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("active_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** DuckDB replay of [[cohortRetention]] — same integer week derivation. */
+  val cohortOracleSql: String =
+    """WITH wk AS (
+      |  SELECT user_id,
+      |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS week
+      |  FROM events),
+      |first AS (SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY 1),
+      |grid AS (
+      |  SELECT DISTINCT f.cohort_week, w.week - f.cohort_week AS week_offset,
+      |    w.user_id
+      |  FROM wk w JOIN first f ON w.user_id = f.user_id)
+      |SELECT cohort_week, week_offset, COUNT(*) AS active_users
+      |FROM grid GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Behavior
+
+/** Funnel / cohort-retention contracts (Behavior.scala). */
+class BehaviorSpec extends AnyFunSuite {
+  import TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def ev(rows: (Long, Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("user_id", "sec", "event_type")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+  }
+
+  test("funnel: strict ordering — steps out of order do NOT convert") {
+    // u1 completes in order; u2 purchases BEFORE clicking (no step 3);
+    // u3 clicks before viewing (the click can't count — but a later one
+    // does); u4 has click/purchase and no view at all (never enters)
+    val df = ev(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      (2L, 10L, "view"), (2L, 30L, "purchase"), (2L, 40L, "click"),
+      (3L, 5L, "click"), (3L, 10L, "view"), (3L, 20L, "click"),
+      (3L, 25L, "purchase"),
+      (4L, 10L, "click"), (4L, 20L, "purchase"))
+    val out = Behavior.funnelFrom(spark, df).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(out === Map(1 -> 3L, 2 -> 3L, 3 -> 2L)) // u4 never enters
+  }
+
+  test("funnel: ties at the same timestamp are not strictly-after") {
+    val df = ev((1L, 10L, "view"), (1L, 10L, "click"), (1L, 20L, "purchase"))
+    val out = Behavior.funnelFrom(spark, df).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(out(2) === 0L, "same-instant click must not complete step 2")
+  }
+
+  test("funnel on testdata: monotone counts, conversions in (0,1]") {
+    val rows = SparkEntry.queries("q_funnel")(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(1, 2, 3))
+    val users = rows.map(_.getLong(2))
+    assert(users(0) >= users(1) && users(1) >= users(2))
+    assert(users(2) > 0, "testdata should drive some users through all steps")
+    rows.foreach(r => assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1.0))
+  }
+
+  test("cohort retention: offset-0 cell equals cohort size, grid consistent") {
+    val rows = SparkEntry.queries("q_cohort")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, off, n) => assert(off >= 0 && n > 0) }
+    val byCohort = rows.groupBy(_._1)
+    // every user is active in their own first week → the offset-0 cell is
+    // the cohort's full size, and no later cell exceeds it
+    byCohort.foreach { case (cw, cells) =>
+      val c0 = cells.find(_._2 == 0L)
+      assert(c0.isDefined, s"cohort $cw missing offset-0 cell")
+      cells.foreach { case (_, _, n) => assert(n <= c0.get._3) }
+    }
+    // cohort sizes partition the user base
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(byCohort.values.map(_.find(_._2 == 0L).get._3).sum === users)
+  }
+}
