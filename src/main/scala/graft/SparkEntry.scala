@@ -142,6 +142,8 @@ object SparkEntry {
     "q_snapshot_diff"     -> (Graph.snapshotDiff _),
     // dataset-versioning: CDC MERGE (delete/update/insert apply) profile
     "q_merge_upsert"      -> (Versioning.mergeUpsert _),
+    // SCD Type-2 history build: change log → validity intervals
+    "q_scd2"              -> (Versioning.scd2 _),
     // Z-order layout: Morton-key zone map for two-column data skipping
     "q_zorder"            -> (Layout.zOrderLayout _),
     // BPE tokenizer-training pair statistics (deterministic top-20)
@@ -1140,6 +1142,8 @@ object SparkEntry {
     // the week derivation can't drift between plan and oracle
     "q_funnel" -> graft.operators.Behavior.funnelOracleSql,
     "q_cohort" -> graft.operators.Behavior.cohortOracleSql,
+    // SCD2: collapse-then-close window chain, exact micros + BIGINT flag
+    "q_scd2" -> graft.operators.Versioning.scd2OracleSql,
     // RANGE frame over integer epoch-days: gaps shrink the trailing window;
     // exact BIGINT cents both sides, one IEEE division for the average
     "q_moving_avg" ->

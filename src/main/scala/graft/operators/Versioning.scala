@@ -59,4 +59,56 @@ object Versioning {
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
       .orderBy("bucket")
   }
+
+  /** SCD Type-2 dimension build: turn each user's event-type change LOG
+    * into validity intervals `[valid_from, valid_to)` — the standard
+    * warehouse history shape ([[mergeUpsert]] maintains the CURRENT
+    * snapshot; this keeps every version queryable as-of any time).
+    *
+    * Two per-user window steps over ONE (user_id, ts, event_id) sort:
+    * (1) collapse runs of the same attribute value (a row survives iff its
+    * value differs from its predecessor's — re-stating an unchanged value
+    * must not open a new version); (2) close each surviving version with
+    * the next version's start (`lead`), NULL ⇒ still current.
+    *
+    * Scale shape: both windows partition by user_id — millions of small
+    * independent partitions after one hash exchange, and Catalyst runs
+    * them over a single sort since partitioning AND ordering agree. The
+    * output is one row per VERSION (bounded by change count, not event
+    * count). Timestamps stay exact micros; the flag is an exact BIGINT. */
+  def scd2(spark: SparkSession, dir: String): DataFrame =
+    scd2From(Tables.events(spark, dir))
+
+  /** Core of [[scd2]] over any (user_id, ts, event_id, event_type) log. */
+  def scd2From(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("status"))
+      .withColumn("prev_status", lag(col("status"), 1).over(byTime))
+      .filter(col("prev_status").isNull || col("prev_status") =!= col("status"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(byTime))
+      .select(col("user_id"), col("status"), col("ts").as("valid_from"),
+        col("valid_to"),
+        col("valid_to").isNull.cast(LongType).as("is_current"))
+      .orderBy("user_id", "valid_from")
+  }
+
+  /** DuckDB replay of [[scd2]] — same collapse-then-close window chain. */
+  val scd2OracleSql: String =
+    """WITH log AS (
+      |  SELECT user_id, ts, event_id, event_type AS status,
+      |    lag(event_type) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev_status
+      |  FROM events),
+      |v AS (
+      |  SELECT user_id, status, ts AS valid_from,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS valid_to
+      |  FROM log
+      |  WHERE prev_status IS NULL OR prev_status <> status)
+      |SELECT user_id, status, valid_from, valid_to,
+      |  CAST(valid_to IS NULL AS BIGINT) AS is_current
+      |FROM v ORDER BY user_id, valid_from""".stripMargin
 }

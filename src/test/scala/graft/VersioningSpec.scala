@@ -29,4 +29,44 @@ class VersioningSpec extends AnyFunSuite {
     // inserted id space is visible: some bucket's max_id is above 1M
     assert(prof.map(_.getLong(4)).max >= 1000000L)
   }
+
+  test("scd2: runs collapse, re-stated values do not open versions") {
+    import spark.implicits._
+    // u1: A A B A  → versions A, B, A (middle A-restate collapses);
+    // u2: single event → one open version
+    val log = Seq(
+      (1L, 10L, 1L, "A"), (1L, 20L, 2L, "A"), (1L, 30L, 3L, "B"),
+      (1L, 40L, 4L, "A"),
+      (2L, 10L, 5L, "X"))
+      .toDF("user_id", "sec", "event_id", "event_type")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val out = graft.operators.Versioning.scd2From(log).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getLong(4)))
+    assert(out.count(_._1 == 1L) === 3)
+    assert(out.filter(_._1 == 1L).map(_._2).toSeq === Seq("A", "B", "A"))
+    assert(out.count(_._1 == 2L) === 1)
+    // exactly one current row per user; only the last is open
+    assert(out.count(_._5 == 1L) === 2)
+    assert(out.filter(_._4.isEmpty).forall(_._5 == 1L))
+  }
+
+  test("scd2 on testdata: intervals tile each user's history gaplessly") {
+    val rows = SparkEntry.queries("q_scd2")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2), Option(r.getTimestamp(3)),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (u, v) =>
+      val sorted = v.sortBy(_._2.getTime)
+      // each version closes exactly where the next opens; only the last open
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a._3.contains(b._2), s"interval gap for user $u")
+      }
+      assert(sorted.init.forall(_._4 == 0L) && sorted.last._4 == 1L)
+      assert(sorted.last._3.isEmpty)
+    }
+    // versions are bounded by the user's event count
+    val evCount = Tables.events(spark, sf).count()
+    assert(rows.length <= evCount)
+  }
 }
