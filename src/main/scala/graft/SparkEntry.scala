@@ -144,6 +144,8 @@ object SparkEntry {
     "q_merge_upsert"      -> (Versioning.mergeUpsert _),
     // SCD Type-2 history build: change log → validity intervals
     "q_scd2"              -> (Versioning.scd2 _),
+    // declarative data-quality expectation suite (FK/unique/range/null)
+    "q_dq_checks"         -> (DqChecks.query _),
     // Z-order layout: Morton-key zone map for two-column data skipping
     "q_zorder"            -> (Layout.zOrderLayout _),
     // BPE tokenizer-training pair statistics (deterministic top-20)
@@ -1144,6 +1146,8 @@ object SparkEntry {
     "q_cohort" -> graft.operators.Behavior.cohortOracleSql,
     // SCD2: collapse-then-close window chain, exact micros + BIGINT flag
     "q_scd2" -> graft.operators.Versioning.scd2OracleSql,
+    // DQ suite: per-table conditional-aggregate counters + NOT EXISTS FKs
+    "q_dq_checks" -> graft.operators.DqChecks.oracleSql,
     // RANGE frame over integer epoch-days: gaps shrink the trailing window;
     // exact BIGINT cents both sides, one IEEE division for the average
     "q_moving_avg" ->
