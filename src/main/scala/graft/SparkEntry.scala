@@ -113,6 +113,8 @@ object SparkEntry {
     "q_inverted_index"    -> ((s, d) => TextAnalysis.invertedIndex(s, d)),
     // exact heavy hitters via mergeable Misra-Gries sketch + recount
     "q_heavy_hitters"     -> (TextAnalysis.heavyHitters _),
+    // vocabulary coverage curve at top-k cutoffs (tokenizer sizing / OOV)
+    "q_vocab_coverage"    -> (TextAnalysis.vocabCoverage _),
     // corpus curation: PII redaction, pretraining-mix sampling, sequence
     // packing (brief first-class; the steps between dedup and the trainer)
     "q_redact"            -> (Curation.redact _),
@@ -1148,6 +1150,8 @@ object SparkEntry {
     "q_scd2" -> graft.operators.Versioning.scd2OracleSql,
     // DQ suite: per-table conditional-aggregate counters + NOT EXISTS FKs
     "q_dq_checks" -> graft.operators.DqChecks.oracleSql,
+    // vocab coverage: generated from the same VocabRanks + total order
+    "q_vocab_coverage" -> graft.operators.TextAnalysis.vocabCoverageOracleSql,
     // RANGE frame over integer epoch-days: gaps shrink the trailing window;
     // exact BIGINT cents both sides, one IEEE division for the average
     "q_moving_avg" ->

@@ -313,6 +313,72 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("term").asc)
   }
 
+  /** Ranks the vocabulary-coverage curve reports. Sized to the synthetic
+    * corpus's ~31-token vocabulary so every checkpoint is data-exercised;
+    * a real tokenizer run would pass (1k, 8k, 32k, …) — the plan shape is
+    * rank-count independent (top-VocabRanks.max stays a constant). */
+  private[graft] val VocabRanks = Seq(1, 5, 10, 20, 30)
+
+  /** Vocabulary coverage curve: what fraction of all token OCCURRENCES the
+    * top-k vocabulary entries cover — the curve that sizes a tokenizer's
+    * vocab and prices the OOV rate (1 − coverage at the chosen cutoff).
+    * Reports the cumulative coverage at the [[VocabRanks]] checkpoints
+    * under the total order (count DESC, token ASC).
+    *
+    * Scale shape: one explode + one map-side-combinable token count, a
+    * TakeOrderedAndProject top-500 (per-partition heads, never a global
+    * sort of the vocabulary), a broadcast 1-row total, and a cumulative
+    * window over exactly 500 rows — constant-size, corpus-independent.
+    * Counts exact BIGINTs; coverage is one rounded IEEE division. */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(tokensCol).as("term"))
+      .filter(length(col("term")) > 0)
+    val total = toks.agg(count(lit(1)).as("total"))
+    val top = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(VocabRanks.max)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("term").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    top
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("term").asc)))
+      .withColumn("cum_cnt", sum(col("cnt")).over(w))
+      .filter(col("rank").isin(VocabRanks: _*))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("term"), col("cnt"), col("cum_cnt"),
+        round(col("cum_cnt").cast(DoubleType) / col("total"), 6)
+          .as("coverage"))
+      .orderBy("rank")
+  }
+
+  /** DuckDB replay of [[vocabCoverage]] — generated from the same
+    * VocabRanks list and the same (cnt DESC, term ASC) total order. */
+  def vocabCoverageOracleSql: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(regexp_replace(lower(text), '\\s+', ' ',
+       |    'g'), ' ')) AS term
+       |  FROM documents),
+       |tc AS (
+       |  SELECT term, COUNT(*) AS cnt FROM toks
+       |  WHERE length(term) > 0 GROUP BY 1),
+       |n AS (
+       |  SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM tc),
+       |top AS (
+       |  SELECT term, cnt,
+       |    ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS rank,
+       |    CAST(SUM(cnt) OVER (ORDER BY cnt DESC, term ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_cnt
+       |  FROM tc ORDER BY cnt DESC, term ASC LIMIT ${VocabRanks.max})
+       |SELECT CAST(rank AS INT) AS rank, term, cnt, cum_cnt,
+       |  ROUND(CAST(cum_cnt AS DOUBLE) / total, 6) AS coverage
+       |FROM top, n WHERE rank IN (${VocabRanks.mkString(", ")})
+       |ORDER BY rank""".stripMargin
+
   def bpePairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
     Tables.documents(spark, dir)
       .filter(length(col("text")) >= 2)

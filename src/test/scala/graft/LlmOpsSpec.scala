@@ -445,4 +445,31 @@ class LlmOpsSpec extends AnyFunSuite {
       .toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
     assert(rows.toSeq === expected)
   }
+
+  test("vocab coverage: monotone curve, exact recount at every checkpoint") {
+    val rows = SparkEntry.queries("q_vocab_coverage")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    import graft.operators.TextAnalysis.VocabRanks
+    // the synthetic vocab (~31 tokens at every SF) covers all checkpoints
+    assert(rows.map(_._1).toSeq === VocabRanks)
+    // coverage is strictly increasing in rank and bounded by 1
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 > a._4 && b._5 >= a._5)
+    }
+    assert(rows.forall(t => t._5 > 0 && t._5 <= 1.0))
+    // independent recount: token counts + cumulative sums from scratch
+    val counts = Tables.documents(spark, sf)
+      .select(explode(split(regexp_replace(lower(col("text")), "\\s+", " "),
+        " ")).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy("t").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, n) => (-n, t) }
+    val cum = counts.map(_._2).scanLeft(0L)(_ + _).tail
+    rows.foreach { case (rank, term, cnt, cumCnt, _) =>
+      assert(term === counts(rank - 1)._1 && cnt === counts(rank - 1)._2)
+      assert(cumCnt === cum(rank - 1), s"cum mismatch at rank $rank")
+    }
+  }
 }
