@@ -62,6 +62,8 @@ object SparkEntry {
     // string/date function surface (SURVEY §2.8)
     "q_string_extract"    -> (Strings.stringExtract _),
     "q_date_parse"        -> (Strings.dateParse _),
+    // dictionary edit-distance similarity join (length-banded candidates)
+    "q_edit_join"         -> (Strings.editJoin _),
     // joins / sets / windows / top-k (SURVEY §2.3, §2.5-§2.7)
     "q_left_join"         -> (Joins.leftJoin _),
     "q_left_join_distinct"-> (Joins.leftJoinDistinct _),
@@ -1152,6 +1154,8 @@ object SparkEntry {
     "q_dq_checks" -> graft.operators.DqChecks.oracleSql,
     // vocab coverage: generated from the same VocabRanks + total order
     "q_vocab_coverage" -> graft.operators.TextAnalysis.vocabCoverageOracleSql,
+    // edit join: semantic length-window form (banding is result-exact)
+    "q_edit_join" -> graft.operators.Strings.editJoinOracleSql,
     // RANGE frame over integer epoch-days: gaps shrink the trailing window;
     // exact BIGINT cents both sides, one IEEE division for the average
     "q_moving_avg" ->

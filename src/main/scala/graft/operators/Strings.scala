@@ -65,4 +65,59 @@ object Strings {
         // AVG over raw doubles depends on partition summation order
         round(sum(col("o_totalprice").cast(DecimalType(18, 2)))
           .cast(DoubleType) / count(lit(1)), 4).as("avg_price"))
+
+  /** Edit-distance similarity self-join over the part-name DICTIONARY —
+    * the entity-resolution primitive ("red bolt" ≈ "old bolt") the
+    * reference performs by hand when it harmonizes factor levels
+    * (02_DataCleaning.R:200-231). Semantics: all unordered pairs of
+    * distinct names with levenshtein ≤ [[EditJoinMaxDist]].
+    *
+    * Scale shape — dictionary-then-band, never row-pairs: `distinct`
+    * collapses the fact table to its value dictionary first (at 100 TB the
+    * dictionary of a categorical attribute is thousands of values, and the
+    * collapse is a map-side-combinable hash agg over the one name column).
+    * Candidates then come from an EQUI-join on exact string length: since
+    * d edits change length by ≤ d, the longer name probes each length in
+    * [len−d, len] and meets the shorter side's exact length — the same
+    * derived-equi-key discipline as the LSH bands / geo grid / range-join
+    * buckets, so Spark plans a hash join, not a cartesian product. The
+    * exact levenshtein verify runs only on banded candidates. Pair
+    * uniqueness is by construction: the longer side alone probes downward
+    * (an equal-length pair is kept once via name_a < name_b). */
+  private[graft] val EditJoinMaxDist = 2
+
+  def editJoin(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir).select(col("p_name")).distinct()
+      .select(col("p_name").as("name"), length(col("p_name")).as("len"))
+    val probes = names
+      .select(col("name").as("name_l"), col("len").as("len_l"),
+        explode(sequence(col("len") - EditJoinMaxDist, col("len")))
+          .as("probe_len"))
+    probes.join(names.select(col("name").as("name_r"), col("len").as("len_r")),
+        col("probe_len") === col("len_r"))
+      // longer-probes-shorter keeps each unordered pair once; lexicographic
+      // tie-break on equal length
+      .filter(col("len_l") > col("len_r") ||
+        (col("len_l") === col("len_r") && col("name_l") < col("name_r")))
+      .filter(levenshtein(col("name_l"), col("name_r")) <= EditJoinMaxDist)
+      .select(least(col("name_l"), col("name_r")).as("name_a"),
+        greatest(col("name_l"), col("name_r")).as("name_b"),
+        levenshtein(col("name_l"), col("name_r")).cast(LongType).as("dist"))
+      .orderBy("name_a", "name_b")
+  }
+
+  /** DuckDB replay of [[editJoin]]: the banding is result-exact (every
+    * pair within the length window is produced), so the oracle states the
+    * SEMANTIC form — the length-window predicate plus the same
+    * levenshtein gate — not the execution banding. */
+  def editJoinOracleSql: String =
+    s"""WITH n AS (SELECT DISTINCT p_name FROM part)
+       |SELECT least(a.p_name, b.p_name) AS name_a,
+       |  greatest(a.p_name, b.p_name) AS name_b,
+       |  levenshtein(a.p_name, b.p_name) AS dist
+       |FROM n a JOIN n b
+       |  ON a.p_name < b.p_name
+       |  AND abs(length(a.p_name) - length(b.p_name)) <= $EditJoinMaxDist
+       |WHERE levenshtein(a.p_name, b.p_name) <= $EditJoinMaxDist
+       |ORDER BY name_a, name_b""".stripMargin
 }
