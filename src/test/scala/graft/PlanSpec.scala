@@ -46,6 +46,59 @@ class PlanSpec extends AnyFunSuite {
     assert(nodeCount(p, "Exchange") <= 2, p)
   }
 
+  test("moving avg windows over the daily aggregate, not raw orders") {
+    // aggregate-first: the Window must sit ABOVE the final HashAggregate
+    // (window input = priorities × days, never one row per order), and the
+    // whole query needs only the agg shuffle + the window repartition +
+    // the presentation sort
+    val opt = SparkEntry.queries("q_moving_avg")(spark, sf).queryExecution
+      .optimizedPlan.toString
+    val winIdx = opt.indexOf("Window")
+    val aggIdx = opt.indexOf("Aggregate")
+    assert(winIdx >= 0 && aggIdx >= 0 && winIdx < aggIdx,
+      s"Window must consume the aggregate, not the scan\n$opt")
+    val p = plan("q_moving_avg")
+    assert(nodeCount(p, "Exchange") <= 3, p)
+  }
+
+  test("scd2 runs both windows over ONE per-user sort") {
+    // collapse-lag and close-lead share (user_id, ts, event_id) ordering:
+    // one Exchange for the window partitioning, one Sort under it (+ the
+    // presentation orderBy) — a second window sort would double the cost
+    val p = plan("q_scd2")
+    assert(nodeCount(p, "Window") === 2, p)
+    assert(nodeCount(p, "Exchange") <= 2, p)
+    assert(nodeCount(p, "Sort") <= 3, p)
+  }
+
+  test("funnel steps are aggregate+equi-join passes: no window over events") {
+    // per-step state folds in hash aggregates joined on user_id; the only
+    // Window is the 3-row summary's lag
+    val p = plan("q_funnel")
+    assert(nodeCount(p, "Window") <= 1, p)
+    assert(nodeCount(p, "CartesianProduct") === 0, p)
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") === 0, p)
+  }
+
+  test("edit join generates candidates via an equi hash join on length") {
+    val p = plan("q_edit_join")
+    assert(nodeCount(p, "CartesianProduct") === 0, p)
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") === 0, p)
+    assert(p.contains("probe_len"), p) // the derived equi key is the join key
+  }
+
+  test("dq checks: FK probes shuffle keys only; fact scans stay narrow") {
+    val p = plan("q_dq_checks")
+    assert(nodeCount(p, "CartesianProduct") === 0, p)
+    // the lineitem FK branch must scan ONLY the join key, not payload
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint>"), p)
+  }
+
+  test("vocab coverage: top-k via TakeOrderedAndProject, window over <=500") {
+    val p = plan("q_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("set ops lower to real semi/anti joins, never cartesian") {
     val p = plan("q_set_ops")
     assert(p.contains("LeftSemi"), p)
