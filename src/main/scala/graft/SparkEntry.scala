@@ -150,6 +150,10 @@ object SparkEntry {
     "q_scd2"              -> (Versioning.scd2 _),
     // declarative data-quality expectation suite (FK/unique/range/null)
     "q_dq_checks"         -> (DqChecks.query _),
+    // incremental view maintenance: merge(history, delta) ≡ recompute
+    "q_incr_agg"          -> (Versioning.incrementalAgg _),
+    // market-basket co-purchase pairs: capped expansion, support + lift
+    "q_copurchase"        -> (Basket.coPurchase _),
     // Z-order layout: Morton-key zone map for two-column data skipping
     "q_zorder"            -> (Layout.zOrderLayout _),
     // BPE tokenizer-training pair statistics (deterministic top-20)
@@ -1156,6 +1160,10 @@ object SparkEntry {
     "q_vocab_coverage" -> graft.operators.TextAnalysis.vocabCoverageOracleSql,
     // edit join: semantic length-window form (banding is result-exact)
     "q_edit_join" -> graft.operators.Strings.editJoinOracleSql,
+    // incremental agg: oracle = from-scratch aggregate (merge ≡ recompute)
+    "q_incr_agg" -> graft.operators.Versioning.incrementalAggOracleSql,
+    // co-purchase: same basket cap + total order, generated constants
+    "q_copurchase" -> graft.operators.Basket.coPurchaseOracleSql,
     // RANGE frame over integer epoch-days: gaps shrink the trailing window;
     // exact BIGINT cents both sides, one IEEE division for the average
     "q_moving_avg" ->

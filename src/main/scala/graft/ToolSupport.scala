@@ -78,6 +78,34 @@ object ToolSupport {
     // fold order matters: "matrix"->"mx" above has already produced
     // corr_mx by the time this entry applies
     "corr_mx" -> "corr", "token_count" -> "tok_cnt",
+    // r8 third widening (128-entry catalog): the analytics batch, plus a
+    // squeeze of the long tail so the worst-case wire line keeps >=15%
+    // headroom (these run AFTER the folds above, so the left side is the
+    // already-shortened form)
+    "vocab_coverage" -> "vocab", "moving_avg" -> "mavg",
+    "copurchase" -> "copur", "dq_checks" -> "dq",
+    "incr_agg" -> "iagg", "funnel" -> "funl", "cohort" -> "coh",
+    "left_jn" -> "ljn", "limit_slice" -> "lslice", "pivot_ratio" -> "pivot",
+    "null_split" -> "nsplit", "geo_county" -> "geocty",
+    "outl_keepn" -> "okeepn", "full_outer" -> "fouter",
+    "na_profile" -> "naprof", "sel_rename" -> "selren",
+    "cv_tuning" -> "cvtune", "st_totals" -> "st_tot",
+    "row_index" -> "rowidx", "chunk_win" -> "chwin",
+    "cur_chain" -> "curch", "st_enrich" -> "st_enr",
+    "st_curate" -> "st_cur", "asof_skew" -> "asofsk",
+    "snap_diff" -> "snapd", "json_ext" -> "jext", "win_" -> "w",
+    "bloom_dd" -> "bldd", "shard_mf" -> "shmf", "seq_pack" -> "spack",
+    "jsonl_rt" -> "jlrt", "range_jn" -> "rngjn", "st_range" -> "st_rng",
+    "sch_cast" -> "scast", "enr_pipe" -> "enrp", "emb_surv" -> "esurv",
+    "ols_diag" -> "olsd", "apx_dist" -> "apxd", "st_sessm" -> "st_sm",
+    "incr_dd" -> "idd", "feat_mx" -> "fmx", "aud_dec" -> "audd",
+    "vid_frs" -> "vidf", "str_ext" -> "sext", "smp_mix" -> "smix",
+    "dd_surv" -> "ddsv", "skew_jn" -> "skjn", "gbt_met" -> "gbtm",
+    "dom_cap" -> "dcap", "tok_cnt" -> "tokc", "reg_rup" -> "rrup",
+    "img_dec" -> "imgd", "semi_jn" -> "smjn", "anti_jn" -> "atjn",
+    "src_sim" -> "ssim", "mm_meta" -> "mmeta", "edit_jn" -> "edjn",
+    "asof_jn" -> "asofj", "ann_ivf" -> "aivf", "ann_topk" -> "atopk",
+    "inv_idx" -> "iidx", "ols_met" -> "olsm",
     "freq_table" -> "freq", "heavy_hitters" -> "hh",
     "session" -> "sess", "ckpt_prune" -> "ckpt",
     // ("sample_" above has already turned resample_ffill into resmp_ffill)

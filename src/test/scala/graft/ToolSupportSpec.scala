@@ -43,7 +43,7 @@ class ToolSupportSpec extends AnyFunSuite {
     val keys = names.map(ToolSupport.benchKey)
     assert(keys.distinct.size === keys.size,
       "benchKey collision: two catalog queries map to one wire key")
-    assert(ToolSupport.benchKey("q_stream_sessions_multi") === "st_sessm")
+    assert(ToolSupport.benchKey("q_stream_sessions_multi") === "st_sm")
     assert(ToolSupport.benchKey("q_csv_roundtrip") === "csv_rt")
     assert(ToolSupport.benchKey("q_agg_sum") === "agg_sum")
     // dev-mode repeat suffixes pass through

@@ -51,6 +51,32 @@ class VersioningSpec extends AnyFunSuite {
     assert(out.filter(_._4.isEmpty).forall(_._5 == 1L))
   }
 
+  test("incremental agg: merge path data-exercised; totals = full recompute") {
+    import graft.operators.Versioning.IncrAggCutoverDay
+    val out = SparkEntry.queries("q_incr_agg")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val o = Tables.orders(spark, sf)
+    // global conservation: counts and exact cents survive the merge
+    assert(out.map(_._4).sum === o.count())
+    val fullCents = o.agg((sum(col("o_totalprice")
+      .cast(org.apache.spark.sql.types.DecimalType(18, 2))) * 100)
+      .cast(org.apache.spark.sql.types.LongType)).head().getLong(0)
+    assert(out.map(_._3).sum === fullCents)
+    // the cutover month must exist on BOTH sides of the split, so the
+    // union really merges two partial states for it
+    val cut = lit(IncrAggCutoverDay)
+      .cast(org.apache.spark.sql.types.TimestampType)
+    val cutMonth = IncrAggCutoverDay.substring(0, 7)
+    val inMonth = o.filter(
+      date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
+        === cutMonth)
+    assert(inMonth.filter(col("o_orderdate") < cut).count() > 0)
+    assert(inMonth.filter(col("o_orderdate") >= cut).count() > 0)
+    // and its merged row carries the month's full count
+    val cutRows = out.filter(_._2 == cutMonth)
+    assert(cutRows.map(_._4).sum === inMonth.count())
+  }
+
   test("scd2 on testdata: intervals tile each user's history gaplessly") {
     val rows = SparkEntry.queries("q_scd2")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getTimestamp(2), Option(r.getTimestamp(3)),
