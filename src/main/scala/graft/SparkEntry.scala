@@ -154,6 +154,10 @@ object SparkEntry {
     "q_incr_agg"          -> (Versioning.incrementalAgg _),
     // market-basket co-purchase pairs: capped expansion, support + lift
     "q_copurchase"        -> (Basket.coPurchase _),
+    // robust-stats winsorization at exact [p05, p95] in integer cents
+    "q_winsorize"         -> (Relational.winsorize _),
+    // cascading referential delete audit (tombstones propagate over FKs)
+    "q_cascade_delete"    -> (Versioning.cascadeDelete _),
     // Z-order layout: Morton-key zone map for two-column data skipping
     "q_zorder"            -> (Layout.zOrderLayout _),
     // BPE tokenizer-training pair statistics (deterministic top-20)
@@ -1164,6 +1168,10 @@ object SparkEntry {
     "q_incr_agg" -> graft.operators.Versioning.incrementalAggOracleSql,
     // co-purchase: same basket cap + total order, generated constants
     "q_copurchase" -> graft.operators.Basket.coPurchaseOracleSql,
+    // winsorize: quantile_cont ≡ R-7 percentile; integer-cents clip
+    "q_winsorize" -> graft.operators.Relational.winsorizeOracleSql,
+    // cascade delete: EXISTS chains over the same planted tombstones
+    "q_cascade_delete" -> graft.operators.Versioning.cascadeDeleteOracleSql,
     // RANGE frame over integer epoch-days: gaps shrink the trailing window;
     // exact BIGINT cents both sides, one IEEE division for the average
     "q_moving_avg" ->

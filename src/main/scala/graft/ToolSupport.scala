@@ -106,6 +106,7 @@ object ToolSupport {
     "src_sim" -> "ssim", "mm_meta" -> "mmeta", "edit_jn" -> "edjn",
     "asof_jn" -> "asofj", "ann_ivf" -> "aivf", "ann_topk" -> "atopk",
     "inv_idx" -> "iidx", "ols_met" -> "olsm",
+    "winsorize" -> "winz", "cascade_delete" -> "cascd",
     "freq_table" -> "freq", "heavy_hitters" -> "hh",
     "session" -> "sess", "ckpt_prune" -> "ckpt",
     // ("sample_" above has already turned resample_ffill into resmp_ffill)

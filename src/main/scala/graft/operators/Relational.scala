@@ -280,6 +280,57 @@ object Relational {
       .orderBy("priority", "day")
   }
 
+  /** Winsorization: clip a money measure at its exact [p05, p95] — the
+    * robust-stats companion to [[zscore]] (the reference clips price
+    * outliers by hand thresholds, 02_DataCleaning.R:84-99; percentile
+    * clipping is the data-driven form).
+    *
+    * Exactness: prices become BIGINT cents before anything else; the R-7
+    * interpolated percentiles (the semantics q_percentile pins against
+    * quantile_cont) are rounded to integer cents with the shared HALF_UP
+    * rule, so the clip bounds, the clip comparisons and the clipped sum
+    * all replay in exact integer space — no double summation anywhere.
+    *
+    * Scale shape: one exact-percentile aggregate over the cents column
+    * (at 100 TB the [[percentilesApprox]] sketch substitutes, same
+    * interface), broadcast back as a 1-row bound pair, then a single
+    * narrow projection + map-side-combinable profile aggregate. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.orders(spark, dir)
+      .select((money(col("o_totalprice")) * 100).cast(LongType).as("c"))
+    val bounds = cents.agg(
+      round(expr("percentile(c, 0.05)")).cast(LongType).as("b_lo"),
+      round(expr("percentile(c, 0.95)")).cast(LongType).as("b_hi"))
+    cents.crossJoin(broadcast(bounds))
+      .select(col("c"), col("b_lo"), col("b_hi"),
+        least(greatest(col("c"), col("b_lo")), col("b_hi")).as("w"))
+      .groupBy("b_lo", "b_hi")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("c") < col("b_lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("c") > col("b_hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+        sum(col("w")).as("sum_winsorized_cents"))
+  }
+
+  /** DuckDB replay of [[winsorize]] — quantile_cont ≡ R-7 percentile. */
+  val winsorizeOracleSql: String =
+    """WITH c AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    AS c
+      |  FROM orders),
+      |b AS (
+      |  SELECT CAST(ROUND(quantile_cont(c, 0.05)) AS BIGINT) AS b_lo,
+      |    CAST(ROUND(quantile_cont(c, 0.95)) AS BIGINT) AS b_hi
+      |  FROM c)
+      |SELECT b.b_lo, b.b_hi, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN c.c < b.b_lo THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clip_lo,
+      |  CAST(SUM(CASE WHEN c.c > b.b_hi THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clip_hi,
+      |  CAST(SUM(least(greatest(c.c, b.b_lo), b.b_hi)) AS BIGINT)
+      |    AS sum_winsorized_cents
+      |FROM c CROSS JOIN b
+      |GROUP BY 1, 2""".stripMargin
+
   /** The four lineitem measures the correlation matrix profiles. */
   private[graft] val CorrCols =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")

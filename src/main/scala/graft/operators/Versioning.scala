@@ -145,6 +145,58 @@ object Versioning {
       |  COUNT(*) AS n
       |FROM orders GROUP BY 1, 2 ORDER BY priority, month""".stripMargin
 
+  /** Cascading referential delete (GDPR/takedown propagation): a planted
+    * tombstone set on the customer dimension (c_custkey ≡ 0 mod 13) must
+    * take down the customers, their orders, and those orders' lineitems —
+    * the per-table audit a deletion pipeline files. The complement of
+    * [[mergeUpsert]]'s single-table delete branch: here the delete
+    * PROPAGATES along foreign keys.
+    *
+    * Scale shape: the tombstone predicate prunes at the customer scan;
+    * each cascade hop is a key-only left-semi join (only join keys
+    * shuffle, AQE broadcasts the shrinking tombstone side), and each
+    * per-table profile is one map-side-combinable count. No payload
+    * column ever moves. */
+  def cascadeDelete(spark: SparkSession, dir: String): DataFrame = {
+    val custDel = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 13 === 0).select(col("c_custkey"))
+    val ordDel = Tables.orders(spark, dir)
+      .join(custDel, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"))
+    val liDel = Tables.lineitem(spark, dir)
+      .join(ordDel.select(col("o_orderkey").as("k")),
+        col("l_orderkey") === col("k"), "left_semi")
+    def profile(table: String, total: DataFrame, deleted: DataFrame) =
+      total.agg(count(lit(1)).as("total"))
+        .crossJoin(deleted.agg(count(lit(1)).as("deleted")))
+        .select(lit(table).as("table_name"), col("total"), col("deleted"),
+          (col("total") - col("deleted")).as("kept"))
+    profile("customer", Tables.customer(spark, dir), custDel)
+      .unionByName(profile("orders", Tables.orders(spark, dir), ordDel))
+      .unionByName(profile("lineitem", Tables.lineitem(spark, dir), liDel))
+      .orderBy("table_name")
+  }
+
+  /** DuckDB replay of [[cascadeDelete]] — same planted tombstones, the
+    * cascade as EXISTS chains. */
+  val cascadeDeleteOracleSql: String =
+    """WITH cd AS (SELECT c_custkey FROM customer WHERE c_custkey % 13 = 0),
+      |od AS (SELECT o_orderkey FROM orders o
+      |       WHERE EXISTS (SELECT 1 FROM cd WHERE cd.c_custkey = o.o_custkey)),
+      |ld AS (SELECT l_orderkey FROM lineitem l
+      |       WHERE EXISTS (SELECT 1 FROM od WHERE od.o_orderkey = l.l_orderkey))
+      |SELECT 'customer' AS table_name,
+      |  (SELECT COUNT(*) FROM customer) AS total,
+      |  (SELECT COUNT(*) FROM cd) AS deleted,
+      |  (SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM cd) AS kept
+      |UNION ALL SELECT 'orders', (SELECT COUNT(*) FROM orders),
+      |  (SELECT COUNT(*) FROM od),
+      |  (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM od)
+      |UNION ALL SELECT 'lineitem', (SELECT COUNT(*) FROM lineitem),
+      |  (SELECT COUNT(*) FROM ld),
+      |  (SELECT COUNT(*) FROM lineitem) - (SELECT COUNT(*) FROM ld)
+      |ORDER BY table_name""".stripMargin
+
   /** DuckDB replay of [[scd2]] — same collapse-then-close window chain. */
   val scd2OracleSql: String =
     """WITH log AS (

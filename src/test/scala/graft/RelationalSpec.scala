@@ -140,6 +140,33 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("winsorize: bounds are R-7 percentiles; clip profile exact") {
+    val r = SparkEntry.queries("q_winsorize")(spark, sf).head()
+    val (bLo, bHi) = (r.getLong(0), r.getLong(1))
+    val n = r.getLong(2)
+    // independent R-7 percentile + clip recount in plain Scala
+    val cents = Tables.orders(spark, sf)
+      .select((col("o_totalprice")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast(LongType)).collect().map(_.getLong(0)).sorted
+    def r7(p: Double): Double = {
+      val h = (cents.length - 1) * p
+      val lo = h.toInt
+      cents(lo) + (h - lo) * (cents(math.min(lo + 1, cents.length - 1)) -
+        cents(lo))
+    }
+    assert(bLo === BigDecimal(r7(0.05))
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    assert(bHi === BigDecimal(r7(0.95))
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    assert(n === cents.length)
+    assert(r.getLong(3) === cents.count(_ < bLo))
+    assert(r.getLong(4) === cents.count(_ > bHi))
+    assert(r.getLong(3) > 0 && r.getLong(4) > 0, "clip branches vacuous")
+    assert(r.getLong(5) ===
+      cents.map(c => math.min(math.max(c, bLo), bHi)).sum)
+  }
+
   test("moving avg: RANGE frame is calendar-aware, exact vs recompute") {
     val rows = SparkEntry.queries("q_moving_avg")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

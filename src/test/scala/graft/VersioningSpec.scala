@@ -77,6 +77,28 @@ class VersioningSpec extends AnyFunSuite {
     assert(cutRows.map(_._4).sum === inMonth.count())
   }
 
+  test("cascade delete: per-table audit matches a direct two-hop recount") {
+    val rows = SparkEntry.queries("q_cascade_delete")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(t => t._1 -> t).toMap
+    assert(rows.keySet === Set("customer", "orders", "lineitem"))
+    rows.values.foreach { case (n, total, del, kept) =>
+      assert(kept === total - del, s"$n audit does not balance")
+      assert(del > 0, s"$n: planted tombstones cascaded to nothing")
+    }
+    // direct recount: orders owned by a tombstoned customer, lineitems of
+    // those orders via the customer key carried through
+    val o = Tables.orders(spark, sf)
+    val delOrders = o.filter(col("o_custkey") % 13 === 0)
+    assert(rows("orders")._3 === delOrders.count())
+    val li = Tables.lineitem(spark, sf)
+      .join(o.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+    assert(rows("lineitem")._3 ===
+      li.filter(col("o_custkey") % 13 === 0).count())
+    assert(rows("customer")._2 === Tables.customer(spark, sf).count())
+  }
+
   test("scd2 on testdata: intervals tile each user's history gaplessly") {
     val rows = SparkEntry.queries("q_scd2")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getTimestamp(2), Option(r.getTimestamp(3)),
