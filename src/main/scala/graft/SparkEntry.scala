@@ -249,6 +249,10 @@ object SparkEntry {
     "q_anti_join"         -> (Joins.antiJoin _),
     // ANSI INTERSECT/EXCEPT distinct set ops as explicit surface
     "q_set_ops"           -> (Joins.setOps _),
+    // bag-semantics INTERSECT ALL / EXCEPT ALL (multiplicities pinned)
+    "q_set_ops_all"       -> (Joins.setOpsAll _),
+    // null-safe equi-join: NULL keys match (IS NOT DISTINCT FROM)
+    "q_nullsafe_join"     -> (Joins.nullSafeJoin _),
     // RANK / DENSE_RANK / PERCENT_RANK tie semantics in one window pass
     "q_rank_funcs"        -> (Joins.rankFunctions _),
     "q_full_outer"        -> (Joins.fullOuterJoin _),
@@ -1219,6 +1223,38 @@ object SparkEntry {
         |UNION ALL
         |SELECT day, 'high_only' FROM (SELECT day FROM h EXCEPT SELECT day FROM u)
         |ORDER BY tag, day""".stripMargin,
+    // bag semantics: multiplicities min()'d / subtracted, then counted
+    "q_set_ops_all" ->
+      """WITH u AS (SELECT CAST(o_orderdate AS DATE) AS day FROM orders
+        |           WHERE o_orderpriority = '1-URGENT'),
+        |h AS (SELECT CAST(o_orderdate AS DATE) AS day FROM orders
+        |      WHERE o_orderpriority = '2-HIGH'),
+        |raw AS (
+        |  SELECT day, 'both' AS tag
+        |  FROM (SELECT day FROM u INTERSECT ALL SELECT day FROM h)
+        |  UNION ALL
+        |  SELECT day, 'urgent_only'
+        |  FROM (SELECT day FROM u EXCEPT ALL SELECT day FROM h)
+        |  UNION ALL
+        |  SELECT day, 'high_only'
+        |  FROM (SELECT day FROM h EXCEPT ALL SELECT day FROM u))
+        |SELECT tag, day, COUNT(*) AS multiplicity
+        |FROM raw GROUP BY 1, 2 ORDER BY tag, day""".stripMargin,
+    // null-safe join: NULL keys match via IS NOT DISTINCT FROM
+    "q_nullsafe_join" ->
+      """WITH l AS (
+        |  SELECT nullif(substring(o_orderpriority, 1, 1), '3') AS k0,
+        |    COUNT(*) AS n_left
+        |  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1),
+        |r AS (
+        |  SELECT nullif(substring(o_orderpriority, 1, 1), '3') AS k1,
+        |    COUNT(*) AS n_right
+        |  FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1)
+        |SELECT coalesce(l.k0, r.k1) AS key_digit,
+        |  CAST(l.k0 IS NULL AND r.k1 IS NULL AS BIGINT) AS is_null_bucket,
+        |  l.n_left, r.n_right
+        |FROM l FULL OUTER JOIN r ON l.k0 IS NOT DISTINCT FROM r.k1
+        |ORDER BY key_digit NULLS FIRST""".stripMargin,
     // Pearson matrix: generated from the same CorrCols/moment formula
     "q_corr_matrix" -> Relational.corrMatrixOracleSql,
     // ranking trio: same tie key (whole-unit balance), same windows;

@@ -107,6 +107,7 @@ object ToolSupport {
     "asof_jn" -> "asofj", "ann_ivf" -> "aivf", "ann_topk" -> "atopk",
     "inv_idx" -> "iidx", "ols_met" -> "olsm",
     "winsorize" -> "winz", "cascade_delete" -> "cascd",
+    "set_ops_all" -> "sopsa", "nullsafe_jn" -> "nsjn",
     "freq_table" -> "freq", "heavy_hitters" -> "hh",
     "session" -> "sess", "ckpt_prune" -> "ckpt",
     // ("sample_" above has already turned resample_ffill into resmp_ffill)

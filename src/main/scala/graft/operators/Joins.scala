@@ -254,4 +254,53 @@ object Joins {
       .unionByName(high.except(urgent).withColumn("tag", lit("high_only")))
       .orderBy("tag", "day")
   }
+
+  /** INTERSECT ALL / EXCEPT ALL — the BAG-semantics set operations
+    * ([[setOps]] pins the DISTINCT forms): multiplicities are min()'d
+    * resp. subtracted, so a day with 3 urgent and 2 high orders yields 2
+    * "both" rows and 1 "urgent_only" row. Engines lower these to a
+    * per-value count compare (Spark: aggregate + generate), NOT a row
+    * self-join — the result is grouped-count-sized work, exactly like a
+    * groupBy, at any scale. The profile aggregates multiplicities per
+    * day so the hashed output pins the bag cardinalities themselves. */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def days(p: String) = o.filter(col("o_orderpriority") === p)
+      .select(col("o_orderdate").cast(DateType).as("day"))
+    val urgent = days("1-URGENT")
+    val high = days("2-HIGH")
+    urgent.intersectAll(high).withColumn("tag", lit("both"))
+      .unionByName(
+        urgent.exceptAll(high).withColumn("tag", lit("urgent_only")))
+      .unionByName(
+        high.exceptAll(urgent).withColumn("tag", lit("high_only")))
+      .groupBy("tag", "day").agg(count(lit(1)).as("multiplicity"))
+      .orderBy("tag", "day")
+  }
+
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys MATCH
+    * each other — the semantics a plain equi-join silently drops (its
+    * NULL = NULL is UNKNOWN). Exercised on a derived nullable key
+    * (priority digit, NULLed for the planted '3-MEDIUM' class on both
+    * sides) so the NULL-bucket join path carries real rows. Lowers to a
+    * hash join on the null-safe key exactly like any equi-join — NULLs
+    * hash to one bucket (a skew candidate at scale: salt it if the NULL
+    * class dominates, same discipline as [[graft.operators.Skew]]). */
+  def nullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def keyed(from: Int, to: Int) = o
+      .filter(col("o_orderkey") % 2 === from % 2)
+      .select(nullif(substring(col("o_orderpriority"), 1, 1), lit("3"))
+        .as(s"k$from"), col("o_totalprice"))
+    val left = keyed(0, 0).groupBy("k0")
+      .agg(count(lit(1)).as("n_left"))
+    val right = keyed(1, 1).groupBy("k1")
+      .agg(count(lit(1)).as("n_right"))
+    left.join(right, col("k0") <=> col("k1"), "full_outer")
+      .select(coalesce(col("k0"), col("k1")).as("key_digit"),
+        col("k0").isNull.and(col("k1").isNull).cast(LongType)
+          .as("is_null_bucket"),
+        col("n_left"), col("n_right"))
+      .orderBy(col("key_digit").asc_nulls_first)
+  }
 }

@@ -109,6 +109,42 @@ class JoinsSpec extends AnyFunSuite {
     assert(byTag.getOrElse("high_only", Set()) === (h diff u))
   }
 
+  test("set ops ALL: multiplicities are min'd / subtracted per day") {
+    val out = SparkEntry.queries("q_set_ops_all")(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getDate(1).toString), r.getLong(2))).toMap
+    def dayCounts(p: String) = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === p)
+      .groupBy(col("o_orderdate").cast(org.apache.spark.sql.types.DateType)
+        .as("day")).count().collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val u = dayCounts("1-URGENT")
+    val h = dayCounts("2-HIGH")
+    val expected = ((u.keySet ++ h.keySet).flatMap { d =>
+      val (nu, nh) = (u.getOrElse(d, 0L), h.getOrElse(d, 0L))
+      Seq(("both", d) -> math.min(nu, nh),
+        ("urgent_only", d) -> math.max(nu - nh, 0L),
+        ("high_only", d) -> math.max(nh - nu, 0L))
+    }).filter(_._2 > 0).toMap
+    assert(out === expected)
+    // bag semantics must differ from set semantics somewhere
+    assert(out.exists(_._2 > 1), "no day with multiplicity > 1 — vacuous")
+  }
+
+  test("null-safe join: the NULL bucket matches; plain equi would drop it") {
+    val rows = SparkEntry.queries("q_nullsafe_join")(spark, sf).collect()
+    assert(rows.length === 5) // digits 1,2,4,5 + the NULL bucket
+    val nullRow = rows.filter(_.getLong(1) == 1L)
+    assert(nullRow.length === 1, "exactly one matched NULL-key row")
+    // the null bucket is MATCHED: both sides carry real counts
+    assert(!nullRow.head.isNullAt(2) && !nullRow.head.isNullAt(3))
+    val med = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "3-MEDIUM")
+    assert(nullRow.head.getLong(2) ===
+      med.filter(col("o_orderkey") % 2 === 0).count())
+    assert(nullRow.head.getLong(3) ===
+      med.filter(col("o_orderkey") % 2 === 1).count())
+  }
+
   test("rank functions: tie-aware rank, gap-free dense rank, exact prnk") {
     val sf01 = "/root/testdata/sf0.01"
     val rows = SparkEntry.queries("q_rank_funcs")(spark, sf01).collect()
