@@ -273,4 +273,43 @@ class PropertySpec extends AnyFunSuite {
       (0 until got.numElements()).map(got.getLong) == ref(s)
     })
   }
+
+  test("funnel greedy earliest-completion == brute-force witness search") {
+    // the Behavior.funnel scaladoc claims greedy min()-chaining is optimal
+    // for ordered funnels; pin it against an exhaustive strictly-increasing
+    // subsequence search over random logs (ties included, so the
+    // strictly-after rule is exercised)
+    val steps = Seq("view", "click", "purchase")
+    val ev = Gen.zip(Gen.oneOf(steps :+ "other"), Gen.choose(0, 20))
+    val log = Gen.listOfN(10, ev)
+    def greedy(l: List[(String, Int)]): Int = {
+      var last = Int.MinValue
+      var done = 0
+      steps.foreach { st =>
+        if (done == steps.indexOf(st)) {
+          val cand = l.collect { case (`st`, t) if t > last => t }
+          if (cand.nonEmpty) { last = cand.min; done += 1 }
+        }
+      }
+      done
+    }
+    def brute(l: List[(String, Int)]): Int = {
+      def reach(k: Int): Boolean = {
+        if (k == 0) return true
+        val want = steps.take(k)
+        def go(rem: List[String], after: Int): Boolean = rem match {
+          case Nil => true
+          case st :: tl =>
+            l.exists { case (s, t) => s == st && t > after && go(tl, t) }
+        }
+        // first step has no predecessor constraint
+        l.exists { case (s, t) => s == want.head && go(want.toList.tail, t) }
+      }
+      (steps.size to 1 by -1).find(reach).getOrElse(0)
+    }
+    check(Prop.forAll(log) { l0 =>
+      val l = l0
+      greedy(l) == brute(l)
+    })
+  }
 }
