@@ -144,6 +144,8 @@ object SparkEntry {
     "q_pagerank"          -> (Graph.pageRank _),
     // dataset-versioning: snapshot diff by content hash
     "q_snapshot_diff"     -> (Graph.snapshotDiff _),
+    // degree-ordered triangle counting + clustering coefficient
+    "q_triangles"         -> (Graph.triangles _),
     // dataset-versioning: CDC MERGE (delete/update/insert apply) profile
     "q_merge_upsert"      -> (Versioning.mergeUpsert _),
     // SCD Type-2 history build: change log → validity intervals
@@ -1255,6 +1257,8 @@ object SparkEntry {
         |  l.n_left, r.n_right
         |FROM l FULL OUTER JOIN r ON l.k0 IS NOT DISTINCT FROM r.k1
         |ORDER BY key_digit NULLS FIRST""".stripMargin,
+    // triangles: same support gate, orientation and wedge order
+    "q_triangles" -> Graph.trianglesOracleSql,
     // Pearson matrix: generated from the same CorrCols/moment formula
     "q_corr_matrix" -> Relational.corrMatrixOracleSql,
     // ranking trio: same tie key (whole-unit balance), same windows;

@@ -37,4 +37,32 @@ class GraphSpec extends AnyFunSuite {
     assert(rows === Map("added" -> added, "removed" -> removed,
       "changed" -> changed, "unchanged" -> unchanged))
   }
+
+  test("triangles: degree-ordered count equals a brute-force set recount") {
+    val r = SparkEntry.queries("q_triangles")(spark, sf).head()
+    val (nNodes, nEdges, wedges, tri) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // rebuild the same support>=2 co-purchase edge set, then count
+    // triangles the naive way: adjacency sets + neighbor intersection
+    val items = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val edges = items.groupBy(_._1).values.toSeq
+      .flatMap { b =>
+        val ps = b.map(_._2).distinct.sorted
+        for (i <- ps.indices; j <- i + 1 until ps.size) yield (ps(i), ps(j))
+      }
+      .groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    assert(nEdges === edges.size)
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    assert(nNodes === adj.size)
+    assert(wedges === adj.values.map(n => n.size.toLong * (n.size - 1) / 2).sum)
+    val bruteTri = edges.map { case (a, b) =>
+      (adj(a) & adj(b)).size.toLong
+    }.sum / 3 // each triangle seen from its 3 edges
+    assert(tri === bruteTri)
+    assert(tri > 0, "co-purchase graph has no triangles — vacuous")
+    assert(math.abs(r.getDouble(4) - 3.0 * tri / wedges) < 1e-6)
+  }
 }
