@@ -99,6 +99,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("null-safe join plans a real hash join (EqualNullSafe is equi)") {
+    val p = plan("q_nullsafe_join")
+    assert(nodeCount(p, "CartesianProduct") === 0, p)
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") === 0, p)
+  }
+
+  test("bag set-ops and triangles stay equi-join shaped, never cartesian") {
+    val ps = plan("q_set_ops_all")
+    assert(nodeCount(ps, "CartesianProduct") === 0, ps)
+    assert(nodeCount(ps, "BroadcastNestedLoopJoin") === 0, ps)
+    // triangles: the wedge enumeration and closing check must be real
+    // hash joins; the only nested-loop joins are the two 1-row summary
+    // crossJoin(broadcast(...)) assemblies at the very top
+    val pt = plan("q_triangles")
+    assert(nodeCount(pt, "CartesianProduct") === 0, pt)
+    assert(nodeCount(pt, "BroadcastNestedLoopJoin") <= 2, pt)
+    assert(nodeCount(pt, ".*HashJoin") + nodeCount(pt, "SortMergeJoin") >= 3,
+      pt)
+  }
+
   test("set ops lower to real semi/anti joins, never cartesian") {
     val p = plan("q_set_ops")
     assert(p.contains("LeftSemi"), p)
