@@ -255,6 +255,10 @@ object SparkEntry {
     "q_set_ops_all"       -> (Joins.setOpsAll _),
     // null-safe equi-join: NULL keys match (IS NOT DISTINCT FROM)
     "q_nullsafe_join"     -> (Joins.nullSafeJoin _),
+    // latest-per-key via aggregate argmax (== the window rank-1 form)
+    "q_latest_order"      -> (Joins.latestOrder _),
+    // Welch z two-sample experiment readout from exact moments
+    "q_ab_test"           -> (Behavior.abTest _),
     // RANK / DENSE_RANK / PERCENT_RANK tie semantics in one window pass
     "q_rank_funcs"        -> (Joins.rankFunctions _),
     "q_full_outer"        -> (Joins.fullOuterJoin _),
@@ -1259,6 +1263,10 @@ object SparkEntry {
         |ORDER BY key_digit NULLS FIRST""".stripMargin,
     // triangles: same support gate, orientation and wedge order
     "q_triangles" -> Graph.trianglesOracleSql,
+    // latest-per-key: oracle = the WINDOW form the aggregate must equal
+    "q_latest_order" -> Joins.latestOrderOracleSql,
+    // A/B: exact BIGINT moments, identical IEEE mean/var/z expressions
+    "q_ab_test" -> graft.operators.Behavior.abTestOracleSql,
     // Pearson matrix: generated from the same CorrCols/moment formula
     "q_corr_matrix" -> Relational.corrMatrixOracleSql,
     // ranking trio: same tie key (whole-unit balance), same windows;

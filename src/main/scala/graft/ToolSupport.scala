@@ -108,7 +108,7 @@ object ToolSupport {
     "inv_idx" -> "iidx", "ols_met" -> "olsm",
     "winsorize" -> "winz", "cascade_delete" -> "cascd",
     "set_ops_all" -> "sopsa", "nullsafe_jn" -> "nsjn",
-    "triangles" -> "tri",
+    "triangles" -> "tri", "latest_order" -> "lastord", "ab_test" -> "ab",
     "freq_table" -> "freq", "heavy_hitters" -> "hh",
     "session" -> "sess", "ckpt_prune" -> "ckpt",
     // ("sample_" above has already turned resample_ffill into resmp_ffill)

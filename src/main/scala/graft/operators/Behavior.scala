@@ -111,6 +111,69 @@ object Behavior {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** A/B experiment readout: Welch's z for the purchase-value difference
+    * between a planted deterministic assignment (variant = user_id % 2) —
+    * the two-sample analysis every experimentation platform runs.
+    *
+    * Exactness discipline (same as metrics/OLS): the three sufficient
+    * moments per variant — n, Σcents, Σcents² — are exact BIGINT sums
+    * (order-independent at any parallelism; Σc² ≤ ~1e14 at sf0.1, far
+    * under 2⁶³ — a 100 TB run would lift the squares to DECIMAL, same
+    * interface), accumulated in ONE conditional-aggregate pass over the
+    * pushed-down purchase filter. Mean/variance/z drop to double only in
+    * the final expressions, written identically in the oracle.
+    *
+    * Scale shape: one scan, one 1-row aggregate. Nothing else moves. */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2).cast(LongType).as("v"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("c"))
+    def m(side: Int, name: String) = Seq(
+      sum(when(col("v") === side, 1L).otherwise(0L)).as(s"n_$name"),
+      sum(when(col("v") === side, col("c")).otherwise(0L)).as(s"s_$name"),
+      sum(when(col("v") === side, col("c") * col("c")).otherwise(0L))
+        .as(s"q_$name"))
+    val agg = m(0, "a") ++ m(1, "b")
+    val row = ev.agg(agg.head, agg.tail: _*)
+    def d(c: String) = col(c).cast(DoubleType)
+    def mean(s: String) = d(s"s_$s") / d(s"n_$s")
+    def variance(s: String) =
+      (d(s"q_$s") - d(s"s_$s") * d(s"s_$s") / d(s"n_$s")) / (d(s"n_$s") - 1)
+    row.select(col("n_a"), col("n_b"), col("s_a"), col("s_b"),
+      round(mean("b") - mean("a"), 6).as("mean_diff_cents"),
+      round((mean("b") - mean("a")) /
+        sqrt(variance("a") / d("n_a") + variance("b") / d("n_b")), 6)
+        .as("welch_z"))
+  }
+
+  /** DuckDB replay of [[abTest]] — same moments, same IEEE op order. */
+  val abTestOracleSql: String =
+    """WITH c AS (
+      |  SELECT user_id % 2 AS v,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM events WHERE event_type = 'purchase'),
+      |m AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN v = 0 THEN c ELSE 0 END) AS BIGINT) AS s_a,
+      |    CAST(SUM(CASE WHEN v = 0 THEN c * c ELSE 0 END) AS BIGINT) AS q_a,
+      |    CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN v = 1 THEN c ELSE 0 END) AS BIGINT) AS s_b,
+      |    CAST(SUM(CASE WHEN v = 1 THEN c * c ELSE 0 END) AS BIGINT) AS q_b
+      |  FROM c)
+      |SELECT n_a, n_b, s_a, s_b,
+      |  ROUND(CAST(s_b AS DOUBLE) / n_b - CAST(s_a AS DOUBLE) / n_a, 6)
+      |    AS mean_diff_cents,
+      |  ROUND((CAST(s_b AS DOUBLE) / n_b - CAST(s_a AS DOUBLE) / n_a) /
+      |    sqrt(((CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) *
+      |             CAST(s_a AS DOUBLE) / n_a) / (CAST(n_a AS DOUBLE) - 1))
+      |           / n_a +
+      |         ((CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) *
+      |             CAST(s_b AS DOUBLE) / n_b) / (CAST(n_b AS DOUBLE) - 1))
+      |           / n_b), 6) AS welch_z
+      |FROM m""".stripMargin
+
   /** DuckDB replay of [[cohortRetention]] — same integer week derivation. */
   val cohortOracleSql: String =
     """WITH wk AS (

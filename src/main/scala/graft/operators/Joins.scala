@@ -278,6 +278,48 @@ object Joins {
       .orderBy("tag", "day")
   }
 
+  /** Latest-record-per-key via AGGREGATE argmax — the "current row per
+    * entity" warehouse staple (QUALIFY row_number() = 1), deliberately
+    * implemented as `max(struct(...))` instead of a window: the struct
+    * max folds in a map-side-combinable hash aggregate — each partition
+    * keeps ONE candidate per key before the shuffle — where the window
+    * form shuffles and sorts every row of every key. Same result by
+    * construction: struct comparison is lexicographic on (day, orderkey),
+    * a total order (orderkey is unique), so argmax is deterministic and
+    * equals the window's rank-1 row.
+    *
+    * The oracle deliberately states the WINDOW form — the hash match
+    * proves the aggregate rewrite is semantics-preserving. */
+  def latestOrder(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        struct(
+          datediff(col("o_orderdate").cast(DateType),
+            lit("1970-01-01").cast(DateType)).cast(LongType).as("day"),
+          col("o_orderkey").as("okey"),
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast(LongType).as("cents")).as("s"))
+    o.groupBy("o_custkey").agg(max(col("s")).as("m"))
+      .select(col("o_custkey"), col("m.day").as("day"),
+        col("m.okey").as("o_orderkey"), col("m.cents").as("cents"))
+      .orderBy("o_custkey")
+  }
+
+  /** The window-form oracle of [[latestOrder]]. */
+  val latestOrderOracleSql: String =
+    """WITH r AS (
+      |  SELECT o_custkey,
+      |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |      AS day,
+      |    o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders)
+      |SELECT o_custkey, day, o_orderkey, cents
+      |FROM r WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+
   /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys MATCH
     * each other — the semantics a plain equi-join silently drops (its
     * NULL = NULL is UNKNOWN). Exercised on a derived nullable key

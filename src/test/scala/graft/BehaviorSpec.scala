@@ -46,6 +46,32 @@ class BehaviorSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1.0))
   }
 
+  test("ab test: moments and Welch z match an in-memory recount") {
+    val r = SparkEntry.queries("q_ab_test")(spark, sf).head()
+    val cents = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("value")).collect()
+      .map(x => (x.getLong(0) % 2,
+        BigDecimal(x.getDouble(1)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100))
+      .map { case (v, c) => (v, c.toLong) }
+    def side(v: Long) = cents.filter(_._1 == v).map(_._2)
+    val (a, b) = (side(0), side(1))
+    assert(r.getLong(0) === a.length && r.getLong(1) === b.length)
+    assert(r.getLong(2) === a.sum && r.getLong(3) === b.sum)
+    def mean(x: Array[Long]) = x.sum.toDouble / x.length
+    def variance(x: Array[Long]) = {
+      val q = x.map(c => c.toDouble * c).sum
+      (q - x.sum.toDouble * x.sum / x.length) / (x.length - 1)
+    }
+    val z = (mean(b) - mean(a)) /
+      math.sqrt(variance(a) / a.length + variance(b) / b.length)
+    assert(math.abs(r.getDouble(5) - z) < 1e-4)
+    // the planted assignment is balanced-ish, so z is a small number,
+    // not an artifact of tiny samples
+    assert(a.length > 50 && b.length > 50)
+  }
+
   test("cohort retention: offset-0 cell equals cohort size, grid consistent") {
     val rows = SparkEntry.queries("q_cohort")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -109,6 +109,29 @@ class JoinsSpec extends AnyFunSuite {
     assert(byTag.getOrElse("high_only", Set()) === (h diff u))
   }
 
+  test("latest-per-key aggregate argmax equals the window rank-1 form") {
+    import org.apache.spark.sql.expressions.Window
+    val out = SparkEntry.queries("q_latest_order")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val win = Tables.orders(spark, sf)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate")
+          .cast(org.apache.spark.sql.types.DateType),
+          lit("1970-01-01").cast(org.apache.spark.sql.types.DateType))
+          .cast(org.apache.spark.sql.types.LongType).as("day"),
+        col("o_orderkey"),
+        (col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast(org.apache.spark.sql.types.LongType).as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet === win.toSet)
+    assert(out.length === out.map(_._1).distinct.length) // one row per key
+  }
+
   test("set ops ALL: multiplicities are min'd / subtracted per day") {
     val out = SparkEntry.queries("q_set_ops_all")(spark, sf).collect()
       .map(r => ((r.getString(0), r.getDate(1).toString), r.getLong(2))).toMap
