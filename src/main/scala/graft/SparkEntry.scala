@@ -259,6 +259,8 @@ object SparkEntry {
     "q_latest_order"      -> (Joins.latestOrder _),
     // Welch z two-sample experiment readout from exact moments
     "q_ab_test"           -> (Behavior.abTest _),
+    // last-touch attribution: purchases credited to the preceding channel
+    "q_attribution"       -> (Behavior.attribution _),
     // RANK / DENSE_RANK / PERCENT_RANK tie semantics in one window pass
     "q_rank_funcs"        -> (Joins.rankFunctions _),
     "q_full_outer"        -> (Joins.fullOuterJoin _),
@@ -1267,6 +1269,8 @@ object SparkEntry {
     "q_latest_order" -> Joins.latestOrderOracleSql,
     // A/B: exact BIGINT moments, identical IEEE mean/var/z expressions
     "q_ab_test" -> graft.operators.Behavior.abTestOracleSql,
+    // attribution: same carry-forward frame, exact cents
+    "q_attribution" -> graft.operators.Behavior.attributionOracleSql,
     // Pearson matrix: generated from the same CorrCols/moment formula
     "q_corr_matrix" -> Relational.corrMatrixOracleSql,
     // ranking trio: same tie key (whole-unit balance), same windows;

@@ -109,6 +109,7 @@ object ToolSupport {
     "winsorize" -> "winz", "cascade_delete" -> "cascd",
     "set_ops_all" -> "sopsa", "nullsafe_jn" -> "nsjn",
     "triangles" -> "tri", "latest_order" -> "lastord", "ab_test" -> "ab",
+    "attribution" -> "attr",
     "freq_table" -> "freq", "heavy_hitters" -> "hh",
     "session" -> "sess", "ckpt_prune" -> "ckpt",
     // ("sample_" above has already turned resample_ffill into resmp_ffill)

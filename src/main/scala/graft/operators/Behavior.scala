@@ -111,6 +111,49 @@ object Behavior {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Last-touch attribution: each purchase's value is credited to the
+    * user's most recent PRECEDING non-purchase event type (the marketing
+    * channel) — `direct` when the purchase has no predecessor. One
+    * carry-forward window per user (`last(ignoreNulls)` over (ts,
+    * event_id) — the same pattern [[graft.operators.Relational.resampleFfill]]
+    * pinned), then a channel-level aggregate in exact cents.
+    *
+    * Scale shape: per-user window partitions (millions of small
+    * independent sorts after one hash exchange), then one
+    * map-side-combinable aggregate over ≤ |event types| + 1 groups. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType)
+          .as("cents"))
+      .withColumn("channel",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("cents"))
+      .orderBy("channel")
+  }
+
+  /** DuckDB replay of [[attribution]] — same carry-forward frame. */
+  val attributionOracleSql: String =
+    """WITH t AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+      |      IGNORE NULLS) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+      |  FROM events)
+      |SELECT coalesce(channel, 'direct') AS channel,
+      |  COUNT(*) AS n_purchases, CAST(SUM(cents) AS BIGINT) AS cents
+      |FROM t WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY channel""".stripMargin
+
   /** A/B experiment readout: Welch's z for the purchase-value difference
     * between a planted deterministic assignment (variant = user_id % 2) —
     * the two-sample analysis every experimentation platform runs.

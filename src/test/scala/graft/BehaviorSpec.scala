@@ -46,6 +46,22 @@ class BehaviorSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1.0))
   }
 
+  test("attribution: conserves purchases and cents; direct branch real") {
+    val rows = SparkEntry.queries("q_attribution")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val p = Tables.events(spark, sf).filter(col("event_type") === "purchase")
+    assert(rows.map(_._2).sum === p.count())
+    val cents = p.select((col("value")
+      .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+      .cast(org.apache.spark.sql.types.LongType)).collect()
+      .map(_.getLong(0)).sum
+    assert(rows.map(_._3).sum === cents)
+    // purchases are never credited to themselves, and first-event
+    // purchases fall into the real 'direct' bucket
+    assert(!rows.map(_._1).contains("purchase"))
+    assert(rows.find(_._1 == "direct").exists(_._2 > 0))
+  }
+
   test("ab test: moments and Welch z match an in-memory recount") {
     val r = SparkEntry.queries("q_ab_test")(spark, sf).head()
     val cents = Tables.events(spark, sf)
