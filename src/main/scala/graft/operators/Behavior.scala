@@ -32,7 +32,12 @@ object Behavior {
     *
     * Three filtered aggregate passes — one per step — each a pushed-down
     * type filter, an equi-join on user_id against the (users-sized)
-    * previous-step state, and a min() hash aggregate. No sort anywhere. */
+    * previous-step state, and a min() hash aggregate. No sort anywhere,
+    * no driver-side actions: the per-step states left-join back together
+    * (s1 ⊇ s2 ⊇ s3 by construction, so non-null t_k counts ARE the step
+    * counts), fold to ONE row of three counters, and explode into the
+    * 3-row report — a single job, with Catalyst's exchange reuse serving
+    * s1/s2 to both consumers instead of recomputing per count() action. */
   def funnel(spark: SparkSession, dir: String): DataFrame =
     funnelFrom(spark, Tables.events(spark, dir))
 
@@ -47,13 +52,22 @@ object Behavior {
     val s3 = step("purchase").join(s2, "user_id")
       .filter(col("ts") > col("t2"))
       .groupBy("user_id").agg(min("ts").as("t3"))
-    // three bounded scalar counts (users-per-step), then the 3-row summary;
-    // the division/rounding runs through the same engine ops as the oracle
-    val Seq(n1, n2, n3) = Seq(s1, s2, s3).map(_.count())
+    val counts = s1
+      .join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .agg(count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+        count(col("t3")).as("n3"))
     val w = org.apache.spark.sql.expressions.Window.orderBy("step")
-    spark.createDataFrame(Seq(
-        (1, "view", n1), (2, "click", n2), (3, "purchase", n3)))
-      .toDF("step", "step_name", "users")
+    counts
+      .select(explode(array(
+        struct(lit(1).as("step"), lit("view").as("step_name"),
+          col("n1").as("users")),
+        struct(lit(2).as("step"), lit("click").as("step_name"),
+          col("n2").as("users")),
+        struct(lit(3).as("step"), lit("purchase").as("step_name"),
+          col("n3").as("users")))).as("s"))
+      .select(col("s.step").as("step"), col("s.step_name").as("step_name"),
+        col("s.users").as("users"))
       .withColumn("conv_prev",
         round(col("users").cast(DoubleType) /
           nullif(coalesce(lag(col("users"), 1).over(w), col("users")),
