@@ -238,6 +238,9 @@ object SparkEntry {
     // the ingest-side curation gate: lang-ID + repetition kernels running
     // statelessly per micro-batch over a documents file stream
     "q_stream_curate"     -> (graft.streaming.Streaming.streamCurate _),
+    // REAL multi-batch stateful funnel (mapGroupsWithState greedy triple);
+    // gated by the SAME oracle as the batch funnel
+    "q_stream_funnel"     -> (graft.streaming.Streaming.streamFunnel _),
     // REAL mapGroupsWithState run (per-user running totals, Update mode);
     // cents-in-double arithmetic makes the stateful fold exact → oracle =
     // the batch per-user aggregate
@@ -1168,6 +1171,8 @@ object SparkEntry {
     // the week derivation can't drift between plan and oracle
     "q_funnel" -> graft.operators.Behavior.funnelOracleSql,
     "q_cohort" -> graft.operators.Behavior.cohortOracleSql,
+    // streaming funnel: the batch funnel oracle gates the stateful fold
+    "q_stream_funnel" -> graft.operators.Behavior.funnelOracleSql,
     // SCD2: collapse-then-close window chain, exact micros + BIGINT flag
     "q_scd2" -> graft.operators.Versioning.scd2OracleSql,
     // DQ suite: per-table conditional-aggregate counters + NOT EXISTS FKs

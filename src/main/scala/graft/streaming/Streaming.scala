@@ -228,6 +228,83 @@ object Streaming {
       .orderBy("user_id", "session_start")
   }
 
+  final case class FunnelSt(user_id: Long, t1: Long, t2: Long, t3: Long)
+  final case class FunnelProgress(user_id: Long, steps: Int)
+
+  /** Streaming ordered funnel: the continuous form of
+    * [[graft.operators.Behavior.funnel]]. Per-user state is the greedy
+    * earliest-completion timestamp triple (micros; -1 = step open) —
+    * CONSTANT size per user, the streaming analogue of the batch
+    * operator's one-timestamp-per-step design. Each micro-batch sorts its
+    * own group slice by event time (intra-batch disorder) and folds the
+    * greedy update; chronological micro-batches (the split landing) keep
+    * the fold equal to the batch greedy, which [[graft.PropertySpec]]
+    * proves equal to the exhaustive witness search. Update mode emits the
+    * user's current step count each batch; the last emission per user is
+    * the final funnel position (monotone — later batches can only extend). */
+  def funnelStream(events: Dataset[Event]): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelSt, FunnelProgress](
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[FunnelSt]) =>
+          var st = state.getOption.getOrElse(FunnelSt(user, -1L, -1L, -1L))
+          batch.toArray.sortBy(e => micros(e.ts)).foreach { e =>
+            val t = micros(e.ts)
+            e.event_type match {
+              case "view" if st.t1 < 0 => st = st.copy(t1 = t)
+              case "click" if st.t1 >= 0 && st.t2 < 0 && t > st.t1 =>
+                st = st.copy(t2 = t)
+              case "purchase" if st.t2 >= 0 && st.t3 < 0 && t > st.t2 =>
+                st = st.copy(t3 = t)
+              case _ =>
+            }
+          }
+          state.update(st)
+          FunnelProgress(user,
+            Seq(st.t1, st.t2, st.t3).count(_ >= 0))
+      }
+  }
+
+  /** The streaming funnel as a REAL multi-batch run (4 chronological
+    * time-range files, one micro-batch each), post-aggregated to the SAME
+    * 3-row report as the batch operator and gated by the SAME oracle —
+    * the hash match proves the incremental state fold reproduces the
+    * batch min()-chain exactly. */
+  def streamFunnel(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    import spark.implicits._
+    val events = eventsStreamSplit(spark, dir, SplitFiles)
+      .select("ts", "user_id", "event_type", "value")
+      .as[Event]
+    val sink = runToMemory(funnelStream(events).toDF(),
+      "graft_stream_funnel", OutputMode.Update())
+    // final per-user position = max emission (monotone); then the report
+    val per = sink.groupBy("user_id").agg(max(col("steps")).as("steps"))
+    val counts = per.agg(
+      sum(when(col("steps") >= 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("steps") >= 2, 1L).otherwise(0L)).as("n2"),
+      sum(when(col("steps") >= 3, 1L).otherwise(0L)).as("n3"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("step")
+    counts
+      .select(explode(array(
+        struct(lit(1).as("step"), lit("view").as("step_name"),
+          col("n1").cast(LongType).as("users")),
+        struct(lit(2).as("step"), lit("click").as("step_name"),
+          col("n2").cast(LongType).as("users")),
+        struct(lit(3).as("step"), lit("purchase").as("step_name"),
+          col("n3").cast(LongType).as("users")))).as("s"))
+      .select(col("s.step").as("step"), col("s.step_name").as("step_name"),
+        col("s.users").as("users"))
+      .withColumn("conv_prev",
+        round(col("users").cast(DoubleType) /
+          nullif(coalesce(lag(col("users"), 1).over(w), col("users")),
+            lit(0L)), 6))
+      .orderBy("step")
+  }
+
   final case class Doc(ts: Timestamp, doc_id: Long, content_hash: Long)
 
   /** Streaming exact dedup: the streaming half of `operators.Dedup` —

@@ -338,4 +338,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.getAs[Long]("rows") === Tables.customer(spark, sf).count())
     assert(out.getAs[Long]("keys") === out.getAs[Long]("rows"))
   }
+
+  test("streaming funnel: multi-batch run equals the batch funnel exactly") {
+    val streamed = SparkEntry.queries("q_stream_funnel")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(Streaming.lastRunDataBatches >= 2,
+      "funnel must be exercised under REAL multi-batch arrival, got " +
+        s"${Streaming.lastRunDataBatches}")
+    val batch = SparkEntry.queries("q_funnel")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.toSeq === batch.toSeq,
+      "incremental greedy state diverged from the batch min()-chain")
+  }
 }
