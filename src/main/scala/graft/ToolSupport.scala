@@ -110,6 +110,12 @@ object ToolSupport {
     "set_ops_all" -> "sopsa", "nullsafe_jn" -> "nsjn",
     "triangles" -> "tri", "latest_order" -> "lastord", "ab_test" -> "ab",
     "attribution" -> "attr",
+    // r8 fourth widening (137-entry catalog): squeeze for tail headroom
+    "st_funl" -> "stfn", "lastord" -> "lord", "geocty" -> "gcty",
+    "okeepn" -> "okpn", "fouter" -> "fout", "naprof" -> "napf",
+    "selren" -> "selr", "cvtune" -> "cvt", "lslice" -> "lsli",
+    "rowidx" -> "ridx", "nsplit" -> "nspl", "asofsk" -> "asfk",
+    "esurv" -> "esv", "spack" -> "spk",
     "freq_table" -> "freq", "heavy_hitters" -> "hh",
     "session" -> "sess", "ckpt_prune" -> "ckpt",
     // ("sample_" above has already turned resample_ffill into resmp_ffill)
