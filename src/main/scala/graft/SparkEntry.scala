@@ -266,6 +266,24 @@ object SparkEntry {
     "q_attribution"       -> (Behavior.attribution _),
     // RANK / DENSE_RANK / PERCENT_RANK tie semantics in one window pass
     "q_rank_funcs"        -> (Joins.rankFunctions _),
+    // gaps-and-islands: longest consecutive-day streak distribution
+    "q_streaks"           -> (Behavior.streaks _),
+    // first-order Markov next-event transition matrix
+    "q_markov"            -> (Behavior.markov _),
+    // chi-square independence cells for event_type x variant
+    "q_chisq"             -> (Behavior.chiSquare _),
+    // duration-weighted value means over irregular event arrivals
+    "q_time_weighted"     -> (Behavior.timeWeighted _),
+    // per-group top-k: 3 highest-revenue suppliers per nation
+    "q_topk_group"        -> (Joins.topKPerGroup _),
+    // PSI language-mix drift between two source cohorts
+    "q_lang_drift"        -> (TextAnalysis.langDrift _),
+    // interval-sweep peak concurrent users per day
+    "q_concurrency"       -> (Behavior.concurrency _),
+    // DAU / trailing-7-day WAU engagement ratio
+    "q_stickiness"        -> (Behavior.stickiness _),
+    // weight-proportional priority sampling over the corpus
+    "q_weighted_sample"   -> ((s, d) => Curation.weightedSample(s, d)),
     "q_full_outer"        -> (Joins.fullOuterJoin _),
     // OLS diagnostics (SURVEY §2.9 M5) — rows-only
     "q_ols_diagnostics"   -> (graft.ml.Diagnostics.query _),
@@ -1278,6 +1296,24 @@ object SparkEntry {
     "q_attribution" -> graft.operators.Behavior.attributionOracleSql,
     // Pearson matrix: generated from the same CorrCols/moment formula
     "q_corr_matrix" -> Relational.corrMatrixOracleSql,
+    // streaks: same epoch-day islands (day - row_number invariant)
+    "q_streaks" -> graft.operators.Behavior.streaksOracleSql,
+    // Markov transitions: same (ts, event_id) order, one rounded division
+    "q_markov" -> graft.operators.Behavior.markovOracleSql,
+    // chi-square cells: exact BIGINT margins, shared IEEE e/contrib shape
+    "q_chisq" -> graft.operators.Behavior.chiSquareOracleSql,
+    // time-weighted means: exact micros weights, DECIMAL(38,0) product sum
+    "q_time_weighted" -> graft.operators.Behavior.timeWeightedOracleSql,
+    // per-group top-k: same exact-decimal revenue and row_number tiebreak
+    "q_topk_group" -> Joins.topKPerGroupOracleSql,
+    // language drift: same Laplace smoothing, natural log on both sides
+    "q_lang_drift" -> graft.operators.TextAnalysis.langDriftOracleSql,
+    // concurrency sweep: RANGE-frame ties, starts-before-ends contract
+    "q_concurrency" -> graft.operators.Behavior.concurrencyOracleSql,
+    // stickiness: same grid fan-out, warm-up clipping, one division
+    "q_stickiness" -> graft.operators.Behavior.stickinessOracleSql,
+    // priority sampling: same LCG draw and exact integer div priority
+    "q_weighted_sample" -> Curation.weightedSampleOracleSql,
     // ranking trio: same tie key (whole-unit balance), same windows;
     // percent_rank is one IEEE division of two exact ints on both sides
     "q_rank_funcs" ->

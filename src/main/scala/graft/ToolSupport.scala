@@ -121,7 +121,28 @@ object ToolSupport {
     // ("sample_" above has already turned resample_ffill into resmp_ffill)
     "resmp_ffill" -> "resamp", "date_" -> "dt_",
     "rare_other" -> "rare", "cond_update" -> "cond_up",
-    "sliding" -> "slid", "rank_funcs" -> "ranks")
+    "sliding" -> "slid", "rank_funcs" -> "ranks",
+    // r8 fifth widening (143-entry catalog): the analytics/drift batch,
+    // plus a squeeze of the remaining 6-8 char tail (left sides are the
+    // post-fold forms, as above) to keep >=15% window headroom
+    "time_weighted" -> "twa", "topk_group" -> "tkg",
+    "lang_drift" -> "ldrift",
+    "dt_parse" -> "dtp", "ljn_dist" -> "ljnd", "agg_sum" -> "asum",
+    "ann_lsh" -> "alsh", "cond_up" -> "cdup", "lang_id" -> "lid",
+    "na_drop" -> "nadr", "set_ops" -> "sops", "streaks" -> "stks",
+    "st_sess" -> "stss", "st_sink" -> "stsk", "st_slid" -> "stsl",
+    "st_tumb" -> "sttb", "b2null" -> "b2n", "markov" -> "mkv",
+    "csv_rt" -> "csvr", "ldrift" -> "ldft", "cumsum" -> "csum",
+    "grp_mh" -> "gmh", "minmax" -> "mnmx", "emb_nd" -> "embn",
+    "geo_jn" -> "gjn", "mrg_up" -> "mgup", "dt_flt" -> "dtf",
+    "bkt_jn" -> "bktj",
+    "concurrency" -> "conc", "stickiness" -> "stky",
+    "weighted_sample" -> "wsmp",
+    "mdl_rt" -> "mdrt", "ng_jac" -> "ngj", "nn_flt" -> "nnf",
+    "ols_fc" -> "olsf", "orc_rt" -> "orcr", "redact" -> "red",
+    "resamp" -> "rsmp", "rf_imp" -> "rfim", "zscore" -> "zsc",
+    "st_tot" -> "stt", "st_rng" -> "strg", "st_cur" -> "stc",
+    "st_enr" -> "sten")
 
   def benchKey(name: String): String =
     benchKeySubs.foldLeft(name.stripPrefix("q_")) {

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -230,6 +230,327 @@ object Behavior {
       |             CAST(s_b AS DOUBLE) / n_b) / (CAST(n_b AS DOUBLE) - 1))
       |           / n_b), 6) AS welch_z
       |FROM m""".stripMargin
+
+  /** Activity-streak distribution (gaps-and-islands): a user's streak is a
+    * maximal run of CONSECUTIVE active calendar days; the report counts
+    * users by their longest streak. Islands via the classic
+    * `day − row_number` invariant — constant within a consecutive run,
+    * strictly increasing across a gap — over exact epoch-day integers (no
+    * calendar/locale dependence).
+    *
+    * Scale shape: the distinct (user, day) grid collapses the event volume
+    * first (map-side combinable); the per-user window then sorts ≤ span-days
+    * rows per user — millions of small independent partitions after one hash
+    * exchange, the [[attribution]] discipline — and the two closing
+    * aggregates are bounded by users resp. span-days. */
+  def streaks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("epoch_day")
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"),
+        datediff(col("ts").cast(DateType), lit("1970-01-01").cast(DateType))
+          .cast(LongType).as("epoch_day"))
+      .distinct()
+    days
+      .withColumn("island",
+        col("epoch_day") - row_number().over(w).cast(LongType))
+      .groupBy("user_id", "island").agg(count(lit(1)).as("len"))
+      .groupBy("user_id").agg(max("len").as("max_streak"))
+      .groupBy("max_streak").agg(count(lit(1)).as("n_users"))
+      .orderBy("max_streak")
+  }
+
+  /** DuckDB replay of [[streaks]] — same epoch-day islands. */
+  val streaksOracleSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+      |      AS epoch_day
+      |  FROM events),
+      |isl AS (
+      |  SELECT user_id, epoch_day,
+      |    epoch_day - ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_day) AS island
+      |  FROM days),
+      |st AS (SELECT user_id, island, COUNT(*) AS len FROM isl GROUP BY 1, 2),
+      |mu AS (SELECT user_id, MAX(len) AS max_streak FROM st GROUP BY 1)
+      |SELECT max_streak, COUNT(*) AS n_users FROM mu
+      |GROUP BY 1 ORDER BY max_streak""".stripMargin
+
+  /** First-order Markov transition matrix over each user's event sequence:
+    * exact transition counts per (prev_type → next_type) plus the row-
+    * normalized probability — the next-event model product analytics and
+    * session-synthesis pipelines both ask for. Sequence order is the same
+    * total order every sequential operator here uses: (ts, event_id).
+    *
+    * Exactness: counts are BIGINT; the probability is ONE double division
+    * of two exact counts, rounded, replayed identically in the oracle (the
+    * normalizer is a window sum over the ≤ |types|² count table, not the
+    * event stream).
+    *
+    * Scale shape: one per-user LAG window (small independent partitions,
+    * one hash exchange — no event list materializes anywhere), one
+    * map-side-combinable count aggregate, then windows over a bounded
+    * (|types|²-row) table. */
+  def markov(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val counts = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val wp = Window.partitionBy("prev_type")
+    counts
+      .withColumn("p", round(
+        col("n").cast(DoubleType) /
+          sum(col("n")).over(wp).cast(DoubleType), 6))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** DuckDB replay of [[markov]] — same (ts, event_id) sequence order. */
+  val markovOracleSql: String =
+    """WITH tr AS (
+      |  SELECT event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_type
+      |  FROM events),
+      |c AS (
+      |  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      |  FROM tr WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev_type, next_type, n,
+      |  ROUND(CAST(n AS DOUBLE) /
+      |    CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p
+      |FROM c ORDER BY prev_type, next_type""".stripMargin
+
+  /** Chi-square independence table for event_type × the planted [[abTest]]
+    * assignment (variant = user_id % 2): per-cell observed BIGINT count,
+    * expected count under independence, and the cell's χ² contribution —
+    * the categorical counterpart of [[abTest]]'s two-sample z.
+    *
+    * Exactness: all marginals are exact BIGINT window sums over the
+    * ≤ |types|·2 cell table; expected and the contribution drop to double
+    * in ONE shared expression shape — e = r·c/t, contrib = (o−e)²/e —
+    * written identically in the oracle, then rounded.
+    *
+    * Scale shape: one map-side-combinable count aggregate over the stream;
+    * everything after operates on the bounded cell table. */
+  def chiSquare(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (col("user_id") % 2).cast(LongType).as("variant"))
+      .groupBy("event_type", "variant")
+      .agg(count(lit(1)).as("observed"))
+    val wr = Window.partitionBy("event_type")
+    val wc = Window.partitionBy("variant")
+    val wt = Window.partitionBy()
+    def d(c: Column) = c.cast(DoubleType)
+    val withMargins = cells
+      .withColumn("row_total", sum(col("observed")).over(wr))
+      .withColumn("col_total", sum(col("observed")).over(wc))
+      .withColumn("total", sum(col("observed")).over(wt))
+    val e = d(col("row_total")) * d(col("col_total")) / d(col("total"))
+    withMargins
+      .select(col("event_type"), col("variant"), col("observed"),
+        round(e, 6).as("expected"),
+        round((d(col("observed")) - e) * (d(col("observed")) - e) / e, 6)
+          .as("contrib"))
+      .orderBy("event_type", "variant")
+  }
+
+  /** DuckDB replay of [[chiSquare]] — same margins, same IEEE shape. */
+  val chiSquareOracleSql: String =
+    """WITH cells AS (
+      |  SELECT event_type, user_id % 2 AS variant, COUNT(*) AS observed
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, variant, observed,
+      |    SUM(observed) OVER (PARTITION BY event_type) AS r,
+      |    SUM(observed) OVER (PARTITION BY variant) AS c,
+      |    SUM(observed) OVER () AS t
+      |  FROM cells)
+      |SELECT event_type, variant, observed,
+      |  ROUND(CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(t AS DOUBLE), 6)
+      |    AS expected,
+      |  ROUND((CAST(observed AS DOUBLE) -
+      |      CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) *
+      |    (CAST(observed AS DOUBLE) -
+      |      CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) /
+      |    (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(t AS DOUBLE)), 6)
+      |    AS contrib
+      |FROM m ORDER BY event_type, variant""".stripMargin
+
+  /** Time-weighted value averages per event type: each event's value is
+    * weighted by how long it remained the user's CURRENT state — the exact
+    * micros until the user's next event. The last event of every user has
+    * no successor and carries no weight (a production run would close it at
+    * the watermark; the batch form keeps the oracle exact). The metric
+    * every pricing/telemetry warehouse wants when sampling is irregular —
+    * a plain AVG over-weights burst periods.
+    *
+    * Exactness: weights are exact BIGINT micros (LEAD over the same
+    * (ts, event_id) order), values exact cents; the weighted sum
+    * accumulates as DECIMAL(38,0) (micros·cents reaches ~1e17 per term —
+    * a BIGINT sum could overflow at scale), and the average drops to
+    * double in ONE division, rounded, identical in the oracle.
+    *
+    * Scale shape: one per-user LEAD window, then one map-side-combinable
+    * aggregate over ≤ |types| groups. */
+  def timeWeighted(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType)
+          .as("cents"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("w_us", lead(col("us"), 1).over(w) - col("us"))
+      .filter(col("w_us").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("w_us")).as("dur_us"),
+        round(
+          sum((col("w_us") * col("cents")).cast(DecimalType(38, 0)))
+            .cast(DoubleType) /
+            sum(col("w_us")).cast(DoubleType), 6).as("twa_cents"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB replay of [[timeWeighted]] — same micros weights. */
+  val timeWeightedOracleSql: String =
+    """WITH t AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id) - epoch_us(ts) AS w_us
+      |  FROM events)
+      |SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(w_us) AS BIGINT) AS dur_us,
+      |  ROUND(CAST(SUM(CAST(w_us * cents AS DECIMAL(38,0))) AS DOUBLE) /
+      |    CAST(SUM(w_us) AS DOUBLE), 6) AS twa_cents
+      |FROM t WHERE w_us IS NOT NULL
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** Per-day peak concurrency: each user's activity on a calendar day is
+    * an interval [first event, last event]; the report gives the maximum
+    * number of simultaneously-active users per day — the interval-sweep
+    * (+1/−1 endpoint) peak every capacity planner asks for.
+    *
+    * Tie semantics are part of the contract: endpoints sort by
+    * (micros, delta DESC) — starts before ends at the same instant, so
+    * touching intervals count as concurrent, and a single-event user
+    * (s == e) contributes a momentary 1. The running sum uses the ANSI
+    * default RANGE frame, so all peers at one sort key share one
+    * cumulative value — the result is independent of intra-tie row order
+    * on ANY engine.
+    *
+    * Scale shape: the event stream collapses to the (user, day) interval
+    * grid first (map-side combinable); the sweep windows are partitioned
+    * BY DAY — bounded by active-users-per-day, never a global single-task
+    * sort (a hot day at 100 TB splits by a user-hash salt whose partial
+    * peaks max-merge, same discipline as Skew). */
+  def concurrency(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val iv = Tables.events(spark, dir)
+      .select(col("user_id"),
+        datediff(col("ts").cast(DateType), lit("1970-01-01").cast(DateType))
+          .cast(LongType).as("epoch_day"),
+        unix_micros(col("ts")).as("us"))
+      .groupBy("user_id", "epoch_day")
+      .agg(min("us").as("s"), max("us").as("e"))
+    val pts = iv.select(col("epoch_day"), col("s").as("us"),
+        lit(1L).as("delta"))
+      .unionByName(iv.select(col("epoch_day"), col("e").as("us"),
+        lit(-1L).as("delta")))
+    val w = Window.partitionBy("epoch_day")
+      .orderBy(col("us").asc, col("delta").desc)
+    pts
+      .withColumn("run", sum(col("delta")).over(w))
+      .groupBy("epoch_day")
+      .agg((count(lit(1)) / 2).cast(LongType).as("n_users"),
+        max(col("run")).as("peak"))
+      .orderBy("epoch_day")
+  }
+
+  /** DuckDB replay of [[concurrency]] — same RANGE-frame tie semantics. */
+  val concurrencyOracleSql: String =
+    """WITH iv AS (
+      |  SELECT user_id,
+      |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+      |      AS epoch_day,
+      |    MIN(epoch_us(ts)) AS s, MAX(epoch_us(ts)) AS e
+      |  FROM events GROUP BY 1, 2),
+      |pts AS (
+      |  SELECT epoch_day, s AS us, CAST(1 AS BIGINT) AS delta FROM iv
+      |  UNION ALL
+      |  SELECT epoch_day, e AS us, CAST(-1 AS BIGINT) AS delta FROM iv),
+      |sweep AS (
+      |  SELECT epoch_day,
+      |    SUM(delta) OVER (PARTITION BY epoch_day
+      |      ORDER BY us ASC, delta DESC) AS run
+      |  FROM pts)
+      |SELECT epoch_day, CAST(COUNT(*) / 2 AS BIGINT) AS n_users,
+      |  CAST(MAX(run) AS BIGINT) AS peak
+      |FROM sweep GROUP BY 1 ORDER BY epoch_day""".stripMargin
+
+  /** DAU/WAU stickiness: daily active users, trailing-7-day weekly active
+    * users, and their ratio — THE product-engagement gauge. WAU avoids the
+    * per-day range join entirely: each (user, day) grid cell fans out to
+    * the 7 report days it supports via explode(sequence) — a narrow ×7
+    * projection — and a distinct count lands per day. Report days are
+    * clipped to the observed range so warm-up days (whose trailing window
+    * precedes the data) don't emit short windows.
+    *
+    * Scale shape: the event stream collapses to the distinct (user, day)
+    * grid first; the fan-out is constant (×7) on the GRID (users × days),
+    * not the event volume; both counts are map-side-combinable distinct
+    * aggregates. Counts exact; the ratio is one rounded IEEE division. */
+  def stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.events(spark, dir)
+      .select(col("user_id"),
+        datediff(col("ts").cast(DateType), lit("1970-01-01").cast(DateType))
+          .cast(LongType).as("epoch_day"))
+      .distinct()
+    val bounds = grid.agg(min("epoch_day").as("lo"), max("epoch_day").as("hi"))
+    val dau = grid.groupBy("epoch_day")
+      .agg(count(lit(1)).as("dau"))
+    val wau = grid
+      .select(col("user_id"),
+        explode(sequence(col("epoch_day"), col("epoch_day") + 6)).as("day"))
+      .distinct()
+      .groupBy(col("day").as("epoch_day"))
+      .agg(count(lit(1)).as("wau"))
+    dau.join(wau, "epoch_day")
+      .crossJoin(broadcast(bounds))
+      .filter(col("epoch_day") >= col("lo") + 6 && col("epoch_day") <= col("hi"))
+      .select(col("epoch_day"), col("dau"), col("wau"),
+        round(col("dau").cast(DoubleType) / col("wau").cast(DoubleType), 6)
+          .as("stickiness"))
+      .orderBy("epoch_day")
+  }
+
+  /** DuckDB replay of [[stickiness]] — same grid fan-out and clipping. */
+  val stickinessOracleSql: String =
+    """WITH grid AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+      |      AS epoch_day
+      |  FROM events),
+      |b AS (SELECT MIN(epoch_day) AS lo, MAX(epoch_day) AS hi FROM grid),
+      |dau AS (
+      |  SELECT epoch_day, COUNT(*) AS dau FROM grid GROUP BY 1),
+      |wau AS (
+      |  SELECT day AS epoch_day, COUNT(DISTINCT user_id) AS wau FROM (
+      |    SELECT user_id,
+      |      unnest(generate_series(epoch_day, epoch_day + 6)) AS day
+      |    FROM grid) GROUP BY 1)
+      |SELECT d.epoch_day, d.dau, w.wau,
+      |  ROUND(CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE), 6) AS stickiness
+      |FROM dau d JOIN wau w ON d.epoch_day = w.epoch_day, b
+      |WHERE d.epoch_day >= b.lo + 6 AND d.epoch_day <= b.hi
+      |ORDER BY d.epoch_day""".stripMargin
 
   /** DuckDB replay of [[cohortRetention]] — same integer week derivation. */
   val cohortOracleSql: String =

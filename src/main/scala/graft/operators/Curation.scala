@@ -156,6 +156,54 @@ object Curation {
       .orderBy("source", "rank")
   }
 
+  /** Weighted-sample size and priority scale, shared with the oracle. */
+  val WeightedSampleK = 25
+  val PriScale = 1000000L
+
+  /** Weight-proportional corpus sampling without replacement (priority
+    * sampling, Duffield/Lund/Thorup shape): every document gets priority
+    * w·S div (h+1) from its weight (n_chars — stand-in for a quality
+    * score) and a uniform key-derived LCG draw h; the k largest priorities
+    * are the sample. P(h+1 ≤ w·S/t) ∝ w, so inclusion probability is
+    * proportional to weight (capped at 1) — long documents are drawn
+    * more often, deterministically.
+    *
+    * Exactness: the whole priority is integer arithmetic (the `div` form,
+    * exact on both engines — a double u^(1/w) key would drift in ulp) and
+    * the draw is the mixKeep LCG family: membership is independent of
+    * partitioning, layout and scale.
+    *
+    * Scale shape: one narrow projection; the global top-k executes as
+    * TakeOrderedAndProject — per-partition heads, never a global sort;
+    * the rank window touches exactly k rows. */
+  def weightedSample(spark: SparkSession, dir: String,
+                     k: Int = WeightedSampleK): DataFrame = {
+    val top = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        expr(s"(n_chars * $PriScale) div " +
+          s"(pmod(pmod(doc_id, 1000003L) * 2654435761L + 29L, 1000003L) + 1)")
+          .as("pri"))
+      .orderBy(col("pri").desc, col("doc_id").asc)
+      .limit(k)
+    top
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pri").desc, col("doc_id").asc)).cast(LongType))
+      .select(col("rank"), col("doc_id"), col("n_chars"), col("pri"))
+      .orderBy("rank")
+  }
+
+  /** DuckDB replay of [[weightedSample]] — same LCG, same integer div. */
+  val weightedSampleOracleSql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id, n_chars,
+       |    (n_chars * $PriScale) //
+       |      (((doc_id % 1000003) * 2654435761 + 29) % 1000003 + 1) AS pri
+       |  FROM documents)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY pri DESC, doc_id) AS BIGINT)
+       |    AS rank,
+       |  doc_id, n_chars, pri
+       |FROM p ORDER BY pri DESC, doc_id LIMIT $WeightedSampleK""".stripMargin
+
   // -- temperature-rebalanced mixture -------------------------------------
 
   /** Target kept volume for the temperature mix, as a permille of the

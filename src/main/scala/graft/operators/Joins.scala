@@ -204,6 +204,62 @@ object Joins {
       .limit(15)
       .select(col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"))
 
+  /** Per-group top-k: the 3 highest-revenue suppliers of every nation —
+    * the grouped complement of the GLOBAL [[topK]]. The revenue aggregate
+    * runs BEFORE any join, collapsing the fact table to one exact
+    * scale-4-decimal row per supplier map-side ([[graft.operators.Relational]]'s
+    * discounted-price discipline, emitted ×10000 as BIGINT); the supplier
+    * and nation dimensions then attach via broadcast hash joins (bounded
+    * dims — no fact shuffle), and the ranking window sorts per-nation
+    * partitions of supplier-count size, tie-broken on the unique name so
+    * row_number is deterministic.
+    *
+    * Scale shape: one map-side-combinable aggregate keyed by suppkey, two
+    * broadcast joins, one hash exchange on the nation key. The per-nation
+    * sort is suppliers-per-nation, never fact-sized; output is bounded at
+    * 3·|nations| rows. */
+  def topKPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(18, 2)
+    val bySupp = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"))
+      .agg((sum(col("l_extendedprice").cast(dec) *
+        (lit(1) - col("l_discount").cast(dec))) * 10000)
+        .cast(LongType).as("rev_x10k"))
+    val w = Window.partitionBy("n_name")
+      .orderBy(col("rev_x10k").desc, col("s_name").asc)
+    bySupp
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("s_name"), col("rev_x10k"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 3)
+      .select(col("n_name"), col("rnk"), col("s_name"), col("rev_x10k"))
+      .orderBy("n_name", "rnk")
+  }
+
+  /** DuckDB replay of [[topKPerGroup]] — same exact-decimal revenue. */
+  val topKPerGroupOracleSql: String =
+    """WITH r AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT)
+      |      AS rev_x10k
+      |  FROM lineitem GROUP BY 1),
+      |j AS (
+      |  SELECT n_name, s_name, rev_x10k
+      |  FROM r
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey),
+      |k AS (
+      |  SELECT n_name, s_name, rev_x10k,
+      |    ROW_NUMBER() OVER (PARTITION BY n_name
+      |      ORDER BY rev_x10k DESC, s_name) AS rnk
+      |  FROM j)
+      |SELECT n_name, rnk, s_name, rev_x10k FROM k
+      |WHERE rnk <= 3 ORDER BY n_name, rnk""".stripMargin
+
   /** Ranking-function surface (RANK / DENSE_RANK / PERCENT_RANK) in one
     * window pass: the top-5 customers per market segment by rounded
     * account balance, with tie-aware rank, gap-free dense rank and the

@@ -379,6 +379,74 @@ object TextAnalysis {
        |FROM top, n WHERE rank IN (${VocabRanks.mkString(", ")})
        |ORDER BY rank""".stripMargin
 
+  /** Corpus-distribution drift: the language mix of two source cohorts
+    * (even vs odd source index — the deterministic stand-in for
+    * "yesterday's crawl vs today's") compared by per-language Population
+    * Stability Index contributions — the monitoring gauge a training-data
+    * pipeline alarms on before a skewed ingest poisons the mixture.
+    *
+    * Laplace-smoothed shares p = (n+1)/(total+|langs|) keep the log finite
+    * when a language is absent from one cohort — |langs| is data-derived
+    * (a count over the bounded lang table), not a constant to drift.
+    *
+    * Exactness: counts and totals are exact BIGINTs (one conditional
+    * aggregate + window sums over the ≤ |langs| table); shares and the PSI
+    * term drop to double in one shared expression shape — identical in the
+    * oracle — then round.
+    *
+    * Scale shape: one map-side-combinable conditional count over the
+    * corpus; everything after operates on the |langs|-row table. */
+  def langDrift(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("lang"),
+        (substring(col("source"), 4, 16).cast(IntegerType) % 2)
+          .cast(LongType).as("grp"))
+      .groupBy("lang")
+      .agg(sum(when(col("grp") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n_b"))
+    val w = Window.partitionBy()
+    def d(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    val m = counts
+      .withColumn("ta", sum(col("n_a")).over(w))
+      .withColumn("tb", sum(col("n_b")).over(w))
+      .withColumn("k", count(lit(1)).over(w))
+    val pa = (d(col("n_a")) + lit(1.0)) / (d(col("ta")) + d(col("k")))
+    val pb = (d(col("n_b")) + lit(1.0)) / (d(col("tb")) + d(col("k")))
+    m.select(col("lang"), col("n_a"), col("n_b"),
+        round(pa, 6).as("share_a"), round(pb, 6).as("share_b"),
+        round((pa - pb) * log(pa / pb), 6).as("psi"))
+      .orderBy("lang")
+  }
+
+  /** DuckDB replay of [[langDrift]] — same smoothing, ln (not log10). */
+  val langDriftOracleSql: String =
+    """WITH c AS (
+      |  SELECT lang,
+      |    CAST(SUM(CASE WHEN CAST(SUBSTR(source, 4) AS INT) % 2 = 0
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN CAST(SUBSTR(source, 4) AS INT) % 2 = 1
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |  FROM documents GROUP BY 1),
+      |m AS (
+      |  SELECT lang, n_a, n_b,
+      |    SUM(n_a) OVER () AS ta, SUM(n_b) OVER () AS tb,
+      |    COUNT(*) OVER () AS k
+      |  FROM c)
+      |SELECT lang, n_a, n_b,
+      |  ROUND((CAST(n_a AS DOUBLE) + 1.0) /
+      |    (CAST(ta AS DOUBLE) + CAST(k AS DOUBLE)), 6) AS share_a,
+      |  ROUND((CAST(n_b AS DOUBLE) + 1.0) /
+      |    (CAST(tb AS DOUBLE) + CAST(k AS DOUBLE)), 6) AS share_b,
+      |  ROUND(((CAST(n_a AS DOUBLE) + 1.0) /
+      |      (CAST(ta AS DOUBLE) + CAST(k AS DOUBLE)) -
+      |    (CAST(n_b AS DOUBLE) + 1.0) /
+      |      (CAST(tb AS DOUBLE) + CAST(k AS DOUBLE))) *
+      |    ln(((CAST(n_a AS DOUBLE) + 1.0) /
+      |      (CAST(ta AS DOUBLE) + CAST(k AS DOUBLE))) /
+      |    ((CAST(n_b AS DOUBLE) + 1.0) /
+      |      (CAST(tb AS DOUBLE) + CAST(k AS DOUBLE)))), 6) AS psi
+      |FROM m ORDER BY lang""".stripMargin
+
   def bpePairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
     Tables.documents(spark, dir)
       .filter(length(col("text")) >= 2)

@@ -88,6 +88,137 @@ class BehaviorSpec extends AnyFunSuite {
     assert(a.length > 50 && b.length > 50)
   }
 
+  test("streaks: distribution equals an in-memory gaps-and-islands recount") {
+    val out = SparkEntry.queries("q_streaks")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val days = Tables.events(spark, sf)
+      .select(col("user_id"), datediff(col("ts")
+        .cast(org.apache.spark.sql.types.DateType),
+        lit("1970-01-01").cast(org.apache.spark.sql.types.DateType))
+        .cast(org.apache.spark.sql.types.LongType)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val expect = days.groupBy(_._1).toSeq.map { case (_, ds) =>
+      val sorted = ds.map(_._2).sorted
+      var best = 1L; var cur = 1L
+      sorted.sliding(2).foreach { w =>
+        if (w.length == 2) {
+          if (w(1) == w(0) + 1) { cur += 1; best = math.max(best, cur) }
+          else cur = 1
+        }
+      }
+      best
+    }.groupBy(x => x).map { case (len, xs) => len -> xs.size.toLong }
+    assert(out === expect)
+  }
+
+  test("markov: transition counts and row-normalized p match a recount") {
+    val rows = SparkEntry.queries("q_markov")(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    val seq = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val trans = seq.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val s = es.sortBy(e => (e._2, e._3)).map(_._4)
+      s.zip(s.tail)
+    }
+    val counts = trans.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(rows.view.mapValues(_._1).toMap === counts)
+    val rowTotals = counts.groupBy(_._1._1).map { case (p, m) => p -> m.values.sum }
+    rows.foreach { case ((p, _), (n, prob)) =>
+      assert(math.abs(prob - n.toDouble / rowTotals(p)) < 1e-5)
+    }
+  }
+
+  test("chisq: margins conserve the stream; contributions recompute") {
+    val rows = SparkEntry.queries("q_chisq")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val total = Tables.events(spark, sf).count()
+    assert(rows.map(_._3).sum === total)
+    val rowT = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val colT = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    rows.foreach { case (t, v, o, e, c) =>
+      val exp = rowT(t).toDouble * colT(v) / total
+      assert(math.abs(e - exp) < 1e-5)
+      assert(math.abs(c - (o - exp) * (o - exp) / exp) < 1e-5)
+    }
+  }
+
+  test("time-weighted: weighted means match an in-memory recount") {
+    val out = SparkEntry.queries("q_time_weighted")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val seq = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast(org.apache.spark.sql.types.LongType)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4)))
+    val weighted = seq.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val s = es.sortBy(e => (e._2, e._3))
+      s.zip(s.tail).map { case (a, b) => (a._4, b._2 - a._2, a._5) }
+    }
+    val byType = weighted.groupBy(_._1)
+    assert(out.keySet === byType.keySet)
+    byType.foreach { case (t, ws) =>
+      val (n, dur, twa) = out(t)
+      assert(n === ws.size.toLong)
+      assert(dur === ws.map(_._2).sum)
+      val exp = ws.map(w => BigInt(w._2) * BigInt(w._3)).sum.toDouble /
+        ws.map(_._2).sum.toDouble
+      assert(math.abs(twa - exp) < 1e-4)
+    }
+  }
+
+  test("concurrency: per-day peak equals a brute-force interval sweep") {
+    val out = SparkEntry.queries("q_concurrency")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val iv = Tables.events(spark, sf)
+      .select(col("user_id"),
+        datediff(col("ts").cast(org.apache.spark.sql.types.DateType),
+          lit("1970-01-01").cast(org.apache.spark.sql.types.DateType))
+          .cast(org.apache.spark.sql.types.LongType),
+        unix_micros(col("ts"))).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .groupBy(_._1).map { case ((u, d), xs) =>
+        (d, xs.map(_._2).min, xs.map(_._2).max)
+      }.toSeq
+    val expect = iv.groupBy(_._1).map { case (d, ivs) =>
+      // closed-interval sweep: count active at every start point
+      val peak = ivs.map { case (_, s, _) =>
+        ivs.count { case (_, s2, e2) => s2 <= s && s <= e2 }
+      }.max.toLong
+      d -> (ivs.size.toLong, peak)
+    }
+    assert(out === expect)
+  }
+
+  test("stickiness: wau >= dau, ratio in (0,1], trailing window exact") {
+    val rows = SparkEntry.queries("q_stickiness")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val grid = Tables.events(spark, sf)
+      .select(col("user_id"),
+        datediff(col("ts").cast(org.apache.spark.sql.types.DateType),
+          lit("1970-01-01").cast(org.apache.spark.sql.types.DateType))
+          .cast(org.apache.spark.sql.types.LongType)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val lo = grid.map(_._2).min
+    rows.foreach { case (d, dau, wau, s) =>
+      assert(d >= lo + 6, "warm-up days must be clipped")
+      val expDau = grid.count(_._2 == d).toLong
+      val expWau = grid.filter(g => g._2 >= d - 6 && g._2 <= d)
+        .map(_._1).distinct.length.toLong
+      assert(dau === expDau, s"day $d dau")
+      assert(wau === expWau, s"day $d wau")
+      assert(wau >= dau && s > 0 && s <= 1.0)
+      assert(math.abs(s - dau.toDouble / wau) < 1e-6)
+    }
+  }
+
   test("cohort retention: offset-0 cell equals cohort size, grid consistent") {
     val rows = SparkEntry.queries("q_cohort")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

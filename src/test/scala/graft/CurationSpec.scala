@@ -208,6 +208,28 @@ class CurationSpec extends AnyFunSuite {
       (r.getString(0), r.getLong(1), r.getLong(2))).toSet === naive)
   }
 
+  test("weighted sample: exact top-k recount; weight bias is real") {
+    val out = SparkEntry.queries("q_weighted_sample")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // independent integer recount of every priority
+    val pri = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map { r =>
+        val id = r.getLong(0); val w = r.getLong(1)
+        val h = ((id % 1000003L) * 2654435761L + 29L) % 1000003L
+        (id, w, w * Curation.PriScale / (h + 1))
+      }
+    val expect = pri.sortBy(p => (-p._3, p._1))
+      .take(Curation.WeightedSampleK).zipWithIndex
+      .map { case ((id, w, p), i) => ((i + 1).toLong, id, w, p) }
+    assert(out.toSeq === expect.toSeq)
+    // inclusion is weight-biased: sampled docs are longer than average
+    val sampleMean = out.map(_._3).sum.toDouble / out.length
+    val corpusMean = pri.map(_._2).sum.toDouble / pri.length
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean should exceed corpus mean $corpusMean")
+  }
+
   test("chunk windows: count, widths, and coverage match the closed form") {
     import graft.operators.Curation.{ChunkStride, ChunkWin}
     val out = SparkEntry.queries("q_chunk_windows")(spark, sf).collect()

@@ -199,6 +199,35 @@ class JoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("per-group top-k: matches an exact BigDecimal recount per nation") {
+    val out = SparkEntry.queries("q_topk_group")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // exact revenue recount per supplier
+    val rev = Tables.lineitem(spark, sf)
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      .collect()
+      .map { r =>
+        val ep = BigDecimal(r.getDouble(1)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP)
+        val di = BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP)
+        r.getLong(0) -> ep * (BigDecimal(1) - di)
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val supp = Tables.supplier(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    val nat = Tables.nation(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val expect = rev.toSeq.map { case (sk, v) =>
+      val (sname, nk) = supp(sk)
+      (nat(nk), sname, (v * 10000).toLongExact)
+    }.groupBy(_._1).toSeq.flatMap { case (n, xs) =>
+      xs.sortBy(x => (-x._3, x._2)).take(3).zipWithIndex
+        .map { case ((_, s, r), i) => (n, (i + 1).toLong, s, r) }
+    }.sortBy(x => (x._1, x._2))
+    assert(out.toSeq === expect)
+  }
+
   test("F12 rare-category model is deterministic and bounded") {
     val d = Tables.documents(spark, sf)
     val m1 = RareCategory.fit(d, "source", 0.045)

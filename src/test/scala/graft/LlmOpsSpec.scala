@@ -446,6 +446,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows.toSeq === expected)
   }
 
+  test("lang drift: counts partition the corpus, PSI recomputes exactly") {
+    val rows = SparkEntry.queries("q_lang_drift")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    // every doc lands in exactly one (lang, cohort) cell
+    assert(rows.map(t => t._2 + t._3).sum ===
+      Tables.documents(spark, sf).count())
+    val k = rows.length.toDouble
+    val ta = rows.map(_._2).sum.toDouble
+    val tb = rows.map(_._3).sum.toDouble
+    rows.foreach { case (lang, na, nb, sa, sb, psi) =>
+      val pa = (na + 1.0) / (ta + k)
+      val pb = (nb + 1.0) / (tb + k)
+      assert(math.abs(sa - pa) < 1e-5, lang)
+      assert(math.abs(sb - pb) < 1e-5, lang)
+      assert(math.abs(psi - (pa - pb) * math.log(pa / pb)) < 1e-5, lang)
+    }
+    // PSI contributions are sign-consistent with the share delta
+    rows.foreach { case (_, _, _, sa, sb, psi) =>
+      if (sa != sb) assert(psi >= 0.0)
+    }
+  }
+
   test("vocab coverage: monotone curve, exact recount at every checkpoint") {
     val rows = SparkEntry.queries("q_vocab_coverage")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),

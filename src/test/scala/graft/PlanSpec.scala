@@ -61,6 +61,56 @@ class PlanSpec extends AnyFunSuite {
     assert(nodeCount(p, "Exchange") <= 3, p)
   }
 
+  test("per-group top-k: fact aggregates pre-join; dims broadcast") {
+    // the lineitem aggregate must collapse to one row per supplier BEFORE
+    // any join (partial+final pair), and both dimension attaches must be
+    // broadcast hash joins — a SortMergeJoin here would shuffle the fact
+    val p = plan("q_topk_group")
+    assert(nodeCount(p, "BroadcastHashJoin") === 2, p)
+    assert(nodeCount(p, "SortMergeJoin") === 0, p)
+    assert(nodeCount(p, "CartesianProduct") === 0, p)
+    // rank <= 3 pushes down as WindowGroupLimit: per-partition top-3
+    // heads BEFORE the nation exchange, so the window shuffle moves at
+    // most 3 rows per (partition, nation) — pin the pushdown, not just
+    // the window
+    assert(nodeCount(p, "WindowGroupLimit") === 2, p)
+    assert(nodeCount(p, "Window") - nodeCount(p, "WindowGroupLimit") === 1, p)
+    val opt = SparkEntry.queries("q_topk_group")(spark, sf).queryExecution
+      .optimizedPlan.toString
+    val joinIdx = opt.indexOf("Join")
+    val aggIdx = opt.lastIndexOf("Aggregate")
+    assert(joinIdx >= 0 && aggIdx > joinIdx,
+      s"revenue aggregate must sit BELOW the joins (aggregate-first)\n$opt")
+  }
+
+  test("markov/streaks/time-weighted: per-user windows, no joins") {
+    // all three sequence operators are window+aggregate only — any join
+    // or cartesian here means the lag/lead logic degenerated
+    for (q <- Seq("q_markov", "q_streaks", "q_time_weighted")) {
+      val p = plan(q)
+      assert(nodeCount(p, "CartesianProduct") === 0, s"$q\n$p")
+      assert(nodeCount(p, "BroadcastNestedLoopJoin") === 0, s"$q\n$p")
+      assert(nodeCount(p, "SortMergeJoin") +
+        nodeCount(p, "BroadcastHashJoin") +
+        nodeCount(p, "ShuffledHashJoin") === 0, s"$q\n$p")
+    }
+    assert(nodeCount(plan("q_time_weighted"), "Window") === 1)
+    assert(nodeCount(plan("q_streaks"), "Window") === 1)
+  }
+
+  test("chisq and lang-drift: margins window over the aggregate, not rows") {
+    // the conditional-count aggregate collapses the stream first; every
+    // Window (margins/totals) operates on the bounded cell table above it
+    for (q <- Seq("q_chisq", "q_lang_drift")) {
+      val opt = SparkEntry.queries(q)(spark, sf).queryExecution
+        .optimizedPlan.toString
+      val winIdx = opt.indexOf("Window")
+      val aggIdx = opt.indexOf("Aggregate")
+      assert(winIdx >= 0 && aggIdx >= 0 && winIdx < aggIdx,
+        s"$q: Window must consume the aggregate, not the scan\n$opt")
+    }
+  }
+
   test("scd2 runs both windows over ONE per-user sort") {
     // collapse-lag and close-lead share (user_id, ts, event_id) ordering:
     // one Exchange for the window partitioning, one Sort under it (+ the
