@@ -284,6 +284,8 @@ object SparkEntry {
     "q_stickiness"        -> (Behavior.stickiness _),
     // weight-proportional priority sampling over the corpus
     "q_weighted_sample"   -> ((s, d) => Curation.weightedSample(s, d)),
+    // Laplace-smoothed bigram LM fluency scoring (perplexity proxy)
+    "q_bigram_lm"         -> (TextAnalysis.bigramScore _),
     "q_full_outer"        -> (Joins.fullOuterJoin _),
     // OLS diagnostics (SURVEY §2.9 M5) — rows-only
     "q_ols_diagnostics"   -> (graft.ml.Diagnostics.query _),
@@ -1314,6 +1316,8 @@ object SparkEntry {
     "q_stickiness" -> graft.operators.Behavior.stickinessOracleSql,
     // priority sampling: same LCG draw and exact integer div priority
     "q_weighted_sample" -> Curation.weightedSampleOracleSql,
+    // bigram LM: exact counts, ONE ln per occurrence, micros-quantized
+    "q_bigram_lm" -> graft.operators.TextAnalysis.bigramScoreOracleSql,
     // ranking trio: same tie key (whole-unit balance), same windows;
     // percent_rank is one IEEE division of two exact ints on both sides
     "q_rank_funcs" ->

@@ -142,7 +142,7 @@ object ToolSupport {
     "ols_fc" -> "olsf", "orc_rt" -> "orcr", "redact" -> "red",
     "resamp" -> "rsmp", "rf_imp" -> "rfim", "zscore" -> "zsc",
     "st_tot" -> "stt", "st_rng" -> "strg", "st_cur" -> "stc",
-    "st_enr" -> "sten")
+    "st_enr" -> "sten", "bigram_lm" -> "blm")
 
   def benchKey(name: String): String =
     benchKeySubs.foldLeft(name.stripPrefix("q_")) {

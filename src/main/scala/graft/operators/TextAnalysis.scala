@@ -447,6 +447,87 @@ object TextAnalysis {
       |      (CAST(tb AS DOUBLE) + CAST(k AS DOUBLE)))), 6) AS psi
       |FROM m ORDER BY lang""".stripMargin
 
+  /** Bigram language-model fluency scoring: every document's mean
+    * SURPRISAL under a Laplace-smoothed bigram model trained on the
+    * corpus itself — the classic cheap perplexity proxy LLM pipelines use
+    * to rank text quality (gibberish and boilerplate score high). The
+    * model is P(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁·)+V), with c(w₁·) the count
+    * of bigram occurrences starting with w₁ (exactly consistent with the
+    * numerator's event space) and V the corpus token vocabulary.
+    *
+    * Exactness: a per-occurrence ln would hang the hash gate on libm
+    * bit-parity — engines' ln differ in low-order bits (measured: a
+    * floor-micros quantization flipped at sf0.001), so the surprisal is
+    * INTEGER BITS instead: floor(log₂((c(w₁·)+V)/(c(w₁w₂)+1))) computed
+    * exactly as length(bin(a div b)) − 1 (a ≥ b always: cb ≤ cw and
+    * V ≥ 1) — the bitsForCount idiom, no transcendental anywhere. The
+    * per-doc sum is BIGINT adds; the mean is one rounded division.
+    *
+    * Scale shape: bigram multiset extraction is a narrow explode; the
+    * model tables are vocab-bounded aggregates (map-side combinable);
+    * scoring is two hash joins keyed by gram resp. first token — the
+    * standard LM-scoring shuffle, fact-sized probe against vocab-sized
+    * build, with V a broadcast 1-row literal. No driver-side model. */
+  def bigramScore(spark: SparkSession, dir: String): DataFrame = {
+    val nt = regexp_replace(lower(col("text")), "\\s+", " ")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(nt, " ").as("ts"))
+    val grams = docs
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(ts) - 1), " +
+          "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"))
+          .as("g"))
+    val cb = grams.groupBy("g").agg(count(lit(1)).as("cb"))
+    val cw = grams
+      .select(element_at(split(col("g"), " ", 2), 1).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val v = docs.select(explode(col("ts")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    grams
+      .join(cb, "g")
+      .withColumn("w", element_at(split(col("g"), " ", 2), 1))
+      .join(cw, "w")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        (length(bin(expr("(cw + v) div (cb + 1)"))) - 1)
+          .cast(LongType).as("q"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("bits"),
+        round(col("bits").cast(DoubleType) /
+          col("n_bigrams").cast(DoubleType), 6).as("avg_bits"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of [[bigramScore]] — same integer-bits surprisal. */
+  val bigramScoreOracleSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')
+      |      AS ts
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(0, len(ts) - 1),
+      |    i -> ts[i+1] || ' ' || ts[i+2])) AS g
+      |  FROM tok WHERE len(ts) >= 2),
+      |cb AS (SELECT g, COUNT(*) AS cb FROM bg GROUP BY 1),
+      |cw AS (SELECT split_part(g, ' ', 1) AS w, COUNT(*) AS cw
+      |       FROM bg GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT t) AS v FROM
+      |        (SELECT unnest(ts) AS t FROM tok)),
+      |q AS (
+      |  SELECT doc_id,
+      |    CAST(length(bin((cw.cw + v.v) // (cb.cb + 1))) - 1 AS BIGINT)
+      |      AS q
+      |  FROM bg
+      |  JOIN cb ON bg.g = cb.g
+      |  JOIN cw ON split_part(bg.g, ' ', 1) = cw.w, v)
+      |SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(q) AS BIGINT) AS bits,
+      |  ROUND(CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+      |    AS avg_bits
+      |FROM q GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   def bpePairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
     Tables.documents(spark, dir)
       .filter(length(col("text")) >= 2)

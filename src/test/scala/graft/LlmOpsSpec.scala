@@ -469,6 +469,37 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bigram LM: surprisal bits match an in-memory model recount") {
+    val out = SparkEntry.queries("q_bigram_lm")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.replaceAll("\\s+", " ").split(" ", -1))
+    val grams = docs.toSeq.flatMap { case (id, ts) =>
+      if (ts.length < 2) Nil else ts.zip(ts.tail).map(p => (id, p))
+    }
+    val cb = grams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val cw = grams.groupBy(_._2._1).view.mapValues(_.size.toLong).toMap
+    val v = docs.flatMap(_._2).distinct.length.toLong
+    val expect = grams.groupBy(_._1).map { case (id, gs) =>
+      val bits = gs.map { case (_, g) =>
+        val q = (cw(g._1) + v) / (cb(g) + 1)
+        63 - java.lang.Long.numberOfLeadingZeros(q)
+      }
+      id -> (gs.size.toLong, bits.map(_.toLong).sum)
+    }
+    assert(out.keySet === expect.keySet)
+    expect.foreach { case (id, (n, b)) =>
+      val (on, ob, avg) = out(id)
+      assert(on === n && ob === b, s"doc $id")
+      assert(math.abs(avg - b.toDouble / n) < 1e-6)
+    }
+    // surprisal is non-negative and the corpus is not degenerate
+    assert(out.values.exists(_._2 > 0))
+  }
+
   test("vocab coverage: monotone curve, exact recount at every checkpoint") {
     val rows = SparkEntry.queries("q_vocab_coverage")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
