@@ -77,6 +77,8 @@ object SparkEntry {
     // exact grouped quantiles (oracle = quantile_cont; approx variant is
     // the scale path, error-bound-tested in RelationalSpec)
     "q_percentile"        -> (Relational.percentiles _),
+    // ANSI PERCENTILE_DISC: smallest actual value with cume_dist >= p
+    "q_percentile_disc"   -> (Relational.percentileDisc _),
     // HLL++ distinct sketch beside the exact count — rows-only (sketches
     // aren't replayable cross-engine); error bound pinned in-engine
     "q_approx_distinct"   -> (Relational.approxDistinct _),
@@ -286,6 +288,8 @@ object SparkEntry {
     "q_weighted_sample"   -> ((s, d) => Curation.weightedSample(s, d)),
     // Laplace-smoothed bigram LM fluency scoring (perplexity proxy)
     "q_bigram_lm"         -> (TextAnalysis.bigramScore _),
+    // BM25 ranked retrieval with exact quarter-bit integer idf
+    "q_bm25"              -> (TextAnalysis.bm25 _),
     "q_full_outer"        -> (Joins.fullOuterJoin _),
     // OLS diagnostics (SURVEY §2.9 M5) — rows-only
     "q_ols_diagnostics"   -> (graft.ml.Diagnostics.query _),
@@ -1316,8 +1320,12 @@ object SparkEntry {
     "q_stickiness" -> graft.operators.Behavior.stickinessOracleSql,
     // priority sampling: same LCG draw and exact integer div priority
     "q_weighted_sample" -> Curation.weightedSampleOracleSql,
-    // bigram LM: exact counts, ONE ln per occurrence, micros-quantized
+    // bigram LM: integer-bits surprisal, no transcendental anywhere
     "q_bigram_lm" -> graft.operators.TextAnalysis.bigramScoreOracleSql,
+    // BM25: quarter-bit integer idf, fixed-order per-term fold
+    "q_bm25" -> graft.operators.TextAnalysis.bm25OracleSql,
+    // percentile_disc: oracle states the ANSI cume_dist definition
+    "q_percentile_disc" -> Relational.percentileDiscOracleSql,
     // ranking trio: same tie key (whole-unit balance), same windows;
     // percent_rank is one IEEE division of two exact ints on both sides
     "q_rank_funcs" ->

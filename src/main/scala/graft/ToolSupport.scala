@@ -142,7 +142,16 @@ object ToolSupport {
     "ols_fc" -> "olsf", "orc_rt" -> "orcr", "redact" -> "red",
     "resamp" -> "rsmp", "rf_imp" -> "rfim", "zscore" -> "zsc",
     "st_tot" -> "stt", "st_rng" -> "strg", "st_cur" -> "stc",
-    "st_enr" -> "sten", "bigram_lm" -> "blm")
+    "st_enr" -> "sten", "bigram_lm" -> "blm",
+    // "percentile"->"pct" above has already produced pct_disc
+    "pct_disc" -> "pctd",
+    "atopk" -> "atk", "asofj" -> "asfj", "cascd" -> "casc",
+    "cbind" -> "cbnd", "chisq" -> "chi2", "chwin" -> "chw",
+    "copur" -> "copu", "curch" -> "cuch", "decon" -> "dcon",
+    "ntile" -> "ntl", "pivot" -> "pvt", "rngjn" -> "rngj",
+    "ranks" -> "rnks", "scast" -> "scst", "snapd" -> "snpd",
+    "tfidf" -> "tfid", "union" -> "unio", "vocab" -> "vocb",
+    "wsess" -> "wses", "wslid" -> "wsld", "wtumb" -> "wtmb")
 
   def benchKey(name: String): String =
     benchKeySubs.foldLeft(name.stripPrefix("q_")) {

@@ -576,6 +576,42 @@ object Relational {
         col("disc_p50"))
       .orderBy("l_returnflag")
 
+  /** PERCENTILE_DISC — the ANSI inverse-distribution complement of
+    * [[percentiles]]' PERCENTILE_CONT: the smallest ACTUAL value whose
+    * cumulative distribution reaches p (no interpolation, so the result
+    * is an element of the data — the semantics auditors want for "the
+    * real p95 order"). Selection, not arithmetic: the returned double is
+    * byte-identical across engines with no rounding needed, and the
+    * oracle states the ANSI definition itself (min value with
+    * cume_dist ≥ p) rather than trusting another engine's convention.
+    *
+    * Same scale story as [[percentiles]]: exact per-group buffering at
+    * bounded group counts; approx_percentile is the 100 TB substitute. */
+  def percentileDisc(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+          .as("p50_disc"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)")
+          .as("p95_disc"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** DuckDB replay of [[percentileDisc]] — the ANSI definition stated
+    * explicitly via cume_dist, engine-convention-independent. */
+  val percentileDiscOracleSql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag, l_extendedprice AS v,
+      |    cume_dist() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice) AS cd
+      |  FROM lineitem)
+      |SELECT l_returnflag,
+      |  MIN(CASE WHEN cd >= 0.5 THEN v END) AS p50_disc,
+      |  MIN(CASE WHEN cd >= 0.95 THEN v END) AS p95_disc,
+      |  COUNT(*) AS n
+      |FROM s GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
   /** HLL++ distinct-count sketch next to the exact answer. At 100 TB the
     * sketch (fixed ~kB of state per group, mergeable, one pass) replaces
     * the exact distinct's full shuffle of every key. Deterministic given

@@ -528,6 +528,122 @@ object TextAnalysis {
       |    AS avg_bits
       |FROM q GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** BM25 query/params, shared with the oracle (k1/b are the standard
+    * Robertson defaults; the literals are exactly representable enough —
+    * both engines parse the identical decimal strings). */
+  val Bm25Query: Seq[String] = Seq("dup", "spark", "merge")
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 10
+
+  /** BM25 ranked retrieval for a fixed conjunctive query — the scoring
+    * side of the inverted index ([[q_inverted_index]] builds the
+    * postings): per-term tf saturation × idf, summed per document,
+    * top-k. The idf is EXACT QUARTER-BIT log₂ — floor(4·log₂ r) computed
+    * as floor(log₂(r⁴)) over BIGINTs via the length(bin(a⁴ div b⁴)) idiom
+    * (a = N+1 ≤ ~5·10³ at test SF keeps a⁴ < 2⁶³; a 100 TB run lifts the
+    * fourth powers to DECIMAL(38), same interface) — because a libm ln
+    * would hang the hash gate on bit-parity (the [[bigramScore]] lesson).
+    * The tf factor tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) is deterministic
+    * double arithmetic over exact integers (one exact ratio avgdl, fixed
+    * op order, no transcendental), and the ≤3 per-term scores fold in a
+    * FIXED written order via conditional aggregates — never an
+    * order-dependent double sum.
+    *
+    * Scale shape: tf is one map-combinable (doc, term) count over the
+    * query-filtered token explode; df/avgdl are 1-row/|query|-row
+    * broadcasts; the final top-k is TakeOrderedAndProject. */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val qTerms = Bm25Query
+    val nt = regexp_replace(lower(col("text")), "\\s+", " ")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(nt, " ").as("ts"))
+    val dl = docs.select(col("doc_id"),
+      size(col("ts")).cast(LongType).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast(DoubleType) / count(lit(1)).cast(DoubleType))
+        .as("avgdl"))
+    val toks = docs.select(col("doc_id"), explode(col("ts")).as("t"))
+      .filter(col("t").isin(qTerms: _*))
+    val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    // quarter-bit idf: floor(4·log2((n+1)/(df+1))) exactly over BIGINTs
+    val idf = df.crossJoin(broadcast(stats.select(col("n"))))
+      .select(col("t"),
+        (length(bin(expr(
+          "((n+1)*(n+1)*(n+1)*(n+1)) div ((df+1)*(df+1)*(df+1)*(df+1))")))
+          - 1).cast(LongType).as("idf_q4"))
+    val scored = tf
+      .join(broadcast(idf), "t")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats.select(col("avgdl"))))
+      .select(col("doc_id"), col("t"),
+        (col("idf_q4").cast(DoubleType) *
+          (col("tf").cast(DoubleType) * lit(Bm25K1 + 1.0) /
+            (col("tf").cast(DoubleType) + lit(Bm25K1) *
+              (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl").cast(DoubleType) /
+                col("avgdl"))))).as("s"))
+    val agg = qTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("t") === t, col("s"))).as(s"s$i")
+    }
+    val folded = scored.groupBy("doc_id").agg(agg.head, agg.tail: _*)
+      .select(col("doc_id"),
+        round(qTerms.indices.map(i => coalesce(col(s"s$i"), lit(0.0)))
+          .reduceLeft(_ + _), 6).as("score"))
+    folded
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(Bm25TopK)
+      .withColumn("rank", row_number().over(Window
+        .orderBy(col("score").desc, col("doc_id").asc)).cast(LongType))
+      .select(col("rank"), col("doc_id"), col("score"))
+      .orderBy("rank")
+  }
+
+  /** DuckDB replay of [[bm25]] — same idf bits, same fold order. */
+  val bm25OracleSql: String = {
+    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    val sumCases = Bm25Query.zipWithIndex.map { case (t, i) =>
+      s"SUM(CASE WHEN t = '$t' THEN s END) AS s$i"
+    }.mkString(", ")
+    val foldExpr = Bm25Query.indices
+      .map(i => s"COALESCE(s$i, 0.0)").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')
+       |      AS ts
+       |  FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM tok),
+       |st AS (SELECT COUNT(*) AS n,
+       |         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+       |       FROM dl),
+       |tf AS (
+       |  SELECT doc_id, t, COUNT(*) AS tf FROM (
+       |    SELECT doc_id, unnest(ts) AS t FROM tok)
+       |  WHERE t IN ($terms) GROUP BY 1, 2),
+       |idf AS (
+       |  SELECT t, CAST(length(bin(
+       |      ((n+1)*(n+1)*(n+1)*(n+1)) // ((df+1)*(df+1)*(df+1)*(df+1))))
+       |    - 1 AS BIGINT) AS idf_q4
+       |  FROM (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1), st),
+       |sc AS (
+       |  SELECT tf.doc_id, tf.t,
+       |    CAST(idf_q4 AS DOUBLE) *
+       |      (CAST(tf AS DOUBLE) * ${Bm25K1 + 1.0} /
+       |        (CAST(tf AS DOUBLE) + $Bm25K1 *
+       |          (1.0 - $Bm25B + $Bm25B * CAST(dl.dl AS DOUBLE) / avgdl)))
+       |      AS s
+       |  FROM tf JOIN idf ON tf.t = idf.t JOIN dl ON tf.doc_id = dl.doc_id,
+       |    st),
+       |folded AS (
+       |  SELECT doc_id, $sumCases FROM sc GROUP BY 1),
+       |ranked AS (
+       |  SELECT doc_id, ROUND($foldExpr, 6) AS score FROM folded)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+       |    AS rank,
+       |  doc_id, score
+       |FROM ranked ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+  }
+
   def bpePairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
     Tables.documents(spark, dir)
       .filter(length(col("text")) >= 2)

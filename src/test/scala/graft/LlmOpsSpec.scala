@@ -500,6 +500,42 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.values.exists(_._2 > 0))
   }
 
+  test("bm25: top-k ranking matches an in-memory scorer exactly") {
+    import graft.operators.TextAnalysis.{Bm25Query, Bm25K1, Bm25B, Bm25TopK}
+    val out = SparkEntry.queries("q_bm25")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.replaceAll("\\s+", " ").split(" ", -1))
+    val n = docs.length.toLong
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / n
+    val tf = docs.toSeq.flatMap { case (id, ts) =>
+      ts.filter(Bm25Query.contains(_)).map(t => (id, t))
+    }.groupBy(identity[(Long, String)]).view.mapValues(_.size.toLong).toMap
+    val dfm = tf.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    def idfQ4(df: Long): Long = {
+      val a = n + 1; val b = df + 1
+      63L - java.lang.Long.numberOfLeadingZeros((a * a * a * a) / (b * b * b * b))
+    }
+    val scores = docs.toSeq.map { case (id, ts) =>
+      val dl = ts.length.toDouble
+      val s = Bm25Query.map { t =>
+        tf.get((id, t)).fold(0.0) { f =>
+          idfQ4(dfm(t)).toDouble * (f.toDouble * (Bm25K1 + 1.0) /
+            (f.toDouble + Bm25K1 * (1.0 - Bm25B + Bm25B * dl / avgdl)))
+        }
+      }.reduceLeft(_ + _)
+      id -> BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.filter { case (id, _) => Bm25Query.exists(t => tf.contains((id, t))) }
+    val expect = scores.sortBy { case (id, s) => (-s, id) }.take(Bm25TopK)
+      .zipWithIndex.map { case ((id, s), i) => ((i + 1).toLong, id, s) }
+    assert(out.toSeq === expect)
+    // the rare query term dominates: the top doc must contain it
+    val topDoc = docs.toMap.apply(out.head._2)
+    assert(topDoc.contains("dup"), "top hit should contain the rare term")
+  }
+
   test("vocab coverage: monotone curve, exact recount at every checkpoint") {
     val rows = SparkEntry.queries("q_vocab_coverage")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),

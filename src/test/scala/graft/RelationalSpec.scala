@@ -206,4 +206,26 @@ class RelationalSpec extends AnyFunSuite {
       .agg(sum("span")).head().getLong(0)
     assert(rows.map(_.getLong(2)).sum === span)
   }
+
+  test("percentile_disc: ANSI smallest-value-with-cume_dist>=p, in data") {
+    val rows = SparkEntry.queries("q_percentile_disc")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val data = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // ANSI literally: smallest value whose cume_dist (k/n as a DOUBLE,
+    // the same division the engines evaluate) reaches p
+    def disc(v: IndexedSeq[Double], p: Double): Double =
+      v((1 to v.length).find(k => k.toDouble / v.length >= p).get - 1)
+    rows.foreach { case (f, p50, p95, n) =>
+      val v = data(f).toIndexedSeq
+      assert(n === v.length.toLong)
+      assert(p50 === disc(v, 0.5), s"$f p50")
+      assert(p95 === disc(v, 0.95), s"$f p95")
+      // disc results are ACTUAL data values, unlike cont interpolation
+      assert(v.contains(p50) && v.contains(p95))
+    }
+  }
 }
