@@ -111,6 +111,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bigram LM / BM25: model joins never degenerate to cartesian") {
+    // the only nested-loop joins allowed are the 1-row broadcast literal
+    // attaches (V / avgdl / n); gram- and term-keyed joins must stay hash
+    for (q <- Seq("q_bigram_lm", "q_bm25")) {
+      val p = plan(q)
+      assert(nodeCount(p, "CartesianProduct") === 0, s"$q\n$p")
+    }
+    // bm25's top-k is per-partition heads, not a global sort
+    assert(plan("q_bm25").contains("TakeOrderedAndProject"))
+  }
+
   test("scd2 runs both windows over ONE per-user sort") {
     // collapse-lag and close-lead share (user_id, ts, event_id) ordering:
     // one Exchange for the window partitioning, one Sort under it (+ the
