@@ -290,6 +290,8 @@ object SparkEntry {
     "q_bigram_lm"         -> (TextAnalysis.bigramScore _),
     // BM25 ranked retrieval with exact quarter-bit integer idf
     "q_bm25"              -> (TextAnalysis.bm25 _),
+    // grid-bucketed nearest-POI join with certified-radius fallback
+    "q_geo_nearest"       -> (GeoJoin.nearestPoi _),
     "q_full_outer"        -> (Joins.fullOuterJoin _),
     // OLS diagnostics (SURVEY §2.9 M5) — rows-only
     "q_ols_diagnostics"   -> (graft.ml.Diagnostics.query _),
@@ -1326,6 +1328,8 @@ object SparkEntry {
     "q_bm25" -> graft.operators.TextAnalysis.bm25OracleSql,
     // percentile_disc: oracle states the ANSI cume_dist definition
     "q_percentile_disc" -> Relational.percentileDiscOracleSql,
+    // nearest-POI: oracle is the exhaustive all-pairs argmin ground truth
+    "q_geo_nearest" -> GeoJoin.nearestPoiOracleSql,
     // ranking trio: same tie key (whole-unit balance), same windows;
     // percent_rank is one IEEE division of two exact ints on both sides
     "q_rank_funcs" ->

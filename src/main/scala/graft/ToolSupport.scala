@@ -151,7 +151,9 @@ object ToolSupport {
     "ntile" -> "ntl", "pivot" -> "pvt", "rngjn" -> "rngj",
     "ranks" -> "rnks", "scast" -> "scst", "snapd" -> "snpd",
     "tfidf" -> "tfid", "union" -> "unio", "vocab" -> "vocb",
-    "wsess" -> "wses", "wslid" -> "wsld", "wtumb" -> "wtmb")
+    "wsess" -> "wses", "wslid" -> "wsld", "wtumb" -> "wtmb",
+    // "geo_jn"->"gjn" above leaves geo_nearest untouched
+    "geo_nearest" -> "gnn")
 
   def benchKey(name: String): String =
     benchKeySubs.foldLeft(name.stripPrefix("q_")) {

@@ -184,4 +184,118 @@ object GeoJoin {
       .agg(count(lit(1)).as("n_pts"))
       .orderBy("county_id")
   }
+
+  // -- grid-bucketed nearest-neighbor join ------------------------------
+
+  /** Fixed-point milli-degree coordinates for points (customers) and POIs
+    * (suppliers) — INTEGER end to end: the synthetic formulas never touch
+    * a double, so distances are exact BIGINTs on both engines. */
+  val NearestCellLat = 15000L   // 15 deg cells (8 rows)
+  val NearestCellLon = 45000L   // 45 deg cells (8 cols)
+  /** Ring-acceptance radius²: a 3×3 ring of (15° × 45°) cells covers every
+    * POI within 15° euclidean of the point (the box's smaller half-width),
+    * so a ring argmin with d² ≤ 15000² is PROVABLY the global nearest;
+    * anything farther must fall back to the exhaustive path. */
+  val NearestSafeD2: Long = 15000L * 15000L
+
+  private def pointMd(key: Column): (Column, Column) = (
+    (key * 7 % 120 - 60) * 1000 + 250,
+    (key * 13 % 36 * 10 - 180) * 1000 + 250)
+
+  private def poiMd(key: Column): (Column, Column) = (
+    (key * 11 % 120 - 60) * 1000 + 750,
+    (key * 17 % 36 * 10 - 180) * 1000 + 5250)
+
+  /** Nearest-POI join (the geo operator Spark lacks natively): every
+    * customer point gets its nearest supplier POI under squared
+    * equirectangular milli-degree distance (deliberately NOT haversine —
+    * a trig call would hang the hash gate on libm parity, the
+    * bigram-LM lesson; squared integer distance preserves the argmin).
+    *
+    * Two-phase, both exact:
+    *  1. grid phase — points fan out to their 3×3 ring of coarse cells
+    *     (constant ×9 narrow explode), equi-join the broadcast
+    *     POI-per-cell dimension, per-point argmin via min(struct(d², id))
+    *     — map-side combinable, deterministic tiebreak. The argmin is
+    *     ACCEPTED only when d² ≤ [[NearestSafeD2]] (inside the ring's
+    *     guarantee radius — see the proof at the constant).
+    *  2. fallback phase — points the ring could not certify (sparse
+    *     cells) brute-force against the broadcast POI dimension. Bounded:
+    *     misses × |POI|, and the POI side is a dimension by premise.
+    *
+    * The oracle is the EXHAUSTIVE ground truth over all pairs — the hash
+    * match proves the banded two-phase plan equals brute force exactly.
+    *
+    * Scale shape: the fact (points) side is never shuffled except the
+    * per-key argmin aggregate; the POI dimension broadcasts (twice); no
+    * window, no cartesian on the fact side. */
+  def nearestPoi(spark: SparkSession, dir: String): DataFrame = {
+    val (plat, plon) = pointMd(col("c_custkey"))
+    val pts = Tables.customer(spark, dir).select(
+      col("c_custkey"), plat.cast(LongType).as("lat_md"),
+      plon.cast(LongType).as("lon_md"))
+    val (slat, slon) = poiMd(col("s_suppkey"))
+    val pois = Tables.supplier(spark, dir).select(
+      col("s_suppkey").as("poi_id"), slat.cast(LongType).as("poi_lat"),
+      slon.cast(LongType).as("poi_lon"))
+    val poiCells = pois
+      .withColumn("cell_r", expr(s"(poi_lat + 60000) div $NearestCellLat"))
+      .withColumn("cell_c", expr(s"(poi_lon + 180000) div $NearestCellLon"))
+    val d2 = (col("lat_md") - col("poi_lat")) * (col("lat_md") - col("poi_lat")) +
+      (col("lon_md") - col("poi_lon")) * (col("lon_md") - col("poi_lon"))
+    val ringHits = pts
+      .withColumn("r0", expr(s"(lat_md + 60000) div $NearestCellLat"))
+      .withColumn("c0", expr(s"(lon_md + 180000) div $NearestCellLon"))
+      .withColumn("dr", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dc", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("c_custkey"), col("lat_md"), col("lon_md"),
+        (col("r0") + col("dr")).as("cell_r"), (col("c0") + col("dc")).as("cell_c"))
+      .filter(col("cell_r").between(0, 7) && col("cell_c").between(0, 7))
+      .join(broadcast(poiCells), Seq("cell_r", "cell_c"))
+      .select(col("c_custkey"), d2.as("d2"), col("poi_id"))
+      .groupBy("c_custkey")
+      .agg(min(struct(col("d2"), col("poi_id"))).as("m"))
+      .select(col("c_custkey"), col("m.poi_id").as("poi_id"), col("m.d2").as("d2"))
+    val certified = ringHits.filter(col("d2") <= NearestSafeD2)
+    // the anti-join build side is point-proportional (fact-sized) — no
+    // broadcast hint; AQE picks the join strategy
+    val fallback = pts
+      .join(certified.select("c_custkey"), Seq("c_custkey"), "left_anti")
+      .crossJoin(broadcast(pois))
+      .select(col("c_custkey"), d2.as("d2"), col("poi_id"))
+      .groupBy("c_custkey")
+      .agg(min(struct(col("d2"), col("poi_id"))).as("m"))
+      .select(col("c_custkey"), col("m.poi_id").as("poi_id"), col("m.d2").as("d2"))
+    certified.select("c_custkey", "poi_id", "d2")
+      .unionByName(fallback)
+      .orderBy("c_custkey")
+  }
+
+  /** DuckDB replay of [[nearestPoi]] — the exhaustive argmin itself. */
+  val nearestPoiOracleSql: String =
+    """WITH p AS (
+      |  SELECT c_custkey,
+      |    CAST((c_custkey * 7 % 120 - 60) * 1000 + 250 AS BIGINT) AS lat_md,
+      |    CAST((c_custkey * 13 % 36 * 10 - 180) * 1000 + 250 AS BIGINT)
+      |      AS lon_md
+      |  FROM customer),
+      |poi AS (
+      |  SELECT s_suppkey AS poi_id,
+      |    CAST((s_suppkey * 11 % 120 - 60) * 1000 + 750 AS BIGINT)
+      |      AS poi_lat,
+      |    CAST((s_suppkey * 17 % 36 * 10 - 180) * 1000 + 5250 AS BIGINT)
+      |      AS poi_lon
+      |  FROM supplier),
+      |d AS (
+      |  SELECT c_custkey, poi_id,
+      |    (lat_md - poi_lat) * (lat_md - poi_lat) +
+      |    (lon_md - poi_lon) * (lon_md - poi_lon) AS d2
+      |  FROM p, poi),
+      |sel AS (
+      |  SELECT c_custkey, poi_id, d2,
+      |    ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY d2, poi_id)
+      |      AS rn
+      |  FROM d)
+      |SELECT c_custkey, poi_id, d2 FROM sel WHERE rn = 1
+      |ORDER BY c_custkey""".stripMargin
 }

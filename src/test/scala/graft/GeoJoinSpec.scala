@@ -176,4 +176,30 @@ class GeoJoinSpec extends AnyFunSuite {
     assert(joined.filter(col("region_id").isNull).count() === 0,
       "every in-range cell must resolve to a region")
   }
+
+  test("nearest-POI: two-phase grid+fallback equals exhaustive brute force") {
+    val out = SparkEntry.queries("q_geo_nearest")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exhaustive ground truth from the same integer formulas
+    val custs = Tables.customer(spark, sf).select("c_custkey").collect()
+      .map(_.getLong(0))
+    val pois = Tables.supplier(spark, sf).select("s_suppkey").collect()
+      .map(_.getLong(0))
+    def pmd(k: Long) = ((k * 7 % 120 - 60) * 1000 + 250,
+      (k * 13 % 36 * 10 - 180) * 1000 + 250)
+    def smd(k: Long) = ((k * 11 % 120 - 60) * 1000 + 750,
+      (k * 17 % 36 * 10 - 180) * 1000 + 5250)
+    val expect = custs.sorted.map { c =>
+      val (plat, plon) = pmd(c)
+      val best = pois.map { pid =>
+        val (slat, slon) = smd(pid)
+        val d2 = (plat - slat) * (plat - slat) + (plon - slon) * (plon - slon)
+        (d2, pid)
+      }.min
+      (c, best._2, best._1)
+    }
+    assert(out.toSeq === expect.toSeq)
+    // every customer resolved exactly once (no drops, no dups)
+    assert(out.map(_._1).distinct.length === custs.length)
+  }
 }
