@@ -312,4 +312,69 @@ class PropertySpec extends AnyFunSuite {
       greedy(l) == brute(l)
     })
   }
+
+  test("streak islands: day - row_number invariant == longest-run search") {
+    // Behavior.streaks claims the island key (epoch_day − row_number over
+    // sorted distinct days) groups exactly the maximal consecutive runs —
+    // pin against a direct longest-consecutive-run scan on random day sets
+    val days = Gen.chooseNum(1, 15).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 30L)))
+    check(Prop.forAll(days) { ds0 =>
+      val ds = ds0.distinct.sorted
+      val islands = ds.zipWithIndex
+        .groupBy { case (d, i) => d - i }.values
+        .map(_.size).toSeq.sorted
+      var best = 0; var cur = 0; var prev = Long.MinValue
+      ds.foreach { d =>
+        cur = if (d == prev + 1) cur + 1 else 1
+        best = math.max(best, cur); prev = d
+      }
+      ds.isEmpty || (islands.max == best)
+    })
+  }
+
+  test("concurrency sweep: RANGE-frame running sum peak == stabbing count") {
+    // Behavior.concurrency claims the (us asc, delta desc) sweep with ANSI
+    // RANGE-frame tie pooling equals the closed-interval stabbing maximum —
+    // pin over random interval sets with heavy tie collision (small domain)
+    val iv = Gen.zip(Gen.chooseNum(0, 10), Gen.chooseNum(0, 10))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val ivs = Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, iv))
+    check(Prop.forAll(ivs) { is =>
+      // sweep: +1 at start, -1 at end; sort by (t, delta desc); peers at
+      // one (t, delta) key share the cumulative value (RANGE frame)
+      val pts = is.flatMap { case (s, e) => Seq((s, 1), (e, -1)) }
+      val keys = pts.groupBy(identity[(Int, Int)]).toSeq
+        .map { case ((t, d), xs) => ((t, d), d * xs.size) }
+        .sortBy { case ((t, d), _) => (t, -d) }
+      val peaks = keys.scanLeft(0) { case (acc, (_, sum)) => acc + sum }.tail
+      val sweepPeak = peaks.max
+      val stab = is.map { case (s, _) =>
+        is.count { case (s2, e2) => s2 <= s && s <= e2 }
+      }.max
+      sweepPeak == stab
+    })
+  }
+
+  test("priority sampling: inclusion is monotone in weight at fixed draws") {
+    // Curation.weightedSample claims inclusion probability ∝ weight; the
+    // deterministic core of that claim: raising ONE item's weight (hash
+    // draw fixed) never ejects it from the top-k
+    val k = 3
+    val items = Gen.chooseNum(4, 10).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.chooseNum(1L, 1000L), Gen.chooseNum(1L, 1000002L))))
+    def topK(xs: List[(Long, Long)]): Set[Int] =
+      xs.zipWithIndex
+        .map { case ((w, h), i) => (w * 1000000L / (h + 1), i) }
+        .sortBy { case (pri, i) => (-pri, i) }
+        .take(k).map(_._2).toSet
+    check(Prop.forAll(items, Gen.chooseNum(0, 9), Gen.chooseNum(2L, 10L)) {
+      (xs0, idx0, mult) =>
+        val xs = xs0
+        val idx = idx0 % xs.size
+        val sel = topK(xs)
+        val boosted = xs.updated(idx, (xs(idx)._1 * mult, xs(idx)._2))
+        !sel.contains(idx) || topK(boosted).contains(idx)
+    })
+  }
 }
