@@ -292,6 +292,9 @@ object SparkEntry {
     "q_bm25"              -> (TextAnalysis.bm25 _),
     // grid-bucketed nearest-POI join with certified-radius fallback
     "q_geo_nearest"       -> (GeoJoin.nearestPoi _),
+    // decile calibration-reliability curve on the OLS test split
+    "q_calibration"       -> ((s, d) =>
+      graft.ml.OlsPipeline.calibrationCurve(s, d)),
     "q_full_outer"        -> (Joins.fullOuterJoin _),
     // OLS diagnostics (SURVEY §2.9 M5) — rows-only
     "q_ols_diagnostics"   -> (graft.ml.Diagnostics.query _),
@@ -1330,6 +1333,30 @@ object SparkEntry {
     "q_percentile_disc" -> Relational.percentileDiscOracleSql,
     // nearest-POI: oracle is the exhaustive all-pairs argmin ground truth
     "q_geo_nearest" -> GeoJoin.nearestPoiOracleSql,
+    // calibration curve: same fit CTEs, ANSI NTILE with full tiebreak,
+    // floor-micros means — the reliability diagram replayed exactly
+    "q_calibration" ->
+      s"""WITH ${olsPrefix("NOT is_forecast AND bucket < 3")},
+         |sc AS (
+         |  SELECT l_orderkey, x1, x2, x3, y,
+         |    b.b0 + x1 * b.b1 + x2 * b.b2 + x3 * b.b3 AS p
+         |  FROM ds CROSS JOIN beta b
+         |  WHERE NOT is_forecast AND bucket = 3),
+         |t AS (
+         |  SELECT y, p,
+         |    NTILE(10) OVER (ORDER BY p, l_orderkey, x1, x2, x3) AS decile
+         |  FROM sc),
+         |m AS (
+         |  SELECT decile, CAST(COUNT(*) AS DOUBLE) AS n,
+         |    CAST(SUM(CAST(FLOOR(p * 1000000.0) AS BIGINT)) AS DOUBLE)
+         |      / 1000000.0 AS sp,
+         |    CAST(SUM(CAST(FLOOR(y * 1000000.0) AS BIGINT)) AS DOUBLE)
+         |      / 1000000.0 AS sa
+         |  FROM t GROUP BY 1)
+         |SELECT CAST(decile AS BIGINT) AS decile, CAST(n AS BIGINT) AS n,
+         |  ROUND(sp / n, 4) AS mean_pred, ROUND(sa / n, 4) AS mean_actual,
+         |  ROUND(sp / n - sa / n, 4) AS gap
+         |FROM m ORDER BY decile""".stripMargin,
     // ranking trio: same tie key (whole-unit balance), same windows;
     // percent_rank is one IEEE division of two exact ints on both sides
     "q_rank_funcs" ->

@@ -153,7 +153,10 @@ object ToolSupport {
     "tfidf" -> "tfid", "union" -> "unio", "vocab" -> "vocb",
     "wsess" -> "wses", "wslid" -> "wsld", "wtumb" -> "wtmb",
     // "geo_jn"->"gjn" above leaves geo_nearest untouched
-    "geo_nearest" -> "gnn")
+    "geo_nearest" -> "gnn", "calibration" -> "cal",
+    "csvr" -> "csv", "jlrt" -> "jlr", "orcr" -> "orc", "mdrt" -> "mdr",
+    "rsmp" -> "rsm", "olsf" -> "olf", "alsh" -> "als", "nadr" -> "nad",
+    "cdup" -> "cdu", "stks" -> "stk", "sttb" -> "stb", "stsl" -> "ssl")
 
   def benchKey(name: String): String =
     benchKeySubs.foldLeft(name.stripPrefix("q_")) {

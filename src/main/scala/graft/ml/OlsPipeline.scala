@@ -210,6 +210,65 @@ object OlsPipeline {
           .as("actual"))
       .where(col("cnt") > minCount)
 
+  /** Decile calibration-reliability curve on the TEST split: rows binned
+    * into prediction deciles (ANSI NTILE semantics over the total order
+    * (prediction, l_orderkey, x1, x2, x3) — the full tiebreak makes tied
+    * rows interchangeable, so the binning is engine-independent), then
+    * per-decile mean predicted vs mean actual and their gap — the
+    * reliability diagram every model-monitoring stack draws, and the
+    * row-level complement of the county-level [[calibrate]] regression.
+    *
+    * Exactness: means come from floor-quantized BIGINT-micros sums
+    * ([[esum]]); NTILE is replayed by the same distributed prefix-sum
+    * the ntile operator pins (range sort executed ONCE, per-partition
+    * sizes collected — #partitions values — then a linear pass with exact
+    * global offsets; never a single-task window).
+    *
+    * Scale shape: one global range sort of the test split + one bounded
+    * (tiles-row) aggregate; the fit is the [[fit]] pass. */
+  def calibrationCurve(spark: SparkSession, dir: String,
+                       tiles: Int = 10): DataFrame = {
+    val f = fit(spark, dir)
+    val sorted = f.test
+      .select(col("prediction"), col("label"), col("l_orderkey"),
+        col("l_quantity"), col("l_discount"), col("l_tax"))
+      .orderBy("prediction", "l_orderkey",
+        "l_quantity", "l_discount", "l_tax")
+    val rdd = sorted.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = rdd.mapPartitionsWithIndex(
+      (pi, it) => Iterator((pi, it.size.toLong)),
+      preservesPartitioning = true).collect().sortBy(_._1).map(_._2)
+    val n = sizes.sum
+    val offsets = sizes.scanLeft(0L)(_ + _)
+    val q = n / tiles
+    val rem = n % tiles
+    val spark2 = spark
+    import spark2.implicits._
+    val agg = rdd
+      .mapPartitionsWithIndex { (pi, it) =>
+        var idx = offsets(pi)
+        it.map { row =>
+          val tile =
+            if (idx < rem * (q + 1)) idx / (q + 1) + 1
+            else rem + (idx - rem * (q + 1)) / q + 1
+          idx += 1
+          (tile, row.getDouble(0), row.getDouble(1))
+        }
+      }
+      .toDF("decile", "p", "y")
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        round(esum(col("p")) / count(lit(1)), 4).as("mean_pred"),
+        round(esum(col("y")) / count(lit(1)), 4).as("mean_actual"),
+        round(esum(col("p")) / count(lit(1)) -
+          esum(col("y")) / count(lit(1)), 4).as("gap"))
+      .orderBy("decile")
+    val rows = agg.collect()
+    rdd.unpersist(blocking = false)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+  }
+
   /** M7: calibration meta-regression lm(actual ~ forecast) on the county
     * aggregates — 2×2 normal equations from floor-quantized BIGINT-micros
     * moment sums (`esum`), formulas mirrored verbatim in the oracle SQL.

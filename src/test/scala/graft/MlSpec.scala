@@ -112,4 +112,25 @@ class MlSpec extends AnyFunSuite {
     // the self-gating band the driver hashes must agree
     assert(collected.forall(_.getAs[Boolean]("check")), "gbt check column")
   }
+
+  test("calibration curve: balanced deciles, monotone means, exact total") {
+    val rows = SparkEntry.queries("q_calibration")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.map(_._1).toSeq === (1L to 10L))
+    // NTILE balance: sizes differ by at most one
+    val sizes = rows.map(_._2)
+    assert(sizes.max - sizes.min <= 1)
+    // deciles are ordered by prediction, so mean_pred is nondecreasing
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 >= a._3, s"mean_pred must be monotone: $a -> $b")
+    }
+    // totals conserve the test split
+    val f = graft.ml.OlsPipeline.fit(spark, sf)
+    assert(sizes.sum === f.test.count())
+    // gap is exactly the difference of the reported means at 4dp rounding
+    rows.foreach { case (_, _, mp, ma, gap) =>
+      assert(math.abs(gap - (mp - ma)) < 2e-4)
+    }
+  }
 }

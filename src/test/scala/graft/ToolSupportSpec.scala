@@ -44,7 +44,7 @@ class ToolSupportSpec extends AnyFunSuite {
     assert(keys.distinct.size === keys.size,
       "benchKey collision: two catalog queries map to one wire key")
     assert(ToolSupport.benchKey("q_stream_sessions_multi") === "st_sm")
-    assert(ToolSupport.benchKey("q_csv_roundtrip") === "csvr")
+    assert(ToolSupport.benchKey("q_csv_roundtrip") === "csv")
     assert(ToolSupport.benchKey("q_agg_sum") === "asum")
     // dev-mode repeat suffixes pass through
     assert(ToolSupport.benchKey("q_topk#2") === "topk#2")
