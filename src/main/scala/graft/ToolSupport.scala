@@ -156,7 +156,37 @@ object ToolSupport {
     "geo_nearest" -> "gnn", "calibration" -> "cal",
     "csvr" -> "csv", "jlrt" -> "jlr", "orcr" -> "orc", "mdrt" -> "mdr",
     "rsmp" -> "rsm", "olsf" -> "olf", "alsh" -> "als", "nadr" -> "nad",
-    "cdup" -> "cdu", "stks" -> "stk", "sttb" -> "stb", "stsl" -> "ssl")
+    "cdup" -> "cdu", "stks" -> "stk", "sttb" -> "stb", "stsl" -> "ssl",
+    // r8 final widening: systematic 3-char floor for every remaining
+    // 4+-char key (applied LAST, longest left sides first so substring
+    // pairs like sopsa/sops fold safely) — creates ~100 chars of window
+    // headroom (worst-case model 1594/1700) so round 9 can grow the
+    // catalog ~9 queries before touching this table again
+    "ex_dd" -> "ex_", "mh_nd" -> "mh_", "mmeta" -> "mme", "sh_nd" -> "sh_",
+    "sopsa" -> "sop", "st_dd" -> "st_", "st_sm" -> "sts", "aivf" -> "aiv",
+    "apxd" -> "apx", "asfj" -> "asf", "asfk" -> "afk", "asum" -> "asu",
+    "atjn" -> "atj", "attr" -> "att", "audd" -> "aud", "bktj" -> "bkt",
+    "bldd" -> "bld", "bm25" -> "bm2", "casc" -> "cas", "cbnd" -> "cbn",
+    "chi2" -> "chi", "ckpt" -> "ckp", "conc" -> "con", "copu" -> "cop",
+    "corr" -> "cor", "csum" -> "csu", "cube" -> "cub", "cuch" -> "cuc",
+    "dcap" -> "dca", "dcon" -> "dco", "ddsv" -> "dds", "dist" -> "dis",
+    "edjn" -> "edj", "embn" -> "emb", "enrp" -> "enr", "fout" -> "fou",
+    "freq" -> "fre", "funl" -> "fun", "gbtm" -> "gbt", "gcty" -> "gct",
+    "hist" -> "his", "iagg" -> "iag", "iidx" -> "iid", "imgd" -> "img",
+    "jext" -> "jex", "ldft" -> "ldf", "ljnd" -> "lnd", "lord" -> "lor",
+    "lsli" -> "lsl", "mavg" -> "mav", "melt" -> "mel", "mgup" -> "mgu",
+    "mnmx" -> "mnm", "napf" -> "nap", "nsjn" -> "nsj", "nspl" -> "nsp",
+    "okpn" -> "okp", "olsd" -> "ols", "olsm" -> "osm", "pctd" -> "ptd",
+    "qual" -> "qua", "rare" -> "rar", "rfim" -> "rfi", "ridx" -> "rid",
+    "rngj" -> "rng", "rnks" -> "rnk", "rrup" -> "rru", "scd2" -> "scd",
+    "scst" -> "scs", "selr" -> "sel", "sext" -> "sex", "shmf" -> "shm",
+    "skjn" -> "skj", "smix" -> "smi", "smjn" -> "smj", "snpd" -> "snp",
+    "sops" -> "sps", "ssim" -> "ssi", "sten" -> "ste", "stfn" -> "stf",
+    "stky" -> "sky", "strg" -> "str", "stsk" -> "ssk", "stss" -> "sss",
+    "tfid" -> "tfi", "tmix" -> "tmi", "tokc" -> "tok", "topk" -> "top",
+    "unio" -> "uni", "vidf" -> "vid", "vocb" -> "voc", "winz" -> "win",
+    "wses" -> "wse", "wsld" -> "wsl", "wsmp" -> "wsm", "wtmb" -> "wtm",
+    "zord" -> "zor")
 
   def benchKey(name: String): String =
     benchKeySubs.foldLeft(name.stripPrefix("q_")) {
