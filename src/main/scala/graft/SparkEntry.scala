@@ -79,6 +79,8 @@ object SparkEntry {
     "q_percentile"        -> (Relational.percentiles _),
     // ANSI PERCENTILE_DISC: smallest actual value with cume_dist >= p
     "q_percentile_disc"   -> (Relational.percentileDisc _),
+    // explicit GROUPING SETS: the asymmetric set list cube/rollup can't say
+    "q_grouping_sets"     -> (Relational.groupingSetsProfile _),
     // HLL++ distinct sketch beside the exact count — rows-only (sketches
     // aren't replayable cross-engine); error bound pinned in-engine
     "q_approx_distinct"   -> (Relational.approxDistinct _),
@@ -1331,6 +1333,8 @@ object SparkEntry {
     "q_bm25" -> graft.operators.TextAnalysis.bm25OracleSql,
     // percentile_disc: oracle states the ANSI cume_dist definition
     "q_percentile_disc" -> Relational.percentileDiscOracleSql,
+    // grouping sets: native GROUPING SETS with GROUPING() flags
+    "q_grouping_sets" -> Relational.groupingSetsOracleSql,
     // nearest-POI: oracle is the exhaustive all-pairs argmin ground truth
     "q_geo_nearest" -> GeoJoin.nearestPoiOracleSql,
     // calibration curve: same fit CTEs, ANSI NTILE with full tiebreak,

@@ -186,7 +186,9 @@ object ToolSupport {
     "tfid" -> "tfi", "tmix" -> "tmi", "tokc" -> "tok", "topk" -> "top",
     "unio" -> "uni", "vidf" -> "vid", "vocb" -> "voc", "winz" -> "win",
     "wses" -> "wse", "wsld" -> "wsl", "wsmp" -> "wsm", "wtmb" -> "wtm",
-    "zord" -> "zor")
+    "zord" -> "zor",
+    // r8 addition after the 3-char floor: new keys enter pre-floored
+    "grouping_sets" -> "gst")
 
   def benchKey(name: String): String =
     benchKeySubs.foldLeft(name.stripPrefix("q_")) {

@@ -415,6 +415,40 @@ object Relational {
       .orderBy("g_segment", "g_priority", "segment", "priority")
   }
 
+  /** Explicit GROUPING SETS — the asymmetric set list neither ROLLUP nor
+    * CUBE can express: the per-priority profile, the per-status profile
+    * and the grand total, computed in ONE scan + one Expand+aggregate
+    * pass (the classic "several GROUP BYs over the same fact without
+    * re-reading it"). GROUPING() flags disambiguate the set each output
+    * row belongs to, exactly as in [[segmentPriorityCube]]. */
+  def groupingSetsProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus")), Seq()),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(
+        grouping(col("o_orderpriority")).cast(LongType).as("g_priority"),
+        grouping(col("o_orderstatus")).cast(LongType).as("g_status"),
+        count(lit(1)).as("cnt"),
+        (sum(money(col("o_totalprice"))) * 100).cast(LongType)
+          .as("sum_price_cents"))
+      .select(col("o_orderpriority").as("priority"),
+        col("o_orderstatus").as("status"), col("g_priority"),
+        col("g_status"), col("cnt"), col("sum_price_cents"))
+      .orderBy("g_priority", "g_status", "priority", "status")
+
+  /** DuckDB replay of [[groupingSetsProfile]] — same set list. */
+  val groupingSetsOracleSql: String =
+    """SELECT o_orderpriority AS priority, o_orderstatus AS status,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+      |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      |  COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |    AS sum_price_cents
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+      |ORDER BY 3, 4, 1, 2""".stripMargin
+
   def groupMeanHaving(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)

@@ -228,4 +228,23 @@ class RelationalSpec extends AnyFunSuite {
       assert(v.contains(p50) && v.contains(p95))
     }
   }
+
+  test("grouping sets: three profiles from one pass, totals conserve") {
+    val rows = SparkEntry.queries("q_grouping_sets")(spark, sf).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val total = Tables.orders(spark, sf).count()
+    // the grand-total set: both GROUPING flags up, one row
+    val grand = rows.filter(t => t._3 == 1 && t._4 == 1)
+    assert(grand.length === 1 && grand.head._5 === total)
+    // each single-column set partitions the fact exactly
+    val byPri = rows.filter(t => t._3 == 0 && t._4 == 1)
+    val bySt = rows.filter(t => t._3 == 1 && t._4 == 0)
+    assert(byPri.map(_._5).sum === total && bySt.map(_._5).sum === total)
+    // and no (priority, status) cross cells exist — the set list is NOT a cube
+    assert(!rows.exists(t => t._3 == 0 && t._4 == 0))
+    // cents conserve across each profile
+    assert(byPri.map(_._6).sum === grand.head._6)
+    assert(bySt.map(_._6).sum === grand.head._6)
+  }
 }
