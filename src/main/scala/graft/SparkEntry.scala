@@ -81,6 +81,8 @@ object SparkEntry {
     "q_percentile_disc"   -> (Relational.percentileDisc _),
     // explicit GROUPING SETS: the asymmetric set list cube/rollup can't say
     "q_grouping_sets"     -> (Relational.groupingSetsProfile _),
+    // robust outlier stats: median, MAD, 3-sigma-equivalent robust fence
+    "q_mad"               -> (Relational.madOutliers _),
     // HLL++ distinct sketch beside the exact count — rows-only (sketches
     // aren't replayable cross-engine); error bound pinned in-engine
     "q_approx_distinct"   -> (Relational.approxDistinct _),
@@ -1335,6 +1337,8 @@ object SparkEntry {
     "q_percentile_disc" -> Relational.percentileDiscOracleSql,
     // grouping sets: native GROUPING SETS with GROUPING() flags
     "q_grouping_sets" -> Relational.groupingSetsOracleSql,
+    // MAD: same R-7 medians, same consistency constant and fence
+    "q_mad" -> Relational.madOutliersOracleSql,
     // nearest-POI: oracle is the exhaustive all-pairs argmin ground truth
     "q_geo_nearest" -> GeoJoin.nearestPoiOracleSql,
     // calibration curve: same fit CTEs, ANSI NTILE with full tiebreak,

@@ -644,6 +644,64 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Robust outlier statistics per group: median, MAD (median absolute
+    * deviation) and the count beyond the standard 3σ-equivalent robust
+    * fence |x − med| > 3 · 1.4826 · MAD — the outlier gauge that, unlike
+    * [[zScore]], a few extreme rows cannot drag (mean/σ break down at 50%
+    * contamination; med/MAD hold to 50%). Two passes by necessity (MAD
+    * needs the median first): group medians (R-7, same definition as
+    * DuckDB quantile_cont) broadcast back as a ≤|groups|-row dimension,
+    * then the deviation median + the fence count. The 1.4826 consistency
+    * constant is the same double literal on both engines, and the fence
+    * compare is one deterministic expression — no aggregation of doubles
+    * anywhere except the exact percentile selections.
+    *
+    * Scale: same exact-percentile caveat as [[percentiles]] — the 100 TB
+    * path swaps approx_percentile into both passes, same interface. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice").as("x"))
+    val med = base.groupBy("l_returnflag")
+      .agg(expr("percentile(CAST(x AS DOUBLE), 0.5)").as("med"))
+    val dev = base.join(broadcast(med), "l_returnflag")
+      .select(col("l_returnflag"), col("med"),
+        abs(col("x") - col("med")).as("dev"))
+    val stats = dev.groupBy("l_returnflag")
+      .agg(first(col("med")).as("med"),
+        expr("percentile(CAST(dev AS DOUBLE), 0.5)").as("mad"),
+        count(lit(1)).as("n"))
+    dev.drop("med")
+      .join(broadcast(stats), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(round(first(col("med")), 4).as("median"),
+        round(first(col("mad")), 4).as("mad"),
+        first(col("n")).as("n"),
+        sum(when(col("dev") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy("l_returnflag")
+  }
+
+  /** DuckDB replay of [[madOutliers]] — same R-7 medians and fence. */
+  val madOutliersOracleSql: String =
+    """WITH med AS (
+      |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+      |  FROM lineitem GROUP BY 1),
+      |d AS (
+      |  SELECT l.l_returnflag, m.med,
+      |    abs(l.l_extendedprice - m.med) AS dev, l.l_extendedprice AS x
+      |  FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag),
+      |s AS (
+      |  SELECT l_returnflag, ANY_VALUE(med) AS med,
+      |    quantile_cont(dev, 0.5) AS mad, COUNT(*) AS n
+      |  FROM d GROUP BY 1)
+      |SELECT s.l_returnflag, ROUND(s.med, 4) AS median,
+      |  ROUND(s.mad, 4) AS mad, s.n,
+      |  CAST(SUM(CASE WHEN abs(d.x - d.med) > 3.0 * 1.4826 * s.mad
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM d JOIN s ON d.l_returnflag = s.l_returnflag
+      |GROUP BY s.l_returnflag, s.med, s.mad, s.n
+      |ORDER BY s.l_returnflag""".stripMargin
+
   /** DuckDB replay of [[percentileDisc]] — the ANSI definition stated
     * explicitly via cume_dist, engine-convention-independent. */
   val percentileDiscOracleSql: String =

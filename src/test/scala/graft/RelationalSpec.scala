@@ -247,4 +247,29 @@ class RelationalSpec extends AnyFunSuite {
     assert(byPri.map(_._6).sum === grand.head._6)
     assert(bySt.map(_._6).sum === grand.head._6)
   }
+
+  test("MAD outliers: medians, MAD and fence match an R-7 recount") {
+    val rows = SparkEntry.queries("q_mad")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))
+    val data = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def r7(v: IndexedSeq[Double], p: Double): Double = {
+      val h = (v.length - 1) * p; val lo = h.toInt
+      v(lo) + (h - lo) * (v(math.min(lo + 1, v.length - 1)) - v(lo))
+    }
+    rows.foreach { case (f, median, mad, n, out) =>
+      val v = data(f).toIndexedSeq
+      val med = r7(v, 0.5)
+      val devs = v.map(x => math.abs(x - med)).sorted
+      val m = r7(devs, 0.5)
+      assert(n === v.length.toLong)
+      assert(math.abs(median - med) < 1e-3, s"$f median")
+      assert(math.abs(mad - m) < 1e-3, s"$f mad")
+      assert(out === v.count(x => math.abs(x - med) > 3.0 * 1.4826 * m),
+        s"$f outliers")
+    }
+  }
 }
