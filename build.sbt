@@ -38,4 +38,27 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // GC configuration, measured on the full 153-query sf0.1 sweep with
+  // -Xlog:gc (docs/SCALE.md "GC diagnosis"): Spark's broadcast/codegen
+  // buffers allocate G1-humongous at the default region size, firing
+  // ~1,900 concurrent-start pauses inside timed queries, and the
+  // between-run System.gc() hygiene cost 459 stop-the-world Full GCs
+  // (74 s). 16 MB regions lift the humongous threshold above those
+  // buffers and ExplicitGCInvokesConcurrent keeps the hygiene GC (weak-
+  // ref reaping for ContextCleaner) off the stop-the-world path: total
+  // STW pause 91 s → 6.6 s, sweep 115.1 s → 98.5 s, zero per-query
+  // regressions.
+  "-XX:G1HeapRegionSize=16m",
+  "-XX:+ExplicitGCInvokesConcurrent",
+) ++ (
+  // dev diagnostics knob (not set by the driver): SPARK_GRAFT_GCLOG=path
+  // writes a unified GC log from the forked JVM, for attributing
+  // full-sweep crowding between GC pauses and code-cache effects
+  sys.env.get("SPARK_GRAFT_GCLOG")
+    .map(p => s"-Xlog:gc*:file=$p:time,uptime").toSeq
+) ++ (
+  // dev experiments knob (not set by the driver): extra JVM flags for the
+  // forked runs, space-separated — used to A/B GC configurations
+  sys.env.get("SPARK_GRAFT_JVMFLAGS")
+    .map(_.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Seq())
 )
