@@ -280,6 +280,8 @@ object SparkEntry {
     "q_chisq"             -> (Behavior.chiSquare _),
     // duration-weighted value means over irregular event arrivals
     "q_time_weighted"     -> (Behavior.timeWeighted _),
+    // time-bound conversion: purchase preceded by a view within 1h
+    "q_conversion_window" -> (Behavior.conversionWindow _),
     // per-group top-k: 3 highest-revenue suppliers per nation
     "q_topk_group"        -> (Joins.topKPerGroup _),
     // PSI language-mix drift between two source cohorts
@@ -1319,6 +1321,9 @@ object SparkEntry {
     "q_chisq" -> graft.operators.Behavior.chiSquareOracleSql,
     // time-weighted means: exact micros weights, DECIMAL(38,0) product sum
     "q_time_weighted" -> graft.operators.Behavior.timeWeightedOracleSql,
+    // conversion window: EXISTS within the same exact micros interval
+    "q_conversion_window" ->
+      graft.operators.Behavior.conversionWindowOracleSql,
     // per-group top-k: same exact-decimal revenue and row_number tiebreak
     "q_topk_group" -> Joins.topKPerGroupOracleSql,
     // language drift: same Laplace smoothing, natural log on both sides

@@ -552,6 +552,71 @@ object Behavior {
       |WHERE d.epoch_day >= b.lo + 6 AND d.epoch_day <= b.hi
       |ORDER BY d.epoch_day""".stripMargin
 
+  /** Time-bound conversion: the fraction of purchases preceded by a view
+    * from the SAME user within the attribution window (1 hour) — the
+    * bounded-lookback complement of [[funnel]] (any-order-time) and
+    * [[attribution]] (unbounded carry-forward). Exact micros window, half
+    * -open on the lower edge by ≥: a view at exactly t−1h converts.
+    *
+    * Shape: a LEFT SEMI join — purchases against views on the user-id
+    * EQUI key with the interval as a join-side range predicate, so the
+    * pair fan-out is bounded by per-user activity (never cross-user), one
+    * hash shuffle each side. Rate = exact counts, one rounded division.
+    *
+    * Scale: at 100 TB the same plan holds — user-keyed equi join with
+    * AQE skew splitting; a hot user bounds its own pair count by its own
+    * event rate times the window. */
+  def conversionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val WindowUs = 3600L * 1000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        datediff(col("ts").cast(DateType), lit("1970-01-01").cast(DateType))
+          .cast(LongType).as("epoch_day"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"), col("epoch_day"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("us").as("v_us"))
+    val converted = purchases.join(views,
+      col("user_id") === col("v_user") &&
+        col("v_us") >= col("us") - WindowUs && col("v_us") <= col("us"),
+      "left_semi")
+    val perDay = purchases.groupBy("epoch_day")
+      .agg(count(lit(1)).as("n_purchases"))
+    val convDay = converted.groupBy("epoch_day")
+      .agg(count(lit(1)).as("n_converted"))
+    perDay.join(convDay, Seq("epoch_day"), "left")
+      .select(col("epoch_day"), col("n_purchases"),
+        coalesce(col("n_converted"), lit(0L)).as("n_converted"),
+        round(coalesce(col("n_converted"), lit(0L)).cast(DoubleType) /
+          col("n_purchases").cast(DoubleType), 6).as("conv_rate"))
+      .orderBy("epoch_day")
+  }
+
+  /** DuckDB replay of [[conversionWindow]] — same micros window. */
+  val conversionWindowOracleSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us,
+      |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+      |      AS epoch_day
+      |  FROM events),
+      |p AS (SELECT user_id, us, epoch_day FROM ev
+      |      WHERE event_type = 'purchase'),
+      |conv AS (
+      |  SELECT p.epoch_day, COUNT(*) AS n_converted FROM p
+      |  WHERE EXISTS (
+      |    SELECT 1 FROM ev v
+      |    WHERE v.event_type = 'view' AND v.user_id = p.user_id
+      |      AND v.us >= p.us - 3600000000 AND v.us <= p.us)
+      |  GROUP BY 1),
+      |tot AS (SELECT epoch_day, COUNT(*) AS n_purchases FROM p GROUP BY 1)
+      |SELECT t.epoch_day, t.n_purchases,
+      |  COALESCE(c.n_converted, 0) AS n_converted,
+      |  ROUND(CAST(COALESCE(c.n_converted, 0) AS DOUBLE) /
+      |    CAST(t.n_purchases AS DOUBLE), 6) AS conv_rate
+      |FROM tot t LEFT JOIN conv c ON t.epoch_day = c.epoch_day
+      |ORDER BY t.epoch_day""".stripMargin
+
   /** DuckDB replay of [[cohortRetention]] — same integer week derivation. */
   val cohortOracleSql: String =
     """WITH wk AS (

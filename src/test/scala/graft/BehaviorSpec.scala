@@ -219,6 +219,37 @@ class BehaviorSpec extends AnyFunSuite {
     }
   }
 
+
+  test("conversion window: rates match an exact in-memory EXISTS recount") {
+    val out = SparkEntry.queries("q_conversion_window")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")),
+        datediff(col("ts").cast(org.apache.spark.sql.types.DateType),
+          lit("1970-01-01").cast(org.apache.spark.sql.types.DateType))
+          .cast(org.apache.spark.sql.types.LongType)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val views = ev.filter(_._2 == "view").map(e => (e._1, e._3))
+    val purchases = ev.filter(_._2 == "purchase")
+    val expect = purchases.groupBy(_._4).map { case (d, ps) =>
+      val conv = ps.count { p =>
+        views.exists(v => v._1 == p._1 &&
+          v._2 >= p._3 - 3600L * 1000000L && v._2 <= p._3)
+      }
+      d -> (ps.length.toLong, conv.toLong)
+    }
+    assert(out.keySet === expect.keySet)
+    expect.foreach { case (d, (n, c)) =>
+      val (on, oc, rate) = out(d)
+      assert(on === n && oc === c, s"day $d")
+      assert(math.abs(rate - c.toDouble / n) < 1e-6)
+    }
+    // both branches data-exercised: some purchases convert, some don't
+    val (tc, tn) = (expect.values.map(_._2).sum, expect.values.map(_._1).sum)
+    assert(tc > 0 && tc < tn, s"degenerate conversion profile $tc/$tn")
+  }
+
   test("cohort retention: offset-0 cell equals cohort size, grid consistent") {
     val rows = SparkEntry.queries("q_cohort")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
