@@ -83,6 +83,8 @@ object SparkEntry {
     "q_grouping_sets"     -> (Relational.groupingSetsProfile _),
     // robust outlier stats: median, MAD, 3-sigma-equivalent robust fence
     "q_mad"               -> (Relational.madOutliers _),
+    // equi-depth histogram: decile-bounded buckets, ~n/10 rows each
+    "q_equidepth"         -> (Relational.equiDepthHistogram _),
     // HLL++ distinct sketch beside the exact count — rows-only (sketches
     // aren't replayable cross-engine); error bound pinned in-engine
     "q_approx_distinct"   -> (Relational.approxDistinct _),
@@ -1344,6 +1346,8 @@ object SparkEntry {
     "q_grouping_sets" -> Relational.groupingSetsOracleSql,
     // MAD: same R-7 medians, same consistency constant and fence
     "q_mad" -> Relational.madOutliersOracleSql,
+    // equi-depth: same decile cut-points and strict bucket comparison
+    "q_equidepth" -> Relational.equiDepthOracleSql,
     // nearest-POI: oracle is the exhaustive all-pairs argmin ground truth
     "q_geo_nearest" -> GeoJoin.nearestPoiOracleSql,
     // calibration curve: same fit CTEs, ANSI NTILE with full tiebreak,

@@ -188,7 +188,7 @@ object ToolSupport {
     "wses" -> "wse", "wsld" -> "wsl", "wsmp" -> "wsm", "wtmb" -> "wtm",
     "zord" -> "zor",
     // r8 addition after the 3-char floor: new keys enter pre-floored
-    "grouping_sets" -> "gst", "conversion_window" -> "cvw")
+    "grouping_sets" -> "gst", "conversion_window" -> "cvw", "equidepth" -> "edh")
 
   def benchKey(name: String): String =
     benchKeySubs.foldLeft(name.stripPrefix("q_")) {

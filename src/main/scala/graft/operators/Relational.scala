@@ -644,6 +644,54 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Equi-depth histogram over the price column: k buckets holding ~n/k
+    * rows each, bounded by the exact R-7 decile cut-points — the
+    * statistics object query optimizers actually keep (equal-WIDTH bins,
+    * [[histogram]], waste resolution on skewed data; equal-DEPTH bins put
+    * it where the rows are). One exact percentile pass yields all k−1
+    * boundaries in a single buffer (the array form, not k−1 separate
+    * aggregates); they broadcast as a 1-row literal and bucket assignment
+    * is a narrow HOF counting boundaries strictly below x — identical
+    * double comparisons on both engines, no arithmetic to drift.
+    *
+    * Scale: the percentile pass has [[percentiles]]' caveat
+    * (approx_percentile substitutes at 100 TB — equi-depth is exactly
+    * what its sketch is FOR); everything else is one map-side-combinable
+    * aggregate. */
+  def equiDepthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val ps = (1 until 10).map(i => s"0.${i}D").mkString(", ")
+    val bounds = Tables.lineitem(spark, dir)
+      .agg(expr(s"percentile(CAST(l_extendedprice AS DOUBLE), array($ps))")
+        .as("bs"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_extendedprice").as("x"))
+      .crossJoin(broadcast(bounds))
+      .select(col("x"),
+        (expr("size(filter(bs, b -> x > b))") + 1).cast(LongType)
+          .as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        round(min(col("x")), 2).as("lo"), round(max(col("x")), 2).as("hi"))
+      .orderBy("bucket")
+  }
+
+  /** DuckDB replay of [[equiDepthHistogram]] — same cut-points, same
+    * strict comparison. */
+  val equiDepthOracleSql: String = {
+    val ps = (1 until 10).map(i => s"0.$i").mkString(", ")
+    s"""WITH b AS (
+       |  SELECT quantile_cont(l_extendedprice, [$ps]) AS bs
+       |  FROM lineitem),
+       |a AS (
+       |  SELECT l_extendedprice AS x,
+       |    CAST(1 + len(list_filter(b.bs, e -> l_extendedprice > e))
+       |      AS BIGINT) AS bucket
+       |  FROM lineitem, b)
+       |SELECT bucket, COUNT(*) AS n,
+       |  ROUND(MIN(x), 2) AS lo, ROUND(MAX(x), 2) AS hi
+       |FROM a GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
   /** Robust outlier statistics per group: median, MAD (median absolute
     * deviation) and the count beyond the standard 3σ-equivalent robust
     * fence |x − med| > 3 · 1.4826 · MAD — the outlier gauge that, unlike

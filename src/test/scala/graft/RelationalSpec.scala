@@ -272,4 +272,33 @@ class RelationalSpec extends AnyFunSuite {
         s"$f outliers")
     }
   }
+
+  test("equi-depth histogram: balanced buckets, tiling ranges, R-7 bounds") {
+    val rows = SparkEntry.queries("q_equidepth")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq === (1L to 10L))
+    val n = rows.map(_._2).sum
+    // equal depth: every bucket within 2% of n/10 on this distribution
+    rows.foreach { case (b, c, _, _) =>
+      assert(math.abs(c - n / 10.0) <= n * 0.02, s"bucket $b count $c")
+    }
+    // buckets tile: each bucket's lo is above the previous bucket's hi
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 >= a._4, s"overlap between ${a._1} and ${b._1}")
+    }
+    // boundary recount: bucket k holds exactly the rows with
+    // (k-1) strict-greater decile cut-points below them
+    val xs = Tables.lineitem(spark, sf)
+      .select(col("l_extendedprice")).collect().map(_.getDouble(0))
+    val sorted = xs.sorted.toIndexedSeq
+    def r7(p: Double): Double = {
+      val h = (sorted.length - 1) * p; val lo = h.toInt
+      sorted(lo) + (h - lo) *
+        (sorted(math.min(lo + 1, sorted.length - 1)) - sorted(lo))
+    }
+    val bs = (1 until 10).map(i => r7(i / 10.0))
+    val expect = xs.groupBy(x => 1L + bs.count(x > _)).view
+      .mapValues(_.length.toLong).toMap
+    assert(rows.map(t => t._1 -> t._2).toMap === expect)
+  }
 }
