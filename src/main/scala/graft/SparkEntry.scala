@@ -160,6 +160,8 @@ object SparkEntry {
     "q_scd2"              -> (Versioning.scd2 _),
     // declarative data-quality expectation suite (FK/unique/range/null)
     "q_dq_checks"         -> (DqChecks.query _),
+    // one-pass column profile: nulls/distincts/min/max per column
+    "q_col_profile"       -> (DqChecks.colProfile _),
     // incremental view maintenance: merge(history, delta) ≡ recompute
     "q_incr_agg"          -> (Versioning.incrementalAgg _),
     // market-basket co-purchase pairs: capped expansion, support + lift
@@ -1214,6 +1216,8 @@ object SparkEntry {
     "q_scd2" -> graft.operators.Versioning.scd2OracleSql,
     // DQ suite: per-table conditional-aggregate counters + NOT EXISTS FKs
     "q_dq_checks" -> graft.operators.DqChecks.oracleSql,
+    // column profile: same aggregate row unpivoted as UNION ALL branches
+    "q_col_profile" -> graft.operators.DqChecks.colProfileOracleSql,
     // vocab coverage: generated from the same VocabRanks + total order
     "q_vocab_coverage" -> graft.operators.TextAnalysis.vocabCoverageOracleSql,
     // edit join: semantic length-window form (banding is result-exact)

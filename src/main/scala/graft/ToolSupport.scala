@@ -188,7 +188,9 @@ object ToolSupport {
     "wses" -> "wse", "wsld" -> "wsl", "wsmp" -> "wsm", "wtmb" -> "wtm",
     "zord" -> "zor",
     // r8 addition after the 3-char floor: new keys enter pre-floored
-    "grouping_sets" -> "gst", "conversion_window" -> "cvw", "equidepth" -> "edh")
+    "grouping_sets" -> "gst", "conversion_window" -> "cvw", "equidepth" -> "edh",
+    // r9 additions, same discipline: every new key enters at 3 chars
+    "col_profile" -> "cpf")
 
   def benchKey(name: String): String =
     benchKeySubs.foldLeft(name.stripPrefix("q_")) {

@@ -115,4 +115,115 @@ object DqChecks {
       |  CAST(total AS BIGINT) AS total,
       |  CAST(violations = 0 AS BIGINT) AS pass
       |FROM raw ORDER BY check_name""".stripMargin
+
+  // -- whole-table column profile -----------------------------------------
+
+  /** One-pass column-profiling suite over `orders` — the per-column
+    * null count / exact distinct count / min / max summary every pipeline
+    * snapshots before training (the reference eyeballs exactly this via
+    * `summary()`/`str()` at 02_DataCleaning.R:22-40; here it is one
+    * declarative, rerunnable pass emitting a long-form profile table).
+    *
+    * Exactness: counts are BIGINTs; min/max render through type-specific
+    * exact paths — integers cast to string, the double price through the
+    * DECIMAL(18,2)-cents convention (never raw double formatting, which
+    * differs across engines), timestamps through a fixed format string.
+    *
+    * Scale shape (100 TB discipline):
+    *  - ONE scan: every per-column counter is a map-side-combinable
+    *    aggregate over the same pass — adding a column adds aggregate
+    *    buffers, not scans. The 6 exact `countDistinct`s plan as one
+    *    Expand (×7 rows) + partial aggregate — still a single scan, and
+    *    the partial aggregation absorbs the blow-up map-side;
+    *  - at 100 TB the exact distincts substitute `approx_count_distinct`
+    *    (HLL±2%, drops the Expand entirely) — the profile is precisely
+    *    what the sketch exists for; the oracle pins the exact form at
+    *    verify scale;
+    *  - the `stack` unpivot runs on the ONE aggregated row — free. */
+  def colProfile(spark: SparkSession, dir: String): DataFrame = {
+    def nulls(c: String) =
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c")
+    def dist(c: String) = countDistinct(col(c)).as(s"nd_$c")
+    val ag = Tables.orders(spark, dir).agg(
+      count(lit(1)).as("n_rows"),
+      nulls("o_orderkey"), dist("o_orderkey"),
+      min(col("o_orderkey")).cast(StringType).as("mn_o_orderkey"),
+      max(col("o_orderkey")).cast(StringType).as("mx_o_orderkey"),
+      nulls("o_custkey"), dist("o_custkey"),
+      min(col("o_custkey")).cast(StringType).as("mn_o_custkey"),
+      max(col("o_custkey")).cast(StringType).as("mx_o_custkey"),
+      nulls("o_orderstatus"), dist("o_orderstatus"),
+      min(col("o_orderstatus")).as("mn_o_orderstatus"),
+      max(col("o_orderstatus")).as("mx_o_orderstatus"),
+      nulls("o_totalprice"), dist("o_totalprice"),
+      (min(col("o_totalprice")).cast(DecimalType(18, 2)) * 100)
+        .cast(LongType).cast(StringType).as("mn_o_totalprice"),
+      (max(col("o_totalprice")).cast(DecimalType(18, 2)) * 100)
+        .cast(LongType).cast(StringType).as("mx_o_totalprice"),
+      nulls("o_orderdate"), dist("o_orderdate"),
+      date_format(min(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss")
+        .as("mn_o_orderdate"),
+      date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss")
+        .as("mx_o_orderdate"),
+      nulls("o_orderpriority"), dist("o_orderpriority"),
+      min(col("o_orderpriority")).as("mn_o_orderpriority"),
+      max(col("o_orderpriority")).as("mx_o_orderpriority"))
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val stackArgs = cols.map(c =>
+      s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(",\n  ")
+    ag.select(col("n_rows"), expr(
+        s"""stack(${cols.size},
+           |  $stackArgs)
+           |  AS (col_name, n_null, n_distinct, min_repr, max_repr)"""
+          .stripMargin))
+      .select(col("col_name"), col("n_rows"),
+        col("n_null").cast(LongType), col("n_distinct").cast(LongType),
+        col("min_repr"), col("max_repr"))
+      .orderBy("col_name")
+  }
+
+  /** DuckDB replay of [[colProfile]] — the same aggregate row unpivoted
+    * as UNION ALL branches, same type-specific min/max renderings. */
+  val colProfileOracleSql: String =
+    """WITH a AS (
+      |  SELECT COUNT(*) AS n_rows,
+      |    SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nn1,
+      |    COUNT(DISTINCT o_orderkey) AS nd1,
+      |    CAST(MIN(o_orderkey) AS VARCHAR) AS mn1,
+      |    CAST(MAX(o_orderkey) AS VARCHAR) AS mx1,
+      |    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn2,
+      |    COUNT(DISTINCT o_custkey) AS nd2,
+      |    CAST(MIN(o_custkey) AS VARCHAR) AS mn2,
+      |    CAST(MAX(o_custkey) AS VARCHAR) AS mx2,
+      |    SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nn3,
+      |    COUNT(DISTINCT o_orderstatus) AS nd3,
+      |    MIN(o_orderstatus) AS mn3, MAX(o_orderstatus) AS mx3,
+      |    SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nn4,
+      |    COUNT(DISTINCT o_totalprice) AS nd4,
+      |    CAST(CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) * 100
+      |      AS BIGINT) AS VARCHAR) AS mn4,
+      |    CAST(CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) * 100
+      |      AS BIGINT) AS VARCHAR) AS mx4,
+      |    SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS nn5,
+      |    COUNT(DISTINCT o_orderdate) AS nd5,
+      |    strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mn5,
+      |    strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mx5,
+      |    SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nn6,
+      |    COUNT(DISTINCT o_orderpriority) AS nd6,
+      |    MIN(o_orderpriority) AS mn6, MAX(o_orderpriority) AS mx6
+      |  FROM orders),
+      |raw AS (
+      |  SELECT 'o_orderkey' AS col_name, n_rows, nn1 AS n_null,
+      |    nd1 AS n_distinct, mn1 AS min_repr, mx1 AS max_repr FROM a
+      |  UNION ALL SELECT 'o_custkey', n_rows, nn2, nd2, mn2, mx2 FROM a
+      |  UNION ALL SELECT 'o_orderstatus', n_rows, nn3, nd3, mn3, mx3 FROM a
+      |  UNION ALL SELECT 'o_totalprice', n_rows, nn4, nd4, mn4, mx4 FROM a
+      |  UNION ALL SELECT 'o_orderdate', n_rows, nn5, nd5, mn5, mx5 FROM a
+      |  UNION ALL SELECT 'o_orderpriority', n_rows, nn6, nd6, mn6, mx6
+      |    FROM a)
+      |SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+      |  CAST(n_null AS BIGINT) AS n_null,
+      |  CAST(n_distinct AS BIGINT) AS n_distinct, min_repr, max_repr
+      |FROM raw ORDER BY col_name""".stripMargin
 }

@@ -30,4 +30,30 @@ class DqChecksSpec extends AnyFunSuite {
     assert(rows.find(_._1 == "lineitem.orderkey_fk").get._3 ===
       Tables.lineitem(spark, sf).count())
   }
+
+  test("col profile: one row per column, counters independently recounted") {
+    val rows = SparkEntry.queries("q_col_profile")(spark, sf).collect()
+    val cols = Seq("o_custkey", "o_orderdate", "o_orderkey",
+      "o_orderpriority", "o_orderstatus", "o_totalprice")
+    assert(rows.map(_.getString(0)).toSeq === cols) // sorted, complete
+    val orders = Tables.orders(spark, sf)
+    val total = orders.count()
+    rows.foreach { r =>
+      assert(r.getLong(1) === total, s"${r.getString(0)} n_rows")
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= total)
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= total)
+      assert(r.getString(4) <= r.getString(5) || r.getString(0) == "o_totalprice",
+        s"${r.getString(0)} min_repr > max_repr") // string order; cents skip
+    }
+    // spot-recount one column's distinct + null counters independently
+    val ok = rows.find(_.getString(0) == "o_orderkey").get
+    assert(ok.getLong(3) === orders.select("o_orderkey").distinct().count())
+    assert(ok.getLong(2) === orders.filter(col("o_orderkey").isNull).count())
+    // the primary key must profile as unique and the repr pair must round-trip
+    assert(ok.getLong(3) === total)
+    assert(ok.getString(4).toLong <= ok.getString(5).toLong)
+    // cents repr: numeric order must hold after parsing
+    val tp = rows.find(_.getString(0) == "o_totalprice").get
+    assert(tp.getString(4).toLong <= tp.getString(5).toLong)
+  }
 }
