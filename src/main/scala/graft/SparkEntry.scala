@@ -286,6 +286,8 @@ object SparkEntry {
     "q_time_weighted"     -> (Behavior.timeWeighted _),
     // time-bound conversion: purchase preceded by a view within 1h
     "q_conversion_window" -> (Behavior.conversionWindow _),
+    // numeric value-distribution drift: log2-cents bins, exact TVD numerators
+    "q_value_drift"       -> (Behavior.valueDrift _),
     // per-group top-k: 3 highest-revenue suppliers per nation
     "q_topk_group"        -> (Joins.topKPerGroup _),
     // PSI language-mix drift between two source cohorts
@@ -1330,6 +1332,8 @@ object SparkEntry {
     // conversion window: EXISTS within the same exact micros interval
     "q_conversion_window" ->
       graft.operators.Behavior.conversionWindowOracleSql,
+    // value drift: same midpoint/log2-cents bins, integer TVD numerators
+    "q_value_drift" -> graft.operators.Behavior.valueDriftOracleSql,
     // per-group top-k: same exact-decimal revenue and row_number tiebreak
     "q_topk_group" -> Joins.topKPerGroupOracleSql,
     // language drift: same Laplace smoothing, natural log on both sides

@@ -617,6 +617,91 @@ object Behavior {
       |FROM tot t LEFT JOIN conv c ON t.epoch_day = c.epoch_day
       |ORDER BY t.epoch_day""".stripMargin
 
+  // -- numeric distribution drift ----------------------------------------
+
+  /** Numeric value-distribution drift between two time cohorts — the
+    * monitoring gauge that catches a payment-amount or score distribution
+    * shifting between ingest periods ([[graft.operators.TextAnalysis.langDrift]]
+    * is the categorical twin; this is the numeric one). Events split at the
+    * data-derived midpoint day (first half vs second half of the observed
+    * range); `value` buckets into floor-log₂ bins of exact DECIMAL cents —
+    * the `length(bin(c))` idiom, NO libm transcendental near the hash gate
+    * — and each bin reports both cohorts' counts, IEEE-division shares and
+    * the total-variation-distance contribution in EXACT integer arithmetic:
+    * |n_a·tb − n_b·ta| over the common denominator ta·tb. ½·Σ num/(ta·tb)
+    * is the exact TVD — integer-summable downstream with no float drift.
+    *
+    * Exactness: counts/products are BIGINTs (products fit while cohort
+    * counts stay < 3·10⁹; past that the same query runs with DECIMAL(38,0)
+    * products); shares are one correctly-rounded IEEE division each,
+    * identical on both engines, rounded at 6 dp.
+    *
+    * Scale shape: ONE scan → narrow projection (bin derivation is
+    * per-row integer ops) → map-side-combinable conditional count per
+    * bin; the window totals run over the ≤64-row bin table. */
+  def valueDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(
+        datediff(col("ts").cast(DateType), lit("1970-01-01").cast(DateType))
+          .cast(LongType).as("d"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType)
+          .as("c"))
+    val mid = ev.agg(
+      expr("min(d) + (max(d) - min(d) + 1) div 2").cast(LongType).as("mid"))
+    val binned = ev.crossJoin(broadcast(mid))
+      .select(
+        when(col("c").isNull, lit(-1L))
+          .when(col("c") <= 0L, lit(0L))
+          .otherwise(length(bin(col("c"))).cast(LongType)).as("bin"),
+        (col("d") < col("mid")).as("is_a"))
+      .groupBy("bin")
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    binned
+      .withColumn("ta", sum(col("n_a")).over(w))
+      .withColumn("tb", sum(col("n_b")).over(w))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        round(col("n_a").cast(DoubleType) / col("ta").cast(DoubleType), 6)
+          .as("share_a"),
+        round(col("n_b").cast(DoubleType) / col("tb").cast(DoubleType), 6)
+          .as("share_b"),
+        abs(col("n_a") * col("tb") - col("n_b") * col("ta")).as("tvd_num"))
+      .orderBy("bin")
+  }
+
+  /** DuckDB replay of [[valueDrift]] — same midpoint, bins and integers. */
+  val valueDriftOracleSql: String =
+    """WITH ev AS (
+      |  SELECT
+      |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |      AS BIGINT) AS d,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM events),
+      |mid AS (
+      |  SELECT CAST(MIN(d) + (MAX(d) - MIN(d) + 1) // 2 AS BIGINT) AS mid
+      |  FROM ev),
+      |b AS (
+      |  SELECT CASE WHEN c IS NULL THEN -1
+      |              WHEN c <= 0 THEN 0
+      |              ELSE CAST(length(bin(c)) AS BIGINT) END AS bin,
+      |    d < mid.mid AS is_a
+      |  FROM ev, mid),
+      |g AS (
+      |  SELECT bin,
+      |    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      |  FROM b GROUP BY 1),
+      |t AS (
+      |  SELECT bin, n_a, n_b,
+      |    SUM(n_a) OVER () AS ta, SUM(n_b) OVER () AS tb
+      |  FROM g)
+      |SELECT bin, n_a, n_b,
+      |  ROUND(CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE), 6) AS share_a,
+      |  ROUND(CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE), 6) AS share_b,
+      |  CAST(ABS(n_a * tb - n_b * ta) AS BIGINT) AS tvd_num
+      |FROM t ORDER BY bin""".stripMargin
+
   /** DuckDB replay of [[cohortRetention]] — same integer week derivation. */
   val cohortOracleSql: String =
     """WITH wk AS (

@@ -267,4 +267,38 @@ class BehaviorSpec extends AnyFunSuite {
     val users = Tables.events(spark, sf).select("user_id").distinct().count()
     assert(byCohort.values.map(_.find(_._2 == 0L).get._3).sum === users)
   }
+
+  test("value drift: conservation, exact TVD identity, bins recounted") {
+    val rows = SparkEntry.queries("q_value_drift")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val total = Tables.events(spark, sf).count()
+    val (ta, tb) = (rows.map(_._2).sum, rows.map(_._3).sum)
+    // every event lands in exactly one (bin, cohort) cell
+    assert(ta + tb === total)
+    // both cohorts non-degenerate (midpoint split actually splits)
+    assert(ta > 0 && tb > 0)
+    // the integer numerators ARE the TVD: sum/(2·ta·tb) ∈ [0, 1], and each
+    // numerator must equal |n_a·tb − n_b·ta| recomputed here
+    rows.foreach { case (bin, na, nb, sa, sb, num) =>
+      assert(num === math.abs(na * tb - nb * ta), s"bin $bin numerator")
+      assert(math.abs(sa - na.toDouble / ta) < 1e-6, s"bin $bin share_a")
+      assert(math.abs(sb - nb.toDouble / tb) < 1e-6, s"bin $bin share_b")
+    }
+    val tvd = rows.map(_._6).sum.toDouble / (2.0 * ta * tb)
+    assert(tvd >= 0.0 && tvd <= 1.0, s"TVD $tvd out of range")
+    // bins are the floor-log2 of positive cents: recount one mid bin
+    // independently from the raw table
+    val mid = rows.map(_._1).sorted.apply(rows.length / 2)
+    val lo = 1L << (mid - 1)
+    val hi = (1L << mid) - 1
+    val expected = Tables.events(spark, sf)
+      .select((col("value").cast(org.apache.spark.sql.types
+        .DecimalType(18, 2)) * 100)
+        .cast(org.apache.spark.sql.types.LongType).as("c"))
+      .filter(col("c") >= lo && col("c") <= hi).count()
+    val got = rows.find(_._1 == mid).get
+    assert(got._2 + got._3 === expected, s"bin $mid occupancy")
+  }
 }
