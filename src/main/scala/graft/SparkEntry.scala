@@ -251,6 +251,9 @@ object SparkEntry {
     // REAL multi-batch stateful funnel (mapGroupsWithState greedy triple);
     // gated by the SAME oracle as the batch funnel
     "q_stream_funnel"     -> (graft.streaming.Streaming.streamFunnel _),
+    // streaming drift monitor: daily windows vs broadcast baseline bins,
+    // exact integer drift numerators — continuous form of q_value_drift
+    "q_stream_drift"      -> (graft.streaming.Streaming.streamDrift _),
     // REAL mapGroupsWithState run (per-user running totals, Update mode);
     // cents-in-double arithmetic makes the stateful fold exact → oracle =
     // the batch per-user aggregate
@@ -1465,6 +1468,27 @@ object SparkEntry {
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id AS content_hash FROM events
         |ORDER BY content_hash""".stripMargin,
+    // streaming drift monitor: the identical batch derivation — the
+    // streaming windowed counts must reproduce it through the hash gate
+    "q_stream_drift" ->
+      """WITH ev AS (
+        |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    CASE WHEN c IS NULL THEN -1 WHEN c <= 0 THEN 0
+        |         ELSE CAST(length(bin(c)) AS BIGINT) END AS bin
+        |  FROM (SELECT ts,
+        |          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |        FROM events)),
+        |b AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS bc FROM ev
+        |      GROUP BY 1),
+        |bt AS (SELECT bin, bc, SUM(bc) OVER () AS bt FROM b),
+        |g AS (SELECT day, bin, CAST(COUNT(*) AS BIGINT) AS n FROM ev
+        |      GROUP BY 1, 2),
+        |t AS (SELECT day, bin, n, SUM(n) OVER (PARTITION BY day) AS dt
+        |      FROM g)
+        |SELECT t.day, t.bin, t.n, bt.bc,
+        |  CAST(ABS(t.n * bt.bt - bt.bc * t.dt) AS BIGINT) AS drift_num
+        |FROM t JOIN bt ON t.bin = bt.bin
+        |ORDER BY t.day, t.bin""".stripMargin,
     // the stateless ingest gate: streaming execution must reproduce the
     // batch predicate exactly — the oracle is the curate-chain's first
     // two stage fragments (language argmax + duplicate-bigram fraction)

@@ -190,7 +190,7 @@ object ToolSupport {
     // r8 addition after the 3-char floor: new keys enter pre-floored
     "grouping_sets" -> "gst", "conversion_window" -> "cvw", "equidepth" -> "edh",
     // r9 additions, same discipline: every new key enters at 3 chars
-    "col_profile" -> "cpf", "value_drift" -> "vdf")
+    "col_profile" -> "cpf", "value_drift" -> "vdf", "st_drift" -> "std")
 
   def benchKey(name: String): String =
     benchKeySubs.foldLeft(name.stripPrefix("q_")) {

@@ -694,4 +694,50 @@ object Streaming {
     runToMemory(joined, "graft_stream_range", OutputMode.Append())
       .orderBy("user_id", "click_id", "purchase_ts")
   }
+
+  /** Streaming drift monitor — the continuous form of
+    * [[graft.operators.Behavior.valueDrift]]: each daily tumbling window's
+    * value distribution is binned (the same floor-log₂ exact-DECIMAL-cents
+    * bins, no libm) and joined IN-STREAM against the broadcast
+    * whole-history baseline histogram; each (day, bin) cell reports its
+    * count beside the baseline's and the EXACT integer drift numerator
+    * |n·bt − bc·dt| — the per-cell total-variation contribution a
+    * monitoring job alarms on when a day's ingest distribution walks away
+    * from history.
+    *
+    * Streaming shape: the bin derivation is a stateless narrow projection;
+    * the baseline is a static ≤64-row dimension (stream–static broadcast
+    * join, re-used every micro-batch); the ONLY state is the windowed
+    * count keyed by (day, bin) — days × bins cells, independent of event
+    * volume. The per-day totals and numerators are a post-run projection
+    * over that bounded result table. Oracle: the identical batch
+    * derivation — streaming execution itself passes the hash gate. */
+  def streamDrift(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    def binOf(c: org.apache.spark.sql.Column) =
+      when(c.isNull, lit(-1L)).when(c <= 0L, lit(0L))
+        .otherwise(length(bin(c)).cast(LongType))
+    def cents(c: org.apache.spark.sql.Column) =
+      (c.cast(DecimalType(18, 2)) * 100).cast(LongType)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val base = graft.Tables.events(spark, dir)
+      .select(binOf(cents(col("value"))).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("bc"))
+      .withColumn("bt", sum(col("bc")).over(wAll))
+    val agg = eventsStream(spark, dir)
+      .select(col("ts"), binOf(cents(col("value"))).as("bin"))
+      .join(broadcast(base), Seq("bin"))
+      .groupBy(window(col("ts"), "1 day"), col("bin"))
+      .agg(count(lit(1)).as("n"), first(col("bc")).as("bc"),
+        first(col("bt")).as("bt"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("bin"), col("n"), col("bc"), col("bt"))
+    val res = runToMemory(agg, "graft_stream_drift", OutputMode.Complete())
+    val wDay = org.apache.spark.sql.expressions.Window.partitionBy("day")
+    res.withColumn("dt", sum(col("n")).over(wDay))
+      .select(col("day"), col("bin"), col("n"), col("bc"),
+        abs(col("n") * col("bt") - col("bc") * col("dt")).as("drift_num"))
+      .orderBy("day", "bin")
+  }
 }

@@ -176,6 +176,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.except(expect).isEmpty && expect.except(got).isEmpty)
   }
 
+  test("streaming drift monitor reproduces the batch derivation exactly") {
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val got = Streaming.streamDrift(spark, sf)
+    // batch twin: same bins, same counters, same exact numerators
+    def binOf(c: org.apache.spark.sql.Column) =
+      when(c.isNull, lit(-1L)).when(c <= 0L, lit(0L))
+        .otherwise(length(bin(c)).cast(LongType))
+    val ev = Tables.events(spark, sf)
+      .select(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+        .as("day"),
+        binOf((col("value").cast(DecimalType(18, 2)) * 100).cast(LongType))
+          .as("bin"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val wDay = org.apache.spark.sql.expressions.Window.partitionBy("day")
+    val base = ev.groupBy("bin").agg(count(lit(1)).as("bc"))
+      .withColumn("bt", sum(col("bc")).over(wAll))
+    val expect = ev.groupBy("day", "bin").agg(count(lit(1)).as("n"))
+      .withColumn("dt", sum(col("n")).over(wDay))
+      .join(base, Seq("bin"))
+      .select(col("day"), col("bin"), col("n"), col("bc"),
+        abs(col("n") * col("bt") - col("bc") * col("dt")).as("drift_num"))
+    assert(got.count() > 0)
+    assert(got.except(expect).isEmpty && expect.except(got).isEmpty)
+    // a day matching the baseline mix exactly would zero every cell; the
+    // monitor must actually be measuring something on this data
+    assert(got.filter(col("drift_num") > 0).count() > 0)
+  }
+
   test("stream-stream interval join reproduces the batch range join") {
     val got = Streaming.streamRangeJoin(spark, sf)
     val expect = graft.operators.RangeJoin.query(spark, sf)
