@@ -301,6 +301,8 @@ object SparkEntry {
     "q_stickiness"        -> (Behavior.stickiness _),
     // weight-proportional priority sampling over the corpus
     "q_weighted_sample"   -> ((s, d) => Curation.weightedSample(s, d)),
+    // exact per-stratum top-k-by-hash sample, certified prefilter+fallback
+    "q_stratified"        -> ((s, d) => Curation.stratifiedSample(s, d)),
     // Laplace-smoothed bigram LM fluency scoring (perplexity proxy)
     "q_bigram_lm"         -> (TextAnalysis.bigramScore _),
     // BM25 ranked retrieval with exact quarter-bit integer idf
@@ -1347,6 +1349,9 @@ object SparkEntry {
     "q_stickiness" -> graft.operators.Behavior.stickinessOracleSql,
     // priority sampling: same LCG draw and exact integer div priority
     "q_weighted_sample" -> Curation.weightedSampleOracleSql,
+    // stratified sample: oracle IS the brute-force per-stratum rank —
+    // the hash match proves certified prefilter + fallback ≡ it
+    "q_stratified" -> Curation.stratifiedOracleSql,
     // bigram LM: integer-bits surprisal, no transcendental anywhere
     "q_bigram_lm" -> graft.operators.TextAnalysis.bigramScoreOracleSql,
     // BM25: quarter-bit integer idf, fixed-order per-term fold

@@ -190,7 +190,8 @@ object ToolSupport {
     // r8 addition after the 3-char floor: new keys enter pre-floored
     "grouping_sets" -> "gst", "conversion_window" -> "cvw", "equidepth" -> "edh",
     // r9 additions, same discipline: every new key enters at 3 chars
-    "col_profile" -> "cpf", "value_drift" -> "vdf", "st_drift" -> "std")
+    "col_profile" -> "cpf", "value_drift" -> "vdf", "st_drift" -> "std",
+    "stratified" -> "sfd")
 
   def benchKey(name: String): String =
     benchKeySubs.foldLeft(name.stripPrefix("q_")) {

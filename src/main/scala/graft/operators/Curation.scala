@@ -550,4 +550,82 @@ object Curation {
     rdd.unpersist(blocking = false)
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
   }
+
+  // -- exact stratified sampling ------------------------------------------
+
+  val StratifiedK = 12
+  private val StratM = 1000003L
+
+  /** Exact per-stratum uniform sample: the k documents with the SMALLEST
+    * LCG hash per language — the fixed-allocation stratified draw an eval
+    * or annotation pipeline takes per slice ([[sampleMixture]] re-weights
+    * by rate; this guarantees an exact per-stratum COUNT). Deterministic
+    * (mixKeep LCG family, key-derived — membership independent of
+    * partitioning, layout and scale), tie-broken by doc_id: a total order.
+    *
+    * Scale shape — the same certified-prefilter discipline as
+    * [[GeoJoin.nearestPoi]]: ranking all of a 100 TB stratum to take 12
+    * rows is absurd, so a threshold keeps only hashes with
+    * h·n_g < 8k·M (~8k expected survivors per stratum, n_g from the
+    * bounded per-stratum count dim, all integer arithmetic). Because the
+    * filter keeps a PREFIX of the per-stratum hash order, top-k of the
+    * survivors IS top-k of the stratum whenever ≥ k survive — certified
+    * per stratum by a bounded count; a stratum that certifies short
+    * (tiny, or adversarial hash clustering) falls back to ranking its
+    * full rows. The 'zh' stratum runs with a deliberately 32×-tighter
+    * threshold (expected k/4 survivors) so the fallback branch is
+    * data-exercised — and oracle-gated — at every SF, same plant
+    * discipline as [[graft.operators.DqChecks]]'s FK hole. The window
+    * never sees more than ~8k rows per certified stratum; fallback
+    * strata are by construction the ones the threshold could not bound.
+    *
+    * The oracle states the SEMANTICS — a plain per-stratum rank over all
+    * rows — so the hash match proves prefilter + fallback ≡ brute force,
+    * exactly like q_geo_nearest. */
+  def stratifiedSample(spark: SparkSession, dir: String,
+                       k: Int = StratifiedK): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        pmod(pmod(col("doc_id"), lit(StratM)) * 2654435761L + 13L,
+          lit(StratM)).as("h"))
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_g"))
+    val joined = docs.join(broadcast(counts), "lang")
+    // threshold in truncating integer div (overflow-free at any n_g; a
+    // stratum so large the div floors to 0 simply takes the fallback)
+    val surv = joined.filter(col("h") <
+      when(col("lang") === "zh",
+        expr(s"(${8L * k * StratM}L) div (n_g * 32L)"))
+        .otherwise(expr(s"(${8L * k * StratM}L) div n_g")))
+    val certified = surv.groupBy("lang").agg(count(lit(1)).as("s_g"))
+      .filter(col("s_g") >= k.toLong).select("lang")
+    val okRows = surv.join(broadcast(certified), Seq("lang"), "left_semi")
+      .select("lang", "doc_id", "h")
+    val fbGroups = counts.select("lang")
+      .join(broadcast(certified), Seq("lang"), "left_anti")
+    val fbRows = joined.join(broadcast(fbGroups), Seq("lang"), "left_semi")
+      .select("lang", "doc_id", "h")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("h").asc, col("doc_id").asc)
+    okRows.unionByName(fbRows)
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k.toLong)
+      .select(col("lang"), col("rank"), col("doc_id"), col("h"))
+      .orderBy("lang", "rank")
+  }
+
+  /** DuckDB replay of [[stratifiedSample]] — the brute-force semantics
+    * itself (rank ALL rows per stratum): the hash match proves the
+    * certified prefilter + fallback union equals it. */
+  val stratifiedOracleSql: String =
+    s"""WITH h AS (
+       |  SELECT lang, doc_id,
+       |    ((doc_id % $StratM) * 2654435761 + 13) % $StratM AS h
+       |  FROM documents),
+       |r AS (
+       |  SELECT lang, doc_id, h,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id)
+       |      AS BIGINT) AS rank
+       |  FROM h)
+       |SELECT lang, rank, doc_id, CAST(h AS BIGINT) AS h
+       |FROM r WHERE rank <= $StratifiedK ORDER BY lang, rank""".stripMargin
 }

@@ -255,4 +255,36 @@ class CurationSpec extends AnyFunSuite {
         s"doc $id: n=$n coverage gap")
     }
   }
+
+  test("stratified sample: brute-force recount; fallback branch exercised") {
+    import graft.operators.Curation
+    val k = Curation.StratifiedK
+    val out = SparkEntry.queries("q_stratified")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // brute-force ground truth computed in memory over the raw table
+    val m = 1000003L
+    val all = Tables.documents(spark, sf).select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .map { case (l, id) => (l, id, ((id % m) * 2654435761L + 13L) % m) }
+    val expect = all.groupBy(_._1).toSeq.flatMap { case (l, rows) =>
+      rows.sortBy(r => (r._3, r._2)).take(k).zipWithIndex
+        .map { case ((_, id, h), i) => (l, i + 1L, id, h) }
+    }.toSet
+    assert(out.toSet === expect)
+    // exact allocation: min(k, stratum size) rows per stratum
+    val sizes = all.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    out.groupBy(_._1).foreach { case (l, rows) =>
+      assert(rows.length.toLong === math.min(k.toLong, sizes(l)), s"stratum $l")
+    }
+    // the planted tight threshold must actually force zh down the
+    // fallback path (survivor count below k), while a regular stratum
+    // certifies — both branches data-exercised
+    def survivors(l: String, tight: Boolean): Long = {
+      val n = sizes(l)
+      val t = if (tight) (8L * k * m) / (n * 32L) else (8L * k * m) / n
+      all.count(r => r._1 == l && r._3 < t).toLong
+    }
+    assert(survivors("zh", tight = true) < k, "zh fallback not exercised")
+    assert(survivors("en", tight = false) >= k, "en did not certify")
+  }
 }
