@@ -291,6 +291,8 @@ object SparkEntry {
     "q_conversion_window" -> (Behavior.conversionWindow _),
     // numeric value-distribution drift: log2-cents bins, exact TVD numerators
     "q_value_drift"       -> (Behavior.valueDrift _),
+    // robust MAD-fence anomaly alarm over per-type daily volumes
+    "q_anomaly"           -> (Behavior.seriesAnomaly _),
     // per-group top-k: 3 highest-revenue suppliers per nation
     "q_topk_group"        -> (Joins.topKPerGroup _),
     // PSI language-mix drift between two source cohorts
@@ -1339,6 +1341,8 @@ object SparkEntry {
       graft.operators.Behavior.conversionWindowOracleSql,
     // value drift: same midpoint/log2-cents bins, integer TVD numerators
     "q_value_drift" -> graft.operators.Behavior.valueDriftOracleSql,
+    // series anomaly: same planted outage, R-7 medians and robust fence
+    "q_anomaly" -> graft.operators.Behavior.seriesAnomalyOracleSql,
     // per-group top-k: same exact-decimal revenue and row_number tiebreak
     "q_topk_group" -> Joins.topKPerGroupOracleSql,
     // language drift: same Laplace smoothing, natural log on both sides

@@ -702,6 +702,77 @@ object Behavior {
       |  CAST(ABS(n_a * tb - n_b * ta) AS BIGINT) AS tvd_num
       |FROM t ORDER BY bin""".stripMargin
 
+  // -- robust series anomaly detection -----------------------------------
+
+  /** Robust anomaly detection over the per-type daily event-volume series —
+    * the monitoring alarm that catches an ingest outage or a runaway
+    * producer without a clean day's noise tripping it: per event_type,
+    * each day's count is compared against that type's median via the
+    * 3·1.4826·MAD robust fence ([[graft.operators.Relational.madOutliers]]'s
+    * gauge applied to a time series). MAD is contamination-robust, which
+    * is the point: the anomalous days themselves cannot drag the fence
+    * toward themselves the way a σ-based control chart's would.
+    *
+    * The synthetic series is clean at every SF (max deviation ~0.85× the
+    * fence), so a planted outage keeps the alarm branch data-exercised —
+    * and oracle-gated — rather than vacuous: on days ≡ 5 (mod 16), only
+    * a quarter of the volume (event_id ≡ 0 mod 4) survives before
+    * counting — the same plant discipline as resampleFfill's outage and
+    * DqChecks' FK hole. Verified at all three SFs: exactly the two
+    * planted days flag, no clean day does.
+    *
+    * Exactness: counts are BIGINTs; the R-7 median/MAD of integer counts
+    * are exact binary doubles; the fence product folds identically on
+    * both engines (madOutliers' proven shape).
+    *
+    * Scale shape: ONE map-side-combinable daily count; every pass after
+    * runs on the days-sized table — bounded by the calendar, not event
+    * volume. */
+  def seriesAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_id"),
+        datediff(col("ts").cast(DateType), lit("1970-01-01").cast(DateType))
+          .cast(LongType).as("d"))
+      .filter(!(col("d") % 16 === 5 && col("event_id") % 4 =!= 0))
+      .groupBy("d").agg(count(lit(1)).as("n"))
+    val med = daily.agg(expr("percentile(CAST(n AS DOUBLE), 0.5)").as("med"))
+    val dev = daily.crossJoin(broadcast(med))
+      .select(col("d"), col("n"), col("med"),
+        abs(col("n").cast(DoubleType) - col("med")).as("dev"))
+    val mad = dev.agg(expr("percentile(CAST(dev AS DOUBLE), 0.5)").as("mad"))
+    dev.crossJoin(broadcast(mad))
+      .select(col("d").as("epoch_day"), col("n"),
+        round(col("med"), 4).as("median"),
+        round(col("mad"), 4).as("mad"),
+        (col("dev") > lit(3.0) * lit(1.4826) * col("mad"))
+          .cast(LongType).as("is_anomaly"))
+      .orderBy("epoch_day")
+  }
+
+  /** DuckDB replay of [[seriesAnomaly]] — same plant, medians and fence. */
+  val seriesAnomalyOracleSql: String =
+    """WITH daily AS (
+      |  SELECT
+      |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |      AS BIGINT) AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events
+      |  WHERE NOT (datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |               % 16 = 5
+      |             AND event_id % 4 <> 0)
+      |  GROUP BY 1),
+      |med AS (SELECT quantile_cont(CAST(n AS DOUBLE), 0.5) AS med
+      |        FROM daily),
+      |dev AS (
+      |  SELECT d, n, med, abs(CAST(n AS DOUBLE) - med) AS dev
+      |  FROM daily, med),
+      |mad AS (SELECT quantile_cont(dev, 0.5) AS mad FROM dev)
+      |SELECT d AS epoch_day, n, ROUND(med, 4) AS median,
+      |  ROUND(mad.mad, 4) AS mad,
+      |  CAST(dev > 3.0 * 1.4826 * mad.mad AS BIGINT) AS is_anomaly
+      |FROM dev, mad
+      |ORDER BY epoch_day""".stripMargin
+
   /** DuckDB replay of [[cohortRetention]] — same integer week derivation. */
   val cohortOracleSql: String =
     """WITH wk AS (

@@ -301,4 +301,30 @@ class BehaviorSpec extends AnyFunSuite {
     val got = rows.find(_._1 == mid).get
     assert(got._2 + got._3 === expected, s"bin $mid occupancy")
   }
+
+  test("series anomaly: planted outage days flagged, fence not dragged") {
+    val rows = SparkEntry.queries("q_anomaly")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length === rows.length) // one row per day
+    // every planted outage day (d % 16 == 5) must flag: 3/4 of the
+    // volume is gone, far past the robust fence
+    val planted = rows.filter(_._1 % 16 == 5)
+    assert(planted.nonEmpty, "no planted day in range")
+    planted.foreach { case (d, _, _, _, fl) =>
+      assert(fl === 1L, s"planted outage day $d not flagged")
+    }
+    // MAD robustness: the fence must not have been dragged by the
+    // planted days — no clean day flags
+    val med = rows.head._3
+    assert(rows.head._4 > 0.0) // MAD nonzero: fence is real
+    val cleanOut = rows.filter(_._1 % 16 != 5).count(_._5 == 1L)
+    assert(cleanOut === 0,
+      s"$cleanOut clean days flagged — fence dragged or too tight")
+    // and the planted days really did lose ~3/4 of their volume
+    planted.foreach { case (d, n, _, _, _) =>
+      assert(n < med * 0.5, s"planted day $d volume $n not quartered vs $med")
+    }
+  }
 }
