@@ -88,6 +88,9 @@ object SparkEntry {
     // HLL++ distinct sketch beside the exact count — rows-only (sketches
     // aren't replayable cross-engine); error bound pinned in-engine
     "q_approx_distinct"   -> (Relational.approxDistinct _),
+    // GK quantile sketch beside the exact answer — rows-only, self-gated
+    // inside the exact ±2% rank band (200x the sketch's guarantee)
+    "q_approx_pct"        -> ((s, d) => Relational.percentilesApprox(s, d)),
     // ML module (SURVEY §2.9) — model outputs: rows-only driver check
     "q_ols_forecast"      -> (graft.ml.OlsPipeline.query _),
     "q_ols_metrics"       -> (graft.ml.OlsPipeline.metricsLong _),

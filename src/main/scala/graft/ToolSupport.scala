@@ -191,7 +191,7 @@ object ToolSupport {
     "grouping_sets" -> "gst", "conversion_window" -> "cvw", "equidepth" -> "edh",
     // r9 additions, same discipline: every new key enters at 3 chars
     "col_profile" -> "cpf", "value_drift" -> "vdf", "st_drift" -> "std",
-    "stratified" -> "sfd", "anomaly" -> "ano")
+    "stratified" -> "sfd", "anomaly" -> "ano", "apx_pct" -> "apc")
 
   def benchKey(name: String): String =
     benchKeySubs.foldLeft(name.stripPrefix("q_")) {

@@ -786,17 +786,37 @@ object Relational {
           greatest(col("exact_users") * 0.1, lit(5.0)))
       .orderBy("event_type")
 
-  /** The scale-path variant: same shape, mergeable one-pass sketch. */
+  /** The scale-path variant of [[percentiles]]: the same per-group p50/p95
+    * via `approx_percentile` — Spark's mergeable one-pass GK-style sketch,
+    * the quantile structure the 100 TB path substitutes for the exact R-7
+    * buffer (equiDepthHistogram and percentiles both name it as their
+    * scale escape hatch; this query exercises it beside the exact answer).
+    *
+    * Like the HLL sketch ([[approxDistinct]]), internals aren't
+    * cross-engine replayable, so this is a rows-only driver row
+    * self-gated by `check` columns computed in the SAME scan: at
+    * `accuracy` = 10⁴ the sketch guarantees rank error ≤ n/accuracy, so
+    * each approx quantile must land inside the exact ±2 % rank band —
+    * 200× the guarantee, yet tight enough that a broken sketch (or a
+    * broken exact percentile) fails the hashed check while a correct one
+    * never does. */
   def percentilesApprox(spark: SparkSession, dir: String,
-                        accuracy: Int = 10000): DataFrame =
+                        accuracy: Int = 10000): DataFrame = {
+    def ap(p: String) =
+      expr(s"approx_percentile(CAST(l_extendedprice AS DOUBLE), $p, $accuracy)")
+    def ep(p: String) =
+      expr(s"percentile(CAST(l_extendedprice AS DOUBLE), $p)")
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        expr(s"approx_percentile(CAST(l_extendedprice AS DOUBLE), 0.5, $accuracy)")
-          .as("p50"),
-        expr(s"approx_percentile(CAST(l_extendedprice AS DOUBLE), 0.95, $accuracy)")
-          .as("p95"))
+        round(ap("0.5"), 2).as("p50_approx"),
+        round(ap("0.95"), 2).as("p95_approx"),
+        (ap("0.5") >= ep("0.48D") && ap("0.5") <= ep("0.52D"))
+          .as("check_p50"),
+        (ap("0.95") >= ep("0.93D") && ap("0.95") <= ep("0.97D"))
+          .as("check_p95"))
       .orderBy("l_returnflag")
+  }
 
   /** M14-shaped reshape: wide metric columns → long (metric, value) rows via
     * `stack` (reference `gather` on the training log, 04_1:319). Pure

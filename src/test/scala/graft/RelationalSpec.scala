@@ -68,6 +68,12 @@ class RelationalSpec extends AnyFunSuite {
       assert(math.abs(p95 - exact(k)._2) / exact(k)._2 < 0.01,
         s"$k p95 approx=$p95 exact=${exact(k)._2}")
     }
+    // the registered q_approx_pct self-gate: every check column true —
+    // the driver hashes these, so a broken sketch fails the round
+    SparkEntry.queries("q_approx_pct")(spark, sf01).collect().foreach { r =>
+      assert(r.getAs[Boolean]("check_p50") && r.getAs[Boolean]("check_p95"),
+        s"${r.getString(0)} approx quantile outside its exact rank band")
+    }
   }
 
   test("HLL sketch stays inside its rsd bound vs the exact distinct") {
