@@ -191,7 +191,52 @@ object ToolSupport {
     "grouping_sets" -> "gst", "conversion_window" -> "cvw", "equidepth" -> "edh",
     // r9 additions, same discipline: every new key enters at 3 chars
     "col_profile" -> "cpf", "value_drift" -> "vdf", "st_drift" -> "std",
-    "stratified" -> "sfd", "anomaly" -> "ano", "apx_pct" -> "apc")
+    "stratified" -> "sfd", "anomaly" -> "ano", "apx_pct" -> "apc",
+    // r9 2-char floor: the 161-entry catalog left 5 chars of window
+    // headroom at the 3-char floor, so every 3-char key drops to a
+    // unique 2-char code (left sides are exact post-floor keys — at this
+    // stage every key is <=3 chars, so a 3-char left side can only match
+    // a whole key, never a fragment of another). Banked headroom: ~160
+    // chars (model 1539/1700). New keys enter pre-floored at 2 chars.
+    "pvt" -> "pv", "asu" -> "as", "gmh" -> "gm", "rru" -> "rr",
+    "rup" -> "ru", "csu" -> "cs", "cub" -> "cu", "mnm" -> "mn",
+    "dis" -> "di", "fre" -> "fr", "his" -> "hi", "zsc" -> "zs",
+    "met" -> "me", "cor" -> "co", "rsm" -> "rs", "mav" -> "ma",
+    "fun" -> "fu", "coh" -> "ch", "nap" -> "na", "cdu" -> "cd",
+    "b2n" -> "b2", "sel" -> "se", "scs" -> "sc", "dtf" -> "dt",
+    "okp" -> "ok", "nnf" -> "nn", "nad" -> "nd", "nsp" -> "ns",
+    "lsl" -> "ls", "rid" -> "ri", "sex" -> "sx", "dtp" -> "dp",
+    "edj" -> "ed", "ljn" -> "lj", "uni" -> "un", "ntl" -> "nt",
+    "top" -> "to", "rar" -> "ra", "mel" -> "ml", "pct" -> "pc",
+    "ptd" -> "pt", "gst" -> "gs", "mad" -> "md", "edh" -> "eh",
+    "apx" -> "ap", "apc" -> "ac", "olf" -> "ol", "osm" -> "os",
+    "fmx" -> "fm", "rfi" -> "rf", "gbt" -> "gb", "cvt" -> "cv",
+    "ex_" -> "ex", "mh_" -> "mh", "sh_" -> "sh", "ngj" -> "ng",
+    "dds" -> "dd", "ssi" -> "ss", "idd" -> "id", "bld" -> "bl",
+    "lid" -> "li", "qua" -> "qu", "tok" -> "tk", "tfi" -> "tf",
+    "iid" -> "ii", "voc" -> "vo", "red" -> "re", "smi" -> "sm",
+    "dca" -> "dc", "tmi" -> "tm", "spk" -> "sp", "chw" -> "cw",
+    "dco" -> "do", "rep" -> "rp", "cuc" -> "cc", "shm" -> "hm",
+    "snp" -> "sn", "tri" -> "tr", "mgu" -> "mg", "scd" -> "sd",
+    "cpf" -> "cp", "iag" -> "ia", "cop" -> "op", "win" -> "wi",
+    "cas" -> "ca", "zor" -> "zo", "bpe" -> "bp", "lag" -> "la",
+    "atk" -> "at", "als" -> "al", "aiv" -> "ai", "emb" -> "em",
+    "esv" -> "es", "mme" -> "mm", "img" -> "im", "aud" -> "au",
+    "vid" -> "vi", "gct" -> "gc", "csv" -> "sv", "jlr" -> "jl",
+    "orc" -> "or", "ckp" -> "ck", "bkt" -> "bk", "skj" -> "sk",
+    "asf" -> "af", "afk" -> "ak", "rng" -> "rn", "mdr" -> "mr",
+    "wtm" -> "wt", "wsl" -> "ws", "wse" -> "we", "stb" -> "st",
+    "ssl" -> "sl", "sss" -> "s0", "sts" -> "ts", "ste" -> "te",
+    "str" -> "sr", "ssk" -> "s1", "st_" -> "s_", "stc" -> "tc",
+    "stf" -> "sf", "std" -> "td", "stt" -> "tt", "gjn" -> "gj",
+    "cbn" -> "cb", "smj" -> "sj", "atj" -> "aj", "sps" -> "ps",
+    "sop" -> "so", "nsj" -> "nj", "lor" -> "lo", "att" -> "a0",
+    "rnk" -> "rk", "stk" -> "s2", "mkv" -> "mk", "chi" -> "ci",
+    "twa" -> "tw", "cvw" -> "vw", "vdf" -> "vd", "ano" -> "an",
+    "tkg" -> "tg", "ldf" -> "ld", "con" -> "cn", "sky" -> "sy",
+    "wsm" -> "wm", "sfd" -> "fd", "blm" -> "bm", "bm2" -> "m2",
+    "gnn" -> "gn", "cal" -> "cl", "fou" -> "fo", "ols" -> "o0",
+    "enr" -> "en", "e2e" -> "e2", "jex" -> "je", "lnd" -> "ln")
 
   def benchKey(name: String): String =
     benchKeySubs.foldLeft(name.stripPrefix("q_")) {

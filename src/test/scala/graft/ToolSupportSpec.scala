@@ -43,11 +43,11 @@ class ToolSupportSpec extends AnyFunSuite {
     val keys = names.map(ToolSupport.benchKey)
     assert(keys.distinct.size === keys.size,
       "benchKey collision: two catalog queries map to one wire key")
-    assert(ToolSupport.benchKey("q_stream_sessions_multi") === "sts")
-    assert(ToolSupport.benchKey("q_csv_roundtrip") === "csv")
-    assert(ToolSupport.benchKey("q_agg_sum") === "asu")
+    assert(ToolSupport.benchKey("q_stream_sessions_multi") === "ts")
+    assert(ToolSupport.benchKey("q_csv_roundtrip") === "sv")
+    assert(ToolSupport.benchKey("q_agg_sum") === "as")
     // dev-mode repeat suffixes pass through (the base key still folds)
-    assert(ToolSupport.benchKey("q_topk#2") === "top#2")
+    assert(ToolSupport.benchKey("q_topk#2") === "to#2")
   }
 
   test("bench JSON line keeps >=15% of the 2000-char window free at 95 entries") {
