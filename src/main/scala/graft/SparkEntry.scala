@@ -106,6 +106,9 @@ object SparkEntry {
     "q_minhash_neardup"   -> ((s, d) => Dedup.minhashNearDup(s, d)),
     "q_simhash_neardup"   -> ((s, d) => Dedup.simhashNearDup(s, d)),
     "q_ngram_jaccard"     -> (Dedup.ngramJaccard _),
+    // EXACT Jaccard>=9/10 self-join via prefix filtering (no sketch),
+    // rolled up per doc (partner count + best match) for linear output
+    "q_sim_join"          -> (Dedup.prefixSimJoin _),
     "q_dedup_survivors"   -> (Dedup.dedupSurvivors _),
     // per-source signatures via the native mergeable minhash_agg
     // aggregate → pairwise slot-agreement Jaccard estimates
@@ -312,6 +315,8 @@ object SparkEntry {
     "q_bigram_lm"         -> (TextAnalysis.bigramScore _),
     // BM25 ranked retrieval with exact quarter-bit integer idf
     "q_bm25"              -> (TextAnalysis.bm25 _),
+    // retrieval eval harness: P@5 / recall@10 / MRR vs independent labels
+    "q_retrieval_eval"    -> (TextAnalysis.retrievalEval _),
     // grid-bucketed nearest-POI join with certified-radius fallback
     "q_geo_nearest"       -> (GeoJoin.nearestPoi _),
     // decile calibration-reliability curve on the OLS test split
@@ -1117,6 +1122,8 @@ object SparkEntry {
         |  WHERE doc_id % 7 = 0)
         |SELECT md5(text) AS h, COUNT(*) AS cnt, MIN(doc_id) AS keep_id
         |FROM corpus GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1""".stripMargin,
+    // prefix-filter similarity join: same global order, bound and verify
+    "q_sim_join" -> graft.operators.Dedup.prefixSimJoinOracleSql,
     "q_ngram_jaccard" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
@@ -1363,6 +1370,9 @@ object SparkEntry {
     "q_bigram_lm" -> graft.operators.TextAnalysis.bigramScoreOracleSql,
     // BM25: quarter-bit integer idf, fixed-order per-term fold
     "q_bm25" -> graft.operators.TextAnalysis.bm25OracleSql,
+    // retrieval eval: same labels, rank order and integer-ratio metrics
+    "q_retrieval_eval" ->
+      graft.operators.TextAnalysis.retrievalEvalOracleSql,
     // percentile_disc: oracle states the ANSI cume_dist definition
     "q_percentile_disc" -> Relational.percentileDiscOracleSql,
     // grouping sets: native GROUPING SETS with GROUPING() flags

@@ -236,7 +236,9 @@ object ToolSupport {
     "tkg" -> "tg", "ldf" -> "ld", "con" -> "cn", "sky" -> "sy",
     "wsm" -> "wm", "sfd" -> "fd", "blm" -> "bm", "bm2" -> "m2",
     "gnn" -> "gn", "cal" -> "cl", "fou" -> "fo", "ols" -> "o0",
-    "enr" -> "en", "e2e" -> "e2", "jex" -> "je", "lnd" -> "ln")
+    "enr" -> "en", "e2e" -> "e2", "jex" -> "je", "lnd" -> "ln",
+    // r9 additions after the 2-char floor: new keys enter pre-floored
+    "sim_jn" -> "pj", "retrieval_eval" -> "rv")
 
   def benchKey(name: String): String =
     benchKeySubs.foldLeft(name.stripPrefix("q_")) {

@@ -527,4 +527,132 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
       .orderBy("a", "b")
+
+  // -- exact similarity join via prefix filtering -------------------------
+
+  /** EXACT Jaccard-threshold similarity self-join by prefix filtering
+    * (the AllPairs/PPJoin family, Chaudhuri/Bayardo) — the deterministic
+    * complement of [[minhashNearDup]]: no sketch, no recall loss, every
+    * token-set pair with J ≥ 9/10 is found. Each doc's DISTINCT tokens
+    * sort under one global total order — ascending document frequency
+    * then token, materialized as the sortable string `%08d|token` so
+    * both engines order identically with no rank table (and no 1-task
+    * global row_number) — and only the first s − ceil(τ·s) + 1 tokens
+    * (its PREFIX, the doc's rarest) generate candidates: if J(A,B) ≥ τ
+    * the prefixes must share a token, so joining prefix-to-prefix loses
+    * nothing. τ = 9/10 keeps every bound in exact integer arithmetic
+    * (ceil(9s/10) = (9s+9) div 10; J ≥ 9/10 ⟺ 10·|A∩B| ≥ 9·|A∪B|).
+    *
+    * Output is the per-doc summary — partner count and the best match by
+    * (jaccard, then smallest partner id) over the UNDIRECTED pair set —
+    * so the result stays LINEAR in the corpus even on this deliberately
+    * self-similar synthetic corpus (the raw τ=9/10 pair set is already
+    * ~14k pairs at sf0.01 and grows quadratically; a pair dump is the
+    * wrong contract for a catalog query).
+    *
+    * Scale shape: candidate fan-out is governed by PREFIX token
+    * frequency — by construction each doc's rarest tokens, the opposite
+    * tail from the hot-token blow-up a naive token join hits; the verify
+    * step is one narrow array_intersect per surviving pair. The
+    * brute-force-equivalence proof lives in DedupSpec (every sf0.001
+    * corpus pair recounted in memory); the oracle replays the same
+    * algorithm in DuckDB. */
+  def prefixSimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val toks = corpus(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(
+        split(regexp_replace(lower(col("text")), "\\s+", " "), " ")))
+        .as("t"))
+      .filter(length(col("t")) > 0)
+    val dfreq = toks.groupBy("t").agg(count(lit(1)).as("df"))
+    val keyed = toks.join(dfreq, "t")
+      .select(col("doc_id"), format_string("%08d|%s", col("df"), col("t"))
+        .as("k"))
+    val arr = keyed.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("k"))).as("ks"))
+      .withColumn("s", size(col("ks")).cast(LongType))
+    // prefix length s − ceil(9s/10) + 1, all integer (div, not fp)
+    val pre = arr.select(col("doc_id"),
+      explode(expr("slice(ks, 1, int(s - (9*s + 9) div 10 + 1))")).as("k"))
+    val cand = pre.as("x").join(pre.as("y"),
+        col("x.k") === col("y.k") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val av = arr.select(col("doc_id").as("a"), col("ks").as("ka"),
+      col("s").as("sa"))
+    val bv = arr.select(col("doc_id").as("b"), col("ks").as("kb"),
+      col("s").as("sb"))
+    val pairs = cand.join(av, "a").join(bv, "b")
+      .withColumn("inter",
+        size(array_intersect(col("ka"), col("kb"))).cast(LongType))
+      .withColumn("uni", col("sa") + col("sb") - col("inter"))
+      .filter(col("inter") * 10L >= col("uni") * 9L)
+      .select(col("a"), col("b"),
+        round(col("inter").cast(DoubleType) / col("uni").cast(DoubleType), 6)
+          .as("jac"))
+    // undirected per-doc rollup: count + argmax by (jac, smallest id)
+    pairs.select(col("a").as("doc_id"), col("b").as("p"), col("jac"))
+      .unionByName(pairs.select(col("b").as("doc_id"), col("a").as("p"),
+        col("jac")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_partners"),
+        max(struct(col("jac"), (-col("p")).as("np"))).as("best"))
+      .select(col("doc_id"), col("n_partners"),
+        (-col("best.np")).as("best_partner"),
+        col("best.jac").as("best_jaccard"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of [[prefixSimJoin]] — same corpus plants, global
+    * order, prefix bound, integer verify and per-doc rollup. */
+  val prefixSimJoinOracleSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text || ' qq zz' FROM documents
+      |  WHERE doc_id % 7 = 0),
+      |tok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(
+      |    regexp_replace(lower(text), '\s+', ' ', 'g'), ' '))) AS t
+      |  FROM base),
+      |tok2 AS (SELECT doc_id, t FROM tok WHERE len(t) > 0),
+      |dfreq AS (SELECT t, COUNT(*) AS df FROM tok2 GROUP BY 1),
+      |keyed AS (
+      |  SELECT doc_id, printf('%08d|%s', CAST(df AS INT), t) AS k
+      |  FROM tok2 JOIN dfreq USING (t)),
+      |arr AS (
+      |  SELECT doc_id, list_sort(list(k)) AS ks,
+      |    CAST(len(list(k)) AS BIGINT) AS s
+      |  FROM keyed GROUP BY 1),
+      |pre AS (
+      |  SELECT doc_id,
+      |    unnest(ks[1 : CAST(s - (9*s + 9)//10 + 1 AS INT)]) AS k
+      |  FROM arr),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM pre x JOIN pre y ON x.k = y.k AND x.doc_id < y.doc_id),
+      |v AS (
+      |  SELECT a, b,
+      |    CAST(len(list_intersect(aa.ks, bb.ks)) AS BIGINT) AS inter,
+      |    aa.s + bb.s AS ss
+      |  FROM cand JOIN arr aa ON cand.a = aa.doc_id
+      |            JOIN arr bb ON cand.b = bb.doc_id),
+      |pairs AS (
+      |  SELECT a, b,
+      |    ROUND(CAST(inter AS DOUBLE) / CAST(ss - inter AS DOUBLE), 6)
+      |      AS jac
+      |  FROM v WHERE inter * 10 >= (ss - inter) * 9),
+      |sym AS (
+      |  SELECT a AS doc_id, b AS p, jac FROM pairs
+      |  UNION ALL SELECT b, a, jac FROM pairs),
+      |r AS (
+      |  SELECT doc_id, p, jac,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                       ORDER BY jac DESC, p ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY doc_id) AS n_partners
+      |  FROM sym)
+      |SELECT doc_id, CAST(n_partners AS BIGINT) AS n_partners,
+      |  p AS best_partner, jac AS best_jaccard
+      |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
 }

@@ -653,4 +653,108 @@ object TextAnalysis {
       .groupBy("pair").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair").asc)
       .limit(k)
+
+  // -- retrieval evaluation ----------------------------------------------
+
+  /** Fixed single-term query set for the retrieval-eval harness: mixed
+    * document frequencies from the corpus vocabulary. */
+  val EvalTerms: Seq[String] =
+    Seq("dup", "join", "merge", "scan", "spark", "window")
+
+  /** Retrieval-quality evaluation — the harness every retrieval stack
+    * runs beside its index ([[bm25]] ranks; this scores rankings):
+    * per query term, the tf-ranked top-10 is judged against an
+    * INDEPENDENT deterministic relevance label — the term appears within
+    * the document's first 10 tokens (a title/lead proxy, so labels and
+    * ranking disagree in both directions and neither metric is
+    * vacuously 1) — and reports hit counts plus precision@5, recall@10
+    * and MRR@10.
+    *
+    * Exactness: hits/n_rel are BIGINT counters; each metric is ONE IEEE
+    * division of two exact integers, rounded at 6 dp — no libm, no
+    * order-dependent folds. MRR here is per-query reciprocal rank (the
+    * mean over queries is the caller's one further division).
+    *
+    * Scale shape: per-doc term stats are narrow HOFs (size(filter),
+    * array_position — no posexplode blow-up); the per-term rank window
+    * partitions by term over that term's postings, fine at eval corpus
+    * sizes — a web-scale index reuses [[invertedIndex]]'s two-stage
+    * per-partition heads to bound it. */
+  def retrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    val nt = regexp_replace(lower(col("text")), "\\s+", " ")
+    val per = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(nt, " ").as("ts"))
+      .select(col("doc_id"), col("ts"),
+        explode(array(EvalTerms.map(lit): _*)).as("t"))
+      .select(col("doc_id"), col("t"),
+        expr("size(filter(ts, x -> x = t))").cast(LongType).as("tf"),
+        expr("array_position(ts, t)").cast(LongType).as("fp"))
+      .filter(col("tf") > 0L)
+      .withColumn("rel",
+        (col("fp") >= 1L && col("fp") <= 10L).cast(LongType))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("t").orderBy(col("tf").desc, col("doc_id").asc)
+    per.withColumn("rank", row_number().over(w).cast(LongType))
+      .groupBy("t")
+      .agg(sum(col("rel")).as("n_rel"),
+        sum(when(col("rank") <= 5L && col("rel") === 1L, 1L).otherwise(0L))
+          .as("hits_at5"),
+        sum(when(col("rank") <= 10L && col("rel") === 1L, 1L).otherwise(0L))
+          .as("hits_at10"),
+        min(when(col("rank") <= 10L && col("rel") === 1L, col("rank")))
+          .as("fr"))
+      .select(col("t").as("term"), col("n_rel"), col("hits_at5"),
+        col("hits_at10"),
+        round(col("hits_at5").cast(DoubleType) / 5.0, 6).as("p_at5"),
+        when(col("n_rel") > 0L,
+          round(col("hits_at10").cast(DoubleType) /
+            col("n_rel").cast(DoubleType), 6)).otherwise(0.0)
+          .as("recall_at10"),
+        when(col("fr").isNotNull, round(lit(1.0) / col("fr"), 6))
+          .otherwise(0.0).as("mrr_at10"))
+      .orderBy("term")
+  }
+
+  /** DuckDB replay of [[retrievalEval]] — same labels, rank order and
+    * integer-ratio metrics. */
+  val retrievalEvalOracleSql: String = {
+    val terms = EvalTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')
+       |      AS ts
+       |  FROM documents),
+       |per AS (
+       |  SELECT doc_id, t,
+       |    CAST(len(list_filter(ts, x -> x = t)) AS BIGINT) AS tf,
+       |    CAST(list_position(ts, t) AS BIGINT) AS fp
+       |  FROM docs, (SELECT unnest([$terms]) AS t)
+       |  WHERE len(list_filter(ts, x -> x = t)) > 0),
+       |lab AS (
+       |  SELECT doc_id, t, tf,
+       |    CASE WHEN fp >= 1 AND fp <= 10 THEN 1 ELSE 0 END AS rel
+       |  FROM per),
+       |rk AS (
+       |  SELECT t, doc_id, tf, rel,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY t
+       |                            ORDER BY tf DESC, doc_id ASC)
+       |      AS BIGINT) AS rank
+       |  FROM lab),
+       |agg AS (
+       |  SELECT t, CAST(SUM(rel) AS BIGINT) AS n_rel,
+       |    CAST(SUM(CASE WHEN rank <= 5 AND rel = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS hits_at5,
+       |    CAST(SUM(CASE WHEN rank <= 10 AND rel = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS hits_at10,
+       |    MIN(CASE WHEN rank <= 10 AND rel = 1 THEN rank END) AS fr
+       |  FROM rk GROUP BY 1)
+       |SELECT t AS term, n_rel, hits_at5, hits_at10,
+       |  ROUND(CAST(hits_at5 AS DOUBLE) / 5.0, 6) AS p_at5,
+       |  CASE WHEN n_rel > 0
+       |    THEN ROUND(CAST(hits_at10 AS DOUBLE) / CAST(n_rel AS DOUBLE), 6)
+       |    ELSE 0.0 END AS recall_at10,
+       |  CASE WHEN fr IS NOT NULL THEN ROUND(1.0 / fr, 6) ELSE 0.0 END
+       |    AS mrr_at10
+       |FROM agg ORDER BY term""".stripMargin
+  }
 }

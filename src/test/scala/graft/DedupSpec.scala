@@ -231,4 +231,42 @@ class DedupSpec extends AnyFunSuite {
         l.contains("ShuffledHashJoin"))
     assert(joins === 1, s"expected 1 join (maybe-branch only), got $joins")
   }
+
+  test("prefix-filter similarity join equals brute force over all pairs") {
+    import graft.operators.Dedup
+    val got = Dedup.prefixSimJoin(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // brute force: every corpus pair's exact token-set Jaccard, in
+    // memory, then the same undirected per-doc rollup
+    val sets = Dedup.corpus(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSet)
+      .sortBy(_._1)
+    val sym = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    for (i <- sets.indices; j <- i + 1 until sets.length) {
+      val (a, sa) = sets(i); val (b, sb) = sets(j)
+      val inter = sa.intersect(sb).size.toLong
+      val uni = sa.size.toLong + sb.size.toLong - inter
+      if (inter * 10 >= uni * 9) {
+        val jac = BigDecimal(inter.toDouble / uni)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        sym += ((a, b, jac)); sym += ((b, a, jac))
+      }
+    }
+    val expect = sym.groupBy(_._1).map { case (d, ps) =>
+      val best = ps.map(p => (p._3, -p._2)).max // (jac desc, id asc)
+      d -> (ps.length.toLong, -best._2, best._1)
+    }
+    assert(got.keySet === expect.keySet,
+      s"doc sets differ: missing=${(expect.keySet -- got.keySet).take(3)} " +
+        s"extra=${(got.keySet -- expect.keySet).take(3)}")
+    got.foreach { case (d, (n1, b1, j1)) =>
+      val (n2, b2, j2) = expect(d)
+      assert(n1 === n2 && b1 === b2 && math.abs(j1 - j2) < 1e-6, s"doc $d")
+    }
+    // the planted pairs guarantee true positives at both jaccard levels
+    assert(got.values.exists(_._3 == 1.0))
+    assert(got.values.exists(v => v._3 < 1.0))
+  }
 }

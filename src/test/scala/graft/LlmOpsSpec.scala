@@ -562,4 +562,42 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(cumCnt === cum(rank - 1), s"cum mismatch at rank $rank")
     }
   }
+
+  test("retrieval eval: metrics match an in-memory judge; non-degenerate") {
+    import graft.operators.TextAnalysis
+    val rows = SparkEntry.queries("q_retrieval_eval")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(rows.keySet === TextAnalysis.EvalTerms.toSet)
+    // independent judge: rank by tf (ties doc_id), label = term within the
+    // first 10 tokens, recompute all three metrics per term
+    val docs = Tables.documents(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("text").toLowerCase.replaceAll("\\s+", " ")
+          .split(" ").toSeq))
+    TextAnalysis.EvalTerms.foreach { t =>
+      val per = docs.map { case (id, ts) =>
+        (id, ts.count(_ == t), ts.take(10).contains(t))
+      }.filter(_._2 > 0)
+      val ranked = per.sortBy { case (id, tf, _) => (-tf, id) }.zipWithIndex
+        .map { case ((id, tf, rel), i) => (id, tf, rel, i + 1) }
+      val nRel = per.count(_._3).toLong
+      val h5 = ranked.count(r => r._4 <= 5 && r._3).toLong
+      val h10 = ranked.count(r => r._4 <= 10 && r._3).toLong
+      val fr = ranked.filter(r => r._4 <= 10 && r._3).map(_._4)
+        .minOption
+      val (gN, g5, g10, gp5, grec, gmrr) = rows(t)
+      assert(gN === nRel && g5 === h5 && g10 === h10, s"$t counters")
+      assert(math.abs(gp5 - h5 / 5.0) < 1e-6, s"$t p@5")
+      val rec = if (nRel > 0) h10.toDouble / nRel else 0.0
+      assert(math.abs(grec - rec) < 1e-6, s"$t recall@10")
+      val mrr = fr.map(1.0 / _).getOrElse(0.0)
+      assert(math.abs(gmrr - mrr) < 1e-6, s"$t mrr@10")
+    }
+    // the label must be a real signal: some relevant docs, and at least
+    // one term where the ranking misses relevant docs (metrics not all 1)
+    assert(rows.values.exists(_._1 > 0))
+    assert(rows.values.exists(v => v._5 > 0.0 && v._5 < 1.0) ||
+      rows.values.exists(v => v._4 > 0.0 && v._4 < 1.0))
+  }
 }
