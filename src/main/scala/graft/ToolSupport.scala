@@ -238,7 +238,10 @@ object ToolSupport {
     "gnn" -> "gn", "cal" -> "cl", "fou" -> "fo", "ols" -> "o0",
     "enr" -> "en", "e2e" -> "e2", "jex" -> "je", "lnd" -> "ln",
     // r9 additions after the 2-char floor: new keys enter pre-floored
-    "sim_jn" -> "pj", "retrieval_eval" -> "rv")
+    "sim_jn" -> "pj",
+    // ("triangles"->"tri"->"tr" has already turned retrieval_eval into
+    // retreval_eval by this point — the left side is the folded form)
+    "retreval_eval" -> "rv")
 
   def benchKey(name: String): String =
     benchKeySubs.foldLeft(name.stripPrefix("q_")) {

