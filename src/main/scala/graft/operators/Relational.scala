@@ -804,17 +804,21 @@ object Relational {
                         accuracy: Int = 10000): DataFrame = {
     def ap(p: String) =
       expr(s"approx_percentile(CAST(l_extendedprice AS DOUBLE), $p, $accuracy)")
-    def ep(p: String) =
-      expr(s"percentile(CAST(l_extendedprice AS DOUBLE), $p)")
+    // all four exact band edges from ONE percentile buffer (the
+    // equiDepthHistogram trick), not four separate aggregates
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        round(ap("0.5"), 2).as("p50_approx"),
-        round(ap("0.95"), 2).as("p95_approx"),
-        (ap("0.5") >= ep("0.48D") && ap("0.5") <= ep("0.52D"))
-          .as("check_p50"),
-        (ap("0.95") >= ep("0.93D") && ap("0.95") <= ep("0.97D"))
-          .as("check_p95"))
+        ap("0.5").as("a50"), ap("0.95").as("a95"),
+        expr("percentile(CAST(l_extendedprice AS DOUBLE), " +
+          "array(0.48D, 0.52D, 0.93D, 0.97D))").as("bands"))
+      .select(col("l_returnflag"),
+        round(col("a50"), 2).as("p50_approx"),
+        round(col("a95"), 2).as("p95_approx"),
+        (col("a50") >= element_at(col("bands"), 1) &&
+          col("a50") <= element_at(col("bands"), 2)).as("check_p50"),
+        (col("a95") >= element_at(col("bands"), 3) &&
+          col("a95") <= element_at(col("bands"), 4)).as("check_p95"))
       .orderBy("l_returnflag")
   }
 
