@@ -299,6 +299,8 @@ object SparkEntry {
     "q_value_drift"       -> (Behavior.valueDrift _),
     // robust MAD-fence anomaly alarm over per-type daily volumes
     "q_anomaly"           -> (Behavior.seriesAnomaly _),
+    // skyline (Pareto frontier): bucketed dominance prune == brute force
+    "q_skyline"           -> (Skyline.query _),
     // per-group top-k: 3 highest-revenue suppliers per nation
     "q_topk_group"        -> (Joins.topKPerGroup _),
     // PSI language-mix drift between two source cohorts
@@ -1353,6 +1355,8 @@ object SparkEntry {
     "q_value_drift" -> graft.operators.Behavior.valueDriftOracleSql,
     // series anomaly: same planted outage, R-7 medians and robust fence
     "q_anomaly" -> graft.operators.Behavior.seriesAnomalyOracleSql,
+    // skyline: oracle IS the NOT EXISTS dominance definition
+    "q_skyline" -> graft.operators.Skyline.oracleSql,
     // per-group top-k: same exact-decimal revenue and row_number tiebreak
     "q_topk_group" -> Joins.topKPerGroupOracleSql,
     // language drift: same Laplace smoothing, natural log on both sides

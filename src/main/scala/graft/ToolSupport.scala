@@ -241,7 +241,7 @@ object ToolSupport {
     "sim_jn" -> "pj",
     // ("triangles"->"tri"->"tr" has already turned retrieval_eval into
     // retreval_eval by this point — the left side is the folded form)
-    "retreval_eval" -> "rv")
+    "retreval_eval" -> "rv", "skyline" -> "ky")
 
   def benchKey(name: String): String =
     benchKeySubs.foldLeft(name.stripPrefix("q_")) {
