@@ -460,4 +460,45 @@ class PlanSpec extends AnyFunSuite {
     val p = f.train.queryExecution.explainString(FormattedMode)
     assert(p.contains("InMemoryTableScan") || scanCount(f.train) <= 1, p)
   }
+
+  test("r9 batch: no cartesian products anywhere; retrieval eval is joinless") {
+    // prefix sim join, stratified sample and skyline all generate
+    // candidates via equi joins / broadcast bounded dims — a cartesian
+    // here is the 100 TB killer the prefix/threshold/bucket machinery
+    // exists to avoid (the 1-row broadcast range/stat dims plan as
+    // BroadcastNestedLoopJoin, which is fine: one row crossed in memory)
+    Seq("q_sim_join", "q_stratified", "q_skyline", "q_value_drift",
+      "q_anomaly").foreach { q =>
+      val p = plan(q)
+      assert(nodeCount(p, "CartesianProduct") === 0, s"$q:\n${p.take(1500)}")
+    }
+    // retrieval eval is one scan + literal-array explode + window + agg:
+    // any join would mean the term dimension stopped being a literal
+    val p = plan("q_retrieval_eval")
+    assert(nodeCount(p, ".*Join") === 0, p.take(1500))
+  }
+
+  test("col profile is ONE parquet scan (Expand, not re-scans)") {
+    // 6 exact count-distincts + min/max/null counters must share a
+    // single orders scan via Expand — per-column re-scans would turn the
+    // profile into 6 passes over a 100 TB table (the details-header
+    // count, not scanCount: FormattedMode prints tree + details)
+    val p = plan("q_col_profile")
+    assert(nodeCount(p, "Scan parquet") === 1, p.take(1500))
+    assert(nodeCount(p, "Expand") >= 1, p.take(1500))
+  }
+
+  test("stratified sample: dims broadcast; rank limit pushed to heads") {
+    val p = plan("q_stratified")
+    // the per-stratum count/certification dims join by broadcast —
+    // shuffling the corpus against a 5-row dim would be backwards
+    assert(nodeCount(p, "BroadcastHashJoin") >= 2, p.take(1500))
+    // exactly one rank window (WindowGroupLimit nodes are its pushed
+    // per-partition heads — Spark's own two-stage top-k, worth pinning:
+    // the full window never materializes more than k rows per stratum
+    // beyond the heads pass)
+    val limits = nodeCount(p, "WindowGroupLimit")
+    assert(nodeCount(p, "Window.*") - limits === 1, p.take(1500))
+    assert(limits >= 1, p.take(1500))
+  }
 }
