@@ -109,6 +109,8 @@ object SparkEntry {
     // EXACT Jaccard>=9/10 self-join via prefix filtering (no sketch),
     // rolled up per doc (partner count + best match) for linear output
     "q_sim_join"          -> (Dedup.prefixSimJoin _),
+    // minhash estimate vs exact jaccard on the planted ground truth
+    "q_mh_accuracy"       -> (Dedup.minhashAccuracy _),
     "q_dedup_survivors"   -> (Dedup.dedupSurvivors _),
     // per-source signatures via the native mergeable minhash_agg
     // aggregate → pairwise slot-agreement Jaccard estimates
@@ -2579,6 +2581,36 @@ object SparkEntry {
       s"""WITH $minhashPrefix
          |SELECT a, b, jaccard FROM verified WHERE jaccard >= 0.5
          |ORDER BY a, b""".stripMargin,
+    // sketch accuracy: the same replayed signatures, planted pair set,
+    // slot-match estimate vs exact shingle jaccard (unused CTEs are free)
+    "q_mh_accuracy" ->
+      s"""WITH $minhashPrefix
+         |SELECT o.doc_id AS a, n.doc_id AS b,
+         |  CAST(len(list_filter(list_transform(range(1, ${
+           graft.operators.Dedup.NumHashes + 1}),
+         |    i -> o.mh[i] = n.mh[i]), z -> z)) AS BIGINT) AS est_matches,
+         |  ROUND(CAST(len(list_filter(list_transform(range(1, ${
+           graft.operators.Dedup.NumHashes + 1}),
+         |    i -> o.mh[i] = n.mh[i]), z -> z)) AS DOUBLE) / ${
+           graft.operators.Dedup.NumHashes}.0, 6) AS est_jaccard,
+         |  ROUND(CAST(len(list_intersect(so.shingles, sn.shingles))
+         |      AS DOUBLE) /
+         |    len(list_distinct(list_concat(so.shingles, sn.shingles))), 6)
+         |    AS exact_jaccard,
+         |  ROUND(ABS(
+         |    CAST(len(list_filter(list_transform(range(1, ${
+           graft.operators.Dedup.NumHashes + 1}),
+         |      i -> o.mh[i] = n.mh[i]), z -> z)) AS DOUBLE) / ${
+           graft.operators.Dedup.NumHashes}.0 -
+         |    CAST(len(list_intersect(so.shingles, sn.shingles)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(so.shingles, sn.shingles)))),
+         |    6) AS abs_err
+         |FROM mh o
+         |JOIN mh n ON n.doc_id = o.doc_id + 2000000
+         |JOIN sh so ON so.doc_id = o.doc_id
+         |JOIN sh sn ON sn.doc_id = n.doc_id
+         |WHERE o.doc_id < 1000000 AND o.doc_id % 7 = 0
+         |ORDER BY a""".stripMargin,
     // survivor selection: connected components over the SAME replayed
     // LSH pair set; the oracle computes the transitive closure with a
     // recursive CTE — equal results prove the pointer-jumping fixpoint

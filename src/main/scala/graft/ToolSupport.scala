@@ -241,7 +241,9 @@ object ToolSupport {
     "sim_jn" -> "pj",
     // ("triangles"->"tri"->"tr" has already turned retrieval_eval into
     // retreval_eval by this point — the left side is the folded form)
-    "retreval_eval" -> "rv", "skyline" -> "ky")
+    "retreval_eval" -> "rv", "skyline" -> "ky",
+    // ("mh_"->"mh" has already turned mh_accuracy into mhaccuracy)
+    "mhaccuracy" -> "m1")
 
   def benchKey(name: String): String =
     benchKeySubs.foldLeft(name.stripPrefix("q_")) {
