@@ -170,6 +170,8 @@ object SparkEntry {
     "q_dq_checks"         -> (DqChecks.query _),
     // one-pass column profile: nulls/distincts/min/max per column
     "q_col_profile"       -> (DqChecks.colProfile _),
+    // Benford first-digit forensic screen on the money column
+    "q_benford"           -> (DqChecks.benford _),
     // incremental view maintenance: merge(history, delta) ≡ recompute
     "q_incr_agg"          -> (Versioning.incrementalAgg _),
     // market-basket co-purchase pairs: capped expansion, support + lift
@@ -1241,6 +1243,8 @@ object SparkEntry {
     "q_dq_checks" -> graft.operators.DqChecks.oracleSql,
     // column profile: same aggregate row unpivoted as UNION ALL branches
     "q_col_profile" -> graft.operators.DqChecks.colProfileOracleSql,
+    // benford: same digit derivation, shared literal expectations
+    "q_benford" -> graft.operators.DqChecks.benfordOracleSql,
     // vocab coverage: generated from the same VocabRanks + total order
     "q_vocab_coverage" -> graft.operators.TextAnalysis.vocabCoverageOracleSql,
     // edit join: semantic length-window form (banding is result-exact)

@@ -243,7 +243,7 @@ object ToolSupport {
     // retreval_eval by this point — the left side is the folded form)
     "retreval_eval" -> "rv", "skyline" -> "ky",
     // ("mh_"->"mh" has already turned mh_accuracy into mhaccuracy)
-    "mhaccuracy" -> "m1")
+    "mhaccuracy" -> "m1", "benford" -> "bf")
 
   def benchKey(name: String): String =
     benchKeySubs.foldLeft(name.stripPrefix("q_")) {

@@ -183,6 +183,68 @@ object DqChecks {
       .orderBy("col_name")
   }
 
+  /** Benford's-law expected first-digit shares log₁₀(1 + 1/d), fixed
+    * 6-dp literals — baked constants, so no libm ever runs near the hash
+    * gate (the bigram-LM rule). */
+  val BenfordShares: Seq[Double] = Seq(
+    0.30103, 0.176091, 0.124939, 0.09691, 0.079181,
+    0.066947, 0.057992, 0.051153, 0.045757)
+
+  /** Benford first-digit screen over order totals — the forensic gauge
+    * auditors run on monetary columns (fabricated or synthetically
+    * generated amounts miss the log-uniform leading-digit law). Each
+    * digit row reports its count, observed share, the Benford
+    * expectation and the signed excess; on THIS corpus the generator's
+    * uniform price draw fails Benford loudly (digits 1–4 each carry
+    * ~22% against 30/18/12/10%) — the deviation branch is
+    * data-exercised by construction, like the planted DQ holes.
+    *
+    * Exactness: the leading digit comes from the DECIMAL-cents integer
+    * rendered as a string — pure integer/string ops, identical in both
+    * engines; shares are one IEEE division each, the expectations are
+    * shared literals.
+    *
+    * Scale shape: one map-side-combinable 9-group count; everything
+    * after runs on the 9-row table. */
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    val digits = Tables.orders(spark, dir)
+      .select(substring((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast(LongType).cast(StringType), 1, 1).cast(LongType).as("d"))
+      .groupBy("d").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val expected = BenfordShares.zipWithIndex
+      .foldLeft(lit(0.0)) { case (acc, (p, i)) =>
+        when(col("d") === (i + 1).toLong, lit(p)).otherwise(acc)
+      }
+    digits
+      .withColumn("total", sum(col("n")).over(w))
+      .select(col("d"), col("n"),
+        round(col("n").cast(DoubleType) / col("total").cast(DoubleType), 6)
+          .as("share"),
+        expected.as("benford_share"),
+        round(col("n").cast(DoubleType) / col("total").cast(DoubleType) -
+          expected, 6).as("excess"))
+      .orderBy("d")
+  }
+
+  /** DuckDB replay of [[benford]] — same digit derivation and literals. */
+  val benfordOracleSql: String = {
+    val cases = BenfordShares.zipWithIndex
+      .map { case (p, i) => s"WHEN ${i + 1} THEN $p" }.mkString(" ")
+    s"""WITH c AS (
+       |  SELECT CAST(SUBSTR(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+       |    * 100 AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS d
+       |  FROM orders),
+       |g AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY 1),
+       |t AS (SELECT d, n, SUM(n) OVER () AS total FROM g)
+       |SELECT d, n,
+       |  ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+       |  CAST(CASE d $cases ELSE 0.0 END AS DOUBLE) AS benford_share,
+       |  ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE) -
+       |    CAST(CASE d $cases ELSE 0.0 END AS DOUBLE), 6) AS excess
+       |FROM t ORDER BY d""".stripMargin
+  }
+
   /** DuckDB replay of [[colProfile]] — the same aggregate row unpivoted
     * as UNION ALL branches, same type-specific min/max renderings. */
   val colProfileOracleSql: String =

@@ -56,4 +56,30 @@ class DqChecksSpec extends AnyFunSuite {
     val tp = rows.find(_.getString(0) == "o_totalprice").get
     assert(tp.getString(4).toLong <= tp.getString(5).toLong)
   }
+
+  test("benford screen: digits recounted, shares conserve, deviation real") {
+    val rows = SparkEntry.queries("q_benford")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSet.subsetOf((1L to 9L).toSet))
+    // counts partition the table
+    val total = Tables.orders(spark, sf).count()
+    assert(rows.map(_._2).sum === total)
+    // leading digit independently recounted for one digit
+    val d1 = Tables.orders(spark, sf)
+      .select((col("o_totalprice").cast(
+        org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast(org.apache.spark.sql.types.LongType).as("c"))
+      .collect().map(_.getLong(0).toString.head.asDigit)
+      .count(_ == 1).toLong
+    assert(rows.find(_._1 == 1L).get._2 === d1)
+    // shares + excess are consistent; the synthetic uniform prices must
+    // FAIL Benford visibly (that is the forensic point of the gauge)
+    rows.foreach { case (d, n, share, bf, ex) =>
+      assert(math.abs(share - n.toDouble / total) < 1e-6, s"digit $d share")
+      assert(math.abs(ex - (share - bf)) < 2e-6, s"digit $d excess")
+    }
+    assert(rows.exists(r => math.abs(r._5) > 0.05),
+      "no digit deviates >5pp — uniform prices should fail Benford loudly")
+  }
 }
