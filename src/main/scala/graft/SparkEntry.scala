@@ -264,6 +264,8 @@ object SparkEntry {
     // streaming drift monitor: daily windows vs broadcast baseline bins,
     // exact integer drift numerators — continuous form of q_value_drift
     "q_stream_drift"      -> (graft.streaming.Streaming.streamDrift _),
+    // custom Misra-Gries UDAF inside streaming state: per-day top users
+    "q_stream_topk"       -> (graft.streaming.Streaming.streamTopkUsers _),
     // REAL mapGroupsWithState run (per-user running totals, Update mode);
     // cents-in-double arithmetic makes the stateful fold exact → oracle =
     // the batch per-user aggregate
@@ -305,6 +307,8 @@ object SparkEntry {
     "q_anomaly"           -> (Behavior.seriesAnomaly _),
     // skyline (Pareto frontier): bucketed dominance prune == brute force
     "q_skyline"           -> (Skyline.query _),
+    // level-shift changepoint: two-sided 7-day window means + planted shift
+    "q_changepoint"       -> (Behavior.changepoint _),
     // per-group top-k: 3 highest-revenue suppliers per nation
     "q_topk_group"        -> (Joins.topKPerGroup _),
     // PSI language-mix drift between two source cohorts
@@ -1363,6 +1367,8 @@ object SparkEntry {
     "q_anomaly" -> graft.operators.Behavior.seriesAnomalyOracleSql,
     // skyline: oracle IS the NOT EXISTS dominance definition
     "q_skyline" -> graft.operators.Skyline.oracleSql,
+    // changepoint: same plant, RANGE frames and 15%-of-median flag
+    "q_changepoint" -> graft.operators.Behavior.changepointOracleSql,
     // per-group top-k: same exact-decimal revenue and row_number tiebreak
     "q_topk_group" -> Joins.topKPerGroupOracleSql,
     // language drift: same Laplace smoothing, natural log on both sides
@@ -1500,6 +1506,22 @@ object SparkEntry {
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id AS content_hash FROM events
         |ORDER BY content_hash""".stripMargin,
+    // streaming MG top-k: capacity 128 > 97 distinct buckets makes the
+    // summary the exact count map — the oracle is exact per-day top-5
+    // with the same (count desc, bucket-string asc) total order
+    "q_stream_topk" ->
+      """WITH b AS (
+        |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    CAST(user_id % 97 AS VARCHAR) AS bucket
+        |  FROM events),
+        |g AS (SELECT day, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+        |r AS (
+        |  SELECT day, bucket,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY day
+        |      ORDER BY cnt DESC, bucket ASC) AS BIGINT) AS rank
+        |  FROM g)
+        |SELECT day, rank, bucket FROM r WHERE rank <= 5
+        |ORDER BY day, rank""".stripMargin,
     // streaming drift monitor: the identical batch derivation — the
     // streaming windowed counts must reproduce it through the hash gate
     "q_stream_drift" ->

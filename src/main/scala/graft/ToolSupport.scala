@@ -243,7 +243,10 @@ object ToolSupport {
     // retreval_eval by this point — the left side is the folded form)
     "retreval_eval" -> "rv", "skyline" -> "ky",
     // ("mh_"->"mh" has already turned mh_accuracy into mhaccuracy)
-    "mhaccuracy" -> "m1", "benford" -> "bf")
+    "mhaccuracy" -> "m1", "benford" -> "bf",
+    // fold order strikes again: stream_topk arrives here as "s_to" —
+    // the left side below is that folded form, not the raw name
+    "s_to" -> "t5", "changepoint" -> "cg")
 
   def benchKey(name: String): String =
     benchKeySubs.foldLeft(name.stripPrefix("q_")) {

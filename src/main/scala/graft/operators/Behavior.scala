@@ -749,6 +749,96 @@ object Behavior {
       .orderBy("epoch_day")
   }
 
+  /** Level-shift (changepoint) detection on the daily event-volume
+    * series — the complement of [[seriesAnomaly]]'s spike alarm: a
+    * two-sided 7-day window mean comparison per day, flagging days where
+    * the regime after differs from the regime before by more than 15% of
+    * the series median. The synthetic series is level at every SF, so a
+    * planted outage — 30% of volume (event_id mod 10 < 3) dropped from
+    * the data-derived midpoint day onward — creates a true level shift;
+    * the detector's maximum-score day must be exactly that midpoint
+    * (pinned in the spec), and only days whose windows straddle the
+    * shift may flag.
+    *
+    * Exactness: window sums/counts are exact BIGINTs over RANGE frames
+    * on the integer epoch-day (the moving_avg calendar discipline);
+    * each mean is one IEEE division; the flag compares unrounded
+    * doubles built by the same fold on both engines.
+    *
+    * Scale shape: ONE map-side-combinable daily count; both RANGE
+    * windows and the median run over the days-sized table — bounded by
+    * the calendar, not event volume (the global-order window is over
+    * that bounded table, the sanctioned shape). */
+  def changepoint(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"),
+        datediff(col("ts").cast(DateType), lit("1970-01-01").cast(DateType))
+          .cast(LongType).as("d"))
+    val mid = ev.agg(
+      expr("min(d) + (max(d) - min(d) + 1) div 2").cast(LongType).as("mid"))
+    val daily = ev.crossJoin(broadcast(mid))
+      .filter(!(col("d") >= col("mid") && col("event_id") % 10 < 3))
+      .groupBy("d").agg(count(lit(1)).as("n"))
+    import org.apache.spark.sql.expressions.Window
+    val med = daily.agg(expr("percentile(CAST(n AS DOUBLE), 0.5)").as("med"))
+    val wB = Window.orderBy("d").rangeBetween(-7, -1)
+    val wA = Window.orderBy("d").rangeBetween(0, 6)
+    daily
+      .withColumn("nb", count(col("n")).over(wB))
+      .withColumn("sb", sum(col("n")).over(wB))
+      .withColumn("na", count(col("n")).over(wA))
+      .withColumn("sa", sum(col("n")).over(wA))
+      .filter(col("nb") === 7L && col("na") === 7L)
+      .crossJoin(broadcast(med))
+      .select(col("d").as("epoch_day"), col("n"),
+        round(col("sb").cast(DoubleType) / col("nb").cast(DoubleType), 4)
+          .as("mean_before"),
+        round(col("sa").cast(DoubleType) / col("na").cast(DoubleType), 4)
+          .as("mean_after"),
+        (abs(col("sa").cast(DoubleType) / col("na").cast(DoubleType) -
+          col("sb").cast(DoubleType) / col("nb").cast(DoubleType)) >
+          lit(0.15) * col("med")).cast(LongType).as("is_shift"))
+      .orderBy("epoch_day")
+  }
+
+  /** DuckDB replay of [[changepoint]] — same plant, frames and flag. */
+  val changepointOracleSql: String =
+    """WITH ev AS (
+      |  SELECT event_id,
+      |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |      AS BIGINT) AS d
+      |  FROM events),
+      |mid AS (
+      |  SELECT CAST(MIN(d) + (MAX(d) - MIN(d) + 1) // 2 AS BIGINT) AS mid
+      |  FROM ev),
+      |daily AS (
+      |  SELECT d, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM ev, mid
+      |  WHERE NOT (d >= mid.mid AND event_id % 10 < 3)
+      |  GROUP BY 1),
+      |med AS (SELECT quantile_cont(CAST(n AS DOUBLE), 0.5) AS med
+      |        FROM daily),
+      |win AS (
+      |  SELECT d, n,
+      |    COUNT(n) OVER (ORDER BY d
+      |      RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS nb,
+      |    SUM(n) OVER (ORDER BY d
+      |      RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS sb,
+      |    COUNT(n) OVER (ORDER BY d
+      |      RANGE BETWEEN CURRENT ROW AND 6 FOLLOWING) AS na,
+      |    SUM(n) OVER (ORDER BY d
+      |      RANGE BETWEEN CURRENT ROW AND 6 FOLLOWING) AS sa
+      |  FROM daily)
+      |SELECT d AS epoch_day, n,
+      |  ROUND(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE), 4) AS mean_before,
+      |  ROUND(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE), 4) AS mean_after,
+      |  CAST(ABS(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) -
+      |           CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) >
+      |    0.15 * med.med AS BIGINT) AS is_shift
+      |FROM win, med
+      |WHERE nb = 7 AND na = 7
+      |ORDER BY epoch_day""".stripMargin
+
   /** DuckDB replay of [[seriesAnomaly]] — same plant, medians and fence. */
   val seriesAnomalyOracleSql: String =
     """WITH daily AS (

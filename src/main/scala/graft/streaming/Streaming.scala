@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 /** Structured Streaming surface (builder brief: readStream → transforms →
   * writeStream; watermark + windowed agg; mapGroupsWithState custom state).
@@ -739,5 +739,39 @@ object Streaming {
       .select(col("day"), col("bin"), col("n"), col("bc"),
         abs(col("n") * col("bt") - col("bc") * col("dt")).as("drift_num"))
       .orderBy("day", "bin")
+  }
+
+  /** Streaming per-window top-k via the CUSTOM mergeable Misra–Gries
+    * aggregate ([[graft.functions.MisraGriesAgg]]) running INSIDE
+    * Structured Streaming state — the point being demonstrated: a
+    * TypedImperativeAggregate's serialize/merge cycle is exactly what
+    * the state store needs, so the same UDAF that serves batch heavy
+    * hitters becomes an incrementally-maintained streaming summary with
+    * no new code. Each daily window tracks its top user buckets
+    * (user_id mod 97 — a bounded audience segmentation).
+    *
+    * Exactness: capacity 128 > 97 distinct buckets, so the MG summary
+    * never decrements — it IS the exact per-window count map, and the
+    * emitted order (count desc, bucket-string asc) is total. The batch
+    * oracle states exact per-day top-5 with the same tiebreak;
+    * streaming execution itself passes the hash gate.
+    *
+    * Scale: state per window is one bounded MG buffer (≤128 entries),
+    * not the event volume — the aggregate absorbs arbitrarily many
+    * events into O(k) state, which is the whole reason MG exists. */
+  def streamTopkUsers(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .select(col("ts"),
+        pmod(col("user_id"), lit(97L)).cast(StringType).as("bucket"))
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(expr("mg_topk(bucket, 128)").as("cands"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("cands"))
+    val res = runToMemory(agg, "graft_stream_topk", OutputMode.Complete())
+    res.select(col("day"), posexplode(expr("slice(cands, 1, 5)")))
+      .select(col("day"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("col").as("bucket"))
+      .orderBy("day", "rank")
   }
 }

@@ -327,4 +327,37 @@ class BehaviorSpec extends AnyFunSuite {
       assert(n < med * 0.5, s"planted day $d volume $n not quartered vs $med")
     }
   }
+
+  test("changepoint: max-score day is the planted shift; flags straddle it") {
+    val rows = SparkEntry.queries("q_changepoint")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // recompute the planted midpoint from the raw series
+    val ds = Tables.events(spark, sf)
+      .select(datediff(col("ts").cast(org.apache.spark.sql.types.DateType),
+        lit("1970-01-01").cast(org.apache.spark.sql.types.DateType))
+        .cast(org.apache.spark.sql.types.LongType).as("d"))
+      .agg(min("d"), max("d")).collect().head
+    val mid = ds.getLong(0) + (ds.getLong(1) - ds.getLong(0) + 1) / 2
+    // the maximum |after - before| day must localize the shift: daily
+    // noise (~14% at sf0.001) can slide the plateau argmax a day or two,
+    // but the true shift day itself must flag and the argmax must sit
+    // inside the straddle plateau around it
+    val best = rows.maxBy(r => math.abs(r._4 - r._3))
+    assert(math.abs(best._1 - mid) <= 2,
+      s"argmax ${best._1} not within 2 days of planted midpoint $mid")
+    assert(best._5 === 1L, "max-score day not flagged")
+    assert(rows.find(_._1 == mid).forall(_._5 == 1L),
+      "planted shift day not flagged")
+    // flags may only appear where a 7-day window straddles the shift
+    rows.filter(_._5 == 1L).foreach { case (d, _, _, _, _) =>
+      assert(d > mid - 8 && d < mid + 8,
+        s"day $d flagged but no window touches the shift at $mid")
+    }
+    // the detector discriminates: not every full-window day flags (the
+    // 30-day series keeps every such day within +/-8 of the midpoint,
+    // so the discrimination claim is the non-flagged complement)
+    assert(rows.exists(_._5 == 0L), "every day flagged — no discrimination")
+  }
 }

@@ -204,6 +204,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.filter(col("drift_num") > 0).count() > 0)
   }
 
+  test("streaming MG top-k equals the exact batch per-day top-5") {
+    val got = Streaming.streamTopkUsers(spark, sf)
+    // exactness precondition: bucket cardinality below the MG capacity,
+    // so the summary is the exact count map (no decrements ever fire)
+    val distinctBuckets = Tables.events(spark, sf)
+      .select(pmod(col("user_id"), lit(97L))).distinct().count()
+    assert(distinctBuckets <= 128, s"$distinctBuckets buckets > capacity")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("day").orderBy(col("cnt").desc, col("bucket").asc)
+    val expect = Tables.events(spark, sf)
+      .select(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+        .as("day"),
+        pmod(col("user_id"), lit(97L))
+          .cast(org.apache.spark.sql.types.StringType).as("bucket"))
+      .groupBy("day", "bucket").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w)
+        .cast(org.apache.spark.sql.types.LongType))
+      .filter(col("rank") <= 5L)
+      .select("day", "rank", "bucket")
+    assert(got.count() > 0)
+    assert(got.except(expect).isEmpty && expect.except(got).isEmpty)
+  }
+
   test("stream-stream interval join reproduces the batch range join") {
     val got = Streaming.streamRangeJoin(spark, sf)
     val expect = graft.operators.RangeJoin.query(spark, sf)
