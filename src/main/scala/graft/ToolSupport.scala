@@ -241,7 +241,9 @@ object ToolSupport {
     "sim_jn" -> "pj",
     // ("triangles"->"tri"->"tr" has already turned retrieval_eval into
     // retreval_eval by this point — the left side is the folded form)
-    "retreval_eval" -> "rv", "skyline" -> "ky",
+    "retreval_eval" -> "rv",
+    // ("stky"->"sky"->"sy" folds skyline to syline before this table)
+    "syline" -> "ky",
     // ("mh_"->"mh" has already turned mh_accuracy into mhaccuracy)
     "mhaccuracy" -> "m1", "benford" -> "bf",
     // fold order strikes again: stream_topk arrives here as "s_to" —
