@@ -93,6 +93,8 @@ object SparkEntry {
     "q_approx_pct"        -> ((s, d) => Relational.percentilesApprox(s, d)),
     // ML module (SURVEY §2.9) — model outputs: rows-only driver check
     "q_ols_forecast"      -> (graft.ml.OlsPipeline.query _),
+    // grouped simple OLS: one closed-form fit per segment, exact moments
+    "q_group_ols"         -> (graft.ml.OlsPipeline.groupedOls _),
     "q_ols_metrics"       -> (graft.ml.OlsPipeline.metricsLong _),
     // the one-hot design matrix the tree estimators consume, read back
     // from the assembled vector — the deterministic stage around the
@@ -766,6 +768,9 @@ object SparkEntry {
     "q_ols_forecast" ->
       s"""WITH ${olsPrefix("NOT is_forecast AND bucket < 3")},
          |$olsForecastBody""".stripMargin,
+    // grouped simple OLS: same label CTE, floor-micros moments and
+    // formula association shapes as the Scala text
+    "q_group_ols" -> graft.ml.OlsPipeline.groupedOlsOracleSql,
     // same fit; exact-moment RMSE/R² per split, long form
     "q_ols_metrics" ->
       s"""WITH ${olsPrefix("NOT is_forecast AND bucket < 3")},

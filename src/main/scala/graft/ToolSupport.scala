@@ -248,7 +248,9 @@ object ToolSupport {
     "mhaccuracy" -> "m1", "benford" -> "bf",
     // fold order strikes again: stream_topk arrives here as "s_to" —
     // the left side below is that folded form, not the raw name
-    "s_to" -> "t5", "changepoint" -> "cg")
+    "s_to" -> "t5", "changepoint" -> "cg",
+    // ("group_"->"grp_", then "ols"->"o0" fold group_ols to grp_o0)
+    "grp_o0" -> "go")
 
   def benchKey(name: String): String =
     benchKeySubs.foldLeft(name.stripPrefix("q_")) {

@@ -362,4 +362,71 @@ object OlsPipeline {
     import spark2.implicits._
     out.toDF("split", "metric", "value").orderBy("split", "metric")
   }
+
+  /** Grouped simple OLS — one regression PER SEGMENT (returnflag), the
+    * "fit a trend per slice" operator every segment-analysis asks for
+    * and MLlib has no grouped form of. Closed-form simple regression of
+    * the constructed label on l_quantity from five exact [[esum]]
+    * moments per group: slope = (n·Sxy − Sx·Sy)/(n·Sxx − Sx²),
+    * intercept = (Sy − slope·Sx)/n, R² = slope²·(n·Sxx − Sx²)/(n·Syy −
+    * Sy²). The moments are floor-micros exact and order-independent at
+    * any parallelism, so the double formulas — written in the SAME
+    * association shape in the oracle — are bit-identical across
+    * engines; the whole fit is ONE map-side-combinable aggregate pass,
+    * and the solve runs per bounded group row (no driver collect, no
+    * per-group iteration). */
+  def groupedOls(spark: SparkSession, dir: String): DataFrame = {
+    val d = dataset(spark, dir)
+    def nd = col("n").cast(org.apache.spark.sql.types.DoubleType)
+    val m = d.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        esum(col("l_quantity")).as("sx"),
+        esum(col("label_true")).as("sy"),
+        esum(col("l_quantity") * col("l_quantity")).as("sxx"),
+        esum(col("l_quantity") * col("label_true")).as("sxy"),
+        esum(col("label_true") * col("label_true")).as("syy"))
+    val slope = (nd * col("sxy") - col("sx") * col("sy")) /
+      (nd * col("sxx") - col("sx") * col("sx"))
+    m.select(col("l_returnflag"), col("n"),
+        round(slope, 6).as("slope"),
+        round((col("sy") - slope * col("sx")) / nd, 6).as("intercept"),
+        round(slope * slope * (nd * col("sxx") - col("sx") * col("sx")) /
+          (nd * col("syy") - col("sy") * col("sy")), 6).as("r2"))
+      .orderBy("l_returnflag")
+  }
+
+  /** DuckDB replay of [[groupedOls]] — the shared ds CTE's label, the
+    * same floor-micros moments and formula association shapes. */
+  val groupedOlsOracleSql: String =
+    """WITH ds AS (
+      |  SELECT l_returnflag, l_quantity AS x1,
+      |    l_quantity * 3 - l_discount * 200 + l_tax * 50 +
+      |      (CAST(((l_orderkey % 1000003) * 2654435761 + 7) % 1000003
+      |            AS DOUBLE)
+      |       / 1000003.0 * 10.0 - 5.0) AS y
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(FLOOR((x1) * 1000000.0) AS BIGINT)) AS DOUBLE)
+      |      / 1000000.0 AS sx,
+      |    CAST(SUM(CAST(FLOOR((y) * 1000000.0) AS BIGINT)) AS DOUBLE)
+      |      / 1000000.0 AS sy,
+      |    CAST(SUM(CAST(FLOOR((x1 * x1) * 1000000.0) AS BIGINT)) AS DOUBLE)
+      |      / 1000000.0 AS sxx,
+      |    CAST(SUM(CAST(FLOOR((x1 * y) * 1000000.0) AS BIGINT)) AS DOUBLE)
+      |      / 1000000.0 AS sxy,
+      |    CAST(SUM(CAST(FLOOR((y * y) * 1000000.0) AS BIGINT)) AS DOUBLE)
+      |      / 1000000.0 AS syy
+      |  FROM ds GROUP BY 1),
+      |s AS (
+      |  SELECT l_returnflag, n, sx, sy, sxx, syy,
+      |    (CAST(n AS DOUBLE) * sxy - sx * sy) /
+      |      (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope
+      |  FROM m)
+      |SELECT l_returnflag, n,
+      |  ROUND(slope, 6) AS slope,
+      |  ROUND((sy - slope * sx) / CAST(n AS DOUBLE), 6) AS intercept,
+      |  ROUND(slope * slope * (CAST(n AS DOUBLE) * sxx - sx * sx) /
+      |    (CAST(n AS DOUBLE) * syy - sy * sy), 6) AS r2
+      |FROM s ORDER BY l_returnflag""".stripMargin
 }

@@ -133,4 +133,38 @@ class MlSpec extends AnyFunSuite {
       assert(math.abs(gap - (mp - ma)) < 2e-4)
     }
   }
+
+  test("grouped OLS: per-segment fits recovered, moments recounted") {
+    val rows = SparkEntry.queries("q_group_ols")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq === rows.map(_._1).toSeq.sorted)
+    assert(rows.nonEmpty && rows.map(_._2).sum ===
+      Tables.lineitem(spark, sf).count())
+    rows.foreach { case (flag, n, slope, icpt, r2) =>
+      assert(n > 0)
+      // the constructed label has true x1-coefficient 3; the other two
+      // regressors are ~independent of x1, so each segment's simple
+      // slope recovers it within the omitted-variable noise
+      assert(slope > 2.0 && slope < 4.0, s"$flag slope $slope")
+      assert(r2 > 0.0 && r2 < 1.0, s"$flag r2 $r2")
+      assert(icpt.abs < 60.0, s"$flag intercept $icpt")
+    }
+    // independent moment recount for one segment in memory
+    val flag0 = rows.head._1
+    val pts = graft.ml.OlsPipeline.dataset(spark, sf)
+      .filter(col("l_returnflag") === flag0)
+      .select("l_quantity", "label_true").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    def em(vs: Array[Double]) = // esum: floor-micros exact sum
+      vs.map(v => math.floor(v * 1e6).toLong).sum.toDouble / 1e6
+    val n = pts.length.toDouble
+    val (sx, sy) = (em(pts.map(_._1)), em(pts.map(_._2)))
+    val (sxx, sxy) = (em(pts.map(p => p._1 * p._1)),
+      em(pts.map(p => p._1 * p._2)))
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(rows.head._3 - slope) < 1e-5, "slope recount")
+    assert(math.abs(rows.head._4 - (sy - slope * sx) / n) < 1e-5,
+      "intercept recount")
+  }
 }
