@@ -113,6 +113,8 @@ object SparkEntry {
     "q_sim_join"          -> (Dedup.prefixSimJoin _),
     // minhash estimate vs exact jaccard on the planted ground truth
     "q_mh_accuracy"       -> (Dedup.minhashAccuracy _),
+    // the engineered fix: same audit under tabulation hashing
+    "q_mh_tabulation"     -> (Dedup.minhashTabulation _),
     "q_dedup_survivors"   -> (Dedup.dedupSurvivors _),
     // per-source signatures via the native mergeable minhash_agg
     // aggregate → pairwise slot-agreement Jaccard estimates
@@ -2612,6 +2614,42 @@ object SparkEntry {
       s"""WITH $minhashPrefix
          |SELECT a, b, jaccard FROM verified WHERE jaccard >= 0.5
          |ORDER BY a, b""".stripMargin,
+    // tabulation audit: same corpus/shingle/polyhash CTEs, slot hashes
+    // from the XOR-of-byte-tables family (xor() — DuckDB ^ is pow)
+    "q_mh_tabulation" ->
+      s"""WITH $minhashPrefix,
+         |mtab AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, ${graft.operators.Dedup.NumHashes}),
+         |      j -> list_min(list_transform(ps,
+         |        p -> ${graft.operators.Dedup.tabSlotSql}))) AS mh2
+         |  FROM ph)
+         |SELECT o.doc_id AS a, n.doc_id AS b,
+         |  CAST(len(list_filter(list_transform(range(1, ${
+           graft.operators.Dedup.NumHashes + 1}),
+         |    i -> o.mh2[i] = n.mh2[i]), z -> z)) AS BIGINT) AS est_matches,
+         |  ROUND(CAST(len(list_filter(list_transform(range(1, ${
+           graft.operators.Dedup.NumHashes + 1}),
+         |    i -> o.mh2[i] = n.mh2[i]), z -> z)) AS DOUBLE) / ${
+           graft.operators.Dedup.NumHashes}.0, 6) AS est_jaccard,
+         |  ROUND(CAST(len(list_intersect(so.shingles, sn.shingles))
+         |      AS DOUBLE) /
+         |    len(list_distinct(list_concat(so.shingles, sn.shingles))), 6)
+         |    AS exact_jaccard,
+         |  ROUND(ABS(
+         |    CAST(len(list_filter(list_transform(range(1, ${
+           graft.operators.Dedup.NumHashes + 1}),
+         |      i -> o.mh2[i] = n.mh2[i]), z -> z)) AS DOUBLE) / ${
+           graft.operators.Dedup.NumHashes}.0 -
+         |    CAST(len(list_intersect(so.shingles, sn.shingles)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(so.shingles, sn.shingles)))),
+         |    6) AS abs_err
+         |FROM mtab o
+         |JOIN mtab n ON n.doc_id = o.doc_id + 2000000
+         |JOIN sh so ON so.doc_id = o.doc_id
+         |JOIN sh sn ON sn.doc_id = n.doc_id
+         |WHERE o.doc_id < 1000000 AND o.doc_id % 7 = 0
+         |ORDER BY a""".stripMargin,
     // sketch accuracy: the same replayed signatures, planted pair set,
     // slot-match estimate vs exact shingle jaccard (unused CTEs are free)
     "q_mh_accuracy" ->

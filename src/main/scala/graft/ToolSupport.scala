@@ -250,7 +250,9 @@ object ToolSupport {
     // the left side below is that folded form, not the raw name
     "s_to" -> "t5", "changepoint" -> "cg",
     // ("group_"->"grp_", then "ols"->"o0" fold group_ols to grp_o0)
-    "grp_o0" -> "go")
+    "grp_o0" -> "go",
+    // ("mh_"->"mh" folds mh_tabulation to mhtabulation)
+    "mhtabulation" -> "m3")
 
   def benchKey(name: String): String =
     benchKeySubs.foldLeft(name.stripPrefix("q_")) {

@@ -308,4 +308,46 @@ class DedupSpec extends AnyFunSuite {
     assert(tail <= 0.05, s"pathological tail $tail — correlated-minima " +
       "fraction grew beyond the measured ~1%")
   }
+
+  test("tabulation audit: worst case collapses to the binomial envelope") {
+    import graft.operators.Dedup
+    val tab = SparkEntry.queries("q_mh_tabulation")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2),
+        r.getDouble(5))))
+    val aff = SparkEntry.queries("q_mh_accuracy")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(5))).toMap
+    // same pair universe as the affine audit — directly comparable rows
+    assert(tab.map(_._1).toSet === aff.keySet)
+    val errs = tab.map(_._2._2)
+    // the correlated-minima catastrophes (0.6+ observed affine-side at
+    // this SF) cannot occur: the worst tabulation error stays inside
+    // the plain n=20 binomial envelope, and the mean holds at the
+    // discretization floor
+    assert(errs.max <= 0.3, s"tabulation max ${errs.max} — XOR mixing " +
+      "failed to break the minima correlation")
+    assert(errs.sum / errs.length <= 0.08)
+    assert(aff.values.max > errs.max,
+      "affine worst case no longer exceeds tabulation — plant changed?")
+    // independent in-memory recount of one pair's slot matches: polyhash
+    // each shingle, tabulate (XOR of four per-byte table values), min per
+    // slot — the executable spec of the HOF expression
+    val (a, b) = tab.head._1
+    val sh = Dedup.signatures(Dedup.corpus(spark, sf))
+      .filter(col("doc_id").isin(a, b)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    def poly(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 131 + c.toLong) % 2147483647L)
+    def slot(j: Int, p: Long): Long =
+      (0 to 3).map { k =>
+        (((2654435761L * (4 * j + k + 1)) % 2147483647L) *
+          (((p >> (8 * k)) & 255L) + 17L) +
+          (40503L * (4 * j + k + 1) + 7L) % 2147483647L) % 2147483647L
+      }.reduce(_ ^ _)
+    def sig(d: Long): Seq[Long] = {
+      val ps = sh(d).map(poly)
+      (0 until Dedup.NumHashes).map(j => ps.map(slot(j, _)).min)
+    }
+    val m = sig(a).zip(sig(b)).count { case (x, y) => x == y }.toLong
+    assert(m === tab.head._2._1, "tabulation slot recount")
+  }
 }
