@@ -85,6 +85,8 @@ object SparkEntry {
     "q_mad"               -> (Relational.madOutliers _),
     // equi-depth histogram: decile-bounded buckets, ~n/10 rows each
     "q_equidepth"         -> (Relational.equiDepthHistogram _),
+    // quantile normalization: per-segment deciles onto pooled reference
+    "q_quantile_norm"     -> (Relational.quantileNorm _),
     // HLL++ distinct sketch beside the exact count — rows-only (sketches
     // aren't replayable cross-engine); error bound pinned in-engine
     "q_approx_distinct"   -> (Relational.approxDistinct _),
@@ -270,6 +272,8 @@ object SparkEntry {
     "q_stream_drift"      -> (graft.streaming.Streaming.streamDrift _),
     // custom Misra-Gries UDAF inside streaming state: per-day top users
     "q_stream_topk"       -> (graft.streaming.Streaming.streamTopkUsers _),
+    // streaming changepoint: counts as window state, two-sided finish
+    "q_stream_cpt"        -> (graft.streaming.Streaming.streamChangepoint _),
     // REAL mapGroupsWithState run (per-user running totals, Update mode);
     // cents-in-double arithmetic makes the stateful fold exact → oracle =
     // the batch per-user aggregate
@@ -1376,6 +1380,9 @@ object SparkEntry {
     "q_skyline" -> graft.operators.Skyline.oracleSql,
     // changepoint: same plant, RANGE frames and 15%-of-median flag
     "q_changepoint" -> graft.operators.Behavior.changepointOracleSql,
+    // streaming changepoint: identical batch derivation — streaming
+    // maintenance of the daily counts must reproduce it exactly
+    "q_stream_cpt" -> graft.operators.Behavior.changepointOracleSql,
     // per-group top-k: same exact-decimal revenue and row_number tiebreak
     "q_topk_group" -> Joins.topKPerGroupOracleSql,
     // language drift: same Laplace smoothing, natural log on both sides
@@ -1404,6 +1411,8 @@ object SparkEntry {
     "q_mad" -> Relational.madOutliersOracleSql,
     // equi-depth: same decile cut-points and strict bucket comparison
     "q_equidepth" -> Relational.equiDepthOracleSql,
+    // quantile normalization: same cut-points, buckets, pooled reference
+    "q_quantile_norm" -> Relational.quantileNormOracleSql,
     // nearest-POI: oracle is the exhaustive all-pairs argmin ground truth
     "q_geo_nearest" -> GeoJoin.nearestPoiOracleSql,
     // calibration curve: same fit CTEs, ANSI NTILE with full tiebreak,

@@ -692,6 +692,88 @@ object Relational {
        |FROM a GROUP BY 1 ORDER BY bucket""".stripMargin
   }
 
+  /** Quantile normalization across segments — the feature-prep classic
+    * (microarray/batch-effect correction): each group's decile of the
+    * price distribution is mapped onto the POOLED cross-group reference
+    * for that decile, removing per-segment distribution shift while
+    * preserving rank order. Emitted as the bounded per-(group, decile)
+    * adjustment table a pipeline applies — group mean, pooled reference
+    * mean and the additive adjustment.
+    *
+    * Scale shape — NO per-group global window (the textbook per-group
+    * rank sort funnels each group through one task): per-group decile
+    * CUT-POINTS come from one array-percentile buffer per group (a
+    * groups-sized broadcast dim, the equiDepthHistogram trick), bucket
+    * assignment is a narrow HOF comparison, and the reference means run
+    * over the groups×10-row table.
+    *
+    * Exactness: prices are exact DECIMAL cents; per-cell sums are exact
+    * BIGINTs; each mean is one IEEE division; cut-point comparisons are
+    * identical doubles on both engines. */
+  def quantileNorm(spark: SparkSession, dir: String): DataFrame = {
+    val ps = (1 until 10).map(i => s"0.${i}D").mkString(", ")
+    val base = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("g"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType).as("c"))
+    val cuts = base.groupBy("g")
+      .agg(expr(s"percentile(CAST(c AS DOUBLE), array($ps))").as("bs"))
+    val cells = base.join(broadcast(cuts), "g")
+      .select(col("g"), col("c"),
+        (expr("size(filter(bs, b -> CAST(c AS DOUBLE) > b))") + 1)
+          .cast(LongType).as("decile"))
+      .groupBy("g", "decile")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("decile")
+    cells
+      .withColumn("tn", sum(col("n")).over(w))
+      .withColumn("ts", sum(col("sc")).over(w))
+      .select(col("g"), col("decile"), col("n"),
+        round(col("sc").cast(DoubleType) / col("n").cast(DoubleType) / 100.0,
+          4).as("group_mean"),
+        round(col("ts").cast(DoubleType) / col("tn").cast(DoubleType) / 100.0,
+          4).as("ref_mean"),
+        round(col("ts").cast(DoubleType) / col("tn").cast(DoubleType) / 100.0
+          - col("sc").cast(DoubleType) / col("n").cast(DoubleType) / 100.0,
+          4).as("adjustment"))
+      .orderBy("g", "decile")
+  }
+
+  /** DuckDB replay of [[quantileNorm]] — same cut-points, buckets and
+    * pooled reference. */
+  val quantileNormOracleSql: String = {
+    val ps = (1 until 10).map(i => s"0.$i").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT l_returnflag AS g,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      AS c
+       |  FROM lineitem),
+       |cuts AS (
+       |  SELECT g, quantile_cont(CAST(c AS DOUBLE), [$ps]) AS bs
+       |  FROM base GROUP BY 1),
+       |cells AS (
+       |  SELECT base.g,
+       |    CAST(1 + len(list_filter(cuts.bs, b -> CAST(c AS DOUBLE) > b))
+       |      AS BIGINT) AS decile,
+       |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS sc
+       |  FROM base JOIN cuts ON base.g = cuts.g
+       |  GROUP BY 1, 2),
+       |t AS (
+       |  SELECT g, decile, n, sc,
+       |    SUM(n) OVER (PARTITION BY decile) AS tn,
+       |    SUM(sc) OVER (PARTITION BY decile) AS ts
+       |  FROM cells)
+       |SELECT g, decile, n,
+       |  ROUND(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 4)
+       |    AS group_mean,
+       |  ROUND(CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE) / 100.0, 4)
+       |    AS ref_mean,
+       |  ROUND(CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE) / 100.0
+       |    - CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 4)
+       |    AS adjustment
+       |FROM t ORDER BY g, decile""".stripMargin
+  }
+
   /** Robust outlier statistics per group: median, MAD (median absolute
     * deviation) and the count beyond the standard 3σ-equivalent robust
     * fence |x − med| > 3 · 1.4826 · MAD — the outlier gauge that, unlike

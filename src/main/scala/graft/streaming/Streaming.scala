@@ -774,4 +774,61 @@ object Streaming {
         col("col").as("bucket"))
       .orderBy("day", "rank")
   }
+
+  /** Streaming level-shift detection — the continuous deployment of
+    * [[graft.operators.Behavior.changepoint]], completing the streaming
+    * monitoring suite (drift ▸ top-k ▸ changepoint): the daily volume
+    * counts maintain as streaming window state (days-sized, independent
+    * of event volume) with the SAME planted midpoint outage applied
+    * in-flight as a stateless filter; the two-sided 7-day RANGE means,
+    * median threshold and flag finish post-run over the bounded daily
+    * table — in production that finish is the dashboard query over the
+    * continuously-maintained counts, re-evaluated per trigger (a
+    * leading 7-day window inherently waits for 7 days of data; the
+    * emission delay IS the detector's definition, not a limitation).
+    * Oracle: identical to the batch detector's — streaming maintenance
+    * of the counts must reproduce it through the hash gate. */
+  def streamChangepoint(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DateType, LongType => LT}
+    val base = graft.Tables.events(spark, dir)
+      .select(datediff(col("ts").cast(DateType),
+        lit("1970-01-01").cast(DateType)).cast(LT).as("d"))
+    // bounded scalar aggregate (one Long) — the same class of driver
+    // value as gram/centroid collects, NOT a data collect
+    val midV = base.agg(
+      expr("min(d) + (max(d) - min(d) + 1) div 2").cast(LT)).collect()(0)
+      .getLong(0)
+    val agg = eventsStream(spark, dir)
+      .select(col("ts"), col("event_id"),
+        datediff(col("ts").cast(DateType), lit("1970-01-01").cast(DateType))
+          .cast(LT).as("d"))
+      .filter(col("d") < midV || !(col("event_id") % 10 < 3))
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n"))
+      .select(datediff(col("window.start").cast(DateType),
+        lit("1970-01-01").cast(DateType)).cast(LT).as("d"), col("n"))
+    val daily = runToMemory(agg, "graft_stream_cpt", OutputMode.Complete())
+    val med = daily.agg(expr("percentile(CAST(n AS DOUBLE), 0.5)").as("med"))
+    val wB = org.apache.spark.sql.expressions.Window.orderBy("d")
+      .rangeBetween(-7, -1)
+    val wA = org.apache.spark.sql.expressions.Window.orderBy("d")
+      .rangeBetween(0, 6)
+    daily
+      .withColumn("nb", count(col("n")).over(wB))
+      .withColumn("sb", sum(col("n")).over(wB))
+      .withColumn("na", count(col("n")).over(wA))
+      .withColumn("sa", sum(col("n")).over(wA))
+      .filter(col("nb") === 7L && col("na") === 7L)
+      .crossJoin(broadcast(med))
+      .select(col("d").as("epoch_day"), col("n"),
+        round(col("sb").cast(DoubleType) / col("nb").cast(DoubleType), 4)
+          .as("mean_before"),
+        round(col("sa").cast(DoubleType) / col("na").cast(DoubleType), 4)
+          .as("mean_after"),
+        (abs(col("sa").cast(DoubleType) / col("na").cast(DoubleType) -
+          col("sb").cast(DoubleType) / col("nb").cast(DoubleType)) >
+          lit(0.15) * col("med")).cast(LT).as("is_shift"))
+      .orderBy("epoch_day")
+  }
 }

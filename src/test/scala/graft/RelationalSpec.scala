@@ -76,6 +76,33 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("quantile normalization: cells conserve, reference pooled, adj sums") {
+    val rows = SparkEntry.queries("q_quantile_norm")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val total = Tables.lineitem(spark, sf).count()
+    // every row lands in exactly one (group, decile) cell
+    assert(rows.map(_._3).sum === total)
+    // each group has 10 deciles, each holding ~n_g/10 rows
+    rows.groupBy(_._1).foreach { case (g, cells) =>
+      assert(cells.map(_._2).sorted.toSeq === (1L to 10L), s"group $g tiles")
+      val sizes = cells.map(_._3)
+      assert(sizes.max <= sizes.min + sizes.sum / 5,
+        s"group $g decile balance ${sizes.mkString(",")}")
+    }
+    // the reference is the pooled mean: recompute decile 1's reference
+    // from the emitted cells (weighted by n)
+    val d1 = rows.filter(_._2 == 1L)
+    val pooled = d1.map(c => c._4 * c._3).sum / d1.map(_._3).sum
+    assert(math.abs(d1.head._5 - pooled) < 0.01, "pooled reference")
+    // adjustment is exactly ref - group at the emitted rounding
+    rows.foreach { case (g, d, _, gm, rm, adj) =>
+      assert(math.abs(adj - (rm - gm)) < 2e-4, s"($g,$d) adjustment")
+    }
+    // normalization is real: at least one cell needs a nonzero shift
+    assert(rows.exists(r => math.abs(r._6) > 0.5))
+  }
+
   test("HLL sketch stays inside its rsd bound vs the exact distinct") {
     val rows = graft.operators.Relational
       .approxDistinct(spark, "/root/testdata/sf0.01").collect()

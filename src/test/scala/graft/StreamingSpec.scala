@@ -227,6 +227,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.except(expect).isEmpty && expect.except(got).isEmpty)
   }
 
+  test("streaming changepoint reproduces the batch detector exactly") {
+    val got = Streaming.streamChangepoint(spark, sf)
+    val expect = graft.operators.Behavior.changepoint(spark, sf)
+    assert(got.count() > 0)
+    assert(got.except(expect).isEmpty && expect.except(got).isEmpty)
+    // the planted shift is visible through the streaming path too
+    assert(got.filter(col("is_shift") === 1L).count() > 0)
+  }
+
   test("stream-stream interval join reproduces the batch range join") {
     val got = Streaming.streamRangeJoin(spark, sf)
     val expect = graft.operators.RangeJoin.query(spark, sf)
