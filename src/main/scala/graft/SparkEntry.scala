@@ -196,6 +196,8 @@ object SparkEntry {
     "q_ann_lsh"           -> (Similarity.lshTopK _),
     "q_ann_ivf"           -> (Similarity.ivfTopK _),
     "q_embed_neardup"     -> ((s, d) => Similarity.cosineNearDup(s, d)),
+    // embedding-space drift: per-dimension cohort centroid shift
+    "q_embed_drift"       -> (Similarity.embedDrift _),
     // embedding-modality survivor selection (pairs → components → keeper)
     "q_embed_survivors"   -> (Similarity.embedSurvivors _),
     "q_multimodal_meta"   -> (Multimodal.query _),
@@ -2909,6 +2911,8 @@ object SparkEntry {
         |  ON x.c = y.c AND x.key = y.key AND x.doc_id < y.doc_id
         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 10
         |ORDER BY a, b""".stripMargin,
+    // embedding drift: same cohorts, floor-micros quantization, shapes
+    "q_embed_drift" -> Similarity.embedDriftOracleSql,
     // exhaustive quadratic ground truth over the planted near-dup corpus;
     // the Spark side generates candidates via banded SRP-LSH only. cos is
     // the same left-to-right double accumulation on both sides (vec_dot /

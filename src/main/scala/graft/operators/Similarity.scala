@@ -430,4 +430,76 @@ object Similarity {
         col("vec_id").as("neighbor_id"), col("cos"))
       .orderBy("q_id", "rank")
   }
+
+  // -- embedding-space drift ---------------------------------------------
+
+  /** Embedding-space drift — the representation-monitoring gauge that
+    * closes the drift family (categorical langDrift, numeric valueDrift,
+    * streaming streamDrift, and now the EMBEDDING column): per
+    * dimension, the mean vector of two label cohorts (labels 0–4 vs
+    * 5–9, the deterministic stand-in for "yesterday's embedding batch
+    * vs today's") and their difference — the per-dimension centroid
+    * shift an embedding pipeline alarms on after a model or
+    * preprocessing change.
+    *
+    * Exactness: parquet floats widen to doubles exactly; per-row values
+    * floor-quantize to integer micros and sum as BIGINTs (the esum
+    * discipline — order-independent at any parallelism); each mean is
+    * one IEEE division, rounded at 6 dp.
+    *
+    * Scale shape: ONE posexplode + map-side-combinable conditional
+    * aggregate keyed by dimension — 64 groups regardless of corpus
+    * size; no window, no join. */
+  def embedDrift(spark: SparkSession, dir: String): DataFrame = {
+    def q6(c: org.apache.spark.sql.Column) =
+      floor(c.cast(DoubleType) * 1000000.0).cast(LongType)
+    Tables.embeddings(spark, dir)
+      .select((col("label") < 5).as("is_a"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(((col("pos") + 1).cast(LongType)).as("dim"))
+      .agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("is_a"), q6(col("v"))).otherwise(0L)).as("sa6"),
+        sum(when(!col("is_a"), q6(col("v"))).otherwise(0L)).as("sb6"))
+      .select(col("dim"), col("n_a"), col("n_b"),
+        round(col("sa6").cast(DoubleType) / 1000000.0 /
+          col("n_a").cast(DoubleType), 6).as("mean_a"),
+        round(col("sb6").cast(DoubleType) / 1000000.0 /
+          col("n_b").cast(DoubleType), 6).as("mean_b"),
+        round(col("sa6").cast(DoubleType) / 1000000.0 /
+          col("n_a").cast(DoubleType) -
+          col("sb6").cast(DoubleType) / 1000000.0 /
+          col("n_b").cast(DoubleType), 6).as("shift"))
+      .orderBy("dim")
+  }
+
+  /** DuckDB replay of [[embedDrift]] — same cohorts, quantization and
+    * association shapes. */
+  val embedDriftOracleSql: String =
+    """WITH x AS (
+      |  SELECT label < 5 AS is_a,
+      |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+      |    CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings),
+      |g AS (
+      |  SELECT dim,
+      |    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN is_a
+      |      THEN CAST(FLOOR(v * 1000000.0) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS sa6,
+      |    CAST(SUM(CASE WHEN is_a THEN 0
+      |      ELSE CAST(FLOOR(v * 1000000.0) AS BIGINT) END)
+      |      AS BIGINT) AS sb6
+      |  FROM x GROUP BY 1)
+      |SELECT dim, n_a, n_b,
+      |  ROUND(CAST(sa6 AS DOUBLE) / 1000000.0 / CAST(n_a AS DOUBLE), 6)
+      |    AS mean_a,
+      |  ROUND(CAST(sb6 AS DOUBLE) / 1000000.0 / CAST(n_b AS DOUBLE), 6)
+      |    AS mean_b,
+      |  ROUND(CAST(sa6 AS DOUBLE) / 1000000.0 / CAST(n_a AS DOUBLE)
+      |    - CAST(sb6 AS DOUBLE) / 1000000.0 / CAST(n_b AS DOUBLE), 6)
+      |    AS shift
+      |FROM g ORDER BY dim""".stripMargin
 }

@@ -109,4 +109,30 @@ class SimilarityScaleSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("ragged embedding")),
       ex.getMessage)
   }
+
+  test("embedding drift: 64 dims conserve cohorts; mean recounted exactly") {
+    val rows = SparkEntry.queries("q_embed_drift")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.map(_._1).toSeq === (1L to 64L))
+    val total = Tables.embeddings(spark, sf).count()
+    rows.foreach { case (d, na, nb, ma, mb, sh) =>
+      assert(na + nb === total, s"dim $d cohort conservation")
+      assert(math.abs(sh - (ma - mb)) < 2e-6, s"dim $d shift column")
+    }
+    // floor-micros mean recount for one dimension from the raw vectors
+    val vs = Tables.embeddings(spark, sf)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val dim = 7 // 1-based
+    def mean(rows: Array[(Int, Seq[Float])]): Double = {
+      val q = rows.map(r => math.floor(r._2(dim - 1).toDouble * 1e6).toLong)
+      q.sum.toDouble / 1e6 / rows.length
+    }
+    val a = vs.filter(_._1 < 5)
+    val b = vs.filter(_._1 >= 5)
+    val got = rows.find(_._1 == dim.toLong).get
+    assert(math.abs(got._4 - mean(a)) < 1e-5, "mean_a recount")
+    assert(math.abs(got._5 - mean(b)) < 1e-5, "mean_b recount")
+  }
 }
