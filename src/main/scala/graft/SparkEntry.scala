@@ -198,6 +198,8 @@ object SparkEntry {
     "q_embed_neardup"     -> ((s, d) => Similarity.cosineNearDup(s, d)),
     // embedding-space drift: per-dimension cohort centroid shift
     "q_embed_drift"       -> (Similarity.embedDrift _),
+    // ANN recall audit: IVF result vs exact brute-force ground truth
+    "q_ann_recall"        -> (Similarity.annRecall _),
     // embedding-modality survivor selection (pairs → components → keeper)
     "q_embed_survivors"   -> (Similarity.embedSurvivors _),
     "q_multimodal_meta"   -> (Multimodal.query _),
@@ -767,7 +769,26 @@ object SparkEntry {
       |FROM c JOIN p ON c.user_id = p.user_id
       |  AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 DAY""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase +
+    // ANN recall audit: composed from the two existing replays — the
+    // brute-force ground truth LEFT JOIN the IVF result, per-query
+    // overlap over the same deterministic structures
+    ("q_ann_recall" ->
+      s"""WITH bf AS (
+         |${oracleSqlBase("q_ann_topk")}),
+         |ivf AS (
+         |${oracleSqlBase("q_ann_ivf")})
+         |SELECT b.q_id, CAST(COUNT(*) AS BIGINT) AS k,
+         |  CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_overlap,
+         |  ROUND(CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL
+         |      THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         |    AS recall
+         |FROM bf b LEFT JOIN ivf i
+         |  ON b.q_id = i.q_id AND b.neighbor_id = i.neighbor_id
+         |GROUP BY b.q_id ORDER BY b.q_id""".stripMargin)
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q_ols_diagnostics" -> olsDiagnosticsSql,
     // full replay of the deterministic OLS dataflow: fit (see olsPrefix),
     // score the forecast universe, county aggregation with exact-decimal

@@ -431,6 +431,44 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  // -- ANN recall audit --------------------------------------------------
+
+  /** ANN recall audit — the quality gauge that does for the IVF index
+    * what q_mh_accuracy does for the MinHash sketch: per query point,
+    * how much of the EXACT brute-force top-k the approximate IVF search
+    * recovered (recall@k against deterministic ground truth, both sides
+    * already bit-replayable). This turns the index's accuracy/cost
+    * trade-off from an assertion into a measured, oracle-gated table —
+    * the number a 100 TB deployment tunes NumLists/probes against.
+    *
+    * What it measures TODAY: single-probe IVF recalls 0.60 mean at
+    * sf0.01 and 0.475 at sf0.1 (min 0.1) — the honest cost of probing
+    * ONE list out of NumLists; near-boundary queries lose neighbors to
+    * adjacent cells. The fix is multi-probe (search the nearest 2–4
+    * lists; recall rises steeply, cost stays ≪ brute force) — flagged
+    * as round-10 work because the probe set is part of q_ann_ivf's
+    * bit-replayed oracle contract and changes both sides together.
+    *
+    * Scale shape: both inputs are the existing top-k pipelines (two-stage
+    * heads, bounded candidate sets); the audit itself is an equi join on
+    * (query, neighbor) over queries×k rows and a queries-sized
+    * aggregate. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val bf = bruteForceTopK(spark, dir)
+      .select(col("q_id"), col("neighbor_id"))
+    val iv = ivfTopK(spark, dir)
+      .select(col("q_id").as("iq"), col("neighbor_id").as("inb"))
+    bf.join(iv, col("q_id") === col("iq") &&
+        col("neighbor_id") === col("inb"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("inb").isNotNull, 1L).otherwise(0L)).as("n_overlap"))
+      .select(col("q_id"), col("k"), col("n_overlap"),
+        round(col("n_overlap").cast(DoubleType) / col("k").cast(DoubleType),
+          6).as("recall"))
+      .orderBy("q_id")
+  }
+
   // -- embedding-space drift ---------------------------------------------
 
   /** Embedding-space drift — the representation-monitoring gauge that
