@@ -441,13 +441,15 @@ object Similarity {
     * trade-off from an assertion into a measured, oracle-gated table —
     * the number a 100 TB deployment tunes NumLists/probes against.
     *
-    * What it measures TODAY: single-probe IVF recalls 0.60 mean at
-    * sf0.01 and 0.475 at sf0.1 (min 0.1) — the honest cost of probing
-    * ONE list out of NumLists; near-boundary queries lose neighbors to
-    * adjacent cells. The fix is multi-probe (search the nearest 2–4
-    * lists; recall rises steeply, cost stays ≪ brute force) — flagged
-    * as round-10 work because the probe set is part of q_ann_ivf's
-    * bit-replayed oracle contract and changes both sides together.
+    * What it measures TODAY: at NumProbes/NumLists = 4/16, mean recall
+    * is 0.60 at sf0.01 and 0.475 at sf0.1 (min 0.1) — barely above the
+    * 25% probed-corpus floor, which is the diagnosis itself: the
+    * synthetic embeddings cluster only weakly, so IVF recall degrades
+    * toward the probed FRACTION (uniform data is IVF's worst case;
+    * real embedding corpora cluster and recall concentrates). That is
+    * exactly what a deployment needs measured before trusting the
+    * index: the knob is NumProbes (recall ≈ linear in it here, at
+    * proportional candidate cost), and this table prices it.
     *
     * Scale shape: both inputs are the existing top-k pipelines (two-stage
     * heads, bounded candidate sets); the audit itself is an equi join on
