@@ -589,10 +589,12 @@ object Dedup {
   /** One slot of the tabulation hash: XOR of four per-byte table values,
     * tables generated by a fixed affine formula of (slot j, byte index k,
     * byte value). Mirrored literally in the oracle's SQL (xor() calls —
-    * DuckDB's ^ is exponentiation). */
+    * DuckDB's ^ is exponentiation). `shiftright(p, n)` rather than the
+    * `>>` operator: Spark's expression parser rejects `>>` inside a
+    * lambda nested in another lambda (measured — single-depth parses). */
   private def tabSlotExpr: String = (0 to 3).map { k =>
     s"((((2654435761L * (4*j + $k + 1)) % 2147483647L) * " +
-      s"(((p >> ${8 * k}) & 255L) + 17L) + " +
+      s"((shiftright(p, ${8 * k}) & 255L) + 17L) + " +
       s"(40503L * (4*j + $k + 1) + 7L) % 2147483647L) % 2147483647L)"
   }.mkString(" ^ ")
 
@@ -609,15 +611,26 @@ object Dedup {
     * ordinary sampling noise remains. Same output shape as
     * q_mh_accuracy, so the two rows compare directly. */
   def minhashTabulation(spark: SparkSession, dir: String): DataFrame = {
+    // the single-element-array "let" binds the polyhash array ONCE per
+    // row: Catalyst's projection collapse would otherwise substitute the
+    // ps expression into all NumHashes slot lambdas and re-run the
+    // per-shingle polyhash 20× (measured 8.2 s → ~1 s in the sweep)
     val base = corpus(spark, dir)
+      // only the planted pair docs need signatures — the audit joins
+      // orig (%7, <10⁶) to near (≥2·10⁶); signing the other ~78% of the
+      // corpus is wasted tabulation work (semantics-identical: the slot
+      // hash is a per-doc function)
+      .filter((col("doc_id") < 1000000 && col("doc_id") % 7 === 0) ||
+        col("doc_id") >= 2000000)
       .withColumn("shingles", expr(
         "shingles3(regexp_replace(lower(text), '\\\\s+', ' '))"))
-      .withColumn("ps", expr(
-        """transform(shingles, s -> aggregate(split(s, ''), 0L,
-          |  (a, c) -> (a * 131 + ascii(c)) % 2147483647L))""".stripMargin))
       .withColumn("tsig", expr(
-        s"""transform(sequence(0, ${NumHashes - 1}), j ->
-           |  array_min(transform(ps, p -> $tabSlotExpr)))""".stripMargin))
+        s"""element_at(transform(array(
+           |    transform(shingles, s -> aggregate(split(s, ''), 0L,
+           |      (a, c) -> (a * 131 + ascii(c)) % 2147483647L))),
+           |  ps -> transform(sequence(0, ${NumHashes - 1}), j ->
+           |    array_min(transform(ps, p -> $tabSlotExpr)))), 1)"""
+          .stripMargin))
       .select("doc_id", "shingles", "tsig")
     val orig = base.filter(col("doc_id") < 1000000 && col("doc_id") % 7 === 0)
       .select(col("doc_id").as("a"), col("shingles").as("sh_a"),
