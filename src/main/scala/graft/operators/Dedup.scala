@@ -614,7 +614,10 @@ object Dedup {
     // the single-element-array "let" binds the polyhash array ONCE per
     // row: Catalyst's projection collapse would otherwise substitute the
     // ps expression into all NumHashes slot lambdas and re-run the
-    // per-shingle polyhash 20× (measured 8.2 s → ~1 s in the sweep)
+    // per-shingle polyhash 20× (8.2 s → 3.7 s warm at sf0.1 together
+    // with the planted-docs filter below; the remainder is interpreted
+    // HOF evaluation — fine for an audit whose production path is the
+    // codegen'd affine kernel)
     val base = corpus(spark, dir)
       // only the planted pair docs need signatures — the audit joins
       // orig (%7, <10⁶) to near (≥2·10⁶); signing the other ~78% of the
