@@ -87,6 +87,8 @@ object SparkEntry {
     "q_equidepth"         -> (Relational.equiDepthHistogram _),
     // quantile normalization: per-segment deciles onto pooled reference
     "q_quantile_norm"     -> (Relational.quantileNorm _),
+    // Lorenz curve + exact rank-formula Gini over customer spend
+    "q_gini"              -> (Relational.giniLorenz _),
     // HLL++ distinct sketch beside the exact count — rows-only (sketches
     // aren't replayable cross-engine); error bound pinned in-engine
     "q_approx_distinct"   -> (Relational.approxDistinct _),
@@ -1436,6 +1438,8 @@ object SparkEntry {
     "q_equidepth" -> Relational.equiDepthOracleSql,
     // quantile normalization: same cut-points, buckets, pooled reference
     "q_quantile_norm" -> Relational.quantileNormOracleSql,
+    // gini/lorenz: same total order, tile rule and integer sums
+    "q_gini" -> Relational.giniLorenzOracleSql,
     // nearest-POI: oracle is the exhaustive all-pairs argmin ground truth
     "q_geo_nearest" -> GeoJoin.nearestPoiOracleSql,
     // calibration curve: same fit CTEs, ANSI NTILE with full tiebreak,

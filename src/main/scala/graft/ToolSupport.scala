@@ -252,7 +252,7 @@ object ToolSupport {
     // ("group_"->"grp_", then "ols"->"o0" fold group_ols to grp_o0)
     "grp_o0" -> "go",
     // ("mh_"->"mh" folds mh_tabulation to mhtabulation)
-    "mhtabulation" -> "m3", "s_cpt" -> "c1", "qunt_norm" -> "qn",
+    "mhtabulation" -> "m3", "s_cpt" -> "c1", "qunt_norm" -> "qn", "gini" -> "gy",
     // ("embed_"->"emb_"; "emb_nd"->... leaves emb_drift; then "emb"->"em")
     "em_drift" -> "e1", "ann_recll" -> "a1")
 

@@ -692,6 +692,119 @@ object Relational {
        |FROM a GROUP BY 1 ORDER BY bucket""".stripMargin
   }
 
+  /** Lorenz curve + exact Gini coefficient of customer spend — the
+    * concentration gauge (how much of total revenue the top deciles
+    * carry) every marketplace/fairness analysis asks for. Customers rank
+    * ascending by exact DECIMAL-cents spend under a total order
+    * (spend, custkey); Gini comes from the rank formula
+    * G = (2·Σ rank·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ), every sum an exact
+    * integer (rank·cents products in DECIMAL(38,0)); the curve is the
+    * per-decile spend share plus the cumulative Lorenz share.
+    *
+    * Scale shape: the global rank uses the ntileDecile machinery — ONE
+    * distributed range sort with per-partition offsets from a single
+    * size pass (never a 1-task global window); the decile tile rule is
+    * the SQL-standard closed form applied per row; everything after
+    * runs on the 10-row table.
+    *
+    * Exactness: sums are exact integers; the only doubles are final
+    * divisions of exact values (< 2⁵³ at verify SFs), association
+    * shapes mirrored in the oracle. */
+  def giniLorenz(spark: SparkSession, dir: String): DataFrame = {
+    val tiles = 10
+    val pts = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast(LongType).as("c"))
+      .orderBy("c", "o_custkey")
+    val rdd = pts.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = rdd.mapPartitionsWithIndex(
+      (pi, it) => Iterator((pi, it.size.toLong)),
+      preservesPartitioning = true).collect().sortBy(_._1).map(_._2)
+    val n = sizes.sum
+    val offsets = sizes.scanLeft(0L)(_ + _)
+    val q = n / tiles
+    val rem = n % tiles
+    val spark2 = spark
+    import spark2.implicits._
+    val ranked = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var idx = offsets(pi)
+      it.map { row =>
+        val tile =
+          if (idx < rem * (q + 1)) idx / (q + 1) + 1
+          else rem + (idx - rem * (q + 1)) / q + 1
+        idx += 1
+        (tile, row.getLong(1), idx) // idx is now the 1-based rank
+      }
+    }.toDF("decile", "c", "rank")
+    val agg = ranked.groupBy("decile")
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("c").cast(DecimalType(38, 0))).as("s0"),
+        sum(col("rank").cast(DecimalType(19, 0)) *
+          col("c").cast(DecimalType(19, 0))).as("s1"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy("decile")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val out = agg
+      .withColumn("ts0", sum(col("s0")).over(w).cast(DoubleType))
+      .withColumn("ts1", sum(col("s1")).over(w).cast(DoubleType))
+      .withColumn("tn", sum(col("n_cust")).over(w).cast(DoubleType))
+      .withColumn("cum0", sum(col("s0")).over(wCum).cast(DoubleType))
+      .select(col("decile"), col("n_cust"),
+        round(col("s0").cast(DoubleType) / col("ts0"), 6).as("spend_share"),
+        round(col("cum0") / col("ts0"), 6).as("lorenz_cum_share"),
+        round((lit(2.0) * col("ts1") - (col("tn") + 1.0) * col("ts0")) /
+          (col("tn") * col("ts0")), 6).as("gini"))
+      .orderBy("decile")
+    // 10 rows — materialize eagerly so the cached sort is released now
+    val rows = out.collect()
+    rdd.unpersist(blocking = false)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  /** DuckDB replay of [[giniLorenz]] — same total order, tile rule,
+    * integer sums and association shapes. */
+  val giniLorenzOracleSql: String =
+    """WITH pts AS (
+      |  SELECT o_custkey AS k,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+      |      AS c
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT k, c,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY c, k) AS BIGINT) AS rank,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+      |  FROM pts),
+      |d AS (
+      |  SELECT c, rank, n,
+      |    CASE WHEN rank - 1 < (n % 10) * (n // 10 + 1)
+      |         THEN (rank - 1) // (n // 10 + 1) + 1
+      |         ELSE (n % 10) +
+      |           (rank - 1 - (n % 10) * (n // 10 + 1)) // (n // 10) + 1
+      |    END AS decile
+      |  FROM r),
+      |g AS (
+      |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_cust,
+      |    SUM(CAST(c AS HUGEINT)) AS s0,
+      |    SUM(CAST(rank AS HUGEINT) * CAST(c AS HUGEINT)) AS s1
+      |  FROM d GROUP BY 1),
+      |t AS (
+      |  SELECT decile, n_cust, s0, s1,
+      |    CAST(SUM(s0) OVER () AS DOUBLE) AS ts0,
+      |    CAST(SUM(s1) OVER () AS DOUBLE) AS ts1,
+      |    CAST(SUM(n_cust) OVER () AS DOUBLE) AS tn,
+      |    CAST(SUM(s0) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |      AS cum0
+      |  FROM g)
+      |SELECT decile, n_cust,
+      |  ROUND(CAST(s0 AS DOUBLE) / ts0, 6) AS spend_share,
+      |  ROUND(cum0 / ts0, 6) AS lorenz_cum_share,
+      |  ROUND((2.0 * ts1 - (tn + 1.0) * ts0) / (tn * ts0), 6) AS gini
+      |FROM t ORDER BY decile""".stripMargin
+
   /** Quantile normalization across segments — the feature-prep classic
     * (microarray/batch-effect correction): each group's decile of the
     * price distribution is mapped onto the POOLED cross-group reference

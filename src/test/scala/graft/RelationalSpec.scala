@@ -103,6 +103,42 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.exists(r => math.abs(r._6) > 0.5))
   }
 
+  test("gini/lorenz: brute-force recount; curve convex; shares conserve") {
+    val rows = SparkEntry.queries("q_gini")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq === (1L to 10L))
+    // brute force in memory: same total order, rank formula
+    val spend = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast(
+        org.apache.spark.sql.types.DecimalType(18, 2))) * 100)
+        .cast(org.apache.spark.sql.types.LongType).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (k, c) => (c, k) }
+    val n = spend.length.toLong
+    assert(rows.map(_._2).sum === n)
+    val s0 = spend.map(p => BigInt(p._2)).sum
+    val s1 = spend.zipWithIndex
+      .map { case ((_, c), i) => BigInt(i + 1) * BigInt(c) }.sum
+    val gini = (BigDecimal(2 * s1) - BigDecimal((n + 1) * s0)).toDouble /
+      (BigDecimal(n) * BigDecimal(s0)).toDouble
+    rows.foreach { case (d, _, _, _, g) =>
+      assert(math.abs(g - gini) < 1e-5, s"decile $d gini")
+    }
+    // decile spend shares sum to 1 and the Lorenz curve is convex
+    // (ascending-rank deciles carry nondecreasing shares, ending at 1)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+    rows.sliding(2).foreach {
+      case Array((_, _, a, ca, _), (_, _, b, cb, _)) =>
+        assert(b >= a - 1e-6, "shares must be nondecreasing in rank")
+        assert(cb >= ca, "cumulative Lorenz share must be monotone")
+      case _ => ()
+    }
+    assert(math.abs(rows.last._4 - 1.0) < 1e-6)
+    assert(gini > 0.0 && gini < 1.0)
+  }
+
   test("HLL sketch stays inside its rsd bound vs the exact distinct") {
     val rows = graft.operators.Relational
       .approxDistinct(spark, "/root/testdata/sf0.01").collect()
