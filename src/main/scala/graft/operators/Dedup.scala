@@ -677,7 +677,7 @@ object Dedup {
     * complement of [[minhashNearDup]]: no sketch, no recall loss, every
     * token-set pair with J ≥ 9/10 is found. Each doc's DISTINCT tokens
     * sort under one global total order — ascending document frequency
-    * then token, materialized as the sortable string `%08d|token` so
+    * then token, materialized as the sortable string `%012d|token` so
     * both engines order identically with no rank table (and no 1-task
     * global row_number) — and only the first s − ceil(τ·s) + 1 tokens
     * (its PREFIX, the doc's rarest) generate candidates: if J(A,B) ≥ τ
@@ -714,8 +714,12 @@ object Dedup {
         .as("t"))
       .filter(length(col("t")) > 0)
     val dfreq = toks.groupBy("t").agg(count(lit(1)).as("df"))
+    // %012d, not %08d: the global order is the LEXICOGRAPHIC order of
+    // these strings, which equals the numeric (df, token) order only
+    // while df fits the zero-padded width — 10^12 covers any conceivable
+    // per-token document frequency (a 100 TB corpus holds ~10^11 docs)
     val keyed = toks.join(dfreq, "t")
-      .select(col("doc_id"), format_string("%08d|%s", col("df"), col("t"))
+      .select(col("doc_id"), format_string("%012d|%s", col("df"), col("t"))
         .as("k"))
     // localCheckpoint, not cache: arr feeds prefix generation AND both
     // verify sides — without it the collect_list aggregation re-executes
@@ -779,7 +783,7 @@ object Dedup {
       |tok2 AS (SELECT doc_id, t FROM tok WHERE len(t) > 0),
       |dfreq AS (SELECT t, COUNT(*) AS df FROM tok2 GROUP BY 1),
       |keyed AS (
-      |  SELECT doc_id, printf('%08d|%s', CAST(df AS INT), t) AS k
+      |  SELECT doc_id, printf('%012d|%s', CAST(df AS BIGINT), t) AS k
       |  FROM tok2 JOIN dfreq USING (t)),
       |arr AS (
       |  SELECT doc_id, list_sort(list(k)) AS ks,
