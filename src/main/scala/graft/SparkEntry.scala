@@ -363,6 +363,18 @@ object SparkEntry {
     * vec_id-ordered left fold per list — the bit-identical replay of
     * `Similarity.kmeansCentroids` round `i` (prev = previous centroid CTE).
     * Empty lists keep their previous centroid via the LEFT JOIN COALESCE. */
+  /** The fixed-size lowest-QueryK LCG query draw (Similarity.annQueryIds)
+    * as a DuckDB CTE over `e` — shared by the three ANN oracles so the
+    * query side of every ANN replay is CONSTANT at any corpus size. */
+  private def annQueryCte: String =
+    s"""qd AS (
+       |  SELECT vec_id FROM (
+       |    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+       |        ((vec_id % 2147483648) * 2654435761 + 7) % 2147483648,
+       |        vec_id) AS qrn
+       |    FROM e) WHERE qrn <= ${graft.operators.Similarity.QueryK})"""
+      .stripMargin
+
   private def ivfRound(i: Int, prev: String): String =
     s"""a$i AS (
        |  SELECT vec_id, emb, list_id FROM (
@@ -828,32 +840,41 @@ object SparkEntry {
          |UNION ALL
          |SELECT split, 'rmse', ROUND(rmse, 4) FROM m2
          |ORDER BY split, metric""".stripMargin,
-    // full SQL replay of the IVF ANN path: the BOUNDED lowest-SampleK-
-    // LCG-hash training sample (fixed size at any corpus scale — the r7
-    // review's top fix), LCG-ordered init, three unrolled bit-deterministic
-    // Lloyd rounds (see ivfRound), full-corpus assignment and 4-probe
-    // query fan-out with the final centroids, exact cosine on candidates,
-    // top-k. Like q_ann_lsh, the approximate structure itself is part of
-    // the verified contract.
+    // full SQL replay of the IVF ANN path at the CORPUS-DERIVED
+    // parameterization (r10): lists = 2^(bitlen(n) div 2) ≈ √n (clamped
+    // at 16 — the r9 constant at measured small SFs), probes = lists/4,
+    // sample = 16·lists (min 256) — the same exact integer arithmetic as
+    // Similarity.listsForCount/probesForLists/sampleKFor. Lowest-LCG-hash
+    // training sample, LCG-ordered init, three unrolled bit-deterministic
+    // Lloyd rounds (see ivfRound), full-corpus assignment and the
+    // fixed-size lowest-QueryK query fan-out with the final centroids,
+    // exact cosine on candidates, top-k. Like q_ann_lsh, the approximate
+    // structure itself is part of the verified contract.
     "q_ann_ivf" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS emb,
          |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
          |      AS norm
          |  FROM embeddings),
+         |$annQueryCte,
+         |params AS (
+         |  SELECT lists, GREATEST(4, lists // 4) AS probes,
+         |    GREATEST(${Similarity.MinSampleK}, 16 * lists) AS sampk
+         |  FROM (SELECT 1 << GREATEST(${Similarity.MinListsBits},
+         |    length(bin((SELECT COUNT(*) FROM e))) // 2) AS lists)),
          |samp AS (
          |  SELECT vec_id, emb FROM (
          |    SELECT vec_id, emb, ROW_NUMBER() OVER (ORDER BY
          |        ((vec_id % 2147483648) * 2654435761 + 99) % 2147483648,
          |        vec_id) AS srn
-         |    FROM e) WHERE srn <= ${Similarity.SampleK}),
+         |    FROM e) WHERE srn <= (SELECT sampk FROM params)),
          |c0 AS (
          |  SELECT j, c FROM (
          |    SELECT CAST(ROW_NUMBER() OVER (ORDER BY
          |        ((vec_id % 2147483648) * 2654435761 + 99) % 2147483648,
          |        vec_id) AS BIGINT)
          |      AS j, emb AS c
-         |    FROM samp) WHERE j <= 16),
+         |    FROM samp) WHERE j <= (SELECT lists FROM params)),
          |${ivfRound(1, "c0")},
          |${ivfRound(2, "c1")},
          |${ivfRound(3, "c2")},
@@ -870,7 +891,9 @@ object SparkEntry {
          |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
          |        list_dot_product(c.c, c.c) - 2 * list_dot_product(c.c, e.emb),
          |        c.j) AS rn
-         |    FROM e CROSS JOIN c3 c WHERE e.vec_id % 50 = 0) WHERE rn <= 4),
+         |    FROM e CROSS JOIN c3 c
+         |    WHERE e.vec_id IN (SELECT vec_id FROM qd))
+         |  WHERE rn <= (SELECT probes FROM params)),
          |cand AS (
          |  SELECT DISTINCT pr.q_id, af.vec_id
          |  FROM pr JOIN af ON af.list_id = pr.list_id
@@ -2242,13 +2265,14 @@ object SparkEntry {
     // as the codegen'd vec_dot loop, so cos matches bit-for-bit; ties in
     // the rounded cos break on vec_id in both engines.
     "q_ann_topk" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS emb,
         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
         |      AS norm
         |  FROM embeddings),
+        |$annQueryCte,
         |q AS (SELECT vec_id AS q_id, emb AS q_emb, norm AS q_norm
-        |      FROM e WHERE q_id % 50 = 0),
+        |      FROM e WHERE vec_id IN (SELECT vec_id FROM qd)),
         |scored AS (
         |  SELECT q.q_id, e.vec_id,
         |    ROUND(list_dot_product(q.q_emb, e.emb) / (q.q_norm * e.norm), 6)
@@ -2278,6 +2302,7 @@ object SparkEntry {
          |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
          |      AS norm
          |  FROM embeddings),
+         |$annQueryCte,
          |params AS (
          |  SELECT dim, bits,
          |    CASE bits ${(Similarity.MinBits to Similarity.MaxBitsAnn)
@@ -2307,7 +2332,8 @@ object SparkEntry {
         |cand AS (
         |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id
         |  FROM keys q JOIN keys c ON q.band = c.band AND q.key = c.key
-        |  WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+        |  WHERE q.vec_id IN (SELECT vec_id FROM qd)
+        |    AND c.vec_id <> q.vec_id),
         |scored AS (
         |  SELECT cand.q_id, cand.vec_id,
         |    ROUND(list_dot_product(qe.emb, ce.emb) / (qe.norm * ce.norm), 6)

@@ -30,7 +30,33 @@ import graft.Tables
 object Similarity {
 
   val K = 10
-  val QueryMod = 50 // vec_id % QueryMod == 0 → bounded query set
+
+  /** Fixed size of the ANN query set: the `QueryK` corpus vectors with the
+    * LOWEST LCG query hash — the `SampleK` idiom applied to the query side.
+    * The r9 draw (`vec_id % 50 == 0`) grew PROPORTIONALLY with the corpus
+    * and was then broadcast with embeddings attached — at 100 TB that is
+    * ~10⁹ query vectors on every executor and Θ(n²/50) brute-force work.
+    * A lowest-K hash draw is deterministic, partitioning-independent and
+    * CONSTANT at any corpus size (spec-asserted across SFs), so the
+    * broadcast side never grows: a production top-k serving path would
+    * instead batch externally-supplied queries in chunks of this shape. */
+  val QueryK = 20
+
+  /** The LCG query-draw order key — same congruence-safe reduction as
+    * `sampleHash` (distinct additive constant, so the query draw and the
+    * IVF training sample are independent orderings). */
+  private def queryHash: Column =
+    pmod(pmod(col("vec_id"), lit(2147483648L)) * 2654435761L + 7L,
+      lit(2147483648L))
+
+  /** The bounded ANN query set: lowest-`QueryK` query hashes, ties broken
+    * by vec_id — a TakeOrdered job over a vec_id-only projection, never a
+    * shuffle. Public so the constant-size-across-SFs property is
+    * spec-assertable. */
+  def annQueryIds(e: DataFrame): DataFrame =
+    e.select(col("vec_id")).withColumn("h", queryHash)
+      .orderBy("h", "vec_id").limit(QueryK)
+      .select("vec_id")
 
   // -- corpus-derived SRP parameterization (docs/SCALE.md §ANN) ----------
   // SRP sign bits agree on an unrelated (cos≈0) pair with probability 1/2,
@@ -112,7 +138,7 @@ object Similarity {
       .withColumn("norm", sqrt(dot("embedding", "embedding")))
 
   private def queries(e: DataFrame): DataFrame =
-    e.filter(col("vec_id") % QueryMod === 0)
+    e.join(annQueryIds(e), "vec_id")
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"))
 
@@ -273,15 +299,34 @@ object Similarity {
 
   // -- IVF -------------------------------------------------------------
 
-  val NumLists = 16
-  val NumProbes = 4
+  /** IVF list count from the corpus count — the √n law docs/SCALE.md §ANN
+    * states (≈√n lists keeps list length ≈ √n, so probe cost per query is
+    * NumProbes·√n): the floor power of two of √n, i.e. 2^(bitlen(n) div 2),
+    * exact integer arithmetic DuckDB replays as
+    * `1 << (length(bin(n)) // 2)`. Clamped below at 16 (= the r9 pinned
+    * constant — n ≤ 1023 keeps the measured-SF operating point, the
+    * `bitsForCount` discipline). n = 2000 (sf0.1) derives 32 lists, where
+    * the r9 audit measured the pinned 16 at mean recall 0.475. */
+  val MinListsBits = 4
+  def listsForCount(n: Long): Int = {
+    val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n))
+    1 << math.max(MinListsBits, bitlen / 2)
+  }
 
-  /** Fixed size of the quantizer training sample: the `SampleK` corpus
-    * vectors with the LOWEST LCG key hash — deterministic, partitioning-
-    * independent, and BOUNDED regardless of corpus size (constant across
-    * SFs, spec-asserted), unlike a proportional `% k` draw. 100 TB grows
-    * the corpus, not the k-means working set. */
-  val SampleK = 256
+  /** Probes per query: a fixed quarter of the lists (min 4 — the r9
+    * constant at 16 lists). Holding the probed FRACTION keeps per-query
+    * cost ≈ n/4 · (finer quantization) as the corpus grows; on a real
+    * (clustered) corpus the fraction itself is the knob a deployment
+    * lowers once q_ann_recall prices it. */
+  def probesForLists(lists: Int): Int = math.max(4, lists / 4)
+
+  /** Quantizer training-sample size: 16 rows per list (= the r9
+    * SampleK = 256 at 16 lists), floored at `MinSampleK`. Grows as
+    * O(√n) with the list count — a 10⁶-list corpus samples 16M rows,
+    * still a TakeOrdered job, never a shuffle of the corpus; the k-means
+    * working set stays driver-bounded at any corpus size. */
+  val MinSampleK = 256
+  def sampleKFor(lists: Int): Int = math.max(MinSampleK, 16 * lists)
 
   /** The LCG sample/init order key — key reduced mod 2³¹ first so there is
     * no Long overflow at any vec_id (congruence:
@@ -300,11 +345,11 @@ object Similarity {
     *    collect, left fold, one division) — canonical-order double sums,
     *    identical on any partitioning, instead of a partition-order `avg`.
     * The caller hands in the bounded `SampleK`-row sample, so the
-    * per-list `collect_list` buffer holds at most SampleK vectors and each
-    * round collects k·dim doubles — both independent of corpus size, which
-    * is what makes the canonical-order fold affordable. A coarse quantizer
-    * doesn't need convergence and never trains on the full corpus at
-    * scale. */
+    * per-list `collect_list` buffer holds at most the sample's rows and
+    * each round collects k·dim doubles — both corpus-size-bounded (the
+    * sample is sampleKFor(lists), O(√n)), which is what makes the
+    * canonical-order fold affordable. A coarse quantizer doesn't need
+    * convergence and never trains on the full corpus at scale. */
   private[operators] def kmeansCentroids(sample: DataFrame, k: Int,
                                          iters: Int): Array[Array[Double]] = {
     var cents: Array[Array[Double]] = sample
@@ -342,13 +387,12 @@ object Similarity {
     cents
   }
 
-  /** The bounded quantizer training sample: lowest-`SampleK` LCG hashes,
+  /** The bounded quantizer training sample: lowest-`k` LCG hashes,
     * ties broken by vec_id — a TakeOrdered (top-k) job, never a shuffle of
-    * the corpus. Public so the constant-size-across-SFs property is
-    * spec-assertable. */
-  def ivfTrainingSample(e: DataFrame): DataFrame =
+    * the corpus. Public so the derived-size property is spec-assertable. */
+  def ivfTrainingSample(e: DataFrame, k: Int): DataFrame =
     e.withColumn("h", sampleHash)
-      .orderBy("h", "vec_id").limit(SampleK)
+      .orderBy("h", "vec_id").limit(k)
       .select("vec_id", "embedding")
 
   /** IVF ANN: a k-means coarse quantizer assigns every vector to its
@@ -366,10 +410,15 @@ object Similarity {
     // is dropped (durable `checkpoint` on a real cluster)
     val base = Tables.embeddings(spark, dir)
     val e = withNorm(base, dimOf(base)).localCheckpoint(true)
+    // corpus-derived parameterization (√n law, docs/SCALE.md §ANN) — a
+    // metadata-cheap count over the checkpointed frame
+    val numLists = listsForCount(e.count())
+    val numProbes = probesForLists(numLists)
     // the bounded sample is itself checkpointed: every Lloyd round
-    // re-reads it, and SampleK rows is driver-trivial to pin
-    val samp = ivfTrainingSample(e).localCheckpoint(eager = true)
-    val centroids = kmeansCentroids(samp, NumLists, iters = 3)
+    // re-reads it, and sampleKFor(lists) rows is driver-trivial to pin
+    val samp = ivfTrainingSample(e, sampleKFor(numLists))
+      .localCheckpoint(eager = true)
+    val centroids = kmeansCentroids(samp, numLists, iters = 3)
     // centroids → one literal array<array<double>> column
     val cents = array(centroids.map(c => array(c.map(lit): _*)): _*)
     // squared distance to centroid c: x·x − 2x·c + c·c; x·x is constant
@@ -382,10 +431,10 @@ object Similarity {
         expr("array_position(dists, array_min(dists))").cast(LongType))
       .drop("cents", "dists")
     val probed = withDists
-      .filter(col("vec_id") % QueryMod === 0)
+      .join(broadcast(annQueryIds(e)), "vec_id")
       .withColumn("probe", explode(expr(
-        s"""slice(array_sort(zip_with(dists, sequence(1, $NumLists),
-           |  (d, i) -> struct(d AS d, i AS i))), 1, $NumProbes)"""
+        s"""slice(array_sort(zip_with(dists, sequence(1, $numLists),
+           |  (d, i) -> struct(d AS d, i AS i))), 1, $numProbes)"""
           .stripMargin)))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"), col("probe.i").cast(LongType).as("list_id"))
@@ -415,7 +464,7 @@ object Similarity {
       explode(col("buckets")).as("bk"))
       .select(col("vec_id"), col("embedding"), col("norm"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    val qs = cand.filter(col("vec_id") % QueryMod === 0)
+    val qs = cand.join(broadcast(annQueryIds(e)), "vec_id")
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"), col("band"), col("key"))
     val pairs = cand.join(broadcast(qs), Seq("band", "key"))
@@ -441,15 +490,16 @@ object Similarity {
     * trade-off from an assertion into a measured, oracle-gated table —
     * the number a 100 TB deployment tunes NumLists/probes against.
     *
-    * What it measures TODAY: at NumProbes/NumLists = 4/16, mean recall
-    * is 0.60 at sf0.01 and 0.475 at sf0.1 (min 0.1) — barely above the
-    * 25% probed-corpus floor, which is the diagnosis itself: the
-    * synthetic embeddings cluster only weakly, so IVF recall degrades
-    * toward the probed FRACTION (uniform data is IVF's worst case;
-    * real embedding corpora cluster and recall concentrates). That is
-    * exactly what a deployment needs measured before trusting the
-    * index: the knob is NumProbes (recall ≈ linear in it here, at
-    * proportional candidate cost), and this table prices it.
+    * What it measures TODAY (r10, corpus-derived lists/probes + the
+    * fixed lowest-QueryK draw): mean recall 0.755 at sf0.01 (16 lists /
+    * 4 probes) and 0.815 at sf0.1 (32 lists / 8 probes) — well above
+    * the 25% probed-corpus floor. Under the r9 pinned 16/4 constants
+    * the sf0.1 audit read 0.475 (min 0.1), barely above the floor: the
+    * weakly-clustered synthetic corpus is IVF's worst case, and finer
+    * data-derived quantization is exactly what recovered it. That is
+    * what a deployment needs measured before trusting the index: the
+    * knobs are the probe fraction and the √n list law, and this table
+    * prices them.
     *
     * Scale shape: both inputs are the existing top-k pipelines (two-stage
     * heads, bounded candidate sets); the audit itself is an equi join on

@@ -34,12 +34,44 @@ class SimilarityScaleSpec extends AnyFunSuite {
     assert((4 to 6).map(Similarity.ndBandsFor) === Seq(4, 5, 6))
   }
 
-  test("IVF quantizer sample is SampleK rows at EVERY corpus scale") {
+  test("IVF params derive from the corpus count: √n lists, lists/4 probes") {
+    // the r9 pinned constants (16/4/256) are the derived values for every
+    // n ≤ 1023 — measured small SFs are bit-identical to r9
+    assert(Similarity.listsForCount(500) === 16)
+    assert(Similarity.listsForCount(1) === 16)
+    // sf0.1 (n=2000) derives 32 lists / 8 probes / 512-row sample
+    assert(Similarity.listsForCount(2000) === 32)
+    assert(Similarity.probesForLists(16) === 4)
+    assert(Similarity.probesForLists(32) === 8)
+    assert(Similarity.sampleKFor(16) === 256)
+    assert(Similarity.sampleKFor(32) === 512)
+    // the √n law: 10⁶ vectors → 1024 lists (≈√n, floor power of two)
+    assert(Similarity.listsForCount(1000000L) === 1024)
+    assert(Similarity.listsForCount(1000000000L) === 32768) // √10⁹ ≈ 31623
+  }
+
+  test("IVF quantizer sample is the derived bounded size at every scale") {
     for (dir <- Seq(sf, "/root/testdata/sf0.1")) {
-      val n = Similarity
-        .ivfTrainingSample(Tables.embeddings(spark, dir)).count()
-      assert(n === Similarity.SampleK.toLong, dir)
+      val e = Tables.embeddings(spark, dir)
+      val k = Similarity.sampleKFor(Similarity.listsForCount(e.count()))
+      assert(Similarity.ivfTrainingSample(e, k).count() === k.toLong, dir)
     }
+  }
+
+  test("ANN query set is QueryK rows at EVERY corpus scale (never ∝ n)") {
+    // the broadcast query side must be CONSTANT as the corpus grows — the
+    // r9 proportional %50 draw was the engine's last grows-with-corpus
+    // broadcast (r9 verdict, What's wrong #1)
+    val drawn = for (dir <- Seq(sf, "/root/testdata/sf0.1")) yield {
+      val ids = Similarity.annQueryIds(Tables.embeddings(spark, dir))
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids.length === Similarity.QueryK, dir)
+      assert(ids.distinct.length === Similarity.QueryK, dir)
+      ids.toSet
+    }
+    // the draw is a hash order, not a prefix: scaling the corpus reshuffles
+    // which ids win, proving it actually keys off the LCG hash
+    assert(drawn(0) !== drawn(1))
   }
 
   test("hot bucket is dropped whole before pair expansion, never expanded") {
@@ -139,10 +171,8 @@ class SimilarityScaleSpec extends AnyFunSuite {
   test("ANN recall audit: full query coverage, overlap recounted, banded") {
     val rows = SparkEntry.queries("q_ann_recall")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-    // one row per query point of the shared query set (vec_id % 50 == 0)
-    val nq = Tables.embeddings(spark, sf)
-      .filter(col("vec_id") % 50 === 0).count()
-    assert(rows.length.toLong === nq)
+    // one row per query point of the shared fixed-size query draw
+    assert(rows.length === Similarity.QueryK)
     // overlap recounted directly from the two pipelines' outputs
     val bf = Similarity.bruteForceTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
