@@ -672,14 +672,25 @@ object SparkEntry {
       |    FROM n x JOIN n y ON x.vec_id < y.vec_id)
       |  WHERE cos >= 0.9)""".stripMargin
 
+  /** The tabulation-family slot signature over a `ps` polyhash list —
+    * the PRODUCTION MinHash family since r10 (Dedup.tabSlotSql; the
+    * codegen `tabulation_sigs` kernel computes the same values). */
+  private def tabMhExpr: String =
+    s"""list_transform(range(0, ${graft.operators.Dedup.NumHashes}),
+       |      j -> list_min(list_transform(ps,
+       |        p -> ${graft.operators.Dedup.tabSlotSql})))""".stripMargin
+
   /** DuckDB replay of the MinHash-LSH candidate pipeline
     * (Dedup.signatures → candidatePairs → Jaccard verify): planted
     * corpus, distinct word 3-shingles, ONE polynomial code-point roll per
-    * shingle (base 131 mod 2147483647 — mirrors PolyHash.minhash), the
-    * affine seed family, 4-value band signatures grouped as lists with
-    * the 2..MaxBucket cap, then exact-Jaccard verification of the
-    * candidates. Ends with the `verified(a, b, jaccard)` CTE shared by
-    * q_minhash_neardup and q_dedup_survivors. */
+    * shingle (base 131 mod 2147483647 — mirrors PolyHash.minhashTab),
+    * TABULATION slot signatures (`mht`, the r10 production family; the
+    * retired affine family survives as the `mh` CTE solely for the
+    * q_mh_accuracy before-record — unused CTEs are free), 4-value band
+    * signatures grouped as lists with the 2..MaxBucket cap, then
+    * exact-Jaccard verification of the candidates. Ends with the
+    * `verified(a, b, jaccard)` CTE shared by q_minhash_neardup and
+    * q_dedup_survivors. */
   private def minhashPrefix: String = {
     import graft.operators.Dedup.{Bands, MaxBucket, NumHashes, RowsPerBand}
     s"""corpus AS (
@@ -715,11 +726,15 @@ object SparkEntry {
        |        ((1103515245 * (j + 1)) % 2147483647 * p
        |         + (12345 * (j + 1)) % 2147483647) % 2147483647))) AS mh
        |  FROM ph),
+       |mht AS (
+       |  SELECT doc_id,
+       |    $tabMhExpr AS mh
+       |  FROM ph),
        |bands AS (
        |  SELECT doc_id, bd,
        |    mh[bd * $RowsPerBand + 1 : bd * $RowsPerBand + $RowsPerBand]
        |      AS sig
-       |  FROM mh, range(0, $Bands) r(bd)),
+       |  FROM mht, range(0, $Bands) r(bd)),
        |bucketed AS (
        |  SELECT bd, sig FROM bands GROUP BY bd, sig
        |  HAVING COUNT(*) BETWEEN 2 AND $MaxBucket),
@@ -2667,7 +2682,8 @@ object SparkEntry {
     // all-pairs); equality against this oracle demonstrates zero false
     // negatives on the planted corpus (deterministic hashes -> stable)
     // full SQL replay of the MinHash-LSH operator — shingles, poly-roll +
-    // affine-seed signatures, banded buckets (capped), exact-Jaccard
+    // tabulation-slot signatures (the r10 production family), banded
+    // buckets (capped), exact-Jaccard
     // verification — so the oracle states the LSH's ACTUAL output. An
     // exhaustive ground-truth oracle only matches when banding recall
     // happens to be 1, which provably fails at some SFs (sf0.001: two
@@ -2680,12 +2696,7 @@ object SparkEntry {
     // from the XOR-of-byte-tables family (xor() — DuckDB ^ is pow)
     "q_mh_tabulation" ->
       s"""WITH $minhashPrefix,
-         |mtab AS (
-         |  SELECT doc_id,
-         |    list_transform(range(0, ${graft.operators.Dedup.NumHashes}),
-         |      j -> list_min(list_transform(ps,
-         |        p -> ${graft.operators.Dedup.tabSlotSql}))) AS mh2
-         |  FROM ph)
+         |mtab AS (SELECT doc_id, mh AS mh2 FROM mht)
          |SELECT o.doc_id AS a, n.doc_id AS b,
          |  CAST(len(list_filter(list_transform(range(1, ${
            graft.operators.Dedup.NumHashes + 1}),
@@ -2806,10 +2817,7 @@ object SparkEntry {
          |  FROM sh),
          |mh AS (
          |  SELECT doc_id,
-         |    list_transform(range(0, ${graft.operators.Dedup.NumHashes}),
-         |      j -> list_min(list_transform(ps, p ->
-         |        ((1103515245 * (j + 1)) % 2147483647 * p
-         |         + (12345 * (j + 1)) % 2147483647) % 2147483647))) AS mh
+         |    $tabMhExpr AS mh
          |  FROM ph),
          |bands AS (
          |  SELECT doc_id, bd,
@@ -2887,10 +2895,7 @@ object SparkEntry {
          |  FROM sh),
          |mh AS (
          |  SELECT doc_id, source,
-         |    list_transform(range(0, ${graft.operators.Dedup.NumHashes}),
-         |      j -> list_min(list_transform(ps, p ->
-         |        ((1103515245 * (j + 1)) % 2147483647 * p
-         |         + (12345 * (j + 1)) % 2147483647) % 2147483647))) AS mh
+         |    $tabMhExpr AS mh
          |  FROM ph),
          |slots AS (
          |  SELECT source, j, MIN(mh[j + 1]) AS v

@@ -36,6 +36,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       cs => { val c = arity(2, "minhash_sigs")(cs)
               MinHashSigs(c(0), c(1)) }))
     ext.injectFunction((
+      FunctionIdentifier("tabulation_sigs"),
+      TabulationSigs.info,
+      cs => { val c = arity(2, "tabulation_sigs")(cs)
+              TabulationSigs(c(0), c(1)) }))
+    ext.injectFunction((
       FunctionIdentifier("shingles3"),
       Shingles3.info,
       cs => { val c = arity(1, "shingles3")(cs); Shingles3(c(0)) }))

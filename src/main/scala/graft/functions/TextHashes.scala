@@ -333,6 +333,74 @@ object PolyHash {
     }
     new GenericArrayData(mins)
   }
+
+  /** Tabulation-style MinHash signature — the PRODUCTION hash family since
+    * r10. Each shingle reduces ONCE to the same polynomial code-point roll
+    * p as [[minhash]]; slot j then hashes p as the XOR of four per-byte
+    * table values over p's low 4 bytes:
+    *   T_jk(v) = (A_jk · (v + 17) + B_jk) mod P,
+    *   A_jk = (2654435761 · (4j+k+1)) mod P,
+    *   B_jk = (40503 · (4j+k+1) + 7) mod P,   P = 2147483647.
+    * The tables come from a fixed affine formula of (slot, byte index,
+    * byte value) rather than random entries, so the formal independence
+    * guarantees of true (Zobrist/Pǎtraşcu–Thorup) tabulation hashing
+    * don't directly apply — but the property that matters for MinHash
+    * holds structurally: an XOR of per-byte values is NOT monotone in p,
+    * so the affine family's correlated-minima pathology (one small p
+    * capturing the min of most slots at once; q_mh_accuracy measured a
+    * ~1% tail erring up to 0.82) cannot occur, and the q_mh_tabulation
+    * audit measures the worst case collapsing to the plain binomial
+    * envelope (~0.22). Every intermediate stays < 2^63, so DuckDB's
+    * checked BIGINT arithmetic replays the signature exactly
+    * (Dedup.tabSlotSql); the HOF executable spec lives in
+    * Dedup.signaturesTabHof (equivalence-tested). */
+  def minhashTab(shingles: ArrayData, numHashes: Int): ArrayData = {
+    val P = 2147483647L
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val as = new Array[Long](numHashes * 4)
+    val bs = new Array[Long](numHashes * 4)
+    var j = 0
+    while (j < numHashes) {
+      var k = 0
+      while (k < 4) {
+        val t = 4L * j + k + 1
+        as(j * 4 + k) = (2654435761L * t) % P
+        bs(j * 4 + k) = (40503L * t + 7L) % P
+        k += 1
+      }
+      j += 1
+    }
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val s = shingles.getUTF8String(i)
+      var p = 0L
+      if (s != null) {
+        val str = s.toString
+        var k = 0
+        while (k < str.length) {
+          val c = str.codePointAt(k)
+          p = (p * 131 + c) % P
+          k += Character.charCount(c)
+        }
+      }
+      j = 0
+      while (j < numHashes) {
+        var h = 0L
+        var k = 0
+        while (k < 4) {
+          h ^= (as(j * 4 + k) * (((p >> (8 * k)) & 255L) + 17L) +
+            bs(j * 4 + k)) % P
+          k += 1
+        }
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
 }
 
 /** simhash64(normalized_text) → BIGINT. Null in → null out. */
@@ -456,6 +524,43 @@ case class MinHashSigs(left: Expression, right: Expression)
 object MinHashSigs {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[MinHashSigs].getName, "minhash_sigs")
+}
+
+/** tabulation_sigs(shingles, numHashes) → ARRAY<BIGINT>. The production
+  * MinHash family since r10 (see PolyHash.minhashTab); one pass over the
+  * shingle array computes every slot's minimum. numHashes must be a
+  * foldable positive int. */
+case class TabulationSigs(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "tabulation_sigs expects (array<string>, foldable int), got " +
+          s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    PolyHash.minhashTab(a.asInstanceOf[ArrayData], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.PolyHash.minhashTab($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TabulationSigs =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "tabulation_sigs"
+}
+
+object TabulationSigs {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[TabulationSigs].getName, "tabulation_sigs")
 }
 
 /** token_profile(normalized_text, array(array<string>...)) →

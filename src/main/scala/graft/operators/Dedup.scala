@@ -57,24 +57,49 @@ object Dedup {
   val RowsPerBand = NumHashes / Bands
   val MaxBucket = 100 // drop degenerate buckets (boilerplate at web scale)
 
-  /** doc_id, shingles (distinct word 3-grams), minhash signature array.
-    * Shingling and the signature are the native kernels
-    * (functions.Shingles3 / functions.MinHashSigs) — bit-exact with the
-    * interpreted HOF forms kept in `signaturesHof` (equivalence-tested in
-    * DedupSpec), but tight codegen'd loops instead of per-element closure
-    * dispatch; shingles of a single-spaced string are substring slices, so
-    * no per-shingle string is ever built. */
+  /** doc_id, shingles (distinct word 3-grams), minhash signature array —
+    * the PRODUCTION signature pipeline. Shingling and the signature are
+    * native kernels (functions.Shingles3 / functions.TabulationSigs):
+    * tight codegen'd loops, bit-exact with the interpreted HOF executable
+    * specs (equivalence-tested in DedupSpec); shingles of a single-spaced
+    * string are substring slices, so no per-shingle string is ever built.
+    *
+    * Hash family (since r10): tabulation-style XOR of structured per-byte
+    * tables (PolyHash.minhashTab). The r9 affine family h_j(p) = a_j·p +
+    * b_j mod P has CORRELATED minima — one small polyhash p can capture
+    * the min of most slots at once, which the q_mh_accuracy audit
+    * measured as a ~1% tail of estimator errors up to 0.82; banding
+    * RECALL inherits that pathology (a correlated-minima signature can
+    * under-match real near-dups even though the exact-Jaccard verify
+    * keeps precision safe). The XOR family is not monotone in p, the
+    * worst-case error collapses to the binomial envelope (~0.22,
+    * q_mh_tabulation), and all banding consumers (minhashNearDup,
+    * incrementalDedup, dedupSurvivors, sourceSimilarity) now sign with
+    * it — each oracle replays the same family via tabSlotSql. */
   def signatures(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("shingles", expr(
+        "shingles3(regexp_replace(lower(text), '\\\\s+', ' '))"))
+      .withColumn("minhash", expr(s"tabulation_sigs(shingles, $NumHashes)"))
+      .select("doc_id", "shingles", "minhash")
+
+  /** The r9 AFFINE signature pipeline (functions.MinHashSigs) — retained
+    * solely for [[minhashAccuracy]], the audit that measured the affine
+    * family's correlated-minima pathology and motivated the tabulation
+    * switch: q_mh_accuracy (affine, before) vs q_mh_tabulation
+    * (tabulation, after) stay directly comparable as the permanent
+    * before/after record. */
+  def signaturesAffine(docs: DataFrame): DataFrame =
     docs
       .withColumn("shingles", expr(
         "shingles3(regexp_replace(lower(text), '\\\\s+', ' '))"))
       .withColumn("minhash", expr(s"minhash_sigs(shingles, $NumHashes)"))
       .select("doc_id", "shingles", "minhash")
 
-  /** The original HOF formulation of the shingle + minhash signature
-    * (poly roll per shingle, affine per seed — see PolyHash.minhash) —
-    * kept (unregistered) as the executable spec the native kernels are
-    * equivalence-tested against. */
+  /** The original HOF formulation of the shingle + AFFINE minhash
+    * signature (poly roll per shingle, affine per seed — see
+    * PolyHash.minhash) — kept (unregistered) as the executable spec the
+    * `minhash_sigs` kernel is equivalence-tested against. */
   def signaturesHof(docs: DataFrame): DataFrame =
     docs
       .withColumn("tokens",
@@ -92,6 +117,26 @@ object Dedup {
            |       * aggregate(split(s, ''), 0L,
            |           (a, c) -> (a * 131 + ascii(c)) % 2147483647L)
            |     + (12345L * (j + 1)) % 2147483647L) % 2147483647L)))"""
+          .stripMargin))
+      .select("doc_id", "shingles", "minhash")
+
+  /** The HOF formulation of the TABULATION signature ([[signatures]]'s
+    * production family) — kept (unregistered) as the executable spec the
+    * `tabulation_sigs` kernel is equivalence-tested against. The
+    * single-element-array "let" binds the polyhash array once per row
+    * (projection collapse would otherwise substitute the ps expression
+    * into all NumHashes slot lambdas and re-run the per-shingle roll
+    * 20×). */
+  def signaturesTabHof(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("shingles", expr(
+        "shingles3(regexp_replace(lower(text), '\\\\s+', ' '))"))
+      .withColumn("minhash", expr(
+        s"""element_at(transform(array(
+           |    transform(shingles, s -> aggregate(split(s, ''), 0L,
+           |      (a, c) -> (a * 131 + ascii(c)) % 2147483647L))),
+           |  ps -> transform(sequence(0, ${NumHashes - 1}), j ->
+           |    array_min(transform(ps, p -> $tabSlotExpr)))), 1)"""
           .stripMargin))
       .select("doc_id", "shingles", "minhash")
 
@@ -430,7 +475,7 @@ object Dedup {
     val sigs = Tables.documents(spark, dir)
       .withColumn("shingles", expr(
         "shingles3(regexp_replace(lower(text), '\\\\s+', ' '))"))
-      .withColumn("minhash", expr(s"minhash_sigs(shingles, $NumHashes)"))
+      .withColumn("minhash", expr(s"tabulation_sigs(shingles, $NumHashes)"))
       .select(col("source"), col("minhash"))
     val merged = sigs.groupBy("source")
       .agg(expr("minhash_agg(minhash)").as("sig"))
@@ -545,11 +590,15 @@ object Dedup {
     * CORRELATED minima: when one shingle's polyhash p is small enough
     * that a_j·p never wraps, that same shingle captures the min for
     * most j at once, and a single differing shingle can flip most
-    * slots. This is exactly why the dedup path uses the sketch ONLY
-    * for banded candidate generation and always verifies candidates
-    * with exact Jaccard ([[minhashNearDup]]) — the audit quantifies
-    * the reason, and the spec pins the aggregate bands plus the
-    * bounded pathological-tail fraction.
+    * slots. This finding is why (a) the dedup path only ever uses the
+    * sketch for banded candidate generation, always verifying with
+    * exact Jaccard ([[minhashNearDup]]), and (b) since r10 the
+    * PRODUCTION banding family is the tabulation-style XOR hash this
+    * audit's twin measures ([[minhashTabulation]] / [[signatures]]) —
+    * this query keeps signing with the retired affine family
+    * ([[signaturesAffine]]) as the permanent "before" record. The spec
+    * pins the aggregate bands plus the bounded pathological-tail
+    * fraction.
     *
     * Exactness: slot matches and set sizes are exact integers on both
     * engines (the signature recurrence replays in SQL bit-for-bit, as
@@ -560,7 +609,7 @@ object Dedup {
     * equi join on the derived key), each comparison two narrow HOFs —
     * no candidate blow-up, no shuffle beyond the equi join. */
   def minhashAccuracy(spark: SparkSession, dir: String): DataFrame = {
-    val sig = signatures(corpus(spark, dir))
+    val sig = signaturesAffine(corpus(spark, dir))
     val orig = sig.filter(col("doc_id") < 1000000 && col("doc_id") % 7 === 0)
       .select(col("doc_id").as("a"), col("shingles").as("sh_a"),
         col("minhash").as("mh_a"))
@@ -586,61 +635,51 @@ object Dedup {
       .orderBy("a")
   }
 
-  /** One slot of the tabulation hash: XOR of four per-byte table values,
-    * tables generated by a fixed affine formula of (slot j, byte index k,
-    * byte value). Mirrored literally in the oracle's SQL (xor() calls —
-    * DuckDB's ^ is exponentiation). `shiftright(p, n)` rather than the
-    * `>>` operator: Spark's expression parser rejects `>>` inside a
-    * lambda nested in another lambda (measured — single-depth parses). */
+  /** One slot of the tabulation-STYLE hash: XOR of four per-byte table
+    * values, tables generated by a fixed affine formula of (slot j, byte
+    * index k, byte value) — structured entries, not the (pseudo)random
+    * draws of true Zobrist/Pǎtraşcu–Thorup tabulation, so the cited
+    * independence guarantees don't formally apply; what the XOR buys
+    * structurally is non-monotonicity in p, and the q_mh_accuracy /
+    * q_mh_tabulation audit pair measures that this empirically collapses
+    * the correlated-minima worst case (0.82 → ~0.22). Mirrored literally
+    * in the oracle's SQL (xor() calls — DuckDB's ^ is exponentiation) and
+    * in the codegen kernel PolyHash.minhashTab (equivalence-tested).
+    * `shiftright(p, n)` rather than the `>>` operator: Spark's expression
+    * parser rejects `>>` inside a lambda nested in another lambda
+    * (measured — single-depth parses). */
   private def tabSlotExpr: String = (0 to 3).map { k =>
     s"((((2654435761L * (4*j + $k + 1)) % 2147483647L) * " +
       s"((shiftright(p, ${8 * k}) & 255L) + 17L) + " +
       s"(40503L * (4*j + $k + 1) + 7L) % 2147483647L) % 2147483647L)"
   }.mkString(" ^ ")
 
-  /** The engineered fix for the [[minhashAccuracy]] finding: the SAME
-    * audit under TABULATION hashing (Zobrist/Pǎtraşcu–Thorup: each slot
-    * hash is the XOR of four per-byte table lookups on the shingle's
-    * polyhash bytes). XOR of per-byte values is not monotone in p, so
-    * the affine family's correlated-minima pathology — one small p
-    * capturing the min of most slots at once — cannot occur. Measured
-    * against q_mh_accuracy on the same pairs: mean/median hold at
-    * ~0.04/0.03 (the n = 20 discretization floor), while the WORST CASE
-    * collapses from 0.61 (sf0.001) / 0.82 (sf0.1) to ~0.21–0.23 — the
-    * plain binomial envelope, i.e. the catastrophes are gone and only
-    * ordinary sampling noise remains. Same output shape as
-    * q_mh_accuracy, so the two rows compare directly. */
+  /** The engineered fix for the [[minhashAccuracy]] finding — and, since
+    * r10, the accuracy audit of the PRODUCTION family: the same audit
+    * under the tabulation-style XOR hash ([[signatures]]' family, the
+    * codegen'd `tabulation_sigs` kernel). XOR of per-byte table values is
+    * not monotone in p, so the affine family's correlated-minima
+    * pathology — one small p capturing the min of most slots at once —
+    * cannot occur. Measured against q_mh_accuracy on the same pairs:
+    * mean/median hold at ~0.04/0.03 (the n = 20 discretization floor),
+    * while the WORST CASE collapses from 0.61 (sf0.001) / 0.82 (sf0.1)
+    * to ~0.21–0.23 — the plain binomial envelope, i.e. the catastrophes
+    * are gone and only ordinary sampling noise remains. Same output
+    * shape as q_mh_accuracy, so the two rows compare directly. */
   def minhashTabulation(spark: SparkSession, dir: String): DataFrame = {
-    // the single-element-array "let" binds the polyhash array ONCE per
-    // row: Catalyst's projection collapse would otherwise substitute the
-    // ps expression into all NumHashes slot lambdas and re-run the
-    // per-shingle polyhash 20× (8.2 s → 3.7 s warm at sf0.1 together
-    // with the planted-docs filter below; the remainder is interpreted
-    // HOF evaluation — fine for an audit whose production path is the
-    // codegen'd affine kernel)
-    val base = corpus(spark, dir)
-      // only the planted pair docs need signatures — the audit joins
-      // orig (%7, <10⁶) to near (≥2·10⁶); signing the other ~78% of the
-      // corpus is wasted tabulation work (semantics-identical: the slot
-      // hash is a per-doc function)
+    // only the planted pair docs need signatures — the audit joins
+    // orig (%7, <10⁶) to near (≥2·10⁶); signing the other ~78% of the
+    // corpus is wasted work (semantics-identical: the slot hash is a
+    // per-doc function)
+    val base = signatures(corpus(spark, dir)
       .filter((col("doc_id") < 1000000 && col("doc_id") % 7 === 0) ||
-        col("doc_id") >= 2000000)
-      .withColumn("shingles", expr(
-        "shingles3(regexp_replace(lower(text), '\\\\s+', ' '))"))
-      .withColumn("tsig", expr(
-        s"""element_at(transform(array(
-           |    transform(shingles, s -> aggregate(split(s, ''), 0L,
-           |      (a, c) -> (a * 131 + ascii(c)) % 2147483647L))),
-           |  ps -> transform(sequence(0, ${NumHashes - 1}), j ->
-           |    array_min(transform(ps, p -> $tabSlotExpr)))), 1)"""
-          .stripMargin))
-      .select("doc_id", "shingles", "tsig")
+        col("doc_id") >= 2000000))
     val orig = base.filter(col("doc_id") < 1000000 && col("doc_id") % 7 === 0)
       .select(col("doc_id").as("a"), col("shingles").as("sh_a"),
-        col("tsig").as("mh_a"))
+        col("minhash").as("mh_a"))
     val near = base.filter(col("doc_id") >= 2000000)
       .select(col("doc_id").as("b"), (col("doc_id") - 2000000).as("k"),
-        col("shingles").as("sh_b"), col("tsig").as("mh_b"))
+        col("shingles").as("sh_b"), col("minhash").as("mh_b"))
     orig.join(near, col("a") === col("k"))
       .select(col("a"), col("b"),
         expr("size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), z -> z))")

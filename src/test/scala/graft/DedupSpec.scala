@@ -85,9 +85,30 @@ class DedupSpec extends AnyFunSuite {
       (9000007L, "naïve café résumé über tokens"))
       .toDF("doc_id", "text")
     val docs = Dedup.corpus(spark, sf).limit(200).unionByName(edge)
-    val native = Dedup.signatures(docs)
+    val native = Dedup.signaturesAffine(docs)
       .select(col("doc_id"), col("shingles").as("sh_n"), col("minhash").as("mh_n"))
     val hof = Dedup.signaturesHof(docs)
+      .select(col("doc_id"), col("shingles").as("sh_h"), col("minhash").as("mh_h"))
+    val diff = native.join(hof, "doc_id")
+      .filter(col("sh_n") =!= col("sh_h") || col("mh_n") =!= col("mh_h"))
+      .count()
+    assert(diff === 0L)
+  }
+
+  test("native tabulation_sigs kernel matches the HOF executable spec") {
+    // the r10 PRODUCTION family: the codegen kernel must be bit-exact with
+    // the interpreted tabSlotExpr HOF form on the corpus plus the same
+    // edge cases the affine equivalence pins (incl. non-ASCII code points)
+    val spark2 = spark
+    import spark2.implicits._
+    val edge = Seq((9000001L, ""), (9000002L, " x y z"), (9000003L, "x "),
+      (9000004L, "one two"), (9000005L, "a b c d e"), (9000006L, "a b a b a"),
+      (9000007L, "naïve café résumé über tokens"))
+      .toDF("doc_id", "text")
+    val docs = Dedup.corpus(spark, sf).limit(200).unionByName(edge)
+    val native = Dedup.signatures(docs)
+      .select(col("doc_id"), col("shingles").as("sh_n"), col("minhash").as("mh_n"))
+    val hof = Dedup.signaturesTabHof(docs)
       .select(col("doc_id"), col("shingles").as("sh_h"), col("minhash").as("mh_h"))
     val diff = native.join(hof, "doc_id")
       .filter(col("sh_n") =!= col("sh_h") || col("mh_n") =!= col("mh_h"))
@@ -284,7 +305,7 @@ class DedupSpec extends AnyFunSuite {
     // recount one pair's slot matches + exact jaccard from the raw
     // signature/shingle arrays
     val (a, b) = (rows.head._1, rows.head._2)
-    val sig = Dedup.signatures(Dedup.corpus(spark, sf))
+    val sig = Dedup.signaturesAffine(Dedup.corpus(spark, sf))
       .filter(col("doc_id").isin(a, b)).collect()
       .map(r => r.getLong(0) -> (r.getSeq[String](1), r.getSeq[Long](2)))
       .toMap
