@@ -704,12 +704,15 @@ object Behavior {
 
   // -- robust series anomaly detection -----------------------------------
 
-  /** Robust anomaly detection over the per-type daily event-volume series —
+  /** Robust anomaly detection over the GLOBAL daily event-volume series —
     * the monitoring alarm that catches an ingest outage or a runaway
-    * producer without a clean day's noise tripping it: per event_type,
-    * each day's count is compared against that type's median via the
+    * producer without a clean day's noise tripping it: each day's total
+    * event count is compared against the series median via the
     * 3·1.4826·MAD robust fence ([[graft.operators.Relational.madOutliers]]'s
-    * gauge applied to a time series). MAD is contamination-robust, which
+    * gauge applied to a time series; a per-event_type variant would
+    * simply add event_type to the groupBy key and partition the stats —
+    * the oracle and this operator both run at the global-day grain).
+    * MAD is contamination-robust, which
     * is the point: the anomalous days themselves cannot drag the fence
     * toward themselves the way a σ-based control chart's would.
     *

@@ -731,8 +731,12 @@ object Relational {
     val ranked = rdd.mapPartitionsWithIndex { (pi, it) =>
       var idx = offsets(pi)
       it.map { row =>
+        // n < tiles ⇒ q = 0, rem = n: every idx < rem takes the first
+        // branch (tile = idx + 1, one customer per tile) — the explicit
+        // q == 0 arm makes the else branch's /q structurally unreachable
+        // instead of relying on the range argument
         val tile =
-          if (idx < rem * (q + 1)) idx / (q + 1) + 1
+          if (q == 0 || idx < rem * (q + 1)) idx / (q + 1) + 1
           else rem + (idx - rem * (q + 1)) / q + 1
         idx += 1
         (tile, row.getLong(1), idx) // idx is now the 1-based rank
@@ -782,7 +786,8 @@ object Relational {
       |    CASE WHEN rank - 1 < (n % 10) * (n // 10 + 1)
       |         THEN (rank - 1) // (n // 10 + 1) + 1
       |         ELSE (n % 10) +
-      |           (rank - 1 - (n % 10) * (n // 10 + 1)) // (n // 10) + 1
+      |           (rank - 1 - (n % 10) * (n // 10 + 1))
+      |             // GREATEST(n // 10, 1) + 1
       |    END AS decile
       |  FROM r),
       |g AS (

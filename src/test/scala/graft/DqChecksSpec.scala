@@ -38,12 +38,20 @@ class DqChecksSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).toSeq === cols) // sorted, complete
     val orders = Tables.orders(spark, sf)
     val total = orders.count()
+    // numeric columns render as plain integer strings (ids; DECIMAL cents
+    // for o_totalprice) — compare them PARSED, not lexicographically:
+    // string order would false-fail e.g. min '2' vs max '10'
+    val numericCols = Set("o_orderkey", "o_custkey", "o_totalprice")
     rows.foreach { r =>
       assert(r.getLong(1) === total, s"${r.getString(0)} n_rows")
       assert(r.getLong(2) >= 0 && r.getLong(2) <= total)
       assert(r.getLong(3) >= 1 && r.getLong(3) <= total)
-      assert(r.getString(4) <= r.getString(5) || r.getString(0) == "o_totalprice",
-        s"${r.getString(0)} min_repr > max_repr") // string order; cents skip
+      if (numericCols(r.getString(0)))
+        assert(r.getString(4).toLong <= r.getString(5).toLong,
+          s"${r.getString(0)} min_repr > max_repr (numeric)")
+      else
+        assert(r.getString(4) <= r.getString(5),
+          s"${r.getString(0)} min_repr > max_repr") // date/string: lexicographic IS the order
     }
     // spot-recount one column's distinct + null counters independently
     val ok = rows.find(_.getString(0) == "o_orderkey").get
