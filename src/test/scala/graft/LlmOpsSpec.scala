@@ -101,13 +101,15 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
-  test("ANN: IVF with 4/16 probes recalls a strong fraction of brute force") {
+  test("ANN: IVF at derived lists/probes recalls a strong fraction of BF") {
     val bf = SparkEntry.queries("q_ann_topk")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
     val ivf = SparkEntry.queries("q_ann_ivf")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
     val recall = bf.count(ivf.contains).toDouble / bf.size
-    assert(recall > 0.3, s"IVF recall $recall")
+    // r10 corpus-derived parameterization: measured mean recall ~0.75
+    // at this scale (was >0.3 under the r9 pinned 16/4 constants)
+    assert(recall > 0.5, s"IVF recall $recall")
   }
 
   test("ANN brute force: rank 1 has the highest cosine per query") {

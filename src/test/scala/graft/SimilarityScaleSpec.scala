@@ -185,10 +185,12 @@ class SimilarityScaleSpec extends AnyFunSuite {
       assert(math.abs(rec - ov.toDouble / k) < 1e-6)
       assert(rec >= 0.0 && rec <= 1.0)
     }
-    // the audit must be measuring something real: single-probe IVF sits
-    // strictly between useless and perfect on this corpus (measured
-    // ~0.48-0.60 mean across SFs)
+    // the audit must be measuring something real: partial-probe IVF sits
+    // strictly between useless and perfect on this corpus (r10 derived
+    // lists/probes: measured mean 0.755/0.815 at sf0.01/sf0.1 — the r9
+    // pinned constants read 0.48-0.60; the floor below catches a
+    // parameterization regression without pinning sampling noise)
     val mean = rows.map(_._4).sum / rows.length
-    assert(mean > 0.2 && mean < 1.0, s"mean recall $mean out of band")
+    assert(mean > 0.5 && mean < 1.0, s"mean recall $mean out of band")
   }
 }
