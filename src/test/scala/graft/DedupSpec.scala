@@ -371,4 +371,33 @@ class DedupSpec extends AnyFunSuite {
     val m = sig(a).zip(sig(b)).count { case (x, y) => x == y }.toLong
     assert(m === tab.head._2._1, "tabulation slot recount")
   }
+
+  test("source signatures: merged-sketch estimate tracks exact union Jaccard") {
+    // the group-level analogue of the q_mh_accuracy audit: per source
+    // pair, the minhash_agg slot-agreement ESTIMATE (what q_source_sim
+    // emits) vs the EXACT Jaccard of the sources' unioned shingle sets,
+    // recounted in memory — pins that element-wise min of per-doc
+    // signatures IS the union's signature and that the r10 tabulation
+    // family keeps the estimator inside the n=20 binomial envelope at
+    // source granularity (no correlated-minima tail)
+    val est = SparkEntry.queries("q_source_sim")(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(est.nonEmpty)
+    val perSource = Tables.documents(spark, sf)
+      .withColumn("shingles", expr(
+        "shingles3(regexp_replace(lower(text), '\\\\s+', ' '))"))
+      .select(col("source"), col("shingles")).collect()
+      .groupBy(_.getString(0))
+      .map { case (s, rows) =>
+        s -> rows.flatMap(_.getSeq[String](1)).toSet }
+    val errs = est.toSeq.map { case ((a, b), e) =>
+      val (sa, sb) = (perSource(a), perSource(b))
+      val exact = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      math.abs(e - exact)
+    }
+    val mean = errs.sum / errs.size
+    assert(mean <= 0.10, s"mean |est-exact| $mean — estimator broken")
+    assert(errs.max <= 0.30, s"max |est-exact| ${errs.max} — tail " +
+      "exceeds the binomial envelope")
+  }
 }

@@ -254,8 +254,12 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("ANN paths generate candidates via joins, never CartesianProduct") {
-    for (q <- Seq("q_ann_lsh", "q_embed_neardup", "q_minhash_neardup",
-                  "q_simhash_neardup")) {
+    // q_ann_ivf joins the probe fan-out to the assigned corpus on list_id
+    // (a broadcast hash join — the query side is the fixed QueryK draw);
+    // only the deliberately-exhaustive q_ann_topk baseline is allowed its
+    // BroadcastNestedLoopJoin
+    for (q <- Seq("q_ann_lsh", "q_ann_ivf", "q_embed_neardup",
+                  "q_minhash_neardup", "q_simhash_neardup")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
     }
