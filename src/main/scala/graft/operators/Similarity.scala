@@ -322,9 +322,16 @@ object Similarity {
 
   /** Quantizer training-sample size: 16 rows per list (= the r9
     * SampleK = 256 at 16 lists), floored at `MinSampleK`. Grows as
-    * O(√n) with the list count — a 10⁶-list corpus samples 16M rows,
-    * still a TakeOrdered job, never a shuffle of the corpus; the k-means
-    * working set stays driver-bounded at any corpus size. */
+    * O(√n) with the list count — the sample is a TakeOrdered job, never
+    * a shuffle of the corpus. Honest regime bound: the bit-replayable
+    * Lloyd loop below collects lists·dim doubles per round, so it is the
+    * right tool up to ~10⁴–10⁵ lists (≲100 MB driver-side at dim 64);
+    * a 10⁶-list deployment (10¹²-vector corpus) would swap in
+    * distributed k-means (MLlib KMeans) over the same sample and
+    * broadcast the centroid set as a dimension table instead of plan
+    * literals — the exact-replay quantizer exists to BE oracle-checkable
+    * at verification scale, and the parameter LAWS (this file) are what
+    * carry to 100 TB, not the driver fold. */
   val MinSampleK = 256
   def sampleKFor(lists: Int): Int = math.max(MinSampleK, 16 * lists)
 
