@@ -873,7 +873,8 @@ object SparkEntry {
          |  FROM embeddings),
          |$annQueryCte,
          |params AS (
-         |  SELECT lists, GREATEST(4, lists // 4) AS probes,
+         |  SELECT lists,
+         |    GREATEST(4, 1 << (length(bin(lists)) // 2)) AS probes,
          |    GREATEST(${Similarity.MinSampleK}, 16 * lists) AS sampk
          |  FROM (SELECT 1 << GREATEST(${Similarity.MinListsBits},
          |    length(bin((SELECT COUNT(*) FROM e))) // 2) AS lists)),

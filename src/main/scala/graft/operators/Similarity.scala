@@ -313,12 +313,20 @@ object Similarity {
     1 << math.max(MinListsBits, bitlen / 2)
   }
 
-  /** Probes per query: a fixed quarter of the lists (min 4 — the r9
-    * constant at 16 lists). Holding the probed FRACTION keeps per-query
-    * cost ≈ n/4 · (finer quantization) as the corpus grows; on a real
-    * (clustered) corpus the fraction itself is the knob a deployment
-    * lowers once q_ann_recall prices it. */
-  def probesForLists(lists: Int): Int = math.max(4, lists / 4)
+  /** Probes per query: √lists rounded UP to a power of two
+    * (2^ceil(log₂(lists)/2), min 4). At the measured SFs this equals the
+    * constant-quarter fraction (4 of 16, 8 of 32 — the values
+    * q_ann_recall prices at 0.755/0.815 mean recall), but the LAW is the
+    * one that scales: probed fraction probes/lists = 1/√lists → 0, so
+    * per-query candidate volume is probes · n/lists ≈ n/√lists = n^(3/4)
+    * under the √n list law — not the Θ(n/4) a fixed fraction would keep
+    * paying (a quarter of a 100 TB corpus per query is no index at all).
+    * Exact integer arithmetic, replayed in the oracle as
+    * `GREATEST(4, 1 << (length(bin(lists)) // 2))`. */
+  def probesForLists(lists: Int): Int = {
+    val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(lists.toLong)
+    math.max(4, 1 << (bitlen / 2))
+  }
 
   /** Quantizer training-sample size: 16 rows per list (= the r9
     * SampleK = 256 at 16 lists), floored at `MinSampleK`. Grows as

@@ -43,6 +43,11 @@ class SimilarityScaleSpec extends AnyFunSuite {
     assert(Similarity.listsForCount(2000) === 32)
     assert(Similarity.probesForLists(16) === 4)
     assert(Similarity.probesForLists(32) === 8)
+    // the probe law is √lists (up-rounded power of two), NOT a constant
+    // fraction: probed fraction shrinks as lists grow — n^(3/4) candidate
+    // volume under the √n list law, never Θ(n/4)
+    assert(Similarity.probesForLists(1024) === 32)
+    assert(Similarity.probesForLists(1 << 20) === 1024)
     assert(Similarity.sampleKFor(16) === 256)
     assert(Similarity.sampleKFor(32) === 512)
     // the √n law: 10⁶ vectors → 1024 lists (≈√n, floor power of two)
