@@ -359,7 +359,7 @@ object Similarity {
     *  - update: per list, members are folded in vec_id order (sorted
     *    collect, left fold, one division) — canonical-order double sums,
     *    identical on any partitioning, instead of a partition-order `avg`.
-    * The caller hands in the bounded `SampleK`-row sample, so the
+    * The caller hands in the bounded `sampleKFor`-row sample, so the
     * per-list `collect_list` buffer holds at most the sample's rows and
     * each round collects k·dim doubles — both corpus-size-bounded (the
     * sample is sampleKFor(lists), O(√n)), which is what makes the
@@ -411,9 +411,9 @@ object Similarity {
       .select("vec_id", "embedding")
 
   /** IVF ANN: a k-means coarse quantizer assigns every vector to its
-    * nearest centroid list; a query probes only the `NumProbes` nearest
+    * nearest centroid list; a query probes only the derived-probe-count nearest
     * lists and scores those candidates exactly. The centroids are trained
-    * once (seeded, on the bounded lowest-`SampleK`-hash sample) and
+    * once (seeded, on the bounded lowest-hash sample) and
     * shipped as plan literals — the inverted-file structure is just a
     * groupBy key, so the search is one bucketed join, the same shuffle
     * discipline as the LSH path but data-adaptive. */
