@@ -103,7 +103,11 @@ class DedupSpec extends AnyFunSuite {
     import spark2.implicits._
     val edge = Seq((9000001L, ""), (9000002L, " x y z"), (9000003L, "x "),
       (9000004L, "one two"), (9000005L, "a b c d e"), (9000006L, "a b a b a"),
-      (9000007L, "naïve café résumé über tokens"))
+      (9000007L, "naïve café résumé über tokens"),
+      // astral-plane code points (surrogate pairs in UTF-16): the kernel
+      // rolls codePointAt/charCount while the HOF spec rolls
+      // split(s,'') + ascii() — both must see ONE value per code point
+      (9000008L, "a 🎉 b 😀😀 c d"))
       .toDF("doc_id", "text")
     val docs = Dedup.corpus(spark, sf).limit(200).unionByName(edge)
     val native = Dedup.signatures(docs)
