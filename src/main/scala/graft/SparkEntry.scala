@@ -857,8 +857,10 @@ object SparkEntry {
          |ORDER BY split, metric""".stripMargin,
     // full SQL replay of the IVF ANN path at the CORPUS-DERIVED
     // parameterization (r10): lists = 2^(bitlen(n) div 2) ≈ √n (clamped
-    // at 16 — the r9 constant at measured small SFs), probes = lists/4,
-    // sample = 16·lists (min 256) — the same exact integer arithmetic as
+    // at 16 — the r9 constant at measured small SFs), probes =
+    // 2^ceil(log₂(lists)/2) ≈ √lists (fraction shrinks as the corpus
+    // grows), sample = 16·lists (min 256) — the same exact integer
+    // arithmetic as
     // Similarity.listsForCount/probesForLists/sampleKFor. Lowest-LCG-hash
     // training sample, LCG-ordered init, three unrolled bit-deterministic
     // Lloyd rounds (see ivfRound), full-corpus assignment and the

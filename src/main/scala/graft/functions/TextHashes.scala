@@ -354,23 +354,38 @@ object PolyHash {
     * checked BIGINT arithmetic replays the signature exactly
     * (Dedup.tabSlotSql); the HOF executable spec lives in
     * Dedup.signaturesTabHof (equivalence-tested). */
+  /** Cache of the per-(slot, byte) tabulation tables — they depend only on
+    * numHashes, which is a foldable plan constant, so after the first row
+    * every call hits. The race is benign: the tuple is immutable and the
+    * computation idempotent, so a concurrent rebuild just wastes one
+    * 160-multiplication pass. */
+  @volatile private var tabTables: (Int, Array[Long], Array[Long]) = null
+
   def minhashTab(shingles: ArrayData, numHashes: Int): ArrayData = {
     val P = 2147483647L
     val mins = new Array[Long](numHashes)
     java.util.Arrays.fill(mins, Long.MaxValue)
-    val as = new Array[Long](numHashes * 4)
-    val bs = new Array[Long](numHashes * 4)
-    var j = 0
-    while (j < numHashes) {
-      var k = 0
-      while (k < 4) {
-        val t = 4L * j + k + 1
-        as(j * 4 + k) = (2654435761L * t) % P
-        bs(j * 4 + k) = (40503L * t + 7L) % P
-        k += 1
+    var cached = tabTables
+    if (cached == null || cached._1 != numHashes) {
+      val na = new Array[Long](numHashes * 4)
+      val nb = new Array[Long](numHashes * 4)
+      var j = 0
+      while (j < numHashes) {
+        var k = 0
+        while (k < 4) {
+          val t = 4L * j + k + 1
+          na(j * 4 + k) = (2654435761L * t) % P
+          nb(j * 4 + k) = (40503L * t + 7L) % P
+          k += 1
+        }
+        j += 1
       }
-      j += 1
+      cached = (numHashes, na, nb)
+      tabTables = cached
     }
+    val as = cached._2
+    val bs = cached._3
+    var j = 0
     val n = shingles.numElements()
     var i = 0
     while (i < n) {

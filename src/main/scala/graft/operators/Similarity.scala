@@ -42,12 +42,16 @@ object Similarity {
     * instead batch externally-supplied queries in chunks of this shape. */
   val QueryK = 20
 
-  /** The LCG query-draw order key — same congruence-safe reduction as
-    * `sampleHash` (distinct additive constant, so the query draw and the
-    * IVF training sample are independent orderings). */
-  private def queryHash: Column =
-    pmod(pmod(col("vec_id"), lit(2147483648L)) * 2654435761L + 7L,
+  /** The shared LCG order key — key reduced mod 2³¹ first so there is no
+    * Long overflow at any vec_id (congruence:
+    * (k·c) mod m ≡ ((k mod m)·c) mod m). Distinct additive constants give
+    * independent orderings: 7 draws the ANN query set, 99 the IVF
+    * training sample. */
+  private def lcgHash(addend: Long): Column =
+    pmod(pmod(col("vec_id"), lit(2147483648L)) * 2654435761L + addend,
       lit(2147483648L))
+
+  private def queryHash: Column = lcgHash(7L)
 
   /** The bounded ANN query set: lowest-`QueryK` query hashes, ties broken
     * by vec_id — a TakeOrdered job over a vec_id-only projection, never a
@@ -138,7 +142,7 @@ object Similarity {
       .withColumn("norm", sqrt(dot("embedding", "embedding")))
 
   private def queries(e: DataFrame): DataFrame =
-    e.join(annQueryIds(e), "vec_id")
+    e.join(broadcast(annQueryIds(e)), "vec_id")
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"))
 
@@ -343,12 +347,8 @@ object Similarity {
   val MinSampleK = 256
   def sampleKFor(lists: Int): Int = math.max(MinSampleK, 16 * lists)
 
-  /** The LCG sample/init order key — key reduced mod 2³¹ first so there is
-    * no Long overflow at any vec_id (congruence:
-    * (k·c) mod m ≡ ((k mod m)·c) mod m). */
-  private def sampleHash: Column =
-    pmod(pmod(col("vec_id"), lit(2147483648L)) * 2654435761L + 99L,
-      lit(2147483648L))
+  /** The LCG sample/init order key (see [[lcgHash]]). */
+  private def sampleHash: Column = lcgHash(99L)
 
   /** Coarse k-means quantizer as plain DataFrame aggregation, built to be
     * BIT-DETERMINISTIC so DuckDB can replay it (q_ann_ivf's oracle unrolls

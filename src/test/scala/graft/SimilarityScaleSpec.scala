@@ -34,7 +34,7 @@ class SimilarityScaleSpec extends AnyFunSuite {
     assert((4 to 6).map(Similarity.ndBandsFor) === Seq(4, 5, 6))
   }
 
-  test("IVF params derive from the corpus count: √n lists, lists/4 probes") {
+  test("IVF params derive from the corpus count: √n lists, √lists probes") {
     // the r9 pinned constants (16/4/256) are the derived values for every
     // n ≤ 1023 — measured small SFs are bit-identical to r9
     assert(Similarity.listsForCount(500) === 16)
