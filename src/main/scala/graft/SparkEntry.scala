@@ -196,7 +196,7 @@ object SparkEntry {
     "q_lag_gaps"          -> (Relational.orderGaps _),
     "q_ann_topk"          -> (Similarity.bruteForceTopK _),
     "q_ann_lsh"           -> (Similarity.lshTopK _),
-    "q_ann_ivf"           -> (Similarity.ivfTopK _),
+    "q_ann_ivf"           -> ((s, d) => Similarity.ivfTopK(s, d)),
     "q_embed_neardup"     -> ((s, d) => Similarity.cosineNearDup(s, d)),
     // embedding-space drift: per-dimension cohort centroid shift
     "q_embed_drift"       -> (Similarity.embedDrift _),

@@ -416,8 +416,15 @@ object Similarity {
     * once (seeded, on the bounded lowest-hash sample) and
     * shipped as plan literals — the inverted-file structure is just a
     * groupBy key, so the search is one bucketed join, the same shuffle
-    * discipline as the LSH path but data-adaptive. */
-  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    * discipline as the LSH path but data-adaptive.
+    *
+    * `probesOverride` exists for the spec-side pricing of the probe knob
+    * (SimilarityScaleSpec): the catalog query always runs the derived
+    * √lists law. Probing EVERY list must reproduce [[bruteForceTopK]]
+    * row-for-row — the structural invariant that the IVF machinery loses
+    * candidates ONLY through probe pruning, spec-asserted. */
+  def ivfTopK(spark: SparkSession, dir: String,
+              probesOverride: Option[Int] = None): DataFrame = {
     // localCheckpoint, not cache: reused by the sample draw AND the final
     // search, but a cache would stay pinned in the CacheManager for the
     // JVM's lifetime (no post-materialization hook to unpersist from);
@@ -428,7 +435,9 @@ object Similarity {
     // corpus-derived parameterization (√n law, docs/SCALE.md §ANN) — a
     // metadata-cheap count over the checkpointed frame
     val numLists = listsForCount(e.count())
-    val numProbes = probesForLists(numLists)
+    val numProbes = probesOverride.getOrElse(probesForLists(numLists))
+    require(numProbes >= 1 && numProbes <= numLists,
+      s"probes $numProbes out of [1, $numLists]")
     // the bounded sample is itself checkpointed: every Lloyd round
     // re-reads it, and sampleKFor(lists) rows is driver-trivial to pin
     val samp = ivfTrainingSample(e, sampleKFor(numLists))

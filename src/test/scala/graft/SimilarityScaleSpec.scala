@@ -63,6 +63,31 @@ class SimilarityScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF probe knob priced: recall monotone in probes; all-lists ≡ BF") {
+    def topk(probes: Option[Int]) =
+      Similarity.ivfTopK(spark, sf, probes).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val bf = Similarity.bruteForceTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val lists = Similarity.listsForCount(Tables.embeddings(spark, sf).count())
+    // probing EVERY list must reproduce the exact brute-force result
+    // ROW-FOR-ROW (ranks, cosines, tiebreaks): the IVF machinery loses
+    // candidates ONLY through probe pruning — nothing else in the
+    // pipeline (assignment, dedup, scoring, ranking) may drop or
+    // reorder a neighbor
+    assert(topk(Some(lists)).toSeq === bf.toSeq)
+    // recall@k is monotone in probes: more probes ⇒ a candidate superset,
+    // and every true-top-k member present among candidates survives the
+    // final rank (only other true-top-k members can outscore it)
+    val bfSet = bf.map(r => (r._1, r._3)).toSet
+    def recall(rows: Array[(Long, Long, Long, Double)]) =
+      rows.count(r => bfSet((r._1, r._3))).toDouble / bfSet.size
+    val r2 = recall(topk(Some(2)))
+    val rDerived = recall(topk(None))
+    assert(r2 <= rDerived + 1e-9, s"recall(2)=$r2 > recall(derived)=$rDerived")
+    assert(rDerived > 0.5 && rDerived <= 1.0, s"derived recall $rDerived")
+  }
+
   test("ANN query set is QueryK rows at EVERY corpus scale (never ∝ n)") {
     // the broadcast query side must be CONSTANT as the corpus grows — the
     // r9 proportional %50 draw was the engine's last grows-with-corpus
