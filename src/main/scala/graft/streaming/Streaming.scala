@@ -24,14 +24,21 @@ object Streaming {
   final case class UserRunning(user_id: Long, events: Long, total: Double)
 
   /** Watermarked tumbling-window count/sum — works on a batch OR streaming
-    * DataFrame; streaming state is dropped 2 hours past the watermark. */
+    * DataFrame; streaming state is dropped 2 hours past the watermark.
+    * The sum is EXACT integer cents (the file-wide discipline): a raw
+    * double sum folds in accumulation order, so the promised
+    * batch ≡ streaming equality would hold only up to last-ulp noise
+    * once window populations grow. */
   def windowedCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("cnt"),
+        sum((col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          * 100).cast(org.apache.spark.sql.types.LongType))
+          .as("sum_value_cents"))
       .select(col("window.start").as("win_start"), col("event_type"),
-        col("cnt"), col("sum_value"))
+        col("cnt"), col("sum_value_cents"))
 
   /** Custom per-key state: running per-user totals via mapGroupsWithState
     * (the reference has no analogue; brief-required stateful operator).
@@ -358,25 +365,42 @@ object Streaming {
 
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Stage the events table into a landing directory (the file-stream
-    * source only accepts directories, as in production). Keyed by the full
+  /** Stage a table file into a landing directory (the file-stream source
+    * only accepts directories, as in production). Keyed by the full
     * sanitized dataset path — not a hash, collisions would silently stream
-    * the wrong table — and the symlink target is verified on every call. */
-  private def stageLanding(dir: String): String = {
+    * the wrong table — and the symlink target is verified on every call.
+    * Concurrency-safe: two JVMs (bench + verify run side by side in dev)
+    * can race past the NOFOLLOW existence check, so a concurrent
+    * creator's FileAlreadyExistsException is benign — re-verify and
+    * proceed. */
+  private def stageSymlink(dir: String, fileName: String,
+                           prefix: String): String = {
     val landing = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      "graft_stream_src_" + graft.sources.CsvIO.pathKey(dir))
+      prefix + graft.sources.CsvIO.pathKey(dir))
     java.nio.file.Files.createDirectories(landing)
-    val link = landing.resolve("events.parquet")
-    val target = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val link = landing.resolve(fileName)
+    val target = java.nio.file.Paths.get(s"$dir/$fileName")
     if (java.nio.file.Files.isSymbolicLink(link) &&
         java.nio.file.Files.readSymbolicLink(link) != target)
       java.nio.file.Files.delete(link)
     if (!java.nio.file.Files.exists(link,
-        java.nio.file.LinkOption.NOFOLLOW_LINKS))
-      java.nio.file.Files.createSymbolicLink(link, target)
+        java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      try java.nio.file.Files.createSymbolicLink(link, target)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          // a concurrent JVM won the race; its link must point where ours
+          // would have — anything else is a real corruption, fail loudly
+          require(java.nio.file.Files.isSymbolicLink(link) &&
+            java.nio.file.Files.readSymbolicLink(link) == target,
+            s"landing link $link exists but does not point at $target")
+      }
+    }
     landing.toString
   }
+
+  private def stageLanding(dir: String): String =
+    stageSymlink(dir, "events.parquet", "graft_stream_src_")
 
   /** readStream over the staged events parquet with `ts` normalized via
     * `Tables.withEventTs` (nanos-long or timestamp[us] physical type) —
@@ -399,33 +423,71 @@ object Streaming {
     * shape a continuous deployment actually sees. */
   private def stageLandingSplit(spark: org.apache.spark.sql.SparkSession,
                                 dir: String, n: Int): String = {
-    // Key the cached staging by the source's physical ts type so a staged
-    // copy from a prior testdata generation (epoch-nanos long vs
-    // timestamp[us]) can never be replayed against a mismatched schema.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // Key the cached staging by the source's physical ts type AND its
+    // (size, mtime): a staged copy from a prior testdata generation —
+    // epoch-nanos long vs timestamp[us], or the same schema regenerated
+    // in place with different rows — can never be replayed against a
+    // mismatched source.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsTag = spark.read.parquet(s"$dir/events.parquet")
+    val src = Paths.get(s"$dir/events.parquet")
+    val tsTag = spark.read.parquet(src.toString)
       .schema("ts").dataType.typeName.replaceAll("[^a-z]", "")
-    val landing = java.nio.file.Paths.get(
+    val srcTag = s"${Files.size(src)}_${
+      Files.getLastModifiedTime(src).toMillis}"
+    val landing = Paths.get(
       System.getProperty("java.io.tmpdir"),
-      s"graft_stream_split${n}_${tsTag}_" + graft.sources.CsvIO.pathKey(dir))
+      s"graft_stream_split${n}_${tsTag}_${srcTag}_" +
+        graft.sources.CsvIO.pathKey(dir))
     val done = landing.resolve("_SPLIT_DONE")
-    if (!java.nio.file.Files.exists(done)) {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
+    if (!Files.exists(done)) {
+      // Stage into a JVM-unique temp dir, then publish with ONE atomic
+      // rename: two JVMs (bench + verify side by side) can both decide to
+      // stage, but neither can ever observe — or clobber — the other's
+      // half-written landing. The _SPLIT_DONE marker is created INSIDE
+      // the temp dir, so a published landing is complete by construction.
+      val tmp = Paths.get(landing.toString + ".tmp." +
+        java.lang.ProcessHandle.current().pid())
+      spark.read.parquet(src.toString)
         .repartitionByRange(n, col("ts")) // physical ts: long or timestamp
-        .write.mode("overwrite").parquet(landing.toString)
+        .write.mode("overwrite").parquet(tmp.toString)
       import scala.jdk.CollectionConverters._
-      val parts = java.nio.file.Files.list(landing).iterator().asScala
-        .filter(_.getFileName.toString.startsWith("part-"))
-        .toSeq.sortBy(_.getFileName.toString) // part index = range index
-      parts.zipWithIndex.foreach { case (p, i) =>
-        java.nio.file.Files.setLastModifiedTime(p,
-          java.nio.file.attribute.FileTime.fromMillis(
-            1600000000000L + i * 60000L))
+      val listing = Files.list(tmp)
+      try {
+        val parts = listing.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("part-"))
+          .toSeq.sortBy(_.getFileName.toString) // part index = range index
+        parts.zipWithIndex.foreach { case (p, i) =>
+          Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(
+              1600000000000L + i * 60000L))
+        }
+      } finally listing.close()
+      Files.createFile(tmp.resolve("_SPLIT_DONE"))
+      // a marker-less landing can only be pre-fix-era or crash residue
+      // (published dirs always carry the marker) — clear it, then race
+      // for the rename; losing the race means a complete landing exists
+      if (Files.exists(landing) && !Files.exists(done))
+        deleteTree(landing)
+      try Files.move(tmp, landing, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileSystemException =>
+          require(Files.exists(done),
+            s"landing $landing exists without its completion marker")
+          deleteTree(tmp)
       }
-      java.nio.file.Files.createFile(done)
     }
     landing.toString
+  }
+
+  /** Depth-first recursive delete (children before parents). */
+  private def deleteTree(root: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    } finally walk.close()
   }
 
   /** The split-landing twin of `eventsStream`: n time-ordered files, one
@@ -485,22 +547,9 @@ object Streaming {
   /** Stage the documents table into its own landing directory (separate
     * from the events landing — a file-stream source reads every file in
     * its directory, so mixing tables would cross-feed schemas). Same
-    * symlink + verification discipline as stageLanding. */
-  private def stageDocsLanding(dir: String): String = {
-    val landing = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      "graft_stream_docsrc_" + graft.sources.CsvIO.pathKey(dir))
-    java.nio.file.Files.createDirectories(landing)
-    val link = landing.resolve("documents.parquet")
-    val target = java.nio.file.Paths.get(s"$dir/documents.parquet")
-    if (java.nio.file.Files.isSymbolicLink(link) &&
-        java.nio.file.Files.readSymbolicLink(link) != target)
-      java.nio.file.Files.delete(link)
-    if (!java.nio.file.Files.exists(link,
-        java.nio.file.LinkOption.NOFOLLOW_LINKS))
-      java.nio.file.Files.createSymbolicLink(link, target)
-    landing.toString
-  }
+    * symlink + verification + race discipline as stageLanding. */
+  private def stageDocsLanding(dir: String): String =
+    stageSymlink(dir, "documents.parquet", "graft_stream_docsrc_")
 
   /** The ingest-side curation gate executed as a REAL streaming run:
     * documents arrive as a file stream and the curate-chain's first two

@@ -26,21 +26,23 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       val out = spark.table("win_test")
         .groupBy("win_start", "event_type")
-        .agg(max("cnt").as("cnt"), max("sum_value").as("sum_value"))
+        .agg(max("cnt").as("cnt"),
+          max("sum_value_cents").as("sum_value_cents"))
         .collect()
         .map(r => (r.getTimestamp(0).toString, r.getString(1),
-          r.getAs[Long]("cnt"), r.getAs[Double]("sum_value")))
+          r.getAs[Long]("cnt"), r.getAs[Long]("sum_value_cents")))
         .toSet
       assert(out === Set(
-        ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
-        ("2024-01-01 11:00:00.0", "view", 1L, 5.0)))
-      // batch run of the same transform agrees
+        ("2024-01-01 10:00:00.0", "click", 2L, 300L),
+        ("2024-01-01 11:00:00.0", "view", 1L, 500L)))
+      // batch run of the same transform agrees EXACTLY (integer cents —
+      // a raw double sum would only agree up to accumulation order)
       val batch = Streaming.windowedCounts(
         Seq(Event(ts("2024-01-01 10:05:00"), 1L, "click", 1.0),
           Event(ts("2024-01-01 10:45:00"), 2L, "click", 2.0),
           Event(ts("2024-01-01 11:05:00"), 1L, "view", 5.0)).toDF())
         .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
-          r.getAs[Long]("cnt"), r.getAs[Double]("sum_value"))).toSet
+          r.getAs[Long]("cnt"), r.getAs[Long]("sum_value_cents"))).toSet
       assert(batch === out)
     } finally q.stop()
   }
