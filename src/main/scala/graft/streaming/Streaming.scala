@@ -852,7 +852,10 @@ object Streaming {
       .select(col("ts"), col("event_id"),
         datediff(col("ts").cast(DateType), lit("1970-01-01").cast(DateType))
           .cast(LT).as("d"))
-      .filter(col("d") < midV || !(col("event_id") % 10 < 3))
+      // the SAME plant as Behavior.changepoint, written in the same form
+      // so a grep for the batch predicate finds this streaming twin (the
+      // only difference: mid is the precomputed scalar, not a column)
+      .filter(!(col("d") >= midV && col("event_id") % 10 < 3))
       .groupBy(window(col("ts"), "1 day"))
       .agg(count(lit(1)).as("n"))
       .select(datediff(col("window.start").cast(DateType),
