@@ -24,6 +24,19 @@ import graft.Tables
   */
 object Behavior {
 
+  /** Epoch-day of an event timestamp — the ONE definition all operators
+    * (and their oracle twins' datediff('day', DATE '1970-01-01', ...))
+    * in this file share; a per-site transcription slip would type-drift
+    * that operator against its oracle. */
+  private def epochDay(ts: Column): Column =
+    datediff(ts.cast(DateType), lit("1970-01-01").cast(DateType))
+      .cast(LongType)
+
+  /** Exact integer cents of a money double — the file-wide twin of the
+    * oracles' CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT). */
+  private def cents(value: Column): Column =
+    (value.cast(DecimalType(18, 2)) * 100).cast(LongType)
+
   /** Ordered 3-step funnel view → click → purchase: a user completes step
     * k only with an event of step-k's type STRICTLY AFTER their step-(k−1)
     * completion time; completion time is the earliest such event (greedy
@@ -39,10 +52,10 @@ object Behavior {
     * 3-row report — a single job, with Catalyst's exchange reuse serving
     * s1/s2 to both consumers instead of recomputing per count() action. */
   def funnel(spark: SparkSession, dir: String): DataFrame =
-    funnelFrom(spark, Tables.events(spark, dir))
+    funnelFrom(Tables.events(spark, dir))
 
   /** Core of [[funnel]] over any (user_id, ts, event_type) frame. */
-  def funnelFrom(spark: SparkSession, ev: DataFrame): DataFrame = {
+  def funnelFrom(ev: DataFrame): DataFrame = {
     def step(typ: String) =
       ev.filter(col("event_type") === typ).select(col("user_id"), col("ts"))
     val s1 = step("view").groupBy("user_id").agg(min("ts").as("t1"))
@@ -113,8 +126,7 @@ object Behavior {
   def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
     val wk = Tables.events(spark, dir)
       .select(col("user_id"),
-        (datediff(col("ts").cast(DateType), lit("1970-01-01").cast(DateType))
-          .cast(LongType) / 7).cast(LongType).as("week"))
+        (epochDay(col("ts")) / 7).cast(LongType).as("week"))
     val first = wk.groupBy("user_id").agg(min("week").as("cohort_week"))
     wk.join(first, "user_id")
       .select(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"),
@@ -142,8 +154,7 @@ object Behavior {
     Tables.events(spark, dir)
       .select(col("user_id"), col("ts"), col("event_id"),
         col("event_type"),
-        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType)
-          .as("cents"))
+        cents(col("value")).as("cents"))
       .withColumn("channel",
         last(when(col("event_type") =!= "purchase", col("event_type")),
           ignoreNulls = true).over(w))
@@ -185,7 +196,7 @@ object Behavior {
     val ev = Tables.events(spark, dir)
       .filter(col("event_type") === "purchase")
       .select((col("user_id") % 2).cast(LongType).as("v"),
-        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("c"))
+        cents(col("value")).as("c"))
     def m(side: Int, name: String) = Seq(
       sum(when(col("v") === side, 1L).otherwise(0L)).as(s"n_$name"),
       sum(when(col("v") === side, col("c")).otherwise(0L)).as(s"s_$name"),
@@ -248,8 +259,7 @@ object Behavior {
     val w = Window.partitionBy("user_id").orderBy("epoch_day")
     val days = Tables.events(spark, dir)
       .select(col("user_id"),
-        datediff(col("ts").cast(DateType), lit("1970-01-01").cast(DateType))
-          .cast(LongType).as("epoch_day"))
+        epochDay(col("ts")).as("epoch_day"))
       .distinct()
     days
       .withColumn("island",
@@ -391,10 +401,13 @@ object Behavior {
     * a plain AVG over-weights burst periods.
     *
     * Exactness: weights are exact BIGINT micros (LEAD over the same
-    * (ts, event_id) order), values exact cents; the weighted sum
-    * accumulates as DECIMAL(38,0) (micros·cents reaches ~1e17 per term —
-    * a BIGINT sum could overflow at scale), and the average drops to
-    * double in ONE division, rounded, identical in the oracle.
+    * (ts, event_id) order), values exact cents; each w·c TERM multiplies
+    * as DECIMAL(19,0)×DECIMAL(19,0) — a Long product would already wrap
+    * at a multi-year gap × max-cents term (~9e18 > 2⁶³−1), silently on
+    * the non-ANSI Spark side — and the sum accumulates as DECIMAL(38,0)
+    * (bounded: both factors < 2⁶³ ⇒ product < 8.5e37). The average drops
+    * to double in ONE division, rounded, identical in the oracle (HUGEINT
+    * product — the q_gini discipline).
     *
     * Scale shape: one per-user LEAD window, then one map-side-combinable
     * aggregate over ≤ |types| groups. */
@@ -403,8 +416,7 @@ object Behavior {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     Tables.events(spark, dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
-        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType)
-          .as("cents"))
+        cents(col("value")).as("cents"))
       .withColumn("us", unix_micros(col("ts")))
       .withColumn("w_us", lead(col("us"), 1).over(w) - col("us"))
       .filter(col("w_us").isNotNull)
@@ -412,7 +424,8 @@ object Behavior {
       .agg(count(lit(1)).as("n"),
         sum(col("w_us")).as("dur_us"),
         round(
-          sum((col("w_us") * col("cents")).cast(DecimalType(38, 0)))
+          sum(col("w_us").cast(DecimalType(19, 0)) *
+              col("cents").cast(DecimalType(19, 0)))
             .cast(DoubleType) /
             sum(col("w_us")).cast(DoubleType), 6).as("twa_cents"))
       .orderBy("event_type")
@@ -428,7 +441,8 @@ object Behavior {
       |  FROM events)
       |SELECT event_type, COUNT(*) AS n,
       |  CAST(SUM(w_us) AS BIGINT) AS dur_us,
-      |  ROUND(CAST(SUM(CAST(w_us * cents AS DECIMAL(38,0))) AS DOUBLE) /
+      |  ROUND(CAST(SUM(CAST(w_us AS HUGEINT) * CAST(cents AS HUGEINT))
+      |      AS DOUBLE) /
       |    CAST(SUM(w_us) AS DOUBLE), 6) AS twa_cents
       |FROM t WHERE w_us IS NOT NULL
       |GROUP BY 1 ORDER BY event_type""".stripMargin
@@ -449,14 +463,19 @@ object Behavior {
     * Scale shape: the event stream collapses to the (user, day) interval
     * grid first (map-side combinable); the sweep windows are partitioned
     * BY DAY — bounded by active-users-per-day, never a global single-task
-    * sort (a hot day at 100 TB splits by a user-hash salt whose partial
-    * peaks max-merge, same discipline as Skew). */
+    * sort. A hot day at 100 TB splits by contiguous TIME sub-ranges, not
+    * a user-hash salt: peak concurrency is NOT associative across a
+    * user split (two per-salt peaks of 1 can be a true peak of 2 when
+    * the intervals overlap), but it IS decomposable along time — range-
+    * sort the ±1 endpoint stream, compute each sub-range's running sum
+    * and total delta, prefix-sum the totals, and the day's peak is
+    * max over sub-ranges of (carry-in offset + local peak) — the same
+    * distributed prefix-sum machinery as ntile/seq_pack. */
   def concurrency(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val iv = Tables.events(spark, dir)
       .select(col("user_id"),
-        datediff(col("ts").cast(DateType), lit("1970-01-01").cast(DateType))
-          .cast(LongType).as("epoch_day"),
+        epochDay(col("ts")).as("epoch_day"),
         unix_micros(col("ts")).as("us"))
       .groupBy("user_id", "epoch_day")
       .agg(min("us").as("s"), max("us").as("e"))
@@ -501,7 +520,10 @@ object Behavior {
     * the 7 report days it supports via explode(sequence) — a narrow ×7
     * projection — and a distinct count lands per day. Report days are
     * clipped to the observed range so warm-up days (whose trailing window
-    * precedes the data) don't emit short windows.
+    * precedes the data) don't emit short windows; the report spine is the
+    * WAU side, so a full-outage day inside the range emits
+    * (dau = 0, stickiness = 0) instead of silently vanishing — the day
+    * an engagement gauge exists to surface.
     *
     * Scale shape: the event stream collapses to the distinct (user, day)
     * grid first; the fan-out is constant (×7) on the GRID (users × days),
@@ -510,8 +532,7 @@ object Behavior {
   def stickiness(spark: SparkSession, dir: String): DataFrame = {
     val grid = Tables.events(spark, dir)
       .select(col("user_id"),
-        datediff(col("ts").cast(DateType), lit("1970-01-01").cast(DateType))
-          .cast(LongType).as("epoch_day"))
+        epochDay(col("ts")).as("epoch_day"))
       .distinct()
     val bounds = grid.agg(min("epoch_day").as("lo"), max("epoch_day").as("hi"))
     val dau = grid.groupBy("epoch_day")
@@ -522,12 +543,17 @@ object Behavior {
       .distinct()
       .groupBy(col("day").as("epoch_day"))
       .agg(count(lit(1)).as("wau"))
-    dau.join(wau, "epoch_day")
+    // spine = wau (every day inside some user's trailing window), dau
+    // LEFT-joined: a full-outage day inside the clipped range must emit
+    // (dau = 0, wau > 0, stickiness = 0) — the day an engagement gauge
+    // exists to surface — not silently vanish from the report
+    wau.join(dau, Seq("epoch_day"), "left")
       .crossJoin(broadcast(bounds))
       .filter(col("epoch_day") >= col("lo") + 6 && col("epoch_day") <= col("hi"))
-      .select(col("epoch_day"), col("dau"), col("wau"),
-        round(col("dau").cast(DoubleType) / col("wau").cast(DoubleType), 6)
-          .as("stickiness"))
+      .select(col("epoch_day"),
+        coalesce(col("dau"), lit(0L)).as("dau"), col("wau"),
+        round(coalesce(col("dau"), lit(0L)).cast(DoubleType) /
+          col("wau").cast(DoubleType), 6).as("stickiness"))
       .orderBy("epoch_day")
   }
 
@@ -546,11 +572,12 @@ object Behavior {
       |    SELECT user_id,
       |      unnest(generate_series(epoch_day, epoch_day + 6)) AS day
       |    FROM grid) GROUP BY 1)
-      |SELECT d.epoch_day, d.dau, w.wau,
-      |  ROUND(CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE), 6) AS stickiness
-      |FROM dau d JOIN wau w ON d.epoch_day = w.epoch_day, b
-      |WHERE d.epoch_day >= b.lo + 6 AND d.epoch_day <= b.hi
-      |ORDER BY d.epoch_day""".stripMargin
+      |SELECT w.epoch_day, CAST(COALESCE(d.dau, 0) AS BIGINT) AS dau, w.wau,
+      |  ROUND(CAST(COALESCE(d.dau, 0) AS DOUBLE) / CAST(w.wau AS DOUBLE), 6)
+      |    AS stickiness
+      |FROM wau w LEFT JOIN dau d ON d.epoch_day = w.epoch_day, b
+      |WHERE w.epoch_day >= b.lo + 6 AND w.epoch_day <= b.hi
+      |ORDER BY w.epoch_day""".stripMargin
 
   /** Time-bound conversion: the fraction of purchases preceded by a view
     * from the SAME user within the attribution window (1 hour) — the
@@ -571,8 +598,7 @@ object Behavior {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("us"),
-        datediff(col("ts").cast(DateType), lit("1970-01-01").cast(DateType))
-          .cast(LongType).as("epoch_day"))
+        epochDay(col("ts")).as("epoch_day"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("us"), col("epoch_day"))
     val views = ev.filter(col("event_type") === "view")
@@ -642,10 +668,8 @@ object Behavior {
   def valueDrift(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(
-        datediff(col("ts").cast(DateType), lit("1970-01-01").cast(DateType))
-          .cast(LongType).as("d"),
-        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType)
-          .as("c"))
+        epochDay(col("ts")).as("d"),
+        cents(col("value")).as("c"))
     val mid = ev.agg(
       expr("min(d) + (max(d) - min(d) + 1) div 2").cast(LongType).as("mid"))
     val binned = ev.crossJoin(broadcast(mid))
@@ -734,8 +758,7 @@ object Behavior {
   def seriesAnomaly(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
       .select(col("event_id"),
-        datediff(col("ts").cast(DateType), lit("1970-01-01").cast(DateType))
-          .cast(LongType).as("d"))
+        epochDay(col("ts")).as("d"))
       .filter(!(col("d") % 16 === 5 && col("event_id") % 4 =!= 0))
       .groupBy("d").agg(count(lit(1)).as("n"))
     val med = daily.agg(expr("percentile(CAST(n AS DOUBLE), 0.5)").as("med"))
@@ -775,8 +798,7 @@ object Behavior {
   def changepoint(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"),
-        datediff(col("ts").cast(DateType), lit("1970-01-01").cast(DateType))
-          .cast(LongType).as("d"))
+        epochDay(col("ts")).as("d"))
     val mid = ev.agg(
       expr("min(d) + (max(d) - min(d) + 1) div 2").cast(LongType).as("mid"))
     val daily = ev.crossJoin(broadcast(mid))

@@ -25,14 +25,14 @@ class BehaviorSpec extends AnyFunSuite {
       (3L, 5L, "click"), (3L, 10L, "view"), (3L, 20L, "click"),
       (3L, 25L, "purchase"),
       (4L, 10L, "click"), (4L, 20L, "purchase"))
-    val out = Behavior.funnelFrom(spark, df).collect()
+    val out = Behavior.funnelFrom(df).collect()
       .map(r => r.getInt(0) -> r.getLong(2)).toMap
     assert(out === Map(1 -> 3L, 2 -> 3L, 3 -> 2L)) // u4 never enters
   }
 
   test("funnel: ties at the same timestamp are not strictly-after") {
     val df = ev((1L, 10L, "view"), (1L, 10L, "click"), (1L, 20L, "purchase"))
-    val out = Behavior.funnelFrom(spark, df).collect()
+    val out = Behavior.funnelFrom(df).collect()
       .map(r => r.getInt(0) -> r.getLong(2)).toMap
     assert(out(2) === 0L, "same-instant click must not complete step 2")
   }
