@@ -1238,7 +1238,7 @@ object SparkEntry {
         |        len(list_distinct(list_concat(sh_a, sh_b))), 6) AS jaccard
         |FROM pairs ORDER BY a""".stripMargin,
     "q_quality" ->
-      """WITH t AS (
+      raw"""WITH t AS (
         |  SELECT doc_id, n_chars, text,
         |    string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')
         |      AS tokens
@@ -1248,14 +1248,14 @@ object SparkEntry {
         |  ROUND(CAST(length(text) AS DOUBLE) / len(tokens), 4)
         |    AS mean_tok_len,
         |  ROUND(CAST(len(list_filter(tokens,
-        |      t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+        |      t -> t IN (${graft.operators.TextAnalysis.sqlList(graft.operators.TextAnalysis.QualityStopwords)}))) AS DOUBLE)
         |    / len(tokens), 4) AS stopword_ratio
         |FROM t""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
         |    AS ws_tokens,
-        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]'))
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'))
         |    AS BIGINT) AS re_tokens,
         |  CAST(length(text) AS BIGINT) AS chars
         |FROM documents""".stripMargin,
@@ -1640,7 +1640,7 @@ object SparkEntry {
          |lang AS (
          |  SELECT doc_id, ts,
          |    CAST(len(list_filter(ts, x -> x IN
-         |      ('the','a','of','and','to','in','is','it','that','on')))
+         |      (${graft.operators.TextAnalysis.sqlList(graft.operators.TextAnalysis.stopwords)})))
          |      AS DOUBLE) / greatest(len(ts), 1) AS s_en,
          |    CAST(len(list_filter(ts, x -> x IN
          |      ('der','die','das','und','ist','nicht','ein','zu','mit')))
@@ -2085,7 +2085,7 @@ object SparkEntry {
     // TF-IDF mirrors term-for-term: integer tf/df/N, one double ln both
     // sides, rank over the ROUNDED score with a term tie-break
     "q_tfidf" ->
-      """WITH toks AS (
+      raw"""WITH toks AS (
         |  SELECT doc_id,
         |    unnest(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'),
         |           ' ')) AS term
@@ -2093,7 +2093,7 @@ object SparkEntry {
         |filt AS (
         |  SELECT doc_id, term FROM toks
         |  WHERE length(term) > 0 AND term NOT IN
-        |    ('the','a','of','and','to','in','is','it','that','on')),
+        |    (${graft.operators.TextAnalysis.sqlList(graft.operators.TextAnalysis.stopwords)})),
         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM filt GROUP BY 1, 2),
         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
@@ -2121,7 +2121,7 @@ object SparkEntry {
          |filt AS (
          |  SELECT doc_id, term FROM toks
          |  WHERE length(term) > 0 AND term NOT IN
-         |    ('the','a','of','and','to','in','is','it','that','on')),
+         |    (${graft.operators.TextAnalysis.sqlList(graft.operators.TextAnalysis.stopwords)})),
          |tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM filt GROUP BY 1, 2),
          |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
          |          HAVING COUNT(*) >= ${TextAnalysis.IndexMinDf}),
@@ -2251,7 +2251,7 @@ object SparkEntry {
     // then max lang) mirrors Spark's greatest() over (score, lang) structs
     // via the fr→en→de CASE order.
     "q_lang_id" ->
-      """WITH t AS (
+      raw"""WITH t AS (
         |  SELECT lang,
         |    string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')
         |      AS tokens
@@ -2259,7 +2259,7 @@ object SparkEntry {
         |s AS (
         |  SELECT lang,
         |    CAST(len(list_filter(tokens, x -> x IN
-        |      ('the','a','of','and','to','in','is','it','that','on')))
+        |      (${graft.operators.TextAnalysis.sqlList(graft.operators.TextAnalysis.stopwords)})))
         |      AS DOUBLE) / greatest(len(tokens), 1) AS s_en,
         |    CAST(len(list_filter(tokens, x -> x IN
         |      ('der','die','das','und','ist','nicht','ein','zu','mit')))
@@ -2576,7 +2576,7 @@ object SparkEntry {
          |lang AS (
          |  SELECT doc_id, text, ts,
          |    CAST(len(list_filter(ts, x -> x IN
-         |      ('the','a','of','and','to','in','is','it','that','on')))
+         |      (${graft.operators.TextAnalysis.sqlList(graft.operators.TextAnalysis.stopwords)})))
          |      AS DOUBLE) / greatest(len(ts), 1) AS s_en,
          |    CAST(len(list_filter(ts, x -> x IN
          |      ('der','die','das','und','ist','nicht','ein','zu','mit')))

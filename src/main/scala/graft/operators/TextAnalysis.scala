@@ -59,11 +59,22 @@ object TextAnalysis {
     * predicate pushdown inlines the scorer once per reference. Shared by
     * Curation.curateChain and Streaming.streamCurate. */
   private[graft] def isEnglish(tp: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column =
-    element_at(tp, 3).cast(DoubleType) /
+      : org.apache.spark.sql.Column = {
+    // slot indices derive from the SAME sorted layout langProfileLit
+    // emits — never hard-coded positions; and the strict/non-strict
+    // comparator pair below encodes greatest()'s string tie-break for
+    // EXACTLY this language set, so growing langProfiles must revisit
+    // this predicate rather than silently reading the wrong slots
+    val langs = langProfiles.keys.toSeq.sorted
+    require(langs == Seq("de", "en", "fr"),
+      s"isEnglish is derived for the (de, en, fr) profile set, got $langs " +
+        "— re-derive the tie-break conjuncts for the new layout")
+    def slot(l: String) = langs.indexOf(l) + 2
+    element_at(tp, slot("en")).cast(DoubleType) /
       greatest(element_at(tp, 1), lit(1L)).cast(DoubleType) >= 0.01 &&
-    element_at(tp, 3) > element_at(tp, 4) &&
-    element_at(tp, 3) >= element_at(tp, 2)
+    element_at(tp, slot("en")) > element_at(tp, slot("fr")) &&
+    element_at(tp, slot("en")) >= element_at(tp, slot("de"))
+  }
 
   private[graft] def predLangOn(df: DataFrame, ntExpr: String): DataFrame = {
     val langs = langProfiles.keys.toSeq.sorted
@@ -97,9 +108,9 @@ object TextAnalysis {
       .withColumn("tokens", tokensCol)
       .withColumn("n_tok", size(col("tokens")).cast(LongType))
       .withColumn("stop_cnt", expr(
-        """aggregate(tokens, 0, (acc, t) -> acc + CASE
-          |  WHEN t IN ('the', 'a', 'of', 'and', 'to') THEN 1 ELSE 0
-          |END)""".stripMargin).cast(LongType))
+        s"""aggregate(tokens, 0, (acc, t) -> acc + CASE
+           |  WHEN t IN (${sqlList(QualityStopwords)}) THEN 1 ELSE 0
+           |END)""".stripMargin).cast(LongType))
       .select(
         col("doc_id"),
         col("n_chars"),
@@ -110,13 +121,17 @@ object TextAnalysis {
           col("n_tok").cast(DoubleType), 4).as("stopword_ratio"))
 
   /** Token counting: whitespace tokens vs a BPE-ish word/punct regex count
-    * vs chars — the triple every data pipeline reports. */
+    * vs chars — the triple every data pipeline reports. The regex runs on
+    * LOWERED text (like every tokenizer in this file): on raw text the
+    * [a-z0-9] word class would split each capital letter off as its own
+    * "punctuation" token, inflating re_tokens by one per capital. */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
         size(split(col("text"), "\\s+")).cast(LongType).as("ws_tokens"),
-        size(expr("regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\\\s]', 0)"))
+        size(expr(
+          "regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\\\s]', 0)"))
           .cast(LongType).as("re_tokens"),
         length(col("text")).cast(LongType).as("chars"))
 
@@ -131,6 +146,16 @@ object TextAnalysis {
     * Smoothed idf = ln((N+1)/(df+1)) + 1 (the standard sklearn form). */
   val stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "on")
+
+  /** The quality metric's stopword set — the head of [[stopwords]]. Both
+    * this and the full list reach the Spark expressions AND their DuckDB
+    * oracles via [[sqlList]] interpolation, so the three former hand
+    * copies (quality expr, q_quality oracle, q_tfidf-family oracles)
+    * cannot drift. */
+  val QualityStopwords: Seq[String] = stopwords.take(5)
+
+  /** `'w1', 'w2', …` SQL list form shared by expressions and oracles. */
+  def sqlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
 
   def tfidf(spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -258,21 +283,6 @@ object TextAnalysis {
     Tables.documents(spark, dir)
       .select(col("doc_id"), expr("rolling_fp(text)").as("fingerprint"))
 
-  /** Deterministic top-k (n desc, pair asc — a total order, so the cut is
-    * unambiguous) adjacent-character-pair counts over the corpus: the
-    * pair-statistics inner loop of BPE tokenizer training, run at corpus
-    * scale.
-    *
-    * Scale shape: `explode(sequence(...))` is a narrow flatMap (no
-    * shuffle), the pair count is one hash aggregate whose map-side
-    * partials collapse each partition to its ≤|alphabet|² distinct pairs
-    * before the exchange, and the final cut is TakeOrderedAndProject —
-    * the identical dataflow a full BPE trainer repeats per merge round
-    * (each round rewrites the symbol stream and re-counts; one round is
-    * the representative cost unit). Texts shorter than 2 chars are
-    * excluded up front: Spark's `sequence(1, 0)` counts DOWN while the
-    * oracle's `generate_series(1, 0)` is empty — the guard keeps the
-    * engines' row sets identical as well as safe. */
   /** Sketch capacity and report threshold for [[heavyHitters]]. The
     * invariant that makes the result EXACT: HhK ≥ HhFraction, so the
     * Misra–Gries guarantee (every value with frequency > n/(HhK+1)
@@ -326,10 +336,12 @@ object TextAnalysis {
     * under the total order (count DESC, token ASC).
     *
     * Scale shape: one explode + one map-side-combinable token count, a
-    * TakeOrderedAndProject top-500 (per-partition heads, never a global
-    * sort of the vocabulary), a broadcast 1-row total, and a cumulative
-    * window over exactly 500 rows — constant-size, corpus-independent.
-    * Counts exact BIGINTs; coverage is one rounded IEEE division. */
+    * TakeOrderedAndProject top-VocabRanks.max (per-partition heads, never
+    * a global sort of the vocabulary), a broadcast 1-row total, and a
+    * cumulative window over exactly VocabRanks.max rows — constant-size,
+    * corpus-independent (30 here; a production (1k…32k) rank list keeps
+    * the same shape). Counts exact BIGINTs; coverage one rounded IEEE
+    * division. */
   def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(explode(tokensCol).as("term"))
@@ -397,9 +409,18 @@ object TextAnalysis {
     * Scale shape: one map-side-combinable conditional count over the
     * corpus; everything after operates on the |langs|-row table. */
   def langDrift(spark: SparkSession, dir: String): DataFrame = {
+    // the cohort parse is TOTAL-or-LOUD: a source id that doesn't carry a
+    // numeric suffix ('srcN') raises in-plan instead of lenient-casting to
+    // null and silently dropping the document from BOTH cohorts (the
+    // oracle's strict CAST errors on such ids too — same loudness, and
+    // the withNorm ragged-guard discipline)
+    val suffix = substring(col("source"), 4, 16)
     val counts = Tables.documents(spark, dir)
       .select(col("lang"),
-        (substring(col("source"), 4, 16).cast(IntegerType) % 2)
+        (when(suffix.cast(IntegerType).isNotNull, suffix.cast(IntegerType))
+          .otherwise(raise_error(concat(
+            lit("graft: langDrift expects 'srcN' source ids, got "),
+            col("source")))) % 2)
           .cast(LongType).as("grp"))
       .groupBy("lang")
       .agg(sum(when(col("grp") === 0, 1L).otherwise(0L)).as("n_a"),
@@ -479,9 +500,13 @@ object TextAnalysis {
           "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"))
           .as("g"))
     val cb = grams.groupBy("g").agg(count(lit(1)).as("cb"))
-    val cw = grams
-      .select(element_at(split(col("g"), " ", 2), 1).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cw"))
+    // cw(w) = Σ over grams starting with w of cb — re-aggregate the
+    // VOCAB-sized cb table instead of re-exploding and re-shuffling the
+    // full corpus bigram stream a second time (the exchanges differ —
+    // hash(g) vs hash(w) — so ReuseExchange could never deduplicate it)
+    val cw = cb
+      .select(element_at(split(col("g"), " ", 2), 1).as("w"), col("cb"))
+      .groupBy("w").agg(sum(col("cb")).as("cw"))
     val v = docs.select(explode(col("ts")).as("t"))
       .agg(countDistinct(col("t")).as("v"))
     grams
@@ -536,14 +561,19 @@ object TextAnalysis {
   val Bm25B = 0.75
   val Bm25TopK = 10
 
-  /** BM25 ranked retrieval for a fixed conjunctive query — the scoring
-    * side of the inverted index ([[q_inverted_index]] builds the
-    * postings): per-term tf saturation × idf, summed per document,
-    * top-k. The idf is EXACT QUARTER-BIT log₂ — floor(4·log₂ r) computed
-    * as floor(log₂(r⁴)) over BIGINTs via the length(bin(a⁴ div b⁴)) idiom
-    * (a = N+1 ≤ ~5·10³ at test SF keeps a⁴ < 2⁶³; a 100 TB run lifts the
-    * fourth powers to DECIMAL(38), same interface) — because a libm ln
-    * would hang the hash gate on bit-parity (the [[bigramScore]] lesson).
+  /** BM25 ranked retrieval for a fixed multi-term query (DISJUNCTIVE —
+    * standard OR-mode BM25: any document containing at least one query
+    * term is ranked, missing terms contribute 0) — the scoring side of
+    * the inverted index ([[q_inverted_index]] builds the postings):
+    * per-term tf saturation × idf, summed per document, top-k. The idf
+    * is EXACT QUARTER-BIT log₂ — floor(4·log₂ r) computed as
+    * floor(log₂(r⁴)) over BIGINTs via the length(bin(a⁴ div b⁴)) idiom
+    * (a = N+1: the in-plan guard below raises past the 2⁶³ boundary at
+    * N+1 ≥ 55108 — on the non-ANSI Spark side the product would
+    * otherwise WRAP silently and corrupt every ranking; a 100 TB run
+    * lifts the fourth powers to DECIMAL(38), same interface) — because
+    * a libm ln would hang the hash gate on bit-parity (the
+    * [[bigramScore]] lesson).
     * The tf factor tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) is deterministic
     * double arithmetic over exact integers (one exact ratio avgdl, fixed
     * op order, no transcendental), and the ≤3 per-term scores fold in a
@@ -567,11 +597,20 @@ object TextAnalysis {
       .filter(col("t").isin(qTerms: _*))
     val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
-    // quarter-bit idf: floor(4·log2((n+1)/(df+1))) exactly over BIGINTs
+    // quarter-bit idf: floor(4·log2((n+1)/(df+1))) exactly over BIGINTs.
+    // (n+1)⁴ fits 2⁶³ only while n+1 ≤ 55107 — past that the non-ANSI
+    // multiply would wrap SILENTLY, so the boundary raises in-plan (the
+    // DuckDB twin's checked arithmetic is equally loud); the documented
+    // lift is DECIMAL(38) fourth powers
     val idf = df.crossJoin(broadcast(stats.select(col("n"))))
       .select(col("t"),
         (length(bin(expr(
-          "((n+1)*(n+1)*(n+1)*(n+1)) div ((df+1)*(df+1)*(df+1)*(df+1))")))
+          """((CASE WHEN n + 1 <= 55107 THEN n + 1 ELSE
+            |  raise_error(concat('graft: bm25 quarter-bit idf overflows ',
+            |    'BIGINT at n_docs >= 55107; lift the fourth powers to ',
+            |    'DECIMAL(38) (see scaladoc)')) END)
+            | *(n+1)*(n+1)*(n+1)) div ((df+1)*(df+1)*(df+1)*(df+1))"""
+            .stripMargin)))
           - 1).cast(LongType).as("idf_q4"))
     val scored = tf
       .join(broadcast(idf), "t")
@@ -644,6 +683,21 @@ object TextAnalysis {
        |FROM ranked ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
   }
 
+  /** Deterministic top-k (n desc, pair asc — a total order, so the cut is
+    * unambiguous) adjacent-character-pair counts over the corpus: the
+    * pair-statistics inner loop of BPE tokenizer training, run at corpus
+    * scale.
+    *
+    * Scale shape: `explode(sequence(...))` is a narrow flatMap (no
+    * shuffle), the pair count is one hash aggregate whose map-side
+    * partials collapse each partition to its ≤|alphabet|² distinct pairs
+    * before the exchange, and the final cut is TakeOrderedAndProject —
+    * the identical dataflow a full BPE trainer repeats per merge round
+    * (each round rewrites the symbol stream and re-counts; one round is
+    * the representative cost unit). Texts shorter than 2 chars are
+    * excluded up front: Spark's `sequence(1, 0)` counts DOWN while the
+    * oracle's `generate_series(1, 0)` is empty — the guard keeps the
+    * engines' row sets identical as well as safe. */
   def bpePairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
     Tables.documents(spark, dir)
       .filter(length(col("text")) >= 2)
