@@ -2153,7 +2153,12 @@ object SparkEntry {
     // both engines; the keep decision is the q_sample_mix LCG replay
     "q_temp_mix" ->
       s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
-         |s AS (SELECT SUM(sqrt(n)) AS ssum, SUM(n) AS ntot FROM c),
+         |-- ssum folds in SORTED-LANG order (a plain SUM of doubles folds
+         |-- in scan order — order-dependent; the Spark side folds the
+         |-- collected counts the same way, so the rates are bit-exact)
+         |s AS (SELECT list_reduce(list(sqrt(n) ORDER BY lang),
+         |        (a, b) -> a + b) AS ssum,
+         |      SUM(n) AS ntot FROM c),
          |r AS (
          |  SELECT lang, n, LEAST(1000, CAST(FLOOR(1000.0 *
          |    FLOOR(ntot * ${Curation.TempTargetPermille / 1000.0}) *

@@ -91,14 +91,24 @@ object Curation {
     Seq("de" -> 500, "en" -> 800, "es" -> 300, "fr" -> 400, "zh" -> 200)
   val mixDefaultPermille = 100
 
+  /** The ONE key-derived LCG order/decision hash of this file — key
+    * reduced mod M first (congruence-safe, no Long overflow at any key),
+    * distinct additive constants giving independent streams: 7 = mixture
+    * keep + shard assignment, 13 = domain-cap / stratified order, 29 =
+    * weighted-sample priority. Every operator's oracle replays
+    * ((key % M) * 2654435761 + inc) % M verbatim; one definition means a
+    * modulus/multiplier edit cannot desynchronize a single copy. */
+  private[operators] val LcgM = 1000003L
+  def lcgDraw(key: Column, inc: Long): Column =
+    pmod(pmod(key, lit(LcgM)) * 2654435761L + inc, lit(LcgM))
+
   /** The sampling decision for a key: an LCG hash reduced mod 1000,
     * compared against the source's permille rate. Key-derived (membership
     * independent of partitioning/scale — same argument as
     * OlsPipeline.keySplit) and exact integer arithmetic, so the oracle
     * replays the decision bit-for-bit. */
   def mixKeep(key: Column, rate: Column): Column =
-    pmod(pmod(key, lit(1000003L)) * 2654435761L + 7L, lit(1000003L)) % 1000 <
-      rate
+    lcgDraw(key, 7L) % 1000 < rate
 
   /** Mixture sampling: keep each document with its source's (lang's)
     * permille rate, deterministically by doc_id. Emits the per-source
@@ -139,9 +149,7 @@ object Curation {
                 k: Int = DomainCapK): DataFrame = {
     val hashed = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"))
-      .withColumn("h",
-        pmod(pmod(col("doc_id"), lit(1000003L)) * 2654435761L + 13L,
-          lit(1000003L)))
+      .withColumn("h", lcgDraw(col("doc_id"), 13L))
     val partial = hashed
       .withColumn("part", spark_partition_id())
       .withColumn("rn", row_number().over(
@@ -181,7 +189,7 @@ object Curation {
     val top = Tables.documents(spark, dir)
       .select(col("doc_id"), col("n_chars"),
         expr(s"(n_chars * $PriScale) div " +
-          s"(pmod(pmod(doc_id, 1000003L) * 2654435761L + 29L, 1000003L) + 1)")
+          s"(pmod(pmod(doc_id, ${LcgM}L) * 2654435761L + 29L, ${LcgM}L) + 1)")
           .as("pri"))
       .orderBy(col("pri").desc, col("doc_id").asc)
       .limit(k)
@@ -222,22 +230,32 @@ object Curation {
     * the per-document decision is the same key-derived LCG as `mixKeep`.
     *
     * Scale shape: one tiny per-language count aggregate (map-side partial,
-    * ~|langs| rows) broadcast back onto the scan; the decision pass is a
-    * narrow projection. Two scans of the corpus (stats, then decisions) —
-    * at 100 TB the stats pass reads one dictionary-encoded column and in
+    * ~|langs| rows) collected and folded driver-side in SORTED-LANG order
+    * — Σ√n is double addition, which is order-dependent, so a distributed
+    * SUM would fold in partition order (layout-dependent) while the
+    * oracle folds in scan order: a 1-ulp ssum difference flips
+    * rate_permille on a floor boundary and with it every keep decision at
+    * that rate. The deterministic left fold (mirrored by the oracle's
+    * list_reduce(list(... ORDER BY lang))) makes the derivation
+    * bit-exact at ANY layout; the rates ship back as a broadcast literal
+    * dimension. Two scans of the corpus (stats, then decisions) — at
+    * 100 TB the stats pass reads one dictionary-encoded column and in
     * production is a maintained table, not recomputed per run. */
   def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
     val counts = Tables.documents(spark, dir)
       .groupBy("lang").agg(count(lit(1)).as("n"))
-    val totals = counts.agg(
-      sum(sqrt(col("n"))).as("ssum"), sum(col("n")).as("ntot"))
-    val rates = counts.crossJoin(broadcast(totals))
-      .withColumn("rate_permille",
-        least(lit(1000L),
-          floor(lit(1000.0) *
-            floor(col("ntot") * (TempTargetPermille / 1000.0)) *
-            sqrt(col("n")) / (col("ssum") * col("n")))))
-      .select(col("lang"), col("rate_permille"))
+      .orderBy("lang")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val ssum = counts.map { case (_, n) => math.sqrt(n.toDouble) }
+      .foldLeft(0.0)(_ + _)
+    val ntot = counts.map(_._2).sum
+    val t = math.floor(ntot.toDouble * (TempTargetPermille / 1000.0))
+    val spark2 = spark
+    import spark2.implicits._
+    val rates = counts.toSeq.map { case (l, n) =>
+      (l, math.min(1000L, math.floor(
+        1000.0 * t * math.sqrt(n.toDouble) / (ssum * n.toDouble)).toLong))
+    }.toDF("lang", "rate_permille")
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), "\\s+")).cast(LongType).as("n_tok"))
@@ -383,10 +401,9 @@ object Curation {
                     nShards: Int = DefaultShards): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        (pmod(pmod(col("doc_id"), lit(1000003L)) * 2654435761L + 7L,
-          lit(1000003L)) % nShards).as("shard"),
+        (lcgDraw(col("doc_id"), 7L) % nShards).as("shard"),
         size(split(col("text"), "\\s+")).cast(LongType).as("n_tok"),
-        call_function("rolling_fp", col("text")).as("fp"))
+        rollingFp(col("text")).as("fp"))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("tokens"),
@@ -412,7 +429,9 @@ object Curation {
     *   5. PII redaction → per-doc match counts + redacted-text fingerprint.
     *
     * Scale shape: stages 1, 2 and 5 are narrow kernel/regex projections;
-    * stage 3 is one hash shuffle (md5 keep-first semi-join); stage 4 is the
+    * stage 3 is one hash shuffle (a groupBy(text) keep-first aggregate — the
+    * semi-join form was rejected, see the inline note; the ORACLE groups by
+    * md5(text), same classes); stage 4 is the
     * broadcast gram probe plus a broadcast anti-join on the (tiny)
     * contaminated-id set. The whole chain reads `documents` through one
     * lineage — Catalyst sees every stage and prunes/pushes across them. */
@@ -492,7 +511,7 @@ object Curation {
         .cast(LongType).as("n_phone"),
       size(regexp_extract_all(ptext, lit(IpRe), lit(0)))
         .cast(LongType).as("n_ip"),
-      call_function("rolling_fp", red).as("red_fp"))
+      rollingFp(red).as("red_fp"))
   }
 
   // -- sequence packing ---------------------------------------------------
@@ -544,17 +563,20 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
       .orderBy("bin")
-    // bins rows only — materialize eagerly so the cached sort is released
-    // now, not when some later consumer runs (same lifecycle as ntile)
-    val rows = agg.collect()
+    // materialize the manifest DISTRIBUTED (localCheckpoint cuts the
+    // lineage to the cached sort, which is then released now, not when
+    // some later consumer runs) — unlike ntile's 10 fixed rows, the bin
+    // manifest grows as totalTokens/budgetTokens, so a driver collect
+    // here would contradict the operator's own 100 TB story (~10¹⁰ bins)
+    val out = agg.localCheckpoint(eager = true)
     rdd.unpersist(blocking = false)
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+    out
   }
 
   // -- exact stratified sampling ------------------------------------------
 
   val StratifiedK = 12
-  private val StratM = 1000003L
+  private val StratM = LcgM // one modulus across the LCG family
 
   /** Exact per-stratum uniform sample: the k documents with the SMALLEST
     * LCG hash per language — the fixed-allocation stratified draw an eval
@@ -586,8 +608,7 @@ object Curation {
                        k: Int = StratifiedK): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("lang"), col("doc_id"),
-        pmod(pmod(col("doc_id"), lit(StratM)) * 2654435761L + 13L,
-          lit(StratM)).as("h"))
+        lcgDraw(col("doc_id"), 13L).as("h"))
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_g"))
     val joined = docs.join(broadcast(counts), "lang")
     // threshold in truncating integer div (overflow-free at any n_g; a
