@@ -1015,9 +1015,9 @@ object SparkEntry {
         |  FROM customer)
         |SELECT c_custkey,
         |  ROUND((c_acctbal - CAST(sx AS DOUBLE) / n) /
-        |        SQRT((CAST(sxx AS DOUBLE)
+        |        NULLIF(SQRT((CAST(sxx AS DOUBLE)
         |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
-        |             / (n - 1)), 6) AS z
+        |             / NULLIF(n - 1, 0)), 0), 6) AS z
         |FROM customer, s ORDER BY c_custkey""".stripMargin,
     // exact decimal moment sums (e = a−p = price·disc at scale 4; squares
     // at scale 8), closed-form corr²; mirrors Relational.metrics
@@ -1037,8 +1037,8 @@ object SparkEntry {
         |  ROUND(SQRT(CAST(se2 AS DOUBLE) / n), 4) AS rmse,
         |  ROUND((n * CAST(sap AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sp AS DOUBLE))
         |        * (n * CAST(sap AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sp AS DOUBLE))
-        |        / ((n * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
-        |           * (n * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 6) AS r2,
+        |        / NULLIF((n * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+        |           * (n * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)), 0), 6) AS r2,
         |  cnt AS n
         |FROM s""".stripMargin,
     "q_na_profile" ->

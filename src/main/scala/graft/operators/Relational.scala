@@ -125,7 +125,7 @@ object Relational {
       .agg(
         count(lit(1)).as("cnt"),
         countDistinct(col("n_name")).as("nations"),
-        (sum(money(col("o_totalprice"))) * 100).cast(LongType)
+        sumCents(col("o_totalprice"))
           .as("sum_price_cents"))
       .orderBy("r_name")
   }
@@ -150,7 +150,7 @@ object Relational {
         grouping(col("r_name")).cast(LongType).as("g_region"),
         grouping(col("n_name")).cast(LongType).as("g_nation"),
         count(lit(1)).as("cnt"),
-        (sum(money(col("o_totalprice"))) * 100).cast(LongType)
+        sumCents(col("o_totalprice"))
           .as("sum_price_cents"))
       .select(col("r_name"), col("n_name"), col("g_region"),
         col("g_nation"), col("cnt"), col("sum_price_cents"))
@@ -169,7 +169,7 @@ object Relational {
         col("o_orderpriority").as("priority"),
         date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
           .as("month"))
-      .agg((sum(money(col("o_totalprice"))) * 100).cast(LongType)
+      .agg(sumCents(col("o_totalprice"))
         .as("month_cents"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("priority").orderBy("month")
@@ -361,8 +361,10 @@ object Relational {
     val pairs = for { i <- cs.indices; j <- i + 1 until cs.size } yield
       struct(lit(cs(i)).as("x"), lit(cs(j)).as("y"),
         round((col("n") * d(s"s_${i}_${j}") - d(s"s_${cs(i)}") * d(s"s_${cs(j)}")) /
-          sqrt((col("n") * d(s"s_${i}_${i}") - d(s"s_${cs(i)}") * d(s"s_${cs(i)}")) *
-            (col("n") * d(s"s_${j}_${j}") - d(s"s_${cs(j)}") * d(s"s_${cs(j)}"))), 6)
+          nullif(sqrt(
+            (col("n") * d(s"s_${i}_${i}") - d(s"s_${cs(i)}") * d(s"s_${cs(i)}")) *
+            (col("n") * d(s"s_${j}_${j}") - d(s"s_${cs(j)}") * d(s"s_${cs(j)}"))),
+            lit(0.0)), 6)
           .as("corr"))
     m.select(inline(array(pairs: _*))).orderBy("x", "y")
   }
@@ -407,7 +409,7 @@ object Relational {
         grouping(col("c_mktsegment")).cast(LongType).as("g_segment"),
         grouping(col("o_orderpriority")).cast(LongType).as("g_priority"),
         count(lit(1)).as("cnt"),
-        (sum(money(col("o_totalprice"))) * 100).cast(LongType)
+        sumCents(col("o_totalprice"))
           .as("sum_price_cents"))
       .select(col("c_mktsegment").as("segment"),
         col("o_orderpriority").as("priority"), col("g_segment"),
@@ -430,7 +432,7 @@ object Relational {
         grouping(col("o_orderpriority")).cast(LongType).as("g_priority"),
         grouping(col("o_orderstatus")).cast(LongType).as("g_status"),
         count(lit(1)).as("cnt"),
-        (sum(money(col("o_totalprice"))) * 100).cast(LongType)
+        sumCents(col("o_totalprice"))
           .as("sum_price_cents"))
       .select(col("o_orderpriority").as("priority"),
         col("o_orderstatus").as("status"), col("g_priority"),
@@ -530,11 +532,15 @@ object Relational {
     val sxx = col("sxx").cast(DoubleType)
     // no Spark-side sort: the driver (and check_oracle.py) sort rows before
     // hashing, so a global range-shuffle of the widest output buys nothing
+    // NULLIF guards: ANSI mode (Spark 4 default) throws DIVIDE_BY_ZERO
+    // even for doubles (probed), so a 1-row or zero-variance input must
+    // yield NULL z (the oracle's NULLIF twin), not abort the query
     c.crossJoin(broadcast(stats))
       .select(
         col("c_custkey"),
         round((col("c_acctbal") - sx / col("n")) /
-          sqrt((sxx - sx * sx / col("n")) / (col("n") - 1)), 6).as("z"))
+          nullif(sqrt((sxx - sx * sx / col("n")) /
+            nullif(col("n") - 1, lit(0.0))), lit(0.0)), 6).as("z"))
   }
 
   /** A10/M13: global metric aggregates — RMSE, R² (reference
@@ -565,8 +571,9 @@ object Relational {
     s.select(
       round(sqrt(dbl("se2") / col("n")), 4).as("rmse"),
       round(num * num /
-        ((col("n") * dbl("saa") - dbl("sa") * dbl("sa")) *
-          (col("n") * dbl("spp") - dbl("sp") * dbl("sp"))), 6).as("r2"),
+        nullif((col("n") * dbl("saa") - dbl("sa") * dbl("sa")) *
+          (col("n") * dbl("spp") - dbl("sp") * dbl("sp")), lit(0.0)), 6)
+        .as("r2"),
       col("cnt").as("n"))
   }
 
@@ -680,7 +687,10 @@ object Relational {
   val equiDepthOracleSql: String = {
     val ps = (1 until 10).map(i => s"0.$i").mkString(", ")
     s"""WITH b AS (
-       |  SELECT quantile_cont(l_extendedprice, [$ps]) AS bs
+       |  -- CAST AS DOUBLE: quantile_cont on DECIMAL truncates interpolated
+       |  -- cut-points to the input scale (the madOutliers/quantileNorm
+       |  -- rule) — double interpolation is what the Spark side computes
+       |  SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), [$ps]) AS bs
        |  FROM lineitem),
        |a AS (
        |  SELECT l_extendedprice AS x,
@@ -911,9 +921,14 @@ object Relational {
       .select(col("l_returnflag"), col("l_extendedprice").as("x"))
     val med = base.groupBy("l_returnflag")
       .agg(expr("percentile(CAST(x AS DOUBLE), 0.5)").as("med"))
+    // localCheckpoint: dev feeds the stats pass AND the fence count —
+    // without it the lineitem scan + median join re-execute on both plan
+    // branches (3 fact scans instead of 2; the exchanges differ, so
+    // ReuseExchange cannot dedupe them)
     val dev = base.join(broadcast(med), "l_returnflag")
       .select(col("l_returnflag"), col("med"),
         abs(col("x") - col("med")).as("dev"))
+      .localCheckpoint(eager = true)
     val stats = dev.groupBy("l_returnflag")
       .agg(first(col("med")).as("med"),
         expr("percentile(CAST(dev AS DOUBLE), 0.5)").as("mad"),
@@ -932,7 +947,11 @@ object Relational {
   /** DuckDB replay of [[madOutliers]] — same R-7 medians and fence. */
   val madOutliersOracleSql: String =
     """WITH med AS (
-      |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+      |  -- CAST AS DOUBLE: on DECIMAL input quantile_cont truncates the
+      |  -- interpolated value to the input scale, diverging from Spark's
+      |  -- percentile(CAST(x AS DOUBLE)) (the quantileNorm oracle's rule)
+      |  SELECT l_returnflag,
+      |    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS med
       |  FROM lineitem GROUP BY 1),
       |d AS (
       |  SELECT l.l_returnflag, m.med,
@@ -940,7 +959,7 @@ object Relational {
       |  FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag),
       |s AS (
       |  SELECT l_returnflag, ANY_VALUE(med) AS med,
-      |    quantile_cont(dev, 0.5) AS mad, COUNT(*) AS n
+      |    quantile_cont(CAST(dev AS DOUBLE), 0.5) AS mad, COUNT(*) AS n
       |  FROM d GROUP BY 1)
       |SELECT s.l_returnflag, ROUND(s.med, 4) AS median,
       |  ROUND(s.mad, 4) AS mad, s.n,
