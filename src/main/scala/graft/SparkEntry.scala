@@ -434,13 +434,10 @@ object SparkEntry {
   /** The lineitem fit-input CTE — OlsPipeline.dataset's replay (LCG noise,
     * LCG 75/25 bucket, forecast mask). */
   private def lineitemDsCte: String =
-    """ds AS (
+    s"""ds AS (
       |  SELECT l_orderkey, l_partkey % 500 AS county,
       |    l_quantity AS x1, l_discount AS x2, l_tax AS x3,
-      |    l_quantity * 3 - l_discount * 200 + l_tax * 50 +
-      |      (CAST(((l_orderkey % 1000003) * 2654435761 + 7) % 1000003
-      |            AS DOUBLE)
-      |       / 1000003.0 * 10.0 - 5.0) AS y,
+      |    ${graft.ml.OlsPipeline.labelSql} AS y,
       |    (((l_orderkey % 2147483648) * 1103515245 + 123) % 2147483648)
       |      >> 29 AS bucket,
       |    l_orderkey % 10 = 0 AS is_forecast

@@ -139,6 +139,12 @@ object OlsPipeline {
     * driver and SQL both substitute per unknown). */
   def solveCramer4(a: (Int, Int) => Double, rhs: Int => Double): Array[Double] = {
     val d = det4(a)
+    // singular design ⇒ fail LOUDLY at the solve (the esum discipline):
+    // a silent 0-determinant division would propagate NaN/Infinity into
+    // every prediction and surface only as an opaque oracle mismatch
+    require(d != 0.0 && !d.isNaN && !d.isInfinite,
+      s"solveCramer4: singular/degenerate normal equations (det = $d) — " +
+        "the training design has linearly dependent features")
     Array.tabulate(4) { k =>
       det4((i, j) => if (j == k) rhs(i) else a(i, j)) / d
     }
@@ -228,7 +234,7 @@ object OlsPipeline {
     * (tiles-row) aggregate; the fit is the [[fit]] pass. */
   def calibrationCurve(spark: SparkSession, dir: String,
                        tiles: Int = 10): DataFrame = {
-    val f = fit(spark, dir)
+    val f = fitCached(spark, dir) // deterministic fit — share the gram pass
     val sorted = f.test
       .select(col("prediction"), col("label"), col("l_orderkey"),
         col("l_quantity"), col("l_discount"), col("l_tax"))
@@ -237,8 +243,8 @@ object OlsPipeline {
     val rdd = sorted.rdd.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = rdd.mapPartitionsWithIndex(
-      (pi, it) => Iterator((pi, it.size.toLong)),
-      preservesPartitioning = true).collect().sortBy(_._1).map(_._2)
+      (pi, it) => Iterator((pi, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
     val n = sizes.sum
     val offsets = sizes.scanLeft(0L)(_ + _)
     val q = n / tiles
@@ -283,7 +289,13 @@ object OlsPipeline {
       .collect()(0)
     val (n, sf, sa, sff, sfa) = (r.getDouble(0), r.getDouble(1),
       r.getDouble(2), r.getDouble(3), r.getDouble(4))
-    val slope = (n * sfa - sf * sa) / (n * sff - sf * sf)
+    val den = n * sff - sf * sf
+    // degenerate calibration input (constant forecasts) fails loudly —
+    // the solveCramer4 discipline; ANSI double division would throw on
+    // exact 0 anyway, this names the cause
+    require(den != 0.0 && !den.isNaN, s"calibrate: zero-variance " +
+      s"forecasts (denominator $den) — meta-regression undefined")
+    val slope = (n * sfa - sf * sa) / den
     val icpt = (sa - slope * sf) / n
     (icpt, slope)
   }
@@ -397,13 +409,22 @@ object OlsPipeline {
 
   /** DuckDB replay of [[groupedOls]] — the shared ds CTE's label, the
     * same floor-micros moments and formula association shapes. */
-  val groupedOlsOracleSql: String =
-    """WITH ds AS (
-      |  SELECT l_returnflag, l_quantity AS x1,
-      |    l_quantity * 3 - l_discount * 200 + l_tax * 50 +
+  /** The synthetic label y = 3·x1 − 200·x2 + 50·x3 + LCG-U(−5, 5) as
+    * DuckDB SQL — the ONE copy both the q_ols-family dataset CTE
+    * (SparkEntry.lineitemDsCte) and [[groupedOlsOracleSql]] interpolate;
+    * mirrors [[noiseCol]]/[[dataset]], so an edit to the label formula
+    * cannot desynchronize one oracle copy. Margin chars are stripped by
+    * the ENCLOSING string's stripMargin. */
+  val labelSql: String =
+    """l_quantity * 3 - l_discount * 200 + l_tax * 50 +
       |      (CAST(((l_orderkey % 1000003) * 2654435761 + 7) % 1000003
       |            AS DOUBLE)
-      |       / 1000003.0 * 10.0 - 5.0) AS y
+      |       / 1000003.0 * 10.0 - 5.0)"""
+
+  val groupedOlsOracleSql: String =
+    s"""WITH ds AS (
+      |  SELECT l_returnflag, l_quantity AS x1,
+      |    $labelSql AS y
       |  FROM lineitem),
       |m AS (
       |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,

@@ -543,8 +543,8 @@ object Curation {
     val rdd = toks.rdd.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sums = rdd.mapPartitionsWithIndex(
-      (pi, it) => Iterator((pi, it.map(_.getLong(1)).sum)),
-      preservesPartitioning = true).collect().sortBy(_._1).map(_._2)
+      (pi, it) => Iterator((pi, it.map(_.getLong(1)).sum)))
+      .collect().sortBy(_._1).map(_._2)
     val offsets = sums.scanLeft(0L)(_ + _)
     val spark2 = spark
     import spark2.implicits._

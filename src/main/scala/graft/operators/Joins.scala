@@ -147,7 +147,7 @@ object Joins {
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = rdd.mapPartitionsWithIndex(
       (pi, it) => Iterator((pi, it.size.toLong)),
-      preservesPartitioning = true).collect().sortBy(_._1).map(_._2)
+      ).collect().sortBy(_._1).map(_._2)
     val n = sizes.sum
     val offsets = sizes.scanLeft(0L)(_ + _)
     val q = n / tiles

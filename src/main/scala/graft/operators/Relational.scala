@@ -730,8 +730,8 @@ object Relational {
     val rdd = pts.rdd.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = rdd.mapPartitionsWithIndex(
-      (pi, it) => Iterator((pi, it.size.toLong)),
-      preservesPartitioning = true).collect().sortBy(_._1).map(_._2)
+      (pi, it) => Iterator((pi, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
     val n = sizes.sum
     val offsets = sizes.scanLeft(0L)(_ + _)
     val q = n / tiles
