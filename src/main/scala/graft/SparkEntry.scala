@@ -2191,9 +2191,13 @@ object SparkEntry {
         |  WHERE doc_id % 9 = 0),
         |j AS (
         |  SELECT COALESCE(o.doc_id, c.doc_id) AS doc_id,
-        |    CASE WHEN o.h_old IS NULL THEN 'added'
-        |         WHEN c.h_new IS NULL THEN 'removed'
-        |         WHEN o.h_old <> c.h_new THEN 'changed'
+        |    -- presence by KEY, not hash nullability (md5(NULL text) is
+        |    -- NULL — a hash-null test would misreport a NULL-text doc
+        |    -- present in both versions as 'added'); mirrors the Spark
+        |    -- side's in_old/in_new markers and null-safe hash compare
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN c.doc_id IS NULL THEN 'removed'
+        |         WHEN o.h_old IS DISTINCT FROM c.h_new THEN 'changed'
         |         ELSE 'unchanged' END AS status
         |  FROM old o FULL OUTER JOIN cur c ON o.doc_id = c.doc_id)
         |SELECT status, COUNT(*) AS n,

@@ -45,7 +45,11 @@ object Graph {
     * engines count multiplicity identically). */
   private def edgesWithDeg(spark: SparkSession, dir: String): DataFrame = {
     val nodes = Tables.documents(spark, dir).select(col("doc_id").as("id"))
-    val m = nodes.agg(max(col("id"))).head().getLong(0) + 1L
+    val mrow = nodes.agg(max(col("id"))).head()
+    require(!mrow.isNullAt(0),
+      "pageRank: empty documents table — the synthetic link graph needs " +
+        "at least one node")
+    val m = mrow.getLong(0) + 1L
     val raw = nodes.select(col("id").as("src"),
         explode(array(
           (col("id") * 31 + 7) % m,
@@ -114,15 +118,23 @@ object Graph {
     *
     * The "new" snapshot is planted from the old one: doc_id%10==0 deleted,
     * doc_id%7==0 re-texted (' v2' appended), +1M copies of doc_id%9==0
-    * added — every branch exercised, fully SQL-replayable.
+    * added — every branch exercised, fully SQL-replayable. The +10⁶
+    * offset (like every plant in this repo — Dedup.corpus,
+    * Versioning.changeSet, their oracles) assumes the TESTDATA id space
+    * (doc_id < 10⁶ per FIXTURES.md); the plant is fixture scaffolding —
+    * a production diff takes two REAL snapshots and has no offsets.
     *
     * Scale shape: one full-outer equi-join on the id (the narrow md5
     * comparison travels with the key — text itself never shuffles) and
     * one 4-row aggregate. At 100 TB both snapshots are id-bucketed tables
     * and the join is shuffle-free. */
   def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    // presence is tested via explicit side markers, NOT h_old/h_new
+    // nullability: md5(NULL text) is NULL, so hash-null presence tests
+    // would misreport a NULL-text doc present in both versions as 'added'
     val old = Tables.documents(spark, dir)
-      .select(col("doc_id"), md5(col("text")).as("h_old"))
+      .select(col("doc_id"), md5(col("text")).as("h_old"),
+        lit(true).as("in_old"))
     val cur = Tables.documents(spark, dir)
       .filter(col("doc_id") % 10 =!= 0)
       .select(col("doc_id"),
@@ -132,11 +144,12 @@ object Graph {
         .filter(col("doc_id") % 9 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"),
           md5(col("text")).as("h_new")))
+      .withColumn("in_new", lit(true))
     old.join(cur, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        when(col("h_old").isNull, lit("added"))
-          .when(col("h_new").isNull, lit("removed"))
-          .when(col("h_old") =!= col("h_new"), lit("changed"))
+        when(col("in_old").isNull, lit("added"))
+          .when(col("in_new").isNull, lit("removed"))
+          .when(!(col("h_old") <=> col("h_new")), lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
       .groupBy("status")
       .agg(count(lit(1)).as("n"),
@@ -178,13 +191,17 @@ object Graph {
     val withDeg = e
       .join(deg.select(col("v").as("pa"), col("d").as("da")), "pa")
       .join(deg.select(col("v").as("pb"), col("d").as("db")), "pb")
+    // the head endpoint's degree rides the orientation struct — both
+    // degrees are already on withDeg, so the former oe⋈deg re-join of
+    // every oriented edge was pure wasted shuffle on the hot path
     val oe = withDeg.select(
       when(col("da") < col("db") ||
         (col("da") === col("db") && col("pa") < col("pb")),
-        struct(col("pa").as("u"), col("pb").as("w")))
-        .otherwise(struct(col("pb").as("u"), col("pa").as("w"))).as("o"))
-      .select(col("o.u").as("u"), col("o.w").as("w"))
-    val ow = oe.join(deg.select(col("v").as("w"), col("d").as("dw")), "w")
+        struct(col("pa").as("u"), col("pb").as("w"), col("db").as("dw")))
+        .otherwise(struct(col("pb").as("u"), col("pa").as("w"),
+          col("da").as("dw"))).as("o"))
+      .select(col("o.u").as("u"), col("o.w").as("w"), col("o.dw").as("dw"))
+    val ow = oe
     // wedges at the apex u: pairs of out-neighbors ordered by (deg, id)
     val wedges = ow.select(col("u"), col("w").as("x"), col("dw").as("dx"))
       .join(ow.select(col("u"), col("w").as("y"), col("dw").as("dy")), "u")
