@@ -86,13 +86,23 @@ object Versioning {
     events
       .select(col("user_id"), col("ts"), col("event_id"),
         col("event_type").as("status"))
+      // first-row test by ROW NUMBER, not prev_status nullability, and a
+      // NULL-SAFE value compare: on a log with NULL statuses the
+      // prev.isNull test conflates "first row" with "previous value was
+      // NULL", opening duplicate versions for an unchanged NULL run —
+      // the documented contract is value-change, not null-change
+      .withColumn("rn", row_number().over(byTime))
       .withColumn("prev_status", lag(col("status"), 1).over(byTime))
-      .filter(col("prev_status").isNull || col("prev_status") =!= col("status"))
+      .filter(col("rn") === 1 || !(col("prev_status") <=> col("status")))
       .withColumn("valid_to", lead(col("ts"), 1).over(byTime))
+      // TOTAL output order: alternating statuses at one (user, ts) can
+      // leave two versions sharing (user_id, valid_from[, status]) —
+      // valid_to (explicit NULLS LAST, DuckDB's default) breaks the tie
       .select(col("user_id"), col("status"), col("ts").as("valid_from"),
         col("valid_to"),
         col("valid_to").isNull.cast(LongType).as("is_current"))
-      .orderBy("user_id", "valid_from")
+      .orderBy(col("user_id"), col("valid_from"),
+        col("status").asc_nulls_last, col("valid_to").asc_nulls_last)
   }
 
   /** Incremental aggregate maintenance (the materialized-view refresh
@@ -158,11 +168,18 @@ object Versioning {
     * per-table profile is one map-side-combinable count. No payload
     * column ever moves. */
   def cascadeDelete(spark: SparkSession, dir: String): DataFrame = {
+    // key-only tombstone frames are localCheckpoint'd: custDel feeds the
+    // orders hop AND its own profile row, ordDel the lineitem hop AND its
+    // profile — uncheckpointed, the customer scan ran 4x and orders 3x in
+    // one job (the exchanges differ per consumer, ReuseExchange can't
+    // dedupe); now each table scans at most twice (cascade + total count)
     val custDel = Tables.customer(spark, dir)
       .filter(col("c_custkey") % 13 === 0).select(col("c_custkey"))
+      .localCheckpoint(eager = true)
     val ordDel = Tables.orders(spark, dir)
       .join(custDel, col("o_custkey") === col("c_custkey"), "left_semi")
       .select(col("o_orderkey"))
+      .localCheckpoint(eager = true)
     val liDel = Tables.lineitem(spark, dir)
       .join(ordDel.select(col("o_orderkey").as("k")),
         col("l_orderkey") === col("k"), "left_semi")
@@ -201,6 +218,8 @@ object Versioning {
   val scd2OracleSql: String =
     """WITH log AS (
       |  SELECT user_id, ts, event_id, event_type AS status,
+      |    row_number() OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
       |    lag(event_type) OVER
       |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev_status
       |  FROM events),
@@ -209,8 +228,8 @@ object Versioning {
       |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
       |      AS valid_to
       |  FROM log
-      |  WHERE prev_status IS NULL OR prev_status <> status)
+      |  WHERE rn = 1 OR prev_status IS DISTINCT FROM status)
       |SELECT user_id, status, valid_from, valid_to,
       |  CAST(valid_to IS NULL AS BIGINT) AS is_current
-      |FROM v ORDER BY user_id, valid_from""".stripMargin
+      |FROM v ORDER BY user_id, valid_from, status, valid_to""".stripMargin
 }
