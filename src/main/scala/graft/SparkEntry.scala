@@ -1520,8 +1520,8 @@ object SparkEntry {
         |      (PARTITION BY segment ORDER BY acctbal DESC) AS BIGINT) AS rnk,
         |    CAST(DENSE_RANK() OVER
         |      (PARTITION BY segment ORDER BY acctbal DESC) AS BIGINT) AS drnk,
-        |    ROUND(PERCENT_RANK() OVER
-        |      (PARTITION BY segment ORDER BY acctbal DESC), 6) AS prnk
+        |    PERCENT_RANK() OVER
+        |      (PARTITION BY segment ORDER BY acctbal DESC) AS prnk
         |  FROM c)
         |SELECT c_custkey, segment, acctbal, rn, rnk, drnk, prnk
         |FROM r WHERE rn <= 5 ORDER BY segment, rn""".stripMargin,

@@ -242,22 +242,15 @@ object OlsPipeline {
         "l_quantity", "l_discount", "l_tax")
     val rdd = sorted.rdd.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = rdd.mapPartitionsWithIndex(
-      (pi, it) => Iterator((pi, it.size.toLong)))
-      .collect().sortBy(_._1).map(_._2)
-    val n = sizes.sum
-    val offsets = sizes.scanLeft(0L)(_ + _)
-    val q = n / tiles
-    val rem = n % tiles
+    val offsets = graft.operators.GlobalRank.offsets(rdd)
+    val n = offsets.last
     val spark2 = spark
     import spark2.implicits._
     val agg = rdd
       .mapPartitionsWithIndex { (pi, it) =>
         var idx = offsets(pi)
         it.map { row =>
-          val tile =
-            if (idx < rem * (q + 1)) idx / (q + 1) + 1
-            else rem + (idx - rem * (q + 1)) / q + 1
+          val tile = graft.operators.GlobalRank.tile(idx, n, tiles)
           idx += 1
           (tile, row.getDouble(0), row.getDouble(1))
         }

@@ -542,6 +542,8 @@ object Curation {
       .orderBy("doc_id")
     val rdd = toks.rdd.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // token-sum offsets (not row counts) — same one-job prefix discipline
+    // as GlobalRank.offsets, but summing the n_tok column
     val sums = rdd.mapPartitionsWithIndex(
       (pi, it) => Iterator((pi, it.map(_.getLong(1)).sum)))
       .collect().sortBy(_._1).map(_._2)

@@ -145,22 +145,15 @@ object Joins {
     // pass each re-running the sort.
     val rdd = sorted.rdd.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = rdd.mapPartitionsWithIndex(
-      (pi, it) => Iterator((pi, it.size.toLong)),
-      ).collect().sortBy(_._1).map(_._2)
-    val n = sizes.sum
-    val offsets = sizes.scanLeft(0L)(_ + _)
-    val q = n / tiles
-    val rem = n % tiles
+    val offsets = GlobalRank.offsets(rdd)
+    val n = offsets.last
     val spark2 = spark
     import spark2.implicits._
     val agg = rdd
       .mapPartitionsWithIndex { (pi, it) =>
         var idx = offsets(pi)
         it.map { row =>
-          val tile =
-            if (idx < rem * (q + 1)) idx / (q + 1) + 1
-            else rem + (idx - rem * (q + 1)) / q + 1
+          val tile = GlobalRank.tile(idx, n, tiles)
           idx += 1
           (tile, row.getDouble(1))
         }
@@ -186,7 +179,10 @@ object Joins {
     * no stable row order, so positional semantics must become key semantics
     * (SURVEY §7.3). */
   def cbindByIndex(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: both join sides derive from this 200-row frame —
+    // uncheckpointed, the TakeOrdered over customer executed twice
     val base = Tables.customer(spark, dir).orderBy("c_custkey").limit(200)
+      .localCheckpoint(eager = true)
     val w = Window.orderBy("c_custkey")
     val a = base.select(
       row_number().over(w).cast(LongType).as("idx"), col("c_name"))
@@ -228,7 +224,12 @@ object Joins {
     val w = Window.partitionBy("n_name")
       .orderBy(col("rev_x10k").desc, col("s_name").asc)
     bySupp
-      .join(broadcast(Tables.supplier(spark, dir)),
+      // NO forced hint on supplier: unlike nation (25 rows, truly
+      // bounded) supplier is SF-PROPORTIONAL (1:10⁴ of lineitem), so the
+      // hint must come from stats/AQE — broadcast while it fits, shuffle
+      // at the scale where it doesn't (the module-header rule; at verify
+      // SFs the file-size stats still pick broadcast, plan-pinned)
+      .join(Tables.supplier(spark, dir),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, dir)),
         col("s_nationkey") === col("n_nationkey"))
@@ -285,7 +286,11 @@ object Joins {
       .withColumn("rn", row_number().over(w).cast(LongType))
       .withColumn("rnk", rank().over(tiesW).cast(LongType))
       .withColumn("drnk", dense_rank().over(tiesW).cast(LongType))
-      .withColumn("prnk", round(percent_rank().over(tiesW), 6))
+      // raw double, no rounding: (rank−1)/(n−1) is one IEEE division of
+      // two exact ints — bit-identical cross-engine, whereas round-to-6dp
+      // goes through Spark's exact-decimal HALF_UP vs DuckDB's binary
+      // scaling, a latent boundary flake the docstring already argues away
+      .withColumn("prnk", percent_rank().over(tiesW))
       .filter(col("rn") <= 5)
       .orderBy("segment", "rn")
   }
@@ -386,13 +391,13 @@ object Joins {
     * class dominates, same discipline as [[graft.operators.Skew]]). */
   def nullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
-    def keyed(from: Int, to: Int) = o
-      .filter(col("o_orderkey") % 2 === from % 2)
+    def keyed(side: Int) = o
+      .filter(col("o_orderkey") % 2 === side)
       .select(nullif(substring(col("o_orderpriority"), 1, 1), lit("3"))
-        .as(s"k$from"), col("o_totalprice"))
-    val left = keyed(0, 0).groupBy("k0")
+        .as(s"k$side"))
+    val left = keyed(0).groupBy("k0")
       .agg(count(lit(1)).as("n_left"))
-    val right = keyed(1, 1).groupBy("k1")
+    val right = keyed(1).groupBy("k1")
       .agg(count(lit(1)).as("n_right"))
     left.join(right, col("k0") <=> col("k1"), "full_outer")
       .select(coalesce(col("k0"), col("k1")).as("key_digit"),

@@ -729,25 +729,14 @@ object Relational {
       .orderBy("c", "o_custkey")
     val rdd = pts.rdd.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = rdd.mapPartitionsWithIndex(
-      (pi, it) => Iterator((pi, it.size.toLong)))
-      .collect().sortBy(_._1).map(_._2)
-    val n = sizes.sum
-    val offsets = sizes.scanLeft(0L)(_ + _)
-    val q = n / tiles
-    val rem = n % tiles
+    val offsets = GlobalRank.offsets(rdd)
+    val n = offsets.last
     val spark2 = spark
     import spark2.implicits._
     val ranked = rdd.mapPartitionsWithIndex { (pi, it) =>
       var idx = offsets(pi)
       it.map { row =>
-        // n < tiles ⇒ q = 0, rem = n: every idx < rem takes the first
-        // branch (tile = idx + 1, one customer per tile) — the explicit
-        // q == 0 arm makes the else branch's /q structurally unreachable
-        // instead of relying on the range argument
-        val tile =
-          if (q == 0 || idx < rem * (q + 1)) idx / (q + 1) + 1
-          else rem + (idx - rem * (q + 1)) / q + 1
+        val tile = GlobalRank.tile(idx, n, tiles)
         idx += 1
         (tile, row.getLong(1), idx) // idx is now the 1-based rank
       }
