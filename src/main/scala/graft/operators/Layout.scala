@@ -64,9 +64,14 @@ object Layout {
       (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
     val sx = math.max(mxx - mnx, 1L)
     val sy = math.max(mxy - mny, 1L)
+    // the ×65535 products run in DECIMAL(38,0): (y - mny) is epoch-micros
+    // offset, and Long arithmetic would wrap once the time range exceeds
+    // ~4.5 years ((2^63 - 1) / 65535 µs) — the oracle widens to HUGEINT at
+    // the same spot, so both engines stay exact at any range (div on
+    // decimals is IntegralDivide → the quantized values land back in Long)
     ev.select(
-        expr(s"(x - $mnx) * 65535 div $sx").as("xq"),
-        expr(s"(y - $mny) * 65535 div $sy").as("yq"))
+        expr(s"cast(x - $mnx as decimal(38,0)) * 65535 div $sx").as("xq"),
+        expr(s"cast(y - $mny as decimal(38,0)) * 65535 div $sy").as("yq"))
       .withColumn("shard",
         shiftrightunsigned(zKey(col("xq"), col("yq")), 2 * ZBits - ShardBits))
       .groupBy("shard")
@@ -86,8 +91,10 @@ object Layout {
     s"""WITH ev AS (SELECT user_id AS x, epoch_us(ts) AS y FROM events),
        |b AS (SELECT MIN(x) AS mnx, MAX(x) AS mxx,
        |             MIN(y) AS mny, MAX(y) AS mxy FROM ev),
-       |q AS (SELECT ((x - mnx) * 65535) // GREATEST(mxx - mnx, 1) AS xq,
-       |             ((y - mny) * 65535) // GREATEST(mxy - mny, 1) AS yq
+       |q AS (SELECT CAST((CAST(x - mnx AS HUGEINT) * 65535)
+       |               // GREATEST(mxx - mnx, 1) AS BIGINT) AS xq,
+       |             CAST((CAST(y - mny AS HUGEINT) * 65535)
+       |               // GREATEST(mxy - mny, 1) AS BIGINT) AS yq
        |      FROM ev, b),
        |z AS (SELECT xq, yq,
        |             (${terms("xq", 1)}) | (${terms("yq", 0)}) AS zk

@@ -308,25 +308,77 @@ object Multimodal {
       }
   }
 
-  /** REAL frame demux + decode: split the payload at JPEG SOI markers
-    * (0xFFD8 — unambiguous in a JPEG stream: entropy-coded 0xFF bytes are
-    * stuffed as FF00, so SOI only opens a frame), decode every
-    * `stride`-th frame with `ImageIO.read` (the real lossy JPEG path:
-    * huffman decode → dequant → IDCT), and report dims + pixel sum FROM
-    * THE DECODER OUTPUT. A truncated or corrupt frame fails loudly. */
+  /** Walk ONE JPEG frame starting at `off` (which must point at SOI) and
+    * return the offset just past its EOI marker. A raw 0xFFD8 byte scan is
+    * NOT a sound demuxer: byte-stuffing (FF → FF 00) protects only the
+    * entropy-coded scan data, while marker-segment payloads (DQT/DHT/APPn
+    * tables) are length-delimited and may legally contain FF D8 — a frame
+    * would be false-split there. Walking the segment structure — marker +
+    * big-endian length for framed segments, stuffed-FF/RSTn skipping
+    * inside scan data — cannot false-split, and a truncated or corrupt
+    * frame fails loudly at the exact offset. */
+  private def jpegFrameEnd(p: Array[Byte], off: Int, docId: Long): Int = {
+    def u8(k: Int): Int = {
+      require(k < p.length,
+        s"truncated JPEG frame at byte $k for doc $docId")
+      p(k) & 0xFF
+    }
+    require(u8(off) == 0xFF && u8(off + 1) == 0xD8,
+      s"expected SOI at byte $off for doc $docId")
+    var i = off + 2
+    while (true) {
+      require(u8(i) == 0xFF,
+        s"expected JPEG marker at byte $i for doc $docId")
+      while (u8(i + 1) == 0xFF) i += 1 // fill bytes before a marker
+      val m = u8(i + 1)
+      i += 2
+      if (m == 0xD9) return i // EOI — end of this frame
+      if (m != 0x01 && !(m >= 0xD0 && m <= 0xD7)) { // standalone: TEM/RSTn
+        val len = (u8(i) << 8) | u8(i + 1) // framed segment: 2-byte length
+        require(len >= 2, s"bad JPEG segment length at byte $i for doc $docId")
+        i += len
+        if (m == 0xDA) { // SOS: entropy-coded data until a real marker
+          var inScan = true
+          while (inScan) {
+            if (u8(i) != 0xFF) i += 1
+            else {
+              val n = u8(i + 1)
+              if (n == 0x00 || (n >= 0xD0 && n <= 0xD7)) i += 2 // stuffed/RST
+              else inScan = false
+            }
+          }
+        }
+      }
+    }
+    i // unreachable — loop exits via EOI return or a require
+  }
+
+  /** REAL frame demux + decode: walk the concatenated JPEG frames by
+    * segment structure ([[jpegFrameEnd]] — marker lengths + scan-data
+    * byte-stuffing, so a FF D8 inside a table payload can never
+    * false-split a frame), decode every `stride`-th frame with
+    * `ImageIO.read` (the real lossy JPEG path: huffman decode → dequant →
+    * IDCT), and report dims + pixel sum FROM THE DECODER OUTPUT. A
+    * truncated or corrupt frame fails loudly. */
   private def decodeFramesWith(reader: javax.imageio.ImageReader,
                                a: VideoAsset, stride: Int): Seq[VideoFrame] = {
     val p = a.payload
     val soi = scala.collection.mutable.ArrayBuffer.empty[Int]
-    var i = 0
-    while (i + 1 < p.length) {
-      if ((p(i) & 0xFF) == 0xFF && (p(i + 1) & 0xFF) == 0xD8) soi += i
-      i += 1
+    val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var off = 0
+    while (off + 1 < p.length &&
+           (p(off) & 0xFF) == 0xFF && (p(off + 1) & 0xFF) == 0xD8) {
+      soi += off
+      off = jpegFrameEnd(p, off, a.doc_id)
+      ends += off
     }
     require(soi.nonEmpty, s"no JPEG frames in video payload for doc ${a.doc_id}")
+    require(off == p.length,
+      s"trailing bytes after frame ${soi.length - 1} (offset $off of " +
+        s"${p.length}) for doc ${a.doc_id}")
     val n = soi.length
     (0 until n by stride).map { f =>
-      val end = if (f + 1 < n) soi(f + 1) else p.length
+      val end = ends(f)
       val mis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new ByteArrayInputStream(p, soi(f), end - soi(f)))
       val img =
@@ -348,14 +400,13 @@ object Multimodal {
     }
   }
 
-  /** REAL frame demux + decode: split the payload at JPEG SOI markers
-    * (0xFFD8 — unambiguous in a JPEG stream: entropy-coded 0xFF bytes are
-    * stuffed as FF00, so SOI only opens a frame), decode every
-    * `stride`-th frame (the real lossy JPEG path: huffman decode →
-    * dequant → IDCT), and report dims + pixel sum FROM THE DECODER
-    * OUTPUT. A truncated or corrupt frame fails loudly. One-shot form;
-    * the query path reuses one `ImageReader` per partition
-    * (per-call `ImageIO.read` is ~5× the decode — 101 vs 18 µs/frame). */
+  /** REAL frame demux + decode: walk the concatenated JPEG frames by
+    * segment structure (see [[jpegFrameEnd]]), decode every `stride`-th
+    * frame (the real lossy JPEG path: huffman decode → dequant → IDCT),
+    * and report dims + pixel sum FROM THE DECODER OUTPUT. A truncated or
+    * corrupt frame fails loudly. One-shot form; the query path reuses one
+    * `ImageReader` per partition (per-call `ImageIO.read` is ~5× the
+    * decode — 101 vs 18 µs/frame). */
   def decodeVideoFrames(a: VideoAsset,
                         stride: Int = FrameStride): Seq[VideoFrame] = {
     val reader = ImageIO.getImageReadersByFormatName("jpg").next()

@@ -141,8 +141,13 @@ object Similarity {
             col("vec_id").cast(StringType)))))
       .withColumn("norm", sqrt(dot("embedding", "embedding")))
 
-  private def queries(e: DataFrame): DataFrame =
-    e.join(broadcast(annQueryIds(e)), "vec_id")
+  /** The bounded query frame with norms — built by joining the QueryK id
+    * set to the BASE table BEFORE the norm projection: a join placed above
+    * `withNorm` would evaluate the norm (and the ragged guard) for every
+    * corpus row on this branch too, then throw all but QueryK away — a
+    * full duplicate corpus pass that exists only to be filtered. */
+  private def queries(base: DataFrame, dim: Int): DataFrame =
+    withNorm(base.join(broadcast(annQueryIds(base)), "vec_id"), dim)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"))
 
@@ -154,8 +159,9 @@ object Similarity {
   /** Brute-force exact top-k per query (baseline). */
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(spark, dir)
-    val e = withNorm(base, dimOf(base))
-    val scored = score(e.crossJoin(broadcast(queries(e))))
+    val dim = dimOf(base)
+    val e = withNorm(base, dim)
+    val scored = score(e.crossJoin(broadcast(queries(base, dim))))
       .filter(col("vec_id") =!= col("q_id"))
     // two-stage top-k: partial heads per (query, partition) first, so the
     // final per-query sort sees ≤ k·P rows, not n — the skew-proof idiom
@@ -447,15 +453,20 @@ object Similarity {
     val cents = array(centroids.map(c => array(c.map(lit): _*)): _*)
     // squared distance to centroid c: x·x − 2x·c + c·c; x·x is constant
     // per row for the argmin, so rank by (c·c − 2x·c)
-    val withDists = e.withColumn("cents", cents)
-      .withColumn("dists", expr(
-        "transform(cents, c -> vec_dot(c, c) - 2.0D * vec_dot(c, embedding))"))
-    val assigned = withDists
+    def distsCol = expr(
+      "transform(cents, c -> vec_dot(c, c) - 2.0D * vec_dot(c, embedding))")
+    val assigned = e.withColumn("cents", cents)
+      .withColumn("dists", distsCol)
       .withColumn("list_id",
         expr("array_position(dists, array_min(dists))").cast(LongType))
       .drop("cents", "dists")
-    val probed = withDists
-      .join(broadcast(annQueryIds(e)), "vec_id")
+    // the QueryK join comes BEFORE the dists projection: placed above it,
+    // this branch would evaluate the numLists-vec_dot transform for every
+    // corpus row a SECOND time (the assignment pass already pays it once)
+    // just to keep QueryK rows
+    val probed = e.join(broadcast(annQueryIds(e)), "vec_id")
+      .withColumn("cents", cents)
+      .withColumn("dists", distsCol)
       .withColumn("probe", explode(expr(
         s"""slice(array_sort(zip_with(dists, sequence(1, $numLists),
            |  (d, i) -> struct(d AS d, i AS i))), 1, $numProbes)"""
@@ -488,9 +499,17 @@ object Similarity {
       explode(col("buckets")).as("bk"))
       .select(col("vec_id"), col("embedding"), col("norm"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    val qs = cand.join(broadcast(annQueryIds(e)), "vec_id")
+    // query signatures derive from the QueryK-pruned BASE, not from cand:
+    // joining above the signature projection would run the bits·bands
+    // vec_dot sign tests over the whole corpus a second time on this
+    // branch (same discipline as queries()/ivfTopK's probe side)
+    val qs = signatures(
+        withNorm(base.join(broadcast(annQueryIds(base)), "vec_id"), dim),
+        dim, bits, annBandsFor(bits))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("norm").as("q_norm"), col("band"), col("key"))
+        col("norm").as("q_norm"), explode(col("buckets")).as("bk"))
+      .select(col("q_id"), col("q_emb"), col("q_norm"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
     val pairs = cand.join(broadcast(qs), Seq("band", "key"))
       .filter(col("vec_id") =!= col("q_id"))
       .select("q_id", "q_emb", "q_norm", "vec_id", "embedding", "norm")
