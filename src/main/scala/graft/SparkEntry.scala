@@ -309,6 +309,9 @@ object SparkEntry {
     "q_streaks"           -> (Behavior.streaks _),
     // first-order Markov next-event transition matrix
     "q_markov"            -> (Behavior.markov _),
+    // session-path mining: 30-min sessions clustered by their first-8
+    // event-type path; top paths with conversion share
+    "q_session_paths"     -> (Behavior.sessionPaths _),
     // chi-square independence cells for event_type x variant
     "q_chisq"             -> (Behavior.chiSquare _),
     // duration-weighted value means over irregular event arrivals
@@ -1428,6 +1431,9 @@ object SparkEntry {
     "q_streaks" -> graft.operators.Behavior.streaksOracleSql,
     // Markov transitions: same (ts, event_id) order, one rounded division
     "q_markov" -> graft.operators.Behavior.markovOracleSql,
+    // session paths: same micros gap rule, (ts, event_id) order, rn-capped
+    // string_agg ≡ collect_list-of-structs path assembly
+    "q_session_paths" -> graft.operators.Behavior.sessionPathsOracleSql,
     // chi-square cells: exact BIGINT margins, shared IEEE e/contrib shape
     "q_chisq" -> graft.operators.Behavior.chiSquareOracleSql,
     // time-weighted means: exact micros weights, DECIMAL(38,0) product sum

@@ -254,7 +254,9 @@ object ToolSupport {
     // ("mh_"->"mh" folds mh_tabulation to mhtabulation)
     "mhtabulation" -> "m3", "s_cpt" -> "c1", "qunt_norm" -> "qn", "gini" -> "gy",
     // ("embed_"->"emb_"; "emb_nd"->... leaves emb_drift; then "emb"->"em")
-    "em_drift" -> "e1", "ann_recll" -> "a1")
+    "em_drift" -> "e1", "ann_recll" -> "a1",
+    // r10 addition ("session"->"sess" has already folded session_paths)
+    "sess_paths" -> "s3")
 
   def benchKey(name: String): String =
     benchKeySubs.foldLeft(name.stripPrefix("q_")) {

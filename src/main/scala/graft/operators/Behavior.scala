@@ -334,6 +334,118 @@ object Behavior {
       |    CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p
       |FROM c ORDER BY prev_type, next_type""".stripMargin
 
+  /** Events within a session path (path truncation depth): the first 8
+    * events name the session's shape; the tail of a marathon session adds
+    * length, not identity. Keeps per-session path state bounded at any
+    * event volume. */
+  private[graft] val PathMaxEvents = 8
+
+  /** Top session paths reported (total order, TakeOrderedAndProject). */
+  private[graft] val TopPaths = 25
+
+  /** Session gap: 30 min of inactivity closes a session — the SAME
+    * threshold and `>= gap` boundary semantics as `session_window(ts,
+    * "30 minutes")` (EventWindows.sessions / Streaming.streamSessions),
+    * so all three sessionizers agree on what a session IS (equality
+    * spec'd in BehaviorSpec). */
+  private[graft] val SessionGapUs = 30L * 60L * 1000000L
+
+  /** Session-path mining — the flow-analysis operator behind "what do
+    * users DO in a session": sessionize each user's event stream
+    * (gaps-and-islands, 30-min inactivity gap), name each session by its
+    * path = the '>'-joined sequence of its first [[PathMaxEvents]] event
+    * types, then group the sessions BY PATH — clustering by exact
+    * behavioral signature — and report the top [[TopPaths]] paths with
+    * session/user counts, how many converted (a purchase anywhere in the
+    * FULL session, not just the truncated head), and the longest session
+    * carrying the path.
+    *
+    * Exactness: sessionization compares integer epoch-micros (`>= gap`,
+    * mirroring session_window's boundary); the path string is built from
+    * the same (ts, event_id) total order on both engines (collect_list
+    * of rn-keyed structs sorted ≡ string_agg ORDER BY rn — both skip the
+    * NULLs the rn-cap injects); all outputs are BIGINTs except one
+    * rounded IEEE division (the markov-p pattern).
+    *
+    * Scale shape (100 TB discipline): the three per-user window passes
+    * (lag, running sum, row_number) share ONE hash exchange on user_id —
+    * small independent partitions, the markov/streaks discipline; the
+    * per-session state is ≤ 8 path entries + 2 counters (the rn cap
+    * nulls everything past 8 BEFORE collect_list, so no session
+    * materializes its event list); the path aggregate is map-side
+    * combinable and the top-k is TakeOrderedAndProject under a total
+    * order, never a global sort of the path dictionary. */
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val us = unix_micros(col("ts"))
+    val marked = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("brk",
+        when(lag(us, 1).over(wOrd).isNull ||
+          us - lag(us, 1).over(wOrd) >= SessionGapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")))
+    val sessions = marked.groupBy("user_id", "sid")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("rn") <= PathMaxEvents,
+            struct(col("rn"), col("event_type"))))),
+          x => x.getField("event_type")), ">").as("path"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"),
+        count(lit(1)).as("len"))
+    sessions.groupBy("path")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("conv")).as("n_conv"),
+        max(col("len")).as("max_len"))
+      .withColumn("conv_share", round(
+        col("n_conv").cast(DoubleType) / col("n_sessions").cast(DoubleType),
+        6))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(TopPaths)
+  }
+
+  /** DuckDB replay of [[sessionPaths]] — same integer-micros gap rule,
+    * same (ts, event_id) order, same rn-capped path (string_agg skips the
+    * CASE's NULLs exactly as collect_list does). */
+  val sessionPathsOracleSql: String =
+    s"""WITH b AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+       |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+       |              >= $SessionGapUs
+       |    THEN 1 ELSE 0 END AS brk
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (
+       |  SELECT *, SUM(brk) OVER (PARTITION BY user_id
+       |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM b),
+       |r AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sid
+       |    ORDER BY ts, event_id) AS rn
+       |  FROM s),
+       |sess AS (
+       |  SELECT user_id, sid,
+       |    string_agg(CASE WHEN rn <= $PathMaxEvents THEN event_type END,
+       |      '>' ORDER BY rn) AS path,
+       |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+       |    COUNT(*) AS len
+       |  FROM r GROUP BY 1, 2)
+       |SELECT path, COUNT(*) AS n_sessions,
+       |  COUNT(DISTINCT user_id) AS n_users,
+       |  CAST(SUM(conv) AS BIGINT) AS n_conv,
+       |  CAST(MAX(len) AS BIGINT) AS max_len,
+       |  ROUND(CAST(SUM(conv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+       |    AS conv_share
+       |FROM sess GROUP BY 1
+       |ORDER BY n_sessions DESC, path ASC LIMIT $TopPaths""".stripMargin
+
   /** Chi-square independence table for event_type × the planted [[abTest]]
     * assignment (variant = user_id % 2): per-cell observed BIGINT count,
     * expected count under independence, and the cell's χ² contribution —

@@ -131,6 +131,51 @@ class BehaviorSpec extends AnyFunSuite {
     }
   }
 
+  test("session paths: top paths equal an in-memory sessionization recount") {
+    val out = SparkEntry.queries("q_session_paths")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // executable spec: sessionize each user's (ts, event_id)-sorted stream
+    // with the same >= gap rule, then rebuild the full path table
+    val sessions = evs.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val acc = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)])
+      var prev = Long.MinValue
+      var first = true
+      for (r <- sorted) {
+        if (!first && r._2 - prev >= Behavior.SessionGapUs)
+          acc += scala.collection.mutable.ArrayBuffer.empty
+        acc.last += r
+        prev = r._2
+        first = false
+      }
+      acc.map(_.toSeq)
+    }.toSeq
+    // the gaps-and-islands sessionizer and session_window(ts, 30 min) must
+    // agree on what a session IS (same gap, same >= boundary)
+    val swCount = graft.streaming.EventWindows.sessions(spark, sf).count()
+    assert(sessions.size.toLong === swCount,
+      "gaps-and-islands session count != session_window session count")
+    val table = sessions.groupBy(
+        _.take(Behavior.PathMaxEvents).map(_._4).mkString(">"))
+      .map { case (path, ss) =>
+        val conv = ss.count(_.exists(_._4 == "purchase")).toLong
+        (path, ss.size.toLong,
+          ss.map(_.head._1).distinct.size.toLong, conv,
+          ss.map(_.size).max.toLong,
+          BigDecimal(conv.toDouble / ss.size)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSeq
+      .sortBy { case (p, n, _, _, _, _) => (-n, p) }
+      .take(Behavior.TopPaths)
+    assert(out.toSeq === table)
+  }
+
   test("chisq: margins conserve the stream; contributions recompute") {
     val rows = SparkEntry.queries("q_chisq")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),

@@ -32,6 +32,23 @@ class PlanSpec extends AnyFunSuite {
   private def nodeCount(p: String, op: String): Int =
     p.linesIterator.count(_.matches(s"""\\(\\d+\\) $op.*"""))
 
+  test("session paths: one user exchange serves all windows, top-k no sort") {
+    val p = plan("q_session_paths")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the lag / running-sum / row_number passes all partition by user (the
+    // (user, sid) window refines it with a sort, no new shuffle), so the
+    // whole sessionization costs ONE hash exchange; the second is the
+    // bounded path aggregate. A partitionless window or a per-window
+    // re-shuffle would show up as exchange #3.
+    assert(nodeCount(p, "Exchange") <= 2, p)
+    assert(nodeCount(p, ".*Join") === 0, p)
+    // every window keys on user_id (a global window carries no user_id in
+    // its windowspecdefinition partition slot)
+    val specs = """windowspecdefinition\(([^)]*)\)""".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("user_id")), p)
+  }
+
   test("corr matrix is one partial+final aggregate pair, no join") {
     // 15 cross-moments accumulate in a single pass: the only exchanges
     // are the 1-row partial merge (+ the 6-row final sort), never a join
