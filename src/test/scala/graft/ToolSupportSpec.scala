@@ -50,31 +50,29 @@ class ToolSupportSpec extends AnyFunSuite {
     assert(ToolSupport.benchKey("q_topk#2") === "to#2")
   }
 
-  test("bench JSON line keeps >=15% of the 2000-char window free at 95 entries") {
+  test("bench JSON line fits the 2000-char tail window at 4-char values") {
     // the driver keeps only the LAST 2000 chars of Bench stdout and
     // parses the JSON line out of that tail (r4/r5 overflowed it →
     // BENCH_r*.json carried "parsed": null); the trailing sbt
     // "[success] ..." epilogue (~75 chars observed) shares the window.
-    // Model a NORMAL run at a hypothetical 95-entry catalog: every query
-    // in the 1-10 s band after fmtSecs ("9.9"), the "-" failure sentinel
-    // on a tenth, padding entries at the catalog's average key length.
-    // 15% of the window (300 chars) must stay free ON TOP of the
-    // epilogue's share — catalog growth fails HERE, not silently in the
-    // next round's bench. A run where every query needs 5-char values is
-    // already failing the driver's perf gate; not this guard's case.
+    // Model every value at 4 chars ("0.42") with the "-" failure
+    // sentinel on a tenth: the r10 full sweep measured 130 of 176
+    // values in the sub-second 2-dp band — LONGER than the 1-10 s
+    // "9.9" the old model assumed (that model said 1675 while the real
+    // line ran 1772), so sub-second IS the realistic worst case, not
+    // the optimistic one. Budget 1880 = 2000 − ~75 epilogue − safety;
+    // catalog growth fails HERE, ~40 chars before the driver's real
+    // edge, not silently in the next round's bench.
     val keys = SparkEntry.queries.keys.toSeq.map(ToolSupport.benchKey)
-    val avg = math.round(keys.map(_.length).sum.toDouble / keys.size).toInt
-    val pad = keys ++ (keys.size until 95).map(i =>
-      s"hyp_$i".padTo(avg, 'x').take(avg))
-    val entries = pad.zipWithIndex.map { case (n, i) =>
-      s""""$n":${if (i % 10 == 0) "-9.9" else "9.9"}"""
+    val entries = keys.zipWithIndex.map { case (n, i) =>
+      s""""$n":${if (i % 10 == 0) "-0.42" else "0.42"}"""
     }.mkString(",")
     val line = s"""{"metric":"total","value":9999.9,"unit":"sec",""" +
       s""""queries":{$entries},"sf":"sf0.001"}"""
-    assert(line.length <= 1700,
-      s"bench JSON 95-entry model ${line.length} chars > 1700 — shorten " +
-        "keys (ToolSupport.benchKeySubs) or values before growing the " +
-        "catalog; the driver tail window is 2000 incl. sbt epilogue")
+    assert(line.length <= 1880,
+      s"bench JSON model ${line.length} chars > 1880 — shorten keys " +
+        "(ToolSupport.benchKeySubs) before growing the catalog; the " +
+        "driver tail window is 2000 incl. the sbt epilogue")
   }
 
   test("README test count matches the registered ScalaTest count") {

@@ -61,13 +61,17 @@ def main(argv):
             if k in dupes:
                 print(f"  {n} -> {k}")
         return 1
+    # 4-char values ("0.42"): the r10 sweep measured 130/176 values in
+    # the sub-second 2-dp band — longer than the old "9.9" model, which
+    # said 1675 while the real line ran 1772. Budget 1880 = 2000-char
+    # driver tail − ~75-char sbt epilogue − safety (ToolSupportSpec twin).
     entries = ",".join(
-        f'"{k}":{"-9.9" if i % 10 == 0 else "9.9"}'
+        f'"{k}":{"-0.42" if i % 10 == 0 else "0.42"}'
         for i, k in enumerate(keys))
     line = ('{"metric":"total","value":9999.9,"unit":"sec","queries":{'
             + entries + '},"sf":"sf0.001"}')
     print(f"{len(keys)} entries, no collisions; "
-          f"worst-case model {len(line)}/1700")
+          f"worst-case model {len(line)}/1880")
     longish = sorted((k for k in keys if len(k) > 2), key=len, reverse=True)
     if longish:
         print("keys over 2 chars:", longish[:10])
