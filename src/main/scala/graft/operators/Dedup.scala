@@ -773,16 +773,35 @@ object Dedup {
       .agg(sort_array(collect_list(col("k"))).as("ks"))
       .withColumn("s", size(col("ks")).cast(LongType))
       .localCheckpoint(true)
-    // prefix length s − ceil(9s/10) + 1, all integer (div, not fp)
+    // prefix length s − ceil(9s/10) + 1, all integer (div, not fp);
+    // posexplode keeps each prefix token's 1-based position in the full
+    // sorted array (the prefix IS the array's head) for the positional
+    // filter below
     val pre = arr.select(col("doc_id"), col("s"),
-      explode(expr("slice(ks, 1, int(s - (9*s + 9) div 10 + 1))")).as("k"))
-    // length filter BEFORE the distinct: J ≥ 9/10 forces
-    // 9·max(|A|,|B|) ≤ 10·min(|A|,|B|), pruning the candidate fan-out
-    // from mismatched-size pairs for the cost of two integer compares
+      posexplode(expr("slice(ks, 1, int(s - (9*s + 9) div 10 + 1))")))
+      .select(col("doc_id"), col("s"), (col("pos") + 1L).as("p"),
+        col("col").as("k"))
+    // two result-preserving prunes BEFORE the distinct, each a couple of
+    // integer compares per matched token row:
+    //  - length filter: J ≥ 9/10 forces 9·max(|A|,|B|) ≤ 10·min(|A|,|B|);
+    //  - PPJoin positional filter: shared tokens occupy positions ≥ the
+    //    matched token's position in each sorted array, so the overlap is
+    //    ≤ 1 + min(sx−px, sy−py); a true pair needs inter ≥
+    //    ceil(9(sx+sy)/19) (10·inter ≥ 9·(sx+sy−inter)), and since the
+    //    bound side is an integer, ubound ≥ ceil(N/19) ⟺ 19·ubound ≥ N —
+    //    so the whole test stays in exact integer multiplication. A true
+    //    pair's globally-smallest shared token — itself a prefix-prefix
+    //    match row, since anything ≤ a prefix token is in the prefix —
+    //    satisfies the bound, so filtering every match row keeps at least
+    //    that witness row for every true pair (DedupSpec's brute-force
+    //    recount and the semantic oracle both pin result-identity).
     val cand = pre.as("x").join(pre.as("y"),
         col("x.k") === col("y.k") && col("x.doc_id") < col("y.doc_id") &&
           col("x.s") * 9L <= col("y.s") * 10L &&
-          col("y.s") * 9L <= col("x.s") * 10L)
+          col("y.s") * 9L <= col("x.s") * 10L &&
+          lit(19L) * (lit(1L) +
+            least(col("x.s") - col("x.p"), col("y.s") - col("y.p"))) >=
+            lit(9L) * (col("x.s") + col("y.s")))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     val av = arr.select(col("doc_id").as("a"), col("ks").as("ka"),
