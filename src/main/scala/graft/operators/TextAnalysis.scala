@@ -413,11 +413,15 @@ object TextAnalysis {
     // numeric suffix ('srcN') raises in-plan instead of lenient-casting to
     // null and silently dropping the document from BOTH cohorts (the
     // oracle's strict CAST errors on such ids too — same loudness, and
-    // the withNorm ragged-guard discipline)
-    val suffix = substring(col("source"), 4, 16)
+    // the withNorm ragged-guard discipline). The probe is try_cast, not
+    // cast: under ANSI mode a plain cast of a malformed suffix throws
+    // CAST_INVALID_INPUT before the null check runs, so the curated
+    // raise_error branch would be unreachable — try_cast yields null in
+    // both modes and routes the failure to OUR message either way
+    val suffix = expr("try_cast(substring(source, 4, 16) AS INT)")
     val counts = Tables.documents(spark, dir)
       .select(col("lang"),
-        (when(suffix.cast(IntegerType).isNotNull, suffix.cast(IntegerType))
+        (when(suffix.isNotNull, suffix)
           .otherwise(raise_error(concat(
             lit("graft: langDrift expects 'srcN' source ids, got "),
             col("source")))) % 2)
@@ -569,7 +573,8 @@ object TextAnalysis {
     * is EXACT QUARTER-BIT log₂ — floor(4·log₂ r) computed as
     * floor(log₂(r⁴)) over BIGINTs via the length(bin(a⁴ div b⁴)) idiom
     * (a = N+1: the in-plan guard below raises past the 2⁶³ boundary at
-    * N+1 ≥ 55108 — on the non-ANSI Spark side the product would
+    * N+1 ≥ 55109, the first fourth power that exceeds 2⁶³−1 — on the
+    * non-ANSI Spark side the product would
     * otherwise WRAP silently and corrupt every ranking; a 100 TB run
     * lifts the fourth powers to DECIMAL(38), same interface) — because
     * a libm ln would hang the hash gate on bit-parity (the
@@ -598,16 +603,17 @@ object TextAnalysis {
     val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
     // quarter-bit idf: floor(4·log2((n+1)/(df+1))) exactly over BIGINTs.
-    // (n+1)⁴ fits 2⁶³ only while n+1 ≤ 55107 — past that the non-ANSI
-    // multiply would wrap SILENTLY, so the boundary raises in-plan (the
-    // DuckDB twin's checked arithmetic is equally loud); the documented
-    // lift is DECIMAL(38) fourth powers
+    // (n+1)⁴ fits 2⁶³ only while n+1 ≤ 55108 (55108⁴ ≈ 9.2227e18 <
+    // 2⁶³−1 ≈ 9.2234e18; 55109⁴ is the first overflow) — past that the
+    // non-ANSI multiply would wrap SILENTLY, so the exact boundary raises
+    // in-plan (the DuckDB twin's checked arithmetic is equally loud); the
+    // documented lift is DECIMAL(38) fourth powers
     val idf = df.crossJoin(broadcast(stats.select(col("n"))))
       .select(col("t"),
         (length(bin(expr(
-          """((CASE WHEN n + 1 <= 55107 THEN n + 1 ELSE
+          """((CASE WHEN n + 1 <= 55108 THEN n + 1 ELSE
             |  raise_error(concat('graft: bm25 quarter-bit idf overflows ',
-            |    'BIGINT at n_docs >= 55107; lift the fourth powers to ',
+            |    'BIGINT at n_docs >= 55108; lift the fourth powers to ',
             |    'DECIMAL(38) (see scaladoc)')) END)
             | *(n+1)*(n+1)*(n+1)) div ((df+1)*(df+1)*(df+1)*(df+1))"""
             .stripMargin)))

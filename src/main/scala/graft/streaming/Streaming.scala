@@ -480,14 +480,38 @@ object Streaming {
     landing.toString
   }
 
-  /** Depth-first recursive delete (children before parents). */
+  /** Depth-first recursive delete (children before parents), tolerant of
+    * a CONCURRENT deleter: two JVMs (bench + verify side by side) can both
+    * enter the marker-less-residue branch and delete the same tree, so
+    * entries may vanish between the walk and the delete —
+    * Files.walk/deleteIfExists then throw NoSuchFileException (possibly
+    * wrapped in UncheckedIOException) or DirectoryNotEmptyException.
+    * Those races all mean "someone else is emptying this tree"; retry a
+    * bounded number of times and stop as soon as the root is gone. */
   private def deleteTree(root: java.nio.file.Path): Unit = {
-    val walk = java.nio.file.Files.walk(root)
-    try {
-      import scala.jdk.CollectionConverters._
-      walk.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    } finally walk.close()
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      try {
+        if (java.nio.file.Files.exists(root)) {
+          val walk = java.nio.file.Files.walk(root)
+          try {
+            import scala.jdk.CollectionConverters._
+            walk.sorted(java.util.Comparator.reverseOrder()).iterator()
+              .asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+          } finally walk.close()
+        }
+        done = true
+      } catch {
+        case e @ (_: java.nio.file.NoSuchFileException |
+                  _: java.nio.file.DirectoryNotEmptyException) =>
+          if (attempt >= 5) throw e
+        case e: java.io.UncheckedIOException
+            if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] =>
+          if (attempt >= 5) throw e
+      }
+    }
   }
 
   /** The split-landing twin of `eventsStream`: n time-ordered files, one
