@@ -344,11 +344,13 @@ object Similarity {
     * a shuffle of the corpus. Honest regime bound: the bit-replayable
     * Lloyd loop below collects lists·dim doubles per round, so it is the
     * right tool up to ~10⁴–10⁵ lists (≲100 MB driver-side at dim 64);
-    * a 10⁶-list deployment (10¹²-vector corpus) would swap in
-    * distributed k-means (MLlib KMeans) over the same sample and
-    * broadcast the centroid set as a dimension table instead of plan
-    * literals — the exact-replay quantizer exists to BE oracle-checkable
-    * at verification scale, and the parameter LAWS (this file) are what
+    * a 10⁶-list deployment (10¹²-vector corpus) swaps in
+    * [[kmeansCentroidsDistributed]] + [[ivfTopKDistributed]] — MLlib
+    * KMeans over the same sample, centroid set broadcast as a dimension
+    * table instead of plan literals (implemented below, spec-gated on
+    * the quantizer-independent all-lists ≡ brute-force invariant) — the
+    * exact-replay quantizer exists to BE oracle-checkable at
+    * verification scale, and the parameter LAWS (this file) are what
     * carry to 100 TB, not the driver fold. */
   val MinSampleK = 256
   def sampleKFor(lists: Int): Int = math.max(MinSampleK, 16 * lists)
@@ -405,6 +407,35 @@ object Similarity {
       }
       cents = next
     }
+    cents
+  }
+
+  /** The DISTRIBUTED quantizer — the 100 TB escape hatch the
+    * [[kmeansCentroids]] scaladoc documents: MLlib KMeans over the SAME
+    * bounded lowest-hash training sample, seeded, so the Lloyd iterations
+    * run as executor-side aggregates (MLlib's own treeAggregate) instead
+    * of the driver-side canonical-order fold. The trade is explicit:
+    * MLlib's float-parallel sums are NOT bit-replayable in SQL, so this
+    * path has no DuckDB oracle — its correctness contract is the
+    * quantizer-independent structural invariant (probing EVERY list
+    * reproduces [[bruteForceTopK]] row-for-row, spec-asserted for both
+    * quantizers) plus a recall floor at the derived probe law. Use it
+    * past the replayable fold's documented regime bound (~10⁴–10⁵
+    * lists); at verification scale both quantizers serve the same
+    * interface ([[ivfTopK]] vs [[ivfTopKDistributed]]). */
+  def kmeansCentroidsDistributed( // public: center-count/dim spec-assertable
+      sample: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val model = new KMeans()
+      .setK(k).setMaxIter(iters).setSeed(99L)
+      .setFeaturesCol("features")
+      .fit(sample.select(array_to_vector(
+        col("embedding").cast(ArrayType(DoubleType))).as("features")))
+    val cents = model.clusterCenters.map(_.toArray)
+    require(cents.length == k,
+      s"graft: distributed quantizer produced ${cents.length} centers " +
+        s"for k=$k (training sample too degenerate?)")
     cents
   }
 
@@ -473,6 +504,79 @@ object Similarity {
           .stripMargin)))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"), col("probe.i").cast(LongType).as("list_id"))
+    val pairs = assigned.join(broadcast(probed), Seq("list_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "q_emb", "q_norm", "vec_id", "embedding", "norm")
+      .distinct()
+    score(pairs)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank").cast(LongType).as("rank"),
+        col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** IVF ANN with the DISTRIBUTED quantizer ([[kmeansCentroidsDistributed]])
+    * and the centroid set carried as a broadcast DIMENSION TABLE instead of
+    * plan literals — the 100 TB shape [[kmeansCentroids]]'s regime-bound
+    * scaladoc promises: a 10⁵–10⁶-list deployment is ~10⁶·dim doubles of
+    * centroids, fine as a broadcast relation but hopeless as a literal
+    * expression tree (codegen limits) and too big for the driver-side
+    * canonical-order Lloyd fold.
+    *
+    * Plan shape: assignment is a broadcast nested-loop join corpus ×
+    * centroids whose n·k distance rows — the inherent quantization cost,
+    * identical to the literal path's per-row k-length transform —
+    * partial-aggregate MAP-SIDE to one argmin row per vector
+    * (`min(struct(dist, list_id))`, lowest-list tiebreak), so the shuffle
+    * carries n rows, never n·k; the probe side ranks the same broadcast
+    * per query over the bounded QueryK rows; the search is the same
+    * bucketed `list_id` equi-join as [[ivfTopK]].
+    *
+    * No DuckDB oracle — MLlib's parallel float sums are not
+    * bit-replayable — so the correctness contract is spec-side and
+    * quantizer-independent: probing EVERY list must reproduce
+    * [[bruteForceTopK]] row-for-row (the machinery loses candidates only
+    * through probe pruning, whatever the centroids are), plus a recall
+    * floor at the derived √lists probe law (SimilarityScaleSpec). The
+    * catalog query q_ann_ivf stays on the bit-replayable [[ivfTopK]],
+    * which is what the oracle can check. */
+  def ivfTopKDistributed(spark: SparkSession, dir: String,
+                         probesOverride: Option[Int] = None): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+    val e = withNorm(base, dimOf(base)).localCheckpoint(true)
+    val numLists = listsForCount(e.count())
+    val numProbes = probesOverride.getOrElse(probesForLists(numLists))
+    require(numProbes >= 1 && numProbes <= numLists,
+      s"probes $numProbes out of [1, $numLists]")
+    val samp = ivfTrainingSample(e, sampleKFor(numLists))
+      .localCheckpoint(eager = true)
+    import spark.implicits._
+    val centDf = kmeansCentroidsDistributed(samp, numLists, iters = 3)
+      .zipWithIndex
+      .map { case (c, i) => ((i + 1).toLong, c) }.toSeq
+      .toDF("c_list_id", "centroid")
+    // squared distance to centroid c up to the per-row constant x·x:
+    // c·c − 2x·c (the argmin is unchanged) — same algebra as ivfTopK
+    def d = call_function("vec_dot", col("centroid"), col("centroid")) -
+      lit(2.0) * call_function("vec_dot", col("centroid"), col("embedding"))
+    val assigned = e.crossJoin(broadcast(centDf))
+      .withColumn("d", d)
+      .groupBy("vec_id")
+      .agg(min(struct(col("d"), col("c_list_id"))).as("m"),
+        first(col("embedding")).as("embedding"),
+        first(col("norm")).as("norm"))
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        col("m.c_list_id").as("list_id"))
+    val probed = e.join(broadcast(annQueryIds(e)), "vec_id")
+      .crossJoin(broadcast(centDf))
+      .withColumn("d", d)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(asc("d"), asc("c_list_id"))))
+      .filter(col("rn") <= numProbes)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("c_list_id").as("list_id"))
     val pairs = assigned.join(broadcast(probed), Seq("list_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .select("q_id", "q_emb", "q_norm", "vec_id", "embedding", "norm")
