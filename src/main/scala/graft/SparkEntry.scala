@@ -109,6 +109,10 @@ object SparkEntry {
     "q_cv_tuning"         -> (graft.ml.TreePipeline.cvBestParams _),
     // LLM-pipeline dedup (brief first-class; SURVEY §7.1(7))
     "q_exact_dedup"       -> (Dedup.exactDedup _),
+    // cross-doc repeated w-token spans (fp-prune-then-verify; per-doc
+    // removal work-list) — the substring-grain pass between whole-doc
+    // exact dedup and the similarity paths
+    "q_substring_dedup"   -> ((s, d) => Dedup.substringDedup(s, d)),
     "q_minhash_neardup"   -> ((s, d) => Dedup.minhashNearDup(s, d)),
     "q_simhash_neardup"   -> ((s, d) => Dedup.simhashNearDup(s, d)),
     "q_ngram_jaccard"     -> (Dedup.ngramJaccard _),
@@ -1209,6 +1213,9 @@ object SparkEntry {
         |  WHERE doc_id % 7 = 0)
         |SELECT md5(text) AS h, COUNT(*) AS cnt, MIN(doc_id) AS keep_id
         |FROM corpus GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1""".stripMargin,
+    // substring-grain dedup: the oracle is the prune-free semantic
+    // definition, so the hash match proves the fp prune lossless
+    "q_substring_dedup" -> graft.operators.Dedup.substringDedupOracleSql,
     // prefix-filter similarity join: same global order, bound and verify
     "q_sim_join" -> graft.operators.Dedup.prefixSimJoinOracleSql,
     "q_ngram_jaccard" ->

@@ -256,7 +256,10 @@ object ToolSupport {
     // ("embed_"->"emb_"; "emb_nd"->... leaves emb_drift; then "emb"->"em")
     "em_drift" -> "e1", "ann_recll" -> "a1",
     // r10 addition ("session"->"sess" has already folded session_paths)
-    "sess_paths" -> "s3")
+    "sess_paths" -> "s3",
+    // r11 addition, pre-floored at 2 chars ("string_"->"str_", "dedup"->
+    // "dd", then "str"->"sr" fold substring_dedup to subsr_dd)
+    "subsr_dd" -> "sb")
 
   def benchKey(name: String): String =
     benchKeySubs.foldLeft(name.stripPrefix("q_")) {

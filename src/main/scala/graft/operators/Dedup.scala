@@ -50,6 +50,123 @@ object Dedup {
       .filter(col("cnt") > 1)
       .orderBy("h")
 
+  // -- exact substring-level dedup ----------------------------------------
+
+  /** Span length in word tokens for the cross-doc repeated-span pass —
+    * the production pass uses ~50 (Lee et al. 2022); 16 keeps every
+    * branch exercised on the ~54-token-average test corpus. Shared with
+    * the q_substring_dedup oracle SQL (interpolated there). */
+  val SpanTokens = 16
+
+  /** Exact SUBSTRING-level dedup — repeated w-token spans across
+    * documents, the standard training-data pass ("remove long spans that
+    * repeat verbatim anywhere in the corpus", applied via suffix arrays
+    * in Lee et al.'s dedup paper; this is its shuffle-shaped equivalent:
+    * positional fixed-length shingles + hash grouping). It closes the
+    * grain gap between [[exactDedup]] (whole-doc identity) and the
+    * MinHash/SimHash paths (whole-doc similarity): a document that
+    * EMBEDS a long quotation/boilerplate span of another is invisible to
+    * both, and is exactly what cross-doc contamination looks like at
+    * 100 TB.
+    *
+    * Grain: distinct w-token spans per document (the `word_ngrams`
+    * kernel — a <w-token doc contributes its whole text as its one span,
+    * the kernel's documented short-doc semantics). A span is REPEATED if
+    * it occurs in ≥2 distinct documents (kernel spans are per-doc
+    * distinct, so a plain count is the doc count). The per-doc output
+    * row is the removal work-list a rewrite pass consumes: total spans,
+    * repeated spans, the worst span's document count, repeated fraction.
+    *
+    * Scale shape — the fp-prune-then-verify discipline (the PPJoin /
+    * bloom-dedup lesson): corpus-wide shuffles carry (doc_id,
+    * rolling_fp(span)) LONGS, never span strings. Phase 1 groups the
+    * 8-byte fingerprints and keeps fps seen ≥2 times — a LOSSLESS
+    * superset (equal spans ⇒ equal fps; a collision only adds a
+    * candidate). Phase 2 re-derives spans narrow (recompute beats
+    * shuffling strings), joins the hot fp set (no broadcast hint: the
+    * hot set is bounded by duplicated-content volume, so AQE picks
+    * broadcast when it is small and a shuffle join when it is not) and
+    * verifies by grouping the SURVIVING span strings exactly — a fp
+    * collision can never fabricate a duplicate. Only the hot subset
+    * ever shuffles strings; the n_spans denominator rides the fp side.
+    *
+    * The DuckDB oracle replays the PRUNE-FREE semantic definition
+    * (group span strings directly), so the hash gate doubles as a
+    * losslessness proof for the prune at every verified SF; DedupSpec
+    * adds a Scala brute-force equality on the collected corpus. */
+  def substringDedup(spark: SparkSession, dir: String,
+                     w: Int = SpanTokens): DataFrame = {
+    val nt = regexp_replace(lower(col("text")), "\\s+", " ")
+    val spans = corpus(spark, dir)
+      .select(col("doc_id"), nt.as("nt"))
+      .select(col("doc_id"),
+        explode(expr(s"word_ngrams(nt, $w)")).as("span"))
+    val fps = spans.select(col("doc_id"), expr("rolling_fp(span)").as("fp"))
+    val hot = fps.groupBy("fp").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("fp")
+    val survivors = spans
+      .withColumn("fp", expr("rolling_fp(span)"))
+      .join(hot, "fp")
+    val dup = survivors.groupBy("span").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    val nSpans = fps.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    val docDup = survivors.join(dup, "span")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup"), max(col("n_docs")).as("max_span_docs"))
+    nSpans.join(docDup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("max_span_docs"), lit(0L)).as("max_span_docs"),
+        round(coalesce(col("n_dup"), lit(0L)).cast(DoubleType) /
+          col("n_spans").cast(DoubleType), 6).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of [[substringDedup]] — the PRUNE-FREE semantic
+    * definition: no fingerprint phase, span strings grouped directly.
+    * A hash match therefore proves the Spark side's fp prune lossless. */
+  val substringDedupOracleSql: String = {
+    val w = SpanTokens
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, text || ' qq zz' FROM documents
+       |  WHERE doc_id % 7 = 0),
+       |tok AS (
+       |  SELECT doc_id,
+       |    string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+       |                 ' ') AS ts
+       |  FROM corpus),
+       |grams AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(ts) < $w
+       |      THEN [array_to_string(ts, ' ')]
+       |      ELSE list_transform(range(0, len(ts) - ${w - 1}),
+       |             i -> array_to_string(ts[i+1:i+$w], ' '))
+       |    END) AS gs
+       |  FROM tok),
+       |expl AS (SELECT doc_id, unnest(gs) AS span FROM grams),
+       |dup AS (
+       |  SELECT span, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM expl GROUP BY span HAVING COUNT(*) >= 2),
+       |ns AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+       |  FROM expl GROUP BY doc_id),
+       |dd AS (
+       |  SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup,
+       |    MAX(d.n_docs) AS max_span_docs
+       |  FROM expl e JOIN dup d USING (span) GROUP BY e.doc_id)
+       |SELECT ns.doc_id, ns.n_spans,
+       |  COALESCE(dd.n_dup, 0) AS n_dup,
+       |  COALESCE(dd.max_span_docs, 0) AS max_span_docs,
+       |  ROUND(CAST(COALESCE(dd.n_dup, 0) AS DOUBLE)
+       |    / CAST(ns.n_spans AS DOUBLE), 6) AS dup_frac
+       |FROM ns LEFT JOIN dd ON ns.doc_id = dd.doc_id
+       |ORDER BY ns.doc_id""".stripMargin
+  }
+
   // -- MinHash-LSH -------------------------------------------------------
 
   val NumHashes = 20

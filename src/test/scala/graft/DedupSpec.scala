@@ -18,6 +18,48 @@ class DedupSpec extends AnyFunSuite {
     assert(groups.forall(_.getAs[Long]("keep_id") < 1000000))
   }
 
+  test("substring dedup equals a Scala brute force; planted dups saturate") {
+    // independent in-memory recomputation of the SEMANTIC definition
+    // (normalize → distinct w-token spans → cross-doc counts), no
+    // fingerprints anywhere — proves the fp-prune-then-verify plan
+    // lossless end to end at this scale
+    val w = Dedup.SpanTokens
+    val docs = Dedup.corpus(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    def spansOf(text: String): Seq[String] = {
+      val ts = text.toLowerCase.replaceAll("\\s+", " ").split(" ", -1)
+      val all = if (ts.length < w) Seq(ts.mkString(" "))
+        else ts.sliding(w).map(_.mkString(" ")).toSeq
+      all.distinct
+    }
+    val perDoc = docs.map { case (id, t) => id -> spansOf(t) }
+    val docCount = perDoc.flatMap { case (id, ss) => ss.map(_ -> id) }
+      .groupBy(_._1).map { case (s, xs) => s -> xs.length.toLong }
+    val expect = perDoc.map { case (id, ss) =>
+      val dupDocs = ss.map(docCount).filter(_ >= 2L)
+      (id, ss.length.toLong, dupDocs.length.toLong,
+        if (dupDocs.isEmpty) 0L else dupDocs.max,
+        BigDecimal(dupDocs.length.toDouble / ss.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("q_substring_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got === expect)
+    // planted exact copies (+1M ids) share EVERY span with their source:
+    // both rows must be fully duplicated (n_dup == n_spans, frac 1.0)
+    val byId = got.map(r => r._1 -> r).toMap
+    docs.collect { case (id, _) if id >= 1000000 && id < 2000000 => id }
+      .foreach { id =>
+        assert(byId(id)._3 === byId(id)._2, s"planted copy $id")
+        assert(byId(id)._5 === 1.0)
+        assert(byId(id - 1000000)._3 === byId(id - 1000000)._2)
+      }
+    // and some natural (non-planted) doc must NOT be fully duplicated —
+    // the pass distinguishes span-grain from doc-grain
+    assert(got.exists(r => r._1 < 1000000 && r._3 < r._2))
+  }
+
   test("connected components: chain converges to min label per component") {
     val spark2 = spark
     import spark2.implicits._
