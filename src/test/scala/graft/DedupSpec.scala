@@ -445,5 +445,30 @@ class DedupSpec extends AnyFunSuite {
     assert(mean <= 0.10, s"mean |est-exact| $mean — estimator broken")
     assert(errs.max <= 0.30, s"max |est-exact| ${errs.max} — tail " +
       "exceeds the binomial envelope")
+    // MERGE IDENTITY — the structural form of the envelope claim: the
+    // UDAF's element-wise min of per-doc TABULATION signatures must be
+    // BIT-IDENTICAL to tabulation_sigs evaluated directly on the
+    // source's unioned shingle set (slot j of the union = min over the
+    // union's slot hashes = min of per-doc minima). With the identity
+    // pinned, the merged estimator IS the single-set tabulation
+    // estimator over the union, so it inherits the q_mh_tabulation
+    // binomial error envelope by construction — the empirical band
+    // above is corroboration, not the proof
+    val spark2 = spark
+    import spark2.implicits._
+    val mergedSigs = Tables.documents(spark, sf)
+      .withColumn("shingles", expr(
+        "shingles3(regexp_replace(lower(text), '\\\\s+', ' '))"))
+      .withColumn("minhash",
+        expr(s"tabulation_sigs(shingles, ${Dedup.NumHashes})"))
+      .groupBy("source").agg(expr("minhash_agg(minhash)").as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(mergedSigs.keySet === perSource.keySet)
+    perSource.foreach { case (s, set) =>
+      val unionSig = Seq(set.toSeq).toDF("shingles")
+        .select(expr(s"tabulation_sigs(shingles, ${Dedup.NumHashes})"))
+        .head.getSeq[Long](0)
+      assert(mergedSigs(s) === unionSig, s"merge identity broken for $s")
+    }
   }
 }
