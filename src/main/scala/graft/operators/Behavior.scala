@@ -467,6 +467,7 @@ object Behavior {
       .agg(count(lit(1)).as("observed"))
     val wr = Window.partitionBy("event_type")
     val wc = Window.partitionBy("variant")
+    // global window over a BOUNDED table only: |event_type| × 2 cells
     val wt = Window.partitionBy()
     def d(c: Column) = c.cast(DoubleType)
     val withMargins = cells
@@ -793,6 +794,7 @@ object Behavior {
       .groupBy("bin")
       .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
         sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"))
+    // global window over a BOUNDED table only: one row per magnitude bin
     val w = org.apache.spark.sql.expressions.Window.partitionBy()
     binned
       .withColumn("ta", sum(col("n_a")).over(w))

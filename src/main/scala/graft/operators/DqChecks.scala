@@ -211,6 +211,7 @@ object DqChecks {
       .select(substring((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
         .cast(LongType).cast(StringType), 1, 1).cast(LongType).as("d"))
       .groupBy("d").agg(count(lit(1)).as("n"))
+    // global window over a BOUNDED table only: one row per leading digit
     val w = org.apache.spark.sql.expressions.Window.partitionBy()
     val expected = BenfordShares.zipWithIndex
       .foldLeft(lit(0.0)) { case (acc, (p, i)) =>

@@ -746,6 +746,7 @@ object Relational {
         sum(col("c").cast(DecimalType(38, 0))).as("s0"),
         sum(col("rank").cast(DecimalType(19, 0)) *
           col("c").cast(DecimalType(19, 0))).as("s1"))
+    // global windows over a BOUNDED table only: `agg` is one row per decile
     val w = org.apache.spark.sql.expressions.Window.partitionBy()
     val wCum = org.apache.spark.sql.expressions.Window.orderBy("decile")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,

@@ -429,6 +429,7 @@ object TextAnalysis {
       .groupBy("lang")
       .agg(sum(when(col("grp") === 0, 1L).otherwise(0L)).as("n_a"),
         sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n_b"))
+    // global window over a BOUNDED table only: one row per language
     val w = Window.partitionBy()
     def d(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
     val m = counts

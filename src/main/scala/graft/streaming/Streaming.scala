@@ -793,6 +793,8 @@ object Streaming {
         .otherwise(length(bin(c)).cast(LongType))
     def cents(c: org.apache.spark.sql.Column) =
       (c.cast(DecimalType(18, 2)) * 100).cast(LongType)
+    // global window over a BOUNDED table only: `base` is one row per bin
+    // (≤64 magnitude bins + null/zero sentinels), never the event stream
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
     val base = graft.Tables.events(spark, dir)
       .select(binOf(cents(col("value"))).as("bin"))
