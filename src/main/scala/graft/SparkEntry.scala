@@ -113,6 +113,9 @@ object SparkEntry {
     // removal work-list) — the substring-grain pass between whole-doc
     // exact dedup and the similarity paths
     "q_substring_dedup"   -> ((s, d) => Dedup.substringDedup(s, d)),
+    // the rewrite pass consuming the span work-list: hot-span coverage
+    // masked out per doc, document re-emitted with covered tokens dropped
+    "q_span_mask"         -> ((s, d) => Dedup.spanMask(s, d)),
     "q_minhash_neardup"   -> ((s, d) => Dedup.minhashNearDup(s, d)),
     "q_simhash_neardup"   -> ((s, d) => Dedup.simhashNearDup(s, d)),
     "q_ngram_jaccard"     -> (Dedup.ngramJaccard _),
@@ -1216,6 +1219,9 @@ object SparkEntry {
     // substring-grain dedup: the oracle is the prune-free semantic
     // definition, so the hash match proves the fp prune lossless
     "q_substring_dedup" -> graft.operators.Dedup.substringDedupOracleSql,
+    // span-mask rewrite: prune-free replay again — and the planted exact
+    // dups must come out fully masked on both engines
+    "q_span_mask" -> graft.operators.Dedup.spanMaskOracleSql,
     // prefix-filter similarity join: same global order, bound and verify
     "q_sim_join" -> graft.operators.Dedup.prefixSimJoinOracleSql,
     "q_ngram_jaccard" ->

@@ -259,7 +259,10 @@ object ToolSupport {
     "sess_paths" -> "s3",
     // r11 addition, pre-floored at 2 chars ("string_"->"str_", "dedup"->
     // "dd", then "str"->"sr" fold substring_dedup to subsr_dd)
-    "subsr_dd" -> "sb")
+    "subsr_dd" -> "sb",
+    // r11 addition, pre-floored at 2 chars (no earlier rule touches
+    // "span_mask" — verified with tools/benchkey.py)
+    "span_mask" -> "s4")
 
   def benchKey(name: String): String =
     benchKeySubs.foldLeft(name.stripPrefix("q_")) {

@@ -167,6 +167,132 @@ object Dedup {
        |ORDER BY ns.doc_id""".stripMargin
   }
 
+  /** The REWRITE pass that consumes [[substringDedup]]'s semantics — the
+    * actual removal step of the Lee-et-al repeated-span dedup: every token
+    * position covered by any cross-doc-repeated w-token span is masked,
+    * and the document is re-emitted with those tokens dropped. Where
+    * [[substringDedup]] reports the per-doc work-list, this operator
+    * APPLIES it, so a catalog user gets the end-to-end pass.
+    *
+    * Grain: POSITIONAL w-token spans (position matters here — coverage is
+    * a union of [i, i+w-1] windows, so the distinct-span grain of the
+    * work-list query is not enough). A span is hot iff it occurs in ≥2
+    * distinct documents (same definition as [[substringDedup]]); a <w-token
+    * doc contributes its whole text as its single span at position 0 and
+    * is fully masked when that text is hot.
+    *
+    * Scale shape: same fp-prune-then-verify discipline — corpus-wide
+    * shuffles carry (doc_id, fp) longs; only the ≥2-doc-seen fp subset
+    * (lossless superset) ever shuffles span STRINGS for the exact verify;
+    * the coverage expansion (occurrence × w positions) runs only over hot
+    * occurrences, so its volume is bounded by duplicated-content volume,
+    * never the corpus. The rewrite itself is a narrow per-doc map (filter
+    * by covered-position set). Exactness: integer positions, one IEEE
+    * division for mask_frac (6-dp round, the dup_frac discipline).
+    *
+    * The DuckDB oracle replays the PRUNE-FREE definition (span strings
+    * grouped directly), so the hash gate proves the fp prune lossless —
+    * including over the planted exact dups, which must come out FULLY
+    * masked (kept_text = '', mask_frac = 1.0; spec-asserted). */
+  def spanMask(spark: SparkSession, dir: String,
+               w: Int = SpanTokens): DataFrame = {
+    val nt = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val toks = corpus(spark, dir).select(col("doc_id"), split(nt, " ").as("ts"))
+    // positional spans: (i, span) per occurrence, i 0-based; short docs
+    // contribute their whole text at i=0 (word_ngrams' short-doc semantics)
+    val occ = toks
+      .select(col("doc_id"), size(col("ts")).as("n"),
+        explode(expr(
+          s"""CASE WHEN size(ts) < $w
+             |  THEN array(struct(0 AS i, array_join(ts, ' ') AS span))
+             |  ELSE transform(sequence(0, size(ts) - $w),
+             |    i -> struct(i AS i, array_join(slice(ts, i + 1, $w), ' ') AS span))
+             |END""".stripMargin)).as("p"))
+      .select(col("doc_id"), col("n"), col("p.i").as("i"),
+        expr("rolling_fp(p.span)").as("fp"), col("p.span").as("span"))
+    // phase 1: fp-level OCCURRENCE counts — 8-byte fps shuffle, never
+    // strings. Deliberately no per-doc distinct: "≥2 occurrences" is a
+    // lossless superset of "≥2 docs" (the exact verify below holds the
+    // doc-level line), and skipping the distinct saves a full
+    // (doc_id, fp) exchange on the corpus-wide path
+    val hotFp = occ.groupBy("fp").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("fp")
+    // phase 2: exact verify on the surviving span strings only
+    val hotSpan = occ.join(hotFp, "fp")
+      .select("doc_id", "span").distinct()
+      .groupBy("span").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("span")
+    // coverage: union of [i, i+w-1] windows over hot occurrences, clamped
+    // to the doc (short docs: the whole-text span covers 0..n-1)
+    val covered = occ.join(hotSpan, "span")
+      .select(col("doc_id"),
+        explode(expr(s"sequence(i, least(i + $w - 1, n - 1))")).as("p0"))
+      .distinct()
+    val covAgg = covered.groupBy("doc_id")
+      .agg(collect_set(col("p0")).as("cov"))
+    toks.join(covAgg, Seq("doc_id"), "left")
+      .withColumn("cov", coalesce(col("cov"),
+        expr("CAST(array() AS array<int>)")))
+      .select(col("doc_id"),
+        size(col("ts")).cast(LongType).as("n_tokens"),
+        size(col("cov")).cast(LongType).as("n_masked"),
+        round(size(col("cov")).cast(DoubleType) /
+          size(col("ts")).cast(DoubleType), 6).as("mask_frac"),
+        expr("array_join(filter(ts, (t, idx) -> " +
+          "NOT array_contains(cov, idx)), ' ')").as("kept_text"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of [[spanMask]] — prune-free (no fingerprint phase:
+    * span strings grouped directly), so a hash match proves the Spark
+    * side's fp prune lossless. DuckDB list lambdas index 1-based, the
+    * Spark side 0-based — hence the `idx - 1` in the keep filter. */
+  val spanMaskOracleSql: String = {
+    val w = SpanTokens
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, text || ' qq zz' FROM documents
+       |  WHERE doc_id % 7 = 0),
+       |tok AS (
+       |  SELECT doc_id,
+       |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+       |                 ' ') AS ts
+       |  FROM corpus),
+       |expl AS (
+       |  SELECT doc_id, n, unnest(is_) AS i, unnest(spans) AS span FROM (
+       |    SELECT doc_id, len(ts) AS n,
+       |      CASE WHEN len(ts) < $w THEN [CAST(0 AS BIGINT)]
+       |        ELSE range(0, len(ts) - ${w - 1}) END AS is_,
+       |      CASE WHEN len(ts) < $w THEN [array_to_string(ts, ' ')]
+       |        ELSE list_transform(range(0, len(ts) - ${w - 1}),
+       |               i -> array_to_string(ts[i+1:i+$w], ' ')) END AS spans
+       |    FROM tok)),
+       |hot AS (
+       |  SELECT span FROM (SELECT DISTINCT doc_id, span FROM expl)
+       |  GROUP BY span HAVING COUNT(*) >= 2),
+       |cov0 AS (
+       |  SELECT doc_id, unnest(range(i, least(i + $w, n))) AS p
+       |  FROM expl JOIN hot USING (span)),
+       |cov AS (SELECT DISTINCT doc_id, p FROM cov0),
+       |covagg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_masked,
+       |    list(p) AS cov
+       |  FROM cov GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  CAST(len(t.ts) AS BIGINT) AS n_tokens,
+       |  COALESCE(c.n_masked, 0) AS n_masked,
+       |  ROUND(CAST(COALESCE(c.n_masked, 0) AS DOUBLE)
+       |    / CAST(len(t.ts) AS DOUBLE), 6) AS mask_frac,
+       |  COALESCE(array_to_string(list_filter(t.ts, (x, idx) ->
+       |    NOT list_contains(COALESCE(c.cov, CAST([] AS BIGINT[])),
+       |                      idx - 1)), ' '), '') AS kept_text
+       |FROM tok t LEFT JOIN covagg c USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   // -- MinHash-LSH -------------------------------------------------------
 
   val NumHashes = 20

@@ -60,6 +60,52 @@ class DedupSpec extends AnyFunSuite {
     assert(got.exists(r => r._1 < 1000000 && r._3 < r._2))
   }
 
+  test("span mask equals a Scala brute force; planted exact dups erase") {
+    // independent in-memory recomputation of the POSITIONAL semantics
+    // (coverage is a union of [i, i+w-1] windows over hot-span
+    // occurrences, then the rewrite drops covered tokens) — again no
+    // fingerprints, so this plus the prune-free oracle pins the fp
+    // prune AND the rewrite lossless
+    val w = Dedup.SpanTokens
+    val docs = Dedup.corpus(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val perDoc = docs.map { case (id, t) =>
+      val ts = t.toLowerCase.replaceAll("\\s+", " ").trim.split(" ", -1)
+      val occ: Seq[(Int, String)] =
+        if (ts.length < w) Seq(0 -> ts.mkString(" "))
+        else (0 to ts.length - w).map(i => i -> ts.slice(i, i + w).mkString(" "))
+      (id, ts, occ)
+    }
+    val docCount = perDoc
+      .flatMap { case (id, _, occ) => occ.map(_._2).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (s, xs) => s -> xs.length }
+    val expect = perDoc.map { case (id, ts, occ) =>
+      val cov = occ.filter(o => docCount(o._2) >= 2)
+        .flatMap(o => o._1 to math.min(o._1 + w - 1, ts.length - 1)).toSet
+      val kept = ts.zipWithIndex
+        .collect { case (t, i) if !cov(i) => t }.mkString(" ")
+      (id, ts.length.toLong, cov.size.toLong,
+        BigDecimal(cov.size.toDouble / ts.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, kept)
+    }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("q_span_mask")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getString(4))).toSeq
+    assert(got === expect)
+    // planted exact copies (+1M) share every positional span with their
+    // source: both erase completely (frac 1.0, kept_text empty)
+    val byId = got.map(r => r._1 -> r).toMap
+    docs.collect { case (id, _) if id >= 1000000 && id < 2000000 => id }
+      .foreach { id =>
+        assert(byId(id)._4 === 1.0, s"planted copy $id")
+        assert(byId(id)._5 === "")
+        assert(byId(id - 1000000)._4 === 1.0)
+      }
+    // and some natural doc is untouched end to end — the pass removes
+    // repeated spans, not unique text
+    assert(got.exists(r => r._1 < 1000000 && r._3 === 0L && r._5.nonEmpty))
+  }
+
   test("connected components: chain converges to min label per component") {
     val spark2 = spark
     import spark2.implicits._
