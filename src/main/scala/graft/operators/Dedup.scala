@@ -195,9 +195,16 @@ object Dedup {
     * including over the planted exact dups, which must come out FULLY
     * masked (kept_text = '', mask_frac = 1.0; spec-asserted). */
   def spanMask(spark: SparkSession, dir: String,
-               w: Int = SpanTokens): DataFrame = {
+               w: Int = SpanTokens): DataFrame =
+    spanMaskOf(corpus(spark, dir), w)
+
+  /** [[spanMask]] over an arbitrary (doc_id, text) frame — split out so
+    * the edge-case battery in DedupSpec can drive adversarial corpora
+    * (empty/whitespace-only/single-token/short-hot docs) through the
+    * EXACT production plan, not a test-local reimplementation. */
+  def spanMaskOf(docs: DataFrame, w: Int = SpanTokens): DataFrame = {
     val nt = trim(regexp_replace(lower(col("text")), "\\s+", " "))
-    val toks = corpus(spark, dir).select(col("doc_id"), split(nt, " ").as("ts"))
+    val toks = docs.select(col("doc_id"), split(nt, " ").as("ts"))
     // positional spans: (i, span) per occurrence, i 0-based; short docs
     // contribute their whole text at i=0 (word_ngrams' short-doc semantics)
     val occ = toks

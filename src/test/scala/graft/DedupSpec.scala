@@ -106,6 +106,70 @@ class DedupSpec extends AnyFunSuite {
     assert(got.exists(r => r._1 < 1000000 && r._3 === 0L && r._5.nonEmpty))
   }
 
+  test("span mask edge battery: empty/whitespace/single-token/short-hot") {
+    // adversarial corpora through the PRODUCTION plan (spanMaskOf), each
+    // checked against the same in-memory positional model as the
+    // brute-force test — tokenization boundaries are where a Spark/DuckDB
+    // split-semantics drift would hide
+    val spark2 = spark
+    import spark2.implicits._
+    val w = Dedup.SpanTokens
+    def model(docs: Seq[(Long, String)]): Seq[(Long, Long, Long, Double, String)] = {
+      val perDoc = docs.map { case (id, t) =>
+        val ts = t.toLowerCase.replaceAll("\\s+", " ").trim.split(" ", -1)
+        val occ: Seq[(Int, String)] =
+          if (ts.length < w) Seq(0 -> ts.mkString(" "))
+          else (0 to ts.length - w).map(i => i -> ts.slice(i, i + w).mkString(" "))
+        (id, ts, occ)
+      }
+      val dc = perDoc.flatMap { case (id, _, o) => o.map(_._2).distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (s, xs) => s -> xs.length }
+      perDoc.map { case (id, ts, occ) =>
+        val cov = occ.filter(o => dc(o._2) >= 2)
+          .flatMap(o => o._1 to math.min(o._1 + w - 1, ts.length - 1)).toSet
+        (id, ts.length.toLong, cov.size.toLong,
+          BigDecimal(cov.size.toDouble / ts.length)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          ts.zipWithIndex.collect { case (t, i) if !cov(i) => t }.mkString(" "))
+      }.sortBy(_._1)
+    }
+    def run(docs: Seq[(Long, String)]) =
+      Dedup.spanMaskOf(docs.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getString(4))).toSeq
+    val corpora = Seq(
+      // two empty docs: both tokenize to [""], the shared ""-span is hot,
+      // both erase; the third unique doc is untouched
+      Seq(1L -> "", 2L -> "", 3L -> "alpha beta gamma"),
+      // whitespace-only normalizes to the empty doc — same hot pair
+      Seq(1L -> "   ", 2L -> "\t\n ", 3L -> "delta"),
+      // single shared token: short-doc whole-text span, full erase
+      Seq(1L -> "x", 2L -> "x", 3L -> "y"),
+      // short docs equal AFTER normalization (case + whitespace runs)
+      Seq(1L -> "Foo  BAR", 2L -> "foo bar", 3L -> "foo baz"),
+      // a ≥w-token doc fully embedded in a longer one: every source span
+      // is hot (the Lee-et-al contamination case), prefix erases from the
+      // long doc while its unique tail survives
+      {
+        val span = (1 to w).map(i => s"t$i").mkString(" ")
+        Seq(1L -> span, 2L -> (span + " unique tail here"), 3L -> "other")
+      },
+      // intra-doc repeated span in ONE doc only: ≥2 occurrences but 1 doc
+      // — the occurrence-level fp prune lets it through, the exact
+      // doc-level verify must kill it (nothing masked)
+      {
+        val span = (1 to w).map(i => s"r$i").mkString(" ")
+        Seq(1L -> (span + " mid " + span), 2L -> "unrelated text")
+      })
+    corpora.zipWithIndex.foreach { case (c, i) =>
+      assert(run(c) === model(c), s"corpus #$i")
+    }
+    // and the targeted claims, independent of the model:
+    assert(run(corpora(0)).take(2).forall(_._5 == ""))         // erased
+    assert(run(corpora(4))(1)._5.endsWith("unique tail here")) // tail kept
+    assert(run(corpora(5)).forall(_._3 == 0L))                 // verify holds
+  }
+
   test("connected components: chain converges to min label per component") {
     val spark2 = spark
     import spark2.implicits._
