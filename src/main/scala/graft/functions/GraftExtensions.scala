@@ -67,6 +67,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       cs => { val c = arity(2, "word_ngrams")(cs)
               WordNGrams(c(0), c(1)) }))
     ext.injectFunction((
+      FunctionIdentifier("span_fps"),
+      SpanFps.info,
+      cs => { val c = arity(2, "span_fps")(cs); SpanFps(c(0), c(1)) }))
+    ext.injectFunction((
       FunctionIdentifier("repeat_stats"),
       RepeatStats.info,
       cs => { val c = arity(1, "repeat_stats")(cs); RepeatStats(c(0)) }))

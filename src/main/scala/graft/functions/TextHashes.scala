@@ -284,6 +284,70 @@ object PolyHash {
       nTok.toLong, maxCnt, tokCounts.size().toLong, bigrams.size().toLong))
   }
 
+  /** Positional span fingerprints — `span_fps(normalized_text, w)`:
+    * fp[t] == [[rollingFp]] of the t-th positional w-token span (tokens
+    * split on single spaces, empties kept; < w tokens → one fp of the
+    * whole string, matching [[wordNGrams]]' short-doc semantics) —
+    * computed in O(len) TOTAL via prefix polynomial hashes instead of
+    * O(len·w) per-span substring assembly + re-roll: with H(i) = the
+    * code-point roll of the prefix before char index i and C(i) its
+    * code-point count, fp(a, b) = (H(b) − H(a)·131^(C(b)−C(a))) mod p.
+    * This is the corpus-wide pass of the span-mask rewrite operator
+    * (operators.Dedup.spanMaskOf): at 100 TB it is the only stage that
+    * touches every document, so the n·w→n reduction is the one that
+    * matters; span STRINGS materialize later, only for fp-hot
+    * occurrences. H/C are filled at code-point ENDS only — span
+    * boundaries are spaces (BMP, single char) or string ends, so a
+    * boundary can never land mid-surrogate-pair. */
+  def spanFps(s: UTF8String, w: Int): ArrayData = {
+    if (w < 1) throw new IllegalArgumentException(
+      s"span_fps: w must be >= 1, got $w")
+    val str = s.toString
+    val len = str.length
+    val P = 1000000007L
+    val starts = new java.util.ArrayList[Integer]()
+    starts.add(0)
+    var i = 0
+    while (i < len) {
+      if (str.charAt(i) == ' ') starts.add(i + 1)
+      i += 1
+    }
+    val nTok = starts.size()
+    val hArr = new Array[Long](len + 1)
+    val cArr = new Array[Int](len + 1)
+    var acc = 0L
+    var cnt = 0
+    i = 0
+    while (i < len) {
+      val c = str.codePointAt(i)
+      acc = (acc * 131 + c) % P
+      cnt += 1
+      i += Character.charCount(c)
+      hArr(i) = acc
+      cArr(i) = cnt
+    }
+    val pow = new Array[Long](cnt + 1)
+    pow(0) = 1L
+    i = 1
+    while (i <= cnt) { pow(i) = pow(i - 1) * 131 % P; i += 1 }
+    def fp(a: Int, b: Int): Long = {
+      val v = (hArr(b) - hArr(a) * pow(cArr(b) - cArr(a))) % P
+      if (v < 0) v + P else v
+    }
+    if (nTok < w) {
+      new GenericArrayData(Array[Any](fp(0, len)))
+    } else {
+      val out = new Array[Any](nTok - w + 1)
+      var t = 0
+      while (t + w - 1 < nTok) {
+        val end = if (t + w < nTok) starts.get(t + w) - 1 else len
+        out(t) = fp(starts.get(t), end)
+        t += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
   /** MinHash signature over a DuckDB-replayable hash family: each shingle
     * reduces ONCE to a polynomial code-point roll p (base 131 mod
     * P = 2147483647 — the same roll as SimHash h1), and seed j applies the
@@ -649,6 +713,42 @@ case class WordNGrams(left: Expression, right: Expression)
 object WordNGrams {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[WordNGrams].getName, "word_ngrams")
+}
+
+/** span_fps(normalized_text, w) → ARRAY<BIGINT> positional span
+  * fingerprints (fp[t] == rolling_fp of the t-th w-token span).
+  * w must be a foldable positive int. Null text → null out. */
+case class SpanFps(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "span_fps expects (string, foldable int), got " +
+          s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    PolyHash.spanFps(a.asInstanceOf[UTF8String], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.PolyHash.spanFps($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SpanFps =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "span_fps"
+}
+
+object SpanFps {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[SpanFps].getName, "span_fps")
 }
 
 /** repeat_stats(normalized_text) → ARRAY<BIGINT>

@@ -205,33 +205,39 @@ object Dedup {
   def spanMaskOf(docs: DataFrame, w: Int = SpanTokens): DataFrame = {
     val nt = trim(regexp_replace(lower(col("text")), "\\s+", " "))
     val toks = docs.select(col("doc_id"), split(nt, " ").as("ts"))
-    // positional spans: (i, span) per occurrence, i 0-based; short docs
-    // contribute their whole text at i=0 (word_ngrams' short-doc semantics)
-    val occ = toks
-      .select(col("doc_id"), size(col("ts")).as("n"),
-        explode(expr(
-          s"""CASE WHEN size(ts) < $w
-             |  THEN array(struct(0 AS i, array_join(ts, ' ') AS span))
-             |  ELSE transform(sequence(0, size(ts) - $w),
-             |    i -> struct(i AS i, array_join(slice(ts, i + 1, $w), ' ') AS span))
-             |END""".stripMargin)).as("p"))
-      .select(col("doc_id"), col("n"), col("p.i").as("i"),
-        expr("rolling_fp(p.span)").as("fp"), col("p.span").as("span"))
-    // phase 1: fp-level OCCURRENCE counts — 8-byte fps shuffle, never
-    // strings. Deliberately no per-doc distinct: "≥2 occurrences" is a
-    // lossless superset of "≥2 docs" (the exact verify below holds the
-    // doc-level line), and skipping the distinct saves a full
-    // (doc_id, fp) exchange on the corpus-wide path
-    val hotFp = occ.groupBy("fp").agg(count(lit(1)).as("c"))
+    // phase 1 input: positional fps straight off the normalized string —
+    // the `span_fps` kernel rolls every w-token span in O(len) per doc
+    // (prefix polynomial hashes), so the ONLY corpus-wide pass builds no
+    // span strings and no structs: (doc_id, i, fp) longs in, longs out.
+    // posexplode's 0-based pos IS the token index (short docs emit their
+    // single whole-text fp at i=0, word_ngrams' short-doc semantics)
+    val occFp = docs
+      .select(col("doc_id"), nt.as("nt"))
+      .select(col("doc_id"),
+        posexplode(expr(s"span_fps(nt, $w)")).as(Seq("i", "fp")))
+    // fp-level OCCURRENCE counts — deliberately no per-doc distinct:
+    // "≥2 occurrences" is a lossless superset of "≥2 docs" (the exact
+    // verify below holds the doc-level line), and skipping the distinct
+    // saves a full (doc_id, fp) exchange on the corpus-wide path
+    val hotFp = occFp.groupBy("fp").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("fp")
-    // phase 2: exact verify on the surviving span strings only
-    val hotSpan = occ.join(hotFp, "fp")
+    // hot occurrences re-attach their token array and only THEY assemble
+    // a span string — string volume is bounded by duplicated content
+    // (plus fp collisions), never the corpus
+    val hotOcc = occFp.join(hotFp, "fp")
+      .join(toks, "doc_id")
+      .select(col("doc_id"), col("i"), size(col("ts")).as("n"),
+        when(size(col("ts")) < w, expr("array_join(ts, ' ')"))
+          .otherwise(expr(s"array_join(slice(ts, i + 1, $w), ' ')"))
+          .as("span"))
+    // exact verify on the surviving span strings only
+    val hotSpan = hotOcc
       .select("doc_id", "span").distinct()
       .groupBy("span").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select("span")
     // coverage: union of [i, i+w-1] windows over hot occurrences, clamped
     // to the doc (short docs: the whole-text span covers 0..n-1)
-    val covered = occ.join(hotSpan, "span")
+    val covered = hotOcc.join(hotSpan, "span")
       .select(col("doc_id"),
         explode(expr(s"sequence(i, least(i + $w - 1, n - 1))")).as("p0"))
       .distinct()

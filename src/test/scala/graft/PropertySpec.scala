@@ -197,6 +197,25 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("span_fps == rolling_fp of every positional span, any string and w") {
+    // the O(len) prefix-hash kernel must be BIT-IDENTICAL to assembling
+    // each positional w-token span substring and rolling it — including
+    // non-ASCII code points, empty tokens and the <w whole-string case
+    def ref(s: String, w: Int): Seq[Long] = {
+      val toks = s.split(" ", -1).toSeq
+      val spans = if (toks.length < w) Seq(toks.mkString(" "))
+        else toks.sliding(w).map(_.mkString(" ")).toSeq
+      spans.map(sp => graft.functions.PolyHash.rollingFp(
+        org.apache.spark.unsafe.types.UTF8String.fromString(sp)))
+    }
+    val gen = for { s <- text; w <- Gen.chooseNum(1, 10) } yield (s, w)
+    check(Prop.forAll(gen) { case (s, w) =>
+      val got = graft.functions.PolyHash.spanFps(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), w)
+      (0 until got.numElements()).map(got.getLong(_)) == ref(s, w)
+    })
+  }
+
   test("ANN parameterization: bits monotone+clamped, band tables monotone") {
     import graft.operators.Similarity
     check(Prop.forAll(Gen.chooseNum(1L, Long.MaxValue / 2),
