@@ -49,6 +49,25 @@ class PlanSpec extends AnyFunSuite {
     assert(specs.nonEmpty && specs.forall(_.contains("user_id")), p)
   }
 
+  test("span mask: strings-free corpus pass (span_fps kernel), no cartesian") {
+    val p = plan("q_span_mask")
+    // the ONLY corpus-wide stage is the span_fps posexplode — the kernel
+    // must survive into the physical plan (a rewrite back to the
+    // transform+array_join form would silently restore the O(len·w)
+    // string assembly this plan exists to avoid)
+    assert(p.contains("span_fps"), p)
+    // hot-set joins are equi-joins; a cartesian here is the quadratic
+    // blowup the fp-prune-then-verify discipline prevents
+    assert(nodeCount(p, "CartesianProduct") === 0, p)
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") === 0, p)
+    // join count is exactly the declared shape: 4 logical joins (hotFp
+    // prune, toks re-attach, hotSpan verify, covAgg left join) with the
+    // hotOcc subtree's 2 internal joins appearing twice (verify + coverage
+    // branches both rebuild it — the recompute-over-pin discipline).
+    // Growth past 6 means a new join slipped into the hot path
+    assert(nodeCount(p, ".*Join") === 6, p)
+  }
+
   test("corr matrix is one partial+final aggregate pair, no join") {
     // 15 cross-moments accumulate in a single pass: the only exchanges
     // are the 1-row partial merge (+ the 6-row final sort), never a join
