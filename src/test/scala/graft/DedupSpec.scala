@@ -170,6 +170,23 @@ class DedupSpec extends AnyFunSuite {
     assert(run(corpora(5)).forall(_._3 == 0L))                 // verify holds
   }
 
+  test("span work-list and rewrite agree on who is affected") {
+    // q_substring_dedup (distinct-span grain) and q_span_mask (positional
+    // coverage grain) share one hot-span definition, so membership must
+    // coincide exactly: a doc carries repeated spans iff the rewrite
+    // masks something in it — a drift here means the two operators'
+    // span derivations diverged
+    val wl = SparkEntry.queries("q_substring_dedup")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap // n_dup
+    val rw = SparkEntry.queries("q_span_mask")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap // n_masked
+    assert(wl.keySet === rw.keySet)
+    wl.foreach { case (id, nDup) =>
+      assert((nDup > 0) === (rw(id) > 0), s"doc $id: n_dup=$nDup " +
+        s"but n_masked=${rw(id)}")
+    }
+  }
+
   test("connected components: chain converges to min label per component") {
     val spark2 = spark
     import spark2.implicits._
