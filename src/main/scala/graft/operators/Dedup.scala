@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -58,6 +58,24 @@ object Dedup {
     * the q_substring_dedup oracle SQL (interpolated there). */
   val SpanTokens = 16
 
+  /** The ONE text normalization of the span-grain dedup pair —
+    * [[substringDedup]] (work-list) and [[spanMask]] (rewrite): lower,
+    * collapse whitespace runs to single spaces, TRIM. A single shared
+    * definition so the two operators (and their oracles and the DedupSpec
+    * brute forces) can never disagree on what a "span" is — the r12
+    * review confirmed the work-list missing spans the rewrite erased on
+    * padded (`'x '`-style) corpora because only the rewrite trimmed.
+    * Null text RAISES identically in both (previously a silent drop on
+    * one side vs a −1-token row on the other): a null document in a
+    * dedup corpus is an upstream bug, and the error names the doc. */
+  private def spanNormText: Column =
+    trim(regexp_replace(lower(
+      when(col("text").isNotNull, col("text"))
+        .otherwise(raise_error(concat(
+          lit("graft: null text in span-dedup corpus at doc_id "),
+          col("doc_id").cast(StringType))))),
+      "\\s+", " "))
+
   /** Exact SUBSTRING-level dedup — repeated w-token spans across
     * documents, the standard training-data pass ("remove long spans that
     * repeat verbatim anywhere in the corpus", applied via suffix arrays
@@ -78,41 +96,77 @@ object Dedup {
     * repeated spans, the worst span's document count, repeated fraction.
     *
     * Scale shape — the fp-prune-then-verify discipline (the PPJoin /
-    * bloom-dedup lesson): corpus-wide shuffles carry (doc_id,
-    * rolling_fp(span)) LONGS, never span strings. Phase 1 groups the
-    * 8-byte fingerprints and keeps fps seen ≥2 times — a LOSSLESS
-    * superset (equal spans ⇒ equal fps; a collision only adds a
-    * candidate). Phase 2 re-derives spans narrow (recompute beats
-    * shuffling strings), joins the hot fp set (no broadcast hint: the
-    * hot set is bounded by duplicated-content volume, so AQE picks
-    * broadcast when it is small and a shuffle join when it is not) and
-    * verifies by grouping the SURVIVING span strings exactly — a fp
-    * collision can never fabricate a duplicate. Only the hot subset
-    * ever shuffles strings; the n_spans denominator rides the fp side.
+    * bloom-dedup lesson), with the SAME strings-free corpus-wide pass as
+    * [[spanMaskOf]]: phase 1 is the O(len)-per-doc `span_fps` prefix-hash
+    * kernel (no span strings, no structs — (doc_id, pos, fp) longs in,
+    * longs out), so corpus-wide shuffles carry 8-byte fingerprints, never
+    * strings. Occurrence-level fp counts ≥2 are a LOSSLESS superset of
+    * "span in ≥2 docs" (equal spans ⇒ equal fps; a collision only adds a
+    * candidate). Phase 2 re-derives span strings narrow for HOT
+    * occurrences only (recompute beats shuffling strings; no broadcast
+    * hint — the hot set is bounded by duplicated-content volume, so AQE
+    * picks broadcast when small) and verifies by grouping the surviving
+    * span strings exactly — a fp collision can never fabricate a
+    * duplicate. The n_spans denominator rides the fp side as the per-doc
+    * DISTINCT-fp count plus an EXACT in-doc collision correction: a doc
+    * where one fp covers k>1 distinct spans counted k spans as 1 fp, and
+    * every such fp has ≥2 occurrences, hence is hot, hence has its k
+    * strings materialized — add back (k−1) per (doc, hot fp). Cold fps
+    * have exactly one occurrence corpus-wide, so they cannot hide a
+    * collision; the sum is therefore the exact distinct-span count.
     *
     * The DuckDB oracle replays the PRUNE-FREE semantic definition
     * (group span strings directly), so the hash gate doubles as a
     * losslessness proof for the prune at every verified SF; DedupSpec
     * adds a Scala brute-force equality on the collected corpus. */
   def substringDedup(spark: SparkSession, dir: String,
-                     w: Int = SpanTokens): DataFrame = {
-    val nt = regexp_replace(lower(col("text")), "\\s+", " ")
-    val spans = corpus(spark, dir)
-      .select(col("doc_id"), nt.as("nt"))
-      .select(col("doc_id"),
-        explode(expr(s"word_ngrams(nt, $w)")).as("span"))
-    val fps = spans.select(col("doc_id"), expr("rolling_fp(span)").as("fp"))
-    val hot = fps.groupBy("fp").agg(count(lit(1)).as("c"))
+                     w: Int = SpanTokens): DataFrame =
+    substringDedupOf(corpus(spark, dir), w)
+
+  /** [[substringDedup]] over an arbitrary (doc_id, text) frame — split
+    * out (like [[spanMaskOf]]) so DedupSpec can drive adversarial
+    * corpora (padded, null-text) through the EXACT production plan. */
+  def substringDedupOf(docs: DataFrame, w: Int = SpanTokens): DataFrame = {
+    val base = docs.select(col("doc_id"), spanNormText.as("nt"))
+    val toks = base.select(col("doc_id"), split(col("nt"), " ").as("ts"))
+    // corpus-wide pass: positional fps off the normalized string via the
+    // strings-free O(len) kernel (shared with spanMaskOf)
+    val occFp = base.select(col("doc_id"),
+      posexplode(expr(s"span_fps(nt, $w)")).as(Seq("i", "fp")))
+    // occurrence-level hotness (no per-doc distinct — saves a corpus-wide
+    // (doc_id, fp) exchange): ≥2 occurrences ⊇ ≥2 docs, and also ⊇ "fp
+    // shared by ≥2 positions anywhere", which is what makes the n_spans
+    // collision correction below exact
+    val hotFp = occFp.groupBy("fp").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("fp")
-    val survivors = spans
-      .withColumn("fp", expr("rolling_fp(span)"))
-      .join(hot, "fp")
-    val dup = survivors.groupBy("span").agg(count(lit(1)).as("n_docs"))
+    // per-doc distinct-fp count == distinct-span count modulo in-doc fp
+    // collisions (corrected exactly below)
+    val nFp = occFp.select("doc_id", "fp").distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    // only hot occurrences assemble span strings; (doc, fp, span) distinct
+    // IS the (doc, span) distinct grain — a span determines its fp
+    val hotOcc = occFp.join(hotFp, "fp")
+      .join(toks, "doc_id")
+      .select(col("doc_id"), col("fp"),
+        when(size(col("ts")) < w, expr("array_join(ts, ' ')"))
+          .otherwise(expr(s"array_join(slice(ts, i + 1, $w), ' ')"))
+          .as("span"))
+      .distinct()
+    // exact verify: span string present in ≥2 distinct docs
+    val dup = hotOcc.groupBy("span").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2)
-    val nSpans = fps.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
-    val docDup = survivors.join(dup, "span")
+    // in-doc collision correction: k distinct spans under one fp in one
+    // doc → add back (k−1); such fps are necessarily hot (≥2 occurrences)
+    // so their strings are all here
+    val corr = hotOcc.groupBy("doc_id", "fp")
+      .agg((count(lit(1)) - lit(1L)).as("extra"))
+      .groupBy("doc_id").agg(sum(col("extra")).as("extra"))
+    val docDup = hotOcc.join(dup, "span")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_dup"), max(col("n_docs")).as("max_span_docs"))
+    val nSpans = nFp.join(corr, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("n_fp") + coalesce(col("extra"), lit(0L))).as("n_spans"))
     nSpans.join(docDup, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_spans"),
         coalesce(col("n_dup"), lit(0L)).as("n_dup"),
@@ -136,7 +190,7 @@ object Dedup {
        |  WHERE doc_id % 7 = 0),
        |tok AS (
        |  SELECT doc_id,
-       |    string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+       |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
        |                 ' ') AS ts
        |  FROM corpus),
        |grams AS (
@@ -203,7 +257,7 @@ object Dedup {
     * (empty/whitespace-only/single-token/short-hot docs) through the
     * EXACT production plan, not a test-local reimplementation. */
   def spanMaskOf(docs: DataFrame, w: Int = SpanTokens): DataFrame = {
-    val nt = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val nt = spanNormText
     val toks = docs.select(col("doc_id"), split(nt, " ").as("ts"))
     // phase 1 input: positional fps straight off the normalized string —
     // the `span_fps` kernel rolls every w-token span in O(len) per doc
@@ -251,8 +305,15 @@ object Dedup {
         size(col("cov")).cast(LongType).as("n_masked"),
         round(size(col("cov")).cast(DoubleType) /
           size(col("ts")).cast(DoubleType), 6).as("mask_frac"),
-        expr("array_join(filter(ts, (t, idx) -> " +
-          "NOT array_contains(cov, idx)), ' ')").as("kept_text"))
+        // kept positions via hash-based set difference — array_except
+        // preserves first-arg (ascending) order, so index→token rebuild
+        // keeps token order; the previous filter(ts, !array_contains(cov))
+        // rescanned the unsorted cov array per token, O(n_tokens·n_masked)
+        // per doc — quadratic on exactly the boilerplate-heavy long docs
+        // this pass targets (r12 review #3)
+        expr("array_join(transform(" +
+          "array_except(sequence(0, size(ts) - 1), cov), " +
+          "i -> element_at(ts, i + 1)), ' ')").as("kept_text"))
       .orderBy("doc_id")
   }
 

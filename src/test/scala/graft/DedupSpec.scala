@@ -27,7 +27,9 @@ class DedupSpec extends AnyFunSuite {
     val docs = Dedup.corpus(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getString(1))
     def spansOf(text: String): Seq[String] = {
-      val ts = text.toLowerCase.replaceAll("\\s+", " ").split(" ", -1)
+      // the SHARED normalization (lower, collapse, trim) — one definition
+      // across both span operators since the r12 divergence fix
+      val ts = text.toLowerCase.replaceAll("\\s+", " ").trim.split(" ", -1)
       val all = if (ts.length < w) Seq(ts.mkString(" "))
         else ts.sliding(w).map(_.mkString(" ")).toSeq
       all.distinct
@@ -168,6 +170,84 @@ class DedupSpec extends AnyFunSuite {
     assert(run(corpora(0)).take(2).forall(_._5 == ""))         // erased
     assert(run(corpora(4))(1)._5.endsWith("unique tail here")) // tail kept
     assert(run(corpora(5)).forall(_._3 == 0L))                 // verify holds
+  }
+
+  test("padded corpora: work-list and rewrite share one normalization") {
+    // the r12 divergence: substringDedup didn't trim while spanMask did,
+    // so on `'x '`-style padded docs the rewrite erased spans the
+    // work-list never flagged. Both operators now share spanNormText;
+    // this row drives padded docs through BOTH production plans and
+    // asserts (a) padding-insensitive equality with the unpadded corpus
+    // and (b) the cross-operator membership invariant on the padded one
+    val spark2 = spark
+    import spark2.implicits._
+    val w = Dedup.SpanTokens
+    val span = (1 to w).map(i => s"p$i").mkString(" ")
+    val clean = Seq(1L -> span, 2L -> (span + " tail"), 3L -> "unique text")
+    val padded = Seq(1L -> (span + "  "), 2L -> ("  " + span + " tail"),
+      3L -> " unique\t text ")
+    def wl(c: Seq[(Long, String)]) =
+      Dedup.substringDedupOf(c.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSeq
+    def rw(c: Seq[(Long, String)]) =
+      Dedup.spanMaskOf(c.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getString(4))).toSeq
+    // padding is invisible to both operators (trim + collapse)
+    assert(wl(padded) === wl(clean))
+    assert(rw(padded) === rw(clean))
+    // and on the padded corpus the invariant holds: a doc has repeated
+    // spans iff the rewrite masks something in it
+    val wlDup = wl(padded).map(r => r._1 -> (r._3 > 0)).toMap
+    val rwMask = rw(padded).map(r => r._1 -> (r._3 > 0)).toMap
+    assert(wlDup === rwMask)
+    assert(wlDup(1L) && wlDup(2L) && !wlDup(3L))
+  }
+
+  test("null text raises identically in work-list and rewrite") {
+    // previously substringDedup silently DROPPED null-text docs (null
+    // propagates through explode) while spanMask emitted them with
+    // n_tokens = size(null) = −1 — now both fail loud with the doc id
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(1L -> "some text here", 42L -> null.asInstanceOf[String])
+      .toDF("doc_id", "text")
+    Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+      Dedup.substringDedupOf(_), Dedup.spanMaskOf(_)).foreach { op =>
+      val e = intercept[Exception] { op(docs).collect() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(m => m.contains("null text") &&
+        m.contains("doc_id 42")), e.toString)
+    }
+  }
+
+  test("span mask rewrite is linear-shaped on a heavily-masked long doc") {
+    // adversarial row for the kept_text rebuild (array_except over the
+    // covered-position set): a ~10⁴-token doc whose bulk is a hot span
+    // repeat — under the old filter(!array_contains) form this doc alone
+    // cost n_tokens·n_masked ≈ 10⁸ comparisons; the set-difference form
+    // is O(n). Correctness: kept text is exactly the unique suffix, in
+    // order, and the planted mask fraction is exact
+    val spark2 = spark
+    import spark2.implicits._
+    val w = Dedup.SpanTokens
+    val hot = (1 to w).map(i => s"h$i").mkString(" ")
+    val reps = 10000 / w // ~10⁴ hot tokens
+    val body = Seq.fill(reps)(hot).mkString(" ")
+    val tailToks = Seq("uniq1", "uniq2", "uniq3")
+    val docs = Seq(1L -> (body + " " + tailToks.mkString(" ")),
+      2L -> hot, 3L -> "other words").toDF("doc_id", "text")
+    val got = Dedup.spanMaskOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4)))
+      .sortBy(_._1)
+    val nBody = reps * w
+    assert(got(0) === ((1L, (nBody + 3).toLong, nBody.toLong,
+      tailToks.mkString(" "))))
+    assert(got(1) === ((2L, w.toLong, w.toLong, "")))
+    assert(got(2)._3 === 0L)
   }
 
   test("span work-list and rewrite agree on who is affected") {

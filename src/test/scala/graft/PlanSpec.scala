@@ -68,6 +68,25 @@ class PlanSpec extends AnyFunSuite {
     assert(nodeCount(p, ".*Join") === 6, p)
   }
 
+  test("substring dedup: strings-free corpus pass (span_fps), no cartesian") {
+    val p = plan("q_substring_dedup")
+    // since the r13 retrofit the work-list shares the rewrite's
+    // strings-free corpus-wide stage: span_fps posexplode, 8-byte fps on
+    // every corpus-wide exchange — a rewrite back to the
+    // explode(word_ngrams)+rolling_fp(span) form would silently restore
+    // the n·w span-string materialization on the only stage that touches
+    // every doc
+    assert(p.contains("span_fps"), p)
+    assert(!p.contains("word_ngrams"), p)
+    assert(nodeCount(p, "CartesianProduct") === 0, p)
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") === 0, p)
+    // declared shape: 3 top-level joins (dup verify, corr left, final
+    // left) + the 2-join hotOcc subtree (hotFp prune, toks re-attach)
+    // rebuilt by its 3 consumers — recompute-over-pin, same as the span
+    // mask pin above. Growth past 9 means a new join slipped in
+    assert(nodeCount(p, ".*Join") === 9, p)
+  }
+
   test("corr matrix is one partial+final aggregate pair, no join") {
     // 15 cross-moments accumulate in a single pass: the only exchanges
     // are the 1-row partial merge (+ the 6-row final sort), never a join
