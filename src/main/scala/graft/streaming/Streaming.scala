@@ -508,7 +508,9 @@ object Streaming {
                   _: java.nio.file.DirectoryNotEmptyException) =>
           if (attempt >= 5) throw e
         case e: java.io.UncheckedIOException
-            if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] =>
+            if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] ||
+               e.getCause.isInstanceOf[java.nio.file.DirectoryNotEmptyException] ||
+               e.getCause.isInstanceOf[java.nio.file.FileSystemException] =>
           if (attempt >= 5) throw e
       }
     }

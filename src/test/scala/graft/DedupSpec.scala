@@ -677,5 +677,27 @@ class DedupSpec extends AnyFunSuite {
         .head.getSeq[Long](0)
       assert(mergedSigs(s) === unionSig, s"merge identity broken for $s")
     }
+    // ENVELOPE SIDE BY SIDE (the carried audit row): with the merge
+    // identity pinned above, the merged estimator should EMPIRICALLY sit
+    // inside the same measured envelope as the per-document tabulation
+    // family on this corpus — same sketch, same slot count, different
+    // grain. q_mh_tabulation's measured per-pair errors ARE that
+    // envelope; the source-level errors must not exceed its max by more
+    // than one slot quantum (1/NumHashes — the estimator is 20-slot
+    // discretized, so grain alone can shift a max by one notch).
+    //   measured (this commit, sf0.001): tabulation mean 0.041 max 0.233;
+    //   source-level mean 0.033 max 0.139 — strictly inside.
+    val tabErrs = SparkEntry.queries("q_mh_tabulation")(spark, sf).collect()
+      .map(_.getDouble(5))
+    val tabMean = tabErrs.sum / tabErrs.length
+    val srcMean = mean
+    info(f"tabulation mean $tabMean%.3f max ${tabErrs.max}%.3f; " +
+      f"source-level mean $srcMean%.3f max ${errs.max}%.3f")
+    assert(errs.max <= tabErrs.max + 1.0 / Dedup.NumHashes,
+      s"source-level max ${errs.max} escapes the tabulation family's " +
+      s"measured envelope (max ${tabErrs.max} + slot quantum) — the " +
+      "merged sketch is NOT behaving as the union's tabulation sketch")
+    assert(srcMean <= tabMean + 1.0 / Dedup.NumHashes,
+      s"source-level mean $srcMean vs tabulation family mean $tabMean")
   }
 }

@@ -141,6 +141,44 @@ class SimilarityScaleSpec extends AnyFunSuite {
     assert(cents.forall(_.length == dim))
   }
 
+  test("recall@10 priced side by side: both quantizers at sf0.01 and sf0.1" +
+      " under the derived probe law") {
+    // The audit table the q_ann_recall family was missing for the
+    // distributed path: recall@K vs brute force for BOTH quantizers —
+    // the bit-replayable driver-fold (ivfTopK, what the catalog query
+    // ships) and the MLlib 100 TB path (ivfTopKDistributed) — at the
+    // derived √lists probe law, at two SFs with different derived
+    // parameterizations (sf0.01: n=500 → 16 lists / 4 probes; sf0.1:
+    // n=2000 → 32 lists / 8 probes). Both quantizers are 3-round
+    // k-means over the SAME bounded lowest-hash sample, so the contract
+    // is parity within the probe-pruning noise, not superiority.
+    val table = for (dir <- Seq("/root/testdata/sf0.01",
+                                "/root/testdata/sf0.1")) yield {
+      val bfSet = Similarity.bruteForceTopK(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      def recall(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(2)))
+          .count(bfSet).toDouble / bfSet.size
+      (dir, recall(Similarity.ivfTopK(spark, dir)),
+            recall(Similarity.ivfTopKDistributed(spark, dir)))
+    }
+    // measured (this commit): sf0.01 replayable 0.755 / distributed 0.665,
+    // sf0.1 replayable 0.815 / distributed 0.775 — the two quantizers
+    // price within ±0.09 of each other at both SFs, and both clear the
+    // same floor the single-SF structural test pins. Bands leave room
+    // for MLlib convergence drift across Spark versions without letting
+    // either path quietly degrade to the probed-fraction floor (~0.25).
+    table.foreach { case (dir, rep, dist) =>
+      info(f"$dir: replayable $rep%.3f  distributed $dist%.3f")
+      assert(rep > 0.5 && rep <= 1.0, s"$dir replayable recall@10 $rep")
+      assert(dist > 0.5 && dist <= 1.0, s"$dir distributed recall@10 $dist")
+      assert(math.abs(rep - dist) <= 0.15,
+        s"$dir quantizer parity broken: replayable $rep vs MLlib $dist — " +
+        "same sample, same Lloyd rounds; a gap this size means one " +
+        "assignment or probe side regressed, not k-means noise")
+    }
+  }
+
   test("ANN query set is QueryK rows at EVERY corpus scale (never ∝ n)") {
     // the broadcast query side must be CONSTANT as the corpus grows — the
     // r9 proportional %50 draw was the engine's last grows-with-corpus

@@ -79,7 +79,16 @@ def main(paths):
     for f in names:
         row = []
         for i, (qs, _) in enumerate(cols):
-            s = sum(max(v, 0.0) for k, v in qs.items()
+            failed = sorted(k for k, v in qs.items()
+                            if fam.get(k) == f and v < 0)
+            if failed:
+                # Bench records a failed query as a negative sentinel;
+                # clamping it to 0 s would silently hide the failure in a
+                # table meant as reproducible evidence. Fail loudly.
+                raise SystemExit(
+                    f"FAILED queries (negative time sentinel) in family "
+                    f"'{f}': {failed}")
+            s = sum(v for k, v in qs.items()
                     if fam.get(k) == f)
             totals[i] += s
             row.append(f"{s:.1f} s")
