@@ -224,6 +224,53 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("planted fp collision: n_spans correction exact, no fabricated dup") {
+    // The in-doc collision-correction path in substringDedupOf and the
+    // collision-cannot-fabricate claim in both span operators are DEAD
+    // paths under every gate: 30-bit poly fps never collide on real
+    // corpora at these SFs. Plant one: "egplaagb" and "mmmmmmmm" roll to
+    // the same base-131 mod-1e9+7 fingerprint (meet-in-the-middle over
+    // char deltas), so at w=1 they are distinct spans under ONE fp.
+    val spark2 = spark
+    import spark2.implicits._
+    val a = "egplaagb"
+    val b = "mmmmmmmm"
+    // self-checking precondition: if the kernel's base/modulus ever
+    // change, fail HERE, not by silently testing nothing
+    def fp1(t: String) = graft.functions.PolyHash
+      .spanFps(org.apache.spark.unsafe.types.UTF8String.fromString(t), 1)
+      .toLongArray()(0)
+    assert(a !== b)
+    assert(fp1(a) === fp1(b), "collision plant broken — kernel changed?")
+
+    // cross-doc case: the colliding fp is hot 3 ways (a@1, b@1, b@2) but
+    // only b's STRING repeats across docs
+    val docs = Seq(1L -> s"$a $b", 2L -> s"$b zebra").toDF("doc_id", "text")
+    val wl = Dedup.substringDedupOf(docs, w = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sortBy(_._1).toSeq
+    // doc 1: distinct fps = 1 but distinct spans = 2 — the exact in-doc
+    // correction must add back (k−1); without it n_spans reads 1 and
+    // dup_frac reads a false 1.0. And `a` must NOT be reported repeated
+    // despite sharing a corpus-hot fp: the string-level verify holds.
+    assert(wl === Seq((1L, 2L, 1L, 2L, 0.5), (2L, 2L, 1L, 2L, 0.5)))
+    val rw = Dedup.spanMaskOf(docs, w = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getString(4))).toSeq
+    // rewrite: only b's positions mask; the collision never erases `a`
+    assert(rw === Seq((1L, 2L, 1L, 0.5, a), (2L, 2L, 1L, 0.5, "zebra")))
+
+    // in-doc-only case: the colliding pair sits in ONE doc (fp hot via 2
+    // same-doc occurrences, so its strings DO materialize — the property
+    // the correction's exactness proof rests on); nothing is a dup
+    val solo = Seq(3L -> s"$a $b", 4L -> "other stuff").toDF("doc_id", "text")
+    val wlSolo = Dedup.substringDedupOf(solo, w = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sortBy(_._1).toSeq
+    assert(wlSolo === Seq((3L, 2L, 0L, 0L, 0.0), (4L, 2L, 0L, 0L, 0.0)))
+    assert(Dedup.spanMaskOf(solo, w = 1).collect().forall(_.getLong(2) == 0L))
+  }
+
   test("span mask rewrite is linear-shaped on a heavily-masked long doc") {
     // adversarial row for the kept_text rebuild (array_except over the
     // covered-position set): a ~10⁴-token doc whose bulk is a hot span
