@@ -666,6 +666,15 @@ object Dedup {
       .unionByName(hist.filter(col("doc_id") % 9 === 0)
         .select((col("doc_id") + 3000000).as("doc_id"),
           reverse(col("text")).as("text")))
+    incrementalDedupOf(hist, batch)
+  }
+
+  /** [[incrementalDedup]] over arbitrary history/batch (doc_id, text)
+    * frames — split out so DedupSpec can plant a degenerate history
+    * bucket and watch the cap's exact blast radius (near path only;
+    * the content-hash exact path is cap-immune) through the production
+    * plan. */
+  def incrementalDedupOf(hist: DataFrame, batch: DataFrame): DataFrame = {
     // 1. exact: content-hash lookup against the history's hash index
     val histHash = hist.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("hid"))
@@ -865,7 +874,13 @@ object Dedup {
     * pairs. */
   def simhashNearDup(spark: SparkSession, dir: String,
                      maxDist: Int = 10): DataFrame =
-    simhash(corpus(spark, dir))
+    simhashNearDupOf(corpus(spark, dir), maxDist)
+
+  /** [[simhashNearDup]] over an arbitrary (doc_id, text) frame — split out
+    * (the substringDedupOf/spanMaskOf discipline) so DedupSpec can plant a
+    * degenerate chunk bucket through the EXACT production plan. */
+  def simhashNearDupOf(docs: DataFrame, maxDist: Int = 10): DataFrame =
+    simhash(docs)
       .select(col("doc_id"), col("simhash"),
         explode(expr(
           """transform(sequence(0, 3),

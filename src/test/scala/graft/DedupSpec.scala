@@ -353,6 +353,73 @@ class DedupSpec extends AnyFunSuite {
       s"candidate explosion: $candidates")
   }
 
+  test("LSH degenerate bucket drops whole before pair expansion (MaxBucket)") {
+    // the Dedup-side twin of SimilarityScaleSpec's hot-bucket row: the
+    // MaxBucket=100 cap at candidatePairs' bucket filter was otherwise
+    // untested (real corpora never produce a >100-member bucket at these
+    // SFs). 150 copies of one boilerplate text put 150 members in every
+    // band bucket — uncapped that is C(150,2)=11,175 pairs; capped, the
+    // bucket drops WHOLE (one filtered row, no expansion) and only the
+    // planted 2-copy pair survives
+    val spark2 = spark
+    import spark2.implicits._
+    val boiler = "copyright footer all rights reserved contact us terms"
+    val docs = ((0 until 150).map(i => i.toLong -> boiler) ++
+      Seq(900L -> "a genuinely unique pair of documents right here",
+          901L -> "a genuinely unique pair of documents right here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.candidatePairs(Dedup.signatures(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((900L, 901L)))
+  }
+
+  test("simhash chunk banding drops a degenerate bucket whole") {
+    // same cap, simhash side: 150 identical docs put 150 members in every
+    // 16-bit chunk bucket (> MaxBucket=100 → dropped whole); the planted
+    // identical pair (hamming 0) shares its own 2-member buckets and is
+    // the only pair that may survive
+    val spark2 = spark
+    import spark2.implicits._
+    val boiler = "copyright footer all rights reserved contact us terms"
+    val docs = ((0 until 150).map(i => i.toLong -> boiler) ++
+      Seq(900L -> "a genuinely unique pair of documents right here",
+          901L -> "a genuinely unique pair of documents right here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDupOf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((900L, 901L)))
+  }
+
+  test("incremental dedup: history bucket cap hits ONLY the near path") {
+    // blast radius of the capped history index: a batch doc near a
+    // 150-copy boilerplate history classifies `new` (its band buckets are
+    // dropped), while the exact content-hash path is cap-IMMUNE and a
+    // near-copy of a unique history doc still matches. Determinism trick:
+    // "a b c a b c a b c" has the SAME distinct 3-gram shingle set as
+    // "a b c a b c" (so every band signature matches — no LSH luck
+    // involved) but a different md5 (so the exact path can't catch it).
+    val spark2 = spark
+    import spark2.implicits._
+    val boiler = "a b c a b c"
+    val uniq = "u v w u v w"
+    val hist = ((0 until 150).map(i => i.toLong -> boiler) ++
+      Seq(500L -> uniq)).toDF("doc_id", "text")
+    val batch = Seq(
+      1000L -> boiler,                  // exact copy -> exact_dup
+      1001L -> "a b c a b c a b c",     // near boilerplate -> capped -> new
+      1002L -> "u v w u v w u v w",     // near the unique doc -> near_dup
+      1003L -> "totally fresh content never seen before"
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedupOf(hist, batch).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(got === Seq(
+      (1000L, "exact_dup", 0L),
+      (1001L, "new", -1L),
+      (1002L, "near_dup", 500L),
+      (1003L, "new", -1L)))
+  }
+
   test("native simhash64 kernel is bit-exact with the HOF executable spec") {
     // the corpus plus edge cases the kernel must agree on: empty string,
     // trailing/leading spaces (empty tokens), single token
