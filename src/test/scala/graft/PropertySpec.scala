@@ -181,6 +181,41 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("ray-casting contains() matches half-plane reference on convex polygons") {
+    // rectangles (above) only exercise axis-aligned edges; cyclic polygons
+    // (equal radius, increasing angles → convex, CCW in the lon=X/lat=Y
+    // plane) drive arbitrary edge slopes against an independent reference:
+    // a convex CCW polygon contains a point iff every edge cross product
+    // is positive. Points within 1e-7 of an edge line are skipped —
+    // boundary semantics are deliberately unspecified for the ray cast.
+    val gen = for {
+      n    <- Gen.chooseNum(3, 12)
+      cy   <- Gen.chooseNum(-40.0, 40.0)
+      cx   <- Gen.chooseNum(-40.0, 40.0)
+      r    <- Gen.chooseNum(0.5, 10.0)
+      gaps <- Gen.listOfN(12, Gen.chooseNum(0.1, 1.0))
+      dy   <- Gen.chooseNum(-15.0, 15.0)
+      dx   <- Gen.chooseNum(-15.0, 15.0)
+    } yield (n, cy, cx, r, gaps, dy, dx)
+    check(Prop.forAll(gen) { case (n, cy, cx, r, gaps, dy, dx) =>
+      val gs = gaps.take(n)
+      val angles = gs.scanLeft(0.0)(_ + _).init.map(_ * 2 * math.Pi / gs.sum)
+      val ring = angles.map(a => (cy + r * math.sin(a), cx + r * math.cos(a)))
+      val (py, px) = (cy + dy, cx + dx)
+      val crosses = ring.indices.map { i =>
+        val (y1, x1) = ring(i)
+        val (y2, x2) = ring((i + 1) % ring.length)
+        val c = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+        (c, c / math.hypot(x2 - x1, y2 - y1))
+      }
+      if (crosses.exists(t => math.abs(t._2) < 1e-7)) true
+      else {
+        val inside = crosses.forall(_._1 > 0)
+        graft.operators.GeoJoin.contains(ring, py, px) == inside
+      }
+    })
+  }
+
   test("word_ngrams matches sliding-window reference for any string and n") {
     def ref(s: String, n: Int): Seq[String] = {
       val toks = s.split(" ", -1).toSeq
