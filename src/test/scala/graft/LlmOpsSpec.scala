@@ -219,6 +219,20 @@ class LlmOpsSpec extends AnyFunSuite {
       Multimodal.decodeVideoFrames(
         Multimodal.VideoAsset(a0.doc_id, a0.payload.take(40)))
     }
+    // structurally-valid demux but undecodable CONTENT: corrupting the
+    // SOF0 precision byte leaves every segment length intact (the demux
+    // walk still finds the frame boundary) but makes the real decoder
+    // reject the frame — the distinct branch from truncation, which the
+    // demux requires catch before the decoder ever runs
+    val bad = a0.payload.clone()
+    val sof = bad.indices.dropRight(1).find(i =>
+      (bad(i) & 0xFF) == 0xFF && (bad(i + 1) & 0xFF) == 0xC0).get
+    bad(sof + 4) = 0xFF.toByte // baseline JPEG precision must be 8
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.decodeVideoFrames(Multimodal.VideoAsset(a0.doc_id, bad))
+    }
+    assert(e.getMessage.contains(s"undecodable frame 0 for doc ${a0.doc_id}"),
+      e.getMessage)
   }
 
   test("audio decode: real javax.sound parse matches the generator spec") {
