@@ -140,9 +140,15 @@ object Dedup {
     val hotFp = occFp.groupBy("fp").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("fp")
     // per-doc distinct-fp count == distinct-span count modulo in-doc fp
-    // collisions (corrected exactly below)
-    val nFp = occFp.select("doc_id", "fp").distinct()
-      .groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    // collisions (corrected exactly below). Computed LOCALLY: every doc's
+    // fps live in one row before the posexplode, so array_distinct in the
+    // projection replaces a corpus-wide (doc_id, fp) distinct EXCHANGE —
+    // measured at sf0.1 (graft.ShuffleBytes), that exchange was most of
+    // a 422k→766k shuffle-record regression vs the string-assembling
+    // plan this kernel replaced
+    val nFp = base.select(col("doc_id"),
+      size(array_distinct(expr(s"span_fps(nt, $w)")))
+        .cast(LongType).as("n_fp"))
     // only hot occurrences assemble span strings; (doc, fp, span) distinct
     // IS the (doc, span) distinct grain — a span determines its fp
     val hotOcc = occFp.join(hotFp, "fp")
