@@ -18,10 +18,12 @@ object ShuffleBytes {
     for (q <- args.drop(1)) {
       val bytes = new java.util.concurrent.atomic.AtomicLong
       val recs = new java.util.concurrent.atomic.AtomicLong
+      val spill = new java.util.concurrent.atomic.AtomicLong
       val lst = new SparkListener {
         override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
           bytes.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
           recs.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+          spill.addAndGet(s.stageInfo.taskMetrics.diskBytesSpilled)
         }
       }
       spark.sparkContext.addSparkListener(lst)
@@ -29,7 +31,8 @@ object ShuffleBytes {
         .write.mode("overwrite").format("noop").save()
       Thread.sleep(2000) // listener bus drains asynchronously
       spark.sparkContext.removeSparkListener(lst)
-      println(s"## $q shuffle_bytes=${bytes.get} shuffle_records=${recs.get}")
+      println(s"## $q shuffle_bytes=${bytes.get} shuffle_records=${recs.get}" +
+        s" disk_spill=${spill.get}")
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
