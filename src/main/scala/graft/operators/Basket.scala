@@ -32,8 +32,17 @@ object Basket {
   /** Top-k co-purchased part pairs with support and lift. */
   private[graft] val TopPairs = 25
 
-  def coPurchase(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables.lineitem(spark, dir)
+  def coPurchase(spark: SparkSession, dir: String): DataFrame =
+    coPurchaseOf(Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")))
+
+  /** [[coPurchase]] over an arbitrary (l_orderkey, l_partkey) frame —
+    * split out (the *Of discipline) so BasketSpec can plant a
+    * mega-basket: the testdata's largest basket is 17 distinct parts, so
+    * the MaxBasket=32 exclusion is otherwise a dead branch in every
+    * gate. */
+  def coPurchaseOf(lines: DataFrame): DataFrame = {
+    val items = lines
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val sized = items.groupBy("l_orderkey")
       .agg(count(lit(1)).as("basket"))

@@ -38,4 +38,31 @@ class BasketSpec extends AnyFunSuite {
     // supports are ≥ 2 somewhere, so the ranking is data-exercised
     assert(out.head._3 >= 2)
   }
+
+  test("mega-basket is excluded whole from pair expansion AND the counts") {
+    // the testdata's largest basket is 17 distinct parts, so the
+    // MaxBasket=32 cap was a dead branch in every gate — plant one. The
+    // 40-part order must contribute NO pairs, NO item frequencies, and
+    // NOT count in the lift denominator (excluded AND counted out, per
+    // the documented discipline).
+    val spark2 = spark
+    import spark2.implicits._
+    // orders 1..4: the pair (100, 200) co-occurs twice out of 4 small
+    // baskets; order 99 is the 40-part mega-basket sharing part 100
+    val small = Seq(
+      1L -> 100L, 1L -> 200L,
+      2L -> 100L, 2L -> 200L,
+      3L -> 100L, 3L -> 300L,
+      4L -> 400L, 4L -> 500L)
+    val mega = (0 until 40).map(i => 99L -> (1000L + i)) :+ (99L -> 100L)
+    val out = Basket.coPurchaseOf(
+      (small ++ mega).toDF("l_orderkey", "l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // no pair touches the mega-basket's 1000+ parts
+    assert(out.forall(t => t._1 < 1000 && t._2 < 1000))
+    // top pair: (100, 200) support 2; lift = 2 * 4 / (3 * 2) with part
+    // 100's frequency NOT inflated by the excluded order 99
+    assert(out.head === ((100L, 200L, 2L,
+      math.rint(2.0 * 4 / (3 * 2) * 1e6) / 1e6)))
+  }
 }
