@@ -375,11 +375,20 @@ object Behavior {
     * materializes its event list); the path aggregate is map-side
     * combinable and the top-k is TakeOrderedAndProject under a total
     * order, never a global sort of the path dictionary. */
-  def sessionPaths(spark: SparkSession, dir: String): DataFrame = {
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame =
+    sessionPathsOf(Tables.events(spark, dir))
+
+  /** [[sessionPaths]] over an arbitrary (user_id, ts, event_id,
+    * event_type) frame — split out (the *Of discipline) so BehaviorSpec
+    * can plant a session LONGER than [[PathMaxEvents]]: the testdata's
+    * longest session is 3 events, so the rn-cap truncation and the
+    * conversion-from-the-FULL-session rule were otherwise dead branches
+    * in every gate. */
+  def sessionPathsOf(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val us = unix_micros(col("ts"))
-    val marked = Tables.events(spark, dir)
+    val marked = events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("brk",
         when(lag(us, 1).over(wOrd).isNull ||

@@ -405,4 +405,27 @@ class BehaviorSpec extends AnyFunSuite {
     // so the discrimination claim is the non-flagged complement)
     assert(rows.exists(_._5 == 0L), "every day flagged — no discrimination")
   }
+
+  test("session longer than PathMaxEvents: path truncates, conversion doesn't") {
+    // the testdata's longest session is 3 events, so the rn-cap and the
+    // convert-anywhere-in-the-FULL-session rule were dead branches in
+    // every gate. Plant a 12-event session whose only purchase sits at
+    // position 10 — BEYOND the 8-event path head: the path must truncate
+    // to the first 8 types, yet the session must still count converted,
+    // and max_len must report the full 12.
+    import spark.implicits._
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val long = (1 to 12).map(i =>
+      (1L, ts(i), i.toLong, if (i == 10) "purchase" else s"v$i"))
+    val short = Seq((2L, ts(1), 100L, "a"), (2L, ts(2), 101L, "b"))
+    val out = Behavior.sessionPathsOf(
+      (long ++ short).toDF("user_id", "ts", "event_id", "event_type"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    val truncated = (1 to 8).map(i => s"v$i").mkString(">")
+    assert(out.toSet === Set(
+      (truncated, 1L, 1L, 1L, 12L, 1.0),
+      ("a>b", 1L, 1L, 0L, 2L, 0.0)))
+  }
 }
