@@ -21,15 +21,28 @@ object ShuffleBytes {
       val spill = new java.util.concurrent.atomic.AtomicLong
       val lst = new SparkListener {
         override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
-          bytes.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-          recs.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
-          spill.addAndGet(s.stageInfo.taskMetrics.diskBytesSpilled)
+          // Retried stage attempts would double-count the attempt-0 writes;
+          // in local mode attempt 0 is the only one that runs to completion.
+          if (s.stageInfo.attemptNumber() == 0) {
+            bytes.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+            recs.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+            spill.addAndGet(s.stageInfo.taskMetrics.diskBytesSpilled)
+          }
         }
       }
       spark.sparkContext.addSparkListener(lst)
       SparkEntry.queries(q)(spark, sf)
         .write.mode("overwrite").format("noop").save()
-      Thread.sleep(2000) // listener bus drains asynchronously
+      // The listener bus drains asynchronously; a fixed sleep under-counts on
+      // a slow window. Poll until two consecutive reads (250 ms apart) agree,
+      // bounded at 15 s — by then the post-action event queue is long gone.
+      var prev = (-1L, -1L, -1L)
+      var waited = 0L
+      while (prev != ((bytes.get, recs.get, spill.get)) && waited < 15000) {
+        prev = (bytes.get, recs.get, spill.get)
+        Thread.sleep(250)
+        waited += 250
+      }
       spark.sparkContext.removeSparkListener(lst)
       println(s"## $q shuffle_bytes=${bytes.get} shuffle_records=${recs.get}" +
         s" disk_spill=${spill.get}")

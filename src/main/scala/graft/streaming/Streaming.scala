@@ -484,10 +484,11 @@ object Streaming {
     * a CONCURRENT deleter: two JVMs (bench + verify side by side) can both
     * enter the marker-less-residue branch and delete the same tree, so
     * entries may vanish between the walk and the delete —
-    * Files.walk/deleteIfExists then throw NoSuchFileException (possibly
-    * wrapped in UncheckedIOException) or DirectoryNotEmptyException.
-    * Those races all mean "someone else is emptying this tree"; retry a
-    * bounded number of times and stop as soon as the root is gone. */
+    * Files.walk/deleteIfExists then throw a FileSystemException
+    * (NoSuchFile, DirectoryNotEmpty, ...), either directly or wrapped in
+    * UncheckedIOException by the walk stream. Those races all mean
+    * "someone else is emptying this tree"; retry a bounded number of
+    * times (same rule wrapped or not) and stop once the root is gone. */
   private def deleteTree(root: java.nio.file.Path): Unit = {
     var attempt = 0
     var done = false
@@ -504,13 +505,14 @@ object Streaming {
         }
         done = true
       } catch {
-        case e @ (_: java.nio.file.NoSuchFileException |
-                  _: java.nio.file.DirectoryNotEmptyException) =>
+        // One rule for both shapes (NoSuchFile/DirectoryNotEmpty are
+        // FileSystemException subclasses): a filesystem race retries
+        // bounded whether Files threw it directly or wrapped it in
+        // UncheckedIOException — then rethrows, so nothing is swallowed.
+        case e: java.nio.file.FileSystemException =>
           if (attempt >= 5) throw e
         case e: java.io.UncheckedIOException
-            if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] ||
-               e.getCause.isInstanceOf[java.nio.file.DirectoryNotEmptyException] ||
-               e.getCause.isInstanceOf[java.nio.file.FileSystemException] =>
+            if e.getCause.isInstanceOf[java.nio.file.FileSystemException] =>
           if (attempt >= 5) throw e
       }
     }
