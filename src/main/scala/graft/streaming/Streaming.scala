@@ -535,6 +535,21 @@ object Streaming {
     * a one-file landing shows 1 here and fails the spec). */
   @volatile var lastRunDataBatches: Int = -1
 
+  /** State-store footprint of one completed `runToMemory` execution:
+    * the MAX across its micro-batches of (sum over state operators of)
+    * numRowsTotal / memoryUsedBytes, straight from StreamingQueryProgress.
+    * Zero operators (a stateless gate like streamCurate) reads 0/0 —
+    * itself a measured claim. */
+  final case class RunStateStats(sink: String, dataBatches: Int,
+                                 maxStateRows: Long, maxStateBytes: Long)
+
+  /** Append-only log of per-run state footprints, newest last. Dev
+    * instruments (graft.StateBytes) clear it before a query and read it
+    * after, so queries that launch several streaming runs internally
+    * report every run, not just the last. Bounded by the handful of
+    * runToMemory calls a single catalog query makes. */
+  @volatile var runStateLog: List[RunStateStats] = Nil
+
   /** State-store sizing knob: streaming state lives in ONE store instance
     * per shuffle partition and every micro-batch commits every instance,
     * so at small per-key state volumes the commit constant dominates and
@@ -568,9 +583,27 @@ object Streaming {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      lastRunDataBatches = q.recentProgress.count(_.numInputRows > 0)
+      recordRunState(q, name)
       df.sparkSession.table(name)
     }
+
+  /** Shared post-run bookkeeping for every completed streaming query:
+    * batch count for the multi-batch spec pin, state footprint for the
+    * graft.StateBytes instrument. */
+  private def recordRunState(
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      name: String): Unit = {
+    val progs = q.recentProgress
+    lastRunDataBatches = progs.count(_.numInputRows > 0)
+    val rows =
+      if (progs.isEmpty) 0L
+      else progs.map(_.stateOperators.map(_.numRowsTotal).sum).max
+    val bytes =
+      if (progs.isEmpty) 0L
+      else progs.map(_.stateOperators.map(_.memoryUsedBytes).sum).max
+    runStateLog = runStateLog :+
+      RunStateStats(name, lastRunDataBatches, rows, bytes)
+  }
 
   /** Stage the documents table into its own landing directory (separate
     * from the events landing — a file-stream source reads every file in
@@ -716,6 +749,7 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    recordRunState(q, "graft_stream_sink_files")
     spark.read.parquet(out)
       // partition-column type inference may read `day` back as DATE
       .select(col("day").cast("string").as("day"),

@@ -412,4 +412,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq,
       "incremental greedy state diverged from the batch min()-chain")
   }
+
+  test("runStateLog measures state: keyed run bounded by key domain, " +
+    "stateless gate reads zero") {
+    // the graft.StateBytes instrument's contract, pinned: a keyed-state
+    // run reports >0 state rows bounded by its key domain (one state
+    // entry per user for the running-totals mapGroupsWithState)…
+    Streaming.runStateLog = Nil
+    SparkEntry.queries("q_stream_totals")(spark, sf).collect()
+    val keyed = Streaming.runStateLog
+    assert(keyed.nonEmpty, "streaming run must log its state footprint")
+    val tot = keyed.last
+    assert(tot.maxStateRows > 0 && tot.maxStateBytes > 0,
+      s"keyed state must be visible to the instrument, got $tot")
+    val users = Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(tot.maxStateRows <= users,
+      s"state rows ${tot.maxStateRows} must be bounded by the " +
+        s"$users-user key domain")
+    // …and the deliberately stateless ingest gate measures EXACTLY zero
+    // (the "no state store" design claim, as a number)
+    Streaming.runStateLog = Nil
+    SparkEntry.queries("q_stream_curate")(spark, sf).collect()
+    val gate = Streaming.runStateLog
+    assert(gate.nonEmpty && gate.last.maxStateRows === 0L &&
+      gate.last.maxStateBytes === 0L,
+      s"stateless gate must read 0/0, got ${gate.lastOption}")
+  }
 }
