@@ -32,6 +32,16 @@ class PlanSpec extends AnyFunSuite {
   private def nodeCount(p: String, op: String): Int =
     p.linesIterator.count(_.matches(s"""\\(\\d+\\) $op.*"""))
 
+  test("range join and cbind plan ZERO shuffle exchanges (measured-zero pins)") {
+    // the r14 ShuffleBytes audit measured 0 bytes / 0 records for both
+    // keys at sf0.1; these pins keep that claim held (BroadcastExchange
+    // is allowed — a broadcast build side is not a shuffle)
+    for (q <- Seq("q_range_join", "q_cbind")) {
+      val p = plan(q)
+      assert(nodeCount(p, "Exchange") === 0, s"$q\n$p")
+    }
+  }
+
   test("session paths: one user exchange serves all windows, top-k no sort") {
     val p = plan("q_session_paths")
     assert(p.contains("TakeOrderedAndProject"), p)
