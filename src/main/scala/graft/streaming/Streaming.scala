@@ -787,7 +787,18 @@ object Streaming {
     // watermark and matching pairs would be dropped. Trigger.AvailableNow
     // bounds the run, so the wide delay costs state (both sides
     // buffered), not an unbounded stream.
-    val src = eventsStream(spark, dir)
+    val joined = streamRangeJoinOf(eventsStream(spark, dir), delay)
+    runToMemory(joined, "graft_stream_range", OutputMode.Append())
+      .orderBy("user_id", "click_id", "purchase_ts")
+  }
+
+  /** The join shape of [[streamRangeJoin]] over a caller-supplied event
+    * source — the *Of delegation variant that lets specs drive
+    * MemoryStream waves through the PRODUCTION plan (watermark-driven
+    * state eviction is unobservable on the single-batch file landing:
+    * AvailableNow ends before any second watermark update). `src` needs
+    * (ts, user_id, event_type, event_id). */
+  def streamRangeJoinOf(src: DataFrame, delay: String): DataFrame = {
     val clicks = src
       .filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
@@ -797,13 +808,11 @@ object Streaming {
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
       .withWatermark("purchase_ts", delay)
-    val joined = clicks.join(purchases,
+    clicks.join(purchases,
         col("user_id") === col("p_user") &&
         col("click_ts") >= col("purchase_ts") &&
         col("click_ts") < col("purchase_ts") + expr("INTERVAL 1 DAY"))
       .select("user_id", "click_id", "click_ts", "purchase_ts")
-    runToMemory(joined, "graft_stream_range", OutputMode.Append())
-      .orderBy("user_id", "click_id", "purchase_ts")
   }
 
   /** Streaming drift monitor — the continuous form of

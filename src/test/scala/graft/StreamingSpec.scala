@@ -238,6 +238,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.filter(col("is_shift") === 1L).count() > 0)
   }
 
+  test("interval-join state EVICTS once the watermark passes (measured)") {
+    // The 100 TB claim behind q_stream_range's 16 MB StateBytes row is
+    // not "state is big but bounded" — it is that buffered rows are
+    // REMOVED once the opposite watermark passes them, so state tracks
+    // rate × horizon, not stream length. The AvailableNow file landing
+    // can never show that (one batch, one watermark update), so this
+    // drives MemoryStream waves through the production join shape
+    // (streamRangeJoinOf) with a 1-hour delay and reads state rows from
+    // StreamingQueryProgress after each wave.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val src = mem.toDF()
+      .withColumn("event_id",
+        (col("user_id") * 1000 + hour(col("ts"))).cast("long"))
+    val joined = Streaming.streamRangeJoinOf(src, "1 hour")
+    val q = joined.writeStream.format("memory").queryName("evict_test")
+      .outputMode("append").start()
+    def stateRows: Long =
+      q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    try {
+      // wave 1: three users, purchase + in-window click each — all six
+      // rows must sit in the two-sided join state
+      mem.addData(
+        Event(ts("2024-01-01 10:00:00"), 1L, "purchase", 10.0),
+        Event(ts("2024-01-01 12:00:00"), 1L, "click", 1.0),
+        Event(ts("2024-01-01 10:30:00"), 4L, "purchase", 5.0),
+        Event(ts("2024-01-01 11:00:00"), 4L, "click", 1.0),
+        Event(ts("2024-01-01 09:00:00"), 6L, "purchase", 2.0),
+        Event(ts("2024-01-01 09:30:00"), 6L, "click", 1.0))
+      q.processAllAvailable()
+      val peak = stateRows
+      assert(peak === 6L, s"all six wave-1 rows must be buffered, got $peak")
+      assert(spark.table("evict_test").count() === 3L,
+        "each user's in-window pair emits once")
+      // wave 2: BOTH sides jump 4 days ahead — the global watermark is
+      // the min across the two watermark nodes, so both must advance
+      // before anything can evict (this batch still runs on the old
+      // watermark: no eviction yet)
+      mem.addData(
+        Event(ts("2024-01-05 02:00:00"), 2L, "click", 1.0),
+        Event(ts("2024-01-05 01:00:00"), 3L, "purchase", 3.0))
+      q.processAllAvailable()
+      // wave 3: one more pair, a batch that RUNS with the advanced
+      // watermark — Jan 5 00:00 is past every wave-1 eviction bound
+      // (clicks: wm > click_ts; purchases: wm > purchase_ts + 1 day)
+      mem.addData(
+        Event(ts("2024-01-05 05:00:00"), 5L, "purchase", 7.0),
+        Event(ts("2024-01-05 06:00:00"), 5L, "click", 1.0))
+      q.processAllAvailable()
+      val after = stateRows
+      assert(after < peak,
+        s"wave-1 state must evict under the advanced watermark " +
+          s"(peak $peak, after $after)")
+      assert(after <= 4L,
+        s"only the four wave-2/3 rows may remain, got $after")
+      assert(spark.table("evict_test").count() === 4L,
+        "the post-eviction pair must still emit — eviction is cleanup, " +
+          "not data loss")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join reproduces the batch range join") {
     val got = Streaming.streamRangeJoin(spark, sf)
     val expect = graft.operators.RangeJoin.query(spark, sf)
