@@ -300,6 +300,89 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedup state EVICTS at the horizon; a post-horizon duplicate " +
+    "re-emits (the within-watermark contract, measured)") {
+    // dropDuplicatesWithinWatermark's 100 TB story: per-hash state lives
+    // ONE horizon, so memory tracks rate × horizon — and the flip side
+    // of that bound is semantic, not just spatial: a duplicate arriving
+    // AFTER its key expired is a NEW document by contract. Both halves
+    // measured here through the production dedupStream with a 1-hour
+    // delay.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streaming.Doc]
+    val q = Streaming.dedupStream(mem.toDS(), "1 hour").toDF()
+      .writeStream.format("memory").queryName("dedup_evict_test")
+      .outputMode("append").start()
+    def stateRows: Long =
+      q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    def emitted: Long = spark.table("dedup_evict_test").count()
+    try {
+      // wave 1: two hashes + an in-horizon duplicate of the first —
+      // the duplicate is suppressed and adds no state
+      mem.addData(
+        Streaming.Doc(ts("2024-01-01 10:00:00"), 1L, 111L),
+        Streaming.Doc(ts("2024-01-01 10:10:00"), 2L, 222L),
+        Streaming.Doc(ts("2024-01-01 10:20:00"), 3L, 111L))
+      q.processAllAvailable()
+      assert(emitted === 2L, "in-horizon duplicate must be suppressed")
+      val peak = stateRows
+      assert(peak === 2L, s"one state row per surviving hash, got $peak")
+      // wave 2 advances the watermark 3 days; wave 3 RUNS under it —
+      // both wave-1 hashes are then past their 1-hour lifetime
+      mem.addData(Streaming.Doc(ts("2024-01-04 10:00:00"), 4L, 333L))
+      q.processAllAvailable()
+      mem.addData(Streaming.Doc(ts("2024-01-04 10:05:00"), 5L, 444L))
+      q.processAllAvailable()
+      val after = stateRows
+      assert(after < peak + 2,
+        s"expired hashes must leave the store (peak $peak + 2 young, " +
+          s"got $after)")
+      assert(emitted === 4L)
+      // the semantics half: hash 111 again, long past its horizon —
+      // it must EMIT (state was evicted, so this is a new key by the
+      // within-watermark contract; a global-dedup reading would be wrong)
+      mem.addData(Streaming.Doc(ts("2024-01-04 10:10:00"), 6L, 111L))
+      q.processAllAvailable()
+      assert(emitted === 5L,
+        "post-horizon duplicate must re-emit — expiry is the contract, " +
+          "not a leak")
+    } finally q.stop()
+  }
+
+  test("windowed-agg state drops closed windows (measured)") {
+    // windowedCounts documents "state dropped 2 hours past the
+    // watermark"; this measures it: hour-10 buckets must leave the store
+    // once the watermark passes their close. State grain = open window
+    // buckets, never the stream.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streaming.startToMemory(mem.toDF(), "win_evict_test")
+    def stateRows: Long =
+      q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    try {
+      mem.addData(
+        Event(ts("2024-01-01 10:05:00"), 1L, "click", 1.0),
+        Event(ts("2024-01-01 10:15:00"), 2L, "view", 2.0),
+        Event(ts("2024-01-01 10:25:00"), 3L, "click", 3.0))
+      q.processAllAvailable()
+      val peak = stateRows
+      assert(peak === 2L,
+        s"hour-10 holds (click, view) buckets only, got $peak")
+      // jump to hour 20 (watermark 18:00 ≫ hour-10 close + 2h), then one
+      // more batch that runs under the advanced watermark
+      mem.addData(Event(ts("2024-01-01 20:05:00"), 4L, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(ts("2024-01-01 20:10:00"), 5L, "view", 1.0))
+      q.processAllAvailable()
+      val after = stateRows
+      assert(after === 2L,
+        s"only hour-20's two buckets may remain — hour-10 must be " +
+          s"dropped, got $after")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join reproduces the batch range join") {
     val got = Streaming.streamRangeJoin(spark, sf)
     val expect = graft.operators.RangeJoin.query(spark, sf)
