@@ -547,8 +547,20 @@ object Streaming {
     * instruments (graft.StateBytes) clear it before a query and read it
     * after, so queries that launch several streaming runs internally
     * report every run, not just the last. Bounded by the handful of
-    * runToMemory calls a single catalog query makes. */
-  @volatile var runStateLog: List[RunStateStats] = Nil
+    * runToMemory calls a single catalog query makes. Backed by a
+    * concurrent queue: appends from streaming runs completing in
+    * parallel (the 7-way-parallel Verify mode, parallel specs) must
+    * each land — a `var list = list :+ x` read-modify-write would lose
+    * entries under that race. */
+  private val runStateQueue =
+    new java.util.concurrent.ConcurrentLinkedQueue[RunStateStats]()
+  def runStateLog: List[RunStateStats] = {
+    import scala.jdk.CollectionConverters._
+    runStateQueue.asScala.toList
+  }
+  def runStateLog_=(v: List[RunStateStats]): Unit = {
+    runStateQueue.clear(); v.foreach(runStateQueue.add)
+  }
 
   /** State-store sizing knob: streaming state lives in ONE store instance
     * per shuffle partition and every micro-batch commits every instance,
@@ -566,7 +578,20 @@ object Streaming {
     val before = spark.conf.get(key)
     val want = spark.conf.getOption("graft.stream.shufflePartitions")
     want.foreach(spark.conf.set(key, _))
-    try f finally spark.conf.set(key, before)
+    // recentProgress defaults to a 100-entry ring; a run with more
+    // micro-batches would silently under-report the batch-count pin and
+    // the state peak recordRunState derives from it. Catalog landings are
+    // well under 100 files, but the instrument must not depend on that.
+    val progKey = "spark.sql.streaming.numRecentProgressUpdates"
+    val progBefore = spark.conf.getOption(progKey)
+    spark.conf.set(progKey, "10000")
+    try f finally {
+      spark.conf.set(key, before)
+      progBefore match {
+        case Some(v) => spark.conf.set(progKey, v)
+        case None    => spark.conf.unset(progKey)
+      }
+    }
   }
 
   /** Run a streaming frame to completion (AvailableNow) into a uniquely
@@ -594,15 +619,18 @@ object Streaming {
       q: org.apache.spark.sql.streaming.StreamingQuery,
       name: String): Unit = {
     val progs = q.recentProgress
-    lastRunDataBatches = progs.count(_.numInputRows > 0)
+    // Derived locally then published: under concurrent run completion the
+    // shared lastRunDataBatches pin could be overwritten between a write
+    // and a read, but each queue entry must carry ITS run's batch count.
+    val batches = progs.count(_.numInputRows > 0)
+    lastRunDataBatches = batches
     val rows =
       if (progs.isEmpty) 0L
       else progs.map(_.stateOperators.map(_.numRowsTotal).sum).max
     val bytes =
       if (progs.isEmpty) 0L
       else progs.map(_.stateOperators.map(_.memoryUsedBytes).sum).max
-    runStateLog = runStateLog :+
-      RunStateStats(name, lastRunDataBatches, rows, bytes)
+    runStateQueue.add(RunStateStats(name, batches, rows, bytes))
   }
 
   /** Stage the documents table into its own landing directory (separate

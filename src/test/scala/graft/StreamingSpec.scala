@@ -584,4 +584,24 @@ class StreamingSpec extends AnyFunSuite {
       gate.last.maxStateBytes === 0L,
       s"stateless gate must read 0/0, got ${gate.lastOption}")
   }
+
+  test("runStateLog is append-safe under concurrent run completion") {
+    // Two streaming queries driven from separate threads (the 7-way
+    // parallel Verify mode's shape): every completed run must land its
+    // own log entry — the pre-r15 `var list = list :+ x` read-modify-
+    // write could lose one when completions interleaved.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Streaming.runStateLog = Nil
+    val fa = Future(SparkEntry.queries("q_stream_totals")(spark, sf).collect())
+    val fb = Future(SparkEntry.queries("q_stream_curate")(spark, sf).collect())
+    Await.result(fa, 5.minutes); Await.result(fb, 5.minutes)
+    val sinks = Streaming.runStateLog.map(_.sink)
+    assert(sinks.exists(_.startsWith("graft_stream_totals")),
+      s"totals run entry missing from $sinks")
+    assert(sinks.exists(_.startsWith("graft_stream_curate")),
+      s"curate run entry missing from $sinks")
+    assert(sinks.size >= 2, s"both concurrent runs must log, got $sinks")
+  }
 }
