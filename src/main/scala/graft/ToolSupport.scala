@@ -262,7 +262,15 @@ object ToolSupport {
     "subsr_dd" -> "sb",
     // r11 addition, pre-floored at 2 chars (no earlier rule touches
     // "span_mask" — verified with tools/benchkey.py)
-    "span_mask" -> "s4")
+    "span_mask" -> "s4",
+    // r15 addition, the judge-granted wire key ("dedup"->"dd" has folded
+    // suffix_dedup to suffix_dd by this point; no other registered name
+    // contains that fragment — verified with tools/benchkey.py, all 178
+    // pre-r15 keys byte-identical). Single-char because the 178-key model
+    // sat at 1871/1880: a 1-char entry costs exactly the 9 remaining
+    // chars, keeping the ToolSupportSpec bound with the driver's ~40-char
+    // real edge behind it.
+    "suffix_dd" -> "x")
 
   def benchKey(name: String): String =
     benchKeySubs.foldLeft(name.stripPrefix("q_")) {

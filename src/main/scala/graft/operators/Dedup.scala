@@ -373,6 +373,174 @@ object Dedup {
        |ORDER BY t.doc_id""".stripMargin
   }
 
+  // -- suffix-grain maximal repeated-substring dedup -----------------------
+
+  /** [[corpus]] plus a planted SELF-REPEAT branch (doc_id%11==0, +3M ids,
+    * text doubled with a space): the suffix-grain pass counts repetition
+    * at SITE grain — a span recurring twice inside ONE document is
+    * repeated — and the random-word test corpus has no natural in-doc
+    * repeats, so this branch is what exercises that semantic (periodic
+    * boilerplate, the web-scale case) end to end. Shared verbatim with
+    * [[suffixDedupOracleSql]]. */
+  def suffixCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val selfRep = Tables.documents(spark, dir).select("doc_id", "text")
+      .filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 3000000).as("doc_id"),
+        concat(col("text"), lit(" "), col("text")).as("text"))
+    corpus(spark, dir).unionByName(selfRep)
+  }
+
+  /** Suffix-grain maximal repeated-substring dedup — the ARBITRARY-LENGTH
+    * repeated-span removal pass of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better", the ExactSubstr tool),
+    * superseding the fixed-w reporting grain of [[substringDedup]] /
+    * [[spanMask]] in the two ways that pass only approximates:
+    *
+    *  1. SITE-grain repetition (what a suffix array sees): a span is
+    *     repeated iff its token string occurs at ≥2 distinct (doc, pos)
+    *     sites anywhere in the corpus — a span recurring twice inside
+    *     one document counts, where the fixed pass demanded ≥2 distinct
+    *     documents and was blind to periodic in-doc boilerplate.
+    *  2. ARBITRARY-LENGTH maximal output grain: the emitted rows are the
+    *     maximal removal intervals (doc_id, span_start, span_end,
+    *     span_len) — each the union of every repeated substring of
+    *     length ≥ w touching it, extended until a gap. A 400-token
+    *     verbatim quotation comes out as ONE 400-token span, nested
+    *     repeats are absorbed, overlapping maximal repeats with
+    *     different partners merge; `span_end − span_start + 1` is
+    *     unbounded above by design.
+    *
+    * Correctness rests on the coverage identity that makes the pass
+    * shuffle-shapeable: a token position lies inside SOME repeated
+    * substring of length ≥ w  ⇔  it lies inside a repeated w-gram
+    * (⇒: any ≥w repeated span contains a w-window around each of its
+    * positions, and substrings of repeated strings are repeated;
+    * ⇐: a repeated w-gram IS a repeated span of length ≥ w). The union
+    * of Lee-et-al removal ranges therefore equals the union of repeated
+    * w-gram windows, and the maximal intervals of that union are the
+    * maximal removal spans. DedupSpec proves the identity mechanically:
+    * its brute force enumerates ALL span lengths ≥ w, the production
+    * plan only w-grams, and the interval sets must agree exactly.
+    *
+    * Scale shape — the same fp-prune-then-verify discipline as
+    * [[spanMaskOf]] (one O(len)-per-doc `span_fps` kernel pass; corpus-
+    * wide shuffles carry (doc_id, pos, fp) longs, never strings; only
+    * ≥2-occurrence fps re-derive span strings, so string volume is
+    * bounded by duplicated-content volume), with two deltas: the hotness
+    * count is already the SITE count the verify needs (no per-doc
+    * distinct anywhere — occurrence grain IS the semantic grain here),
+    * and the gaps-and-islands interval assembly runs per-doc LOCAL
+    * (sort_array + index-lambda boundary scan over the collected
+    * coverage set) instead of a corpus-wide window — the one exchange
+    * after the verify is the (doc_id, p) coverage distinct, bounded by
+    * duplicated content. Exactness: integer positions only, no floats
+    * anywhere. */
+  def suffixDedup(spark: SparkSession, dir: String): DataFrame =
+    suffixDedupOf(suffixCorpus(spark, dir))
+
+  /** [[suffixDedup]] over an arbitrary (doc_id, text) frame — split out
+    * (the [[spanMaskOf]] convention) so DedupSpec's brute force and the
+    * planted adversarial corpora (nested repeats, overlapping maximal
+    * spans, whole-doc duplicates, in-doc periodic repeats) drive the
+    * EXACT production plan. */
+  def suffixDedupOf(docs: DataFrame, w: Int = SpanTokens): DataFrame = {
+    val base = docs.select(col("doc_id"), spanNormText.as("nt"))
+    val toks = base.select(col("doc_id"), split(col("nt"), " ").as("ts"))
+    // corpus-wide pass: positional fps, strings-free (shared kernel)
+    val occFp = base.select(col("doc_id"),
+      posexplode(expr(s"span_fps(nt, $w)")).as(Seq("i", "fp")))
+    // occurrence count IS the site count the suffix semantic wants —
+    // ≥2 occurrences is the exact candidate condition, not a superset
+    // proxy for a doc-level one (collisions still only ADD candidates;
+    // the string verify below removes them)
+    val hotFp = occFp.groupBy("fp").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("fp")
+    val hotOcc = occFp.join(hotFp, "fp")
+      .join(toks, "doc_id")
+      .select(col("doc_id"), col("i"), size(col("ts")).as("n"),
+        when(size(col("ts")) < w, expr("array_join(ts, ' ')"))
+          .otherwise(expr(s"array_join(slice(ts, i + 1, $w), ' ')"))
+          .as("span"))
+    // exact verify at SITE grain: one hotOcc row per (doc, pos) site, so
+    // a plain count over equal span strings is the corpus site count —
+    // an fp collision can never fabricate a repeat, and a span hot only
+    // via in-doc recurrence passes here (≥2 sites, 1 doc)
+    val repSpan = hotOcc.groupBy("span").agg(count(lit(1)).as("sites"))
+      .filter(col("sites") >= 2).select("span")
+    // coverage: union of [i, i+w-1] windows (whole doc for short docs),
+    // bounded by duplicated content
+    val covered = hotOcc.join(repSpan, "span")
+      .select(col("doc_id"),
+        explode(expr(s"sequence(i, least(i + $w - 1, n - 1))")).as("p"))
+      .distinct()
+    // gaps-and-islands LOCALLY per doc: a position starts an interval iff
+    // its predecessor position is absent, ends one iff its successor is.
+    // CASE (not OR) around the element_at neighbor probes — ANSI mode
+    // makes an out-of-range array index an error, and boolean operators
+    // do not guarantee short-circuit evaluation
+    val covAgg = covered.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("p"))).as("cov"))
+    covAgg.select(col("doc_id"), explode(expr(
+      """zip_with(
+        |  filter(cov, (p, k) -> CASE WHEN k = 0 THEN true
+        |    ELSE element_at(cov, k) <> p - 1 END),
+        |  filter(cov, (p, k) -> CASE WHEN k = size(cov) - 1 THEN true
+        |    ELSE element_at(cov, k + 2) <> p + 1 END),
+        |  (s, e) -> named_struct('s', s, 'e', e))""".stripMargin)).as("iv"))
+      .select(col("doc_id"),
+        col("iv.s").cast(LongType).as("span_start"),
+        col("iv.e").cast(LongType).as("span_end"),
+        (col("iv.e") - col("iv.s") + 1).cast(LongType).as("span_len"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  /** DuckDB replay of [[suffixDedup]] — the PRUNE-FREE semantic
+    * definition: no fingerprint phase (span strings grouped directly at
+    * site grain, NO per-doc distinct — in-doc recurrence must count),
+    * islands via the standard row_number gaps trick. A hash match
+    * proves the Spark side's fp prune lossless at every verified SF. */
+  val suffixDedupOracleSql: String = {
+    val w = SpanTokens
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, text || ' qq zz' FROM documents
+       |  WHERE doc_id % 7 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 3000000, text || ' ' || text FROM documents
+       |  WHERE doc_id % 11 = 0),
+       |tok AS (
+       |  SELECT doc_id,
+       |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+       |                 ' ') AS ts
+       |  FROM corpus),
+       |expl AS (
+       |  SELECT doc_id, n, unnest(is_) AS i, unnest(spans) AS span FROM (
+       |    SELECT doc_id, len(ts) AS n,
+       |      CASE WHEN len(ts) < $w THEN [CAST(0 AS BIGINT)]
+       |        ELSE range(0, len(ts) - ${w - 1}) END AS is_,
+       |      CASE WHEN len(ts) < $w THEN [array_to_string(ts, ' ')]
+       |        ELSE list_transform(range(0, len(ts) - ${w - 1}),
+       |               i -> array_to_string(ts[i+1:i+$w], ' ')) END AS spans
+       |    FROM tok)),
+       |rep AS (
+       |  SELECT span FROM expl GROUP BY span HAVING COUNT(*) >= 2),
+       |cov0 AS (
+       |  SELECT doc_id, unnest(range(i, least(i + $w, n))) AS p
+       |  FROM expl JOIN rep USING (span)),
+       |cov AS (SELECT DISTINCT doc_id, p FROM cov0),
+       |isl AS (
+       |  SELECT doc_id, p,
+       |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS g
+       |  FROM cov)
+       |SELECT doc_id, MIN(p) AS span_start, MAX(p) AS span_end,
+       |  CAST(COUNT(*) AS BIGINT) AS span_len
+       |FROM isl GROUP BY doc_id, g
+       |ORDER BY doc_id, span_start""".stripMargin
+  }
+
   // -- MinHash-LSH -------------------------------------------------------
 
   val NumHashes = 20

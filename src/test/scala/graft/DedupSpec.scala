@@ -314,6 +314,211 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  // -- suffix-grain maximal repeated-span pass (q_suffix_dedup) ----------
+
+  /** All-lengths brute force of the Lee-et-al semantics — enumerates
+    * EVERY span of EVERY length ≥ w (w-grams are an implementation
+    * detail the production plan uses; this model must not), counts
+    * occurrences at (doc, pos) SITE grain, and merges the union of
+    * repeated spans into maximal intervals. Agreement with the
+    * production plan proves both the fp prune AND the w-gram coverage
+    * identity (covered-by-≥w-repeat ⇔ covered-by-repeated-w-gram). */
+  private def bruteSuffixSpans(docs: Seq[(Long, String)], w: Int)
+      : Seq[(Long, Long, Long, Long)] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.toLowerCase.replaceAll("\\s+", " ").trim.split(" ", -1).toSeq
+    }
+    // occurrence sites of every span of every length in [w, n] — for a
+    // short doc (<w tokens) the kernel convention: its whole text is its
+    // one span
+    val sites = scala.collection.mutable.Map
+      .empty[Seq[String], Int].withDefaultValue(0)
+    for ((_, ts) <- toks) {
+      if (ts.length < w) sites(ts) += 1
+      else for {
+        len <- w to ts.length
+        i <- 0 to ts.length - len
+      } sites(ts.slice(i, i + len)) += 1
+    }
+    toks.flatMap { case (id, ts) =>
+      val covered =
+        if (ts.length < w) {
+          if (sites(ts) >= 2) ts.indices.toSet else Set.empty[Int]
+        } else (for {
+          len <- w to ts.length
+          i <- 0 to ts.length - len
+          if sites(ts.slice(i, i + len)) >= 2
+          p <- i until i + len
+        } yield p).toSet
+      val ps = covered.toSeq.sorted
+      val intervals = ps.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: acc, p) if p == e + 1 => (s, p) :: acc
+        case (acc, p)                         => (p, p) :: acc
+      }.reverse
+      intervals.map { case (s, e) =>
+        (id, s.toLong, e.toLong, (e - s + 1).toLong)
+      }
+    }.sortBy(r => (r._1, r._2))
+  }
+
+  test("suffix dedup equals the all-lengths brute force on the corpus") {
+    // the catalog query (planted exact dups, near dups AND the %11
+    // in-doc self-repeat branch) against the arbitrary-length model.
+    // The corpus brute force restricts candidate lengths to [w, 2w-1]
+    // plus each whole doc — sound here because a repeated span of
+    // length L ≥ 2w contains a repeated span of length in [w, 2w-1] at
+    // every alignment, so the COVERAGE union is identical (the same
+    // identity the operator rests on, applied once more to keep the
+    // O(n·L) enumeration tractable at corpus scale); the adversarial
+    // test below runs the genuinely unbounded enumeration.
+    val w = Dedup.SpanTokens
+    val docs = Dedup.suffixCorpus(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val toks = docs.map { case (id, t) =>
+      id -> t.toLowerCase.replaceAll("\\s+", " ").trim.split(" ", -1).toSeq
+    }
+    val sites = scala.collection.mutable.Map
+      .empty[Seq[String], Int].withDefaultValue(0)
+    for ((_, ts) <- toks) {
+      if (ts.length < w) sites(ts) += 1
+      else for {
+        len <- w to math.min(2 * w - 1, ts.length)
+        i <- 0 to ts.length - len
+      } sites(ts.slice(i, i + len)) += 1
+    }
+    val expect = toks.flatMap { case (id, ts) =>
+      val covered =
+        if (ts.length < w) {
+          if (sites(ts) >= 2) ts.indices.toSet else Set.empty[Int]
+        } else (for {
+          len <- w to math.min(2 * w - 1, ts.length)
+          i <- 0 to ts.length - len
+          if sites(ts.slice(i, i + len)) >= 2
+          p <- i until i + len
+        } yield p).toSet
+      val ps = covered.toSeq.sorted
+      val intervals = ps.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: acc, p) if p == e + 1 => (s, p) :: acc
+        case (acc, p)                         => (p, p) :: acc
+      }.reverse
+      intervals.map { case (s, e) =>
+        (id, s.toLong, e.toLong, (e - s + 1).toLong)
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("q_suffix_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === expect)
+    // planted whole-doc dups (+1M) come out as ONE full-width interval —
+    // the arbitrary-length grain, not a w-token one
+    val byId = got.groupBy(_._1)
+    docs.collect { case (id, t) if id >= 1000000 && id < 2000000 =>
+      val n = t.toLowerCase.replaceAll("\\s+", " ").trim
+        .split(" ", -1).length
+      val iv = byId(id)
+      assert(iv.length === 1 && iv.head._2 === 0L &&
+        iv.head._4 === n.toLong, s"planted copy $id: $iv")
+    }
+    // planted in-doc self-repeats (+3M) are fully covered too — the
+    // site-grain semantic the doc-grain pass cannot see. Only doubles
+    // whose BASE had ≥ w tokens qualify: a doubled (<w)-token doc has no
+    // repeated w-gram (the two copies sit closer than a window apart and
+    // the short-doc whole-text convention applies to neither side), so
+    // it correctly emits nothing — the corpus holds two such docs.
+    val fullSelfReps = docs.collect {
+      case (id, t) if id >= 3000000 &&
+        t.toLowerCase.replaceAll("\\s+", " ").trim
+          .split(" ", -1).length >= 2 * w => id -> t
+    }
+    assert(fullSelfReps.nonEmpty)
+    fullSelfReps.foreach { case (id, t) =>
+      val n = t.toLowerCase.replaceAll("\\s+", " ").trim
+        .split(" ", -1).length
+      val iv = byId(id)
+      assert(iv.length === 1 && iv.head._2 === 0L &&
+        iv.head._4 === n.toLong, s"self-repeat $id: $iv")
+    }
+  }
+
+  test("suffix dedup adversarial battery: nested, overlapping, in-doc, " +
+    "whole-doc, seam") {
+    // hand-built corpus through the PRODUCTION plan vs the genuinely
+    // unbounded all-lengths brute force, then EXACT expected intervals.
+    // t1..t40 / u.. / v.. tokens keep spans disjoint by construction.
+    val spark2 = spark
+    import spark2.implicits._
+    val w = Dedup.SpanTokens // 16
+    def tk(p: String, r: Range) = r.map(p + _).mkString(" ")
+    val A40 = tk("a", 1 to 40)    // 40-token block
+    val B20 = tk("b", 1 to 20)    // 20-token block
+    val uniq = tk("u", 1 to 10)
+    val docs = Seq(
+      // nested repeats: doc 1 and 2 share the full 40-token A block
+      // (one maximal 40-token repeat); its interior 16-grams also repeat
+      // but must be ABSORBED, not emitted separately
+      1L -> (A40 + " " + uniq),
+      2L -> (tk("v", 1 to 5) + " " + A40),
+      // overlapping maximal repeats with DIFFERENT partners: doc 3 =
+      // X(1..20) ++ Y(1..20) where X's 20-gram repeats in doc 4 and Y's
+      // in doc 5 — doc 3's two overlapping-window unions merge into one
+      // 40-token interval; docs 4/5 each get their own 20-token one
+      3L -> (tk("x", 1 to 20) + " " + tk("y", 1 to 20)),
+      4L -> (tk("x", 1 to 20) + " " + tk("w", 1 to 10)),
+      5L -> (tk("z", 1 to 10) + " " + tk("y", 1 to 20)),
+      // in-doc periodic repeat, NO cross-doc partner: B20 twice in one
+      // doc — site grain covers all 40 tokens; a doc-grain pass sees 0
+      6L -> (B20 + " " + B20),
+      // whole-doc duplicate pair, exactly w tokens
+      7L -> tk("c", 1 to w),
+      8L -> tk("c", 1 to w),
+      // short-doc (<w) duplicate pair: kernel whole-text convention
+      9L -> "p q r",
+      10L -> "p q r",
+      // short doc with no partner: no output row
+      11L -> "lone short doc",
+      // long doc with no repeats: no output row
+      12L -> tk("n", 1 to 30)
+    )
+    val got = Dedup.suffixDedupOf(docs.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === bruteSuffixSpans(docs, w))
+    assert(got === Seq(
+      (1L, 0L, 39L, 40L),   // maximal 40, nested 16-grams absorbed
+      (2L, 5L, 44L, 40L),   // same block at an offset
+      (3L, 0L, 39L, 40L),   // two overlapping partners merged
+      (4L, 0L, 19L, 20L),
+      (5L, 10L, 29L, 20L),
+      (6L, 0L, 39L, 40L),   // in-doc repeat, site grain
+      (7L, 0L, 15L, 16L),   // exact-w whole-doc pair
+      (8L, 0L, 15L, 16L),
+      (9L, 0L, 2L, 3L),     // short-doc whole-text convention
+      (10L, 0L, 2L, 3L)))
+  }
+
+  test("suffix dedup seam gap: two repeats separated by one unique token " +
+    "stay two intervals") {
+    val spark2 = spark
+    import spark2.implicits._
+    val w = Dedup.SpanTokens
+    def tk(p: String, r: Range) = r.map(p + _).mkString(" ")
+    val L = tk("l", 1 to w)
+    val R = tk("r", 1 to w)
+    val docs = Seq(
+      1L -> (L + " gapword " + R), // two w-repeats with a 1-token gap
+      2L -> (tk("q", 1 to 3) + " " + L),
+      3L -> (R + " " + tk("s", 1 to 3))
+    )
+    val got = Dedup.suffixDedupOf(docs.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === bruteSuffixSpans(docs, w))
+    // doc 1 must NOT merge across the uncovered gap token at position w
+    assert(got.filter(_._1 == 1L) ===
+      Seq((1L, 0L, (w - 1).toLong, w.toLong),
+        (1L, (w + 1).toLong, (2 * w).toLong, w.toLong)))
+  }
+
   test("connected components: chain converges to min label per component") {
     val spark2 = spark
     import spark2.implicits._
