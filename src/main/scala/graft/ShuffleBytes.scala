@@ -10,6 +10,27 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
   * one noop-sink execution per query.
   * Usage: sbt "runMain graft.ShuffleBytes <sfDir> <query> [query...]" */
 object ShuffleBytes {
+  /** Wait for the async listener bus to deliver every stage event: a 1 s
+    * head start (two instant reads agreeing on the INITIAL zeros is not
+    * evidence the bus is drained — the r14 ADVICE under-count), then
+    * three consecutive 250 ms reads must agree, bounded at 15 s. A
+    * genuinely zero-shuffle query pays ~1.75 s; correctness of the
+    * numbers beats dev-tool latency. Shared with graft.IvfPrice. */
+  def drainListenerBus(
+      counters: java.util.concurrent.atomic.AtomicLong*): Unit = {
+    Thread.sleep(1000)
+    var prev = Seq.empty[Long]
+    var agree = 0
+    var waited = 1000L
+    while (agree < 3 && waited < 15000) {
+      val cur = counters.map(_.get)
+      agree = if (cur == prev) agree + 1 else 1
+      prev = cur
+      Thread.sleep(250)
+      waited += 250
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ShuffleBytes <sfDir> <query...>")
     val sf = args(0)
@@ -33,16 +54,7 @@ object ShuffleBytes {
       spark.sparkContext.addSparkListener(lst)
       SparkEntry.queries(q)(spark, sf)
         .write.mode("overwrite").format("noop").save()
-      // The listener bus drains asynchronously; a fixed sleep under-counts on
-      // a slow window. Poll until two consecutive reads (250 ms apart) agree,
-      // bounded at 15 s — by then the post-action event queue is long gone.
-      var prev = (-1L, -1L, -1L)
-      var waited = 0L
-      while (prev != ((bytes.get, recs.get, spill.get)) && waited < 15000) {
-        prev = (bytes.get, recs.get, spill.get)
-        Thread.sleep(250)
-        waited += 250
-      }
+      ShuffleBytes.drainListenerBus(bytes, recs, spill)
       spark.sparkContext.removeSparkListener(lst)
       println(s"## $q shuffle_bytes=${bytes.get} shuffle_records=${recs.get}" +
         s" disk_spill=${spill.get}")

@@ -519,6 +519,30 @@ class DedupSpec extends AnyFunSuite {
         (1L, (w + 1).toLong, (2 * w).toLong, w.toLong)))
   }
 
+  test("suffix dedup randomized corpora: production plan == all-lengths " +
+    "brute force at w=4") {
+    // seeded random corpora over a TINY vocabulary at a small w, so rich
+    // repeat structure arises naturally — many intervals per doc, island
+    // boundaries at doc edges, repeats of every length: the adversarial
+    // cases the hand-built battery plants, in volume. The brute force is
+    // the genuinely unbounded all-lengths enumeration.
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("ga", "gb", "gc", "gd", "ge")
+    for (trial <- 1 to 5) {
+      val docs = (1L to 12L).map { id =>
+        val n = 1 + rnd.nextInt(40)
+        id -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val got = Dedup.suffixDedupOf(docs.toDF("doc_id", "text"), w = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(got === bruteSuffixSpans(docs, 4), s"trial $trial: $docs")
+    }
+  }
+
   test("connected components: chain converges to min label per component") {
     val spark2 = spark
     import spark2.implicits._

@@ -97,6 +97,28 @@ class PlanSpec extends AnyFunSuite {
     assert(nodeCount(p, ".*Join") === 9, p)
   }
 
+  test("suffix dedup: strings-free corpus pass (span_fps), local islands, " +
+    "no cartesian") {
+    val p = plan("q_suffix_dedup")
+    // same strings-free discipline as its span siblings: the only
+    // corpus-wide stage is the span_fps posexplode
+    assert(p.contains("span_fps"), p)
+    assert(!p.contains("word_ngrams"), p)
+    assert(nodeCount(p, "CartesianProduct") === 0, p)
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") === 0, p)
+    // declared shape: 1 top-level join (repSpan verify → coverage) over
+    // the 2-join hotOcc subtree (hotFp prune, toks re-attach), which the
+    // verify and coverage branches each rebuild — recompute-over-pin,
+    // the span-family convention. Growth past 5 means a new join
+    // slipped into the hot path
+    assert(nodeCount(p, ".*Join") === 5, p)
+    // the interval assembly is per-doc LOCAL (sort_array + index-lambda
+    // scan): a Window operator here would mean the gaps-and-islands fell
+    // back to a corpus-wide row_number
+    assert(!p.contains("RunningWindowFunction") &&
+      nodeCount(p, "Window\\b") === 0, p)
+  }
+
   test("corr matrix is one partial+final aggregate pair, no join") {
     // 15 cross-moments accumulate in a single pass: the only exchanges
     // are the 1-row partial merge (+ the 6-row final sort), never a join
