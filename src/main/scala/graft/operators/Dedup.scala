@@ -443,7 +443,12 @@ object Dedup {
     * planted adversarial corpora (nested repeats, overlapping maximal
     * spans, whole-doc duplicates, in-doc periodic repeats) drive the
     * EXACT production plan. */
-  def suffixDedupOf(docs: DataFrame, w: Int = SpanTokens): DataFrame = {
+  /** The shared SITE-grain coverage stage of [[suffixDedupOf]] (interval
+    * report) and [[suffixMaskOf]] (rewrite): distinct (doc_id, p) token
+    * positions covered by any ≥2-site repeated w-span — one definition so
+    * the report and the rewrite can never disagree on what is removed
+    * (the substringDedup/spanMask r12 lesson, applied up front). */
+  private def suffixCovered(docs: DataFrame, w: Int): DataFrame = {
     val base = docs.select(col("doc_id"), spanNormText.as("nt"))
     val toks = base.select(col("doc_id"), split(col("nt"), " ").as("ts"))
     // corpus-wide pass: positional fps, strings-free (shared kernel)
@@ -469,10 +474,14 @@ object Dedup {
       .filter(col("sites") >= 2).select("span")
     // coverage: union of [i, i+w-1] windows (whole doc for short docs),
     // bounded by duplicated content
-    val covered = hotOcc.join(repSpan, "span")
+    hotOcc.join(repSpan, "span")
       .select(col("doc_id"),
         explode(expr(s"sequence(i, least(i + $w - 1, n - 1))")).as("p"))
       .distinct()
+  }
+
+  def suffixDedupOf(docs: DataFrame, w: Int = SpanTokens): DataFrame = {
+    val covered = suffixCovered(docs, w)
     // gaps-and-islands LOCALLY per doc: a position starts an interval iff
     // its predecessor position is absent, ends one iff its successor is.
     // CASE (not OR) around the element_at neighbor probes — ANSI mode
@@ -539,6 +548,40 @@ object Dedup {
        |  CAST(COUNT(*) AS BIGINT) AS span_len
        |FROM isl GROUP BY doc_id, g
        |ORDER BY doc_id, span_start""".stripMargin
+  }
+
+  /** The rewrite consumer of [[suffixDedupOf]] — APPLIES the suffix-grain
+    * removal: every token position covered by a ≥2-SITE repeated w-span
+    * is dropped and the document re-emitted, the actual deletion step of
+    * the Lee-et-al pass (what [[spanMask]] is to [[substringDedup]], at
+    * the suffix semantic). Shares [[suffixCovered]] with the interval
+    * report, so what the report says is removed and what this pass
+    * removes can never diverge — spec-asserted both ways (n_masked ==
+    * Σ span_len; kept tokens == the complement of the intervals).
+    * Emits one row per INPUT doc (uncovered docs pass through intact):
+    * (doc_id, n_tokens, n_masked, mask_frac, kept_text). Library
+    * surface + spec-gated (the r15 wire window is exhausted at 179
+    * keys, so no catalog key; the coverage stage it shares IS
+    * oracle-gated through q_suffix_dedup at 3 SFs). Same scale shape
+    * as [[spanMaskOf]]'s rewrite tail: one (doc_id, p) exchange bounded
+    * by duplicated content, then a narrow per-doc set-difference
+    * rebuild (array_except — index order preserved, O(n) per doc). */
+  def suffixMaskOf(docs: DataFrame, w: Int = SpanTokens): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(spanNormText, " ").as("ts"))
+    val covAgg = suffixCovered(docs, w).groupBy("doc_id")
+      .agg(collect_set(col("p")).as("cov"))
+    toks.join(covAgg, Seq("doc_id"), "left")
+      .withColumn("cov", coalesce(col("cov"),
+        expr("CAST(array() AS array<int>)")))
+      .select(col("doc_id"),
+        size(col("ts")).cast(LongType).as("n_tokens"),
+        size(col("cov")).cast(LongType).as("n_masked"),
+        round(size(col("cov")).cast(DoubleType) /
+          size(col("ts")).cast(DoubleType), 6).as("mask_frac"),
+        expr("array_join(transform(" +
+          "array_except(sequence(0, size(ts) - 1), cov), " +
+          "i -> element_at(ts, i + 1)), ' ')").as("kept_text"))
+      .orderBy("doc_id")
   }
 
   // -- MinHash-LSH -------------------------------------------------------

@@ -543,6 +543,54 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("suffix mask applies exactly the reported intervals; site grain " +
+    "erases what doc grain cannot see") {
+    val spark2 = spark
+    import spark2.implicits._
+    val w = Dedup.SpanTokens
+    def tk(p: String, r: Range) = r.map(p + _).mkString(" ")
+    val B20 = tk("b", 1 to 20)
+    val docs = Seq(
+      1L -> (tk("a", 1 to 40) + " " + tk("u", 1 to 10)),
+      2L -> (tk("v", 1 to 5) + " " + tk("a", 1 to 40)),
+      // the semantics wedge: an in-doc periodic repeat with NO cross-doc
+      // partner — site grain must erase it, doc grain must not touch it
+      6L -> (B20 + " " + B20),
+      12L -> tk("n", 1 to 30))
+    val df = docs.toDF("doc_id", "text")
+    val mask = Dedup.suffixMaskOf(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getString(4)))).toMap
+    // 1) the rewrite applies EXACTLY the reported intervals: n_masked is
+    //    the interval-length sum, kept_text is the positional complement
+    val ivs = Dedup.suffixDedupOf(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    for ((id, t) <- docs) {
+      val ts = t.toLowerCase.replaceAll("\\s+", " ").trim.split(" ", -1)
+      val spans = ivs.getOrElse(id, Array.empty)
+      val covered = spans.flatMap(s => s._2 to s._3).map(_.toInt).toSet
+      val (n, m, frac, kept) = mask(id)
+      assert(n === ts.length.toLong)
+      assert(m === spans.map(_._4).sum, s"doc $id")
+      assert(frac === BigDecimal(covered.size.toDouble / ts.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(kept === ts.zipWithIndex
+        .collect { case (tok, i) if !covered(i) => tok }.mkString(" "),
+        s"doc $id kept_text")
+    }
+    // 2) every input doc emits exactly one row (uncovered pass through)
+    assert(mask.keySet === docs.map(_._1).toSet)
+    assert(mask(12L)._2 === 0L && mask(12L)._4.nonEmpty)
+    // 3) the wedge: doc 6 erases completely under SITE grain…
+    assert(mask(6L)._3 === 1.0 && mask(6L)._4 === "")
+    // …while the doc-grain spanMask pass leaves it fully intact (its
+    // spans repeat only WITHIN the doc — ≥2-distinct-docs never fires)
+    val dg = Dedup.spanMaskOf(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(dg(6L) === 0L, "doc-grain pass must not see the in-doc repeat")
+  }
+
   test("connected components: chain converges to min label per component") {
     val spark2 = spark
     import spark2.implicits._
