@@ -119,6 +119,22 @@ class PlanSpec extends AnyFunSuite {
       nodeCount(p, "Window\\b") === 0, p)
   }
 
+  test("suffix mask: shares the strings-free coverage stage, no cartesian, " +
+    "no window") {
+    val p = graft.operators.Dedup.suffixMaskOf(
+      graft.operators.Dedup.suffixCorpus(spark, sf))
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("span_fps"), p)
+    assert(nodeCount(p, "CartesianProduct") === 0, p)
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") === 0, p)
+    assert(nodeCount(p, "Window\\b") === 0, p)
+    // the suffix-dedup coverage shape (repSpan verify join over the
+    // 2-join hotOcc subtree rebuilt by both branches = 5) plus the
+    // rewrite's toks left join = 6. Growth past 6 means a new join
+    // slipped into the rewrite path
+    assert(nodeCount(p, ".*Join") === 6, p)
+  }
+
   test("corr matrix is one partial+final aggregate pair, no join") {
     // 15 cross-moments accumulate in a single pass: the only exchanges
     // are the 1-row partial merge (+ the 6-row final sort), never a join
