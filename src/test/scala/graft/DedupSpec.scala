@@ -214,7 +214,9 @@ class DedupSpec extends AnyFunSuite {
     val docs = Seq(1L -> "some text here", 42L -> null.asInstanceOf[String])
       .toDF("doc_id", "text")
     Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
-      Dedup.substringDedupOf(_), Dedup.spanMaskOf(_)).foreach { op =>
+      Dedup.substringDedupOf(_), Dedup.spanMaskOf(_),
+      // the r15 suffix pair shares spanNormText, so the same contract
+      Dedup.suffixDedupOf(_), Dedup.suffixMaskOf(_)).foreach { op =>
       val e = intercept[Exception] { op(docs).collect() }
       def msgs(t: Throwable): Seq[String] =
         if (t == null) Nil
@@ -222,6 +224,44 @@ class DedupSpec extends AnyFunSuite {
       assert(msgs(e).exists(m => m.contains("null text") &&
         m.contains("doc_id 42")), e.toString)
     }
+  }
+
+  test("planted fp collision at suffix SITE grain: string verify holds, " +
+    "in-doc token repeat islands split") {
+    // the substring/span-mask collision plant, replayed at the suffix
+    // semantic (w=1): "egplaagb" and "mmmmmmmm" share a span_fps
+    // fingerprint but are different strings — a collision may only ADD
+    // candidates, never fabricate a repeat
+    val spark2 = spark
+    import spark2.implicits._
+    val a = "egplaagb"
+    val b = "mmmmmmmm"
+    def fp1(t: String) = graft.functions.PolyHash
+      .spanFps(org.apache.spark.unsafe.types.UTF8String.fromString(t), 1)
+      .toLongArray()(0)
+    assert(a !== b)
+    assert(fp1(a) === fp1(b), "collision plant broken — kernel changed?")
+    // cross-doc: b repeats (2 sites), a rides the same hot fp but its
+    // string occurs at ONE site — only b's position may come out covered
+    val docs = Seq(1L -> s"$a $b", 2L -> s"$b zebra").toDF("doc_id", "text")
+    val got = Dedup.suffixDedupOf(docs, w = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === Seq((1L, 1L, 1L, 1L), (2L, 0L, 0L, 1L)))
+    // in-doc only: the colliding pair sits in ONE doc — 2 occurrences
+    // make the fp hot, but each STRING has 1 site; nothing is covered
+    val solo = Seq(3L -> s"$a $b", 4L -> "other stuff").toDF("doc_id", "text")
+    assert(Dedup.suffixDedupOf(solo, w = 1).collect().isEmpty)
+    // and the genuine in-doc repeat the site grain MUST see: one token
+    // twice with a gap — two single-position islands, not one merged span
+    val tok = Seq(5L -> "rep gap rep").toDF("doc_id", "text")
+    val iv = Dedup.suffixDedupOf(tok, w = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(iv === Seq((5L, 0L, 0L, 1L), (5L, 2L, 2L, 1L)))
+    val mk = Dedup.suffixMaskOf(tok, w = 1).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(4))).head
+    assert(mk === ((3L, 2L, "gap")))
   }
 
   test("planted fp collision: n_spans correction exact, no fabricated dup") {
