@@ -67,11 +67,27 @@ object Bench {
     // noise of 2–8× on queries whose code hadn't changed. With
     // SPARK_GRAFT_ONLY set (dev mode) every pass is emitted ("q#2"… rows)
     // so warm-up vs steady-state stays visible.
+    // Run-order sidecar (r16, the window-calibration fix's data half):
+    // SPARK_GRAFT_ORDER_OUT=<path> writes {"<benchKey>":<runIndex>,...} in
+    // EXECUTION order before timing starts. The r15 judge measured a
+    // mid-sweep hot patch (run-order deciles 4-6 at 1.4-1.85x) that the
+    // single position-122 control key couldn't see; with the positional
+    // map in BENCH_r*_builder.json a judge computes the decile profile
+    // directly instead of inferring positions. A FILE, never stdout: the
+    // driver's 2000-char tail capture window must see only the one JSON
+    // line. Unset (the driver contract) => no side effect.
+    val ordered = queries.toSeq
+    sys.env.get("SPARK_GRAFT_ORDER_OUT").foreach { path =>
+      val m = ordered.zipWithIndex.map { case ((name, _), i) =>
+        s"\"${ToolSupport.benchKey(name)}\":$i"
+      }.mkString("{", ",", "}")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), m)
+    }
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
     require(repeat >= 1,
       s"SPARK_GRAFT_REPEAT must be >= 1 (got $repeat): 0 or negative would " +
         "silently emit an empty-but-successful-looking run")
-    val runs = queries.toSeq.map { case (name, fn) =>
+    val runs = ordered.map { case (name, fn) =>
       val timed = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
         val err =

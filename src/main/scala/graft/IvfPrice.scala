@@ -46,7 +46,14 @@ object IvfPrice {
       val warm = (2 to repeat).map { _ =>
         val t = System.nanoTime(); run(); (System.nanoTime() - t) / 1e9
       }.sorted
-      val med = if (warm.isEmpty) first else warm(warm.length / 2)
+      // True median (r16, ADVICE low): repeat=5 leaves 4 warm runs, and
+      // warm(len/2) on an even count is the UPPER middle — a slight
+      // upward bias vs the "warm median of runs 2..N" the SCALE.md rows
+      // quote. Even count → mean of the two middles; odd unchanged.
+      val med =
+        if (warm.isEmpty) first
+        else if (warm.length % 2 == 1) warm(warm.length / 2)
+        else (warm(warm.length / 2 - 1) + warm(warm.length / 2)) / 2.0
       println(f"## $name cold=$first%.2fs warm_median=$med%.2fs " +
         s"shuffle_bytes=${bytes.get} shuffle_records=${recs.get} " +
         s"disk_spill=${spill.get}")

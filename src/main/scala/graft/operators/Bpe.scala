@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** BPE tokenizer training — the iterative merge loop over the
+  * [[TextAnalysis.bpePairs]] pair-count inner loop (r15 verdict #3: the
+  * one LLM-pipeline capability that was stats-only; every training-data
+  * pipeline runs this loop before token counting). Classic
+  * Sennrich-et-al word-grain BPE (reference behavior: the tokenizer
+  * training step upstream of any corpus the reference's models consume;
+  * the engine's q_bpe_pairs computes exactly one round's statistics):
+  *
+  *   1. corpus → (word, freq) — the ONLY corpus-sized pass; everything
+  *      after runs on the distinct-word table.
+  *   2. each word → symbol sequence (initially its characters).
+  *   3. per round: count adjacent symbol pairs weighted by word freq
+  *      (every adjacent POSITION counts, overlaps included — the
+  *      standard get_stats semantics), pick the argmax under the TOTAL
+  *      order (n desc, left asc, right asc), rewrite every word by
+  *      merging occurrences of that pair LEFTMOST-FIRST, NON-OVERLAPPING
+  *      in one pass, record the merge; repeat.
+  *
+  * Exactness: counts are BIGINT sums of BIGINT word frequencies —
+  * no floats anywhere; ties break on the (left, right) string total
+  * order, so the learned vocabulary is a pure function of the corpus
+  * multiset (partitioning/layout-independent — pinned by spec against
+  * an in-memory brute force and under repartitioning).
+  *
+  * Scale shape (the 100 TB story): the corpus is touched ONCE (narrow
+  * tokenize + one map-combinable word count); the k merge rounds run on
+  * the vocab-bounded word table — per round one narrow pair explode, one
+  * hash aggregate whose map-side partials collapse to ≤|symbols|²
+  * distinct pairs, one 1-ROW driver pull (the argmax — the same bounded
+  * collect family as the IVF centroid pull), one narrow fold rewrite,
+  * re-checkpointed so plan depth stays O(1) per round instead of
+  * nesting k aggregate() lambdas. No corpus-wide re-scan per round —
+  * the defining difference from the naive loop that re-reads 100 TB
+  * k times. Checkpointed round tables are vocab-bounded and reaped by
+  * the caller's unpersist hygiene (Bench/specs already do this).
+  */
+object Bpe {
+
+  /** One learned merge rule: at `round` (1-based), the pair
+    * (`left`, `right`) with weighted adjacency count `n` became the
+    * single symbol `merged` (= left+right concatenated). */
+  final case class Merge(round: Int, left: String, right: String,
+                         merged: String, n: Long)
+
+  /** Default merge-round budget: enough to exercise multi-character
+    * symbols and merged-symbol-participates-again behavior at spec
+    * corpus sizes; production picks vocab_size − |alphabet|. */
+  val DefaultRounds = 12
+
+  /** Corpus → (word, freq, syms) with syms = the word's characters.
+    * Lower + whitespace-normalize exactly as every other text operator
+    * (shared normalization contract); empty tokens dropped (leading
+    * whitespace would otherwise mint an empty word whose symbol
+    * sequence is the empty array). */
+  def wordTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(regexp_replace(lower(col("text")), "\\s+", " "),
+        " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("syms",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+
+  /** Adjacent-pair statistics over a (freq, syms) table: one row per
+    * distinct (l, r) with n = Σ freq over every adjacent position —
+    * [[TextAnalysis.bpePairs]]'s dataflow at symbol grain (narrow
+    * explode, map-combinable aggregate). */
+  def pairStats(words: DataFrame): DataFrame =
+    words.filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, size(syms) - 1), " +
+          "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
+        .as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("n"))
+
+  /** Column rewriting `syms` with every (l, r) adjacency merged
+    * leftmost-first, non-overlapping, in one pass — an aggregate() fold
+    * with state (acc, pend): pend holds the one-symbol lookbehind; a
+    * (pend=l, s=r) hit emits the merged symbol and CLEARS pend, so the
+    * merged token never re-pairs with its own right context this round
+    * (count-then-merge-once-per-round semantics; the new pair is counted
+    * next round). Columns-API lambdas, no SQL-string literal splicing —
+    * corpus symbols may contain quotes. The when-chain is CASE, not OR:
+    * the null-pend probe is reached only on the first branch, so ANSI
+    * mode never evaluates pend = l against a null. */
+  private def mergeFold(l: String, r: String): Column = {
+    val init = struct(
+      array().cast("array<string>").as("acc"),
+      lit(null).cast("string").as("pend"))
+    aggregate(
+      col("syms"), init,
+      (st, s) =>
+        when(st.getField("pend").isNull,
+          struct(st.getField("acc").as("acc"), s.as("pend")))
+        .when(st.getField("pend") === lit(l) && s === lit(r),
+          struct(concat(st.getField("acc"), array(lit(l + r))).as("acc"),
+            lit(null).cast("string").as("pend")))
+        .otherwise(
+          struct(concat(st.getField("acc"), array(st.getField("pend"))).as("acc"),
+            s.as("pend"))),
+      st =>
+        when(st.getField("pend").isNull, st.getField("acc"))
+        .otherwise(concat(st.getField("acc"), array(st.getField("pend")))))
+  }
+
+  /** Train `rounds` merges on a (word?, freq, syms) table. Stops early
+    * when no adjacent pair remains (every word fully merged). The
+    * returned vocabulary is the learned artifact — k rows, inherently
+    * driver-sized. */
+  def trainOnWords(words: DataFrame, rounds: Int = DefaultRounds): Seq[Merge] = {
+    require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    // one materialization; each round re-checkpoints the rewritten
+    // vocab-bounded table (the pageRank unrolled-rounds shape) so the
+    // plan never nests k aggregate() folds
+    var cur = words.select(col("freq"), col("syms")).localCheckpoint(true)
+    var round = 1
+    while (round <= rounds) {
+      val top = pairStats(cur)
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) round = rounds + 1
+      else {
+        val (l, r, n) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += Merge(out.size + 1, l, r, l + r, n)
+        cur = cur.withColumn("syms", mergeFold(l, r)).localCheckpoint(true)
+        round += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Corpus entry point: word table from `documents`, then the loop. */
+  def train(spark: SparkSession, dir: String,
+            rounds: Int = DefaultRounds): Seq[Merge] =
+    trainOnWords(wordTable(spark, dir), rounds)
+
+  /** The learned vocabulary as a DataFrame (round asc) — the tabular
+    * form a pipeline persists next to its shard manifest. */
+  def mergesDf(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.toDF().select(col("round").cast("long").as("round"),
+      col("left"), col("right"), col("merged"), col("n"))
+      .orderBy("round")
+  }
+
+  /** Distributed encoder: applies the learned merges IN ORDER to a
+    * (freq, syms) table — k chained folds, re-checkpointed every few
+    * rounds to bound plan depth. Segmenting a NEW corpus with a learned
+    * vocabulary is exactly this replay. */
+  def encodeWords(words: DataFrame, merges: Seq[Merge]): DataFrame =
+    merges.zipWithIndex.foldLeft(words) { case (df, (m, i)) =>
+      val next = df.withColumn("syms", mergeFold(m.left, m.right))
+      if ((i + 1) % 4 == 0) next.localCheckpoint(true) else next
+    }
+
+  /** Driver-side reference encoder over one word — the same
+    * leftmost-first non-overlapping single pass per merge round, in
+    * plain Scala. Specs pin the distributed fold against this; callers
+    * use it for ad-hoc single-string segmentation. */
+  def encode(word: String, merges: Seq[Merge]): Seq[String] = {
+    var syms = word.map(_.toString).toVector
+    merges.foreach { m =>
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == m.left && syms(i + 1) == m.right) {
+          out += m.merged; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.result()
+    }
+    syms
+  }
+}

@@ -552,14 +552,22 @@ object Streaming {
     * parallel (the 7-way-parallel Verify mode, parallel specs) must
     * each land — a `var list = list :+ x` read-modify-write would lose
     * entries under that race. */
-  private val runStateQueue =
-    new java.util.concurrent.ConcurrentLinkedQueue[RunStateStats]()
+  private val runStateQueue = new java.util.concurrent.atomic.AtomicReference(
+    new java.util.concurrent.ConcurrentLinkedQueue[RunStateStats]())
   def runStateLog: List[RunStateStats] = {
     import scala.jdk.CollectionConverters._
-    runStateQueue.asScala.toList
+    runStateQueue.get().asScala.toList
   }
+  // Reset swaps in a FRESH queue atomically (r16, ADVICE low): the r15
+  // clear()-then-re-add reset wasn't atomic, so a run completing
+  // concurrently with an instrument's reset could land its entry between
+  // the clear and the re-adds — dropped from the old view or leaked into
+  // the "fresh" log. With the swap, a concurrent append lands wholly in
+  // the old queue or wholly in the new one; no intermediate state exists.
   def runStateLog_=(v: List[RunStateStats]): Unit = {
-    runStateQueue.clear(); v.foreach(runStateQueue.add)
+    val fresh = new java.util.concurrent.ConcurrentLinkedQueue[RunStateStats]()
+    v.foreach(fresh.add)
+    runStateQueue.set(fresh)
   }
 
   /** State-store sizing knob: streaming state lives in ONE store instance
@@ -572,8 +580,22 @@ object Streaming {
     * StreamingSpec test). Production sizes this by state volume per
     * key-range, not executor count; the session value is restored after
     * the run because the knob must never leak into batch queries. */
+  // Serializes the save/mutate/run/restore window below (r16, ADVICE
+  // low): session confs are process-global per SparkSession, so two
+  // runToMemory calls racing on the SAME session (the concurrent-runs
+  // spec; any caller driving streaming queries from multiple threads)
+  // could overlap their save/restore windows — one restoring the other's
+  // mid-run override or saving an already-overridden value as "before".
+  // The override must hold for the WHOLE run (micro-batch planning
+  // re-reads spark.sql.shuffle.partitions for stateless stages), so the
+  // lock spans start-to-restore; concurrent streaming runs on one
+  // session serialize, which is correct-by-construction and cheap at
+  // AvailableNow catalog sizes. A DataFrame is bound to its session, so
+  // per-run spark.newSession() isolation isn't reachable from here.
+  private val streamConfLock = new Object
   private def withStreamShuffle[T](
-      spark: org.apache.spark.sql.SparkSession)(f: => T): T = {
+      spark: org.apache.spark.sql.SparkSession)(f: => T): T =
+      streamConfLock.synchronized {
     val key = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(key)
     val want = spark.conf.getOption("graft.stream.shufflePartitions")
@@ -630,7 +652,7 @@ object Streaming {
     val bytes =
       if (progs.isEmpty) 0L
       else progs.map(_.stateOperators.map(_.memoryUsedBytes).sum).max
-    runStateQueue.add(RunStateStats(name, batches, rows, bytes))
+    runStateQueue.get().add(RunStateStats(name, batches, rows, bytes))
   }
 
   /** Stage the documents table into its own landing directory (separate
