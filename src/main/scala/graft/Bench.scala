@@ -78,10 +78,8 @@ object Bench {
     // line. Unset (the driver contract) => no side effect.
     val ordered = queries.toSeq
     sys.env.get("SPARK_GRAFT_ORDER_OUT").foreach { path =>
-      val m = ordered.zipWithIndex.map { case ((name, _), i) =>
-        s"\"${ToolSupport.benchKey(name)}\":$i"
-      }.mkString("{", ",", "}")
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), m)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+        ToolSupport.orderJson(ordered.map(_._1)))
     }
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
     require(repeat >= 1,

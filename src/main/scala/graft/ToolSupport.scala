@@ -27,6 +27,16 @@ object ToolSupport {
     }, only)
   }
 
+  /** Execution-order sidecar body (SPARK_GRAFT_ORDER_OUT, r16 window-
+    * calibration contract): {"<benchKey>": <runIndex>} in the exact order
+    * Bench will time the queries. Lives here so the spec can pin the
+    * format without driving a sweep; bench keys are benchKey-collision-
+    * checked already, so the map can't silently alias two queries. */
+  def orderJson(namesInRunOrder: Seq[String]): String =
+    namesInRunOrder.zipWithIndex.map { case (n, i) =>
+      s"\"${benchKey(n)}\":$i"
+    }.mkString("{", ",", "}")
+
   /** JSON string escape: backslash, quote, and ALL control chars (<0x20) —
     * a tab or CR in builder-authored SQL or an exception message would
     * otherwise break the driver's json.load and silently zero a round. */

@@ -595,6 +595,23 @@ class PlanSpec extends AnyFunSuite {
     assert(nodeCount(p, "Expand") >= 1, p.take(1500))
   }
 
+  test("bpe trainer round: pair stats are one partial-agg exchange, " +
+      "no window, no cartesian") {
+    // the merge loop's per-round cost unit (Bpe.pairStats): a narrow
+    // pair explode + ONE hash-aggregate exchange whose map-side partials
+    // collapse each partition to its distinct pairs — the constant-
+    // shuffle-across-SFs claim graft.BpePrice measured (SCALE.md r16)
+    // depends on this shape holding
+    val p = graft.operators.Bpe.pairStats(
+        graft.operators.Bpe.wordTable(spark, sf))
+      .queryExecution.explainString(FormattedMode)
+    assert(nodeCount(p, "Exchange") === 2, p.take(1500)) // word agg + pair agg
+    assert(nodeCount(p, "HashAggregate") === 4, p.take(1500)) // 2x partial+final
+    assert(nodeCount(p, "Window\\b") === 0, p.take(1500))
+    assert(nodeCount(p, "CartesianProduct") === 0, p.take(1500))
+    assert(nodeCount(p, "Scan parquet") === 1, p.take(1500)) // corpus once
+  }
+
   test("stratified sample: dims broadcast; rank limit pushed to heads") {
     val p = plan("q_stratified")
     // the per-stratum count/certification dims join by broadcast —

@@ -75,6 +75,27 @@ class ToolSupportSpec extends AnyFunSuite {
         "driver tail window is 2000 incl. the sbt epilogue")
   }
 
+  test("order sidecar: full-catalog run-order map is well-formed and total") {
+    // the r16 window-calibration contract: BENCH_r*_builder.json embeds
+    // this map as "run_order" so judges compute positional sweep
+    // profiles directly — it must cover every catalog key exactly once
+    // with contiguous 0-based indices and parse as flat JSON
+    val names = SparkEntry.queries.keys.toSeq
+    val m = ToolSupport.orderJson(names)
+    assert(m.startsWith("{") && m.endsWith("}"))
+    val entries = m.substring(1, m.length - 1).split(",")
+    assert(entries.length === names.length)
+    val pairs = entries.map { e =>
+      val Array(k, v) = e.split(":")
+      (k.stripPrefix("\"").stripSuffix("\""), v.toInt)
+    }
+    assert(pairs.map(_._1).toSet === names.map(ToolSupport.benchKey).toSet)
+    assert(pairs.map(_._2).sorted.toSeq === names.indices.toSeq)
+    // order is positional: index i names the i-th element of the input
+    assert(pairs.map(_._1).toSeq ===
+      names.map(ToolSupport.benchKey))
+  }
+
   test("README test count matches the registered ScalaTest count") {
     // the count drifted twice when hand-bumped (r6: 157→163, r7: 163→164
     // unnoticed) — derive it from the sources instead: every suite in this
