@@ -138,6 +138,31 @@ class BpeSpec extends AnyFunSuite {
       m.round == i + 1 && m.n >= 1L && m.merged == m.left + m.right })
   }
 
+  test("seeded randomized corpora: trainer ≡ brute force on 5 draws") {
+    // LCG-seeded corpora over a 4-letter alphabet: short words and a
+    // tight alphabet force dense pair collisions, repeated-letter runs
+    // (the overlap rule) and frequent ties (the total-order rule) —
+    // the adversarial surface, exercised beyond the hand-planted cases
+    var state = 0x5DEECE66DL
+    def next(bound: Int): Int = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (((state >>> 33) % bound).toInt + bound) % bound
+    }
+    for (draw <- 1 to 5) {
+      val words = (1 to 30).map { _ =>
+        val len = 1 + next(6)
+        val w = (1 to len).map(_ => ('a' + next(4)).toChar).mkString
+        w -> (1L + next(9))
+      }
+      // collapse duplicate words exactly as a groupBy would
+      val corpus = words.groupBy(_._1).view
+        .mapValues(_.map(_._2).sum).toSeq
+      val got = Bpe.trainOnWords(wordsDf(corpus), 6)
+      val expect = bruteTrain(corpus, 6)
+      assert(got === expect, s"draw $draw diverged on corpus $corpus")
+    }
+  }
+
   test("determinism: identical merges under repartitioning and re-run") {
     val corpus = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
       "widest" -> 3L, "wider" -> 4L, "new" -> 7L)
