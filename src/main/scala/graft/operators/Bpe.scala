@@ -162,6 +162,78 @@ object Bpe {
       if ((i + 1) % 4 == 0) next.localCheckpoint(true) else next
     }
 
+  /** Segmentation-aware corpus statistics (r16 depth item a):
+    * corpus size quoted in LEARNED-BPE tokens rather than the
+    * whitespace/regex proxies of [[TextAnalysis.tokenCount]] — the
+    * number a training-data pipeline actually budgets against once a
+    * tokenizer exists. One row: `words` (Σ freq), `bpe_tokens`
+    * (Σ freq·|syms| after replaying the merges), `chars`
+    * (Σ freq·Σ|sym| — conserved at every merge depth because a
+    * segmentation partitions the word's characters; specs pin it), and
+    * the two derived ratios `tokens_per_word` / `chars_per_token`
+    * (the compression the vocabulary buys).
+    *
+    * Exactness: the three counts are BIGINT sums of BIGINT products;
+    * the ratios are single rounded IEEE divisions of exact longs — no
+    * engine-order float accumulation. Scale shape: runs entirely on
+    * the vocab-bounded distinct-word table (corpus bytes were left
+    * behind at the one word-count pass); one map-combinable global
+    * aggregate, no window, no join. */
+  def tokenProfile(words: DataFrame, merges: Seq[Merge]): DataFrame =
+    encodeWords(words, merges)
+      .select(col("freq"),
+        size(col("syms")).cast("long").as("toks"),
+        expr("aggregate(syms, 0L, (a, s) -> a + length(s))").as("cs"))
+      .agg(
+        sum(col("freq")).as("words"),
+        sum(col("freq") * col("toks")).as("bpe_tokens"),
+        sum(col("freq") * col("cs")).as("chars"))
+      .select(col("words"), col("bpe_tokens"), col("chars"),
+        round(col("bpe_tokens").cast("double") / col("words"), 6)
+          .as("tokens_per_word"),
+        round(col("chars").cast("double") / col("bpe_tokens"), 6)
+          .as("chars_per_token"))
+
+  /** Learned-vocabulary coverage — [[TextAnalysis.vocabCoverage]]'s
+    * rank/cumulative-share table re-based from whitespace words to the
+    * LEARNED symbol alphabet: at each requested rank, the share of all
+    * BPE-token occurrences the top-`rank` learned symbols cover. The
+    * gauge that says whether a candidate vocab size actually pays for
+    * itself on this corpus.
+    *
+    * Same exactness and plan discipline as the word-grain original:
+    * exact BIGINT weighted counts, total order (cnt DESC, sym ASC) at
+    * the rank boundary, ONE rounded division; the top-`ranks.max` rows
+    * come off a TakeOrderedAndProject (per-partition heads — never a
+    * global sort of the symbol table) and the cumulative window runs
+    * over exactly `ranks.max` rows — constant-size, corpus-independent.
+    * The symbol table itself is vocab-bounded (≤ |alphabet| + |merges|
+    * distinct symbols), so even its aggregate is constant at 100×. */
+  def learnedVocabCoverage(words: DataFrame, merges: Seq[Merge],
+      ranks: Seq[Int] = TextAnalysis.VocabRanks): DataFrame = {
+    require(ranks.nonEmpty && ranks.forall(_ >= 1),
+      s"ranks must be non-empty positive (got $ranks)")
+    val toks = encodeWords(words, merges)
+      .select(col("freq"), explode(col("syms")).as("sym"))
+    val total = toks.agg(sum(col("freq")).as("total"))
+    val top = toks.groupBy("sym").agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("sym").asc)
+      .limit(ranks.max)
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("sym").asc)
+    top
+      .withColumn("rank", row_number().over(ord))
+      .withColumn("cum_cnt", sum(col("cnt")).over(ord.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .filter(col("rank").isin(ranks: _*))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("sym"), col("cnt"), col("cum_cnt"),
+        round(col("cum_cnt").cast("double") / col("total"), 6)
+          .as("coverage"))
+      .orderBy("rank")
+  }
+
   /** Driver-side reference encoder over one word — the same
     * leftmost-first non-overlapping single pass per merge round, in
     * plain Scala. Specs pin the distributed fold against this; callers

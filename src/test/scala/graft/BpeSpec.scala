@@ -193,6 +193,119 @@ class BpeSpec extends AnyFunSuite {
     words.foreach { case (w, _) => assert(got(w).mkString === w) }
   }
 
+  // -- segmentation-aware corpus statistics (r16 depth item a) ----------
+
+  /** In-memory token profile via the driver-side reference encoder —
+    * the independent oracle for [[Bpe.tokenProfile]]. */
+  private def bruteProfile(words: Seq[(String, Long)],
+                           merges: Seq[Bpe.Merge]): (Long, Long, Long) = {
+    var w = 0L; var t = 0L; var c = 0L
+    words.foreach { case (word, f) =>
+      val enc = Bpe.encode(word, merges)
+      w += f
+      t += f * enc.length
+      c += f * enc.map(_.length.toLong).sum
+    }
+    (w, t, c)
+  }
+
+  test("tokenProfile matches a driver-side encode over the corpus") {
+    val corpus = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L, "wider" -> 4L, "new" -> 7L)
+    val merges = Bpe.trainOnWords(wordsDf(corpus), 6)
+    val (ew, et, ec) = bruteProfile(corpus, merges)
+    val r = Bpe.tokenProfile(wordsDf(corpus), merges).collect()
+    assert(r.length === 1)
+    assert((r(0).getLong(0), r(0).getLong(1), r(0).getLong(2)) ===
+      ((ew, et, ec)))
+    assert(math.abs(r(0).getDouble(3) - et.toDouble / ew) < 1e-6)
+    assert(math.abs(r(0).getDouble(4) - ec.toDouble / et) < 1e-6)
+  }
+
+  test("chars conserved at every merge depth; bpe_tokens monotone " +
+      "non-increasing; zero merges degenerates to chars") {
+    val corpus = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L)
+    val merges = Bpe.trainOnWords(wordsDf(corpus), 5)
+    val chars0 = corpus.map { case (w, f) => f * w.length }.sum
+    var prevToks = Long.MaxValue
+    for (k <- 0 to merges.length) {
+      val r = Bpe.tokenProfile(wordsDf(corpus), merges.take(k)).collect()(0)
+      assert(r.getLong(2) === chars0,
+        s"segmentation must partition characters (depth $k)")
+      assert(r.getLong(1) <= prevToks,
+        s"an extra merge can never grow the token count (depth $k)")
+      if (k == 0) assert(r.getLong(1) === chars0,
+        "unmerged tokens are exactly the characters")
+      prevToks = r.getLong(1)
+    }
+    // the trained vocab must actually compress this corpus
+    assert(prevToks < chars0)
+  }
+
+  test("learnedVocabCoverage matches an in-memory brute force") {
+    val corpus = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L, "wider" -> 4L, "new" -> 7L)
+    val merges = Bpe.trainOnWords(wordsDf(corpus), 4)
+    // weighted symbol counts from the reference encoder
+    val counts = mutable.Map.empty[String, Long]
+    corpus.foreach { case (w, f) =>
+      Bpe.encode(w, merges).foreach(s =>
+        counts(s) = counts.getOrElse(s, 0L) + f)
+    }
+    val total = counts.values.sum
+    val ordered = counts.toSeq.sortBy { case (s, n) => (-n, s) }
+    val ranks = Seq(1, 2, 4, 8)
+    val cums = ordered.scanLeft(0L)(_ + _._2).tail
+    val expect = ranks.filter(_ <= ordered.length).map { rk =>
+      val (s, n) = ordered(rk - 1)
+      (rk, s, n, cums(rk - 1),
+        BigDecimal(cums(rk - 1).toDouble / total)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = Bpe.learnedVocabCoverage(wordsDf(corpus), merges, ranks)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got === expect)
+    // a rank past the distinct-symbol count is absent, not padded
+    assert(got.length === ranks.count(_ <= ordered.length))
+  }
+
+  test("seeded randomized corpora: profile + coverage ≡ brute force") {
+    var state = 0x2545F4914F6CDD1DL
+    def next(bound: Int): Int = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (((state >>> 33) % bound).toInt + bound) % bound
+    }
+    for (draw <- 1 to 3) {
+      val words = (1 to 25).map { _ =>
+        val len = 1 + next(6)
+        ((1 to len).map(_ => ('a' + next(4)).toChar).mkString,
+          1L + next(9))
+      }
+      val corpus = words.groupBy(_._1).view
+        .mapValues(_.map(_._2).sum).toSeq
+      val merges = Bpe.trainOnWords(wordsDf(corpus), 5)
+      val (ew, et, ec) = bruteProfile(corpus, merges)
+      val r = Bpe.tokenProfile(wordsDf(corpus), merges).collect()(0)
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((ew, et, ec)),
+        s"draw $draw profile diverged on corpus $corpus")
+      val counts = mutable.Map.empty[String, Long]
+      corpus.foreach { case (w, f) =>
+        Bpe.encode(w, merges).foreach(s =>
+          counts(s) = counts.getOrElse(s, 0L) + f)
+      }
+      val ordered = counts.toSeq.sortBy { case (s, n) => (-n, s) }
+      val gotTop = Bpe.learnedVocabCoverage(wordsDf(corpus), merges,
+          Seq(1, 3)).collect()
+        .map(r => (r.getString(1), r.getLong(2))).toSeq
+      val expTop = Seq(1, 3).filter(_ <= ordered.length)
+        .map(rk => ordered(rk - 1))
+      assert(gotTop === expTop, s"draw $draw coverage diverged")
+    }
+  }
+
   test("mergesDf carries the vocabulary in round order") {
     val merges = Bpe.trainOnWords(wordsDf(Seq("abab" -> 3L)), 2)
     val rows = Bpe.mergesDf(spark, merges).collect()

@@ -612,6 +612,21 @@ class PlanSpec extends AnyFunSuite {
     assert(nodeCount(p, "Scan parquet") === 1, p.take(1500)) // corpus once
   }
 
+  test("learned-vocab coverage: top-k off TakeOrderedAndProject, window " +
+      "bounded, no cartesian beyond the broadcast 1-row total") {
+    // the learned-symbol re-base of q_vocab_coverage must keep the word-
+    // grain original's discipline: the global sort is a per-partition-
+    // heads top-k, the cumulative window runs over <= ranks.max rows,
+    // and the only nested-loop join is the broadcast of the 1-row total
+    val merges = graft.operators.Bpe.train(spark, sf, 4)
+    val p = graft.operators.Bpe.learnedVocabCoverage(
+        graft.operators.Bpe.wordTable(spark, sf), merges)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(nodeCount(p, "CartesianProduct") === 0, p.take(1500))
+    assert(nodeCount(p, "Window\\b") === 1, p.take(1500))
+  }
+
   test("stratified sample: dims broadcast; rank limit pushed to heads") {
     val p = plan("q_stratified")
     // the per-stratum count/certification dims join by broadcast —
