@@ -152,6 +152,20 @@ object Bpe {
       .orderBy("round")
   }
 
+  /** Inverse of [[mergesDf]]: reload a persisted vocabulary from its
+    * tabular form (any row order — the `round` column is the order of
+    * record). A tokenizer is a model artifact: pipelines persist it
+    * next to the shard manifest (parquet via the ordinary writer) and
+    * replay it on every later corpus; this is the read side of that
+    * round-trip. The merge table is k rows — inherently driver-sized,
+    * the same bounded-collect family as the IVF centroid pull. */
+  def mergesFromDf(df: DataFrame): Seq[Merge] =
+    df.select(col("round").cast("long"), col("left"), col("right"),
+        col("merged"), col("n").cast("long"))
+      .orderBy("round").collect().toSeq
+      .map(r => Merge(r.getLong(0).toInt, r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+
   /** Distributed encoder: applies the learned merges IN ORDER to a
     * (freq, syms) table — k chained folds, re-checkpointed every few
     * rounds to bound plan depth. Segmenting a NEW corpus with a learned
@@ -233,6 +247,50 @@ object Bpe {
           .as("coverage"))
       .orderBy("rank")
   }
+
+  /** Per-document word-frequency table — the doc-grain analogue of
+    * [[wordTable]] (same normalization contract), the input
+    * [[docTokenCounts]] consumes. One corpus pass, map-combinable. */
+  def docWordTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(split(regexp_replace(lower(col("text")), "\\s+", " "),
+          " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("freq"))
+
+  /** Per-document corpus size in LEARNED tokens — the number sequence
+    * packing and mixture budgeting actually consume once a tokenizer
+    * exists (the doc grain of [[tokenProfile]]). For each doc_id:
+    * `words` (Σ freq) and `bpe_tokens` (Σ freq·|encode(word)|).
+    *
+    * Scale shape: the expensive merge replay runs ONCE PER DISTINCT
+    * WORD — a dictionary derived from the (doc, word) table by a
+    * map-combinable re-aggregation, encoded through the k folds, then
+    * joined back ON THE WORD KEY. The join is a plain equi-join:
+    * Catalyst broadcasts the dictionary when it fits (it does at test
+    * SFs) and falls back to a word-keyed shuffle join at 100 TB — the
+    * dictionary is corpus-DISTINCT-words-sized, so forcing a broadcast
+    * here would be the wrong call at scale; we deliberately leave the
+    * strategy to the planner + AQE. Per-doc counts are exact BIGINTs;
+    * no window, no cartesian. */
+  def docTokenCounts(docWords: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val dict = encodeWords(
+        docWords.groupBy("word").agg(sum(col("freq")).as("freq"))
+          .withColumn("syms", expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))")),
+        merges)
+      .select(col("word"), size(col("syms")).cast("long").as("toks"))
+    docWords.join(dict, "word")
+      .groupBy("doc_id")
+      .agg(sum(col("freq")).as("words"),
+        sum(col("freq") * col("toks")).as("bpe_tokens"))
+  }
+
+  /** Corpus entry point for [[docTokenCounts]]. */
+  def docTokenCounts(spark: SparkSession, dir: String,
+                     merges: Seq[Merge]): DataFrame =
+    docTokenCounts(docWordTable(spark, dir), merges)
 
   /** Driver-side reference encoder over one word — the same
     * leftmost-first non-overlapping single pass per merge round, in

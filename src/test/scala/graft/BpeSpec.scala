@@ -313,4 +313,53 @@ class BpeSpec extends AnyFunSuite {
     assert(rows.map(_.getString(3)).toSeq === Seq("ab", "abab"))
     assert(rows.map(_.getLong(4)).toSeq === Seq(6L, 3L))
   }
+
+  test("vocabulary persistence round-trip: mergesFromDf(mergesDf) is " +
+      "identity, row order immaterial, encode unchanged") {
+    val corpus = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L)
+    val merges = Bpe.trainOnWords(wordsDf(corpus), 5)
+    val back = Bpe.mergesFromDf(Bpe.mergesDf(spark, merges))
+    assert(back === merges)
+    // persisted tables carry no order guarantee — reload must re-sort
+    val shuffled = Bpe.mergesFromDf(
+      Bpe.mergesDf(spark, merges).orderBy(col("merged").desc))
+    assert(shuffled === merges)
+    assert(Bpe.encode("lowest", shuffled) === Bpe.encode("lowest", merges))
+  }
+
+  // -- doc-grain learned-token counting ---------------------------------
+
+  test("docTokenCounts matches a per-doc driver-side encode at sf0.001") {
+    val merges = Bpe.train(spark, sf, 6)
+    // independent oracle: re-tokenize raw text per doc, encode each
+    // word with the reference encoder, sum
+    val raw = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val expect = raw.map { case (id, text) =>
+      val ws = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      id -> ((ws.length.toLong,
+        ws.map(w => Bpe.encode(w, merges).length.toLong).sum))
+    }.toMap
+    val got = Bpe.docTokenCounts(spark, sf, merges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expect)
+    // doc-grain counts must also reconcile with the corpus-grain profile
+    val prof = Bpe.tokenProfile(Bpe.wordTable(spark, sf), merges)
+      .collect()(0)
+    assert(got.values.map(_._1).sum === prof.getLong(0))
+    assert(got.values.map(_._2).sum === prof.getLong(1))
+  }
+
+  test("docTokenCounts plans an equi-join, no cartesian, no window") {
+    import org.apache.spark.sql.execution.FormattedMode
+    val merges = Bpe.train(spark, sf, 3)
+    val p = Bpe.docTokenCounts(spark, sf, merges)
+      .queryExecution.explainString(FormattedMode)
+    val cnt = (op: String) =>
+      p.linesIterator.count(_.matches(s"""\\(\\d+\\) $op.*"""))
+    assert(cnt("CartesianProduct") === 0, p.take(1500))
+    assert(cnt("Window\\b") === 0, p.take(1500))
+    assert(cnt("BroadcastNestedLoopJoin") === 0, p.take(1500))
+  }
 }
