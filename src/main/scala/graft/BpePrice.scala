@@ -10,18 +10,36 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
   * with DISTINCT words, not corpus bytes, and rounds cost roughly the
   * same at every SF once vocab saturates. Prints per-SF rows (cold +
   * warm wall-clock, shuffle bytes/records, spill) for docs/SCALE.md.
-  * Usage: sbt "runMain graft.BpePrice <sfDir> [rounds] [repeat]" */
+  * Mode `doc` prices the doc-grain consumer instead (Bpe.docTokenCounts
+  * on a pre-trained vocabulary): expected CORPUS-linear shuffle — the
+  * (doc, word) aggregation and the word-keyed dictionary join scale
+  * with data, unlike the trainer's vocab-bounded loop.
+  * Usage: sbt "runMain graft.BpePrice <sfDir> [rounds] [repeat] [mode]" */
 object BpePrice {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: BpePrice <sfDir> [rounds] [repeat]")
+    require(args.nonEmpty,
+      "usage: BpePrice <sfDir> [rounds] [repeat] [train|doc]")
     val sf = args(0)
     val rounds = if (args.length > 1) args(1).toInt else 8
     val repeat = if (args.length > 2) args(2).toInt else 5
+    val mode = if (args.length > 3) args(3) else "train"
+    require(mode == "train" || mode == "doc", s"unknown mode $mode")
     val spark = Tables.localSession("bpeprice", 32)
     spark.range(1000).selectExpr("sum(id)").collect()
+    // doc mode replays a FIXED vocabulary (trained outside the timed
+    // region — pricing the consumer, not the trainer)
+    val docVocab: Seq[graft.operators.Bpe.Merge] =
+      if (mode == "doc") graft.operators.Bpe.train(spark, sf, rounds)
+      else Seq.empty
     def run(): Unit = {
-      val merges = graft.operators.Bpe.train(spark, sf, rounds)
-      require(merges.nonEmpty, "trainer returned no merges")
+      if (mode == "train") {
+        val merges = graft.operators.Bpe.train(spark, sf, rounds)
+        require(merges.nonEmpty, "trainer returned no merges")
+      } else {
+        val n = graft.operators.Bpe.docTokenCounts(spark, sf, docVocab)
+          .selectExpr("sum(bpe_tokens)").collect()(0).getLong(0)
+        require(n > 0L, "doc token counts returned nothing")
+      }
       // round tables are vocab-bounded localCheckpoints; reap them so a
       // warm run isn't billed for the previous run's storage
       spark.sparkContext.getPersistentRDDs.values
@@ -51,7 +69,7 @@ object BpePrice {
       if (warm.isEmpty) first
       else if (warm.length % 2 == 1) warm(warm.length / 2)
       else (warm(warm.length / 2 - 1) + warm(warm.length / 2)) / 2.0
-    println(f"## bpe_train rounds=$rounds cold=$first%.2fs " +
+    println(f"## bpe_$mode rounds=$rounds cold=$first%.2fs " +
       f"warm_median=$med%.2fs shuffle_bytes=${bytes.get} " +
       s"shuffle_records=${recs.get} disk_spill=${spill.get}")
     spark.stop()
