@@ -535,10 +535,34 @@ object Curation {
     * prefix offset. No `Window.orderBy` (single-task) anywhere; the sort
     * is executed once (persisted) and feeds both passes. */
   def seqPack(spark: SparkSession, dir: String,
-              budgetTokens: Long = DefaultBudgetTokens): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        size(split(col("text"), "\\s+")).cast(LongType).as("n_tok"))
+              budgetTokens: Long = DefaultBudgetTokens): DataFrame =
+    seqPackOn(spark,
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), "\\s+")).cast(LongType).as("n_tok")),
+      budgetTokens)
+
+  /** [[seqPack]] with the token column measured in LEARNED-BPE tokens
+    * ([[Bpe.docTokenCounts]]) instead of the whitespace proxy — the
+    * packing a pipeline actually runs once a tokenizer exists: context
+    * windows budget REAL model tokens, and a whitespace count that
+    * under-states long rare words mis-sizes every bin. Same packing
+    * pass, same no-single-task-window discipline; only the measure
+    * changes. */
+  def seqPackLearned(spark: SparkSession, dir: String,
+                     merges: Seq[Bpe.Merge],
+                     budgetTokens: Long = DefaultBudgetTokens): DataFrame =
+    seqPackOn(spark,
+      Bpe.docTokenCounts(spark, dir, merges)
+        .select(col("doc_id"), col("bpe_tokens").as("n_tok")),
+      budgetTokens)
+
+  /** The packing core both measures share: a (doc_id, n_tok) table in,
+    * the per-bin manifest out. Kept private-to-package so every public
+    * entry states its token measure explicitly. */
+  private[graft] def seqPackOn(spark: SparkSession, toksIn: DataFrame,
+                               budgetTokens: Long): DataFrame = {
+    val toks = toksIn.select(col("doc_id"), col("n_tok").cast(LongType))
       .orderBy("doc_id")
     val rdd = toks.rdd.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -83,6 +83,40 @@ class CurationSpec extends AnyFunSuite {
     assert(bins.map(_._1).toSeq === bins.map(_._1).toSeq.sorted)
   }
 
+  test("learned-token packing matches a driver-side prefix-sum brute force") {
+    import graft.operators.Bpe
+    val merges = Bpe.train(spark, sf, 6)
+    val budget = 256L
+    // independent oracle: per-doc learned-token counts from the
+    // reference encoder, exclusive prefix sum, first-token bin, manifest
+    val raw = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    var prefix = 0L
+    val assigned = raw.map { case (id, text) =>
+      val t = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .map(w => Bpe.encode(w, merges).length.toLong).sum
+      val bin = prefix / budget
+      prefix += t
+      (bin, id, t)
+    }
+    val expect = assigned.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (bin, ds) => (bin, ds.length.toLong, ds.map(_._3).sum,
+        ds.map(_._2).min, ds.map(_._2).max)
+    }
+    val got = Curation.seqPackLearned(spark, sf, merges, budget).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expect)
+    // the learned measure must differ from the whitespace proxy — if the
+    // two manifests coincide, the test is vacuous (6 merges leave most
+    // words multi-token, so bpe_tokens >> ws tokens here)
+    val ws = Curation.seqPack(spark, sf, budgetTokens = budget).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got.map(_._3).sum > ws.values.sum,
+      "learned-token volume should exceed the whitespace count at " +
+        "shallow merge depth")
+  }
+
   test("sequence packing is layout-stable: same bins at any parallelism") {
     // the two-pass prefix sum must not depend on how the range sort
     // partitions the data — the precondition for verifying a
