@@ -250,9 +250,17 @@ object Bpe {
 
   /** Per-document word-frequency table — the doc-grain analogue of
     * [[wordTable]] (same normalization contract), the input
-    * [[docTokenCounts]] consumes. One corpus pass, map-combinable. */
+    * [[docTokenCounts]] consumes. One corpus pass, map-combinable.
+    * NOTE: a doc whose text yields no words (null, empty, whitespace-
+    * only) has no row here — explode of an empty array emits nothing;
+    * [[docTokenCountsOf]] restores such docs as 0-token rows. */
   def docWordTable(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    docWordTableOf(Tables.documents(spark, dir))
+
+  /** [[docWordTable]] over any (doc_id, text, …) DataFrame — the
+    * `*Of` planting seam the Dedup family established. */
+  def docWordTableOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         explode(split(regexp_replace(lower(col("text")), "\\s+", " "),
           " ")).as("word"))
@@ -287,10 +295,28 @@ object Bpe {
         sum(col("freq") * col("toks")).as("bpe_tokens"))
   }
 
-  /** Corpus entry point for [[docTokenCounts]]. */
+  /** [[docTokenCounts]] over any (doc_id, text, …) DataFrame, with a
+    * COMPLETE doc universe: a doc whose text yields no words (null,
+    * empty, whitespace-only — real in any production crawl even though
+    * absent from the test corpora) reports words=0 / bpe_tokens=0
+    * instead of silently vanishing from the manifest. Counting null
+    * text as 0 is the right contract for a BUDGETING surface (no
+    * trainable content, no budget) — unlike the dedup REWRITE passes,
+    * which fail loud on null text because emitting a rewritten null
+    * would corrupt the corpus. The restore join is doc_id-keyed on two
+    * doc-grained sides, and the universe scan prunes to doc_id only. */
+  def docTokenCountsOf(docs: DataFrame, merges: Seq[Merge]): DataFrame =
+    docs.select(col("doc_id"))
+      .join(docTokenCounts(docWordTableOf(docs), merges),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("words"), lit(0L)).as("words"),
+        coalesce(col("bpe_tokens"), lit(0L)).as("bpe_tokens"))
+
+  /** Corpus entry point for [[docTokenCountsOf]]. */
   def docTokenCounts(spark: SparkSession, dir: String,
                      merges: Seq[Merge]): DataFrame =
-    docTokenCounts(docWordTable(spark, dir), merges)
+    docTokenCountsOf(Tables.documents(spark, dir), merges)
 
   /** Driver-side reference encoder over one word — the same
     * leftmost-first non-overlapping single pass per merge round, in

@@ -351,6 +351,24 @@ class BpeSpec extends AnyFunSuite {
     assert(got.values.map(_._2).sum === prof.getLong(1))
   }
 
+  test("docTokenCountsOf keeps wordless docs as zero-token rows " +
+      "(null / empty / whitespace-only plants)") {
+    import spark.implicits._
+    val merges = Bpe.trainOnWords(wordsDf(Seq("aa" -> 3L, "bb" -> 2L)), 2)
+    val docs = Seq(
+      1L -> "aa bb aa", 2L -> null.asInstanceOf[String],
+      3L -> "   ", 4L -> "").toDF("doc_id", "text")
+    val got = Bpe.docTokenCountsOf(docs, merges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // the budgeting contract: wordless docs are PRESENT at zero, not
+    // dropped — a manifest that loses doc ids corrupts downstream joins
+    assert(got.keySet === Set(1L, 2L, 3L, 4L))
+    assert(got(2L) === ((0L, 0L)) && got(3L) === ((0L, 0L)) &&
+      got(4L) === ((0L, 0L)))
+    val enc = (w: String) => Bpe.encode(w, merges).length.toLong
+    assert(got(1L) === ((3L, 2 * enc("aa") + enc("bb"))))
+  }
+
   test("docTokenCounts plans an equi-join, no cartesian, no window") {
     import org.apache.spark.sql.execution.FormattedMode
     val merges = Bpe.train(spark, sf, 3)
