@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+
+/** Dev tool: measure the PQ ANN path — recall@10 vs brute force across
+  * the (subspaces, rerank) knob grid, and the shuffle-volume contrast
+  * vs [[graft.operators.Similarity.bruteForceTopK]] (the compression
+  * claim: the pair-scoring stage ships codes + one double per corpus
+  * row instead of dim floats). Warm wall-clock = median of runs 2–N,
+  * shuffle from run 1 (plan-invariant).
+  * Usage: sbt "runMain graft.PqDev <sfDir> [repeat]" */
+object PqDev {
+  def main(args: Array[String]): Unit = {
+    val sf = args(0)
+    val repeat = if (args.length > 1) args(1).toInt else 3
+    val spark = Tables.localSession("pqdev", 32)
+    import graft.operators.Similarity
+    val bf = Similarity.bruteForceTopK(spark, sf)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(bf).size.toDouble / bf.size
+    }
+    for (sub <- Seq(8, 16); rr <- Seq(0, 40, 100)) {
+      val r = recall(Similarity.pqTopK(spark, sf, rerank = rr,
+        subspaces = sub))
+      println(f"## pq sf=$sf sub=$sub rerank=$rr recall=$r%.3f")
+    }
+    // shuffle + warm wall-clock, PQ defaults vs brute force
+    def measure(tag: String)(mk: () => org.apache.spark.sql.DataFrame)
+        : Unit = {
+      val bytes = new java.util.concurrent.atomic.AtomicLong
+      val recs = new java.util.concurrent.atomic.AtomicLong
+      val spill = new java.util.concurrent.atomic.AtomicLong
+      val lst = new SparkListener {
+        override def onStageCompleted(s: SparkListenerStageCompleted)
+            : Unit =
+          if (s.stageInfo.attemptNumber() == 0) {
+            bytes.addAndGet(
+              s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+            recs.addAndGet(
+              s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+            spill.addAndGet(s.stageInfo.taskMetrics.diskBytesSpilled)
+          }
+      }
+      def run(): Unit = {
+        require(mk().count() > 0L)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+      }
+      spark.sparkContext.addSparkListener(lst)
+      val t0 = System.nanoTime(); run()
+      val cold = (System.nanoTime() - t0) / 1e9
+      ShuffleBytes.drainListenerBus(bytes, recs, spill)
+      spark.sparkContext.removeSparkListener(lst)
+      val warm = (2 to repeat).map { _ =>
+        val t = System.nanoTime(); run(); (System.nanoTime() - t) / 1e9
+      }.sorted
+      val med =
+        if (warm.isEmpty) cold
+        else if (warm.length % 2 == 1) warm(warm.length / 2)
+        else (warm(warm.length / 2 - 1) + warm(warm.length / 2)) / 2.0
+      println(f"## pq_cost $tag cold=$cold%.2fs warm_median=$med%.2fs " +
+        f"shuffle_bytes=${bytes.get} shuffle_records=${recs.get} " +
+        s"disk_spill=${spill.get}")
+    }
+    measure("brute_force")(() => Similarity.bruteForceTopK(spark, sf))
+    measure("pq_default")(() => Similarity.pqTopK(spark, sf))
+    spark.stop()
+  }
+}

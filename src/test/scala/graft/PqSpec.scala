@@ -1,0 +1,153 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product quantization (late-r16 capability): the memory-compression
+  * half of a FAISS-style ANN deployment, complementing the IVF pruning
+  * half already on the books. Spec-gated, wire-free (window exhausted —
+  * the suffixMask/Bpe precedent): the whole chain is bit-deterministic
+  * (LCG training sample, literal codebooks, first-minimum argmins,
+  * fixed-order ADC sums), so the encode replica here matches EXACTLY,
+  * not approximately, and the recall numbers are reproducible constants
+  * of the corpus, recorded like q_ann_recall's.
+  */
+class PqSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val base = Tables.embeddings(spark, sf)
+  private lazy val dim = Similarity.dimOf(base)
+  private lazy val books = Similarity.pqCodebooks(
+    Similarity.ivfTrainingSample(base,
+      Similarity.pqSampleK(1 << Similarity.PqBits)),
+    dim)
+
+  // ascending-index accumulation, floats widened one at a time — the
+  // same IEEE order as the native vec_dot kernel
+  private def dotDF(c: Array[Double], x: Seq[Float], off: Int): Double = {
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * x(off + i).toDouble; i += 1 }
+    s
+  }
+  private def dotDD(c: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    s
+  }
+
+  /** Driver-side encode replica: per subspace, first-minimum argmin of
+    * c·c − 2·x_m·c over the codebook; recon norm from the chosen
+    * entries' squared norms summed in subspace order. */
+  private def encodeReplica(x: Seq[Float]): (Seq[Int], Double) = {
+    val sub = books.length
+    val subDim = dim / sub
+    val codes = (0 until sub).map { m =>
+      val d = books(m).map(c => dotDD(c) - 2.0 * dotDF(c, x, m * subDim))
+      d.indexOf(d.min) + 1
+    }
+    val normsq = (0 until sub)
+      .map(m => books(m)(codes(m) - 1).map(v => v * v).sum)
+      .reduce(_ + _)
+    (codes, math.sqrt(normsq))
+  }
+
+  test("fused joint trainer ≡ per-slice kmeansCentroids reference, " +
+      "bitwise") {
+    // the fused form exists purely to collapse sub·(1+iters) scheduler
+    // round-trips into 1+iters; it must not move one bit — same init
+    // draw, same argmin, same canonical vec_id-order fold per cell
+    val sliced = Similarity.pqCodebooksSliced(
+      Similarity.ivfTrainingSample(base,
+        Similarity.pqSampleK(1 << Similarity.PqBits)),
+      dim)
+    assert(books.length === sliced.length)
+    for (m <- books.indices; c <- books(m).indices)
+      assert(books(m)(c).toSeq === sliced(m)(c).toSeq,
+        s"book $m entry $c diverged")
+  }
+
+  test("codebooks: one per subspace, 2^bits entries of subdim length") {
+    assert(books.length === Similarity.PqSub)
+    assert(books.forall(_.length === (1 << Similarity.PqBits)))
+    assert(books.forall(_.forall(_.length === dim / Similarity.PqSub)))
+    assert(books.forall(_.forall(_.forall(v => !v.isNaN && !v.isInfinite))))
+  }
+
+  test("pqEncode matches the driver-side argmin replica exactly") {
+    val got = Similarity.pqEncode(base, books, dim).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getSeq[Int](1), r.getDouble(2)))).toMap
+    val raw = base.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    assert(raw.nonEmpty)
+    raw.foreach { case (id, x) =>
+      val (codes, norm) = encodeReplica(x)
+      assert(got(id)._1 === codes, s"codes diverge at vec_id $id")
+      // same literals summed in the same order -> bitwise equal
+      assert(got(id)._2 === norm, s"recon_norm diverges at vec_id $id")
+    }
+  }
+
+  test("centroid plant: a vector ON the codebook grid reconstructs " +
+      "itself — codes hit the planted entries, recon_norm is the " +
+      "true norm") {
+    import spark.implicits._
+    val sub = books.length
+    val chosen = (0 until sub).map(m => m % books(m).length)
+    val plant = (0 until sub).flatMap(m =>
+      books(m)(chosen(m)).map(_.toFloat))
+    val df = Seq((1L, plant)).toDF("vec_id", "embedding")
+    val r = Similarity.pqEncode(df, books, dim).collect()(0)
+    // float-rounding the plant can move an argmin only if two entries
+    // are near-identical; replica decides the expected codes from the
+    // same floats, so the assertion is exact either way
+    val (codes, norm) = encodeReplica(plant)
+    assert(r.getSeq[Int](1) === codes)
+    assert(r.getDouble(2) === norm)
+    // coordinate-disjoint subspaces: recon normsq == plant normsq up to
+    // the FLOAT cast of the planted column (the codebook is double; the
+    // embedding column is float, so each coordinate moves by ≤2⁻²⁴
+    // relative) — anything past that scale would be a real defect
+    val truNormSq = plant.map(v => v.toDouble * v.toDouble).sum
+    assert(math.abs(norm * norm - truNormSq) < 1e-6 * (1.0 + truNormSq))
+  }
+
+  test("recall ladder at sf0.001: ADC alone, +rerank 4k, +rerank 10k " +
+      "(defaults) — measured bands, monotone") {
+    val bf = Similarity.bruteForceTopK(spark, sf)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(rr: Int): Double = {
+      val got = Similarity.pqTopK(spark, sf, rerank = rr)
+        .select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(bf).size.toDouble / bf.size
+    }
+    // recorded exact values (bit-deterministic chain): 0.450 / 0.805 /
+    // 0.960 at sf0.001; 0.460 / 0.800 / 0.975 at sf0.01 (PqDev sweep).
+    // Bands leave margin for testdata regeneration, not for the engine.
+    val adc = recall(0)
+    val r40 = recall(4 * Similarity.K)
+    val r100 = recall(10 * Similarity.K)
+    assert(adc >= 0.35, s"ADC recall $adc below band")
+    assert(r40 >= 0.70, s"rerank-40 recall $r40 below band")
+    assert(r100 >= 0.90, s"default (rerank-100) recall $r100 below band")
+    assert(adc <= r40 && r40 <= r100,
+      s"rerank must not lose recall: $adc / $r40 / $r100")
+  }
+
+  test("determinism: identical manifest on re-run and under " +
+      "repartitioning of the corpus") {
+    val a = Similarity.pqTopK(spark, sf, rerank = 0).collect().toSeq
+    val b = Similarity.pqTopK(spark, sf, rerank = 0).collect().toSeq
+    assert(a === b)
+    // the encode side is partitioning-independent (literal codebooks,
+    // per-row argmin): same codes at any layout
+    val c1 = Similarity.pqEncode(base.repartition(7), books, dim)
+      .orderBy("vec_id").collect().map(_.getSeq[Int](1).toVector).toSeq
+    val c2 = Similarity.pqEncode(base.repartition(1), books, dim)
+      .orderBy("vec_id").collect().map(_.getSeq[Int](1).toVector).toSeq
+    assert(c1 === c2)
+  }
+}
