@@ -28,6 +28,12 @@ object PqDev {
         subspaces = sub))
       println(f"## pq sf=$sf sub=$sub rerank=$rr recall=$r%.3f")
     }
+    for (rr <- Seq(40, 100)) {
+      val r = recall(Similarity.ivfPqTopK(spark, sf, rerank = rr))
+      println(f"## ivfpq sf=$sf rerank=$rr recall=$r%.3f")
+    }
+    val rIvf = recall(Similarity.ivfTopK(spark, sf))
+    println(f"## ivf sf=$sf recall=$rIvf%.3f")
     // shuffle + warm wall-clock, PQ defaults vs brute force
     def measure(tag: String)(mk: () => org.apache.spark.sql.DataFrame)
         : Unit = {

@@ -966,4 +966,129 @@ object Similarity {
         .orderBy("q_id", "rank")
     }
   }
+
+  /** IVF-PQ (the FAISS IVFADC composition — both halves already exist
+    * and are audited separately; this is the production 100 TB shape):
+    * the coarse quantizer PRUNES (a query ADC-scores only its probed
+    * lists' members, probes/lists → 0 under the √n laws), PQ COMPRESSES
+    * (the scored frame carries codes + one double, never embeddings),
+    * and a bounded exact rerank recovers ranking fidelity.
+    *
+    * PQ codebooks train on RESIDUALS (x − its centroid), the standard
+    * IVFADC refinement: residuals concentrate near 0 with far less
+    * structure than raw vectors, so a 16-entry codebook resolves them
+    * better. ADC algebra: x̂ = c_list + decode(codes), so
+    * dot(q, x̂) = dot(q, c_list) + Σ_m lut[m][code_m] — the centroid
+    * term comes from a per-query lists-length table, the residual term
+    * from the same per-query LUT as [[pqTopK]]; ‖x̂‖ is computed EXACTLY
+    * at encode time (decode + centroid add, one double per row), so the
+    * approximate cosine is exact whenever the residual lands on a
+    * codebook entry.
+    *
+    * Structural invariant (spec-asserted, mirroring [[ivfTopK]]'s):
+    * probing EVERY list with corpus-wide rerank reproduces
+    * [[bruteForceTopK]] ROW-FOR-ROW — assignment, coding, ADC ranking
+    * and rerank may lose candidates only through probe pruning and
+    * rerank truncation. Candidate pairs are structurally unique (one
+    * list per vector, distinct probed lists per query), so no
+    * defensive distinct — at probes·n/lists candidates per query the
+    * dedup shuffle [[ivfTopK]] pays would be the costlier stage here. */
+  def ivfPqTopK(spark: SparkSession, dir: String,
+                rerank: Int = 10 * K,
+                probesOverride: Option[Int] = None,
+                subspaces: Int = PqSub): DataFrame = {
+    require(rerank >= 1, s"IVFADC without rerank is not served (got $rerank)")
+    val base = Tables.embeddings(spark, dir)
+    val dim = dimOf(base)
+    val e = withNorm(base, dim).localCheckpoint(true)
+    val numLists = listsForCount(e.count())
+    val numProbes = probesOverride.getOrElse(probesForLists(numLists))
+    require(numProbes >= 1 && numProbes <= numLists,
+      s"probes $numProbes out of [1, $numLists]")
+    val samp = ivfTrainingSample(e,
+        math.max(sampleKFor(numLists), pqSampleK(1 << PqBits)))
+      .localCheckpoint(eager = true)
+    val centroids = kmeansCentroids(samp, numLists, iters = 3)
+    val cents = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    def distsCol = expr(
+      "transform(cents, c -> vec_dot(c, c) - 2.0D * vec_dot(c, embedding))")
+    def assignCols(df: DataFrame): DataFrame = df
+      .withColumn("cents", cents)
+      .withColumn("dists", distsCol)
+      .withColumn("list_id",
+        expr("array_position(dists, array_min(dists))").cast(LongType))
+      .withColumn("cvec",
+        element_at(col("cents"), col("list_id").cast(IntegerType)))
+    // residual training sample: x − its centroid, as doubles
+    val sampResid = assignCols(samp)
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("cvec"), (a, b) => a - b)
+          .cast(ArrayType(DoubleType)).as("embedding"))
+    val books = pqCodebooks(sampResid, dim, sub = subspaces)
+    val sub = books.length
+    val subDim = dim / sub
+    // corpus encode: list + residual codes + EXACT reconstruction norm
+    val resid = zip_with(col("embedding"), col("cvec"), (a, b) => a - b)
+    val codeCols = books.zipWithIndex.map { case (book, m) =>
+      val r = slice(resid, m * subDim + 1, subDim)
+      val dists = transform(bookCol(book), c =>
+        call_function("vec_dot", c, c) -
+          lit(2.0) * call_function("vec_dot", c, r))
+      array_position(dists, array_min(dists)).cast(IntegerType)
+    }
+    val decoded = concat(books.zipWithIndex.map { case (book, m) =>
+      element_at(bookCol(book), codeCols(m))
+    }: _*)
+    val xhat = zip_with(col("cvec"), decoded, (a, b) => a + b)
+    val coded = assignCols(e)
+      .select(col("vec_id"), col("list_id"),
+        array(codeCols: _*).as("codes"),
+        sqrt(call_function("vec_dot", xhat, xhat)).as("recon_norm"))
+    // query side: probed lists + centroid dot table + residual LUT
+    val lutCol = array(books.zipWithIndex.map { case (book, m) =>
+      val qm = expr(s"slice(q_emb, ${m * subDim + 1}, $subDim)")
+      array(book.map(c =>
+        call_function("vec_dot", qm, array(c.map(lit): _*))): _*)
+    }: _*)
+    val probed = queries(base, dim)
+      .withColumn("cents", cents)
+      .withColumn("qdots", expr(
+        "transform(cents, c -> vec_dot(c, q_emb))"))
+      .withColumn("dists", expr(
+        "transform(cents, c -> vec_dot(c, c) - 2.0D * vec_dot(c, q_emb))"))
+      .withColumn("lut", lutCol)
+      .withColumn("probe", explode(expr(
+        s"""slice(array_sort(zip_with(dists, sequence(1, $numLists),
+           |  (d, i) -> struct(d AS d, i AS i))), 1, $numProbes)"""
+          .stripMargin)))
+      .select(col("q_id"), col("q_emb"), col("q_norm"), col("lut"),
+        col("probe.i").cast(LongType).as("list_id"),
+        element_at(col("qdots"), col("probe.i")).as("qc"))
+    val adcDot = (1 to sub).map(m =>
+      element_at(element_at(col("lut"), m), element_at(col("codes"), m)))
+      .foldLeft(col("qc"))(_ + _)
+    val scored = coded.join(broadcast(probed), Seq("list_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_adc",
+        round(adcDot / (col("q_norm") * col("recon_norm")), 6))
+    val width = math.max(K, rerank)
+    val adcTop = scored
+      .withColumn("part", spark_partition_id())
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id", "part")
+          .orderBy(desc("cos_adc"), asc("vec_id"))))
+      .filter(col("rn") <= width)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos_adc"), asc("vec_id"))))
+      .filter(col("rank") <= width)
+    score(adcTop.select("q_id", "q_emb", "q_norm", "vec_id")
+        .join(e.select(col("vec_id"), col("embedding"), col("norm")),
+          "vec_id"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank").cast(LongType).as("rank"),
+        col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy("q_id", "rank")
+  }
 }

@@ -137,6 +137,46 @@ class PqSpec extends AnyFunSuite {
       s"rerank must not lose recall: $adc / $r40 / $r100")
   }
 
+  test("IVFADC: all lists + corpus-wide rerank ≡ brute force " +
+      "row-for-row") {
+    // the composed path inherits ivfTopK's structural invariant:
+    // assignment, residual coding, ADC ranking and rerank may lose a
+    // candidate ONLY through probe pruning / rerank truncation — with
+    // both disabled the result must be bit-identical to brute force
+    // (ranks, cosines, tiebreaks)
+    val n = Tables.embeddings(spark, sf).count()
+    val lists = Similarity.listsForCount(n)
+    val got = Similarity.ivfPqTopK(spark, sf, rerank = n.toInt,
+        probesOverride = Some(lists)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val bf = Similarity.bruteForceTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === bf.toSeq)
+  }
+
+  test("IVFADC at the derived laws: compression costs ≈ nothing beyond " +
+      "probe pruning") {
+    // same quantizer sample as ivfTopK (max(sampleKFor, pqSampleK) ==
+    // sampleKFor here), so candidate lists coincide and the IVFADC
+    // recall is bounded ABOVE by pure IVF's; the measured gap at
+    // rerank = 10·K is zero at sf0.001/sf0.01 and 0.01 at sf0.1
+    // (PqDev: 0.750/0.750, 0.755/0.755, 0.805/0.815)
+    val bf = Similarity.bruteForceTopK(spark, sf)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(bf).size.toDouble / bf.size
+    }
+    val rIvf = recall(Similarity.ivfTopK(spark, sf))
+    val rAdc = recall(Similarity.ivfPqTopK(spark, sf))
+    assert(rAdc <= rIvf + 1e-9,
+      s"IVFADC $rAdc cannot exceed its own candidate superset's $rIvf")
+    assert(rAdc >= rIvf - 0.05,
+      s"compression loss ${rIvf - rAdc} above the 0.05 band")
+  }
+
   test("determinism: identical manifest on re-run and under " +
       "repartitioning of the corpus") {
     val a = Similarity.pqTopK(spark, sf, rerank = 0).collect().toSeq
