@@ -318,6 +318,58 @@ object Bpe {
                      merges: Seq[Merge]): DataFrame =
     docTokenCountsOf(Tables.documents(spark, dir), merges)
 
+  /** Per-document learned-token CHUNKING — the in-document counterpart
+    * of [[graft.operators.Curation.seqPackLearned]]: split each doc into
+    * context-window chunks of `budgetTokens` LEARNED tokens along word
+    * boundaries (a word belongs to the chunk its FIRST token lands in —
+    * the same exclusive-prefix-sum/budget rule as seqPack, applied
+    * per-doc). Emits the chunk manifest: (doc_id, chunk, n_words,
+    * bpe_tokens, first_word, last_word) with word indices into the
+    * doc's normalized word order. A doc with no words emits no chunks
+    * (a chunk must hold ≥1 word) — the complement of
+    * [[docTokenCountsOf]]'s universe-complete budgeting contract,
+    * documented rather than accidental.
+    *
+    * Scale shape: one posexplode corpus pass; the merge replay runs once
+    * per DISTINCT word (same dictionary equi-join as docTokenCounts,
+    * strategy left to the planner); the prefix sum is a window
+    * PARTITIONED BY doc_id — millions of small partitions, the
+    * orderGaps/LAG precedent, never a single-task global window; the
+    * manifest aggregate is map-combinable on (doc_id, chunk). */
+  def chunkByTokens(docs: DataFrame, merges: Seq[Merge],
+                    budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 1, s"budget must be >= 1 (got $budgetTokens)")
+    val words = docs
+      .select(col("doc_id"),
+        posexplode(split(regexp_replace(lower(col("text")), "\\s+", " "),
+          " ")))
+      .toDF("doc_id", "idx", "word")
+      .filter(length(col("word")) >= 1)
+    val dict = encodeWords(
+        words.groupBy("word").agg(count(lit(1)).as("freq"))
+          .withColumn("syms", expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))")),
+        merges)
+      .select(col("word"), size(col("syms")).cast("long").as("toks"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("idx")
+    words.join(dict, "word")
+      .withColumn("prefix", coalesce(sum(col("toks")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("chunk", (col("prefix") / budgetTokens).cast("long"))
+      .groupBy("doc_id", "chunk")
+      .agg(count(lit(1)).as("n_words"), sum(col("toks")).as("bpe_tokens"),
+        min(col("idx")).cast("long").as("first_word"),
+        max(col("idx")).cast("long").as("last_word"))
+      .orderBy("doc_id", "chunk")
+  }
+
+  /** Corpus entry point for [[chunkByTokens]]. */
+  def chunkByTokens(spark: SparkSession, dir: String, merges: Seq[Merge],
+                    budgetTokens: Long): DataFrame =
+    chunkByTokens(Tables.documents(spark, dir), merges, budgetTokens)
+
   /** Driver-side reference encoder over one word — the same
     * leftmost-first non-overlapping single pass per merge round, in
     * plain Scala. Specs pin the distributed fold against this; callers

@@ -369,6 +369,55 @@ class BpeSpec extends AnyFunSuite {
     assert(got(1L) === ((3L, 2 * enc("aa") + enc("bb"))))
   }
 
+  test("chunkByTokens matches a per-doc driver-side prefix-sum replica " +
+      "and reconciles with docTokenCounts") {
+    val merges = Bpe.train(spark, sf, 6)
+    val budget = 64L
+    val raw = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    // replica: normalize, split (indices BEFORE the empty-word filter,
+    // exactly like posexplode-then-filter), encode, exclusive prefix
+    val expect = raw.flatMap { case (id, text) =>
+      val toks = text.toLowerCase.replaceAll("\\s+", " ").split(" ", -1)
+        .zipWithIndex.filter(_._1.nonEmpty)
+        .map { case (wd, i) => (i, Bpe.encode(wd, merges).length.toLong) }
+      var prefix = 0L
+      val tagged = toks.map { case (i, t) =>
+        val c = prefix / budget; prefix += t; (c, i, t)
+      }
+      tagged.groupBy(_._1).toSeq.map { case (c, ws) =>
+        (id, c, ws.length.toLong, ws.map(_._3).sum,
+          ws.map(_._2).min.toLong, ws.map(_._2).max.toLong)
+      }
+    }.sortBy(t => (t._1, t._2)).toSeq
+    val got = Bpe.chunkByTokens(spark, sf, merges, budget).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expect)
+    // per-doc chunk token totals reconcile with the budgeting surface
+    val perDoc = got.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val counts = Bpe.docTokenCounts(spark, sf, merges).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(counts.forall { case (id, n) =>
+      perDoc.getOrElse(id, 0L) == n })
+    // every chunk holds at least one word; chunk ids start at 0 and
+    // strictly increase (an over-budget single word may legitimately
+    // SKIP ids — the replica equality above already pins that case);
+    // word ranges partition the doc order
+    assert(got.forall(_._3 >= 1))
+    got.groupBy(_._1).values.foreach { cs =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.head._2 === 0L)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._2 < b._2)
+          assert(a._6 < b._5,
+            s"chunk word ranges must partition the doc order: $a vs $b")
+        case _ => ()
+      }
+    }
+  }
+
   test("docTokenCounts plans an equi-join, no cartesian, no window") {
     import org.apache.spark.sql.execution.FormattedMode
     val merges = Bpe.train(spark, sf, 3)
