@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 
 /** Dev tool: measure the BPE merge-loop trainer's scale shape
   * (operators.Bpe.train — r16's wire-free capability) instead of
@@ -45,33 +44,20 @@ object BpePrice {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
     }
-    val bytes = new java.util.concurrent.atomic.AtomicLong
-    val recs = new java.util.concurrent.atomic.AtomicLong
-    val spill = new java.util.concurrent.atomic.AtomicLong
-    val lst = new SparkListener {
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
-        if (s.stageInfo.attemptNumber() == 0) {
-          bytes.addAndGet(
-            s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-          recs.addAndGet(
-            s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
-          spill.addAndGet(s.stageInfo.taskMetrics.diskBytesSpilled)
-        }
+    // shuffle from run 1 (plan-invariant); cold clock stops before the
+    // listener-bus drain; warm median via the shared even-count fold
+    var first = 0.0
+    val tot = ShuffleBytes.measureStages(spark) {
+      val t0 = System.nanoTime(); run()
+      first = (System.nanoTime() - t0) / 1e9
     }
-    spark.sparkContext.addSparkListener(lst)
-    val t0 = System.nanoTime(); run(); val first = (System.nanoTime() - t0) / 1e9
-    ShuffleBytes.drainListenerBus(bytes, recs, spill)
-    spark.sparkContext.removeSparkListener(lst)
     val warm = (2 to repeat).map { _ =>
       val t = System.nanoTime(); run(); (System.nanoTime() - t) / 1e9
-    }.sorted
-    val med =
-      if (warm.isEmpty) first
-      else if (warm.length % 2 == 1) warm(warm.length / 2)
-      else (warm(warm.length / 2 - 1) + warm(warm.length / 2)) / 2.0
+    }
+    val med = ShuffleBytes.warmMedian(first, warm)
     println(f"## bpe_$mode rounds=$rounds cold=$first%.2fs " +
-      f"warm_median=$med%.2fs shuffle_bytes=${bytes.get} " +
-      s"shuffle_records=${recs.get} disk_spill=${spill.get}")
+      f"warm_median=$med%.2fs shuffle_bytes=${tot.bytes} " +
+      s"shuffle_records=${tot.records} disk_spill=${tot.spill}")
     spark.stop()
   }
 }

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 
 /** Dev tool: measure the PQ ANN path — recall@10 vs brute force across
   * the (subspaces, rerank) knob grid, and the shuffle-volume contrast
@@ -11,6 +10,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
   * Usage: sbt "runMain graft.PqDev <sfDir> [repeat]" */
 object PqDev {
   def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: PqDev <sfDir> [repeat]")
     val sf = args(0)
     val repeat = if (args.length > 1) args(1).toInt else 3
     val spark = Tables.localSession("pqdev", 32)
@@ -34,43 +34,27 @@ object PqDev {
     }
     val rIvf = recall(Similarity.ivfTopK(spark, sf))
     println(f"## ivf sf=$sf recall=$rIvf%.3f")
-    // shuffle + warm wall-clock, PQ defaults vs brute force
+    // shuffle + warm wall-clock, PQ defaults vs brute force (shared
+    // listener + median helpers; cold clock stops before the drain)
     def measure(tag: String)(mk: () => org.apache.spark.sql.DataFrame)
         : Unit = {
-      val bytes = new java.util.concurrent.atomic.AtomicLong
-      val recs = new java.util.concurrent.atomic.AtomicLong
-      val spill = new java.util.concurrent.atomic.AtomicLong
-      val lst = new SparkListener {
-        override def onStageCompleted(s: SparkListenerStageCompleted)
-            : Unit =
-          if (s.stageInfo.attemptNumber() == 0) {
-            bytes.addAndGet(
-              s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-            recs.addAndGet(
-              s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
-            spill.addAndGet(s.stageInfo.taskMetrics.diskBytesSpilled)
-          }
-      }
       def run(): Unit = {
         require(mk().count() > 0L)
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
       }
-      spark.sparkContext.addSparkListener(lst)
-      val t0 = System.nanoTime(); run()
-      val cold = (System.nanoTime() - t0) / 1e9
-      ShuffleBytes.drainListenerBus(bytes, recs, spill)
-      spark.sparkContext.removeSparkListener(lst)
+      var cold = 0.0
+      val tot = ShuffleBytes.measureStages(spark) {
+        val t0 = System.nanoTime(); run()
+        cold = (System.nanoTime() - t0) / 1e9
+      }
       val warm = (2 to repeat).map { _ =>
         val t = System.nanoTime(); run(); (System.nanoTime() - t) / 1e9
-      }.sorted
-      val med =
-        if (warm.isEmpty) cold
-        else if (warm.length % 2 == 1) warm(warm.length / 2)
-        else (warm(warm.length / 2 - 1) + warm(warm.length / 2)) / 2.0
+      }
+      val med = ShuffleBytes.warmMedian(cold, warm)
       println(f"## pq_cost $tag cold=$cold%.2fs warm_median=$med%.2fs " +
-        f"shuffle_bytes=${bytes.get} shuffle_records=${recs.get} " +
-        s"disk_spill=${spill.get}")
+        f"shuffle_bytes=${tot.bytes} shuffle_records=${tot.records} " +
+        s"disk_spill=${tot.spill}")
     }
     measure("brute_force")(() => Similarity.bruteForceTopK(spark, sf))
     measure("pq_default")(() => Similarity.pqTopK(spark, sf))

@@ -31,33 +31,58 @@ object ShuffleBytes {
     }
   }
 
+  /** Stage-metrics totals for one measured execution. */
+  final case class StageTotals(bytes: Long, records: Long, spill: Long)
+
+  /** Run `thunk` once under an attempt-0 stage-metrics listener and
+    * return the shuffle-write + spill totals after draining the async
+    * bus. Retried stage attempts would double-count the attempt-0
+    * writes; in local mode attempt 0 is the only one that runs to
+    * completion. Extracted r16: this block had been hand-copied into
+    * each pricing tool (IvfPrice/BpePrice/PqDev) and the copies had
+    * already drifted once (the r15 median fix) — one copy, one fix. */
+  def measureStages(spark: org.apache.spark.sql.SparkSession)(
+      thunk: => Unit): StageTotals = {
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    val recs = new java.util.concurrent.atomic.AtomicLong
+    val spill = new java.util.concurrent.atomic.AtomicLong
+    val lst = new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        if (s.stageInfo.attemptNumber() == 0) {
+          bytes.addAndGet(
+            s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          recs.addAndGet(
+            s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+          spill.addAndGet(s.stageInfo.taskMetrics.diskBytesSpilled)
+        }
+    }
+    spark.sparkContext.addSparkListener(lst)
+    try { thunk; drainListenerBus(bytes, recs, spill) }
+    finally spark.sparkContext.removeSparkListener(lst)
+    StageTotals(bytes.get, recs.get, spill.get)
+  }
+
+  /** True warm median — even counts average the two middles (the r15
+    * ADVICE fix, now in ONE place); cold fallback when no warm runs. */
+  def warmMedian(cold: Double, warm: Seq[Double]): Double = {
+    val s = warm.sorted
+    if (s.isEmpty) cold
+    else if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ShuffleBytes <sfDir> <query...>")
     val sf = args(0)
     val spark = Tables.localSession("shufflebytes", 32)
     spark.range(1000).selectExpr("sum(id)").collect() // session warm-up
     for (q <- args.drop(1)) {
-      val bytes = new java.util.concurrent.atomic.AtomicLong
-      val recs = new java.util.concurrent.atomic.AtomicLong
-      val spill = new java.util.concurrent.atomic.AtomicLong
-      val lst = new SparkListener {
-        override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
-          // Retried stage attempts would double-count the attempt-0 writes;
-          // in local mode attempt 0 is the only one that runs to completion.
-          if (s.stageInfo.attemptNumber() == 0) {
-            bytes.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-            recs.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
-            spill.addAndGet(s.stageInfo.taskMetrics.diskBytesSpilled)
-          }
-        }
+      val t = measureStages(spark) {
+        SparkEntry.queries(q)(spark, sf)
+          .write.mode("overwrite").format("noop").save()
       }
-      spark.sparkContext.addSparkListener(lst)
-      SparkEntry.queries(q)(spark, sf)
-        .write.mode("overwrite").format("noop").save()
-      ShuffleBytes.drainListenerBus(bytes, recs, spill)
-      spark.sparkContext.removeSparkListener(lst)
-      println(s"## $q shuffle_bytes=${bytes.get} shuffle_records=${recs.get}" +
-        s" disk_spill=${spill.get}")
+      println(s"## $q shuffle_bytes=${t.bytes} shuffle_records=${t.records}" +
+        s" disk_spill=${t.spill}")
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))

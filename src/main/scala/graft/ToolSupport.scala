@@ -34,7 +34,9 @@ object ToolSupport {
     * checked already, so the map can't silently alias two queries. */
   def orderJson(namesInRunOrder: Seq[String]): String =
     namesInRunOrder.zipWithIndex.map { case (n, i) =>
-      s"\"${benchKey(n)}\":$i"
+      // jstr, not raw interpolation: benchKey output is plain today, but
+      // an exotic future key must corrupt nothing (jstr's own contract)
+      s"${jstr(benchKey(n))}:$i"
     }.mkString("{", ",", "}")
 
   /** JSON string escape: backslash, quote, and ALL control chars (<0x20) —

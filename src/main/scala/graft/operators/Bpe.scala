@@ -53,6 +53,25 @@ object Bpe {
     * corpus sizes; production picks vocab_size − |alphabet|. */
   val DefaultRounds = 12
 
+  /** The one symbol-splitting rule: a word's characters as an
+    * array<string>, one UNICODE CODE POINT each (Spark's substring /
+    * length count code points, matching [[encode]]'s codePoints walk) —
+    * every surface that mints a `syms` column MUST use this, or the
+    * trainer's vocabulary silently desynchronizes from a consumer's
+    * segmentation. */
+  private[graft] def symsCol: Column =
+    expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+
+  /** word → learned-token-count dictionary over any table with a `word`
+    * column: the merge replay run ONCE PER DISTINCT WORD — the shared
+    * dictionary build of [[docTokenCounts]] and [[chunkByTokens]]. */
+  private def dictOf(words: DataFrame, merges: Seq[Merge]): DataFrame =
+    encodeWords(
+      words.groupBy("word").agg(count(lit(1)).as("freq"))
+        .withColumn("syms", symsCol),
+      merges)
+    .select(col("word"), size(col("syms")).cast("long").as("toks"))
+
   /** Corpus → (word, freq, syms) with syms = the word's characters.
     * Lower + whitespace-normalize exactly as every other text operator
     * (shared normalization contract); empty tokens dropped (leading
@@ -64,8 +83,7 @@ object Bpe {
         " ")).as("word"))
       .filter(length(col("word")) >= 1)
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .withColumn("syms",
-        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .withColumn("syms", symsCol)
 
   /** Adjacent-pair statistics over a (freq, syms) table: one row per
     * distinct (l, r) with n = Σ freq over every adjacent position —
@@ -283,13 +301,7 @@ object Bpe {
     * strategy to the planner + AQE. Per-doc counts are exact BIGINTs;
     * no window, no cartesian. */
   def docTokenCounts(docWords: DataFrame, merges: Seq[Merge]): DataFrame = {
-    val dict = encodeWords(
-        docWords.groupBy("word").agg(sum(col("freq")).as("freq"))
-          .withColumn("syms", expr(
-            "transform(sequence(1, length(word)), i -> substring(word, i, 1))")),
-        merges)
-      .select(col("word"), size(col("syms")).cast("long").as("toks"))
-    docWords.join(dict, "word")
+    docWords.join(dictOf(docWords, merges), "word")
       .groupBy("doc_id")
       .agg(sum(col("freq")).as("words"),
         sum(col("freq") * col("toks")).as("bpe_tokens"))
@@ -345,23 +357,22 @@ object Bpe {
           " ")))
       .toDF("doc_id", "idx", "word")
       .filter(length(col("word")) >= 1)
-    val dict = encodeWords(
-        words.groupBy("word").agg(count(lit(1)).as("freq"))
-          .withColumn("syms", expr(
-            "transform(sequence(1, length(word)), i -> substring(word, i, 1))")),
-        merges)
-      .select(col("word"), size(col("syms")).cast("long").as("toks"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("idx")
-    words.join(dict, "word")
+    // widx: DENSE 0-based index into the doc's FILTERED word order — the
+    // index a consumer slicing the normalized word list can actually
+    // use. The raw posexplode idx (which counts the empty token a
+    // leading whitespace mints) orders the window but never escapes.
+    words.join(dictOf(words, merges), "word")
+      .withColumn("widx", row_number().over(w).cast("long") - 1)
       .withColumn("prefix", coalesce(sum(col("toks")).over(w.rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
         lit(0L)))
       .withColumn("chunk", (col("prefix") / budgetTokens).cast("long"))
       .groupBy("doc_id", "chunk")
       .agg(count(lit(1)).as("n_words"), sum(col("toks")).as("bpe_tokens"),
-        min(col("idx")).cast("long").as("first_word"),
-        max(col("idx")).cast("long").as("last_word"))
+        min(col("widx")).as("first_word"),
+        max(col("widx")).as("last_word"))
       .orderBy("doc_id", "chunk")
   }
 
@@ -373,9 +384,15 @@ object Bpe {
   /** Driver-side reference encoder over one word — the same
     * leftmost-first non-overlapping single pass per merge round, in
     * plain Scala. Specs pin the distributed fold against this; callers
-    * use it for ad-hoc single-string segmentation. */
+    * use it for ad-hoc single-string segmentation. Splits into UNICODE
+    * CODE POINTS — matching [[symsCol]]'s Spark substring semantics —
+    * never UTF-16 code units: a code-unit walk would shred a
+    * supplementary character (emoji, rare CJK) into lone surrogate
+    * halves that can never match a learned multi-unit symbol, silently
+    * diverging from every distributed consumer. */
   def encode(word: String, merges: Seq[Merge]): Seq[String] = {
-    var syms = word.map(_.toString).toVector
+    var syms = word.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp))).toVector
     merges.foreach { m =>
       val out = Vector.newBuilder[String]
       var i = 0

@@ -179,8 +179,12 @@ class BpeSpec extends AnyFunSuite {
     val corpus = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
       "widest" -> 3L)
     val merges = Bpe.trainOnWords(wordsDf(corpus), 5)
+    // "🙂low" plants a supplementary character (2 UTF-16 code units, ONE
+    // code point): both encoders must treat it as a single symbol — the
+    // code-unit walk the driver encoder once used shredded it into
+    // surrogate halves and diverged from the distributed fold
     val words = Seq("lowest" -> 1L, "newer" -> 1L, "wide" -> 1L,
-      "aaaa" -> 1L, "low" -> 1L)
+      "aaaa" -> 1L, "low" -> 1L, "🙂low" -> 1L)
     val got = Bpe.encodeWords(wordsDf(words).withColumn("w", col("word")),
         merges)
       .select("w", "syms").collect()
@@ -204,7 +208,8 @@ class BpeSpec extends AnyFunSuite {
       val enc = Bpe.encode(word, merges)
       w += f
       t += f * enc.length
-      c += f * enc.map(_.length.toLong).sum
+      // code points, matching Spark's length() — not UTF-16 code units
+      c += f * enc.map(s => s.codePointCount(0, s.length).toLong).sum
     }
     (w, t, c)
   }
@@ -367,6 +372,12 @@ class BpeSpec extends AnyFunSuite {
       got(4L) === ((0L, 0L)))
     val enc = (w: String) => Bpe.encode(w, merges).length.toLong
     assert(got(1L) === ((3L, 2 * enc("aa") + enc("bb"))))
+    // the chunker's documented complement: wordless docs emit NO chunks
+    // (a chunk must hold >=1 word), while worded docs chunk normally
+    val chunks = Bpe.chunkByTokens(docs, merges, budgetTokens = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(chunks.forall(_._1 === 1L))
+    assert(chunks.nonEmpty && chunks.forall(_._3 >= 1L))
   }
 
   test("chunkByTokens matches a per-doc driver-side prefix-sum replica " +
@@ -375,11 +386,12 @@ class BpeSpec extends AnyFunSuite {
     val budget = 64L
     val raw = Tables.documents(spark, sf).select("doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1))
-    // replica: normalize, split (indices BEFORE the empty-word filter,
-    // exactly like posexplode-then-filter), encode, exclusive prefix
+    // replica: normalize, split, filter empties, DENSE word indices into
+    // the filtered order (the operator's documented index contract),
+    // encode, exclusive prefix
     val expect = raw.flatMap { case (id, text) =>
       val toks = text.toLowerCase.replaceAll("\\s+", " ").split(" ", -1)
-        .zipWithIndex.filter(_._1.nonEmpty)
+        .filter(_.nonEmpty).zipWithIndex
         .map { case (wd, i) => (i, Bpe.encode(wd, merges).length.toLong) }
       var prefix = 0L
       val tagged = toks.map { case (i, t) =>
