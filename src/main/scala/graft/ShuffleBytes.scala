@@ -43,6 +43,21 @@ object ShuffleBytes {
     * already drifted once (the r15 median fix) — one copy, one fix. */
   def measureStages(spark: org.apache.spark.sql.SparkSession)(
       thunk: => Unit): StageTotals = {
+    // Quiesce BEFORE attaching: the async bus may still hold stage
+    // events from preceding UNMEASURED work (a prior tag's warm runs, a
+    // recall sweep, doc-mode vocabulary training) — a listener present
+    // at dispatch time would be handed those stale events and the
+    // measured totals inflate. Same drain discipline, attach side.
+    locally {
+      val seen = new java.util.concurrent.atomic.AtomicLong
+      val probe = new SparkListener {
+        override def onStageCompleted(s: SparkListenerStageCompleted)
+            : Unit = seen.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(probe)
+      try drainListenerBus(seen)
+      finally spark.sparkContext.removeSparkListener(probe)
+    }
     val bytes = new java.util.concurrent.atomic.AtomicLong
     val recs = new java.util.concurrent.atomic.AtomicLong
     val spill = new java.util.concurrent.atomic.AtomicLong

@@ -62,8 +62,9 @@ class BpeSpec extends AnyFunSuite {
 
   private def wordsDf(words: Seq[(String, Long)]): DataFrame = {
     import spark.implicits._
-    words.toDF("word", "freq").withColumn("syms",
-      expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+    // the ONE symbol-split rule — hand-inlining it here would let spec
+    // corpora drift from the trainer's segmentation if the rule changes
+    words.toDF("word", "freq").withColumn("syms", Bpe.symsCol)
   }
 
   // -- planted corpora --------------------------------------------------
