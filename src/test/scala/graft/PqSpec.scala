@@ -177,6 +177,21 @@ class PqSpec extends AnyFunSuite {
       s"compression loss ${rIvf - rAdc} above the 0.05 band")
   }
 
+  test("IVFADC plan: the probed search is a broadcast equi-join on " +
+      "list_id, never a cartesian") {
+    import org.apache.spark.sql.execution.FormattedMode
+    val p = Similarity.ivfPqTopK(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+    val cnt = (op: String) =>
+      p.linesIterator.count(_.matches(s"""\\(\\d+\\) $op.*"""))
+    assert(cnt("CartesianProduct") === 0, p.take(1500))
+    // the probe side is bounded (QueryK·probes rows) and broadcast; the
+    // corpus side joins it by list_id hash — a shuffle here would ship
+    // the coded corpus against a 80-row dim, backwards at 100 TB
+    assert(cnt("BroadcastHashJoin") >= 1, p.take(1500))
+    assert(cnt("BroadcastNestedLoopJoin") === 0, p.take(1500))
+  }
+
   test("determinism: identical manifest on re-run and under " +
       "repartitioning of the corpus") {
     val a = Similarity.pqTopK(spark, sf, rerank = 0).collect().toSeq
