@@ -967,6 +967,34 @@ object Similarity {
     }
   }
 
+  /** Pack 4-bit PQ codes two per byte — the STORED form of the coded
+    * corpus frame (the 64×-compression arithmetic in docs/SCALE.md
+    * assumes it): `sub` codes in [1, 16] become `sub/2` tinyints, high
+    * nibble first. Plain column algebra, parquet-storable, exactly
+    * invertible by [[pqUnpackCodes]] (round-trip spec through a real
+    * parquet write). Production sinks this + `list_id` as the ANN
+    * index and unpacks at scan time. */
+  def pqPackCodes(codes: Column, sub: Int = PqSub): Column = {
+    require(sub % 2 == 0, s"packing needs an even subspace count ($sub)")
+    transform(sequence(lit(0), lit(sub / 2 - 1)), i =>
+      ((element_at(codes, i * 2 + 1) - 1) * 16 +
+        (element_at(codes, i * 2 + 2) - 1) - 128).cast(ByteType))
+  }
+
+  /** Inverse of [[pqPackCodes]]: `sub/2` tinyints back to `sub` 1-based
+    * codes. The stored byte is biased by −128 so the full 8-bit range
+    * fits the SIGNED tinyint parquet stores; unbias before the nibble
+    * split. */
+  def pqUnpackCodes(packed: Column, sub: Int = PqSub): Column =
+    transform(sequence(lit(1), lit(sub)), m => {
+      // integer ops only: >>1 is the floor-div byte index, >>4 / &15
+      // the nibble split (Spark's `/` on ints would go fractional)
+      val b = element_at(packed, shiftright(m + 1, 1))
+        .cast(IntegerType) + 128
+      when(pmod(m, lit(2)) === 1, shiftright(b, 4) + 1)
+        .otherwise(b.bitwiseAND(lit(15)) + 1)
+    })
+
   /** IVF-PQ (the FAISS IVFADC composition — both halves already exist
     * and are audited separately; this is the production 100 TB shape):
     * the coarse quantizer PRUNES (a query ADC-scores only its probed

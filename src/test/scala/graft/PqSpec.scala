@@ -177,6 +177,46 @@ class PqSpec extends AnyFunSuite {
       s"compression loss ${rIvf - rAdc} above the 0.05 band")
   }
 
+  test("packed-code storage: 2 codes per byte, exact round-trip " +
+      "through a real parquet write") {
+    val coded = Similarity.pqEncode(base, books, dim)
+    val packed = coded.select(col("vec_id"),
+      Similarity.pqPackCodes(col("codes")).as("packed"))
+    // width: sub/2 tinyints per vector — the 64x storage arithmetic
+    val widths = packed.select(size(col("packed"))).distinct().collect()
+      .map(_.getInt(0)).toSeq
+    assert(widths === Seq(Similarity.PqSub / 2))
+    // round-trip through parquet (the type the sink actually stores)
+    val dir = java.nio.file.Files.createTempDirectory("pqpack").toString
+    packed.write.mode("overwrite").parquet(dir)
+    try {
+      val back = spark.read.parquet(dir)
+        .select(col("vec_id"),
+          Similarity.pqUnpackCodes(col("packed")).as("codes"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val orig = coded.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(back === orig)
+      // exercise every nibble pair, not just the corpus's: all 256
+      // (hi, lo) code combinations survive the bias + split
+      import spark.implicits._
+      val all = (for (a <- 1 to 16; b <- 1 to 16) yield (a, b)).toDF("a", "b")
+        .select(array((1 to Similarity.PqSub).map(m =>
+          if (m % 2 == 1) col("a") else col("b")): _*)
+          .as("codes"))
+      val rt = all.select(col("codes"),
+          Similarity.pqUnpackCodes(
+            Similarity.pqPackCodes(col("codes"))).as("back"))
+        .collect()
+      rt.foreach(r => assert(r.getSeq[Int](0) === r.getSeq[Int](1)))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("IVFADC plan: the probed search is a broadcast equi-join on " +
       "list_id, never a cartesian") {
     import org.apache.spark.sql.execution.FormattedMode
