@@ -72,6 +72,22 @@ object Bpe {
       merges)
     .select(col("word"), size(col("syms")).cast("long").as("toks"))
 
+  /** The BYTE-grain symbol rule — the other production tokenizer grain
+    * (GPT-2-style byte-level BPE): a word's UTF-8 bytes, one symbol per
+    * byte, rendered as LOSSLESS 2-hex strings ("E2", "0A" — a raw
+    * byte-to-string cast would fold lone continuation bytes into the
+    * replacement char and alias distinct bytes). Merged symbols become
+    * concatenated hex ("E282" …), so the entire grain-agnostic merge
+    * machinery — trainOnWords, mergeFold, encodeWords, tokenProfile,
+    * learnedVocabCoverage — applies unchanged; `unhex` of a final
+    * symbol string recovers its exact bytes. Byte grain needs no
+    * unknown-symbol story at all: every input is coverable by the
+    * 256-entry base alphabet, where char grain must pass novel chars
+    * through as singleton symbols. */
+  private[graft] def byteSymsCol: Column =
+    expr("transform(sequence(1, octet_length(word)), " +
+      "i -> hex(substring(encode(word, 'UTF-8'), i, 1)))")
+
   /** Corpus → (word, freq, syms) with syms = the word's characters.
     * Lower + whitespace-normalize exactly as every other text operator
     * (shared normalization contract); empty tokens dropped (leading
@@ -84,6 +100,24 @@ object Bpe {
       .filter(length(col("word")) >= 1)
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .withColumn("syms", symsCol)
+
+  /** [[wordTable]] at BYTE grain ([[byteSymsCol]]). */
+  def wordTableBytes(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(regexp_replace(lower(col("text")), "\\s+", " "),
+        " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("syms", byteSymsCol)
+
+  /** Byte-level training: the identical merge loop over the byte-grain
+    * word table — at this grain a learned symbol may legitimately CROSS
+    * a character boundary (half an emoji + the next letter), which is
+    * exactly the behavior production byte-level tokenizers rely on for
+    * open-vocabulary coverage. */
+  def trainBytes(spark: SparkSession, dir: String,
+                 rounds: Int = DefaultRounds): Seq[Merge] =
+    trainOnWords(wordTableBytes(spark, dir), rounds)
 
   /** Adjacent-pair statistics over a (freq, syms) table: one row per
     * distinct (l, r) with n = Σ freq over every adjacent position —
@@ -390,9 +424,21 @@ object Bpe {
     * supplementary character (emoji, rare CJK) into lone surrogate
     * halves that can never match a learned multi-unit symbol, silently
     * diverging from every distributed consumer. */
-  def encode(word: String, merges: Seq[Merge]): Seq[String] = {
-    var syms = word.codePoints().toArray
-      .map(cp => new String(Character.toChars(cp))).toVector
+  def encode(word: String, merges: Seq[Merge]): Seq[String] =
+    encodeSyms(word.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp))).toVector, merges)
+
+  /** Driver-side reference encoder at BYTE grain — the word's UTF-8
+    * bytes as the same 2-hex symbols [[byteSymsCol]] mints. */
+  def encodeBytes(word: String, merges: Seq[Merge]): Seq[String] =
+    encodeSyms(word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => f"${b & 0xff}%02X").toVector, merges)
+
+  /** The shared grain-agnostic merge replay both reference encoders
+    * run: leftmost-first, non-overlapping, one pass per merge round. */
+  private def encodeSyms(syms0: Vector[String],
+                         merges: Seq[Merge]): Seq[String] = {
+    var syms = syms0
     merges.foreach { m =>
       val out = Vector.newBuilder[String]
       var i = 0

@@ -198,6 +198,116 @@ class BpeSpec extends AnyFunSuite {
     words.foreach { case (w, _) => assert(got(w).mkString === w) }
   }
 
+  // -- byte-level grain (GPT-2-style; late r16) --------------------------
+
+  /** (word, freq) corpus as the 2-hex byte symbols byteSymsCol mints —
+    * built INDEPENDENTLY in Scala so the Spark expression is inside the
+    * comparison. */
+  private def byteSyms(w: String): Vector[String] =
+    w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => f"${b & 0xff}%02X").toVector
+
+  test("byte-grain trainer ≡ brute force on a multi-byte corpus; " +
+      "learned symbols cross character boundaries") {
+    // 'é' is C3A9, '🙂' is F09F9999-ish 4 bytes: dense shared byte
+    // prefixes force merges the char grain cannot express
+    val corpus = Seq("héllo" -> 6L, "héllos" -> 3L, "🙂🙂" -> 4L,
+      "ab" -> 5L, "abé" -> 2L)
+    val got = Bpe.trainOnWords(wordsDf(corpus)
+      .withColumn("syms", Bpe.byteSymsCol), 8)
+    // brute force over the independently-built byte-symbol corpus: the
+    // shared bruteTrain is grain-agnostic, so feed it byte vectors via
+    // a synthetic word spelling — instead run it directly on symbol
+    // tables by reusing its internals through hex words
+    val expect = bruteTrainSyms(
+      corpus.map { case (w, f) => (byteSyms(w), f) }, 8)
+    assert(got === expect)
+    // at byte grain a merge may pair the last byte of one char with the
+    // first byte of the next — assert at least one learned symbol is
+    // not a whole-character hex string (odd split of some char's bytes)
+    val wholeChars = corpus.flatMap(_._1).distinct
+      .map(c => byteSyms(c.toString).mkString).toSet
+    def isCharConcat(sym: String): Boolean = {
+      // greedy: can sym be segmented into whole-character hex blocks?
+      def go(rest: String): Boolean =
+        rest.isEmpty || wholeChars.exists(c =>
+          rest.startsWith(c) && go(rest.drop(c.length)))
+      go(sym)
+    }
+    assert(got.exists(m => !isCharConcat(m.merged)),
+      s"expected a cross-character byte merge in ${got.map(_.merged)}")
+  }
+
+  /** bruteTrain generalized to pre-split symbol corpora (the byte
+    * grain's oracle; the char-grain bruteTrain delegates semantics). */
+  private def bruteTrainSyms(tbl0: Seq[(Vector[String], Long)],
+                             rounds: Int): Seq[Bpe.Merge] = {
+    var tbl = tbl0
+    val out = mutable.ArrayBuffer.empty[Bpe.Merge]
+    var go = true
+    while (go && out.size < rounds) {
+      val counts = mutable.Map.empty[(String, String), Long]
+      tbl.foreach { case (syms, f) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) go = false
+      else {
+        val ((l, r), n) = counts.toSeq
+          .sortBy { case ((l, r), n) => (-n, l, r) }.head
+        out += Bpe.Merge(out.size + 1, l, r, l + r, n)
+        tbl = tbl.map { case (syms, f) =>
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              b += (l + r); i += 2
+            } else { b += syms(i); i += 1 }
+          }
+          (b.result(), f)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("byte grain degenerates to char grain on a pure-ASCII corpus " +
+      "(hex is an order- and count-preserving rename there)") {
+    // sf0.001 documents are verified pure ASCII, so every char is one
+    // byte and the two grains must learn the SAME merge sequence up to
+    // the 2-hex rename — hex preserves lexicographic byte order (hex
+    // digit chars are ordered by value), so even the tie rule agrees
+    val hexOf = (s: String) => byteSyms(s).mkString
+    val chars = Bpe.train(spark, sf, 6)
+    val bytes = Bpe.trainBytes(spark, sf, 6)
+    assert(bytes === chars.map(m => Bpe.Merge(
+      m.round, hexOf(m.left), hexOf(m.right), hexOf(m.merged), m.n)))
+  }
+
+  test("encodeBytes ≡ distributed byte-grain fold; hex round-trips to " +
+      "the exact UTF-8 bytes") {
+    val corpus = Seq("héllo" -> 6L, "🙂🙂" -> 4L, "ab" -> 5L)
+    val merges = Bpe.trainOnWords(wordsDf(corpus)
+      .withColumn("syms", Bpe.byteSymsCol), 6)
+    val words = Seq("héllos" -> 1L, "🙂a" -> 1L, "b" -> 1L)
+    val got = Bpe.encodeWords(
+        wordsDf(words).withColumn("syms", Bpe.byteSymsCol)
+          .withColumn("w", col("word")), merges)
+      .select("w", "syms").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    words.foreach { case (w, _) =>
+      assert(got(w) === Bpe.encodeBytes(w, merges).toVector,
+        s"byte encoders diverge on '$w'")
+      // losslessness: concatenated hex symbols are exactly the word's
+      // UTF-8 bytes — the property the 2-hex rendering exists for
+      assert(got(w).mkString === byteSyms(w).mkString)
+    }
+  }
+
   // -- segmentation-aware corpus statistics (r16 depth item a) ----------
 
   /** In-memory token profile via the driver-side reference encoder —
