@@ -34,6 +34,30 @@ object PqDev {
     }
     val rIvf = recall(Similarity.ivfTopK(spark, sf))
     println(f"## ivf sf=$sf recall=$rIvf%.3f")
+    // OPQ beside PQ (r17): the isotropic corpus is the honest control
+    // (nothing to rebalance), the anisotropic plant is the case the
+    // rotation exists for — pure-ADC ranks, the sharpest contrast
+    for (rr <- Seq(0, 100)) {
+      val r = recall(Similarity.opqTopK(spark, sf, rerank = rr))
+      println(f"## opq sf=$sf rerank=$rr recall=$r%.3f")
+    }
+    val plant = Tables.embeddings(spark, sf).withColumn("embedding",
+      org.apache.spark.sql.functions.expr(
+        """transform(embedding, (v, i) ->
+          |  CAST(v AS DOUBLE) *
+          |  (CASE WHEN i < 4 THEN 100.0D ELSE 0.01D END))"""
+          .stripMargin))
+    val bfPlant = Similarity.bruteForceTopKOf(plant)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallPlant(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(bfPlant).size.toDouble / bfPlant.size
+    }
+    val pqP = recallPlant(Similarity.pqTopKOf(plant, rerank = 0))
+    val opqP = recallPlant(Similarity.opqTopKOf(plant, rerank = 0))
+    println(f"## opq_plant sf=$sf pq_adc=$pqP%.3f opq_adc=$opqP%.3f")
     // shuffle + warm wall-clock, PQ defaults vs brute force (shared
     // listener + median helpers; cold clock stops before the drain)
     def measure(tag: String)(mk: () => org.apache.spark.sql.DataFrame)
@@ -58,6 +82,37 @@ object PqDev {
     }
     measure("brute_force")(() => Similarity.bruteForceTopK(spark, sf))
     measure("pq_default")(() => Similarity.pqTopK(spark, sf))
+    // persisted-index split (r17): build ONCE vs search MANY — the
+    // whole point of the split is that the search rows exclude every
+    // training/encode cost the build rows carry
+    val idxDir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    try {
+      def buildRun(): Unit = {
+        Similarity.pqIndexBuild(spark, sf, idxDir)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+      }
+      var coldB = 0.0
+      val totB = ShuffleBytes.measureStages(spark) {
+        val t0 = System.nanoTime(); buildRun()
+        coldB = (System.nanoTime() - t0) / 1e9
+      }
+      val warmB = (2 to repeat).map { _ =>
+        val t = System.nanoTime(); buildRun()
+        (System.nanoTime() - t) / 1e9
+      }
+      println(f"## pq_cost index_build cold=$coldB%.2fs " +
+        f"warm_median=${ShuffleBytes.warmMedian(coldB, warmB)}%.2fs " +
+        f"shuffle_bytes=${totB.bytes} shuffle_records=${totB.records} " +
+        s"disk_spill=${totB.spill}")
+      measure("index_search")(() => Similarity.pqIndexSearch(spark, sf, idxDir))
+      measure("ivfpq_inmem")(() => Similarity.ivfPqTopK(spark, sf))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(idxDir))
+    }
     spark.stop()
   }
 }

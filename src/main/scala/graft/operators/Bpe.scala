@@ -64,11 +64,18 @@ object Bpe {
 
   /** word → learned-token-count dictionary over any table with a `word`
     * column: the merge replay run ONCE PER DISTINCT WORD — the shared
-    * dictionary build of [[docTokenCounts]] and [[chunkByTokens]]. */
-  private def dictOf(words: DataFrame, merges: Seq[Merge]): DataFrame =
+    * dictionary build of [[docTokenCounts]] and [[chunkByTokens]].
+    * `symRule` picks the tokenizer grain the vocabulary was trained at
+    * (char [[symsCol]] by default, [[byteSymsCol]] for byte-level
+    * vocabularies) — a byte vocabulary replayed over char symbols would
+    * never match one merge and silently bill every word at its char
+    * count, so the grain must travel WITH the merges to every
+    * consumer. */
+  private def dictOf(words: DataFrame, merges: Seq[Merge],
+                     symRule: Column = symsCol): DataFrame =
     encodeWords(
       words.groupBy("word").agg(count(lit(1)).as("freq"))
-        .withColumn("syms", symsCol),
+        .withColumn("syms", symRule),
       merges)
     .select(col("word"), size(col("syms")).cast("long").as("toks"))
 
@@ -334,8 +341,9 @@ object Bpe {
     * here would be the wrong call at scale; we deliberately leave the
     * strategy to the planner + AQE. Per-doc counts are exact BIGINTs;
     * no window, no cartesian. */
-  def docTokenCounts(docWords: DataFrame, merges: Seq[Merge]): DataFrame = {
-    docWords.join(dictOf(docWords, merges), "word")
+  def docTokenCounts(docWords: DataFrame, merges: Seq[Merge],
+                     symRule: Column = symsCol): DataFrame = {
+    docWords.join(dictOf(docWords, merges, symRule), "word")
       .groupBy("doc_id")
       .agg(sum(col("freq")).as("words"),
         sum(col("freq") * col("toks")).as("bpe_tokens"))
@@ -351,15 +359,19 @@ object Bpe {
     * which fail loud on null text because emitting a rewritten null
     * would corrupt the corpus. The restore join is doc_id-keyed on two
     * doc-grained sides, and the universe scan prunes to doc_id only. */
-  def docTokenCountsOf(docs: DataFrame, merges: Seq[Merge]): DataFrame =
+  def docTokenCountsOf(docs: DataFrame, merges: Seq[Merge],
+                       symRule: Column = symsCol): DataFrame =
     docs.select(col("doc_id"))
-      .join(docTokenCounts(docWordTableOf(docs), merges),
+      .join(docTokenCounts(docWordTableOf(docs), merges, symRule),
         Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("words"), lit(0L)).as("words"),
         coalesce(col("bpe_tokens"), lit(0L)).as("bpe_tokens"))
 
-  /** Corpus entry point for [[docTokenCountsOf]]. */
+  /** Corpus entry point for [[docTokenCountsOf]] (char grain — a
+    * byte-grain caller hands its corpus to [[docTokenCountsOf]] with
+    * [[byteSymsCol]]; Scala allows default arguments on only one
+    * overload). */
   def docTokenCounts(spark: SparkSession, dir: String,
                      merges: Seq[Merge]): DataFrame =
     docTokenCountsOf(Tables.documents(spark, dir), merges)
@@ -383,7 +395,8 @@ object Bpe {
     * orderGaps/LAG precedent, never a single-task global window; the
     * manifest aggregate is map-combinable on (doc_id, chunk). */
   def chunkByTokens(docs: DataFrame, merges: Seq[Merge],
-                    budgetTokens: Long): DataFrame = {
+                    budgetTokens: Long,
+                    symRule: Column = symsCol): DataFrame = {
     require(budgetTokens >= 1, s"budget must be >= 1 (got $budgetTokens)")
     val words = docs
       .select(col("doc_id"),
@@ -397,7 +410,7 @@ object Bpe {
     // index a consumer slicing the normalized word list can actually
     // use. The raw posexplode idx (which counts the empty token a
     // leading whitespace mints) orders the window but never escapes.
-    words.join(dictOf(words, merges), "word")
+    words.join(dictOf(words, merges, symRule), "word")
       .withColumn("widx", row_number().over(w).cast("long") - 1)
       .withColumn("prefix", coalesce(sum(col("toks")).over(w.rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
@@ -410,7 +423,8 @@ object Bpe {
       .orderBy("doc_id", "chunk")
   }
 
-  /** Corpus entry point for [[chunkByTokens]]. */
+  /** Corpus entry point for [[chunkByTokens]] (char grain — see the
+    * [[docTokenCounts]] corpus entry point's overload note). */
   def chunkByTokens(spark: SparkSession, dir: String, merges: Seq[Merge],
                     budgetTokens: Long): DataFrame =
     chunkByTokens(Tables.documents(spark, dir), merges, budgetTokens)

@@ -157,8 +157,14 @@ object Similarity {
       round(dot("q_emb", "embedding") / (col("q_norm") * col("norm")), 6))
 
   /** Brute-force exact top-k per query (baseline). */
-  def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.embeddings(spark, dir)
+  def bruteForceTopK(spark: SparkSession, dir: String): DataFrame =
+    bruteForceTopKOf(Tables.embeddings(spark, dir))
+
+  /** [[bruteForceTopK]] over any (vec_id, embedding) frame — the `*Of`
+    * planting seam (the Dedup-family idiom): ground truth for corpora a
+    * spec constructs (the OPQ anisotropy plant) without a parquet
+    * table. */
+  def bruteForceTopKOf(base: DataFrame): DataFrame = {
     val dim = dimOf(base)
     val e = withNorm(base, dim)
     val scored = score(e.crossJoin(broadcast(queries(base, dim))))
@@ -910,8 +916,14 @@ object Similarity {
     * codebooks, first-minimum argmins, fixed-order LUT sum) — the spec's
     * driver-side replica matches it EXACTLY, not approximately. */
   def pqTopK(spark: SparkSession, dir: String,
-             rerank: Int = 10 * K, subspaces: Int = PqSub): DataFrame = {
-    val base = Tables.embeddings(spark, dir)
+             rerank: Int = 10 * K, subspaces: Int = PqSub): DataFrame =
+    pqTopKOf(Tables.embeddings(spark, dir), rerank, subspaces)
+
+  /** [[pqTopK]] over any (vec_id, embedding) frame — the `*Of` seam
+    * [[opqTopKOf]] composes with a rotated corpus and the specs plant
+    * against. */
+  def pqTopKOf(base: DataFrame,
+               rerank: Int = 10 * K, subspaces: Int = PqSub): DataFrame = {
     val dim = dimOf(base)
     val e = withNorm(base, dim).localCheckpoint(true)
     val samp = ivfTrainingSample(e, pqSampleK(1 << PqBits))
@@ -1024,15 +1036,40 @@ object Similarity {
   def ivfPqTopK(spark: SparkSession, dir: String,
                 rerank: Int = 10 * K,
                 probesOverride: Option[Int] = None,
-                subspaces: Int = PqSub): DataFrame = {
-    require(rerank >= 1, s"IVFADC without rerank is not served (got $rerank)")
+                subspaces: Int = PqSub): DataFrame =
+    ivfPqSearch(spark, dir, ivfPqBuild(spark, dir, subspaces),
+      rerank, probesOverride)
+
+  /** A built IVFADC index — everything a search needs EXCEPT the raw
+    * corpus (which only the exact-rerank join back to the source table
+    * touches): the derived parameters, the trained coarse centroids and
+    * residual codebooks (bounded driver-side artifacts, the model-
+    * coefficient family), and the coded corpus frame
+    * (vec_id, list_id, codes, recon_norm — `sub` small ints + one
+    * double per vector, never embeddings). [[ivfPqBuild]] produces it
+    * in memory; [[pqIndexBuild]]/[[pqIndexLoad]] round-trip it through
+    * parquet so a deployment builds ONCE and searches MANY times
+    * without retraining (the serving split [[pqIndexSearch]] runs). */
+  case class PqIndex(dim: Int, sub: Int, numLists: Int,
+                     centroids: Array[Array[Double]],
+                     books: Array[Array[Array[Double]]],
+                     coded: DataFrame)
+
+  /** The training/encode half of [[ivfPqTopK]] (the build-once side of
+    * the serving split): derive the √n list count, train the coarse
+    * quantizer and the residual PQ codebooks on the one bounded
+    * lowest-hash sample, and encode the corpus — assignment, residual
+    * codes, EXACT reconstruction norm. Bit-deterministic end to end
+    * (LCG sample, literal codebooks, first-minimum argmins), so two
+    * builds over the same corpus produce identical artifacts and the
+    * row-for-row spec invariants gate the split exactly as they gated
+    * the fused form. */
+  def ivfPqBuild(spark: SparkSession, dir: String,
+                 subspaces: Int = PqSub): PqIndex = {
     val base = Tables.embeddings(spark, dir)
     val dim = dimOf(base)
     val e = withNorm(base, dim).localCheckpoint(true)
     val numLists = listsForCount(e.count())
-    val numProbes = probesOverride.getOrElse(probesForLists(numLists))
-    require(numProbes >= 1 && numProbes <= numLists,
-      s"probes $numProbes out of [1, $numLists]")
     val samp = ivfTrainingSample(e,
         math.max(sampleKFor(numLists), pqSampleK(1 << PqBits)))
       .localCheckpoint(eager = true)
@@ -1072,6 +1109,39 @@ object Similarity {
       .select(col("vec_id"), col("list_id"),
         array(codeCols: _*).as("codes"),
         sqrt(call_function("vec_dot", xhat, xhat)).as("recon_norm"))
+    PqIndex(dim, sub, numLists, centroids, books, coded)
+  }
+
+  /** The probed-search half of [[ivfPqTopK]] (the search-many side):
+    * per query, probe the nearest lists, ADC-score the probed lists'
+    * CODES through the per-query centroid-dot table + residual LUT,
+    * two-stage top-width, bounded exact rerank against the source
+    * table. Works identically over an in-memory [[ivfPqBuild]] result
+    * and a [[pqIndexLoad]]-ed parquet index — the spec asserts the two
+    * are row-for-row equal.
+    *
+    * The probed list ids (≤ QueryK·probes values, bounded) are also
+    * collected and pushed as a STATIC `list_id IN (...)` filter under
+    * the join: semantically redundant with the equi-join, but on a
+    * persisted index partitioned by `list_id` it becomes a
+    * PartitionFilter at the scan — the coarse quantizer's pruning
+    * turned into file-level I/O pruning (spec-pinned), which is the
+    * entire point of an inverted file at 100 TB: a search READS only
+    * probes/lists of the index, it does not scan-and-drop. */
+  def ivfPqSearch(spark: SparkSession, dir: String, index: PqIndex,
+                  rerank: Int = 10 * K,
+                  probesOverride: Option[Int] = None): DataFrame = {
+    require(rerank >= 1, s"IVFADC without rerank is not served (got $rerank)")
+    val numLists = index.numLists
+    val numProbes = probesOverride.getOrElse(probesForLists(numLists))
+    require(numProbes >= 1 && numProbes <= numLists,
+      s"probes $numProbes out of [1, $numLists]")
+    val base = Tables.embeddings(spark, dir)
+    val dim = index.dim
+    val books = index.books
+    val sub = index.sub
+    val subDim = dim / sub
+    val cents = array(index.centroids.map(c => array(c.map(lit): _*)): _*)
     // query side: probed lists + centroid dot table + residual LUT
     val lutCol = array(books.zipWithIndex.map { case (book, m) =>
       val qm = expr(s"slice(q_emb, ${m * subDim + 1}, $subDim)")
@@ -1092,10 +1162,17 @@ object Similarity {
       .select(col("q_id"), col("q_emb"), col("q_norm"), col("lut"),
         col("probe.i").cast(LongType).as("list_id"),
         element_at(col("qdots"), col("probe.i")).as("qc"))
+    // the bounded static prune (see scaladoc): one TakeOrdered-sized
+    // collect over the QueryK·probes probe rows, sorted for a
+    // deterministic IN-list
+    val probedIds = probed.select("list_id").distinct()
+      .collect().map(_.getLong(0)).sorted
     val adcDot = (1 to sub).map(m =>
       element_at(element_at(col("lut"), m), element_at(col("codes"), m)))
       .foldLeft(col("qc"))(_ + _)
-    val scored = coded.join(broadcast(probed), Seq("list_id"))
+    val scored = index.coded
+      .filter(col("list_id").isin(probedIds: _*))
+      .join(broadcast(probed), Seq("list_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos_adc",
         round(adcDot / (col("q_norm") * col("recon_norm")), 6))
@@ -1109,6 +1186,7 @@ object Similarity {
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(desc("cos_adc"), asc("vec_id"))))
       .filter(col("rank") <= width)
+    val e = withNorm(base, dim)
     score(adcTop.select("q_id", "q_emb", "q_norm", "vec_id")
         .join(e.select(col("vec_id"), col("embedding"), col("norm")),
           "vec_id"))
@@ -1119,4 +1197,246 @@ object Similarity {
         col("vec_id").as("neighbor_id"), col("cos"))
       .orderBy("q_id", "rank")
   }
+
+  // -- persisted IVFADC index (build once / search many) ------------------
+
+  /** Build the IVFADC index for the corpus at `dir` and PERSIST it under
+    * `indexPath` — the serving half a 100 TB deployment actually runs:
+    * training + encode happen ONCE, then [[pqIndexSearch]] answers
+    * queries from the stored artifacts without retraining. Layout:
+    *
+    *  - `meta/`       one row (dim, sub, num_lists);
+    *  - `centroids/`  (list_id, centroid) — numLists rows;
+    *  - `codebooks/`  (m, code, entry) — sub·2^bits rows;
+    *  - `codes/`      the coded corpus, codes PACKED two-per-byte
+    *                  ([[pqPackCodes]] — the 64× storage form), written
+    *                  `partitionBy("list_id")` so a probed search prunes
+    *                  at the FILE level (the scan's PartitionFilters
+    *                  carry the probe set — spec-pinned).
+    *
+    * Everything stored is either bounded (centroids/codebooks/meta — the
+    * model-coefficient family) or exactly invertible (packed codes,
+    * parquet doubles), so the loaded index reproduces the in-memory
+    * search BIT-FOR-BIT. Returns the in-memory index it persisted. */
+  def pqIndexBuild(spark: SparkSession, dir: String, indexPath: String,
+                   subspaces: Int = PqSub): PqIndex = {
+    import spark.implicits._
+    val idx = ivfPqBuild(spark, dir, subspaces)
+    Seq((idx.dim, idx.sub, idx.numLists))
+      .toDF("dim", "sub", "num_lists")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
+    idx.centroids.zipWithIndex
+      .map { case (c, i) => ((i + 1).toLong, c.toSeq) }.toSeq
+      .toDF("list_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
+    (for (m <- idx.books.indices; c <- idx.books(m).indices)
+      yield (m, c, idx.books(m)(c).toSeq)).toSeq
+      .toDF("m", "code", "entry")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/codebooks")
+    idx.coded
+      .select(col("vec_id"), col("list_id"),
+        pqPackCodes(col("codes"), idx.sub).as("packed"), col("recon_norm"))
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$indexPath/codes")
+    idx
+  }
+
+  /** Load a [[pqIndexBuild]]-written index. The bounded artifacts
+    * (centroids, codebooks) are collected in their canonical order; the
+    * coded frame stays distributed, codes unpacked in-plan. The codes
+    * scan gets an EXPLICIT schema so the `list_id` partition column
+    * comes back as the LongType the coded frame was built with —
+    * directory-name type inference would hand back an int and silently
+    * change the probe join's key type. */
+  def pqIndexLoad(spark: SparkSession, indexPath: String): PqIndex = {
+    val meta = spark.read.parquet(s"$indexPath/meta").collect()(0)
+    val dim = meta.getAs[Int]("dim")
+    val sub = meta.getAs[Int]("sub")
+    val numLists = meta.getAs[Int]("num_lists")
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy("list_id").select("centroid")
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(centroids.length == numLists,
+      s"graft: index at $indexPath has ${centroids.length} centroids, " +
+        s"meta says $numLists")
+    val codes = 1 << PqBits
+    val books = Array.ofDim[Array[Double]](sub, codes)
+    spark.read.parquet(s"$indexPath/codebooks").collect().foreach { r =>
+      books(r.getAs[Int]("m"))(r.getAs[Int]("code")) =
+        r.getAs[scala.collection.Seq[Double]]("entry").toArray
+    }
+    require(books.forall(_.forall(_ != null)),
+      s"graft: index at $indexPath is missing codebook entries")
+    val codesSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("packed", ArrayType(ByteType)),
+      StructField("recon_norm", DoubleType),
+      StructField("list_id", LongType)))
+    val coded = spark.read.schema(codesSchema)
+      .parquet(s"$indexPath/codes")
+      .select(col("vec_id"), col("list_id"),
+        pqUnpackCodes(col("packed"), sub).as("codes"), col("recon_norm"))
+    PqIndex(dim, sub, numLists, centroids, books, coded)
+  }
+
+  /** Search a persisted index: [[pqIndexLoad]] + [[ivfPqSearch]] — no
+    * training, no corpus encode; the corpus at `dir` is touched only by
+    * the bounded exact-rerank join (and the query draw, which a
+    * production deployment replaces with externally supplied query
+    * batches of the same bounded shape). Spec-asserted row-for-row
+    * equal to the in-memory [[ivfPqTopK]] at the same parameters. */
+  def pqIndexSearch(spark: SparkSession, dir: String, indexPath: String,
+                    rerank: Int = 10 * K,
+                    probesOverride: Option[Int] = None): DataFrame =
+    ivfPqSearch(spark, dir, pqIndexLoad(spark, indexPath),
+      rerank, probesOverride)
+
+  // -- OPQ: optimized product quantization (parametric) --------------------
+
+  /** Deterministic cyclic Jacobi eigendecomposition of a symmetric
+    * matrix (driver-side, StrictMath only — bit-identical on any JVM):
+    * fixed sweep order (row-major upper triangle), fixed sweep count
+    * (quadratic convergence: 12 cyclic sweeps drive a 64×64
+    * off-diagonal to ~machine epsilon). Returns (eigenvalues,
+    * eigenvectors as ROWS — row i pairs with eigenvalue i). */
+  private[graft] def jacobiEigen(m0: Array[Array[Double]],
+                                 sweeps: Int = 12)
+      : (Array[Double], Array[Array[Double]]) = {
+    val n = m0.length
+    val a = m0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    for (_ <- 1 to sweeps; p <- 0 until n - 1; q <- p + 1 until n) {
+      val apq = a(p)(q)
+      if (apq != 0.0) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+        // t = sign(theta)/(|theta| + sqrt(theta²+1)); theta = 0 → t = 1
+        // (signum would return 0 there and the rotation would stall)
+        val t =
+          if (theta >= 0.0)
+            1.0 / (theta + StrictMath.sqrt(theta * theta + 1.0))
+          else 1.0 / (theta - StrictMath.sqrt(theta * theta + 1.0))
+        val c = 1.0 / StrictMath.sqrt(t * t + 1.0)
+        val s = t * c
+        var k = 0
+        while (k < n) {
+          val akp = a(k)(p); val akq = a(k)(q)
+          a(k)(p) = c * akp - s * akq
+          a(k)(q) = s * akp + c * akq
+          k += 1
+        }
+        k = 0
+        while (k < n) {
+          val apk = a(p)(k); val aqk = a(q)(k)
+          a(p)(k) = c * apk - s * aqk
+          a(q)(k) = s * apk + c * aqk
+          k += 1
+        }
+        k = 0
+        while (k < n) {
+          val vkp = v(k)(p); val vkq = v(k)(q)
+          v(k)(p) = c * vkp - s * vkq
+          v(k)(q) = s * vkp + c * vkq
+          k += 1
+        }
+      }
+    }
+    (Array.tabulate(n)(i => a(i)(i)),
+      Array.tabulate(n, n)((i, j) => v(j)(i)))
+  }
+
+  /** OPQ-parametric rotation (Ge et al., CVPR 2013 — eigenvalue
+    * allocation): PCA the bounded training sample, then deal the
+    * eigen-directions across the `sub` subspaces so every subspace
+    * gets (a) exactly dim/sub directions and (b) a balanced variance
+    * PRODUCT — the allocation that minimizes the Gaussian
+    * quantization-error bound at a fixed code budget. x′ = R·x groups
+    * directions so no single subspace hoards the corpus's variance —
+    * exactly the failure mode of coordinate-block PQ on anisotropic
+    * data (spec-planted: 4 dominant dims in ONE block collapse ADC
+    * recall; dealt, it recovers).
+    *
+    * Bit-deterministic end to end: the sample is the LCG lowest-hash
+    * draw, collected and folded in vec_id order; PCA is the cyclic
+    * [[jacobiEigen]]; allocation sorts on the (−eigenvalue, index)
+    * total order and breaks balance ties on the lowest subspace index;
+    * products run in the log domain (an anisotropic corpus's eigenvalue
+    * product can underflow a raw double). Driver cost is dim² doubles
+    * + an O(dim³) Jacobi — the same bounded model-artifact family as
+    * the centroid fold; the rotation ships as dim² plan literals (the
+    * [[kmeansCentroids]] regime note applies: a 10⁴-dim deployment
+    * would broadcast it as a dimension table instead). */
+  def opqRotation(sample: DataFrame, dim: Int,
+                  sub: Int = PqSub): Array[Array[Double]] = {
+    require(dim % sub == 0, s"dim $dim not divisible into $sub subspaces")
+    val subDim = dim / sub
+    val rows = sample
+      .orderBy("vec_id")
+      .select(col("embedding").cast(ArrayType(DoubleType)))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(rows.nonEmpty, "opqRotation: empty training sample")
+    val n = rows.length
+    val mean = new Array[Double](dim)
+    rows.foreach { x =>
+      var d = 0; while (d < dim) { mean(d) += x(d); d += 1 }
+    }
+    for (d <- 0 until dim) mean(d) /= n
+    val cov = Array.ofDim[Double](dim, dim)
+    rows.foreach { x =>
+      var i = 0
+      while (i < dim) {
+        val xi = x(i) - mean(i)
+        var j = i
+        while (j < dim) { cov(i)(j) += xi * (x(j) - mean(j)); j += 1 }
+        i += 1
+      }
+    }
+    for (i <- 0 until dim; j <- i until dim) {
+      cov(i)(j) /= n; cov(j)(i) = cov(i)(j)
+    }
+    val (evals, evecs) = jacobiEigen(cov)
+    val order = (0 until dim).sortBy(i => (-evals(i), i))
+    val logProd = new Array[Double](sub)
+    val slots = new Array[Int](sub)
+    val assigned = Array.fill(sub)(Vector.newBuilder[Int])
+    order.foreach { i =>
+      val m = (0 until sub).filter(slots(_) < subDim)
+        .minBy(m => (logProd(m), m))
+      assigned(m) += i
+      slots(m) += 1
+      logProd(m) += StrictMath.log(StrictMath.max(evals(i), 1e-300))
+    }
+    assigned.flatMap(_.result()).map(evecs)
+  }
+
+  /** Rotate a corpus: embedding → R·embedding (array<double>, one
+    * codegen'd vec_dot per output coordinate). Orthogonal R preserves
+    * dots and norms, so every cosine downstream is the original cosine
+    * up to fp rounding — only the PQ grid sees a different
+    * (better-conditioned) coordinate system. */
+  def opqRotate(df: DataFrame, r: Array[Array[Double]]): DataFrame =
+    df.withColumn("embedding",
+      array(r.map(row => call_function("vec_dot",
+        array(row.map(lit): _*), col("embedding"))): _*))
+
+  /** PQ ANN behind an OPQ rotation: train the rotation on the bounded
+    * sample, rotate the corpus, run the UNCHANGED [[pqTopKOf]] chain —
+    * codebooks train on and codes quantize the rotated vectors, the
+    * exact rerank re-scores rotated vectors whose cosines equal the
+    * originals' (orthogonality). Same interface and laws as [[pqTopK]];
+    * measured beside it in SCALE.md: flat on the isotropic test corpus
+    * (rotation cannot help data with nothing to rebalance — the honest
+    * control) and a large ADC-recall lift on the planted anisotropic
+    * corpus, the production case it exists for. */
+  def opqTopKOf(base: DataFrame, rerank: Int = 10 * K,
+                subspaces: Int = PqSub): DataFrame = {
+    val dim = dimOf(base)
+    val samp = ivfTrainingSample(base, pqSampleK(1 << PqBits))
+    pqTopKOf(opqRotate(base, opqRotation(samp, dim, subspaces)),
+      rerank, subspaces)
+  }
+
+  /** Corpus entry point for [[opqTopKOf]]. */
+  def opqTopK(spark: SparkSession, dir: String, rerank: Int = 10 * K,
+              subspaces: Int = PqSub): DataFrame =
+    opqTopKOf(Tables.embeddings(spark, dir), rerank, subspaces)
 }

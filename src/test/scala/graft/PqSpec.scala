@@ -232,6 +232,100 @@ class PqSpec extends AnyFunSuite {
     assert(cnt("BroadcastNestedLoopJoin") === 0, p.take(1500))
   }
 
+  // -- persisted index (build once / search many) ------------------------
+
+  private def withIndexDir[A](f: String => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory("pqindex").toString
+    try f(dir) finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("persisted index loads back bitwise: centroids, codebooks, and " +
+      "the coded frame survive the parquet round-trip") {
+    withIndexDir { dir =>
+      val built = Similarity.pqIndexBuild(spark, sf, dir)
+      val loaded = Similarity.pqIndexLoad(spark, dir)
+      assert(loaded.dim === built.dim)
+      assert(loaded.sub === built.sub)
+      assert(loaded.numLists === built.numLists)
+      // bounded artifacts: parquet doubles are lossless, so BITWISE
+      for (l <- built.centroids.indices)
+        assert(loaded.centroids(l).toSeq === built.centroids(l).toSeq,
+          s"centroid $l diverged")
+      for (m <- built.books.indices; c <- built.books(m).indices)
+        assert(loaded.books(m)(c).toSeq === built.books(m)(c).toSeq,
+          s"book $m entry $c diverged")
+      // coded frame: packed codes invert exactly, recon_norm is a stored
+      // double — content equality keyed by vec_id
+      def content(idx: Similarity.PqIndex) = idx.coded.collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getSeq[Int](2), r.getDouble(3)))).toMap
+      assert(content(loaded) === content(built))
+    }
+  }
+
+  test("search-from-disk ≡ in-memory ivfPqTopK row-for-row at the " +
+      "derived laws (and at a non-default probe count)") {
+    withIndexDir { dir =>
+      Similarity.pqIndexBuild(spark, sf, dir)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+      assert(rows(Similarity.pqIndexSearch(spark, sf, dir)) ===
+        rows(Similarity.ivfPqTopK(spark, sf)))
+      // a second search over the SAME stored index (search-many): no
+      // retraining happened, so a different probe knob must still agree
+      // with the in-memory path at that knob
+      assert(rows(Similarity.pqIndexSearch(spark, sf, dir,
+          probesOverride = Some(2))) ===
+        rows(Similarity.ivfPqTopK(spark, sf, probesOverride = Some(2))))
+    }
+  }
+
+  test("persisted index: all lists + corpus-wide rerank ≡ brute force " +
+      "row-for-row (the structural invariant re-run from disk)") {
+    withIndexDir { dir =>
+      val built = Similarity.pqIndexBuild(spark, sf, dir)
+      val n = Tables.embeddings(spark, sf).count()
+      val got = Similarity.pqIndexSearch(spark, sf, dir,
+          rerank = n.toInt, probesOverride = Some(built.numLists))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      val bf = Similarity.bruteForceTopK(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(got.toSeq === bf.toSeq)
+    }
+  }
+
+  test("persisted search plan: the codes scan carries a list_id " +
+      "PartitionFilter (file-level probe pruning) and stays " +
+      "cartesian-free") {
+    import org.apache.spark.sql.execution.FormattedMode
+    withIndexDir { dir =>
+      Similarity.pqIndexBuild(spark, sf, dir)
+      val p = Similarity.pqIndexSearch(spark, sf, dir)
+        .queryExecution.explainString(FormattedMode)
+      val cnt = (op: String) =>
+        p.linesIterator.count(_.matches(s"""\\(\\d+\\) $op.*"""))
+      assert(cnt("CartesianProduct") === 0, p.take(1500))
+      assert(cnt("BroadcastHashJoin") >= 1, p.take(1500))
+      // the probed-list IN set must reach the index scan as a PARTITION
+      // filter — the probe prune happening at the FILE level, not as a
+      // scan-and-drop predicate
+      val partFilter = p.linesIterator.find(l =>
+        l.contains("PartitionFilters:") && l.contains("list_id#"))
+      assert(partFilter.nonEmpty,
+        "codes scan has no list_id PartitionFilter:\n" + p.take(2000))
+      assert(partFilter.get.contains("INSET") ||
+        partFilter.get.contains(" IN ("),
+        s"PartitionFilters line carries no IN-set: ${partFilter.get}")
+    }
+  }
+
   test("determinism: identical manifest on re-run and under " +
       "repartitioning of the corpus") {
     val a = Similarity.pqTopK(spark, sf, rerank = 0).collect().toSeq
@@ -244,5 +338,96 @@ class PqSpec extends AnyFunSuite {
     val c2 = Similarity.pqEncode(base.repartition(1), books, dim)
       .orderBy("vec_id").collect().map(_.getSeq[Int](1).toVector).toSeq
     assert(c1 === c2)
+  }
+
+  // -- OPQ rotation (r17: the measured ADC-dilution buy-back) ------------
+
+  test("opqRotation is orthogonal, deterministic, and " +
+      "partitioning-independent") {
+    val samp = Similarity.ivfTrainingSample(base,
+      Similarity.pqSampleK(1 << Similarity.PqBits))
+    val r1 = Similarity.opqRotation(samp, dim)
+    // orthogonality: R·Rᵀ = I (Jacobi eigenvectors of a symmetric
+    // matrix; 1e-9 leaves room only for fp accumulation, not for a
+    // defective sweep)
+    for (i <- r1.indices; j <- r1.indices) {
+      val d = (0 until dim).map(k => r1(i)(k) * r1(j)(k)).sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - expect) < 1e-9, s"R·Rᵀ[$i][$j] = $d")
+    }
+    // bit-determinism: re-run and a repartitioned sample draw agree
+    val r2 = Similarity.opqRotation(samp, dim)
+    val r3 = Similarity.opqRotation(
+      Similarity.ivfTrainingSample(base.repartition(7),
+        Similarity.pqSampleK(1 << Similarity.PqBits)), dim)
+    for (i <- r1.indices) {
+      assert(r1(i).toSeq === r2(i).toSeq, s"re-run diverged at row $i")
+      assert(r1(i).toSeq === r3(i).toSeq,
+        s"repartitioned sample diverged at row $i")
+    }
+  }
+
+  /** The anisotropy plant: 4 dominant directions (×100) all landing in
+    * the FIRST coordinate block, the rest crushed (×0.01) — cosine is
+    * then decided almost entirely inside one 16-code subspace, the
+    * failure mode coordinate-block PQ cannot survive and eigenvalue
+    * allocation exists to fix. */
+  private lazy val anisoCorpus = base.withColumn("embedding",
+    expr("""transform(embedding, (v, i) ->
+           |  CAST(v AS DOUBLE) *
+           |  (CASE WHEN i < 4 THEN 100.0D ELSE 0.01D END))"""
+      .stripMargin))
+
+  test("OPQ allocation deals the plant's dominant dims into distinct " +
+      "subspaces") {
+    val samp = Similarity.ivfTrainingSample(anisoCorpus,
+      Similarity.pqSampleK(1 << Similarity.PqBits))
+    val r = Similarity.opqRotation(samp, dim)
+    val subDim = dim / Similarity.PqSub
+    // the 4 dominant variances are near-DEGENERATE (all ×100 draws of
+    // the same gaussian), so the top eigenvectors are an arbitrary
+    // orthogonal mix WITHIN span{e_0..e_3} — the invariant is not
+    // axis-ness but that exactly 4 rotation rows carry ~all their mass
+    // on dims < 4, and allocation deals those rows to 4 DIFFERENT
+    // subspaces
+    val mass4 = r.indices.map(i =>
+      i -> (0 until 4).map(d => r(i)(d) * r(i)(d)).sum)
+    val dominant = mass4.filter(_._2 > 0.5)
+    assert(dominant.length === 4,
+      s"expected exactly 4 dominant rows, got ${dominant.length}")
+    dominant.foreach { case (i, m) =>
+      assert(m > 0.999, s"dominant row $i leaks mass: $m")
+    }
+    val hosts = dominant.map(_._1 / subDim)
+    assert(hosts.distinct.length === 4,
+      s"dominant dims share a subspace: $hosts")
+  }
+
+  test("OPQ recall: large ADC lift on the anisotropic plant, flat on " +
+      "the isotropic corpus (measured bands)") {
+    def recallOf(got: org.apache.spark.sql.DataFrame,
+                 truth: org.apache.spark.sql.DataFrame): Double = {
+      val t = truth.select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val g = got.select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      g.intersect(t).size.toDouble / t.size
+    }
+    // the plant: pure-ADC ranking, no rerank — the sharpest contrast
+    val bfPlant = Similarity.bruteForceTopKOf(anisoCorpus)
+    val pqPlant = recallOf(
+      Similarity.pqTopKOf(anisoCorpus, rerank = 0), bfPlant)
+    val opqPlant = recallOf(
+      Similarity.opqTopKOf(anisoCorpus, rerank = 0), bfPlant)
+    assert(opqPlant >= pqPlant + 0.15,
+      s"expected a large OPQ lift on the plant: pq=$pqPlant opq=$opqPlant")
+    // the honest control: the isotropic corpus has nothing to
+    // rebalance, so OPQ must neither help nor hurt materially
+    val bf = Similarity.bruteForceTopK(spark, sf)
+    val pqIso = recallOf(Similarity.pqTopK(spark, sf, rerank = 0), bf)
+    val opqIso = recallOf(Similarity.opqTopKOf(base, rerank = 0), bf)
+    assert(math.abs(opqIso - pqIso) <= 0.15,
+      s"isotropic control moved: pq=$pqIso opq=$opqIso")
+    assert(opqIso >= 0.30, s"isotropic OPQ ADC recall $opqIso below band")
   }
 }
