@@ -58,6 +58,12 @@ object PqDev {
     val pqP = recallPlant(Similarity.pqTopKOf(plant, rerank = 0))
     val opqP = recallPlant(Similarity.opqTopKOf(plant, rerank = 0))
     println(f"## opq_plant sf=$sf pq_adc=$pqP%.3f opq_adc=$opqP%.3f")
+    // the full composition: OPQ pretransform × IVF pruning × residual
+    // PQ × bounded rerank (rotation preserves cosine, so raw-space
+    // brute force is the right truth)
+    val rOpqIvf = recall(Similarity.ivfPqSearch(spark, sf,
+      Similarity.ivfPqBuild(spark, sf, rotate = true)))
+    println(f"## opq_ivfpq sf=$sf rerank=100 recall=$rOpqIvf%.3f")
     // shuffle + warm wall-clock, PQ defaults vs brute force (shared
     // listener + median helpers; cold clock stops before the drain)
     def measure(tag: String)(mk: () => org.apache.spark.sql.DataFrame)

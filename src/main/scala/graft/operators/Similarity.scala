@@ -1049,11 +1049,21 @@ object Similarity {
     * double per vector, never embeddings). [[ivfPqBuild]] produces it
     * in memory; [[pqIndexBuild]]/[[pqIndexLoad]] round-trip it through
     * parquet so a deployment builds ONCE and searches MANY times
-    * without retraining (the serving split [[pqIndexSearch]] runs). */
+    * without retraining (the serving split [[pqIndexSearch]] runs).
+    *
+    * `rotation` (present when built with `rotate = true`) is the OPQ
+    * pre-transform the WHOLE index lives behind — FAISS's
+    * `OPQMatrix,IVF…,PQ…` composition: the coarse quantizer, the
+    * residual codebooks and every stored code are in ROTATED
+    * coordinates, so the rotation must travel with the index and be
+    * applied to queries (and the rerank corpus view) at search time —
+    * searching a rotated index with unrotated queries would score
+    * against the wrong grid everywhere. */
   case class PqIndex(dim: Int, sub: Int, numLists: Int,
                      centroids: Array[Array[Double]],
                      books: Array[Array[Array[Double]]],
-                     coded: DataFrame)
+                     coded: DataFrame,
+                     rotation: Option[Array[Array[Double]]] = None)
 
   /** The training/encode half of [[ivfPqTopK]] (the build-once side of
     * the serving split): derive the √n list count, train the coarse
@@ -1063,11 +1073,25 @@ object Similarity {
     * (LCG sample, literal codebooks, first-minimum argmins), so two
     * builds over the same corpus produce identical artifacts and the
     * row-for-row spec invariants gate the split exactly as they gated
-    * the fused form. */
+    * the fused form.
+    *
+    * `rotate = true` trains an [[opqRotation]] on the raw sample first
+    * and builds the ENTIRE index in rotated coordinates (coarse
+    * quantizer, residuals, codebooks, codes) — the FAISS
+    * OPQ-pretransform composition; the rotation rides in the returned
+    * index so the search half can rotate queries to match. */
   def ivfPqBuild(spark: SparkSession, dir: String,
-                 subspaces: Int = PqSub): PqIndex = {
-    val base = Tables.embeddings(spark, dir)
-    val dim = dimOf(base)
+                 subspaces: Int = PqSub,
+                 rotate: Boolean = false): PqIndex = {
+    val base0 = Tables.embeddings(spark, dir)
+    val dim0 = dimOf(base0)
+    val rot =
+      if (rotate)
+        Some(opqRotation(
+          ivfTrainingSample(base0, pqSampleK(1 << PqBits)), dim0, subspaces))
+      else None
+    val base = rot.map(opqRotate(base0, _)).getOrElse(base0)
+    val dim = dim0
     val e = withNorm(base, dim).localCheckpoint(true)
     val numLists = listsForCount(e.count())
     val samp = ivfTrainingSample(e,
@@ -1109,7 +1133,7 @@ object Similarity {
       .select(col("vec_id"), col("list_id"),
         array(codeCols: _*).as("codes"),
         sqrt(call_function("vec_dot", xhat, xhat)).as("recon_norm"))
-    PqIndex(dim, sub, numLists, centroids, books, coded)
+    PqIndex(dim, sub, numLists, centroids, books, coded, rot)
   }
 
   /** The probed-search half of [[ivfPqTopK]] (the search-many side):
@@ -1136,7 +1160,12 @@ object Similarity {
     val numProbes = probesOverride.getOrElse(probesForLists(numLists))
     require(numProbes >= 1 && numProbes <= numLists,
       s"probes $numProbes out of [1, $numLists]")
-    val base = Tables.embeddings(spark, dir)
+    // an OPQ-built index lives entirely in rotated coordinates — the
+    // query draw AND the rerank corpus view must rotate with it (the
+    // rotation is orthogonal, so every cosine equals the raw one)
+    val base = index.rotation
+      .map(opqRotate(Tables.embeddings(spark, dir), _))
+      .getOrElse(Tables.embeddings(spark, dir))
     val dim = index.dim
     val books = index.books
     val sub = index.sub
@@ -1219,12 +1248,21 @@ object Similarity {
     * parquet doubles), so the loaded index reproduces the in-memory
     * search BIT-FOR-BIT. Returns the in-memory index it persisted. */
   def pqIndexBuild(spark: SparkSession, dir: String, indexPath: String,
-                   subspaces: Int = PqSub): PqIndex = {
+                   subspaces: Int = PqSub,
+                   rotate: Boolean = false): PqIndex = {
     import spark.implicits._
-    val idx = ivfPqBuild(spark, dir, subspaces)
-    Seq((idx.dim, idx.sub, idx.numLists))
-      .toDF("dim", "sub", "num_lists")
+    val idx = ivfPqBuild(spark, dir, subspaces, rotate)
+    // the `rotated` flag lives in meta (not in directory probing —
+    // fs-agnostic), so a loader knows whether a rotation frame exists
+    Seq((idx.dim, idx.sub, idx.numLists, idx.rotation.nonEmpty))
+      .toDF("dim", "sub", "num_lists", "rotated")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
+    idx.rotation.foreach { r =>
+      r.zipWithIndex.map { case (row, i) => (i, row.toSeq) }.toSeq
+        .toDF("i", "row")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$indexPath/rotation")
+    }
     idx.centroids.zipWithIndex
       .map { case (c, i) => ((i + 1).toLong, c.toSeq) }.toSeq
       .toDF("list_id", "centroid")
@@ -1276,7 +1314,18 @@ object Similarity {
       .parquet(s"$indexPath/codes")
       .select(col("vec_id"), col("list_id"),
         pqUnpackCodes(col("packed"), sub).as("codes"), col("recon_norm"))
-    PqIndex(dim, sub, numLists, centroids, books, coded)
+    val rotation =
+      if (meta.getAs[Boolean]("rotated")) {
+        val r = Array.ofDim[Array[Double]](dim)
+        spark.read.parquet(s"$indexPath/rotation").collect().foreach { row =>
+          r(row.getAs[Int]("i")) =
+            row.getAs[scala.collection.Seq[Double]]("row").toArray
+        }
+        require(r.forall(_ != null),
+          s"graft: index at $indexPath is missing rotation rows")
+        Some(r)
+      } else None
+    PqIndex(dim, sub, numLists, centroids, books, coded, rotation)
   }
 
   /** Search a persisted index: [[pqIndexLoad]] + [[ivfPqSearch]] — no

@@ -430,4 +430,48 @@ class PqSpec extends AnyFunSuite {
       s"isotropic control moved: pq=$pqIso opq=$opqIso")
     assert(opqIso >= 0.30, s"isotropic OPQ ADC recall $opqIso below band")
   }
+
+  // -- OPQ composed into the persisted index (FAISS OPQ+IVF+PQ shape) ----
+
+  test("rotated persisted index: rotation loads back bitwise and " +
+      "search-from-disk ≡ the rotated in-memory path row-for-row") {
+    withIndexDir { dir =>
+      val built = Similarity.pqIndexBuild(spark, sf, dir, rotate = true)
+      assert(built.rotation.nonEmpty, "rotate=true built no rotation")
+      val loaded = Similarity.pqIndexLoad(spark, dir)
+      assert(loaded.rotation.nonEmpty, "rotation flag lost in meta")
+      val (r1, r2) = (built.rotation.get, loaded.rotation.get)
+      for (i <- r1.indices)
+        assert(r1(i).toSeq === r2(i).toSeq, s"rotation row $i diverged")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+      assert(rows(Similarity.pqIndexSearch(spark, sf, dir)) ===
+        rows(Similarity.ivfPqSearch(spark, sf,
+          Similarity.ivfPqBuild(spark, sf, rotate = true))))
+    }
+  }
+
+  test("rotated index structural invariant: all lists + corpus-wide " +
+      "rerank ≡ brute force IN THE ROTATED SPACE row-for-row") {
+    // the whole index lives in rotated coordinates, so the exact
+    // reference is brute force over the SAME rotated corpus — that
+    // comparison is bitwise (identical plans on identical columns),
+    // where a raw-space comparison would only agree up to fp rounding
+    // of the orthogonal transform
+    withIndexDir { dir =>
+      val built = Similarity.pqIndexBuild(spark, sf, dir, rotate = true)
+      val n = Tables.embeddings(spark, sf).count()
+      val got = Similarity.pqIndexSearch(spark, sf, dir,
+          rerank = n.toInt, probesOverride = Some(built.numLists))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      val bf = Similarity.bruteForceTopKOf(
+          Similarity.opqRotate(Tables.embeddings(spark, sf),
+            built.rotation.get))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(got.toSeq === bf.toSeq)
+    }
+  }
 }
