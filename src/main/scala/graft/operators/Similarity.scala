@@ -164,9 +164,29 @@ object Similarity {
     * planting seam (the Dedup-family idiom): ground truth for corpora a
     * spec constructs (the OPQ anisotropy plant) without a parquet
     * table. */
-  def bruteForceTopKOf(base: DataFrame): DataFrame = {
+  def bruteForceTopKOf(base: DataFrame): DataFrame =
+    bruteForceCore(base, None)
+
+  /** FILTERED exact top-k — the ground truth for predicate-constrained
+    * vector search ([[pqIndexSearchWhere]]): rank only candidates whose
+    * vec_id appears in `allowed`, with the query draw UNCHANGED (the
+    * predicate constrains what may be retrieved, never who asks). The
+    * filter is applied BEFORE ranking (pre-filter semantics — true
+    * top-k OF THE FILTERED SET), not by discarding rows from an
+    * unfiltered top-k, which under-fills k whenever a disallowed
+    * neighbor would have ranked. */
+  def bruteForceTopKWhere(base: DataFrame, allowed: DataFrame): DataFrame =
+    bruteForceCore(base, Some(allowed))
+
+  private def bruteForceCore(base: DataFrame,
+                             allowed: Option[DataFrame]): DataFrame = {
     val dim = dimOf(base)
-    val e = withNorm(base, dim)
+    val e0 = withNorm(base, dim)
+    // left-semi on the id frame: strategy left to the planner — a
+    // selective predicate's id set broadcasts, a broad one shuffles on
+    // the same key the scan is already keyed by
+    val e = allowed.fold(e0)(a =>
+      e0.join(a.select("vec_id"), Seq("vec_id"), "left_semi"))
     val scored = score(e.crossJoin(broadcast(queries(base, dim))))
       .filter(col("vec_id") =!= col("q_id"))
     // two-stage top-k: partial heads per (query, partition) first, so the
@@ -1114,9 +1134,34 @@ object Similarity {
         zip_with(col("embedding"), col("cvec"), (a, b) => a - b)
           .cast(ArrayType(DoubleType)).as("embedding"))
     val books = pqCodebooks(sampResid, dim, sub = subspaces)
+    val coded = ivfPqEncode(e, centroids, books, dim)
+    PqIndex(dim, books.length, numLists, centroids, books, coded, rot)
+  }
+
+  /** Encode a (vec_id, embedding) frame against FROZEN index artifacts —
+    * nearest-centroid assignment, residual PQ codes, EXACT
+    * reconstruction norm. Per-row deterministic given the artifacts:
+    * a vector encodes to the same coded row whether it was present at
+    * build time or handed in later, which is what makes
+    * [[pqIndexAppend]] exact rather than approximate. (The caller is
+    * expected to have applied the index's rotation, if any, to the
+    * frame — the artifacts live in rotated coordinates.) */
+  private[graft] def ivfPqEncode(e: DataFrame,
+                                 centroids: Array[Array[Double]],
+                                 books: Array[Array[Array[Double]]],
+                                 dim: Int): DataFrame = {
     val sub = books.length
     val subDim = dim / sub
-    // corpus encode: list + residual codes + EXACT reconstruction norm
+    val cents = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    val assigned = e
+      .withColumn("cents", cents)
+      .withColumn("dists", expr(
+        "transform(cents, c -> vec_dot(c, c) - 2.0D * vec_dot(c, embedding))"))
+      .withColumn("list_id",
+        expr("array_position(dists, array_min(dists))").cast(LongType))
+      .withColumn("cvec",
+        element_at(col("cents"), col("list_id").cast(IntegerType)))
+    // residual encode: list + residual codes + EXACT reconstruction norm
     val resid = zip_with(col("embedding"), col("cvec"), (a, b) => a - b)
     val codeCols = books.zipWithIndex.map { case (book, m) =>
       val r = slice(resid, m * subDim + 1, subDim)
@@ -1129,11 +1174,10 @@ object Similarity {
       element_at(bookCol(book), codeCols(m))
     }: _*)
     val xhat = zip_with(col("cvec"), decoded, (a, b) => a + b)
-    val coded = assignCols(e)
+    assigned
       .select(col("vec_id"), col("list_id"),
         array(codeCols: _*).as("codes"),
         sqrt(call_function("vec_dot", xhat, xhat)).as("recon_norm"))
-    PqIndex(dim, sub, numLists, centroids, books, coded, rot)
   }
 
   /** The probed-search half of [[ivfPqTopK]] (the search-many side):
@@ -1154,7 +1198,32 @@ object Similarity {
     * probes/lists of the index, it does not scan-and-drop. */
   def ivfPqSearch(spark: SparkSession, dir: String, index: PqIndex,
                   rerank: Int = 10 * K,
-                  probesOverride: Option[Int] = None): DataFrame = {
+                  probesOverride: Option[Int] = None): DataFrame =
+    ivfPqSearchCore(spark, dir, index, rerank, probesOverride, None)
+
+  /** FILTERED [[ivfPqSearch]]: rank only candidates whose vec_id
+    * appears in `allowed` — predicate-constrained vector search, the
+    * retrieval shape metadata-scoped RAG/curation queries actually run.
+    * PRE-filter semantics: the semi-join lands on the coded frame
+    * BEFORE ADC ranking, so the top-width pool and the rerank pool hold
+    * only allowed candidates (post-filtering an unfiltered top-k
+    * under-fills k whenever a disallowed neighbor would have ranked).
+    * Exactness inherits the structural invariant: all lists +
+    * corpus-wide rerank ≡ [[bruteForceTopKWhere]] row-for-row
+    * (spec-asserted); at the derived probe laws a highly selective
+    * predicate thins each probed list — the probe count is the recall
+    * knob there, same as unfiltered. */
+  def ivfPqSearchWhere(spark: SparkSession, dir: String, index: PqIndex,
+                       allowed: DataFrame,
+                       rerank: Int = 10 * K,
+                       probesOverride: Option[Int] = None): DataFrame =
+    ivfPqSearchCore(spark, dir, index, rerank, probesOverride,
+      Some(allowed))
+
+  private def ivfPqSearchCore(spark: SparkSession, dir: String,
+                              index: PqIndex, rerank: Int,
+                              probesOverride: Option[Int],
+                              allowed: Option[DataFrame]): DataFrame = {
     require(rerank >= 1, s"IVFADC without rerank is not served (got $rerank)")
     val numLists = index.numLists
     val numProbes = probesOverride.getOrElse(probesForLists(numLists))
@@ -1199,7 +1268,11 @@ object Similarity {
     val adcDot = (1 to sub).map(m =>
       element_at(element_at(col("lut"), m), element_at(col("codes"), m)))
       .foldLeft(col("qc"))(_ + _)
-    val scored = index.coded
+    // predicate pre-filter (see ivfPqSearchWhere): semi-join the id
+    // frame onto the coded rows BEFORE ranking; planner-chosen strategy
+    val coded = allowed.fold(index.coded)(a =>
+      index.coded.join(a.select("vec_id"), Seq("vec_id"), "left_semi"))
+    val scored = coded
       .filter(col("list_id").isin(probedIds: _*))
       .join(broadcast(probed), Seq("list_id"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -1328,6 +1401,37 @@ object Similarity {
     PqIndex(dim, sub, numLists, centroids, books, coded, rotation)
   }
 
+  /** Append a batch of NEW vectors to a persisted index WITHOUT
+    * retraining — the serving-pipeline add (FAISS `index.add` on a
+    * trained index): artifacts stay FROZEN (centroids, codebooks,
+    * rotation), the delta is rotated if the index is, assigned +
+    * residual-encoded by the same [[ivfPqEncode]] the build ran, and
+    * the packed rows land in the SAME partitionBy(list_id) layout —
+    * a parquet append, new files inside existing list directories, so
+    * the probe-time PartitionFilter pruning is untouched. Encoding is
+    * per-row deterministic given the artifacts, so an appended vector
+    * carries the IDENTICAL coded row it would have carried had it been
+    * present at build time — search over (build ∪ appends) is
+    * spec-asserted row-for-row equal to a search whose coded frame
+    * held the union from the start. Caller contract: vec_ids are new
+    * (the index is keyed by vec_id; in-place updates are the CDC
+    * surface's job — `Versioning.mergeUpsert` — followed by a rebuild
+    * or a compaction, exactly as production ANN deployments handle
+    * deletes/updates via tombstone compaction). Periodic RETRAINING
+    * as the corpus distribution drifts remains a deployment decision —
+    * frozen artifacts quantize drifted data with growing error, which
+    * the recall audit (q_ann_recall's machinery) is there to watch. */
+  def pqIndexAppend(spark: SparkSession, newVecs: DataFrame,
+                    indexPath: String): Unit = {
+    val idx = pqIndexLoad(spark, indexPath)
+    val delta = idx.rotation.map(opqRotate(newVecs, _)).getOrElse(newVecs)
+    ivfPqEncode(withNorm(delta, idx.dim), idx.centroids, idx.books, idx.dim)
+      .select(col("vec_id"), col("list_id"),
+        pqPackCodes(col("codes"), idx.sub).as("packed"), col("recon_norm"))
+      .write.mode("append").partitionBy("list_id")
+      .parquet(s"$indexPath/codes")
+  }
+
   /** Search a persisted index: [[pqIndexLoad]] + [[ivfPqSearch]] — no
     * training, no corpus encode; the corpus at `dir` is touched only by
     * the bounded exact-rerank join (and the query draw, which a
@@ -1338,6 +1442,18 @@ object Similarity {
                     rerank: Int = 10 * K,
                     probesOverride: Option[Int] = None): DataFrame =
     ivfPqSearch(spark, dir, pqIndexLoad(spark, indexPath),
+      rerank, probesOverride)
+
+  /** Filtered search over a persisted index — [[ivfPqSearchWhere]]
+    * from disk: metadata-scoped retrieval against the stored artifacts,
+    * no retraining, the probed-list PartitionFilter pruning composing
+    * WITH the predicate semi-join (files prune by probe set, rows by
+    * the id frame). */
+  def pqIndexSearchWhere(spark: SparkSession, dir: String,
+                         indexPath: String, allowed: DataFrame,
+                         rerank: Int = 10 * K,
+                         probesOverride: Option[Int] = None): DataFrame =
+    ivfPqSearchWhere(spark, dir, pqIndexLoad(spark, indexPath), allowed,
       rerank, probesOverride)
 
   // -- OPQ: optimized product quantization (parametric) --------------------

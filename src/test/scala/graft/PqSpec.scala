@@ -474,4 +474,105 @@ class PqSpec extends AnyFunSuite {
       assert(got.toSeq === bf.toSeq)
     }
   }
+
+  // -- incremental append (frozen artifacts, the serving add path) -------
+
+  test("pqIndexAppend: subset build + appended complement searches " +
+      "row-for-row like an index whose coded frame held the union " +
+      "from the start") {
+    withIndexDir { idxDir =>
+      withIndexDir { tmpSf =>
+        val full = Tables.embeddings(spark, sf)
+        // stage a SUBSET corpus as its own table dir and build on it —
+        // artifacts (lists, centroids, books) train on the subset and
+        // stay frozen through the append
+        full.filter(col("vec_id") % 3 =!= 0)
+          .write.mode("overwrite").parquet(s"$tmpSf/embeddings.parquet")
+        val built = Similarity.pqIndexBuild(spark, tmpSf, idxDir)
+        Similarity.pqIndexAppend(spark,
+          full.filter(col("vec_id") % 3 === 0)
+            .select("vec_id", "embedding"), idxDir)
+        // reference: the SAME frozen artifacts over an in-memory coded
+        // frame that held the union from the start — an independent
+        // derivation of what build∪append must equal
+        val ref = Similarity.ivfPqSearch(spark, sf, built.copy(
+          coded = Similarity.ivfPqEncode(
+            Similarity.withNorm(full, built.dim),
+            built.centroids, built.books, built.dim)))
+        def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r =>
+            (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .toSeq
+        assert(rows(Similarity.pqIndexSearch(spark, sf, idxDir)) ===
+          rows(ref))
+      }
+    }
+  }
+
+  test("pqIndexAppend on a ROTATED index: the delta rotates through " +
+      "the stored rotation before encoding") {
+    withIndexDir { idxDir =>
+      withIndexDir { tmpSf =>
+        val full = Tables.embeddings(spark, sf)
+        full.filter(col("vec_id") % 3 =!= 0)
+          .write.mode("overwrite").parquet(s"$tmpSf/embeddings.parquet")
+        val built = Similarity.pqIndexBuild(spark, tmpSf, idxDir,
+          rotate = true)
+        Similarity.pqIndexAppend(spark,
+          full.filter(col("vec_id") % 3 === 0)
+            .select("vec_id", "embedding"), idxDir)
+        val rotatedFull = Similarity.opqRotate(full, built.rotation.get)
+        val ref = Similarity.ivfPqSearch(spark, sf, built.copy(
+          coded = Similarity.ivfPqEncode(
+            Similarity.withNorm(rotatedFull, built.dim),
+            built.centroids, built.books, built.dim)))
+        def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r =>
+            (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .toSeq
+        assert(rows(Similarity.pqIndexSearch(spark, sf, idxDir)) ===
+          rows(ref))
+      }
+    }
+  }
+
+  // -- filtered (predicate-constrained) vector search ---------------------
+
+  test("filtered search: all lists + corpus-wide rerank ≡ filtered " +
+      "brute force row-for-row; derived laws never leak a disallowed " +
+      "neighbor") {
+    val allowed = base.select("vec_id").filter(col("vec_id") % 2 === 0)
+    val built = Similarity.ivfPqBuild(spark, sf)
+    val n = Tables.embeddings(spark, sf).count()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    // exactness: with pruning and truncation disabled, the filtered
+    // composed path must reproduce the filtered ground truth exactly —
+    // PRE-filter semantics (top-k OF the allowed set), same query draw
+    assert(rows(Similarity.ivfPqSearchWhere(spark, sf, built, allowed,
+        rerank = n.toInt, probesOverride = Some(built.numLists))) ===
+      rows(Similarity.bruteForceTopKWhere(base, allowed)))
+    // at the derived laws the result may lose recall to probe pruning
+    // but may NEVER surface a disallowed candidate
+    val ids = Similarity.ivfPqSearchWhere(spark, sf, built, allowed)
+      .select("neighbor_id").collect().map(_.getLong(0))
+    assert(ids.nonEmpty)
+    assert(ids.forall(_ % 2 == 0), s"disallowed neighbor leaked")
+  }
+
+  test("filtered search from a persisted index ≡ the in-memory " +
+      "filtered path row-for-row") {
+    withIndexDir { dir =>
+      Similarity.pqIndexBuild(spark, sf, dir)
+      val allowed = base.select("vec_id").filter(col("vec_id") % 2 === 0)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+      assert(rows(Similarity.pqIndexSearchWhere(spark, sf, dir, allowed)) ===
+        rows(Similarity.ivfPqSearchWhere(spark, sf,
+          Similarity.ivfPqBuild(spark, sf), allowed)))
+    }
+  }
 }
