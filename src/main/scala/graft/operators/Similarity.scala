@@ -1444,6 +1444,57 @@ object Similarity {
     ivfPqSearch(spark, dir, pqIndexLoad(spark, indexPath),
       rerank, probesOverride)
 
+  /** Compact a persisted index's coded frame — the maintenance pass an
+    * append-heavy deployment schedules (the lakehouse OPTIMIZE shape):
+    * every [[pqIndexAppend]] lands NEW files inside the list
+    * directories, and a probed scan's task count grows with the file
+    * count, not the data; compaction rewrites `codes/` bin-packed to
+    * one file per list partition, CONTENT-IDENTICAL (the spec asserts
+    * the exact row multiset and a row-for-row search before/after).
+    * The rewrite stages to a sibling directory and swaps with two
+    * renames (Hadoop FileSystem — works on HDFS and object-store
+    * committers alike), so a concurrent reader sees old-or-new, never
+    * half. Returns (files before, files after). */
+  def pqIndexCompact(spark: SparkSession, indexPath: String): (Long, Long) = {
+    // the meta probe validates indexPath IS an index before any rename
+    // touches it — a typo'd path must fail here, not mid-swap
+    val sub = spark.read.parquet(s"$indexPath/meta")
+      .collect()(0).getAs[Int]("sub")
+    require(sub > 0, s"graft: $indexPath/meta carries sub=$sub")
+    val codesSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("packed", ArrayType(ByteType)),
+      StructField("recon_norm", DoubleType),
+      StructField("list_id", LongType)))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(s"$indexPath/codes")
+    val fs = path.getFileSystem(conf)
+    def parquetFiles(p: org.apache.hadoop.fs.Path): Long = {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    val before = parquetFiles(path)
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/codes_compacting")
+    // one output file per list directory: the packed frame is tiny
+    // relative to raw embeddings (64×), so a single file per list is
+    // the right grain until a list itself outgrows a block — at which
+    // point maxRecordsPerFile (a conf, not a code change) re-splits
+    spark.read.schema(codesSchema).parquet(s"$indexPath/codes")
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(s"$indexPath/codes_old")
+    require(fs.rename(path, old), s"graft: compaction could not stage $path")
+    require(fs.rename(tmp, path),
+      s"graft: compaction could not swap in $tmp — codes left at $old")
+    fs.delete(old, true)
+    (before, parquetFiles(path))
+  }
+
   /** Filtered search over a persisted index — [[ivfPqSearchWhere]]
     * from disk: metadata-scoped retrieval against the stored artifacts,
     * no retraining, the probed-list PartitionFilter pruning composing

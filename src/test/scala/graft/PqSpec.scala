@@ -575,4 +575,42 @@ class PqSpec extends AnyFunSuite {
           Similarity.ivfPqBuild(spark, sf), allowed)))
     }
   }
+
+  // -- compaction (the append-heavy maintenance pass) ----------------------
+
+  test("pqIndexCompact: appends multiply files, compaction bin-packs " +
+      "them back — content and search bit-identical across the swap") {
+    withIndexDir { idxDir =>
+      withIndexDir { tmpSf =>
+        val full = Tables.embeddings(spark, sf)
+        full.filter(col("vec_id") % 3 =!= 0)
+          .write.mode("overwrite").parquet(s"$tmpSf/embeddings.parquet")
+        Similarity.pqIndexBuild(spark, tmpSf, idxDir)
+        // two separate appends → new files inside the list directories
+        Similarity.pqIndexAppend(spark,
+          full.filter(col("vec_id") % 3 === 0 && col("vec_id") % 2 === 0)
+            .select("vec_id", "embedding"), idxDir)
+        Similarity.pqIndexAppend(spark,
+          full.filter(col("vec_id") % 3 === 0 && col("vec_id") % 2 =!= 0)
+            .select("vec_id", "embedding"), idxDir)
+        def content() = Similarity.pqIndexLoad(spark, idxDir).coded
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            r.getSeq[Int](2).toVector, r.getDouble(3)))
+          .sortBy(_._1).toSeq
+        def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r =>
+            (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .toSeq
+        val rowsBefore = content()
+        val searchBefore = rows(Similarity.pqIndexSearch(spark, sf, idxDir))
+        val (nb, na) = Similarity.pqIndexCompact(spark, idxDir)
+        assert(na < nb, s"compaction did not reduce files: $nb -> $na")
+        assert(content() === rowsBefore,
+          "compaction changed the coded row multiset")
+        assert(rows(Similarity.pqIndexSearch(spark, sf, idxDir)) ===
+          searchBefore, "compaction changed a search result")
+      }
+    }
+  }
 }
