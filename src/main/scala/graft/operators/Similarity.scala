@@ -147,7 +147,20 @@ object Similarity {
     * corpus row on this branch too, then throw all but QueryK away — a
     * full duplicate corpus pass that exists only to be filtered. */
   private def queries(base: DataFrame, dim: Int): DataFrame =
-    withNorm(base.join(broadcast(annQueryIds(base)), "vec_id"), dim)
+    prepQueries(base.join(broadcast(annQueryIds(base)), "vec_id"), dim)
+
+  /** Prepare a query batch — any (vec_id, embedding) frame — into the
+    * (q_id, q_emb, q_norm) shape every search core consumes. This is
+    * the EXTERNAL-queries seam ([[bruteForceTopKFor]],
+    * [[pqIndexSearchFor]]): production searches arrive as query
+    * vectors, not corpus ids; the internal audit draw ([[queries]]) is
+    * just this applied to the QueryK lowest-hash corpus rows. The
+    * q_id keyspace is shared with vec_id, and every search excludes
+    * `vec_id = q_id` pairs — "a query never retrieves the vector with
+    * its own id": a no-op for callers with a disjoint id range, the
+    * self-match exclusion for the internal draw. */
+  private def prepQueries(queryVecs: DataFrame, dim: Int): DataFrame =
+    withNorm(queryVecs, dim)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"))
 
@@ -165,7 +178,7 @@ object Similarity {
     * spec constructs (the OPQ anisotropy plant) without a parquet
     * table. */
   def bruteForceTopKOf(base: DataFrame): DataFrame =
-    bruteForceCore(base, None)
+    bruteForceCore(base, None, None)
 
   /** FILTERED exact top-k — the ground truth for predicate-constrained
     * vector search ([[pqIndexSearchWhere]]): rank only candidates whose
@@ -176,10 +189,17 @@ object Similarity {
     * unfiltered top-k, which under-fills k whenever a disallowed
     * neighbor would have ranked. */
   def bruteForceTopKWhere(base: DataFrame, allowed: DataFrame): DataFrame =
-    bruteForceCore(base, Some(allowed))
+    bruteForceCore(base, Some(allowed), None)
+
+  /** Exact top-k for an EXTERNAL query batch (see [[prepQueries]]) —
+    * the serving-shape ground truth [[pqIndexSearchFor]] is spec'd
+    * against. */
+  def bruteForceTopKFor(base: DataFrame, queryVecs: DataFrame): DataFrame =
+    bruteForceCore(base, None, Some(queryVecs))
 
   private def bruteForceCore(base: DataFrame,
-                             allowed: Option[DataFrame]): DataFrame = {
+                             allowed: Option[DataFrame],
+                             queryVecs: Option[DataFrame]): DataFrame = {
     val dim = dimOf(base)
     val e0 = withNorm(base, dim)
     // left-semi on the id frame: strategy left to the planner — a
@@ -187,7 +207,8 @@ object Similarity {
     // the same key the scan is already keyed by
     val e = allowed.fold(e0)(a =>
       e0.join(a.select("vec_id"), Seq("vec_id"), "left_semi"))
-    val scored = score(e.crossJoin(broadcast(queries(base, dim))))
+    val qs = queryVecs.map(prepQueries(_, dim)).getOrElse(queries(base, dim))
+    val scored = score(e.crossJoin(broadcast(qs)))
       .filter(col("vec_id") =!= col("q_id"))
     // two-stage top-k: partial heads per (query, partition) first, so the
     // final per-query sort sees ≤ k·P rows, not n — the skew-proof idiom
@@ -1199,7 +1220,7 @@ object Similarity {
   def ivfPqSearch(spark: SparkSession, dir: String, index: PqIndex,
                   rerank: Int = 10 * K,
                   probesOverride: Option[Int] = None): DataFrame =
-    ivfPqSearchCore(spark, dir, index, rerank, probesOverride, None)
+    ivfPqSearchCore(spark, dir, index, rerank, probesOverride, None, None)
 
   /** FILTERED [[ivfPqSearch]]: rank only candidates whose vec_id
     * appears in `allowed` — predicate-constrained vector search, the
@@ -1218,12 +1239,28 @@ object Similarity {
                        rerank: Int = 10 * K,
                        probesOverride: Option[Int] = None): DataFrame =
     ivfPqSearchCore(spark, dir, index, rerank, probesOverride,
-      Some(allowed))
+      Some(allowed), None)
+
+  /** [[ivfPqSearch]] for an EXTERNAL query batch — the actual serving
+    * shape: queries arrive as (vec_id, embedding) vectors (RAW
+    * coordinates; a rotated index rotates them internally), not as
+    * corpus ids. The internal lowest-hash draw the audit surfaces use
+    * is just one such batch, and the spec asserts the two paths agree
+    * row-for-row when handed the same vectors. Self-pairs
+    * (vec_id = q_id) stay excluded — a no-op for disjoint id ranges
+    * (see [[prepQueries]]). */
+  def ivfPqSearchFor(spark: SparkSession, dir: String, index: PqIndex,
+                     queryVecs: DataFrame,
+                     rerank: Int = 10 * K,
+                     probesOverride: Option[Int] = None): DataFrame =
+    ivfPqSearchCore(spark, dir, index, rerank, probesOverride,
+      None, Some(queryVecs))
 
   private def ivfPqSearchCore(spark: SparkSession, dir: String,
                               index: PqIndex, rerank: Int,
                               probesOverride: Option[Int],
-                              allowed: Option[DataFrame]): DataFrame = {
+                              allowed: Option[DataFrame],
+                              queryVecs: Option[DataFrame]): DataFrame = {
     require(rerank >= 1, s"IVFADC without rerank is not served (got $rerank)")
     val numLists = index.numLists
     val numProbes = probesOverride.getOrElse(probesForLists(numLists))
@@ -1246,7 +1283,12 @@ object Similarity {
       array(book.map(c =>
         call_function("vec_dot", qm, array(c.map(lit): _*))): _*)
     }: _*)
-    val probed = queries(base, dim)
+    // external batches arrive in RAW coordinates; a rotated index
+    // rotates them here so queries and codes share one grid
+    val qs = queryVecs.map { q =>
+      prepQueries(index.rotation.map(opqRotate(q, _)).getOrElse(q), dim)
+    }.getOrElse(queries(base, dim))
+    val probed = qs
       .withColumn("cents", cents)
       .withColumn("qdots", expr(
         "transform(cents, c -> vec_dot(c, q_emb))"))
@@ -1505,6 +1547,16 @@ object Similarity {
                          rerank: Int = 10 * K,
                          probesOverride: Option[Int] = None): DataFrame =
     ivfPqSearchWhere(spark, dir, pqIndexLoad(spark, indexPath), allowed,
+      rerank, probesOverride)
+
+  /** [[ivfPqSearchFor]] over a persisted index — the full serving
+    * loop: stored artifacts, externally supplied query batch, no
+    * retraining. */
+  def pqIndexSearchFor(spark: SparkSession, dir: String,
+                       indexPath: String, queryVecs: DataFrame,
+                       rerank: Int = 10 * K,
+                       probesOverride: Option[Int] = None): DataFrame =
+    ivfPqSearchFor(spark, dir, pqIndexLoad(spark, indexPath), queryVecs,
       rerank, probesOverride)
 
   // -- OPQ: optimized product quantization (parametric) --------------------

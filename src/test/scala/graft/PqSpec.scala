@@ -613,4 +613,55 @@ class PqSpec extends AnyFunSuite {
       }
     }
   }
+
+  // -- external query batches (the serving query shape) --------------------
+
+  test("external query batch: planted off-corpus queries — all lists + " +
+      "corpus rerank ≡ brute force with the same batch row-for-row; " +
+      "internal-draw batch reproduces the internal path") {
+    // plant: 5 corpus vectors perturbed in dim 0, ids moved to a
+    // disjoint keyspace — genuinely external vectors near known rows
+    val extQ = base.filter(col("vec_id") <= 5)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        expr("""transform(embedding, (v, i) -> CAST(v AS DOUBLE) +
+               |  CASE WHEN i = 0 THEN 0.03D ELSE 0.0D END)"""
+          .stripMargin).as("embedding"))
+    val built = Similarity.ivfPqBuild(spark, sf)
+    val n = Tables.embeddings(spark, sf).count()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(rows(Similarity.ivfPqSearchFor(spark, sf, built, extQ,
+        rerank = n.toInt, probesOverride = Some(built.numLists))) ===
+      rows(Similarity.bruteForceTopKFor(base, extQ)))
+    // the internal audit draw is just one external batch: handing the
+    // SAME vectors through the external seam must reproduce the
+    // internal path exactly (ids coincide, so self-exclusion agrees)
+    val drawn = base.join(
+      org.apache.spark.sql.functions.broadcast(
+        Similarity.annQueryIds(base)), "vec_id")
+      .select("vec_id", "embedding")
+    assert(rows(Similarity.ivfPqSearchFor(spark, sf, built, drawn)) ===
+      rows(Similarity.ivfPqSearch(spark, sf, built)))
+  }
+
+  test("external query batch from a ROTATED persisted index: raw-space " +
+      "batch rotates through the stored rotation — disk ≡ in-memory " +
+      "row-for-row") {
+    withIndexDir { dir =>
+      Similarity.pqIndexBuild(spark, sf, dir, rotate = true)
+      val extQ = base.filter(col("vec_id") <= 5)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          expr("""transform(embedding, (v, i) -> CAST(v AS DOUBLE) +
+                 |  CASE WHEN i = 0 THEN 0.03D ELSE 0.0D END)"""
+            .stripMargin).as("embedding"))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+      assert(rows(Similarity.pqIndexSearchFor(spark, sf, dir, extQ)) ===
+        rows(Similarity.ivfPqSearchFor(spark, sf,
+          Similarity.ivfPqBuild(spark, sf, rotate = true), extQ)))
+    }
+  }
 }
