@@ -194,8 +194,9 @@ object Similarity {
   /** Exact top-k for an EXTERNAL query batch (see [[prepQueries]]) —
     * the serving-shape ground truth [[pqIndexSearchFor]] is spec'd
     * against. */
-  def bruteForceTopKFor(base: DataFrame, queryVecs: DataFrame): DataFrame =
-    bruteForceCore(base, None, Some(queryVecs))
+  def bruteForceTopKFor(base: DataFrame, queryVecs: DataFrame,
+                        allowed: Option[DataFrame] = None): DataFrame =
+    bruteForceCore(base, allowed, Some(queryVecs))
 
   private def bruteForceCore(base: DataFrame,
                              allowed: Option[DataFrame],
@@ -1248,13 +1249,16 @@ object Similarity {
     * is just one such batch, and the spec asserts the two paths agree
     * row-for-row when handed the same vectors. Self-pairs
     * (vec_id = q_id) stay excluded — a no-op for disjoint id ranges
-    * (see [[prepQueries]]). */
+    * (see [[prepQueries]]). `allowed` composes the metadata pre-filter
+    * of [[ivfPqSearchWhere]] with the external batch — query vector +
+    * predicate, the canonical RAG retrieval call. */
   def ivfPqSearchFor(spark: SparkSession, dir: String, index: PqIndex,
                      queryVecs: DataFrame,
                      rerank: Int = 10 * K,
-                     probesOverride: Option[Int] = None): DataFrame =
+                     probesOverride: Option[Int] = None,
+                     allowed: Option[DataFrame] = None): DataFrame =
     ivfPqSearchCore(spark, dir, index, rerank, probesOverride,
-      None, Some(queryVecs))
+      allowed, Some(queryVecs))
 
   private def ivfPqSearchCore(spark: SparkSession, dir: String,
                               index: PqIndex, rerank: Int,
@@ -1495,8 +1499,12 @@ object Similarity {
     * the exact row multiset and a row-for-row search before/after).
     * The rewrite stages to a sibling directory and swaps with two
     * renames (Hadoop FileSystem — works on HDFS and object-store
-    * committers alike), so a concurrent reader sees old-or-new, never
-    * half. Returns (files before, files after). */
+    * committers alike), so a reader PLANNING after the swap sees
+    * old-or-new, never half; the old directory is deleted immediately
+    * here, so a deployment with long-RUNNING concurrent scans (file
+    * listings resolved before the swap) defers that delete behind a
+    * vacuum window, exactly as lakehouse OPTIMIZE does. Returns
+    * (files before, files after). */
   def pqIndexCompact(spark: SparkSession, indexPath: String): (Long, Long) = {
     // the meta probe validates indexPath IS an index before any rename
     // touches it — a typo'd path must fail here, not mid-swap
@@ -1555,9 +1563,10 @@ object Similarity {
   def pqIndexSearchFor(spark: SparkSession, dir: String,
                        indexPath: String, queryVecs: DataFrame,
                        rerank: Int = 10 * K,
-                       probesOverride: Option[Int] = None): DataFrame =
+                       probesOverride: Option[Int] = None,
+                       allowed: Option[DataFrame] = None): DataFrame =
     ivfPqSearchFor(spark, dir, pqIndexLoad(spark, indexPath), queryVecs,
-      rerank, probesOverride)
+      rerank, probesOverride, allowed)
 
   // -- OPQ: optimized product quantization (parametric) --------------------
 

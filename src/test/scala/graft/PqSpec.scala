@@ -664,4 +664,32 @@ class PqSpec extends AnyFunSuite {
           Similarity.ivfPqBuild(spark, sf, rotate = true), extQ)))
     }
   }
+
+  test("filtered + external — the canonical RAG call (query vector + " +
+      "metadata predicate): ≡ filtered external brute force " +
+      "row-for-row; leak-free from a persisted index at the laws") {
+    val extQ = base.filter(col("vec_id") <= 5)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        expr("""transform(embedding, (v, i) -> CAST(v AS DOUBLE) +
+               |  CASE WHEN i = 0 THEN 0.03D ELSE 0.0D END)"""
+          .stripMargin).as("embedding"))
+    val allowed = base.select("vec_id").filter(col("vec_id") % 2 === 0)
+    val built = Similarity.ivfPqBuild(spark, sf)
+    val n = Tables.embeddings(spark, sf).count()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(rows(Similarity.ivfPqSearchFor(spark, sf, built, extQ,
+        rerank = n.toInt, probesOverride = Some(built.numLists),
+        allowed = Some(allowed))) ===
+      rows(Similarity.bruteForceTopKFor(base, extQ, Some(allowed))))
+    withIndexDir { dir =>
+      Similarity.pqIndexBuild(spark, sf, dir)
+      val ids = Similarity.pqIndexSearchFor(spark, sf, dir, extQ,
+          allowed = Some(allowed))
+        .select("neighbor_id").collect().map(_.getLong(0))
+      assert(ids.nonEmpty)
+      assert(ids.forall(_ % 2 == 0), "disallowed neighbor leaked")
+    }
+  }
 }
