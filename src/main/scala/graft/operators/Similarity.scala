@@ -1078,9 +1078,17 @@ object Similarity {
   def ivfPqTopK(spark: SparkSession, dir: String,
                 rerank: Int = 10 * K,
                 probesOverride: Option[Int] = None,
-                subspaces: Int = PqSub): DataFrame =
+                subspaces: Int = PqSub): DataFrame = {
+    // fail fast on the cheap argument checks BEFORE the build trains
+    // quantizer + codebooks and encodes the corpus (the search half
+    // re-validates, including the ≤ numLists bound only the built
+    // index knows)
+    require(rerank >= 1, s"IVFADC without rerank is not served (got $rerank)")
+    probesOverride.foreach(p =>
+      require(p >= 1, s"probes must be >= 1 (got $p)"))
     ivfPqSearch(spark, dir, ivfPqBuild(spark, dir, subspaces),
       rerank, probesOverride)
+  }
 
   /** A built IVFADC index — everything a search needs EXCEPT the raw
     * corpus (which only the exact-rerank join back to the source table
@@ -1270,16 +1278,21 @@ object Similarity {
     val numProbes = probesOverride.getOrElse(probesForLists(numLists))
     require(numProbes >= 1 && numProbes <= numLists,
       s"probes $numProbes out of [1, $numLists]")
-    // an OPQ-built index lives entirely in rotated coordinates — the
-    // query draw AND the rerank corpus view must rotate with it (the
-    // rotation is orthogonal, so every cosine equals the raw one)
-    val base = index.rotation
-      .map(opqRotate(Tables.embeddings(spark, dir), _))
-      .getOrElse(Tables.embeddings(spark, dir))
+    val baseRaw = Tables.embeddings(spark, dir)
     val dim = index.dim
     val books = index.books
     val sub = index.sub
     val subDim = dim / sub
+    // an OPQ-built index lives entirely in rotated coordinates — the
+    // query side AND the rerank corpus view must rotate with it (the
+    // rotation is orthogonal, so every cosine equals the raw one).
+    // The O(dim²)-per-row projection is applied only AFTER the
+    // bounding joins — rotating the whole corpus to keep QueryK query
+    // rows (or queries·width rerank rows) would put a full matrix
+    // multiply of the corpus under every search, the exact trap the
+    // [[queries]] scaladoc pins for the norm projection.
+    def rotated(df: DataFrame): DataFrame =
+      index.rotation.map(opqRotate(df, _)).getOrElse(df)
     val cents = array(index.centroids.map(c => array(c.map(lit): _*)): _*)
     // query side: probed lists + centroid dot table + residual LUT
     val lutCol = array(books.zipWithIndex.map { case (book, m) =>
@@ -1287,11 +1300,13 @@ object Similarity {
       array(book.map(c =>
         call_function("vec_dot", qm, array(c.map(lit): _*))): _*)
     }: _*)
-    // external batches arrive in RAW coordinates; a rotated index
-    // rotates them here so queries and codes share one grid
-    val qs = queryVecs.map { q =>
-      prepQueries(index.rotation.map(opqRotate(q, _)).getOrElse(q), dim)
-    }.getOrElse(queries(base, dim))
+    // external batches arrive in RAW coordinates, already bounded; the
+    // internal draw bounds FIRST (vec_id-only TakeOrdered + join),
+    // then rotates the QueryK joined rows
+    val qs = queryVecs.map(q => prepQueries(rotated(q), dim))
+      .getOrElse(prepQueries(
+        rotated(baseRaw.join(broadcast(annQueryIds(baseRaw)), "vec_id")),
+        dim))
     val probed = qs
       .withColumn("cents", cents)
       .withColumn("qdots", expr(
@@ -1306,10 +1321,12 @@ object Similarity {
       .select(col("q_id"), col("q_emb"), col("q_norm"), col("lut"),
         col("probe.i").cast(LongType).as("list_id"),
         element_at(col("qdots"), col("probe.i")).as("qc"))
-    // the bounded static prune (see scaladoc): one TakeOrdered-sized
-    // collect over the QueryK·probes probe rows, sorted for a
-    // deterministic IN-list
-    val probedIds = probed.select("list_id").distinct()
+    // the bounded probe frame is materialized ONCE (QueryK·probes
+    // rows): the static IN-list collect and the broadcast join side
+    // both read the checkpoint instead of re-executing the query-side
+    // pipeline (TakeOrdered + join + rotation + LUT) as a second job
+    val probedCk = probed.localCheckpoint(eager = true)
+    val probedIds = probedCk.select("list_id").distinct()
       .collect().map(_.getLong(0)).sorted
     val adcDot = (1 to sub).map(m =>
       element_at(element_at(col("lut"), m), element_at(col("codes"), m)))
@@ -1320,7 +1337,7 @@ object Similarity {
       index.coded.join(a.select("vec_id"), Seq("vec_id"), "left_semi"))
     val scored = coded
       .filter(col("list_id").isin(probedIds: _*))
-      .join(broadcast(probed), Seq("list_id"))
+      .join(broadcast(probedCk), Seq("list_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos_adc",
         round(adcDot / (col("q_norm") * col("recon_norm")), 6))
@@ -1334,10 +1351,12 @@ object Similarity {
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(desc("cos_adc"), asc("vec_id"))))
       .filter(col("rank") <= width)
-    val e = withNorm(base, dim)
-    score(adcTop.select("q_id", "q_emb", "q_norm", "vec_id")
-        .join(e.select(col("vec_id"), col("embedding"), col("norm")),
-          "vec_id"))
+    // exact rerank: join the bounded candidate set to the RAW corpus
+    // first, rotate + norm only the queries·width surviving rows
+    score(withNorm(rotated(
+        adcTop.select("q_id", "q_emb", "q_norm", "vec_id")
+          .join(baseRaw.select(col("vec_id"), col("embedding")),
+            "vec_id")), dim))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
       .filter(col("rank") <= K)
@@ -1405,6 +1424,16 @@ object Similarity {
     * comes back as the LongType the coded frame was built with —
     * directory-name type inference would hand back an int and silently
     * change the probe join's key type. */
+  /** The ONE schema of the persisted `codes/` frame — shared by the
+    * loader and the compactor so they can never diverge; the explicit
+    * `list_id` LongType is what pins the partition column against
+    * directory-name type inference. */
+  private val pqCodesSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("packed", ArrayType(ByteType)),
+    StructField("recon_norm", DoubleType),
+    StructField("list_id", LongType)))
+
   def pqIndexLoad(spark: SparkSession, indexPath: String): PqIndex = {
     val meta = spark.read.parquet(s"$indexPath/meta").collect()(0)
     val dim = meta.getAs[Int]("dim")
@@ -1424,12 +1453,7 @@ object Similarity {
     }
     require(books.forall(_.forall(_ != null)),
       s"graft: index at $indexPath is missing codebook entries")
-    val codesSchema = StructType(Seq(
-      StructField("vec_id", LongType),
-      StructField("packed", ArrayType(ByteType)),
-      StructField("recon_norm", DoubleType),
-      StructField("list_id", LongType)))
-    val coded = spark.read.schema(codesSchema)
+    val coded = spark.read.schema(pqCodesSchema)
       .parquet(s"$indexPath/codes")
       .select(col("vec_id"), col("list_id"),
         pqUnpackCodes(col("packed"), sub).as("codes"), col("recon_norm"))
@@ -1511,14 +1535,23 @@ object Similarity {
     val sub = spark.read.parquet(s"$indexPath/meta")
       .collect()(0).getAs[Int]("sub")
     require(sub > 0, s"graft: $indexPath/meta carries sub=$sub")
-    val codesSchema = StructType(Seq(
-      StructField("vec_id", LongType),
-      StructField("packed", ArrayType(ByteType)),
-      StructField("recon_norm", DoubleType),
-      StructField("list_id", LongType)))
     val conf = spark.sparkContext.hadoopConfiguration
     val path = new org.apache.hadoop.fs.Path(s"$indexPath/codes")
+    val old = new org.apache.hadoop.fs.Path(s"$indexPath/codes_old")
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/codes_compacting")
     val fs = path.getFileSystem(conf)
+    // crash recovery FIRST — makes compaction retry-safe against a
+    // death at any prior step:
+    //  - codes missing + codes_old present → died BETWEEN the two
+    //    renames: roll the stage-out back;
+    //  - codes present + codes_old present → died after the swap-in,
+    //    before the delete: finish the delete;
+    //  - a stale codes_compacting is a dead write: remove it.
+    if (!fs.exists(path) && fs.exists(old))
+      require(fs.rename(old, path),
+        s"graft: compaction recovery could not roll $old back to $path")
+    else if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
     def parquetFiles(p: org.apache.hadoop.fs.Path): Long = {
       val it = fs.listFiles(p, true)
       var n = 0L
@@ -1528,16 +1561,14 @@ object Similarity {
       n
     }
     val before = parquetFiles(path)
-    val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/codes_compacting")
     // one output file per list directory: the packed frame is tiny
     // relative to raw embeddings (64×), so a single file per list is
     // the right grain until a list itself outgrows a block — at which
     // point maxRecordsPerFile (a conf, not a code change) re-splits
-    spark.read.schema(codesSchema).parquet(s"$indexPath/codes")
+    spark.read.schema(pqCodesSchema).parquet(s"$indexPath/codes")
       .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(tmp.toString)
-    val old = new org.apache.hadoop.fs.Path(s"$indexPath/codes_old")
     require(fs.rename(path, old), s"graft: compaction could not stage $path")
     require(fs.rename(tmp, path),
       s"graft: compaction could not swap in $tmp — codes left at $old")

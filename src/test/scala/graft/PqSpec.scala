@@ -692,4 +692,37 @@ class PqSpec extends AnyFunSuite {
       assert(ids.forall(_ % 2 == 0), "disallowed neighbor leaked")
     }
   }
+
+  test("pqIndexCompact is retry-safe: rolls back a crash between the " +
+      "two renames and sweeps the leftovers of a crash before the " +
+      "old-dir delete") {
+    withIndexDir { idxDir =>
+      Similarity.pqIndexBuild(spark, sf, idxDir)
+      def rows() = Similarity.pqIndexSearch(spark, sf, idxDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+      val before = rows()
+      val codes = new java.io.File(idxDir, "codes")
+      val old = new java.io.File(idxDir, "codes_old")
+      val tmp = new java.io.File(idxDir, "codes_compacting")
+      // crash shape 1: died BETWEEN the renames — codes staged out to
+      // codes_old, nothing swapped in; the index is unreadable until
+      // recovery rolls it back
+      assert(codes.renameTo(old), "test setup: stage-out rename failed")
+      val (b1, a1) = Similarity.pqIndexCompact(spark, idxDir)
+      assert(b1 >= a1)
+      assert(rows() === before, "recovery+compact changed a search result")
+      assert(!old.exists && !tmp.exists, "recovery left staging dirs")
+      // crash shape 2: died after the swap-in, before the delete — a
+      // stale codes_old (and a dead codes_compacting) lie around; the
+      // next compaction must sweep both and still succeed
+      assert(old.mkdir() && tmp.mkdir(), "test setup: stale dirs")
+      java.nio.file.Files.write(
+        new java.io.File(old, "junk.parquet").toPath, Array[Byte](1))
+      val (b2, a2) = Similarity.pqIndexCompact(spark, idxDir)
+      assert(b2 === a2, s"already-compacted index grew files: $b2 -> $a2")
+      assert(rows() === before)
+      assert(!old.exists && !tmp.exists, "sweep left staging dirs")
+    }
+  }
 }
