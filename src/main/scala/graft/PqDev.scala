@@ -9,20 +9,55 @@ package graft
   * shuffle from run 1 (plan-invariant).
   * Usage: sbt "runMain graft.PqDev <sfDir> [repeat]" */
 object PqDev {
+
+  private def topSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** recall@k against a fixed ground-truth pair set — instantiate once
+    * per truth (corpus brute force, plant brute force, …). */
+  private def recallVs(truth: Set[(Long, Long)])
+                      (df: org.apache.spark.sql.DataFrame): Double =
+    topSet(df).intersect(truth).size.toDouble / truth.size
+
+  private def rm(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: PqDev <sfDir> [repeat]")
     val sf = args(0)
     val repeat = if (args.length > 1) args(1).toInt else 3
     val spark = Tables.localSession("pqdev", 32)
     import graft.operators.Similarity
-    val bf = Similarity.bruteForceTopK(spark, sf)
-      .select("q_id", "neighbor_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    def recall(df: org.apache.spark.sql.DataFrame): Double = {
-      val got = df.select("q_id", "neighbor_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      got.intersect(bf).size.toDouble / bf.size
+
+    // shuffle + warm wall-clock around ANY action (shared listener +
+    // median helpers; cold clock stops before the drain) — the ONE cost
+    // block every row below goes through
+    def measureRun(tag: String)(body: () => Unit): Unit = {
+      def run(): Unit = {
+        body()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+      }
+      var cold = 0.0
+      val tot = ShuffleBytes.measureStages(spark) {
+        val t0 = System.nanoTime(); run()
+        cold = (System.nanoTime() - t0) / 1e9
+      }
+      val warm = (2 to repeat).map { _ =>
+        val t = System.nanoTime(); run(); (System.nanoTime() - t) / 1e9
+      }
+      val med = ShuffleBytes.warmMedian(cold, warm)
+      println(f"## pq_cost $tag cold=$cold%.2fs warm_median=$med%.2fs " +
+        f"shuffle_bytes=${tot.bytes} shuffle_records=${tot.records} " +
+        s"disk_spill=${tot.spill}")
     }
+    def measure(tag: String)(mk: () => org.apache.spark.sql.DataFrame)
+        : Unit =
+      measureRun(tag)(() => require(mk().count() > 0L))
+
+    val recall = recallVs(topSet(Similarity.bruteForceTopK(spark, sf)))(_)
     for (sub <- Seq(8, 16); rr <- Seq(0, 40, 100)) {
       val r = recall(Similarity.pqTopK(spark, sf, rerank = rr,
         subspaces = sub))
@@ -47,14 +82,7 @@ object PqDev {
           |  CAST(v AS DOUBLE) *
           |  (CASE WHEN i < 4 THEN 100.0D ELSE 0.01D END))"""
           .stripMargin))
-    val bfPlant = Similarity.bruteForceTopKOf(plant)
-      .select("q_id", "neighbor_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    def recallPlant(df: org.apache.spark.sql.DataFrame): Double = {
-      val got = df.select("q_id", "neighbor_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      got.intersect(bfPlant).size.toDouble / bfPlant.size
-    }
+    val recallPlant = recallVs(topSet(Similarity.bruteForceTopKOf(plant)))(_)
     val pqP = recallPlant(Similarity.pqTopKOf(plant, rerank = 0))
     val opqP = recallPlant(Similarity.opqTopKOf(plant, rerank = 0))
     println(f"## opq_plant sf=$sf pq_adc=$pqP%.3f opq_adc=$opqP%.3f")
@@ -64,28 +92,6 @@ object PqDev {
     val rOpqIvf = recall(Similarity.ivfPqSearch(spark, sf,
       Similarity.ivfPqBuild(spark, sf, rotate = true)))
     println(f"## opq_ivfpq sf=$sf rerank=100 recall=$rOpqIvf%.3f")
-    // shuffle + warm wall-clock, PQ defaults vs brute force (shared
-    // listener + median helpers; cold clock stops before the drain)
-    def measure(tag: String)(mk: () => org.apache.spark.sql.DataFrame)
-        : Unit = {
-      def run(): Unit = {
-        require(mk().count() > 0L)
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
-      }
-      var cold = 0.0
-      val tot = ShuffleBytes.measureStages(spark) {
-        val t0 = System.nanoTime(); run()
-        cold = (System.nanoTime() - t0) / 1e9
-      }
-      val warm = (2 to repeat).map { _ =>
-        val t = System.nanoTime(); run(); (System.nanoTime() - t) / 1e9
-      }
-      val med = ShuffleBytes.warmMedian(cold, warm)
-      println(f"## pq_cost $tag cold=$cold%.2fs warm_median=$med%.2fs " +
-        f"shuffle_bytes=${tot.bytes} shuffle_records=${tot.records} " +
-        s"disk_spill=${tot.spill}")
-    }
     measure("brute_force")(() => Similarity.bruteForceTopK(spark, sf))
     measure("pq_default")(() => Similarity.pqTopK(spark, sf))
     // persisted-index split (r17): build ONCE vs search MANY — the
@@ -93,32 +99,29 @@ object PqDev {
     // training/encode cost the build rows carry
     val idxDir = java.nio.file.Files.createTempDirectory("pqidx").toString
     try {
-      def buildRun(): Unit = {
-        Similarity.pqIndexBuild(spark, sf, idxDir)
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
-      }
-      var coldB = 0.0
-      val totB = ShuffleBytes.measureStages(spark) {
-        val t0 = System.nanoTime(); buildRun()
-        coldB = (System.nanoTime() - t0) / 1e9
-      }
-      val warmB = (2 to repeat).map { _ =>
-        val t = System.nanoTime(); buildRun()
-        (System.nanoTime() - t) / 1e9
-      }
-      println(f"## pq_cost index_build cold=$coldB%.2fs " +
-        f"warm_median=${ShuffleBytes.warmMedian(coldB, warmB)}%.2fs " +
-        f"shuffle_bytes=${totB.bytes} shuffle_records=${totB.records} " +
-        s"disk_spill=${totB.spill}")
+      measureRun("index_build")(() => {
+        Similarity.pqIndexBuild(spark, sf, idxDir); ()
+      })
       measure("index_search")(() => Similarity.pqIndexSearch(spark, sf, idxDir))
       measure("ivfpq_inmem")(() => Similarity.ivfPqTopK(spark, sf))
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(new java.io.File(idxDir))
-    }
+      // drift-watchdog economics (r18): the retrain decision reads the
+      // audit, so the audit must be priced AGAINST the rebuild it
+      // decides about — same corpus, same index, the internal draw as
+      // the query batch (a deployment hands in today's traffic)
+      val baseDf = Tables.embeddings(spark, sf)
+      val qBatch = baseDf.join(
+        org.apache.spark.sql.functions.broadcast(
+          Similarity.annQueryIds(baseDf)), "vec_id")
+        .select("vec_id", "embedding")
+      measure("recall_audit")(() =>
+        Similarity.pqIndexRecallAudit(spark, baseDf, idxDir, qBatch))
+      measure("index_stats")(() => Similarity.pqIndexStats(spark, idxDir))
+      // the dup audit returns ZERO rows on a healthy index — that IS
+      // the expected result, so force the scan without a row floor
+      measureRun("dup_audit")(() => {
+        Similarity.pqIndexDupIds(spark, idxDir).count(); ()
+      })
+    } finally rm(new java.io.File(idxDir))
     spark.stop()
   }
 }

@@ -700,12 +700,21 @@ object Similarity {
     * heads, bounded candidate sets); the audit itself is an equi join on
     * (query, neighbor) over queries×k rows and a queries-sized
     * aggregate. */
-  def annRecall(spark: SparkSession, dir: String): DataFrame = {
-    val bf = bruteForceTopK(spark, dir)
-      .select(col("q_id"), col("neighbor_id"))
-    val iv = ivfTopK(spark, dir)
+  def annRecall(spark: SparkSession, dir: String): DataFrame =
+    recallOf(bruteForceTopK(spark, dir), ivfTopK(spark, dir))
+
+  /** The shared recall gauge both audits run: per query, how much of
+    * the `exact` top-k the `approx` top-k recovered (recall@k). Both
+    * inputs are (q_id, rank, neighbor_id, …) frames of the top-k
+    * family; the audit itself is an equi join on (query, neighbor)
+    * over queries×k rows and a queries-sized aggregate — bounded at
+    * any corpus size. */
+  private[graft] def recallOf(exact: DataFrame,
+                              approx: DataFrame): DataFrame = {
+    val bf = exact.select(col("q_id"), col("neighbor_id"))
+    val ap = approx
       .select(col("q_id").as("iq"), col("neighbor_id").as("inb"))
-    bf.join(iv, col("q_id") === col("iq") &&
+    bf.join(ap, col("q_id") === col("iq") &&
         col("neighbor_id") === col("inb"), "left")
       .groupBy("q_id")
       .agg(count(lit(1)).as("k"),
@@ -1229,7 +1238,8 @@ object Similarity {
   def ivfPqSearch(spark: SparkSession, dir: String, index: PqIndex,
                   rerank: Int = 10 * K,
                   probesOverride: Option[Int] = None): DataFrame =
-    ivfPqSearchCore(spark, dir, index, rerank, probesOverride, None, None)
+    ivfPqSearchCore(Tables.embeddings(spark, dir), index, rerank,
+      probesOverride, None, None)
 
   /** FILTERED [[ivfPqSearch]]: rank only candidates whose vec_id
     * appears in `allowed` — predicate-constrained vector search, the
@@ -1247,8 +1257,8 @@ object Similarity {
                        allowed: DataFrame,
                        rerank: Int = 10 * K,
                        probesOverride: Option[Int] = None): DataFrame =
-    ivfPqSearchCore(spark, dir, index, rerank, probesOverride,
-      Some(allowed), None)
+    ivfPqSearchCore(Tables.embeddings(spark, dir), index, rerank,
+      probesOverride, Some(allowed), None)
 
   /** [[ivfPqSearch]] for an EXTERNAL query batch — the actual serving
     * shape: queries arrive as (vec_id, embedding) vectors (RAW
@@ -1265,10 +1275,24 @@ object Similarity {
                      rerank: Int = 10 * K,
                      probesOverride: Option[Int] = None,
                      allowed: Option[DataFrame] = None): DataFrame =
-    ivfPqSearchCore(spark, dir, index, rerank, probesOverride,
+    ivfPqSearchCore(Tables.embeddings(spark, dir), index, rerank,
+      probesOverride, allowed, Some(queryVecs))
+
+  /** [[ivfPqSearchFor]] over any (vec_id, embedding) corpus frame — the
+    * `*Of` planting seam on the SERVING side: the rerank join and the
+    * self-exclusion read `base` instead of the parquet table, so a
+    * caller whose current corpus is "build corpus ∪ appended batches"
+    * (exactly what [[pqIndexRecallAudit]] audits) hands the union in
+    * directly. Same core, same invariants. */
+  def ivfPqSearchForOf(base: DataFrame, index: PqIndex,
+                       queryVecs: DataFrame,
+                       rerank: Int = 10 * K,
+                       probesOverride: Option[Int] = None,
+                       allowed: Option[DataFrame] = None): DataFrame =
+    ivfPqSearchCore(base, index, rerank, probesOverride,
       allowed, Some(queryVecs))
 
-  private def ivfPqSearchCore(spark: SparkSession, dir: String,
+  private def ivfPqSearchCore(baseRaw: DataFrame,
                               index: PqIndex, rerank: Int,
                               probesOverride: Option[Int],
                               allowed: Option[DataFrame],
@@ -1278,7 +1302,6 @@ object Similarity {
     val numProbes = probesOverride.getOrElse(probesForLists(numLists))
     require(numProbes >= 1 && numProbes <= numLists,
       s"probes $numProbes out of [1, $numLists]")
-    val baseRaw = Tables.embeddings(spark, dir)
     val dim = index.dim
     val books = index.books
     val sub = index.sub
@@ -1389,6 +1412,12 @@ object Similarity {
                    subspaces: Int = PqSub,
                    rotate: Boolean = false): PqIndex = {
     import spark.implicits._
+    // cheap argument check BEFORE the expensive train+encode: packing is
+    // two codes per byte, so an odd subspace count would otherwise only
+    // fail at pqPackCodes after the whole build has already run
+    require(subspaces % 2 == 0,
+      s"graft: pqIndexBuild needs an even subspaces count " +
+        s"(codes pack two per byte), got $subspaces")
     val idx = ivfPqBuild(spark, dir, subspaces, rotate)
     // the `rotated` flag lives in meta (not in directory probing —
     // fs-agnostic), so a loader knows whether a rotation frame exists
@@ -1435,7 +1464,14 @@ object Similarity {
     StructField("list_id", LongType)))
 
   def pqIndexLoad(spark: SparkSession, indexPath: String): PqIndex = {
-    val meta = spark.read.parquet(s"$indexPath/meta").collect()(0)
+    // the meta probe is the "is this an index?" check — a typo'd or
+    // half-written path must fail with a graft-prefixed diagnostic
+    // naming the path, not an ArrayIndexOutOfBounds from collect()(0)
+    val metaRows = spark.read.parquet(s"$indexPath/meta").collect()
+    require(metaRows.length == 1,
+      s"graft: index at $indexPath has ${metaRows.length} meta rows, " +
+        "expected exactly 1 — not a pqIndexBuild-written index")
+    val meta = metaRows(0)
     val dim = meta.getAs[Int]("dim")
     val sub = meta.getAs[Int]("sub")
     val numLists = meta.getAs[Int]("num_lists")
@@ -1487,7 +1523,10 @@ object Similarity {
     * (the index is keyed by vec_id; in-place updates are the CDC
     * surface's job — `Versioning.mergeUpsert` — followed by a rebuild
     * or a compaction, exactly as production ANN deployments handle
-    * deletes/updates via tombstone compaction). Periodic RETRAINING
+    * deletes/updates via tombstone compaction). Appends must also be
+    * SERIALIZED against [[pqIndexCompact]] — single-writer contract; a
+    * batch landing mid-compaction would be rewritten away with the old
+    * directory (see the compactor's scaladoc). Periodic RETRAINING
     * as the corpus distribution drifts remains a deployment decision —
     * frozen artifacts quantize drifted data with growing error, which
     * the recall audit (q_ann_recall's machinery) is there to watch. */
@@ -1523,13 +1562,25 @@ object Similarity {
     * the exact row multiset and a row-for-row search before/after).
     * The rewrite stages to a sibling directory and swaps with two
     * renames (Hadoop FileSystem — works on HDFS and object-store
-    * committers alike), so a reader PLANNING after the swap sees
-    * old-or-new, never half; the old directory is deleted immediately
-    * here, so a deployment with long-RUNNING concurrent scans (file
-    * listings resolved before the swap) defers that delete behind a
-    * vacuum window, exactly as lakehouse OPTIMIZE does. Returns
+    * committers alike), so a reader planning BEFORE the first rename or
+    * AFTER the second sees a complete frame — never a half-written one.
+    *
+    * Concurrency contract (SINGLE WRITER): append and compact must be
+    * serialized by the deployment — exactly the lakehouse OPTIMIZE
+    * contract. A [[pqIndexAppend]] that lands between compaction's
+    * snapshot read of `codes/` and the swap would be rewritten away
+    * with the old directory; nothing in the layout detects that, so do
+    * not run them concurrently. Readers get a weaker but still real
+    * guarantee: between the two renames `codes/` briefly does not
+    * exist, so a reader that PLANS inside that window fails fast (and
+    * retries) rather than seeing half a frame; a reader whose file
+    * listing resolved before the swap needs the old files to outlive
+    * its scan — pass `vacuumOld = false` to leave `codes_old/` for a
+    * deferred vacuum (the next compaction's recovery preamble, or an
+    * explicit cleanup) instead of deleting it immediately. Returns
     * (files before, files after). */
-  def pqIndexCompact(spark: SparkSession, indexPath: String): (Long, Long) = {
+  def pqIndexCompact(spark: SparkSession, indexPath: String,
+                     vacuumOld: Boolean = true): (Long, Long) = {
     // the meta probe validates indexPath IS an index before any rename
     // touches it — a typo'd path must fail here, not mid-swap
     val sub = spark.read.parquet(s"$indexPath/meta")
@@ -1572,7 +1623,7 @@ object Similarity {
     require(fs.rename(path, old), s"graft: compaction could not stage $path")
     require(fs.rename(tmp, path),
       s"graft: compaction could not swap in $tmp — codes left at $old")
-    fs.delete(old, true)
+    if (vacuumOld) fs.delete(old, true)
     (before, parquetFiles(path))
   }
 
@@ -1598,6 +1649,78 @@ object Similarity {
                        allowed: Option[DataFrame] = None): DataFrame =
     ivfPqSearchFor(spark, dir, pqIndexLoad(spark, indexPath), queryVecs,
       rerank, probesOverride, allowed)
+
+  // -- persisted-index maintenance audits (drift + invariants) -------------
+
+  /** Recall audit over a PERSISTED index — the drift watchdog
+    * [[pqIndexAppend]]'s contract promises, closing the serving loop's
+    * retrain decision: the index's centroids/codebooks/rotation are
+    * FROZEN at build time, so every appended batch is quantized with
+    * the build sample's grid; as the corpus distribution drifts away
+    * from that sample the quantization error grows, ADC ranking decays,
+    * and a bounded rerank stops recovering the true neighbors. This
+    * surface measures exactly that: per query of `queryVecs` (the
+    * production shape — "today's traffic", or the batch just appended),
+    * recall@k of [[pqIndexSearchFor]] over the stored artifacts against
+    * [[bruteForceTopKFor]] ground truth over `base` — the CURRENT
+    * corpus, i.e. the build corpus UNION every appended batch (the
+    * caller owns that union; the index does not store raw vectors).
+    *
+    * Reading it: mean recall flat vs the build-time audit → the frozen
+    * grid still fits, keep appending; mean recall down → retrain
+    * ([[pqIndexBuild]]) and cut over — the economics of that decision
+    * (audit cost vs rebuild cost) are priced in docs/SCALE.md.
+    *
+    * Scale shape: ground truth is one brute-force pass over `base` for
+    * a BOUNDED query batch (queries broadcast, two-stage top-k); the
+    * approximate side is the ordinary probed search; the recall join is
+    * queries×k rows. The audit is therefore corpus-linear ONCE per
+    * decision, vs retrain-per-decision — and the spec plants a drifted
+    * batch to prove the gauge actually moves. */
+  def pqIndexRecallAudit(spark: SparkSession, base: DataFrame,
+                         indexPath: String, queryVecs: DataFrame,
+                         rerank: Int = 10 * K,
+                         probesOverride: Option[Int] = None): DataFrame =
+    recallOf(
+      bruteForceTopKFor(base, queryVecs),
+      ivfPqSearchForOf(base, pqIndexLoad(spark, indexPath), queryVecs,
+        rerank, probesOverride))
+
+  /** Per-list physical statistics of a persisted index's coded frame —
+    * the observability surface maintenance schedules read: one row per
+    * list (list_id, n_rows, n_files), ordered by list_id. `n_files`
+    * grows with every [[pqIndexAppend]] and is the compaction trigger
+    * (a probed scan's task count tracks files, not rows); `n_rows`
+    * skew across lists is the probe-cost skew. One scan of the coded
+    * frame, map-combinable aggregate over ≤ numLists groups —
+    * metadata-cheap at any corpus size. */
+  def pqIndexStats(spark: SparkSession, indexPath: String): DataFrame = {
+    val idx = pqIndexLoad(spark, indexPath)
+    idx.coded
+      .select(col("list_id"), input_file_name().as("f"))
+      .groupBy("list_id")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("f")).as("n_files"))
+      .orderBy("list_id")
+  }
+
+  /** Duplicate-id audit of a persisted index — makes violations of
+    * [[pqIndexAppend]]'s vec_id-novelty contract OBSERVABLE instead of
+    * silent: a duplicate id carries a second coded row, and a search
+    * can then hand the same neighbor back in two rank slots. Returns
+    * the offending (vec_id, n_rows) pairs (n_rows ≥ 2), ordered by
+    * vec_id — EMPTY on a healthy index, which is the cheap invariant a
+    * deployment asserts after every append window (and before trusting
+    * a compaction's content equivalence). The fix for a non-empty
+    * result is the documented CDC path: upsert via
+    * `Versioning.mergeUpsert` on the raw corpus, then rebuild or
+    * compact. One map-combinable aggregate on the id key. */
+  def pqIndexDupIds(spark: SparkSession, indexPath: String): DataFrame =
+    pqIndexLoad(spark, indexPath).coded
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") >= 2)
+      .orderBy("vec_id")
 
   // -- OPQ: optimized product quantization (parametric) --------------------
 

@@ -725,4 +725,169 @@ class PqSpec extends AnyFunSuite {
       assert(!old.exists && !tmp.exists, "sweep left staging dirs")
     }
   }
+
+  // -- maintenance audits: the drift watchdog + index invariants -----------
+
+  test("drift watchdog: the persisted-index recall audit DETECTS a " +
+      "planted drifted append and stays flat on an undrifted one — " +
+      "the retrain-decision gauge") {
+    withIndexDir { idxDir =>
+      withIndexDir { tmpSf =>
+        val full = Tables.embeddings(spark, sf)
+        // build corpus A (two thirds); the artifacts freeze on A's grid
+        val a = full.filter(col("vec_id") % 3 =!= 0)
+        a.write.mode("overwrite").parquet(s"$tmpSf/embeddings.parquet")
+        Similarity.pqIndexBuild(spark, tmpSf, idxDir)
+        // two appends into ONE index, disjoint id spaces: the held-out
+        // complement as-is (the undrifted control — same distribution
+        // the grid was trained on), and the same rows MEAN-SHIFTED by a
+        // common offset (the embedding-drift shape q_embed_drift alarms
+        // on: a new model version / new domain moves the whole batch).
+        // On a shifted batch every pairwise cosine sits near 1 and the
+        // true neighbor gaps shrink to ~1e-3 — resolvable by exact
+        // scoring, but far below the frozen grid's quantization noise,
+        // which is precisely the failure mode frozen artifacts have on
+        // drifted data.
+        val comp = full.filter(col("vec_id") % 3 === 0)
+          .select("vec_id", "embedding")
+        val drifted = comp.select((col("vec_id") + 1000000).as("vec_id"),
+          expr("transform(embedding, v -> CAST(v AS DOUBLE) + 3.0D)")
+            .as("embedding"))
+        Similarity.pqIndexAppend(spark, comp, idxDir)
+        Similarity.pqIndexAppend(spark, drifted, idxDir)
+        // the CURRENT corpus: build ∪ both appends — the union the
+        // caller owns (the index stores no raw vectors)
+        val base = a.select("vec_id", "embedding")
+          .unionByName(comp).unionByName(drifted)
+        // audit on "today's traffic": a bounded query batch drawn from
+        // each appended window (same draw size, same knobs — only the
+        // batch's distribution differs)
+        // production-shaped knobs for the gauge: every list probed
+        // (so probe luck — at this corpus size the drifted cluster
+        // collapses into few lists a drifted query trivially probes —
+        // cannot mask anything) and rerank = K, the regime where the
+        // FROZEN codebooks' ADC ranking is decisive, exactly the thing
+        // drift degrades. At 100 TB rerank ≪ list size makes this the
+        // default regime; the small-SF default (rerank 10·K over tiny
+        // lists) would let exact rerank swallow the whole pool.
+        val numLists = Similarity.pqIndexLoad(spark, idxDir).numLists
+        def meanRecall(qs: org.apache.spark.sql.DataFrame): Double =
+          Similarity.pqIndexRecallAudit(spark, base, idxDir, qs,
+              rerank = Similarity.K, probesOverride = Some(numLists))
+            .agg(avg(col("recall"))).collect()(0).getDouble(0)
+        val qBuild = a.select("vec_id", "embedding")
+          .filter(col("vec_id") % 30 === 1)
+        val qControl = comp.filter(col("vec_id") % 30 === 0)
+        val qDrift = drifted.filter((col("vec_id") - 1000000) % 30 === 0)
+        assert(qControl.count() === qDrift.count())
+        // three readings at IDENTICAL knobs; only the query batch's
+        // distribution differs — build-distribution traffic is the
+        // reference the other two are judged against
+        val rBuild = meanRecall(qBuild)
+        val rControl = meanRecall(qControl)
+        val rDrift = meanRecall(qDrift)
+        info(f"recall: build=$rBuild%.3f control=$rControl%.3f " +
+          f"drift=$rDrift%.3f")
+        // the gauge must MOVE on drift and not on the control: the
+        // margins are generous — the planted contrast is structural
+        // (frozen isotropic codebooks vs 100×-rescaled dims), not a
+        // lucky constant of the corpus
+        assert(math.abs(rControl - rBuild) <= 0.15,
+          s"undrifted append should audit FLAT vs build-distribution " +
+            s"traffic: build=$rBuild control=$rControl")
+        assert(rDrift <= rBuild - 0.25,
+          s"planted drift not detected: build=$rBuild drift=$rDrift")
+      }
+    }
+  }
+
+  test("index invariants: per-list stats track appends and compaction, " +
+      "and the duplicate-id audit flags a double append — empty on a " +
+      "healthy index") {
+    withIndexDir { idxDir =>
+      withIndexDir { tmpSf =>
+        val full = Tables.embeddings(spark, sf)
+        val a = full.filter(col("vec_id") % 3 =!= 0)
+        a.write.mode("overwrite").parquet(s"$tmpSf/embeddings.parquet")
+        Similarity.pqIndexBuild(spark, tmpSf, idxDir)
+        def stats() = Similarity.pqIndexStats(spark, idxDir).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        val s0 = stats()
+        assert(s0.map(_._2).sum === a.count(),
+          "per-list rows must sum to the coded corpus")
+        assert(Similarity.pqIndexDupIds(spark, idxDir).count() === 0L,
+          "healthy index reported duplicate ids")
+        // one clean append: rows grow by the batch, still no dups
+        val batch = full.filter(col("vec_id") % 3 === 0)
+          .select("vec_id", "embedding")
+        Similarity.pqIndexAppend(spark, batch, idxDir)
+        val s1 = stats()
+        assert(s1.map(_._2).sum === s0.map(_._2).sum + batch.count())
+        assert(s1.map(_._3).sum > s0.map(_._3).sum,
+          "append did not add files")
+        assert(Similarity.pqIndexDupIds(spark, idxDir).count() === 0L)
+        // the contract violation: the SAME batch appended again — the
+        // audit must name every offending id with its row count
+        Similarity.pqIndexAppend(spark, batch, idxDir)
+        val dups = Similarity.pqIndexDupIds(spark, idxDir).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(dups.map(_._1) ===
+          batch.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq)
+        assert(dups.forall(_._2 === 2L))
+        // compaction preserves content (dups included — it is not a
+        // repair pass) and bin-packs to one file per list
+        Similarity.pqIndexCompact(spark, idxDir)
+        assert(Similarity.pqIndexDupIds(spark, idxDir).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq === dups,
+          "compaction changed the duplicate set")
+        assert(stats().forall(_._3 === 1L),
+          "compaction left a multi-file list")
+      }
+    }
+  }
+
+  test("argument/diagnostic hygiene: odd subspaces fail BEFORE the " +
+      "build, a non-index path fails the load with a graft message, " +
+      "and deferred-vacuum compaction leaves codes_old for the sweep") {
+    // fail-fast precedes the expensive train+encode: point the build at
+    // a nonexistent corpus dir — reaching the scan would throw a path
+    // error, the require must fire first
+    val eOdd = intercept[IllegalArgumentException] {
+      Similarity.pqIndexBuild(spark, "/nonexistent", "/nonexistent-idx",
+        subspaces = 3)
+    }
+    assert(eOdd.getMessage.contains("graft") &&
+      eOdd.getMessage.contains("even"))
+    withIndexDir { dir =>
+      // a directory with an EMPTY meta frame is "not an index": the
+      // loader must say so with a graft-prefixed message naming the
+      // path, not die inside collect()(0)
+      spark.range(0).selectExpr("CAST(id AS INT) AS dim",
+          "CAST(id AS INT) AS sub", "CAST(id AS INT) AS num_lists",
+          "id > 0 AS rotated")
+        .write.mode("overwrite").parquet(s"$dir/meta")
+      val eLoad = intercept[IllegalArgumentException] {
+        Similarity.pqIndexLoad(spark, dir)
+      }
+      assert(eLoad.getMessage.contains("graft") &&
+        eLoad.getMessage.contains(dir))
+    }
+    withIndexDir { dir =>
+      Similarity.pqIndexBuild(spark, sf, dir)
+      def rows() = Similarity.pqIndexSearch(spark, sf, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+      val before = rows()
+      val old = new java.io.File(dir, "codes_old")
+      // deferred-vacuum mode: the old files survive the swap (for
+      // readers whose file listings resolved pre-swap), and the next
+      // compaction's recovery preamble vacuums them
+      Similarity.pqIndexCompact(spark, dir, vacuumOld = false)
+      assert(old.exists, "vacuumOld=false deleted codes_old")
+      assert(rows() === before, "deferred-vacuum compact changed a search")
+      Similarity.pqIndexCompact(spark, dir)
+      assert(!old.exists, "the next compaction did not vacuum codes_old")
+      assert(rows() === before)
+    }
+  }
 }
