@@ -13,16 +13,23 @@ package graft
   * on a pre-trained vocabulary): expected CORPUS-linear shuffle — the
   * (doc, word) aggregation and the word-keyed dictionary join scale
   * with data, unlike the trainer's vocab-bounded loop.
+  * Mode `gpt2` prices the GPT-2-seam trainer (r18: Gpt2PreTok + byte
+  * grain — the production byte-level shape) against mode `train`'s
+  * (ws, char) baseline at the same rounds: the pre-tokenizer keeps
+  * case and punctuation runs, so the distinct-pre-token table is
+  * larger and the symbols are hex pairs — the honest cost of faithful
+  * segmentation, still vocab-bounded per round.
   * Usage: sbt "runMain graft.BpePrice <sfDir> [rounds] [repeat] [mode]" */
 object BpePrice {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: BpePrice <sfDir> [rounds] [repeat] [train|doc]")
+      "usage: BpePrice <sfDir> [rounds] [repeat] [train|doc|gpt2]")
     val sf = args(0)
     val rounds = if (args.length > 1) args(1).toInt else 8
     val repeat = if (args.length > 2) args(2).toInt else 5
     val mode = if (args.length > 3) args(3) else "train"
-    require(mode == "train" || mode == "doc", s"unknown mode $mode")
+    require(mode == "train" || mode == "doc" || mode == "gpt2",
+      s"unknown mode $mode")
     val spark = Tables.localSession("bpeprice", 32)
     spark.range(1000).selectExpr("sum(id)").collect()
     // doc mode replays a FIXED vocabulary (trained outside the timed
@@ -34,6 +41,10 @@ object BpePrice {
       if (mode == "train") {
         val merges = graft.operators.Bpe.train(spark, sf, rounds)
         require(merges.nonEmpty, "trainer returned no merges")
+      } else if (mode == "gpt2") {
+        val vocab = graft.operators.Bpe.trainVocab(spark, sf, rounds,
+          graft.operators.Bpe.ByteGrain, graft.operators.Bpe.Gpt2PreTok)
+        require(vocab.merges.nonEmpty, "gpt2 trainer returned no merges")
       } else {
         val n = graft.operators.Bpe.docTokenCounts(spark, sf, docVocab)
           .selectExpr("sum(bpe_tokens)").collect()(0).getLong(0)

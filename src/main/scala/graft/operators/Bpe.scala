@@ -48,6 +48,133 @@ object Bpe {
   final case class Merge(round: Int, left: String, right: String,
                          merged: String, n: Long)
 
+  /** Tokenizer GRAIN — the word→symbols splitting rule a vocabulary was
+    * trained at, as a VALUE so it can travel WITH the merges inside
+    * [[Vocab]] instead of as a forgettable default argument (a byte
+    * vocabulary replayed at char grain matches zero merges and silently
+    * bills every word at its char count — BpeSpec proves the failure
+    * mode; this type makes it unrepresentable). Sealed: the grain set
+    * is closed, and each grain carries BOTH sides of the contract —
+    * the distributed Column rule every Spark consumer applies and the
+    * driver-side reference splitter the spec replicas run. */
+  sealed trait Grain {
+    private[graft] def symRule: Column
+    private[graft] def splitWord(word: String): Vector[String]
+    /** Stable name — what [[vocabDf]] persists and [[Grain.forName]]
+      * resolves; renames would strand stored vocabularies. */
+    def name: String
+  }
+
+  /** Unicode-code-point grain ([[symsCol]] / the [[encode]] walk). */
+  case object CharGrain extends Grain {
+    private[graft] def symRule: Column = symsCol
+    private[graft] def splitWord(word: String): Vector[String] =
+      word.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))).toVector
+    val name = "char"
+  }
+
+  /** UTF-8 byte grain as lossless 2-hex symbols ([[byteSymsCol]] /
+    * the [[encodeBytes]] walk). */
+  case object ByteGrain extends Grain {
+    private[graft] def symRule: Column = byteSymsCol
+    private[graft] def splitWord(word: String): Vector[String] =
+      word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(b => f"${b & 0xff}%02X").toVector
+    val name = "byte"
+  }
+
+  object Grain {
+    /** Inverse of [[Grain.name]] — the read side of vocabulary
+      * persistence. Unknown names fail loud: replaying a vocabulary at
+      * a guessed grain is exactly the silent desync this type exists
+      * to prevent. */
+    def forName(name: String): Grain = name match {
+      case CharGrain.name => CharGrain
+      case ByteGrain.name => ByteGrain
+      case other => throw new IllegalArgumentException(
+        s"graft: unknown tokenizer grain '$other'")
+    }
+  }
+
+  /** PRE-TOKENIZER — the text→pre-tokens segmentation rule ahead of the
+    * word table, the seam ORTHOGONAL to [[Grain]]: grain says how a
+    * pre-token becomes symbols; the pre-tokenizer says where pre-token
+    * boundaries fall (BPE merges never cross them). Carried in [[Vocab]]
+    * for the same reason as the grain: a vocabulary trained on GPT-2
+    * pre-tokens replayed over whitespace words segments differently and
+    * silently mis-bills every contraction and punctuation run. */
+  sealed trait PreTok {
+    /** text column → array<string> of pre-tokens. May contain empty
+      * strings (consumers filter `length ≥ 1`, the existing word-table
+      * contract); [[splitText]] returns the post-filter view. */
+    private[graft] def toksCol(text: Column): Column
+    private[graft] def splitText(text: String): Vector[String]
+    def name: String
+  }
+
+  /** The engine's original segmentation: lower + whitespace-normalize +
+    * split (the shared normalization contract every text operator
+    * applies). */
+  case object WhitespacePreTok extends PreTok {
+    private[graft] def toksCol(text: Column): Column =
+      split(regexp_replace(lower(text), "\\s+", " "), " ")
+    private[graft] def splitText(text: String): Vector[String] =
+      text.toLowerCase.replaceAll("\\s+", " ")
+        .split(" ", -1).toVector.filter(_.nonEmpty)
+    val name = "ws"
+  }
+
+  /** The GPT-2 pre-tokenizer pattern (Radford et al. 2019; the tiktoken
+    * `r50k`/`p50k` family): contractions split off as their own
+    * pre-tokens ('s 't 're 've 'm 'll 'd), letter runs / digit runs /
+    * other-symbol runs each with ONE optional leading space, interior
+    * whitespace runs kept (minus a trailing-space lookahead handoff).
+    * Both execution sides — Spark's `regexp_extract_all` and the
+    * driver replica — compile THIS string with java.util.regex, so the
+    * two segmentations agree bit-for-bit by construction. Divergence
+    * note (documented, not hidden): java's \s is ASCII whitespace where
+    * Python's is Unicode-aware — identical on these corpora. */
+  private[graft] val Gpt2Pattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+" +
+      "|\\s+(?!\\S)|\\s+"
+
+  /** GPT-2-style regex pre-tokenization — the production byte-level-BPE
+    * segmentation (case and spaces PRESERVED: the pre-tokenizer IS the
+    * normalization at this grain; pairing it with [[ByteGrain]] gives
+    * the standard GPT-2 shape where " world" and "world" are distinct
+    * pre-tokens and every byte is coverable). */
+  case object Gpt2PreTok extends PreTok {
+    private[graft] def toksCol(text: Column): Column =
+      regexp_extract_all(text, lit(Gpt2Pattern), lit(0))
+    private[graft] def splitText(text: String): Vector[String] = {
+      val m = java.util.regex.Pattern.compile(Gpt2Pattern).matcher(text)
+      val b = Vector.newBuilder[String]
+      while (m.find()) b += m.group()
+      b.result()
+    }
+    val name = "gpt2"
+  }
+
+  object PreTok {
+    /** Inverse of [[PreTok.name]] (see [[Grain.forName]]). */
+    def forName(name: String): PreTok = name match {
+      case WhitespacePreTok.name => WhitespacePreTok
+      case Gpt2PreTok.name => Gpt2PreTok
+      case other => throw new IllegalArgumentException(
+        s"graft: unknown pre-tokenizer '$other'")
+    }
+  }
+
+  /** A learned BPE vocabulary WITH the segmentation it was trained at —
+    * the one artifact a pipeline passes around. Carrying grain and
+    * pre-tokenizer INSIDE the type (instead of as per-call default
+    * arguments) makes every replay-at-the-wrong-segmentation bug a
+    * compile-time impossibility, and [[vocabDf]]/[[vocabFromDf]] keep
+    * them attached across persistence. */
+  final case class Vocab(merges: Seq[Merge], grain: Grain,
+                         preTok: PreTok = WhitespacePreTok)
+
   /** Default merge-round budget: enough to exercise multi-character
     * symbols and merged-symbol-participates-again behavior at spec
     * corpus sizes; production picks vocab_size − |alphabet|. */
@@ -125,6 +252,32 @@ object Bpe {
   def trainBytes(spark: SparkSession, dir: String,
                  rounds: Int = DefaultRounds): Seq[Merge] =
     trainOnWords(wordTableBytes(spark, dir), rounds)
+
+  /** The fully-seamed word table: corpus → (word, freq, syms) at ANY
+    * (pre-tokenizer, grain) pair. [[wordTable]]/[[wordTableBytes]] are
+    * this at (ws, char)/(ws, byte); the GPT-2 shape is (gpt2, byte).
+    * Same scale shape at every seam setting: ONE corpus pass, one
+    * map-combinable word count, symbols minted on the vocab-bounded
+    * distinct-word table. */
+  def wordTableAt(spark: SparkSession, dir: String, grain: Grain,
+                  preTok: PreTok = WhitespacePreTok): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(preTok.toksCol(col("text"))).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("syms", grain.symRule)
+
+  /** Train a [[Vocab]] — the typed entry point: the merge loop over
+    * [[wordTableAt]]'s table, with the segmentation pair RECORDED in
+    * the returned artifact so every consumer replays it identically.
+    * `trainVocab(spark, dir, grain = ByteGrain, preTok = Gpt2PreTok)`
+    * is the production GPT-2 trainer shape. */
+  def trainVocab(spark: SparkSession, dir: String,
+                 rounds: Int = DefaultRounds,
+                 grain: Grain = CharGrain,
+                 preTok: PreTok = WhitespacePreTok): Vocab =
+    Vocab(trainOnWords(wordTableAt(spark, dir, grain, preTok), rounds),
+      grain, preTok)
 
   /** Adjacent-pair statistics over a (freq, syms) table: one row per
     * distinct (l, r) with n = Σ freq over every adjacent position —
@@ -225,6 +378,28 @@ object Bpe {
       .map(r => Merge(r.getLong(0).toInt, r.getString(1), r.getString(2),
         r.getString(3), r.getLong(4)))
 
+  /** [[mergesDf]] for a [[Vocab]]: the merge table PLUS the grain and
+    * pre-tokenizer names on every row — the segmentation persists WITH
+    * the artifact, so a vocabulary reloaded months later cannot be
+    * replayed at the wrong seam (the whole point of the type). */
+  def vocabDf(spark: SparkSession, vocab: Vocab): DataFrame =
+    mergesDf(spark, vocab.merges)
+      .withColumn("grain", lit(vocab.grain.name))
+      .withColumn("pre_tok", lit(vocab.preTok.name))
+
+  /** Inverse of [[vocabDf]]: requires exactly one (grain, pre_tok)
+    * pair across the table — a mixed frame is two vocabularies
+    * concatenated, which has no meaningful replay. */
+  def vocabFromDf(df: DataFrame): Vocab = {
+    val seams = df.select("grain", "pre_tok").distinct().collect()
+    require(seams.length == 1,
+      s"graft: vocabulary table carries ${seams.length} distinct " +
+        "(grain, pre_tok) pairs, expected exactly 1")
+    Vocab(mergesFromDf(df.drop("grain", "pre_tok")),
+      Grain.forName(seams(0).getString(0)),
+      PreTok.forName(seams(0).getString(1)))
+  }
+
   /** Distributed encoder: applies the learned merges IN ORDER to a
     * (freq, syms) table — k chained folds, re-checkpointed every few
     * rounds to bound plan depth. Segmenting a NEW corpus with a learned
@@ -252,6 +427,15 @@ object Bpe {
     * the vocab-bounded distinct-word table (corpus bytes were left
     * behind at the one word-count pass); one map-combinable global
     * aggregate, no window, no join. */
+  /** [[tokenProfile]] for a [[Vocab]] — the typed corpus entry point:
+    * the word table is minted at the vocabulary's OWN segmentation
+    * (the untyped form takes a caller-built words table, where a
+    * mismatched `syms` grain is the classic silent desync). */
+  def tokenProfile(spark: SparkSession, dir: String,
+                   vocab: Vocab): DataFrame =
+    tokenProfile(wordTableAt(spark, dir, vocab.grain, vocab.preTok),
+      vocab.merges)
+
   def tokenProfile(words: DataFrame, merges: Seq[Merge]): DataFrame =
     encodeWords(words, merges)
       .select(col("freq"),
@@ -319,10 +503,14 @@ object Bpe {
   /** [[docWordTable]] over any (doc_id, text, …) DataFrame — the
     * `*Of` planting seam the Dedup family established. */
   def docWordTableOf(docs: DataFrame): DataFrame =
+    docWordTableOf(docs, WhitespacePreTok)
+
+  /** [[docWordTableOf]] at any pre-tokenizer — the doc grain of
+    * [[wordTableAt]]'s seam. */
+  def docWordTableOf(docs: DataFrame, preTok: PreTok): DataFrame =
     docs
       .select(col("doc_id"),
-        explode(split(regexp_replace(lower(col("text")), "\\s+", " "),
-          " ")).as("word"))
+        explode(preTok.toksCol(col("text"))).as("word"))
       .filter(length(col("word")) >= 1)
       .groupBy("doc_id", "word").agg(count(lit(1)).as("freq"))
 
@@ -368,6 +556,20 @@ object Bpe {
         coalesce(col("words"), lit(0L)).as("words"),
         coalesce(col("bpe_tokens"), lit(0L)).as("bpe_tokens"))
 
+  /** [[docTokenCountsOf]] for a [[Vocab]] — the typed consumer: the
+    * pre-tokenizer AND grain replay from the artifact itself, so a
+    * caller cannot budget a GPT-2-trained vocabulary over whitespace
+    * words or a byte vocabulary over char symbols. Same plan, same
+    * universe-complete contract. */
+  def docTokenCountsOf(docs: DataFrame, vocab: Vocab): DataFrame =
+    docs.select(col("doc_id"))
+      .join(docTokenCounts(docWordTableOf(docs, vocab.preTok),
+          vocab.merges, vocab.grain.symRule),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("words"), lit(0L)).as("words"),
+        coalesce(col("bpe_tokens"), lit(0L)).as("bpe_tokens"))
+
   /** Corpus entry point for [[docTokenCountsOf]] (char grain — a
     * byte-grain caller hands its corpus to [[docTokenCountsOf]] with
     * [[byteSymsCol]]; Scala allows default arguments on only one
@@ -396,12 +598,23 @@ object Bpe {
     * manifest aggregate is map-combinable on (doc_id, chunk). */
   def chunkByTokens(docs: DataFrame, merges: Seq[Merge],
                     budgetTokens: Long,
-                    symRule: Column = symsCol): DataFrame = {
+                    symRule: Column = symsCol): DataFrame =
+    chunkCore(docs, merges, budgetTokens, symRule, WhitespacePreTok)
+
+  /** [[chunkByTokens]] for a [[Vocab]] — the typed consumer (see
+    * [[docTokenCountsOf]]): word indices in the manifest index the
+    * doc's PRE-TOKEN order at the vocabulary's own pre-tokenizer. */
+  def chunkByTokens(docs: DataFrame, vocab: Vocab,
+                    budgetTokens: Long): DataFrame =
+    chunkCore(docs, vocab.merges, budgetTokens, vocab.grain.symRule,
+      vocab.preTok)
+
+  private def chunkCore(docs: DataFrame, merges: Seq[Merge],
+                        budgetTokens: Long, symRule: Column,
+                        preTok: PreTok): DataFrame = {
     require(budgetTokens >= 1, s"budget must be >= 1 (got $budgetTokens)")
     val words = docs
-      .select(col("doc_id"),
-        posexplode(split(regexp_replace(lower(col("text")), "\\s+", " "),
-          " ")))
+      .select(col("doc_id"), posexplode(preTok.toksCol(col("text"))))
       .toDF("doc_id", "idx", "word")
       .filter(length(col("word")) >= 1)
     val w = org.apache.spark.sql.expressions.Window
@@ -439,14 +652,18 @@ object Bpe {
     * halves that can never match a learned multi-unit symbol, silently
     * diverging from every distributed consumer. */
   def encode(word: String, merges: Seq[Merge]): Seq[String] =
-    encodeSyms(word.codePoints().toArray
-      .map(cp => new String(Character.toChars(cp))).toVector, merges)
+    encodeSyms(CharGrain.splitWord(word), merges)
 
   /** Driver-side reference encoder at BYTE grain — the word's UTF-8
     * bytes as the same 2-hex symbols [[byteSymsCol]] mints. */
   def encodeBytes(word: String, merges: Seq[Merge]): Seq[String] =
-    encodeSyms(word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      .map(b => f"${b & 0xff}%02X").toVector, merges)
+    encodeSyms(ByteGrain.splitWord(word), merges)
+
+  /** Driver-side reference encoder for a [[Vocab]] over ONE pre-token
+    * (splitting text into pre-tokens is [[PreTok.splitText]]'s job) —
+    * the typed form of [[encode]]/[[encodeBytes]]. */
+  def encode(word: String, vocab: Vocab): Seq[String] =
+    encodeSyms(vocab.grain.splitWord(word), vocab.merges)
 
   /** The shared grain-agnostic merge replay both reference encoders
     * run: leftmost-first, non-overlapping, one pass per merge round. */

@@ -627,4 +627,128 @@ class BpeSpec extends AnyFunSuite {
       expected.keySet.count(_._1 == d) >= 2),
       "planted corpus never overflowed the budget — widen it")
   }
+
+  // -- typed vocabulary + GPT-2 pre-tokenizer (r18) -----------------------
+
+  test("GPT-2 pre-tokenizer: hand-computed segmentations (contractions " +
+      "split off, optional leading space on runs, space-run handoff, " +
+      "case preserved); distributed ≡ driver replica") {
+    import spark.implicits._
+    // each expectation hand-derived from the r50k pattern's
+    // leftmost-first alternation
+    val cases = Seq(
+      "I'll don't" -> Seq("I", "'ll", " don", "'t"),
+      "hello world" -> Seq("hello", " world"),
+      "Hello World" -> Seq("Hello", " World"),
+      "abc123 x!!" -> Seq("abc", "123", " x", "!!"),
+      // interior space RUN: all-but-last spaces stand alone, the last
+      // one attaches to the following word (the (?!\S) handoff)
+      "a  b" -> Seq("a", " ", " b"),
+      "tail  " -> Seq("tail", "  "),
+      "a\nb" -> Seq("a", "\n", "b"),
+      "it's can't O'Brien" ->
+        Seq("it", "'s", " can", "'t", " O", "'", "Brien"),
+      "don't stop—now!" ->
+        Seq("don", "'t", " stop", "—", "now", "!"),
+      "x2y héllo" -> Seq("x", "2", "y", " héllo"))
+    cases.foreach { case (text, want) =>
+      assert(Bpe.Gpt2PreTok.splitText(text) === want,
+        s"driver replica diverged on <$text>")
+    }
+    // the distributed rule compiles the SAME pattern — bit-identical
+    // segmentation by construction, asserted anyway
+    val got = cases.map(_._1).toDF("text")
+      .select(col("text"), Bpe.Gpt2PreTok.toksCol(col("text")).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq)
+      .toMap
+    cases.foreach { case (text, want) =>
+      assert(got(text) === want, s"distributed rule diverged on <$text>")
+    }
+  }
+
+  test("vocab persistence: grain and pre-tokenizer travel WITH the " +
+      "merges across the table round-trip; mixed or unknown seams " +
+      "fail loud") {
+    val v = Bpe.Vocab(byteDocMerges, Bpe.ByteGrain, Bpe.Gpt2PreTok)
+    assert(Bpe.vocabFromDf(Bpe.vocabDf(spark, v)) === v)
+    // default pre-tokenizer round-trips too
+    val vc = Bpe.Vocab(byteDocMerges.take(2), Bpe.CharGrain)
+    assert(Bpe.vocabFromDf(Bpe.vocabDf(spark, vc)) === vc)
+    // a mixed frame is two vocabularies concatenated — no replay
+    val mixed = Bpe.vocabDf(spark, v)
+      .unionByName(Bpe.vocabDf(spark, vc))
+    intercept[IllegalArgumentException](Bpe.vocabFromDf(mixed))
+    // unknown names fail instead of guessing a segmentation
+    intercept[IllegalArgumentException](Bpe.Grain.forName("wat"))
+    intercept[IllegalArgumentException](Bpe.PreTok.forName("wat"))
+  }
+
+  test("GPT-2 + byte vocabulary END-TO-END: the typed consumers replay " +
+      "pre-tokens and bytes exactly (driver replica), and the same " +
+      "merges at the whitespace pre-tokenizer bill DIFFERENTLY — the " +
+      "seam genuinely matters") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "I'll see you  don't stop"),
+      (2L, "Hello HELLO héllo 123"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val merges = Bpe.trainOnWords(
+      Bpe.docWordTableOf(docs, Bpe.Gpt2PreTok).groupBy("word")
+        .agg(sum("freq").as("freq")).withColumn("syms", Bpe.byteSymsCol),
+      8)
+    assert(merges.nonEmpty)
+    val vocab = Bpe.Vocab(merges, Bpe.ByteGrain, Bpe.Gpt2PreTok)
+    // driver replica: pre-tokens via the replica splitter, each billed
+    // at its byte-grain encode length under the SAME merges
+    val preToks = Map(
+      1L -> Bpe.Gpt2PreTok.splitText("I'll see you  don't stop"),
+      2L -> Bpe.Gpt2PreTok.splitText("Hello HELLO héllo 123"),
+      3L -> Vector.empty[String])
+    val got = Bpe.docTokenCountsOf(docs, vocab)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    val expected = preToks.map { case (d, ws) =>
+      d -> ((ws.length.toLong,
+        ws.map(w => Bpe.encode(w, vocab).length.toLong).sum))
+    }
+    assert(got === expected)
+    assert(got(3L) === ((0L, 0L)),
+      "null-text doc must keep the universe-complete contract")
+    // chunk manifest at the typed seam vs the same prefix-sum replica
+    val budget = 5L
+    val gotCh = Bpe.chunkByTokens(docs, vocab, budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val expectedCh = preToks.toSeq.flatMap { case (d, ws) =>
+      val toks = ws.map(w => Bpe.encode(w, vocab).length.toLong)
+      val prefix = toks.scanLeft(0L)(_ + _).init
+      ws.indices.map(i => (d, prefix(i) / budget, i.toLong, toks(i)))
+    }.groupBy { case (d, c, _, _) => (d, c) }
+      .map { case (k, rows) =>
+        k -> ((rows.length.toLong, rows.map(_._4).sum,
+          rows.map(_._3).min, rows.map(_._3).max))
+      }
+    assert(gotCh === expectedCh)
+    assert(expectedCh.keySet.map(_._1).exists(d =>
+      expectedCh.keySet.count(_._1 == d) >= 2),
+      "planted corpus never overflowed the budget — widen it")
+    // the pre-tokenizer seam moves the numbers: the SAME merges billed
+    // over whitespace words (doc 1 has contractions + a space run that
+    // GPT-2 segments differently) disagree — if these matched, the
+    // seam would be untestable
+    val wsBilled = Bpe.docTokenCountsOf(docs, merges, Bpe.byteSymsCol)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(wsBilled(1L) !== got(1L)._2)
+    // typed delegation at the DEFAULT seam is the identity: a
+    // (char, ws) vocab through the typed path ≡ the untyped path
+    val charMerges = Bpe.trainOnWords(
+      Bpe.docWordTableOf(docs).groupBy("word")
+        .agg(sum("freq").as("freq")).withColumn("syms", Bpe.symsCol), 4)
+    val typed = Bpe.docTokenCountsOf(docs,
+        Bpe.Vocab(charMerges, Bpe.CharGrain))
+      .orderBy("doc_id").collect().toSeq
+    val untyped = Bpe.docTokenCountsOf(docs, charMerges)
+      .orderBy("doc_id").collect().toSeq
+    assert(typed === untyped)
+  }
 }
