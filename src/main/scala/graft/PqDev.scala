@@ -86,6 +86,33 @@ object PqDev {
     val pqP = recallPlant(Similarity.pqTopKOf(plant, rerank = 0))
     val opqP = recallPlant(Similarity.opqTopKOf(plant, rerank = 0))
     println(f"## opq_plant sf=$sf pq_adc=$pqP%.3f opq_adc=$opqP%.3f")
+    // non-parametric OPQ (r18): alternating encode ↔ Procrustes from the
+    // parametric init — the SCALE.md verdict row: does the refinement
+    // buy recall over the parametric rotation at the same budget?
+    val plantDim = Similarity.dimOf(plant)
+    val plantSamp = Similarity.ivfTrainingSample(plant,
+      Similarity.pqSampleK(1 << Similarity.PqBits))
+    val (npRot, npTrace) =
+      Similarity.opqRotationNPTrace(plantSamp, plantDim)
+    val npP = recallPlant(Similarity.pqTopKOf(
+      Similarity.opqRotate(plant, npRot), rerank = 0))
+    println(f"## npopq_plant sf=$sf adc=$npP%.3f mse_trace=" +
+      npTrace.map(t => f"$t%.5f").mkString(","))
+    val baseIso = Tables.embeddings(spark, sf)
+    val isoSamp = Similarity.ivfTrainingSample(baseIso,
+      Similarity.pqSampleK(1 << Similarity.PqBits))
+    val (npRotI, npTraceI) = Similarity.opqRotationNPTrace(
+      isoSamp, Similarity.dimOf(baseIso))
+    val npI = recall(Similarity.pqTopKOf(
+      Similarity.opqRotate(baseIso, npRotI), rerank = 0))
+    println(f"## npopq_iso sf=$sf adc=$npI%.3f mse_trace=" +
+      npTraceI.map(t => f"$t%.5f").mkString(","))
+    // SQ8 beside PQ (r18): the second compression family — 4× storage
+    // with per-dimension fidelity vs PQ's 64× with subspace codebooks
+    for (rr <- Seq(0, 40, 100)) {
+      val r = recall(Similarity.sq8TopK(spark, sf, rerank = rr))
+      println(f"## sq8 sf=$sf rerank=$rr recall=$r%.3f")
+    }
     // the full composition: OPQ pretransform × IVF pruning × residual
     // PQ × bounded rerank (rotation preserves cosine, so raw-space
     // brute force is the right truth)
@@ -94,6 +121,7 @@ object PqDev {
     println(f"## opq_ivfpq sf=$sf rerank=100 recall=$rOpqIvf%.3f")
     measure("brute_force")(() => Similarity.bruteForceTopK(spark, sf))
     measure("pq_default")(() => Similarity.pqTopK(spark, sf))
+    measure("sq8_default")(() => Similarity.sq8TopK(spark, sf))
     // persisted-index split (r17): build ONCE vs search MANY — the
     // whole point of the split is that the search rows exclude every
     // training/encode cost the build rows carry

@@ -1839,6 +1839,162 @@ object Similarity {
     assigned.flatMap(_.result()).map(evecs)
   }
 
+  /** NON-parametric OPQ (Ge et al., CVPR 2013 §4 — the alternating
+    * refinement): starting from the PARAMETRIC [[opqRotation]], iterate
+    *
+    *   1. train codebooks in the CURRENT rotated space — the very
+    *      [[pqCodebooks]] trainer the index build runs, so the rotation
+    *      is optimized against the real quantizer, not a proxy;
+    *   2. encode the sample, collect the reconstructions X̂;
+    *   3. solve the orthogonal Procrustes problem min_R ‖R·X − X̂‖_F —
+    *      R ← the polar factor of M = X̂·Xᵀ, computed DETERMINISTICALLY
+    *      as M·(MᵀM)^{−1/2} via the cyclic [[jacobiEigen]] (no SVD
+    *      library, no sign/order ambiguity).
+    *
+    * Everything runs on the one bounded training sample (codebook
+    * training distributed as always; encode/Procrustes driver-side on
+    * the collected rows in vec_id order), so the whole loop is
+    * corpus-size-independent — `iters` bounded sample jobs, O(dim³)
+    * driver algebra per iteration. Returns the rotation and the
+    * per-iteration sample MSE trace (‖R·x − x̂‖² mean BEFORE each
+    * Procrustes step) — the alternating-descent objective the spec
+    * asserts does not increase end-to-end. Whether the refinement BEATS
+    * the parametric rotation on recall is measured, not assumed:
+    * docs/SCALE.md records the verdict from the anisotropic plant. */
+  private[graft] def opqRotationNPTrace(sample: DataFrame, dim: Int,
+                                        sub: Int = PqSub, iters: Int = 3)
+      : (Array[Array[Double]], Seq[Double]) = {
+    require(iters >= 1, s"opqRotationNP needs iters >= 1 (got $iters)")
+    val subDim = dim / sub
+    val codes = 1 << PqBits
+    var r = opqRotation(sample, dim, sub)
+    val rowsX = sample
+      .orderBy("vec_id")
+      .select(col("embedding").cast(ArrayType(DoubleType)))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val n = rowsX.length
+    val mse = Vector.newBuilder[Double]
+    def rotateRow(m: Array[Array[Double]], x: Array[Double]) =
+      m.map { row =>
+        var s = 0.0; var i = 0
+        while (i < dim) { s += row(i) * x(i); i += 1 }
+        s
+      }
+    for (_ <- 1 to iters) {
+      val books = pqCodebooks(opqRotate(sample, r), dim, sub)
+      // driver encode replica (same c·c − 2x·c first-minimum argmin as
+      // pqEncode) + the Procrustes cross matrix M = Σ x̂·yᵀ in one pass
+      val m = Array.ofDim[Double](dim, dim)
+      var err = 0.0
+      rowsX.foreach { x =>
+        val y = rotateRow(r, x)
+        val xhat = new Array[Double](dim)
+        for (s <- 0 until sub) {
+          val off = s * subDim
+          var best = 0; var bestD = Double.PositiveInfinity
+          for (c <- 0 until codes) {
+            val cb = books(s)(c)
+            var d = 0.0; var i = 0
+            while (i < subDim) {
+              d += cb(i) * cb(i) - 2.0 * cb(i) * y(off + i); i += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+          }
+          System.arraycopy(books(s)(best), 0, xhat, off, subDim)
+        }
+        var i = 0
+        while (i < dim) {
+          val e = y(i) - xhat(i); err += e * e
+          var j = 0
+          while (j < dim) { m(i)(j) += xhat(i) * x(j); j += 1 }
+          i += 1
+        }
+      }
+      mse += err / n
+      // Procrustes solution R = U·Vᵀ from the eigen-SVD of M: MᵀM =
+      // V·Σ²·Vᵀ via the cyclic Jacobi, then U columns as M·v_k/σ_k for
+      // the well-conditioned directions and a DETERMINISTIC canonical-
+      // basis completion (modified Gram–Schmidt, fixed order) for the
+      // near-null ones — on an extremely anisotropic corpus (the OPQ
+      // plant's 1e4 scale ratio) σ spans ~1e8, so the naive
+      // M·(MᵀM)^{−1/2} polar form squares itself out of double
+      // precision; in the null space every orthogonal completion is an
+      // equally optimal Procrustes solution, so completing is exact,
+      // not approximate
+      val mtm = Array.tabulate(dim, dim) { (i, j) =>
+        var s = 0.0; var k = 0
+        while (k < dim) { s += m(k)(i) * m(k)(j); k += 1 }
+        s
+      }
+      val (evals, evecs) = jacobiEigen(mtm)
+      val order = (0 until dim).sortBy(k => (-evals(k), k))
+      val sigma = order.map(k =>
+        StrictMath.sqrt(StrictMath.max(evals(k), 0.0)))
+      val tol = sigma.head * 1e-7
+      val u = Array.ofDim[Double](dim, dim) // columns u(_)(slot)
+      def orthogonalize(col0: Array[Double], upTo: Int): Array[Double] = {
+        val c = col0.clone()
+        for (p <- 0 until upTo) {
+          var d = 0.0; var i = 0
+          while (i < dim) { d += c(i) * u(i)(p); i += 1 }
+          i = 0
+          while (i < dim) { c(i) -= d * u(i)(p); i += 1 }
+        }
+        c
+      }
+      var slot = 0
+      order.zipWithIndex.foreach { case (k, idx) =>
+        if (sigma(idx) > tol) {
+          val col = orthogonalize(
+            Array.tabulate(dim) { i =>
+              var s = 0.0; var j = 0
+              while (j < dim) { s += m(i)(j) * evecs(k)(j); j += 1 }
+              s / sigma(idx)
+            }, slot)
+          val nn = StrictMath.sqrt(col.map(x => x * x).sum)
+          for (i <- 0 until dim) u(i)(slot) = col(i) / nn
+          slot += 1
+        }
+      }
+      var e = 0
+      while (slot < dim) {
+        // first canonical basis vector with a non-degenerate residual —
+        // fixed scan order, so the completion is a pure function of M
+        val cand = orthogonalize(
+          Array.tabulate(dim)(i => if (i == e) 1.0 else 0.0), slot)
+        val nn = StrictMath.sqrt(cand.map(x => x * x).sum)
+        if (nn > 0.5) {
+          for (i <- 0 until dim) u(i)(slot) = cand(i) / nn
+          slot += 1
+        }
+        e += 1
+      }
+      // R = U·Vᵀ with U's slot s paired to eigenvector order(s)
+      r = Array.tabulate(dim, dim) { (i, j) =>
+        var s = 0.0
+        for (t <- 0 until dim) s += u(i)(t) * evecs(order(t))(j)
+        s
+      }
+      // orthogonality check: ‖R·Rᵀ − I‖_max — a silent non-rotation
+      // would invalidate every cosine-preservation claim downstream
+      val offMax = (0 until dim).flatMap(i => (0 until dim).map { j =>
+        var s = 0.0; var k = 0
+        while (k < dim) { s += r(i)(k) * r(j)(k); k += 1 }
+        StrictMath.abs(s - (if (i == j) 1.0 else 0.0))
+      }).max
+      require(offMax < 1e-8,
+        f"graft: Procrustes polar factor off the orthogonal manifold " +
+          f"(max deviation $offMax%.2e)")
+    }
+    (r, mse.result())
+  }
+
+  /** The non-parametric rotation alone (see [[opqRotationNPTrace]]). */
+  def opqRotationNP(sample: DataFrame, dim: Int,
+                    sub: Int = PqSub, iters: Int = 3)
+      : Array[Array[Double]] =
+    opqRotationNPTrace(sample, dim, sub, iters)._1
+
   /** Rotate a corpus: embedding → R·embedding (array<double>, one
     * codegen'd vec_dot per output coordinate). Orthogonal R preserves
     * dots and norms, so every cosine downstream is the original cosine
@@ -1870,4 +2026,132 @@ object Similarity {
   def opqTopK(spark: SparkSession, dir: String, rerank: Int = 10 * K,
               subspaces: Int = PqSub): DataFrame =
     opqTopKOf(Tables.embeddings(spark, dir), rerank, subspaces)
+
+  // -- SQ8: scalar quantization (the second compression family) -----------
+
+  /** Per-dimension SQ8 bounds from the bounded training sample: for
+    * each dimension, (lo, step) with 256 uniform levels spanning the
+    * sample's [min, max] — x̂_d = lo_d + code_d·step_d, code ∈ [0, 255].
+    * Corpus values outside the sample's range CLAMP to the end levels
+    * (the standard trained-scalar-quantizer contract; FAISS
+    * ScalarQuantizer QT_8bit trains the same way). A constant dimension
+    * gets step 1 so the algebra stays finite (every value then codes
+    * to 0 and reconstructs at lo exactly). One bounded-sample
+    * aggregate, 2·dim doubles collected — the model-artifact family. */
+  def sq8Bounds(sample: DataFrame, dim: Int)
+      : (Array[Double], Array[Double]) = {
+    val rows = sample
+      .select(posexplode(col("embedding").cast(ArrayType(DoubleType))))
+      .toDF("pos", "v")
+      .groupBy("pos").agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .collect()
+    require(rows.length == dim,
+      s"graft: sq8Bounds saw ${rows.length} dimensions, expected $dim")
+    val lo = new Array[Double](dim)
+    val step = new Array[Double](dim)
+    rows.foreach { r =>
+      val d = r.getInt(0)
+      lo(d) = r.getDouble(1)
+      val span = r.getDouble(2) - r.getDouble(1)
+      step(d) = if (span > 0.0) span / 255.0 else 1.0
+    }
+    (lo, step)
+  }
+
+  /** SQ8 encode: (vec_id, codes, recon_norm) with codes an
+    * array<tinyint> of `dim` biased bytes (code − 128, the
+    * [[pqPackCodes]] storage idiom) — the 8× in-plan / on-disk
+    * reduction vs array<double> (4× vs the raw float corpus), uniform
+    * per-dimension nearest-level rounding, clamped to the trained
+    * range. recon_norm is ‖x̂‖ computed from the codes at encode time
+    * (fixed-order fold — deterministic at any parallelism), so the ADC
+    * cosine downstream is exact whenever x̂ = x (spec-planted). */
+  def sq8Encode(e: DataFrame, lo: Array[Double], step: Array[Double],
+                dim: Int): DataFrame = {
+    val loCol = array(lo.map(lit): _*)
+    val stepCol = array(step.map(lit): _*)
+    val codes = transform(sequence(lit(1), lit(dim)), i =>
+      (least(lit(255L), greatest(lit(0L),
+        floor((element_at(col("embedding"), i) - element_at(loCol, i)) /
+          element_at(stepCol, i) + lit(0.5)))) - 128L).cast(ByteType))
+    val xhat = sq8Decode(col("codes"), lo, step)
+    e.select(col("vec_id"), codes.as("codes"))
+      .withColumn("recon_norm",
+        sqrt(aggregate(xhat, lit(0.0), (a, v) => a + v * v)))
+  }
+
+  /** codes → x̂ (array<double>): the exact reconstruction the scorer
+    * and the encoder's norm share — ONE definition, so they can never
+    * disagree. */
+  private def sq8Decode(codes: Column, lo: Array[Double],
+                        step: Array[Double]): Column =
+    transform(codes, (c, i) =>
+      element_at(array(lo.map(lit): _*), i + 1) +
+        (c.cast(DoubleType) + lit(128.0)) *
+          element_at(array(step.map(lit): _*), i + 1))
+
+  /** SQ8 ANN: the scalar-quantization counterpart of [[pqTopKOf]] —
+    * same two-stage skew-proof top-k, same bounded exact rerank, but
+    * the compressed frame carries one byte PER DIMENSION instead of one
+    * 4-bit code per SUBSPACE. The trade is precision for compression:
+    * 4× (float→byte) vs PQ's 64×, with far higher pure-ADC fidelity —
+    * the scorer reconstructs x̂ on the fly (a dim-term dot over
+    * decompressed values: SQ8 compresses STORAGE and SHUFFLE, not
+    * multiplies — exactly FAISS's SQ8 contract). Measured beside PQ in
+    * docs/SCALE.md; both families share the rerank/top-k machinery, so
+    * a deployment picks per corpus: PQ when memory is the wall, SQ8
+    * when ADC-rank fidelity at mild compression pays. */
+  def sq8TopKOf(base: DataFrame, rerank: Int = 10 * K): DataFrame = {
+    val dim = dimOf(base)
+    val e = withNorm(base, dim).localCheckpoint(true)
+    val samp = ivfTrainingSample(e, pqSampleK(1 << PqBits))
+      .localCheckpoint(eager = true)
+    val (lo, step) = sq8Bounds(samp, dim)
+    // decode ONCE per corpus row, BEFORE the query join: the
+    // reconstruction depends only on the codes, and a pre-join Project
+    // evaluates per input row — per (row, query) pair it would run
+    // queries× redundant decodes. The compressed frame is what a sink
+    // stores/shuffles; x̂ exists only inside the scoring stage.
+    val coded = sq8Encode(e, lo, step, dim)
+      .withColumn("xhat", sq8Decode(col("codes"), lo, step))
+    val qs = queries(base, dim)
+    val scored = coded.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_adc",
+        round(call_function("vec_dot", col("q_emb"), col("xhat")) /
+          (col("q_norm") * col("recon_norm")), 6))
+    val width = math.max(K, rerank)
+    val partial = scored
+      .withColumn("part", spark_partition_id())
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id", "part")
+          .orderBy(desc("cos_adc"), asc("vec_id"))))
+      .filter(col("rn") <= width)
+      .drop("rn", "part")
+    val adcTop = partial
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos_adc"), asc("vec_id"))))
+      .filter(col("rank") <= width)
+    if (rerank <= 0) {
+      adcTop.filter(col("rank") <= K)
+        .select(col("q_id"), col("rank").cast(LongType).as("rank"),
+          col("vec_id").as("neighbor_id"), col("cos_adc").as("cos"))
+        .orderBy("q_id", "rank")
+    } else {
+      score(adcTop.select("q_id", "q_emb", "q_norm", "vec_id")
+          .join(e.select(col("vec_id"), col("embedding"), col("norm")),
+            "vec_id"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
+        .filter(col("rank") <= K)
+        .select(col("q_id"), col("rank").cast(LongType).as("rank"),
+          col("vec_id").as("neighbor_id"), col("cos"))
+        .orderBy("q_id", "rank")
+    }
+  }
+
+  /** Corpus entry point for [[sq8TopKOf]]. */
+  def sq8TopK(spark: SparkSession, dir: String,
+              rerank: Int = 10 * K): DataFrame =
+    sq8TopKOf(Tables.embeddings(spark, dir), rerank)
 }

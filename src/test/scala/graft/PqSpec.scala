@@ -846,6 +846,120 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("non-parametric OPQ: the alternating Procrustes refinement is " +
+      "orthogonal, deterministic, descends its own objective, and " +
+      "does not regress the parametric rotation's plant recall") {
+    val plant = base.withColumn("embedding",
+      expr("""transform(embedding, (v, i) ->
+             |  CAST(v AS DOUBLE) *
+             |  (CASE WHEN i < 4 THEN 100.0D ELSE 0.01D END))"""
+        .stripMargin))
+    val samp = Similarity.ivfTrainingSample(plant,
+      Similarity.pqSampleK(1 << Similarity.PqBits))
+    val (r1, trace) = Similarity.opqRotationNPTrace(samp, dim)
+    // orthogonal: R·Rᵀ = I — the property every cosine-preservation
+    // claim downstream rests on (the 1e4-scale plant is exactly the
+    // conditioning regime where a naive polar form loses it)
+    for (i <- r1.indices; j <- r1.indices) {
+      val d = r1.indices.map(k => r1(i)(k) * r1(j)(k)).sum
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-8,
+        s"R·Rᵀ deviates at ($i,$j): $d")
+    }
+    // deterministic: a re-run is bit-identical (LCG sample, cyclic
+    // Jacobi, fixed Gram–Schmidt order — no library SVD ambiguity)
+    val (r2, trace2) = Similarity.opqRotationNPTrace(samp, dim)
+    assert(r1.map(_.toSeq).toSeq === r2.map(_.toSeq).toSeq)
+    assert(trace === trace2)
+    // alternating descent: the sample quantization MSE does not
+    // increase END-TO-END. (No per-step assertion: the inner Lloyd
+    // runs a fixed 3 iterations, not to convergence, so a single
+    // alternation step may wobble upward — observed at sf0.01 —
+    // while the net trajectory still descends.)
+    assert(trace.size === 3)
+    assert(trace.last <= trace.head, s"no net descent: $trace")
+    // recall non-regression vs the parametric init on the anisotropic
+    // plant (pure ADC — the sharpest contrast): whether it BEATS the
+    // parametric rotation is a measured SCALE.md verdict, not a spec
+    // claim; that it must not fall off the init's recall is
+    def adcTop(rot: Array[Array[Double]]) =
+      Similarity.pqTopKOf(Similarity.opqRotate(plant, rot), rerank = 0)
+        .select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = Similarity.bruteForceTopKOf(plant)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rParam = adcTop(Similarity.opqRotation(samp, dim))
+      .intersect(truth).size.toDouble / truth.size
+    val rNp = adcTop(r1).intersect(truth).size.toDouble / truth.size
+    assert(rNp >= rParam - 0.05,
+      s"NP refinement regressed plant ADC recall: param=$rParam np=$rNp")
+  }
+
+  test("SQ8 scalar quantization: distributed encode matches the driver " +
+      "replica byte-for-byte; on-grid vectors reconstruct exactly " +
+      "(pure ADC == exact cosine); full rerank ≡ brute force " +
+      "row-for-row; the coded frame carries tinyints") {
+    val samp = Similarity.ivfTrainingSample(
+      Similarity.withNorm(base, dim),
+      Similarity.pqSampleK(1 << Similarity.PqBits))
+    val (lo, step) = Similarity.sq8Bounds(samp, dim)
+    assert(lo.length === dim && step.forall(_ > 0.0))
+    // encode replica: nearest level, clamped, biased −128
+    val coded = Similarity.sq8Encode(base, lo, step, dim)
+    assert(coded.schema("codes").dataType ===
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = false) ||
+      coded.schema("codes").dataType.isInstanceOf[
+        org.apache.spark.sql.types.ArrayType])
+    val sample = base.filter(col("vec_id") <= 20)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val gotCodes = coded.filter(col("vec_id") <= 20)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Byte](1).toVector).toMap
+    sample.foreach { case (id, x) =>
+      val want = x.indices.map { d =>
+        val t = StrictMath.floor((x(d) - lo(d)) / step(d) + 0.5)
+        (math.min(255L, math.max(0L, t.toLong)) - 128L).toByte
+      }.toVector
+      assert(gotCodes(id) === want, s"encode replica diverged at $id")
+    }
+    // on-grid plant: rows whose every value IS a reconstruction level —
+    // encode/decode must round-trip them exactly, recon_norm must equal
+    // the true norm, so the pure-ADC cosine IS the exact cosine
+    import spark.implicits._
+    val gridRows = (1 to 5).map { v =>
+      (v.toLong + 5000L,
+        (0 until dim).map(d => lo(d) + ((v * 37 + d * 11) % 256) * step(d)))
+    }
+    val grid = gridRows.toDF("vec_id", "embedding")
+    val gridCoded = Similarity.sq8Encode(grid, lo, step, dim)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Byte](1).toVector, r.getDouble(2))).toSeq
+    gridRows.zip(gridCoded.sortBy(_._1)).foreach {
+      case ((id, x), (gid, codes, rn)) =>
+        assert(id === gid)
+        val decoded = codes.zipWithIndex.map { case (c, d) =>
+          lo(d) + (c.toDouble + 128.0) * step(d)
+        }
+        // exact round-trip within 1 ulp of the fp division
+        decoded.zip(x).foreach { case (a, b) =>
+          assert(math.abs(a - b) <= math.ulp(b) * 4.0,
+            s"grid value did not round-trip: $a vs $b")
+        }
+        val trueNorm = StrictMath.sqrt(
+          decoded.foldLeft(0.0)((a, v) => a + v * v))
+        assert(rn === trueNorm, "recon_norm diverged from fold replica")
+    }
+    // structural invariant: SQ8 at full rerank ≡ exact brute force
+    val n = base.count().toInt
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(rows(Similarity.sq8TopKOf(base, rerank = n)) ===
+      rows(Similarity.bruteForceTopKOf(base)))
+  }
+
   test("argument/diagnostic hygiene: odd subspaces fail BEFORE the " +
       "build, a non-index path fails the load with a graft message, " +
       "and deferred-vacuum compaction leaves codes_old for the sweep") {
