@@ -228,21 +228,11 @@ object Bpe {
     * whitespace would otherwise mint an empty word whose symbol
     * sequence is the empty array). */
   def wordTable(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(explode(split(regexp_replace(lower(col("text")), "\\s+", " "),
-        " ")).as("word"))
-      .filter(length(col("word")) >= 1)
-      .groupBy("word").agg(count(lit(1)).as("freq"))
-      .withColumn("syms", symsCol)
+    wordTableAt(spark, dir, CharGrain)
 
   /** [[wordTable]] at BYTE grain ([[byteSymsCol]]). */
   def wordTableBytes(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(explode(split(regexp_replace(lower(col("text")), "\\s+", " "),
-        " ")).as("word"))
-      .filter(length(col("word")) >= 1)
-      .groupBy("word").agg(count(lit(1)).as("freq"))
-      .withColumn("syms", byteSymsCol)
+    wordTableAt(spark, dir, ByteGrain)
 
   /** Byte-level training: the identical merge loop over the byte-grain
     * word table — at this grain a learned symbol may legitimately CROSS
@@ -381,21 +371,33 @@ object Bpe {
   /** [[mergesDf]] for a [[Vocab]]: the merge table PLUS the grain and
     * pre-tokenizer names on every row — the segmentation persists WITH
     * the artifact, so a vocabulary reloaded months later cannot be
-    * replayed at the wrong seam (the whole point of the type). */
-  def vocabDf(spark: SparkSession, vocab: Vocab): DataFrame =
-    mergesDf(spark, vocab.merges)
+    * replayed at the wrong seam (the whole point of the type). A
+    * round-0 HEADER row carries the seam even when there are ZERO
+    * merges — a legitimately trained empty vocabulary (every pre-token
+    * already a single symbol) must survive the round-trip too, and
+    * without the header its seam would vanish with the rows. */
+  def vocabDf(spark: SparkSession, vocab: Vocab): DataFrame = {
+    import spark.implicits._
+    val header = Seq((0L, null: String, null: String, null: String, 0L))
+      .toDF("round", "left", "right", "merged", "n")
+    header.unionByName(mergesDf(spark, vocab.merges))
       .withColumn("grain", lit(vocab.grain.name))
       .withColumn("pre_tok", lit(vocab.preTok.name))
+      .orderBy("round")
+  }
 
   /** Inverse of [[vocabDf]]: requires exactly one (grain, pre_tok)
     * pair across the table — a mixed frame is two vocabularies
-    * concatenated, which has no meaningful replay. */
+    * concatenated, which has no meaningful replay. The round-0 header
+    * row is seam-only, never a merge. */
   def vocabFromDf(df: DataFrame): Vocab = {
     val seams = df.select("grain", "pre_tok").distinct().collect()
     require(seams.length == 1,
       s"graft: vocabulary table carries ${seams.length} distinct " +
         "(grain, pre_tok) pairs, expected exactly 1")
-    Vocab(mergesFromDf(df.drop("grain", "pre_tok")),
+    Vocab(
+      mergesFromDf(df.filter(col("round") >= 1)
+        .drop("grain", "pre_tok")),
       Grain.forName(seams(0).getString(0)),
       PreTok.forName(seams(0).getString(1)))
   }
@@ -549,12 +551,7 @@ object Bpe {
     * doc-grained sides, and the universe scan prunes to doc_id only. */
   def docTokenCountsOf(docs: DataFrame, merges: Seq[Merge],
                        symRule: Column = symsCol): DataFrame =
-    docs.select(col("doc_id"))
-      .join(docTokenCounts(docWordTableOf(docs), merges, symRule),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("words"), lit(0L)).as("words"),
-        coalesce(col("bpe_tokens"), lit(0L)).as("bpe_tokens"))
+    docTokenCountsCore(docs, merges, symRule, WhitespacePreTok)
 
   /** [[docTokenCountsOf]] for a [[Vocab]] — the typed consumer: the
     * pre-tokenizer AND grain replay from the artifact itself, so a
@@ -562,9 +559,17 @@ object Bpe {
     * words or a byte vocabulary over char symbols. Same plan, same
     * universe-complete contract. */
   def docTokenCountsOf(docs: DataFrame, vocab: Vocab): DataFrame =
+    docTokenCountsCore(docs, vocab.merges, vocab.grain.symRule,
+      vocab.preTok)
+
+  /** The ONE universe-complete budgeting body both overloads share
+    * (the chunkCore pattern): a divergent fix to the null-doc contract
+    * in one seam would otherwise silently strand the other. */
+  private def docTokenCountsCore(docs: DataFrame, merges: Seq[Merge],
+                                 symRule: Column,
+                                 preTok: PreTok): DataFrame =
     docs.select(col("doc_id"))
-      .join(docTokenCounts(docWordTableOf(docs, vocab.preTok),
-          vocab.merges, vocab.grain.symRule),
+      .join(docTokenCounts(docWordTableOf(docs, preTok), merges, symRule),
         Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("words"), lit(0L)).as("words"),

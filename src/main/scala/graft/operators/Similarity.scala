@@ -1463,15 +1463,21 @@ object Similarity {
     StructField("recon_norm", DoubleType),
     StructField("list_id", LongType)))
 
-  def pqIndexLoad(spark: SparkSession, indexPath: String): PqIndex = {
-    // the meta probe is the "is this an index?" check — a typo'd or
-    // half-written path must fail with a graft-prefixed diagnostic
-    // naming the path, not an ArrayIndexOutOfBounds from collect()(0)
+  /** The guarded meta probe every index entry point shares — the
+    * "is this an index?" check: a typo'd or half-written path must
+    * fail with a graft-prefixed diagnostic naming the path, not an
+    * ArrayIndexOutOfBounds from collect()(0). */
+  private def pqIndexMeta(spark: SparkSession, indexPath: String)
+      : org.apache.spark.sql.Row = {
     val metaRows = spark.read.parquet(s"$indexPath/meta").collect()
     require(metaRows.length == 1,
       s"graft: index at $indexPath has ${metaRows.length} meta rows, " +
         "expected exactly 1 — not a pqIndexBuild-written index")
-    val meta = metaRows(0)
+    metaRows(0)
+  }
+
+  def pqIndexLoad(spark: SparkSession, indexPath: String): PqIndex = {
+    val meta = pqIndexMeta(spark, indexPath)
     val dim = meta.getAs[Int]("dim")
     val sub = meta.getAs[Int]("sub")
     val numLists = meta.getAs[Int]("num_lists")
@@ -1582,9 +1588,9 @@ object Similarity {
   def pqIndexCompact(spark: SparkSession, indexPath: String,
                      vacuumOld: Boolean = true): (Long, Long) = {
     // the meta probe validates indexPath IS an index before any rename
-    // touches it — a typo'd path must fail here, not mid-swap
-    val sub = spark.read.parquet(s"$indexPath/meta")
-      .collect()(0).getAs[Int]("sub")
+    // touches it — a typo'd path must fail here, not mid-swap (shared
+    // guarded reader: same diagnostics as the loader)
+    val sub = pqIndexMeta(spark, indexPath).getAs[Int]("sub")
     require(sub > 0, s"graft: $indexPath/meta carries sub=$sub")
     val conf = spark.sparkContext.hadoopConfiguration
     val path = new org.apache.hadoop.fs.Path(s"$indexPath/codes")
@@ -1956,18 +1962,27 @@ object Similarity {
           slot += 1
         }
       }
-      var e = 0
       while (slot < dim) {
-        // first canonical basis vector with a non-degenerate residual —
-        // fixed scan order, so the completion is a pure function of M
-        val cand = orthogonalize(
-          Array.tabulate(dim)(i => if (i == e) 1.0 else 0.0), slot)
-        val nn = StrictMath.sqrt(cand.map(x => x * x).sum)
-        if (nn > 0.5) {
-          for (i <- 0 until dim) u(i)(slot) = cand(i) / nn
-          slot += 1
+        // complete with the canonical basis vector whose residual
+        // against the filled columns is LARGEST (ties → lowest index) —
+        // deterministic, and guaranteed to terminate for ANY null-space
+        // orientation: the e_i span the space, so with `slot` columns
+        // filled some residual has norm² ≥ (dim − slot)/dim. (A
+        // fixed-threshold first-fit scan deadlocks when the null space
+        // is spread across axes — e.g. mean-centered samples, whose
+        // null eigenvector has every |⟨e_i, w⟩| = 1/√dim.)
+        var bestE = -1; var bestNn = -1.0
+        var cand: Array[Double] = null
+        for (e <- 0 until dim) {
+          val c = orthogonalize(
+            Array.tabulate(dim)(i => if (i == e) 1.0 else 0.0), slot)
+          val nn = StrictMath.sqrt(c.map(x => x * x).sum)
+          if (nn > bestNn + 1e-12) { bestNn = nn; bestE = e; cand = c }
         }
-        e += 1
+        require(bestNn > 1e-6,
+          s"graft: Procrustes completion degenerate at slot $slot")
+        for (i <- 0 until dim) u(i)(slot) = cand(i) / bestNn
+        slot += 1
       }
       // R = U·Vᵀ with U's slot s paired to eigenvector order(s)
       r = Array.tabulate(dim, dim) { (i, j) =>

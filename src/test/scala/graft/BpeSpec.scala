@@ -674,6 +674,11 @@ class BpeSpec extends AnyFunSuite {
     // default pre-tokenizer round-trips too
     val vc = Bpe.Vocab(byteDocMerges.take(2), Bpe.CharGrain)
     assert(Bpe.vocabFromDf(Bpe.vocabDf(spark, vc)) === vc)
+    // a legitimately EMPTY vocabulary (every pre-token already one
+    // symbol — trainOnWords stops with zero merges) must keep its seam
+    // across persistence: the round-0 header row carries it
+    val v0 = Bpe.Vocab(Seq.empty, Bpe.ByteGrain, Bpe.Gpt2PreTok)
+    assert(Bpe.vocabFromDf(Bpe.vocabDf(spark, v0)) === v0)
     // a mixed frame is two vocabularies concatenated — no replay
     val mixed = Bpe.vocabDf(spark, v)
       .unionByName(Bpe.vocabDf(spark, vc))
