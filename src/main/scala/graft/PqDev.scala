@@ -113,6 +113,12 @@ object PqDev {
       val r = recall(Similarity.sq8TopK(spark, sf, rerank = rr))
       println(f"## sq8 sf=$sf rerank=$rr recall=$r%.3f")
     }
+    // IVF × SQ8 (r18): equal pruning to ivfpq, SQ8 residuals instead
+    // of PQ codes — what 16× more code bytes buy back in recall
+    for (rr <- Seq(40, 100)) {
+      val r = recall(Similarity.ivfSq8TopK(spark, sf, rerank = rr))
+      println(f"## ivfsq8 sf=$sf rerank=$rr recall=$r%.3f")
+    }
     // the full composition: OPQ pretransform × IVF pruning × residual
     // PQ × bounded rerank (rotation preserves cosine, so raw-space
     // brute force is the right truth)
@@ -122,6 +128,7 @@ object PqDev {
     measure("brute_force")(() => Similarity.bruteForceTopK(spark, sf))
     measure("pq_default")(() => Similarity.pqTopK(spark, sf))
     measure("sq8_default")(() => Similarity.sq8TopK(spark, sf))
+    measure("ivfsq8_default")(() => Similarity.ivfSq8TopK(spark, sf))
     // persisted-index split (r17): build ONCE vs search MANY — the
     // whole point of the split is that the search rows exclude every
     // training/encode cost the build rows carry

@@ -2082,7 +2082,7 @@ object Similarity {
     * (fixed-order fold — deterministic at any parallelism), so the ADC
     * cosine downstream is exact whenever x̂ = x (spec-planted). */
   def sq8Encode(e: DataFrame, lo: Array[Double], step: Array[Double],
-                dim: Int): DataFrame = {
+                dim: Int, extra: Seq[String] = Nil): DataFrame = {
     val loCol = array(lo.map(lit): _*)
     val stepCol = array(step.map(lit): _*)
     val codes = transform(sequence(lit(1), lit(dim)), i =>
@@ -2090,7 +2090,7 @@ object Similarity {
         floor((element_at(col("embedding"), i) - element_at(loCol, i)) /
           element_at(stepCol, i) + lit(0.5)))) - 128L).cast(ByteType))
     val xhat = sq8Decode(col("codes"), lo, step)
-    e.select(col("vec_id"), codes.as("codes"))
+    e.select(col("vec_id") +: extra.map(col) :+ codes.as("codes"): _*)
       .withColumn("recon_norm",
         sqrt(aggregate(xhat, lit(0.0), (a, v) => a + v * v)))
   }
@@ -2169,4 +2169,107 @@ object Similarity {
   def sq8TopK(spark: SparkSession, dir: String,
               rerank: Int = 10 * K): DataFrame =
     sq8TopKOf(Tables.embeddings(spark, dir), rerank)
+
+  /** IVF × SQ8 (the FAISS IVFScalarQuantizer composition — the fourth
+    * cell of the pruning×compression matrix beside IVF, PQ and IVFADC):
+    * the coarse quantizer PRUNES (a query scores only its probed
+    * lists' members, probes/lists → 0 under the √n laws), SQ8
+    * compresses the RESIDUALS (x − centroid, one byte per dimension,
+    * bounds trained on the residual sample — residuals concentrate
+    * near 0, so the 256-level grid spans a tighter range than raw
+    * vectors'). x̂ = c_list + decode(codes) with ‖x̂‖ exact at encode
+    * time; the scorer decodes once per probed row BEFORE the query
+    * join (no LUT — SQ8's ADC is decode-and-dot, FAISS's SQ shape) and
+    * the bounded exact rerank recovers ranking fidelity exactly as in
+    * [[ivfPqSearch]]. Spec-gated by the same structural invariant as
+    * every family here: all lists + corpus-wide rerank ≡ brute force
+    * ROW-FOR-ROW; measured beside IVFADC in docs/SCALE.md (at equal
+    * pruning, SQ8 residuals buy back most of PQ's ADC loss for 16×
+    * the code size — 64 B vs 4 B per vector). */
+  def ivfSq8TopK(spark: SparkSession, dir: String,
+                 rerank: Int = 10 * K,
+                 probesOverride: Option[Int] = None): DataFrame = {
+    require(rerank >= 1, s"IVF-SQ8 without rerank is not served ($rerank)")
+    val base = Tables.embeddings(spark, dir)
+    val dim = dimOf(base)
+    val e = withNorm(base, dim).localCheckpoint(true)
+    val numLists = listsForCount(e.count())
+    val numProbes = probesOverride.getOrElse(probesForLists(numLists))
+    require(numProbes >= 1 && numProbes <= numLists,
+      s"probes $numProbes out of [1, $numLists]")
+    val samp = ivfTrainingSample(e,
+        math.max(sampleKFor(numLists), pqSampleK(1 << PqBits)))
+      .localCheckpoint(eager = true)
+    val centroids = kmeansCentroids(samp, numLists, iters = 3)
+    val cents = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    def assignCols(df: DataFrame): DataFrame = df
+      .withColumn("cents", cents)
+      .withColumn("dists", expr(
+        "transform(cents, c -> vec_dot(c, c) - 2.0D * vec_dot(c, embedding))"))
+      .withColumn("list_id",
+        expr("array_position(dists, array_min(dists))").cast(LongType))
+      .withColumn("cvec",
+        element_at(col("cents"), col("list_id").cast(IntegerType)))
+    // SQ8 bounds on the RESIDUAL sample — the grid the codes live on
+    val sampResid = assignCols(samp)
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("cvec"), (a, b) => a - b)
+          .cast(ArrayType(DoubleType)).as("embedding"))
+    val (lo, step) = sq8Bounds(sampResid, dim)
+    // corpus encode in ONE pass (list_id rides through sq8Encode's
+    // `extra` seam — no second assignment, no join back): residual
+    // codes, then the FULL reconstruction x̂ = c_list + decode(codes)
+    // and its exact norm, decoded once per row (pre-join Project — see
+    // sq8TopKOf). The residual-norm column sq8Encode emits is dropped
+    // unreferenced, so column pruning removes its fold entirely.
+    val coded = sq8Encode(
+        assignCols(e).select(col("vec_id"), col("list_id"),
+          zip_with(col("embedding"), col("cvec"), (a, b) => a - b)
+            .cast(ArrayType(DoubleType)).as("embedding")),
+        lo, step, dim, extra = Seq("list_id"))
+      .drop("recon_norm")
+      .withColumn("xhat",
+        zip_with(
+          element_at(cents, col("list_id").cast(IntegerType)),
+          sq8Decode(col("codes"), lo, step), (a, b) => a + b))
+      .withColumn("recon_norm",
+        sqrt(call_function("vec_dot", col("xhat"), col("xhat"))))
+    // query side: probe the nearest lists (same algebra as ivfTopK)
+    val probed = queries(base, dim)
+      .withColumn("cents", cents)
+      .withColumn("dists", expr(
+        "transform(cents, c -> vec_dot(c, c) - 2.0D * vec_dot(c, q_emb))"))
+      .withColumn("probe", explode(expr(
+        s"""slice(array_sort(zip_with(dists, sequence(1, $numLists),
+           |  (d, i) -> struct(d AS d, i AS i))), 1, $numProbes)"""
+          .stripMargin)))
+      .select(col("q_id"), col("q_emb"), col("q_norm"),
+        col("probe.i").cast(LongType).as("list_id"))
+    val scored = coded
+      .join(broadcast(probed), Seq("list_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_adc",
+        round(call_function("vec_dot", col("q_emb"), col("xhat")) /
+          (col("q_norm") * col("recon_norm")), 6))
+    val width = math.max(K, rerank)
+    val adcTop = scored
+      .withColumn("part", spark_partition_id())
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id", "part")
+          .orderBy(desc("cos_adc"), asc("vec_id"))))
+      .filter(col("rn") <= width)
+      .drop("rn", "part")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos_adc"), asc("vec_id"))))
+      .filter(col("rank") <= width)
+    score(adcTop.select("q_id", "q_emb", "q_norm", "vec_id")
+        .join(e.select(col("vec_id"), col("embedding"), col("norm")),
+          "vec_id"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank").cast(LongType).as("rank"),
+        col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy("q_id", "rank")
+  }
 }

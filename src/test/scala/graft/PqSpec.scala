@@ -960,6 +960,28 @@ class PqSpec extends AnyFunSuite {
       rows(Similarity.bruteForceTopKOf(base)))
   }
 
+  test("IVF-SQ8 composition: all lists + corpus-wide rerank ≡ brute " +
+      "force row-for-row; the derived laws return k rows per query") {
+    val n = base.count()
+    val numLists = Similarity.listsForCount(n)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    // the structural invariant every family here carries: with nothing
+    // pruned and everything reranked, the approximation must vanish
+    assert(rows(Similarity.ivfSq8TopK(spark, sf, rerank = n.toInt,
+        probesOverride = Some(numLists))) ===
+      rows(Similarity.bruteForceTopK(spark, sf)))
+    // at the derived laws the search stays well-formed: k rows per
+    // query, ranks dense from 1
+    val got = Similarity.ivfSq8TopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val perQ = got.groupBy(_._1).values
+    assert(perQ.forall(_.map(_._2).sorted ==
+      (1L to Similarity.K).toVector))
+    assert(perQ.size === Similarity.QueryK)
+  }
+
   test("argument/diagnostic hygiene: odd subspaces fail BEFORE the " +
       "build, a non-index path fails the load with a graft message, " +
       "and deferred-vacuum compaction leaves codes_old for the sweep") {
