@@ -269,6 +269,34 @@ object Bpe {
     Vocab(trainOnWords(wordTableAt(spark, dir, grain, preTok), rounds),
       grain, preTok)
 
+  /** Train to a TARGET VOCABULARY SIZE — the production stopping rule
+    * (GPT-2's 50257 = 256 bytes + 50000 merges + specials): rounds =
+    * `targetVocab` − |base alphabet|, the alphabet measured on THIS
+    * corpus at THIS grain (a byte corpus has ≤256 base symbols; a char
+    * corpus has however many distinct code points survive the
+    * pre-tokenizer). Stops early if the corpus saturates first (every
+    * word fully merged — [[trainOnWords]]' early stop), in which case
+    * the realized vocabulary is smaller than the target; and, per the
+    * standard convention, the target counts alphabet + MERGE RULES —
+    * two rules can realize the same symbol string (e.g. (a,bc) and
+    * (ab,c) both minting "abc"), so the distinct-symbol count can sit
+    * a hair under alphabet + merges. The alphabet probe is one
+    * map-combinable distinct over the vocab-bounded word table. */
+  def trainVocabToSize(spark: SparkSession, dir: String,
+                       targetVocab: Int,
+                       grain: Grain = CharGrain,
+                       preTok: PreTok = WhitespacePreTok): Vocab = {
+    val words = wordTableAt(spark, dir, grain, preTok)
+      .localCheckpoint(true)
+    val alphabet = words.select(explode(col("syms")).as("s"))
+      .distinct().count()
+    require(targetVocab > alphabet,
+      s"graft: target vocabulary $targetVocab must exceed the base " +
+        s"alphabet ($alphabet symbols at grain '${grain.name}')")
+    Vocab(trainOnWords(words, (targetVocab - alphabet).toInt),
+      grain, preTok)
+  }
+
   /** Adjacent-pair statistics over a (freq, syms) table: one row per
     * distinct (l, r) with n = Σ freq over every adjacent position —
     * [[TextAnalysis.bpePairs]]'s dataflow at symbol grain (narrow

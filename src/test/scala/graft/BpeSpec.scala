@@ -688,6 +688,42 @@ class BpeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Bpe.PreTok.forName("wat"))
   }
 
+  test("trainVocabToSize: the production stopping rule — rounds = " +
+      "target − |alphabet| at the vocabulary's own grain; saturation " +
+      "stops early; a target inside the alphabet fails loud") {
+    // sf corpus at char grain: the target implies an exact round count,
+    // so the result must EQUAL trainVocab at those rounds
+    val words = Bpe.wordTable(spark, sf)
+    val alphabet = words
+      .select(explode(col("syms")).as("s")).distinct().count()
+    assert(alphabet >= 2)
+    val target = alphabet.toInt + 5
+    val sized = Bpe.trainVocabToSize(spark, sf, target)
+    assert(sized === Bpe.trainVocab(spark, sf, rounds = 5))
+    assert(sized.merges.size === 5,
+      "corpus saturated below 5 merges — pick a smaller probe")
+    // realized distinct symbols ≤ alphabet + merges (the convention the
+    // scaladoc documents: the target counts merge RULES)
+    val realized = Bpe.encodeWords(words, sized.merges)
+      .select(explode(col("syms")).as("s")).distinct().count()
+    assert(realized <= alphabet + sized.merges.size)
+    // a target the alphabet already exceeds is a contract violation
+    val e = intercept[IllegalArgumentException] {
+      Bpe.trainVocabToSize(spark, sf, 2)
+    }
+    assert(e.getMessage.contains("graft") &&
+      e.getMessage.contains("alphabet"))
+    // saturation: a tiny corpus exhausts its pairs long before a big
+    // target — the trainer stops early and the realized vocabulary
+    // sits honestly below the ask
+    import spark.implicits._
+    val tiny = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    val tinyWords = Bpe.docWordTableOf(tiny).groupBy("word")
+      .agg(sum("freq").as("freq")).withColumn("syms", Bpe.symsCol)
+    val sat = Bpe.trainOnWords(tinyWords, rounds = 50)
+    assert(sat.size === 1, s"'ab' saturates after ONE merge, got $sat")
+  }
+
   test("GPT-2 + byte vocabulary END-TO-END: the typed consumers replay " +
       "pre-tokens and bytes exactly (driver replica), and the same " +
       "merges at the whitespace pre-tokenizer bill DIFFERENTLY — the " +
