@@ -132,11 +132,15 @@ object Bpe {
     * whitespace runs kept (minus a trailing-space lookahead handoff).
     * Both execution sides — Spark's `regexp_extract_all` and the
     * driver replica — compile THIS string with java.util.regex, so the
-    * two segmentations agree bit-for-bit by construction. Divergence
-    * note (documented, not hidden): java's \s is ASCII whitespace where
-    * Python's is Unicode-aware — identical on these corpora. */
+    * two segmentations agree bit-for-bit by construction. The leading
+    * `(?U)` (UNICODE_CHARACTER_CLASS) makes java's `\s` Unicode-aware
+    * like Python's — without it a non-ASCII space (U+00A0) classifies
+    * as a SYMBOL and glues into punctuation runs, so a persisted
+    * 'gpt2' vocabulary would silently segment Unicode-space text
+    * differently from upstream (r18 ADVICE; spec pins the U+00A0
+    * case). One string, one flag, both sides in lockstep. */
   private[graft] val Gpt2Pattern: String =
-    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+" +
+    "(?U)'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+" +
       "|\\s+(?!\\S)|\\s+"
 
   /** GPT-2-style regex pre-tokenization — the production byte-level-BPE
@@ -271,25 +275,34 @@ object Bpe {
 
   /** Train to a TARGET VOCABULARY SIZE — the production stopping rule
     * (GPT-2's 50257 = 256 bytes + 50000 merges + specials): rounds =
-    * `targetVocab` − |base alphabet|, the alphabet measured on THIS
-    * corpus at THIS grain (a byte corpus has ≤256 base symbols; a char
-    * corpus has however many distinct code points survive the
-    * pre-tokenizer). Stops early if the corpus saturates first (every
-    * word fully merged — [[trainOnWords]]' early stop), in which case
-    * the realized vocabulary is smaller than the target; and, per the
-    * standard convention, the target counts alphabet + MERGE RULES —
-    * two rules can realize the same symbol string (e.g. (a,bc) and
-    * (ab,c) both minting "abc"), so the distinct-symbol count can sit
-    * a hair under alphabet + merges. The alphabet probe is one
-    * map-combinable distinct over the vocab-bounded word table. */
+    * `targetVocab` − |base alphabet|. At [[ByteGrain]] the alphabet is
+    * the FIXED 256-byte universe — the GPT-2 convention the 50257
+    * arithmetic encodes — NOT the corpus-measured distinct count: a
+    * corpus covering fewer than 256 bytes would otherwise earn extra
+    * merges, and the realized vocabulary could exceed the target the
+    * moment unseen bytes appear at encode time (r18 ADVICE). At
+    * [[CharGrain]] no fixed universe exists, so the alphabet is the
+    * corpus-measured distinct code-point count (one map-combinable
+    * distinct over the vocab-bounded word table), and the realized
+    * size is a statement about THIS corpus. Stops early if the corpus
+    * saturates first (every word fully merged — [[trainOnWords]]'
+    * early stop), in which case the realized vocabulary is smaller
+    * than the target; and, per the standard convention, the target
+    * counts alphabet + MERGE RULES — two rules can realize the same
+    * symbol string (e.g. (a,bc) and (ab,c) both minting "abc"), so
+    * the distinct-symbol count can sit a hair under
+    * alphabet + merges. */
   def trainVocabToSize(spark: SparkSession, dir: String,
                        targetVocab: Int,
                        grain: Grain = CharGrain,
                        preTok: PreTok = WhitespacePreTok): Vocab = {
     val words = wordTableAt(spark, dir, grain, preTok)
       .localCheckpoint(true)
-    val alphabet = words.select(explode(col("syms")).as("s"))
-      .distinct().count()
+    val alphabet = grain match {
+      case ByteGrain => 256L
+      case _ => words.select(explode(col("syms")).as("s"))
+        .distinct().count()
+    }
     require(targetVocab > alphabet,
       s"graft: target vocabulary $targetVocab must exceed the base " +
         s"alphabet ($alphabet symbols at grain '${grain.name}')")

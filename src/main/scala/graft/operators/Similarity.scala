@@ -970,6 +970,52 @@ object Similarity {
              rerank: Int = 10 * K, subspaces: Int = PqSub): DataFrame =
     pqTopKOf(Tables.embeddings(spark, dir), rerank, subspaces)
 
+  /** The ONE two-stage skew-proof ADC top-width + bounded-exact-rerank
+    * block every compressed-ANN family runs (PQ flat, IVFADC search,
+    * SQ8 flat, IVF-SQ8 — r18 ADVICE: the window machinery was inlined
+    * per family, so a tie-break or width fix in one could silently
+    * miss the others). `scored` is the family's ADC-scored candidate
+    * frame — (q_id, q_emb, q_norm, vec_id, cos_adc, …) — and
+    * `rerankScore` maps the bounded ADC-top candidate set
+    * (queries×width rows of (q_id, q_emb, q_norm, vec_id)) to an
+    * exactly-scored frame (adds `cos`): each family supplies its own
+    * corpus view there — the flat families join their normed
+    * checkpoint; the IVF searches join the RAW corpus and rotate +
+    * norm only the bounded survivors. Stage shape: per-(query,
+    * partition) heads first, so the global per-query sort sees
+    * ≤ width·P rows, never n; with rerank ≤ 0 the ADC ranking IS the
+    * answer (cos_adc published as cos); otherwise the exact rerank
+    * re-ranks the width pool down to K. Ties break on vec_id at every
+    * stage — a total order, so results are partitioning-independent
+    * even though stage one keys on spark_partition_id. */
+  private def topKWithRerank(scored: DataFrame, rerank: Int,
+      rerankScore: DataFrame => DataFrame): DataFrame = {
+    val width = math.max(K, rerank)
+    val adcTop = scored
+      .withColumn("part", spark_partition_id())
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id", "part")
+          .orderBy(desc("cos_adc"), asc("vec_id"))))
+      .filter(col("rn") <= width)
+      .drop("rn", "part")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos_adc"), asc("vec_id"))))
+      .filter(col("rank") <= width)
+    val ranked =
+      if (rerank <= 0)
+        adcTop.filter(col("rank") <= K)
+          .select(col("q_id"), col("rank").cast(LongType).as("rank"),
+            col("vec_id").as("neighbor_id"), col("cos_adc").as("cos"))
+      else
+        rerankScore(adcTop.select("q_id", "q_emb", "q_norm", "vec_id"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
+          .filter(col("rank") <= K)
+          .select(col("q_id"), col("rank").cast(LongType).as("rank"),
+            col("vec_id").as("neighbor_id"), col("cos"))
+    ranked.orderBy("q_id", "rank")
+  }
+
   /** [[pqTopK]] over any (vec_id, embedding) frame — the `*Of` seam
     * [[opqTopKOf]] composes with a rotated corpus and the specs plant
     * against. */
@@ -997,37 +1043,12 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos_adc",
         round(adcDot / (col("q_norm") * col("recon_norm")), 6))
-    val width = math.max(K, rerank)
-    val partial = scored
-      .withColumn("part", spark_partition_id())
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("q_id", "part")
-          .orderBy(desc("cos_adc"), asc("vec_id"))))
-      .filter(col("rn") <= width)
-      .drop("rn", "part")
-    val adcTop = partial
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(desc("cos_adc"), asc("vec_id"))))
-      .filter(col("rank") <= width)
-    if (rerank <= 0) {
-      adcTop.filter(col("rank") <= K)
-        .select(col("q_id"), col("rank").cast(LongType).as("rank"),
-          col("vec_id").as("neighbor_id"), col("cos_adc").as("cos"))
-        .orderBy("q_id", "rank")
-    } else {
-      // exact re-score of the bounded candidate set: queries·rerank rows
-      // join back to the corpus ON vec_id — never a second corpus scan
-      // of pair width
-      score(adcTop.select("q_id", "q_emb", "q_norm", "vec_id")
-          .join(e.select(col("vec_id"), col("embedding"), col("norm")),
-            "vec_id"))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
-        .filter(col("rank") <= K)
-        .select(col("q_id"), col("rank").cast(LongType).as("rank"),
-          col("vec_id").as("neighbor_id"), col("cos"))
-        .orderBy("q_id", "rank")
-    }
+    // exact re-score of the bounded candidate set: queries·width rows
+    // join back to the corpus ON vec_id — never a second corpus scan
+    // of pair width
+    topKWithRerank(scored, rerank, cand =>
+      score(cand.join(
+        e.select(col("vec_id"), col("embedding"), col("norm")), "vec_id")))
   }
 
   /** Pack 4-bit PQ codes two per byte — the STORED form of the coded
@@ -1364,28 +1385,12 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos_adc",
         round(adcDot / (col("q_norm") * col("recon_norm")), 6))
-    val width = math.max(K, rerank)
-    val adcTop = scored
-      .withColumn("part", spark_partition_id())
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("q_id", "part")
-          .orderBy(desc("cos_adc"), asc("vec_id"))))
-      .filter(col("rn") <= width)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(desc("cos_adc"), asc("vec_id"))))
-      .filter(col("rank") <= width)
     // exact rerank: join the bounded candidate set to the RAW corpus
     // first, rotate + norm only the queries·width surviving rows
-    score(withNorm(rotated(
-        adcTop.select("q_id", "q_emb", "q_norm", "vec_id")
-          .join(baseRaw.select(col("vec_id"), col("embedding")),
-            "vec_id")), dim))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
-      .filter(col("rank") <= K)
-      .select(col("q_id"), col("rank").cast(LongType).as("rank"),
-        col("vec_id").as("neighbor_id"), col("cos"))
-      .orderBy("q_id", "rank")
+    topKWithRerank(scored, rerank, cand =>
+      score(withNorm(rotated(
+        cand.join(baseRaw.select(col("vec_id"), col("embedding")),
+          "vec_id")), dim)))
   }
 
   // -- persisted IVFADC index (build once / search many) ------------------
@@ -1420,9 +1425,11 @@ object Similarity {
         s"(codes pack two per byte), got $subspaces")
     val idx = ivfPqBuild(spark, dir, subspaces, rotate)
     // the `rotated` flag lives in meta (not in directory probing —
-    // fs-agnostic), so a loader knows whether a rotation frame exists
-    Seq((idx.dim, idx.sub, idx.numLists, idx.rotation.nonEmpty))
-      .toDF("dim", "sub", "num_lists", "rotated")
+    // fs-agnostic), so a loader knows whether a rotation frame exists;
+    // `family` is the cross-family guard (see [[requireFamily]]) now
+    // that two codes layouts share the lifecycle
+    Seq((idx.dim, idx.sub, idx.numLists, idx.rotation.nonEmpty, "ivfadc"))
+      .toDF("dim", "sub", "num_lists", "rotated", "family")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
     idx.rotation.foreach { r =>
       r.zipWithIndex.map { case (row, i) => (i, row.toSeq) }.toSeq
@@ -1476,8 +1483,28 @@ object Similarity {
     metaRows(0)
   }
 
-  def pqIndexLoad(spark: SparkSession, indexPath: String): PqIndex = {
+  /** The cross-FAMILY guard every family-specific index entry point
+    * runs: the two persisted codes layouts share (vec_id, list_id) but
+    * differ in the payload columns (packed PQ nibbles vs per-dimension
+    * SQ8 bytes), so a loader reading the wrong schema would see nulls —
+    * and a compactor would then REWRITE the frame with them. Fail loud
+    * with both names instead. Metas written before the family tag
+    * existed were only ever produced by [[pqIndexBuild]], so an absent
+    * column reads as 'ivfadc'. */
+  private def requireFamily(spark: SparkSession, indexPath: String,
+                            want: String): org.apache.spark.sql.Row = {
     val meta = pqIndexMeta(spark, indexPath)
+    val got =
+      if (meta.schema.fieldNames.contains("family"))
+        meta.getAs[String]("family")
+      else "ivfadc"
+    require(got == want,
+      s"graft: index at $indexPath is family '$got', expected '$want'")
+    meta
+  }
+
+  def pqIndexLoad(spark: SparkSession, indexPath: String): PqIndex = {
+    val meta = requireFamily(spark, indexPath, "ivfadc")
     val dim = meta.getAs[Int]("dim")
     val sub = meta.getAs[Int]("sub")
     val numLists = meta.getAs[Int]("num_lists")
@@ -1586,12 +1613,20 @@ object Similarity {
     * explicit cleanup) instead of deleting it immediately. Returns
     * (files before, files after). */
   def pqIndexCompact(spark: SparkSession, indexPath: String,
-                     vacuumOld: Boolean = true): (Long, Long) = {
-    // the meta probe validates indexPath IS an index before any rename
-    // touches it — a typo'd path must fail here, not mid-swap (shared
-    // guarded reader: same diagnostics as the loader)
-    val sub = pqIndexMeta(spark, indexPath).getAs[Int]("sub")
-    require(sub > 0, s"graft: $indexPath/meta carries sub=$sub")
+                     vacuumOld: Boolean = true): (Long, Long) =
+    indexCompactCore(spark, indexPath, pqCodesSchema, "ivfadc", vacuumOld)
+
+  /** The family-agnostic compaction body [[pqIndexCompact]] and
+    * [[sq8IndexCompact]] share — the lifecycle is identical except the
+    * codes schema the rewrite reads with (the r18-verdict seam). The
+    * family guard runs BEFORE any rename touches the index: a typo'd
+    * path must fail here, not mid-swap, and compacting through the
+    * WRONG family's schema would rewrite the payload columns as
+    * nulls — the one corruption the tag exists to prevent. */
+  private def indexCompactCore(spark: SparkSession, indexPath: String,
+                               codesSchema: StructType, family: String,
+                               vacuumOld: Boolean): (Long, Long) = {
+    requireFamily(spark, indexPath, family)
     val conf = spark.sparkContext.hadoopConfiguration
     val path = new org.apache.hadoop.fs.Path(s"$indexPath/codes")
     val old = new org.apache.hadoop.fs.Path(s"$indexPath/codes_old")
@@ -1622,7 +1657,7 @@ object Similarity {
     // relative to raw embeddings (64×), so a single file per list is
     // the right grain until a list itself outgrows a block — at which
     // point maxRecordsPerFile (a conf, not a code change) re-splits
-    spark.read.schema(pqCodesSchema).parquet(s"$indexPath/codes")
+    spark.read.schema(codesSchema).parquet(s"$indexPath/codes")
       .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(tmp.toString)
@@ -1701,8 +1736,7 @@ object Similarity {
     * frame, map-combinable aggregate over ≤ numLists groups —
     * metadata-cheap at any corpus size. */
   def pqIndexStats(spark: SparkSession, indexPath: String): DataFrame = {
-    val idx = pqIndexLoad(spark, indexPath)
-    idx.coded
+    indexCodesSlim(spark, indexPath)
       .select(col("list_id"), input_file_name().as("f"))
       .groupBy("list_id")
       .agg(count(lit(1)).as("n_rows"),
@@ -1722,11 +1756,31 @@ object Similarity {
     * `Versioning.mergeUpsert` on the raw corpus, then rebuild or
     * compact. One map-combinable aggregate on the id key. */
   def pqIndexDupIds(spark: SparkSession, indexPath: String): DataFrame =
-    pqIndexLoad(spark, indexPath).coded
+    indexCodesSlim(spark, indexPath)
       .groupBy("vec_id")
       .agg(count(lit(1)).as("n_rows"))
       .filter(col("n_rows") >= 2)
       .orderBy("vec_id")
+
+  /** The (vec_id, list_id) projection of a persisted index's coded
+    * frame, read DIRECTLY from parquet — what the physical audits
+    * ([[pqIndexStats]], [[pqIndexDupIds]], [[indexCompactionAdvice]])
+    * scan: they never touch codes, so collecting centroids, codebooks
+    * and rotation through a full [[pqIndexLoad]] (and carrying the
+    * unpack projection) was pure overhead (r18 ADVICE). The meta probe
+    * stays — the is-this-an-index diagnostic — and the explicit schema
+    * pins the `list_id` partition column to LongType exactly as the
+    * loader does. FAMILY-AGNOSTIC by construction: both the IVFADC and
+    * the IVF-SQ8 codes layouts carry these two columns, so every
+    * physical audit serves both index families unchanged. */
+  private def indexCodesSlim(spark: SparkSession,
+                             indexPath: String): DataFrame = {
+    pqIndexMeta(spark, indexPath)
+    spark.read.schema(StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("list_id", LongType))))
+      .parquet(s"$indexPath/codes")
+  }
 
   // -- OPQ: optimized product quantization (parametric) --------------------
 
@@ -2135,34 +2189,9 @@ object Similarity {
       .withColumn("cos_adc",
         round(call_function("vec_dot", col("q_emb"), col("xhat")) /
           (col("q_norm") * col("recon_norm")), 6))
-    val width = math.max(K, rerank)
-    val partial = scored
-      .withColumn("part", spark_partition_id())
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("q_id", "part")
-          .orderBy(desc("cos_adc"), asc("vec_id"))))
-      .filter(col("rn") <= width)
-      .drop("rn", "part")
-    val adcTop = partial
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(desc("cos_adc"), asc("vec_id"))))
-      .filter(col("rank") <= width)
-    if (rerank <= 0) {
-      adcTop.filter(col("rank") <= K)
-        .select(col("q_id"), col("rank").cast(LongType).as("rank"),
-          col("vec_id").as("neighbor_id"), col("cos_adc").as("cos"))
-        .orderBy("q_id", "rank")
-    } else {
-      score(adcTop.select("q_id", "q_emb", "q_norm", "vec_id")
-          .join(e.select(col("vec_id"), col("embedding"), col("norm")),
-            "vec_id"))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
-        .filter(col("rank") <= K)
-        .select(col("q_id"), col("rank").cast(LongType).as("rank"),
-          col("vec_id").as("neighbor_id"), col("cos"))
-        .orderBy("q_id", "rank")
-    }
+    topKWithRerank(scored, rerank, cand =>
+      score(cand.join(
+        e.select(col("vec_id"), col("embedding"), col("norm")), "vec_id")))
   }
 
   /** Corpus entry point for [[sq8TopKOf]]. */
@@ -2189,20 +2218,51 @@ object Similarity {
   def ivfSq8TopK(spark: SparkSession, dir: String,
                  rerank: Int = 10 * K,
                  probesOverride: Option[Int] = None): DataFrame = {
+    // fail fast on the cheap argument checks BEFORE the build trains
+    // the quantizer and grid (the ivfPqTopK discipline)
     require(rerank >= 1, s"IVF-SQ8 without rerank is not served ($rerank)")
+    probesOverride.foreach(p =>
+      require(p >= 1, s"probes must be >= 1 (got $p)"))
+    ivfSq8SearchCore(Tables.embeddings(spark, dir), ivfSq8Build(spark, dir),
+      rerank, probesOverride, None, None)
+  }
+
+  /** A built IVF-SQ8 index — the second compression family's serving
+    * artifact (the [[PqIndex]] shape at the SQ8 codes layout): derived
+    * list count, trained coarse centroids, the per-dimension RESIDUAL
+    * quantization grid (lo, step — the family's analogue of the PQ
+    * codebooks, bounded driver-side model coefficients), and the coded
+    * corpus frame (vec_id, list_id, codes, recon_norm — dim bytes +
+    * one double per vector, never embeddings). No rotation seam: the
+    * SQ8 grid is per-dimension by construction and the OPQ
+    * subspace-balancing objective has no analogue here. */
+  case class Sq8Index(dim: Int, numLists: Int,
+                      centroids: Array[Array[Double]],
+                      lo: Array[Double], step: Array[Double],
+                      coded: DataFrame)
+
+  /** The training/encode half of [[ivfSq8TopK]] (the build-once side of
+    * the serving split — [[ivfPqBuild]]'s exact counterpart for the
+    * SQ8 family): derive the √n list count, train the coarse quantizer
+    * on the one bounded lowest-hash sample, train the per-dimension
+    * SQ8 grid on the RESIDUAL sample (residuals concentrate near 0, so
+    * the 256-level grid spans a tighter range than raw vectors’), and
+    * encode the corpus through [[ivfSq8Encode]]. Bit-deterministic end
+    * to end (LCG sample, first-minimum argmins, min/max grid), so two
+    * builds over the same corpus produce identical artifacts — the
+    * property the persisted round-trip specs lean on. */
+  def ivfSq8Build(spark: SparkSession, dir: String): Sq8Index = {
     val base = Tables.embeddings(spark, dir)
     val dim = dimOf(base)
     val e = withNorm(base, dim).localCheckpoint(true)
     val numLists = listsForCount(e.count())
-    val numProbes = probesOverride.getOrElse(probesForLists(numLists))
-    require(numProbes >= 1 && numProbes <= numLists,
-      s"probes $numProbes out of [1, $numLists]")
     val samp = ivfTrainingSample(e,
         math.max(sampleKFor(numLists), pqSampleK(1 << PqBits)))
       .localCheckpoint(eager = true)
     val centroids = kmeansCentroids(samp, numLists, iters = 3)
     val cents = array(centroids.map(c => array(c.map(lit): _*)): _*)
-    def assignCols(df: DataFrame): DataFrame = df
+    // SQ8 bounds on the RESIDUAL sample — the grid the codes live on
+    val sampResid = samp
       .withColumn("cents", cents)
       .withColumn("dists", expr(
         "transform(cents, c -> vec_dot(c, c) - 2.0D * vec_dot(c, embedding))"))
@@ -2210,20 +2270,40 @@ object Similarity {
         expr("array_position(dists, array_min(dists))").cast(LongType))
       .withColumn("cvec",
         element_at(col("cents"), col("list_id").cast(IntegerType)))
-    // SQ8 bounds on the RESIDUAL sample — the grid the codes live on
-    val sampResid = assignCols(samp)
       .select(col("vec_id"),
         zip_with(col("embedding"), col("cvec"), (a, b) => a - b)
           .cast(ArrayType(DoubleType)).as("embedding"))
     val (lo, step) = sq8Bounds(sampResid, dim)
-    // corpus encode in ONE pass (list_id rides through sq8Encode's
-    // `extra` seam — no second assignment, no join back): residual
-    // codes, then the FULL reconstruction x̂ = c_list + decode(codes)
-    // and its exact norm, decoded once per row (pre-join Project — see
-    // sq8TopKOf). The residual-norm column sq8Encode emits is dropped
-    // unreferenced, so column pruning removes its fold entirely.
-    val coded = sq8Encode(
-        assignCols(e).select(col("vec_id"), col("list_id"),
+    Sq8Index(dim, numLists, centroids, lo, step,
+      ivfSq8Encode(e, centroids, lo, step, dim))
+  }
+
+  /** Encode a (vec_id, embedding, …) frame against FROZEN SQ8 index
+    * artifacts — nearest-centroid assignment, per-dimension residual
+    * byte codes, EXACT reconstruction norm (‖c_list + decode(codes)‖,
+    * fixed-order vec_dot). Per-row deterministic given the artifacts:
+    * a vector encodes to the same coded row whether it was present at
+    * build time or handed in later — what makes [[sq8IndexAppend]]
+    * exact rather than approximate (the [[ivfPqEncode]] contract).
+    * The corpus is touched in ONE pass: list_id rides through
+    * [[sq8Encode]]’s `extra` seam (no second assignment, no join
+    * back), and the residual-norm column sq8Encode emits is dropped
+    * unreferenced, so column pruning removes its fold entirely. */
+  private[graft] def ivfSq8Encode(e: DataFrame,
+                                  centroids: Array[Array[Double]],
+                                  lo: Array[Double], step: Array[Double],
+                                  dim: Int): DataFrame = {
+    val cents = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    val assigned = e
+      .withColumn("cents", cents)
+      .withColumn("dists", expr(
+        "transform(cents, c -> vec_dot(c, c) - 2.0D * vec_dot(c, embedding))"))
+      .withColumn("list_id",
+        expr("array_position(dists, array_min(dists))").cast(LongType))
+      .withColumn("cvec",
+        element_at(col("cents"), col("list_id").cast(IntegerType)))
+    sq8Encode(
+        assigned.select(col("vec_id"), col("list_id"),
           zip_with(col("embedding"), col("cvec"), (a, b) => a - b)
             .cast(ArrayType(DoubleType)).as("embedding")),
         lo, step, dim, extra = Seq("list_id"))
@@ -2234,8 +2314,40 @@ object Similarity {
           sq8Decode(col("codes"), lo, step), (a, b) => a + b))
       .withColumn("recon_norm",
         sqrt(call_function("vec_dot", col("xhat"), col("xhat"))))
-    // query side: probe the nearest lists (same algebra as ivfTopK)
-    val probed = queries(base, dim)
+      .select(col("vec_id"), col("list_id"), col("codes"),
+        col("recon_norm"))
+  }
+
+  /** The probed-search half of [[ivfSq8TopK]] (the search-many side —
+    * [[ivfPqSearchCore]]’s counterpart at the SQ8 codes layout): per
+    * query probe the nearest lists, reconstruct x̂ = c_list +
+    * decode(codes) ONCE per surviving coded row (hoisted BEFORE the
+    * query join — see [[sq8TopKOf]]; SQ8’s ADC is decode-and-dot, no
+    * LUT), two-stage top-width + bounded exact rerank through the
+    * shared [[topKWithRerank]]. The probed list ids are pushed as a
+    * STATIC `list_id IN (...)` filter under the join: semantically
+    * redundant with the equi-join, but on a persisted index
+    * partitioned by list_id it becomes a PartitionFilter at the scan
+    * (spec-pinned) — the coarse quantizer’s pruning turned into
+    * file-level I/O pruning, identical to the IVFADC serving path.
+    * Works identically over an in-memory [[ivfSq8Build]] result and a
+    * [[sq8IndexLoad]]-ed parquet index — the spec asserts the two are
+    * row-for-row equal. */
+  private def ivfSq8SearchCore(baseRaw: DataFrame, index: Sq8Index,
+                               rerank: Int,
+                               probesOverride: Option[Int],
+                               allowed: Option[DataFrame],
+                               queryVecs: Option[DataFrame]): DataFrame = {
+    require(rerank >= 1, s"IVF-SQ8 without rerank is not served ($rerank)")
+    val numLists = index.numLists
+    val numProbes = probesOverride.getOrElse(probesForLists(numLists))
+    require(numProbes >= 1 && numProbes <= numLists,
+      s"probes $numProbes out of [1, $numLists]")
+    val dim = index.dim
+    val cents = array(index.centroids.map(c => array(c.map(lit): _*)): _*)
+    val qs = queryVecs.map(prepQueries(_, dim))
+      .getOrElse(queries(baseRaw, dim))
+    val probed = qs
       .withColumn("cents", cents)
       .withColumn("dists", expr(
         "transform(cents, c -> vec_dot(c, c) - 2.0D * vec_dot(c, q_emb))"))
@@ -2245,31 +2357,222 @@ object Similarity {
           .stripMargin)))
       .select(col("q_id"), col("q_emb"), col("q_norm"),
         col("probe.i").cast(LongType).as("list_id"))
-    val scored = coded
-      .join(broadcast(probed), Seq("list_id"))
+    // bounded probe frame materialized ONCE: the static IN-list collect
+    // and the broadcast join side both read the checkpoint (the
+    // ivfPqSearchCore discipline)
+    val probedCk = probed.localCheckpoint(eager = true)
+    val probedIds = probedCk.select("list_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    // predicate pre-filter (see ivfPqSearchWhere): semi-join BEFORE
+    // ranking; planner-chosen strategy
+    val codedAll = allowed.fold(index.coded)(a =>
+      index.coded.join(a.select("vec_id"), Seq("vec_id"), "left_semi"))
+    val scored = codedAll
+      .filter(col("list_id").isin(probedIds: _*))
+      .withColumn("xhat",
+        zip_with(
+          element_at(cents, col("list_id").cast(IntegerType)),
+          sq8Decode(col("codes"), index.lo, index.step), (a, b) => a + b))
+      .join(broadcast(probedCk), Seq("list_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos_adc",
         round(call_function("vec_dot", col("q_emb"), col("xhat")) /
           (col("q_norm") * col("recon_norm")), 6))
-    val width = math.max(K, rerank)
-    val adcTop = scored
-      .withColumn("part", spark_partition_id())
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("q_id", "part")
-          .orderBy(desc("cos_adc"), asc("vec_id"))))
-      .filter(col("rn") <= width)
-      .drop("rn", "part")
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(desc("cos_adc"), asc("vec_id"))))
-      .filter(col("rank") <= width)
-    score(adcTop.select("q_id", "q_emb", "q_norm", "vec_id")
-        .join(e.select(col("vec_id"), col("embedding"), col("norm")),
-          "vec_id"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))))
-      .filter(col("rank") <= K)
-      .select(col("q_id"), col("rank").cast(LongType).as("rank"),
-        col("vec_id").as("neighbor_id"), col("cos"))
-      .orderBy("q_id", "rank")
+    // exact rerank: join the bounded candidate set to the RAW corpus,
+    // norm only the queries·width surviving rows
+    topKWithRerank(scored, rerank, cand =>
+      score(withNorm(
+        cand.join(baseRaw.select(col("vec_id"), col("embedding")),
+          "vec_id"), dim)))
   }
+
+  /** [[ivfSq8TopK]] for an EXTERNAL query batch over any corpus frame —
+    * the `*Of` serving/audit seam ([[ivfPqSearchForOf]]’s SQ8
+    * counterpart): [[sq8IndexRecallAudit]] hands in “build corpus ∪
+    * appended batches” here. `allowed` composes the metadata
+    * pre-filter with the external batch. */
+  def ivfSq8SearchForOf(base: DataFrame, index: Sq8Index,
+                        queryVecs: DataFrame,
+                        rerank: Int = 10 * K,
+                        probesOverride: Option[Int] = None,
+                        allowed: Option[DataFrame] = None): DataFrame =
+    ivfSq8SearchCore(base, index, rerank, probesOverride, allowed,
+      Some(queryVecs))
+
+  // -- persisted IVF-SQ8 index (the second family’s serving split) -------
+
+  /** The ONE schema of the persisted SQ8 `codes/` frame — the only
+    * family-specific piece of the persisted-index lifecycle (the
+    * r18-verdict seam: build/load/search/append/compact are
+    * family-agnostic EXCEPT the codes layout): per-dimension residual
+    * bytes instead of packed PQ nibbles; same explicit LongType pin on
+    * the `list_id` partition column against directory-name type
+    * inference. Shared by the loader and the compactor so they can
+    * never diverge. */
+  private val sq8CodesSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("codes", ArrayType(ByteType)),
+    StructField("recon_norm", DoubleType),
+    StructField("list_id", LongType)))
+
+  /** [[pqIndexBuild]] for the SQ8 family: build the IVF-SQ8 index for
+    * the corpus at `dir` and PERSIST it under `indexPath` — closing
+    * the r18 gap where the family at the coarse probe ceiling at
+    * rerank 40 (where IVFADC needs 100 — docs/SCALE.md addendum 5)
+    * retrained on every call. Layout mirrors the IVFADC index:
+    *
+    *  - `meta/`       one row (dim, num_lists, family='ivf_sq8');
+    *  - `centroids/`  (list_id, centroid) — numLists rows;
+    *  - `bounds/`     (pos, lo, step) — the per-dimension grid, the
+    *                  family’s analogue of `codebooks/`;
+    *  - `codes/`      the coded corpus, written partitionBy(list_id)
+    *                  so a probed search prunes at the FILE level
+    *                  (spec-pinned PartitionFilters).
+    *
+    * Everything stored is either bounded (centroids/bounds/meta — the
+    * model-coefficient family) or exact (tinyint codes, parquet
+    * doubles), so the loaded index reproduces the in-memory search
+    * BIT-FOR-BIT. Returns the in-memory index it persisted. */
+  def sq8IndexBuild(spark: SparkSession, dir: String,
+                    indexPath: String): Sq8Index = {
+    import spark.implicits._
+    val idx = ivfSq8Build(spark, dir)
+    Seq((idx.dim, idx.numLists, "ivf_sq8"))
+      .toDF("dim", "num_lists", "family")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
+    idx.centroids.zipWithIndex
+      .map { case (c, i) => ((i + 1).toLong, c.toSeq) }.toSeq
+      .toDF("list_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
+    (0 until idx.dim).map(d => (d, idx.lo(d), idx.step(d)))
+      .toDF("pos", "lo", "step")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/bounds")
+    idx.coded
+      .select(col("vec_id"), col("codes"), col("recon_norm"),
+        col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$indexPath/codes")
+    idx
+  }
+
+  /** Load a [[sq8IndexBuild]]-written index (see [[pqIndexLoad]] — the
+    * bounded artifacts collect in canonical order, the coded frame
+    * stays distributed; the [[requireFamily]] guard rejects an IVFADC
+    * index whose payload columns this schema would read as nulls). */
+  def sq8IndexLoad(spark: SparkSession, indexPath: String): Sq8Index = {
+    val meta = requireFamily(spark, indexPath, "ivf_sq8")
+    val dim = meta.getAs[Int]("dim")
+    val numLists = meta.getAs[Int]("num_lists")
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy("list_id").select("centroid")
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(centroids.length == numLists,
+      s"graft: index at $indexPath has ${centroids.length} centroids, " +
+        s"meta says $numLists")
+    val bRows = spark.read.parquet(s"$indexPath/bounds").collect()
+    require(bRows.length == dim &&
+        bRows.map(_.getAs[Int]("pos")).toSet == (0 until dim).toSet,
+      s"graft: index at $indexPath has malformed bounds " +
+        s"(${bRows.length} rows for dim $dim)")
+    val lo = new Array[Double](dim)
+    val step = new Array[Double](dim)
+    bRows.foreach { r =>
+      val d = r.getAs[Int]("pos")
+      lo(d) = r.getAs[Double]("lo")
+      step(d) = r.getAs[Double]("step")
+    }
+    val coded = spark.read.schema(sq8CodesSchema)
+      .parquet(s"$indexPath/codes")
+      .select(col("vec_id"), col("list_id"), col("codes"),
+        col("recon_norm"))
+    Sq8Index(dim, numLists, centroids, lo, step, coded)
+  }
+
+  /** The probed search over an in-memory [[Sq8Index]] — the
+    * [[ivfPqSearch]] shape for the SQ8 family ([[sq8IndexSearch]] is
+    * this over a loaded index; the append spec derives its
+    * union-from-the-start reference through it). */
+  def ivfSq8Search(spark: SparkSession, dir: String, index: Sq8Index,
+                   rerank: Int = 10 * K,
+                   probesOverride: Option[Int] = None): DataFrame =
+    ivfSq8SearchCore(Tables.embeddings(spark, dir), index, rerank,
+      probesOverride, None, None)
+
+  /** Search a persisted SQ8 index: [[sq8IndexLoad]] + the shared
+    * search core — no training, no corpus encode; spec-asserted
+    * row-for-row equal to the in-memory [[ivfSq8TopK]] at the same
+    * parameters (including a non-default probe knob). */
+  def sq8IndexSearch(spark: SparkSession, dir: String, indexPath: String,
+                     rerank: Int = 10 * K,
+                     probesOverride: Option[Int] = None): DataFrame =
+    ivfSq8Search(spark, dir, sq8IndexLoad(spark, indexPath),
+      rerank, probesOverride)
+
+  /** Filtered search over a persisted SQ8 index — the
+    * [[pqIndexSearchWhere]] shape: PRE-filter semantics, the probe
+    * PartitionFilter composing with the predicate semi-join. */
+  def sq8IndexSearchWhere(spark: SparkSession, dir: String,
+                          indexPath: String, allowed: DataFrame,
+                          rerank: Int = 10 * K,
+                          probesOverride: Option[Int] = None): DataFrame =
+    ivfSq8SearchCore(Tables.embeddings(spark, dir),
+      sq8IndexLoad(spark, indexPath), rerank, probesOverride,
+      Some(allowed), None)
+
+  /** [[pqIndexSearchFor]] for the SQ8 family — stored artifacts,
+    * externally supplied query batch, optional metadata pre-filter:
+    * the full serving loop without retraining. */
+  def sq8IndexSearchFor(spark: SparkSession, dir: String,
+                        indexPath: String, queryVecs: DataFrame,
+                        rerank: Int = 10 * K,
+                        probesOverride: Option[Int] = None,
+                        allowed: Option[DataFrame] = None): DataFrame =
+    ivfSq8SearchCore(Tables.embeddings(spark, dir),
+      sq8IndexLoad(spark, indexPath), rerank, probesOverride,
+      allowed, Some(queryVecs))
+
+  /** Append a batch of NEW vectors to a persisted SQ8 index WITHOUT
+    * retraining — [[pqIndexAppend]]’s contract verbatim at this codes
+    * layout: artifacts stay FROZEN (centroids, grid), the delta is
+    * assigned + residual-encoded by the same [[ivfSq8Encode]] the
+    * build ran (per-row deterministic, so an appended vector carries
+    * the IDENTICAL coded row it would have carried at build time —
+    * spec-asserted), and the rows land in the same
+    * partitionBy(list_id) layout as a parquet append. Same caller
+    * contract: vec_ids are new ([[pqIndexDupIds]] audits it — the
+    * physical audits are family-agnostic), appends SERIALIZED against
+    * [[sq8IndexCompact]], drift watched by [[sq8IndexRecallAudit]]. */
+  def sq8IndexAppend(spark: SparkSession, newVecs: DataFrame,
+                     indexPath: String): Unit = {
+    val idx = sq8IndexLoad(spark, indexPath)
+    ivfSq8Encode(withNorm(newVecs, idx.dim), idx.centroids, idx.lo,
+        idx.step, idx.dim)
+      .select(col("vec_id"), col("codes"), col("recon_norm"),
+        col("list_id"))
+      .write.mode("append").partitionBy("list_id")
+      .parquet(s"$indexPath/codes")
+  }
+
+  /** [[pqIndexCompact]] for the SQ8 family — the same staged-rename
+    * swap, crash recovery, single-writer contract and deferred-vacuum
+    * mode (see that scaladoc), reading through [[sq8CodesSchema]]:
+    * the one family-specific piece. Returns (files before, after). */
+  def sq8IndexCompact(spark: SparkSession, indexPath: String,
+                      vacuumOld: Boolean = true): (Long, Long) =
+    indexCompactCore(spark, indexPath, sq8CodesSchema, "ivf_sq8",
+      vacuumOld)
+
+  /** [[pqIndexRecallAudit]] for the SQ8 family — the same drift
+    * watchdog economics (frozen grid vs current corpus, ground truth
+    * from one bounded brute-force pass), measured against the stored
+    * SQ8 artifacts. Same reading: mean recall flat vs the build-time
+    * audit → keep appending; down → rebuild and cut over. */
+  def sq8IndexRecallAudit(spark: SparkSession, base: DataFrame,
+                          indexPath: String, queryVecs: DataFrame,
+                          rerank: Int = 10 * K,
+                          probesOverride: Option[Int] = None): DataFrame =
+    recallOf(
+      bruteForceTopKFor(base, queryVecs),
+      ivfSq8SearchForOf(base, sq8IndexLoad(spark, indexPath), queryVecs,
+        rerank, probesOverride))
 }

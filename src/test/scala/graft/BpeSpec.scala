@@ -650,7 +650,14 @@ class BpeSpec extends AnyFunSuite {
         Seq("it", "'s", " can", "'t", " O", "'", "Brien"),
       "don't stop—now!" ->
         Seq("don", "'t", " stop", "—", "now", "!"),
-      "x2y héllo" -> Seq("x", "2", "y", " héllo"))
+      "x2y héllo" -> Seq("x", "2", "y", " héllo"),
+      // Unicode-aware \s (the (?U) flag, r18 ADVICE): a non-breaking
+      // space is WHITESPACE, so it stands alone instead of gluing into
+      // the punctuation-run alternative — without (?U) the first case
+      // reads as ONE token "!<nbsp>!" and a persisted 'gpt2' vocab
+      // silently diverges from upstream on Unicode-space text
+      "!\u00A0!" -> Seq("!", "\u00A0", "!"),
+      "a\u00A0b" -> Seq("a", "\u00A0", "b"))
     cases.foreach { case (text, want) =>
       assert(Bpe.Gpt2PreTok.splitText(text) === want,
         s"driver replica diverged on <$text>")
@@ -722,6 +729,34 @@ class BpeSpec extends AnyFunSuite {
       .agg(sum("freq").as("freq")).withColumn("syms", Bpe.symsCol)
     val sat = Bpe.trainOnWords(tinyWords, rounds = 50)
     assert(sat.size === 1, s"'ab' saturates after ONE merge, got $sat")
+  }
+
+  test("trainVocabToSize at BYTE grain: the alphabet is the FIXED " +
+      "256-byte universe (the GPT-2 50257 = 256 + 50000 convention), " +
+      "not the corpus-measured coverage — so the realized vocabulary " +
+      "can never exceed the target when unseen bytes appear at encode " +
+      "time (r18 ADVICE)") {
+    // the sf corpus covers far fewer than 256 distinct bytes, so a
+    // corpus-measured alphabet would earn EXTRA merges here — the
+    // failure mode the fixed universe exists to prevent
+    val covered = Bpe.wordTableBytes(spark, sf)
+      .select(explode(col("syms")).as("s")).distinct().count()
+    assert(covered < 256, "corpus covers all 256 bytes — probe is moot")
+    // rounds = target − 256 exactly: equal to trainVocab at that count
+    val sized = Bpe.trainVocabToSize(spark, sf, 259, grain = Bpe.ByteGrain)
+    assert(sized === Bpe.trainVocab(spark, sf, rounds = 3,
+      grain = Bpe.ByteGrain))
+    assert(sized.merges.size === 3,
+      "corpus saturated below 3 merges — pick a smaller probe")
+    // coverage + merges stays under the target by construction
+    assert(covered + sized.merges.size <= 259)
+    // a target inside the FIXED universe fails loud even though the
+    // corpus-measured coverage sits below it
+    val e = intercept[IllegalArgumentException] {
+      Bpe.trainVocabToSize(spark, sf, covered.toInt + 1,
+        grain = Bpe.ByteGrain)
+    }
+    assert(e.getMessage.contains("256"))
   }
 
   test("GPT-2 + byte vocabulary END-TO-END: the typed consumers replay " +

@@ -1026,4 +1026,204 @@ class PqSpec extends AnyFunSuite {
       assert(rows() === before)
     }
   }
+
+  // -- persisted IVF-SQ8 index (r19: the second family's serving split) --
+
+  test("persisted SQ8 index loads back bitwise: centroids, the " +
+      "per-dimension grid, and the coded frame survive the parquet " +
+      "round-trip") {
+    withIndexDir { dir =>
+      val built = Similarity.sq8IndexBuild(spark, sf, dir)
+      val loaded = Similarity.sq8IndexLoad(spark, dir)
+      assert(loaded.dim === built.dim)
+      assert(loaded.numLists === built.numLists)
+      for (l <- built.centroids.indices)
+        assert(loaded.centroids(l).toSeq === built.centroids(l).toSeq,
+          s"centroid $l diverged")
+      // the grid IS the family's codebook analogue: parquet doubles
+      // are lossless, so BITWISE
+      assert(loaded.lo.toSeq === built.lo.toSeq)
+      assert(loaded.step.toSeq === built.step.toSeq)
+      // coded frame: tinyint codes and the stored recon_norm double —
+      // content equality keyed by vec_id
+      def content(idx: Similarity.Sq8Index) = idx.coded.collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getSeq[Byte](2).toVector, r.getDouble(3))))
+        .toMap
+      assert(content(loaded) === content(built))
+    }
+  }
+
+  test("SQ8 search-from-disk ≡ in-memory ivfSq8TopK row-for-row at " +
+      "the derived laws (and at a non-default probe count) — the " +
+      "family retrained per call before r19") {
+    withIndexDir { dir =>
+      Similarity.sq8IndexBuild(spark, sf, dir)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+      assert(rows(Similarity.sq8IndexSearch(spark, sf, dir)) ===
+        rows(Similarity.ivfSq8TopK(spark, sf)))
+      // search-many over the SAME stored artifacts at another knob
+      assert(rows(Similarity.sq8IndexSearch(spark, sf, dir,
+          probesOverride = Some(2))) ===
+        rows(Similarity.ivfSq8TopK(spark, sf, probesOverride = Some(2))))
+    }
+  }
+
+  test("persisted SQ8 index: all lists + corpus-wide rerank ≡ brute " +
+      "force row-for-row, and the exact-knob recall audit reads 1.0 " +
+      "per query from the stored artifacts") {
+    withIndexDir { dir =>
+      val built = Similarity.sq8IndexBuild(spark, sf, dir)
+      val n = Tables.embeddings(spark, sf).count()
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+      assert(rows(Similarity.sq8IndexSearch(spark, sf, dir,
+          rerank = n.toInt, probesOverride = Some(built.numLists))) ===
+        rows(Similarity.bruteForceTopK(spark, sf)))
+      // the drift watchdog from disk at the exactness knobs: the
+      // per-query recall of a search that equals brute force is 1.0
+      // EXACTLY — the planted-identity gate of the audit surface
+      val qs = base.join(broadcast(Similarity.annQueryIds(base)),
+        "vec_id")
+      val audit = Similarity.sq8IndexRecallAudit(spark, base, dir, qs,
+          rerank = n.toInt, probesOverride = Some(built.numLists))
+        .collect()
+      assert(audit.length === Similarity.QueryK)
+      assert(audit.forall(_.getAs[Double]("recall") === 1.0),
+        "exact-knob audit must read 1.0 recall per query")
+    }
+  }
+
+  test("persisted SQ8 search plan: the codes scan carries a list_id " +
+      "PartitionFilter (file-level probe pruning) and stays " +
+      "cartesian-free") {
+    import org.apache.spark.sql.execution.FormattedMode
+    withIndexDir { dir =>
+      Similarity.sq8IndexBuild(spark, sf, dir)
+      val p = Similarity.sq8IndexSearch(spark, sf, dir)
+        .queryExecution.explainString(FormattedMode)
+      val cnt = (op: String) =>
+        p.linesIterator.count(_.matches(s"""\\(\\d+\\) $op.*"""))
+      assert(cnt("CartesianProduct") === 0, p.take(1500))
+      assert(cnt("BroadcastHashJoin") >= 1, p.take(1500))
+      val partFilter = p.linesIterator.find(l =>
+        l.contains("PartitionFilters:") && l.contains("list_id#"))
+      assert(partFilter.nonEmpty,
+        "codes scan has no list_id PartitionFilter:\n" + p.take(2000))
+      assert(partFilter.get.contains("INSET") ||
+        partFilter.get.contains(" IN ("),
+        s"PartitionFilters line carries no IN-set: ${partFilter.get}")
+    }
+  }
+
+  test("sq8IndexAppend: subset build + appended complement searches " +
+      "row-for-row like an index whose coded frame held the union " +
+      "from the start") {
+    withIndexDir { idxDir =>
+      withIndexDir { tmpSf =>
+        val full = Tables.embeddings(spark, sf)
+        full.filter(col("vec_id") % 3 =!= 0)
+          .write.mode("overwrite").parquet(s"$tmpSf/embeddings.parquet")
+        val built = Similarity.sq8IndexBuild(spark, tmpSf, idxDir)
+        Similarity.sq8IndexAppend(spark,
+          full.filter(col("vec_id") % 3 === 0)
+            .select("vec_id", "embedding"), idxDir)
+        // reference: the SAME frozen artifacts over an in-memory coded
+        // frame that held the union from the start
+        val ref = Similarity.ivfSq8Search(spark, sf, built.copy(
+          coded = Similarity.ivfSq8Encode(
+            Similarity.withNorm(full, built.dim),
+            built.centroids, built.lo, built.step, built.dim)))
+        def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r =>
+            (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .toSeq
+        assert(rows(Similarity.sq8IndexSearch(spark, sf, idxDir)) ===
+          rows(ref))
+      }
+    }
+  }
+
+  test("sq8IndexCompact: appends multiply files, compaction bin-packs " +
+      "them back — content and search bit-identical across the swap; " +
+      "the family-agnostic physical audits serve this index unchanged") {
+    withIndexDir { idxDir =>
+      withIndexDir { tmpSf =>
+        val full = Tables.embeddings(spark, sf)
+        full.filter(col("vec_id") % 3 =!= 0)
+          .write.mode("overwrite").parquet(s"$tmpSf/embeddings.parquet")
+        Similarity.sq8IndexBuild(spark, tmpSf, idxDir)
+        Similarity.sq8IndexAppend(spark,
+          full.filter(col("vec_id") % 3 === 0 && col("vec_id") % 2 === 0)
+            .select("vec_id", "embedding"), idxDir)
+        Similarity.sq8IndexAppend(spark,
+          full.filter(col("vec_id") % 3 === 0 && col("vec_id") % 2 =!= 0)
+            .select("vec_id", "embedding"), idxDir)
+        def content() = Similarity.sq8IndexLoad(spark, idxDir).coded
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            r.getSeq[Byte](2).toVector, r.getDouble(3)))
+          .sortBy(_._1).toSeq
+        def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r =>
+            (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .toSeq
+        val rowsBefore = content()
+        val searchBefore = rows(Similarity.sq8IndexSearch(spark, sf, idxDir))
+        // the physical audits (pq-prefixed, family-agnostic slim read)
+        // see the appended files and a duplicate-free id set
+        val statsBefore = Similarity.pqIndexStats(spark, idxDir).collect()
+        assert(statsBefore.map(_.getAs[Long]("n_rows")).sum ===
+          rowsBefore.length)
+        assert(statsBefore.exists(_.getAs[Long]("n_files") >= 2),
+          "two appends must leave a multi-file list somewhere")
+        assert(Similarity.pqIndexDupIds(spark, idxDir).collect().isEmpty)
+        val (nb, na) = Similarity.sq8IndexCompact(spark, idxDir)
+        assert(na < nb, s"compaction did not reduce files: $nb -> $na")
+        assert(content() === rowsBefore,
+          "compaction changed the coded row multiset")
+        assert(rows(Similarity.sq8IndexSearch(spark, sf, idxDir)) ===
+          searchBefore, "compaction changed a search result")
+        val statsAfter = Similarity.pqIndexStats(spark, idxDir).collect()
+        assert(statsAfter.forall(_.getAs[Long]("n_files") === 1L),
+          "compaction must bin-pack to one file per list")
+      }
+    }
+  }
+
+  test("cross-family guard: loading, compacting or searching an index " +
+      "through the WRONG family fails loud with both names — the " +
+      "wrong codes schema would otherwise read payloads as nulls " +
+      "(and a compactor would rewrite them)") {
+    withIndexDir { pqDir =>
+      withIndexDir { sqDir =>
+        Similarity.pqIndexBuild(spark, sf, pqDir)
+        Similarity.sq8IndexBuild(spark, sf, sqDir)
+        val e1 = intercept[IllegalArgumentException] {
+          Similarity.sq8IndexLoad(spark, pqDir)
+        }
+        assert(e1.getMessage.contains("ivfadc") &&
+          e1.getMessage.contains("ivf_sq8"))
+        val e2 = intercept[IllegalArgumentException] {
+          Similarity.pqIndexLoad(spark, sqDir)
+        }
+        assert(e2.getMessage.contains("ivf_sq8") &&
+          e2.getMessage.contains("ivfadc"))
+        val e3 = intercept[IllegalArgumentException] {
+          Similarity.pqIndexCompact(spark, sqDir)
+        }
+        assert(e3.getMessage.contains("family"))
+        val e4 = intercept[IllegalArgumentException] {
+          Similarity.sq8IndexCompact(spark, pqDir)
+        }
+        assert(e4.getMessage.contains("family"))
+        // and the RIGHT family still loads after the failed probes
+        assert(Similarity.sq8IndexLoad(spark, sqDir).numLists >= 1)
+        assert(Similarity.pqIndexLoad(spark, pqDir).numLists >= 1)
+      }
+    }
+  }
 }
