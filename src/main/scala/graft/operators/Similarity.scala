@@ -2575,4 +2575,134 @@ object Similarity {
       bruteForceTopKFor(base, queryVecs),
       ivfSq8SearchForOf(base, sq8IndexLoad(spark, indexPath), queryVecs,
         rerank, probesOverride))
+
+  // -- retrain & compaction decision records (r19: the composition) -------
+
+  /** Run the drift watchdog and APPEND its summary to a persisted
+    * audit LOG under the index — the history the retrain decision
+    * reads. r18 built the gauge ([[pqIndexRecallAudit]]) but left it
+    * ephemeral: a deployment schedules the audit per append window,
+    * and one reading cannot say "degraded versus what?" — the
+    * decision needs the build-time baseline and the trend, which is
+    * exactly what this log accumulates. Contract (what makes
+    * [[indexRebuildAdvice]]'s baseline meaningful): log ONCE right
+    * after [[pqIndexBuild]] with build-distribution traffic — that
+    * reading becomes audit_seq 1, the baseline — then once per append
+    * window with that window's traffic, at the SAME knobs every time
+    * (the three-readings-identical-knobs discipline the r18 drift
+    * spec pins; knob changes move the gauge without any drift).
+    *
+    * One summary row per call — (audit_seq, n_queries, mean_recall,
+    * min_recall) — appended under `indexPath/audit_log` so the
+    * history travels WITH the artifact it judges. The summary
+    * divisions run on driver-collected rows in q_id order (per-query
+    * recalls are exact multiples of 1/k), one IEEE division each,
+    * rounded at 6 dp — deterministic at any parallelism. Bounded
+    * end-to-end: queries-sized input, 1-row output, the
+    * model-metadata family. Returns the appended row. */
+  def pqIndexAuditLog(spark: SparkSession, base: DataFrame,
+                      indexPath: String, queryVecs: DataFrame,
+                      rerank: Int = 10 * K,
+                      probesOverride: Option[Int] = None): DataFrame =
+    auditLogAppend(spark, indexPath,
+      pqIndexRecallAudit(spark, base, indexPath, queryVecs, rerank,
+        probesOverride))
+
+  /** [[pqIndexAuditLog]] for the SQ8 family — same log shape, same
+    * baseline contract, gauged by [[sq8IndexRecallAudit]]. */
+  def sq8IndexAuditLog(spark: SparkSession, base: DataFrame,
+                       indexPath: String, queryVecs: DataFrame,
+                       rerank: Int = 10 * K,
+                       probesOverride: Option[Int] = None): DataFrame =
+    auditLogAppend(spark, indexPath,
+      sq8IndexRecallAudit(spark, base, indexPath, queryVecs, rerank,
+        probesOverride))
+
+  private def auditLogAppend(spark: SparkSession, indexPath: String,
+                             audit: DataFrame): DataFrame = {
+    import spark.implicits._
+    val logPath = s"$indexPath/audit_log"
+    val rows = audit.select("q_id", "recall").orderBy("q_id").collect()
+    require(rows.nonEmpty, "graft: audit produced no query rows")
+    val recalls = rows.map(_.getDouble(1))
+    val mean = math.round(recalls.sum / recalls.length * 1e6) / 1e6
+    val p = new org.apache.hadoop.fs.Path(logPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prevSeq =
+      if (fs.exists(p))
+        spark.read.parquet(logPath)
+          .agg(max(col("audit_seq"))).collect()(0).getLong(0)
+      else 0L
+    val row = Seq((prevSeq + 1, recalls.length.toLong, mean, recalls.min))
+      .toDF("audit_seq", "n_queries", "mean_recall", "min_recall")
+    row.coalesce(1).write.mode("append").parquet(logPath)
+    row
+  }
+
+  /** The retrain DECISION record — the unbuilt piece the r18 verdict
+    * named: read the audit log (family-agnostic — only the log, never
+    * the codes), compare the LATEST reading against the BASELINE
+    * (audit_seq 1, the build-time reading the log contract pins), and
+    * emit ONE explicit advice row: (n_audits, baseline_seq,
+    * baseline_recall, latest_seq, latest_recall, recall_drop,
+    * drop_tolerance, rebuild) with rebuild = drop > tolerance.
+    *
+    * The default tolerance (0.10 recall) sits where the priced
+    * economics put it (docs/SCALE.md: the audit costs 0.14–0.25× the
+    * rebuild it decides, the ratio IMPROVING with corpus): the
+    * undrifted control moves the gauge by ≤ a few hundredths (audit
+    * noise — advising a rebuild there would burn the ~7× saving the
+    * audit-per-window loop buys), while the planted mean-shift drift
+    * moves it ~0.35 — an order of margin on either side. A fresh log
+    * (baseline only) reads drop 0 → keep serving. Fails loud when no
+    * log exists: advice without a baseline is a guess. */
+  def indexRebuildAdvice(spark: SparkSession, indexPath: String,
+                         dropTolerance: Double = 0.10): DataFrame = {
+    import spark.implicits._
+    val logPath = s"$indexPath/audit_log"
+    val p = new org.apache.hadoop.fs.Path(logPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"graft: no audit log at $indexPath — log a build-time baseline " +
+        "with pqIndexAuditLog/sq8IndexAuditLog first")
+    val log = spark.read.parquet(logPath).orderBy("audit_seq").collect()
+    require(log.nonEmpty, s"graft: audit log at $indexPath is empty")
+    val baseline = log.head
+    val latest = log.last
+    val drop = baseline.getAs[Double]("mean_recall") -
+      latest.getAs[Double]("mean_recall")
+    Seq((log.length.toLong, baseline.getAs[Long]("audit_seq"),
+        baseline.getAs[Double]("mean_recall"),
+        latest.getAs[Long]("audit_seq"),
+        latest.getAs[Double]("mean_recall"),
+        math.round(drop * 1e6) / 1e6, dropTolerance,
+        drop > dropTolerance))
+      .toDF("n_audits", "baseline_seq", "baseline_recall", "latest_seq",
+        "latest_recall", "recall_drop", "drop_tolerance", "rebuild")
+  }
+
+  /** The compaction DECISION record — closes the observability→action
+    * gap on [[pqIndexStats]] (r18 verdict #5: per-list n_files is
+    * "the compaction trigger" but nothing consumed it): one row over
+    * the family-agnostic slim scan — (n_lists, n_rows, n_files,
+    * max_files_per_list, files_per_list_threshold, compact) with
+    * compact = max_files_per_list > threshold. The default threshold
+    * (4 files/list) prices the trade: a probed scan schedules one
+    * task per FILE, so an append-per-window deployment is paying ~5×
+    * the probe task count by window four, while compaction rewrites
+    * the WHOLE coded frame — advising it every window would pay the
+    * full rewrite for a one-file saving. Composes with
+    * [[indexRebuildAdvice]] as the maintenance-decision pair a
+    * scheduler reads after each append window. */
+  def indexCompactionAdvice(spark: SparkSession, indexPath: String,
+                            maxFilesPerList: Int = 4): DataFrame =
+    pqIndexStats(spark, indexPath)
+      .agg(count(lit(1)).as("n_lists"),
+        sum(col("n_rows")).as("n_rows"),
+        sum(col("n_files")).as("n_files"),
+        max(col("n_files")).as("max_files_per_list"))
+      .select(col("n_lists"), col("n_rows"), col("n_files"),
+        col("max_files_per_list"),
+        lit(maxFilesPerList.toLong).as("files_per_list_threshold"),
+        (col("max_files_per_list") > maxFilesPerList).as("compact"))
 }

@@ -1226,4 +1226,134 @@ class PqSpec extends AnyFunSuite {
       }
     }
   }
+
+  // -- retrain & compaction decision records (r19) -----------------------
+
+  test("retrain decision: a planted drift SEQUENCE (baseline, " +
+      "undrifted window, drifted window) flips the rebuild advice " +
+      "EXACTLY once; the log persists with the artifact; advice " +
+      "without a baseline fails loud") {
+    withIndexDir { idxDir =>
+      withIndexDir { tmpSf =>
+        val full = Tables.embeddings(spark, sf)
+        // the r18 mean-shift plant: artifacts freeze on A's grid, the
+        // drifted append collapses cosine gaps below quantization noise
+        val a = full.filter(col("vec_id") % 3 =!= 0)
+        a.write.mode("overwrite").parquet(s"$tmpSf/embeddings.parquet")
+        Similarity.pqIndexBuild(spark, tmpSf, idxDir)
+        // advice before any audit is a guess — must fail loud
+        val eNoLog = intercept[IllegalArgumentException] {
+          Similarity.indexRebuildAdvice(spark, idxDir)
+        }
+        assert(eNoLog.getMessage.contains("graft") &&
+          eNoLog.getMessage.contains("baseline"))
+        val comp = full.filter(col("vec_id") % 3 === 0)
+          .select("vec_id", "embedding")
+        val drifted = comp.select((col("vec_id") + 1000000).as("vec_id"),
+          expr("transform(embedding, v -> CAST(v AS DOUBLE) + 3.0D)")
+            .as("embedding"))
+        val numLists = Similarity.pqIndexLoad(spark, idxDir).numLists
+        // the log contract: same ADC-decisive knobs at every reading
+        // (all lists probed, rerank = K)
+        def logWindow(base: org.apache.spark.sql.DataFrame,
+                      qs: org.apache.spark.sql.DataFrame) =
+          Similarity.pqIndexAuditLog(spark, base, idxDir, qs,
+            rerank = Similarity.K, probesOverride = Some(numLists))
+        def advice() = Similarity.indexRebuildAdvice(spark, idxDir)
+          .collect()(0)
+        // window 0: build-time baseline on build-distribution traffic
+        logWindow(a.select("vec_id", "embedding"),
+          a.select("vec_id", "embedding").filter(col("vec_id") % 30 === 1))
+        val ad0 = advice()
+        assert(ad0.getAs[Long]("n_audits") === 1L)
+        assert(ad0.getAs[Double]("recall_drop") === 0.0)
+        assert(!ad0.getAs[Boolean]("rebuild"),
+          "a fresh baseline must not advise a rebuild")
+        // window 1: undrifted append + its traffic — advice stays down
+        Similarity.pqIndexAppend(spark, comp, idxDir)
+        val base1 = a.select("vec_id", "embedding").unionByName(comp)
+        logWindow(base1, comp.filter(col("vec_id") % 30 === 0))
+        val ad1 = advice()
+        assert(ad1.getAs[Long]("n_audits") === 2L)
+        assert(!ad1.getAs[Boolean]("rebuild"),
+          s"undrifted window flipped the advice: " +
+            s"drop=${ad1.getAs[Double]("recall_drop")}")
+        // window 2: drifted append + its traffic — advice flips ON
+        Similarity.pqIndexAppend(spark, drifted, idxDir)
+        val base2 = base1.unionByName(drifted)
+        logWindow(base2,
+          drifted.filter((col("vec_id") - 1000000) % 30 === 0))
+        val ad2 = advice()
+        assert(ad2.getAs[Long]("n_audits") === 3L)
+        assert(ad2.getAs[Boolean]("rebuild"),
+          s"planted drift did not flip the advice: " +
+            s"baseline=${ad2.getAs[Double]("baseline_recall")} " +
+            s"latest=${ad2.getAs[Double]("latest_recall")}")
+        // exactly once across the sequence
+        assert(Seq(ad0, ad1, ad2).map(_.getAs[Boolean]("rebuild")) ===
+          Seq(false, false, true))
+        // the log is a persisted artifact: three rows, dense seq, and
+        // the advice is a pure function of it (re-read, re-derived)
+        val log = spark.read.parquet(s"$idxDir/audit_log")
+          .orderBy("audit_seq").collect()
+        assert(log.map(_.getAs[Long]("audit_seq")).toSeq ===
+          Seq(1L, 2L, 3L))
+        assert(log.forall(_.getAs[Long]("n_queries") >= 1L))
+        val again = advice()
+        assert(again.getAs[Double]("recall_drop") ===
+          ad2.getAs[Double]("recall_drop"))
+        // the tolerance knob is honored: a tolerance past the planted
+        // drop keeps the advice down on the SAME log
+        val tolerant = Similarity.indexRebuildAdvice(spark, idxDir,
+          dropTolerance = 1.0).collect()(0)
+        assert(!tolerant.getAs[Boolean]("rebuild"))
+      }
+    }
+  }
+
+  test("compaction decision: advice tracks the per-list file count " +
+      "across append windows and resets after a compaction — the " +
+      "observability-to-action composition over pqIndexStats") {
+    withIndexDir { idxDir =>
+      withIndexDir { tmpSf =>
+        val full = Tables.embeddings(spark, sf)
+        full.filter(col("vec_id") % 3 =!= 0)
+          .write.mode("overwrite").parquet(s"$tmpSf/embeddings.parquet")
+        Similarity.sq8IndexBuild(spark, tmpSf, idxDir)
+        def adv(th: Int = 4) =
+          Similarity.indexCompactionAdvice(spark, idxDir,
+            maxFilesPerList = th).collect()(0)
+        val a0 = adv()
+        assert(a0.getAs[Long]("max_files_per_list") === 1L)
+        assert(!a0.getAs[Boolean]("compact"),
+          "a fresh build must not advise compaction")
+        // four append windows, disjoint id spaces, SAME embeddings —
+        // every window lands a new file in the same lists, so some
+        // list crosses the 4-file threshold at window four
+        val comp = full.filter(col("vec_id") % 3 === 0)
+          .select("vec_id", "embedding")
+        (1 to 4).foreach { w =>
+          Similarity.sq8IndexAppend(spark,
+            comp.select((col("vec_id") + w * 1000000).as("vec_id"),
+              col("embedding")), idxDir)
+        }
+        val a4 = adv()
+        assert(a4.getAs[Long]("max_files_per_list") === 5L,
+          s"expected 5 files in the appended lists, " +
+            s"got ${a4.getAs[Long]("max_files_per_list")}")
+        assert(a4.getAs[Boolean]("compact"),
+          "five files per list must advise compaction at threshold 4")
+        // the threshold knob is honored on the same physical state
+        assert(!adv(th = 5).getAs[Boolean]("compact"))
+        // after the advised compaction the gauge resets
+        Similarity.sq8IndexCompact(spark, idxDir)
+        val aC = adv()
+        assert(aC.getAs[Long]("max_files_per_list") === 1L)
+        assert(!aC.getAs[Boolean]("compact"))
+        // row-count conservation across the whole window sequence
+        assert(aC.getAs[Long]("n_rows") ===
+          a4.getAs[Long]("n_rows"))
+      }
+    }
+  }
 }
