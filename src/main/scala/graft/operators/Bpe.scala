@@ -728,4 +728,178 @@ object Bpe {
     }
     syms
   }
+
+  // -- rank-priority encode (r19: tiktoken's runtime semantics) ----------
+
+  /** THE THIRD ENCODE SEMANTICS beside round-replay char/byte —
+    * tiktoken/GPT-2's RUNTIME shape (encoder.py `bpe()`): instead of
+    * replaying rounds 1..k once each in training order, repeatedly
+    * find the adjacent pair with the LOWEST learned rank present in
+    * the word and merge all its occurrences (leftmost-first,
+    * non-overlapping), until no adjacent pair is in the merge table.
+    * The two semantics agree on the training corpus but DIVERGE on
+    * novel adjacency orders: round-replay never revisits an earlier
+    * rule, so a low-rank pair whose adjacency only forms AFTER a
+    * later rule applies stays unmerged — rank-priority merges it
+    * (spec-planted: merges [(a,cd)@1, (c,d)@2] on "acd" give 2 tokens
+    * round-replayed, 1 token rank-priority). A pipeline importing a
+    * tiktoken-style vocabulary must bill with THIS replay; the
+    * [[Vocab]]-typed surfaces keep the two semantics from mixing.
+    *
+    * Guards: merge symbols must be NUL-free (the pair-lookup key is
+    * NUL-joined; with NUL-free merge symbols the lookup is exact for
+    * ANY word symbols — a colliding split would need a NUL inside a
+    * merge symbol), and (pair, rank) entries must be unique (a trained
+    * table is; an imported one might not be — fail loud, don't guess
+    * a priority).
+    *
+    * Scale shape: the loop runs on the vocab-bounded DISTINCT-word
+    * table ([[dictOfRanked]] — the corpus was left behind at the one
+    * word-count pass); per iteration one narrow per-row min-rank probe
+    * (a literal map lookup per adjacency), one narrow fold rewrite,
+    * one bounded existence check, re-checkpointed so plan depth stays
+    * O(1); iteration count is the deepest per-word merge chain
+    * (≤ the longest pre-token's symbol count), NOT |merges| — each
+    * iteration merges every word's own current best pair in
+    * parallel. */
+  private def rankEncodeCore(words: DataFrame,
+                             merges: Seq[Merge]): DataFrame = {
+    if (merges.isEmpty) return words
+    require(merges.forall(m =>
+        !m.left.contains('\u0000') && !m.right.contains('\u0000')),
+      "graft: rank-priority encode needs NUL-free merge symbols")
+    require(merges.map(m => (m.left, m.right)).distinct.size ==
+        merges.size && merges.map(_.round).distinct.size == merges.size,
+      "graft: rank-priority encode needs unique (pair, rank) entries")
+    val rankMap = map_from_arrays(
+      array(merges.map(m => lit(m.left + "\u0000" + m.right)): _*),
+      array(merges.map(m => lit(m.round)): _*))
+    val leftMap = map_from_arrays(
+      array(merges.map(m => lit(m.round)): _*),
+      array(merges.map(m => lit(m.left)): _*))
+    val rightMap = map_from_arrays(
+      array(merges.map(m => lit(m.round)): _*),
+      array(merges.map(m => lit(m.right)): _*))
+    var cur = words.localCheckpoint(true)
+    var more = true
+    while (more) {
+      // the row's OWN best pair: min learned rank over its adjacencies
+      // (try_element_at: absent pairs read null, array_min skips them;
+      // the size guard keeps sequence() ascending — sequence(1, 0)
+      // would DESCEND, not come back empty)
+      val withMr = cur.withColumn("mr",
+        when(size(col("syms")) >= 2,
+          array_min(transform(
+            sequence(lit(1), size(col("syms")) - 1),
+            i => try_element_at(rankMap,
+              concat(element_at(col("syms"), i), lit("\u0000"),
+                element_at(col("syms"), i + 1)))))))
+      val stepped = withMr.withColumn("syms",
+          when(col("mr").isNull, col("syms"))
+            .otherwise(mergeFoldAt(
+              try_element_at(leftMap, col("mr")),
+              try_element_at(rightMap, col("mr")))))
+        .localCheckpoint(true)
+      // termination: every touched word strictly shrank, so the loop
+      // ends when no word still holds a table pair (bounded probe on
+      // the checkpointed frame — never a second fold evaluation)
+      more = stepped.filter(col("mr").isNotNull).limit(1).count() > 0
+      cur = stepped.drop("mr")
+    }
+    cur
+  }
+
+  /** [[mergeFold]] with the pair as COLUMNS — the rank-priority step
+    * merges each row's own (l, r), which a literal fold cannot
+    * express. Same leftmost-first non-overlapping one-pass semantics,
+    * same CASE (not OR) null-pend discipline. */
+  private def mergeFoldAt(l: Column, r: Column): Column = {
+    val init = struct(
+      array().cast("array<string>").as("acc"),
+      lit(null).cast("string").as("pend"))
+    aggregate(
+      col("syms"), init,
+      (st, s) =>
+        when(st.getField("pend").isNull,
+          struct(st.getField("acc").as("acc"), s.as("pend")))
+        .when(st.getField("pend") === l && s === r,
+          struct(concat(st.getField("acc"), array(concat(l, r))).as("acc"),
+            lit(null).cast("string").as("pend")))
+        .otherwise(
+          struct(concat(st.getField("acc"),
+              array(st.getField("pend"))).as("acc"),
+            s.as("pend"))),
+      st =>
+        when(st.getField("pend").isNull, st.getField("acc"))
+        .otherwise(concat(st.getField("acc"), array(st.getField("pend")))))
+  }
+
+  /** Rank-priority encode of a (word, …) table at the vocabulary's OWN
+    * grain — the typed distributed surface: `syms` is minted HERE from
+    * the `word` column by the vocab's symbol rule, so a caller cannot
+    * hand symbols at the wrong grain (the seam discipline every r18
+    * consumer follows). Output carries the input columns plus the
+    * rank-priority `syms`. */
+  def rankEncodeWordTable(words: DataFrame, vocab: Vocab): DataFrame =
+    rankEncodeCore(words.withColumn("syms", vocab.grain.symRule),
+      vocab.merges)
+
+  /** word → rank-priority token count dictionary (the
+    * [[dictOf]] shape under the third semantics): the loop runs once
+    * per DISTINCT word. */
+  private def dictOfRanked(words: DataFrame, vocab: Vocab): DataFrame =
+    rankEncodeCore(
+      words.groupBy("word").agg(count(lit(1)).as("freq"))
+        .withColumn("syms", vocab.grain.symRule),
+      vocab.merges)
+    .select(col("word"), size(col("syms")).cast("long").as("toks"))
+
+  /** [[docTokenCountsOf]] under RANK-PRIORITY semantics — the budgeting
+    * surface for an imported tiktoken-style vocabulary: same
+    * universe-complete contract (a wordless doc reports 0/0), same
+    * dictionary equi-join scale shape, the replay ranked instead of
+    * round-ordered. Kept as a SEPARATE surface rather than a flag so
+    * a pipeline cannot silently mix the two semantics' numbers. */
+  def docTokenCountsRanked(docs: DataFrame, vocab: Vocab): DataFrame = {
+    val docWords = docWordTableOf(docs, vocab.preTok)
+    docs.select(col("doc_id"))
+      .join(docWords.join(dictOfRanked(docWords, vocab), "word")
+          .groupBy("doc_id")
+          .agg(sum(col("freq")).as("words"),
+            sum(col("freq") * col("toks")).as("bpe_tokens")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("words"), lit(0L)).as("words"),
+        coalesce(col("bpe_tokens"), lit(0L)).as("bpe_tokens"))
+  }
+
+  /** Driver-side reference encoder for rank-priority semantics over
+    * ONE pre-token — what the distributed loop is spec-pinned against
+    * (the [[encode]] counterpart): repeatedly merge the lowest-ranked
+    * present pair, all occurrences leftmost-first non-overlapping. */
+  def encodeRanked(word: String, vocab: Vocab): Seq[String] = {
+    val rank = vocab.merges.map(m => (m.left, m.right) -> m.round).toMap
+    val byRank = vocab.merges.map(m => m.round -> m).toMap
+    var syms = vocab.grain.splitWord(word)
+    var go = syms.length >= 2
+    while (go) {
+      val present = syms.indices.dropRight(1)
+        .flatMap(i => rank.get((syms(i), syms(i + 1))))
+      if (present.isEmpty) go = false
+      else {
+        val m = byRank(present.min)
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == m.left &&
+              syms(i + 1) == m.right) {
+            out += m.merged; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+        go = syms.length >= 2
+      }
+    }
+    syms
+  }
 }

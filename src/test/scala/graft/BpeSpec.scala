@@ -827,4 +827,104 @@ class BpeSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().toSeq
     assert(typed === untyped)
   }
+
+  // -- rank-priority encode (r19: the third encode semantics) ------------
+
+  test("rank-priority vs round-replay: the PLANTED divergence — a " +
+      "low-rank pair whose adjacency only forms after a later rule " +
+      "applies is merged by rank-priority and missed by round-replay") {
+    import spark.implicits._
+    // novel adjacency order: rule 1 consumes a symbol rule 2 mints, so
+    // on "acd" round-replay (1 then 2) never revisits rule 1
+    val merges = Seq(
+      Bpe.Merge(1, "a", "cd", "acd", 1L),
+      Bpe.Merge(2, "c", "d", "cd", 1L))
+    val vocab = Bpe.Vocab(merges, Bpe.CharGrain)
+    // round-replay: rule 1 no-ops on [a,c,d]; rule 2 -> [a, cd]
+    assert(Bpe.encode("acd", merges) === Seq("a", "cd"))
+    // rank-priority: (c,d)@2 is the only present pair -> [a, cd];
+    // now (a,cd)@1 is present -> [acd]
+    assert(Bpe.encodeRanked("acd", vocab) === Seq("acd"))
+    // the distributed loop implements the SAME semantics
+    val got = Bpe.rankEncodeWordTable(
+        Seq(("acd", 1L), ("cd", 2L), ("ad", 1L)).toDF("word", "freq"),
+        vocab)
+      .collect().map(r => r.getAs[String]("word") ->
+        r.getAs[scala.collection.Seq[String]]("syms").toVector).toMap
+    assert(got("acd") === Vector("acd"))
+    assert(got("cd") === Vector("cd"))
+    assert(got("ad") === Vector("a", "d"),
+      "a pair not in the table must never merge")
+  }
+
+  test("rank-priority distributed loop ≡ driver replica on a trained " +
+      "vocabulary over the corpus word table; deterministic under " +
+      "repartitioning") {
+    val vocab = Bpe.trainVocab(spark, sf, rounds = 8)
+    val words = Bpe.wordTable(spark, sf).select("word", "freq")
+    def run(df: DataFrame) = Bpe.rankEncodeWordTable(df, vocab)
+      .collect().map(r => r.getAs[String]("word") ->
+        r.getAs[scala.collection.Seq[String]]("syms").toVector).toMap
+    val got = run(words)
+    // driver replica over every distinct word — full coverage, not a
+    // sampled spot check
+    got.foreach { case (w, syms) =>
+      assert(syms === Bpe.encodeRanked(w, vocab).toVector,
+        s"distributed rank encode diverged on <$w>")
+    }
+    assert(got === run(words.repartition(7)),
+      "rank encode must be layout-independent")
+    // segmentation invariant at any semantics: concatenation restores
+    // the word (char grain partitions the word's characters)
+    got.foreach { case (w, syms) => assert(syms.mkString === w) }
+  }
+
+  test("docTokenCountsRanked: universe-complete budgeting under the " +
+      "third semantics, matching a per-doc driver replica at the " +
+      "(gpt2, byte) production seam") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "I'll see you  don't stop"),
+      (2L, "Hello HELLO héllo 123"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val merges = Bpe.trainOnWords(
+      Bpe.docWordTableOf(docs, Bpe.Gpt2PreTok).groupBy("word")
+        .agg(sum("freq").as("freq")).withColumn("syms", Bpe.byteSymsCol),
+      8)
+    assert(merges.nonEmpty)
+    val vocab = Bpe.Vocab(merges, Bpe.ByteGrain, Bpe.Gpt2PreTok)
+    val got = Bpe.docTokenCountsRanked(docs, vocab)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    val preToks = Map(
+      1L -> Bpe.Gpt2PreTok.splitText("I'll see you  don't stop"),
+      2L -> Bpe.Gpt2PreTok.splitText("Hello HELLO héllo 123"),
+      3L -> Vector.empty[String])
+    val expected = preToks.map { case (d, ws) =>
+      d -> ((ws.length.toLong,
+        ws.map(w => Bpe.encodeRanked(w, vocab).length.toLong).sum))
+    }
+    assert(got === expected)
+    assert(got(3L) === ((0L, 0L)),
+      "null-text doc must keep the universe-complete contract")
+  }
+
+  test("rank-priority guards: duplicate (pair, rank) entries and " +
+      "NUL-bearing merge symbols fail loud instead of guessing") {
+    import spark.implicits._
+    val w = Seq(("ab", 1L)).toDF("word", "freq")
+    val dupPair = Bpe.Vocab(Seq(
+      Bpe.Merge(1, "a", "b", "ab", 2L),
+      Bpe.Merge(2, "a", "b", "ab", 1L)), Bpe.CharGrain)
+    val e1 = intercept[IllegalArgumentException] {
+      Bpe.rankEncodeWordTable(w, dupPair)
+    }
+    assert(e1.getMessage.contains("unique"))
+    val nul = Bpe.Vocab(Seq(
+      Bpe.Merge(1, "a\u0000", "b", "a\u0000b", 1L)), Bpe.CharGrain)
+    val e2 = intercept[IllegalArgumentException] {
+      Bpe.rankEncodeWordTable(w, nul)
+    }
+    assert(e2.getMessage.contains("NUL"))
+  }
 }
