@@ -19,6 +19,12 @@ package graft
   * case and punctuation runs, so the distinct-pre-token table is
   * larger and the symbols are hex pairs — the honest cost of faithful
   * segmentation, still vocab-bounded per round.
+  * Mode `ranked` prices the rank-priority consumer (r19:
+  * Bpe.docTokenCountsRanked — tiktoken's runtime semantics) against
+  * mode `doc`'s round-replay of the SAME (ws, char) vocabulary: the
+  * ranked loop is data-dependent per distinct word (iterations = the
+  * deepest merge chain, not k fixed folds) — the honest cost of the
+  * imported-vocabulary semantics.
   * Usage: sbt "runMain graft.BpePrice <sfDir> [rounds] [repeat] [mode]" */
 object BpePrice {
   def main(args: Array[String]): Unit = {
@@ -28,14 +34,16 @@ object BpePrice {
     val rounds = if (args.length > 1) args(1).toInt else 8
     val repeat = if (args.length > 2) args(2).toInt else 5
     val mode = if (args.length > 3) args(3) else "train"
-    require(mode == "train" || mode == "doc" || mode == "gpt2",
+    require(mode == "train" || mode == "doc" || mode == "gpt2" ||
+        mode == "ranked",
       s"unknown mode $mode")
     val spark = Tables.localSession("bpeprice", 32)
     spark.range(1000).selectExpr("sum(id)").collect()
     // doc mode replays a FIXED vocabulary (trained outside the timed
     // region — pricing the consumer, not the trainer)
     val docVocab: Seq[graft.operators.Bpe.Merge] =
-      if (mode == "doc") graft.operators.Bpe.train(spark, sf, rounds)
+      if (mode == "doc" || mode == "ranked")
+        graft.operators.Bpe.train(spark, sf, rounds)
       else Seq.empty
     def run(): Unit = {
       if (mode == "train") {
@@ -45,6 +53,13 @@ object BpePrice {
         val vocab = graft.operators.Bpe.trainVocab(spark, sf, rounds,
           graft.operators.Bpe.ByteGrain, graft.operators.Bpe.Gpt2PreTok)
         require(vocab.merges.nonEmpty, "gpt2 trainer returned no merges")
+      } else if (mode == "ranked") {
+        val n = graft.operators.Bpe.docTokenCountsRanked(
+            Tables.documents(spark, sf),
+            graft.operators.Bpe.Vocab(docVocab,
+              graft.operators.Bpe.CharGrain))
+          .selectExpr("sum(bpe_tokens)").collect()(0).getLong(0)
+        require(n > 0L, "ranked doc token counts returned nothing")
       } else {
         val n = graft.operators.Bpe.docTokenCounts(spark, sf, docVocab)
           .selectExpr("sum(bpe_tokens)").collect()(0).getLong(0)

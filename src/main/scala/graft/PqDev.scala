@@ -156,7 +156,70 @@ object PqDev {
       measureRun("dup_audit")(() => {
         Similarity.pqIndexDupIds(spark, idxDir).count(); ()
       })
+      // r19: the decision records priced beside the gauge they read —
+      // the log append re-runs the audit (its cost dominates); both
+      // advice rows are metadata reads, so the per-window decision
+      // loop costs ~one audit + ~nothing
+      measureRun("audit_log")(() => {
+        Similarity.pqIndexAuditLog(spark, baseDf, idxDir, qBatch); ()
+      })
+      measure("rebuild_advice")(() =>
+        Similarity.indexRebuildAdvice(spark, idxDir))
+      measure("compaction_advice")(() =>
+        Similarity.indexCompactionAdvice(spark, idxDir))
     } finally rm(new java.io.File(idxDir))
+    // r19: the persisted SQ8 split — build ONCE vs search MANY for the
+    // family at the coarse probe ceiling (the serving family a
+    // rerank-bandwidth-bound deployment picks; before r19 it retrained
+    // per call, i.e. every search cost the build row below)
+    val sqDir = java.nio.file.Files.createTempDirectory("sq8idx").toString
+    try {
+      measureRun("sq8_index_build")(() => {
+        Similarity.sq8IndexBuild(spark, sf, sqDir); ()
+      })
+      measure("sq8_index_search")(() =>
+        Similarity.sq8IndexSearch(spark, sf, sqDir))
+      val baseDf = Tables.embeddings(spark, sf)
+      val qBatch = baseDf.join(
+        org.apache.spark.sql.functions.broadcast(
+          Similarity.annQueryIds(baseDf)), "vec_id")
+        .select("vec_id", "embedding")
+      measure("sq8_recall_audit")(() =>
+        Similarity.sq8IndexRecallAudit(spark, baseDf, sqDir, qBatch))
+    } finally rm(new java.io.File(sqDir))
+    // r19: NP-OPQ END-TO-END — the rotateNP-in-pqIndexBuild decision
+    // (r18 verdict #4): the pure-ADC isotropic lift set the bar; the
+    // rotation ships in the persisted build ONLY if it beats the
+    // parametric rotation at equal SERVING budget (derived probes,
+    // bounded rerank) end to end. The rotation is orthogonal (cosines
+    // preserved), so an index built over a pre-rotated corpus copy
+    // serves the same queries — recall measured against the RAW
+    // corpus's brute-force truth either way, and the same build/search
+    // code path runs for both rotations (only the matrix differs).
+    // one rotated-corpus write + ONE index build per rotation; only the
+    // search's rerank knob varies across the sweep (the build artifacts
+    // are rerank-independent — rebuilding per (rotation, rerank) pair
+    // would triple the bench wall-clock for identical numbers)
+    def endToEnd(rot: Array[Array[Double]],
+                 rrs: Seq[Int]): Map[Int, Double] = {
+      val tmp = java.nio.file.Files.createTempDirectory("npe2e").toString
+      try {
+        Similarity.opqRotate(Tables.embeddings(spark, sf), rot)
+          .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+        val idx = Similarity.ivfPqBuild(spark, tmp)
+        rrs.map(rr => rr ->
+          recall(Similarity.ivfPqSearch(spark, tmp, idx, rerank = rr)))
+          .toMap
+      } finally rm(new java.io.File(tmp))
+    }
+    val rotPara = Similarity.opqRotation(isoSamp,
+      Similarity.dimOf(baseIso))
+    val rrs = Seq(Similarity.K, 40, 100)
+    val e2ePara = endToEnd(rotPara, rrs)
+    val e2eNp = endToEnd(npRotI, rrs)
+    for (rr <- rrs)
+      println(f"## npopq_e2e sf=$sf rerank=$rr para=${e2ePara(rr)}%.3f " +
+        f"np=${e2eNp(rr)}%.3f")
     spark.stop()
   }
 }

@@ -762,15 +762,31 @@ object Bpe {
     * (≤ the longest pre-token's symbol count), NOT |merges| — each
     * iteration merges every word's own current best pair in
     * parallel. */
-  private def rankEncodeCore(words: DataFrame,
-                             merges: Seq[Merge]): DataFrame = {
-    if (merges.isEmpty) return words
+  /** The imported-vocabulary guards BOTH rank-priority surfaces run —
+    * the distributed loop and the driver replica must agree or BOTH
+    * fail (a guard on one side only would let a malformed import
+    * produce two different tokenizations of the same input, which is
+    * worse than either failure): NUL-free symbols (the lookup-key
+    * exactness argument), unique (pair, rank) entries (no priority
+    * guessing), and merged == left + right (the distributed fold
+    * mints the concatenation; a replica honoring a divergent `merged`
+    * string would silently break the concatenation-restores-the-word
+    * invariant). */
+  private def rankGuards(merges: Seq[Merge]): Unit = {
     require(merges.forall(m =>
         !m.left.contains('\u0000') && !m.right.contains('\u0000')),
       "graft: rank-priority encode needs NUL-free merge symbols")
     require(merges.map(m => (m.left, m.right)).distinct.size ==
         merges.size && merges.map(_.round).distinct.size == merges.size,
       "graft: rank-priority encode needs unique (pair, rank) entries")
+    require(merges.forall(m => m.merged == m.left + m.right),
+      "graft: rank-priority encode needs merged == left + right")
+  }
+
+  private def rankEncodeCore(words: DataFrame,
+                             merges: Seq[Merge]): DataFrame = {
+    if (merges.isEmpty) return words
+    rankGuards(merges)
     val rankMap = map_from_arrays(
       array(merges.map(m => lit(m.left + "\u0000" + m.right)): _*),
       array(merges.map(m => lit(m.round)): _*))
@@ -780,7 +796,20 @@ object Bpe {
     val rightMap = map_from_arrays(
       array(merges.map(m => lit(m.round)): _*),
       array(merges.map(m => lit(m.right)): _*))
-    var cur = words.localCheckpoint(true)
+    // eager checkpoints bound plan depth to O(1) per iteration, but a
+    // per-CALL budgeting surface must not accumulate iteration-count
+    // copies of the word table in executor storage (the trainer's
+    // caller-side hygiene only reaps after the whole job): track the
+    // persistent-RDD ids each checkpoint mints and free the superseded
+    // round table the moment its successor has materialized
+    val sc = words.sparkSession.sparkContext
+    def checkpointTracked(df: DataFrame)
+        : (DataFrame, scala.collection.Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val ck = df.localCheckpoint(eager = true)
+      (ck, sc.getPersistentRDDs.keySet -- before)
+    }
+    var (cur, curIds) = checkpointTracked(words)
     var more = true
     while (more) {
       // the row's OWN best pair: min learned rank over its adjacencies
@@ -794,17 +823,20 @@ object Bpe {
             i => try_element_at(rankMap,
               concat(element_at(col("syms"), i), lit("\u0000"),
                 element_at(col("syms"), i + 1)))))))
-      val stepped = withMr.withColumn("syms",
+      val (stepped, steppedIds) = checkpointTracked(
+        withMr.withColumn("syms",
           when(col("mr").isNull, col("syms"))
             .otherwise(mergeFoldAt(
               try_element_at(leftMap, col("mr")),
-              try_element_at(rightMap, col("mr")))))
-        .localCheckpoint(true)
+              try_element_at(rightMap, col("mr"))))))
       // termination: every touched word strictly shrank, so the loop
       // ends when no word still holds a table pair (bounded probe on
       // the checkpointed frame — never a second fold evaluation)
       more = stepped.filter(col("mr").isNotNull).limit(1).count() > 0
+      curIds.foreach(id => sc.getPersistentRDDs.get(id)
+        .foreach(_.unpersist(blocking = false)))
       cur = stepped.drop("mr")
+      curIds = steppedIds
     }
     cur
   }
@@ -878,6 +910,7 @@ object Bpe {
     * (the [[encode]] counterpart): repeatedly merge the lowest-ranked
     * present pair, all occurrences leftmost-first non-overlapping. */
   def encodeRanked(word: String, vocab: Vocab): Seq[String] = {
+    rankGuards(vocab.merges)
     val rank = vocab.merges.map(m => (m.left, m.right) -> m.round).toMap
     val byRank = vocab.merges.map(m => m.round -> m).toMap
     var syms = vocab.grain.splitWord(word)

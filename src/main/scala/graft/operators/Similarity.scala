@@ -1160,6 +1160,29 @@ object Similarity {
     * quantizer, residuals, codebooks, codes) — the FAISS
     * OPQ-pretransform composition; the rotation rides in the returned
     * index so the search half can rotate queries to match. */
+  /** Nearest-centroid assignment — the ONE cents/argmin/cvec block
+    * every IVF build/encode path runs (extracted in the r19
+    * self-review: four inline copies meant a tie-break or cast fix
+    * applied to one could silently desynchronize a family's grid
+    * training from its corpus encode): adds (cents, dists, list_id,
+    * cvec) to a frame with an `embedding` column — first-minimum
+    * argmin, 1-based LongType list_id. */
+  private def assignToLists(df: DataFrame, cents: Column): DataFrame = df
+    .withColumn("cents", cents)
+    .withColumn("dists", expr(
+      "transform(cents, c -> vec_dot(c, c) - 2.0D * vec_dot(c, embedding))"))
+    .withColumn("list_id",
+      expr("array_position(dists, array_min(dists))").cast(LongType))
+    .withColumn("cvec",
+      element_at(col("cents"), col("list_id").cast(IntegerType)))
+
+  /** The residual projection x − c_list every residual-coded family
+    * trains and encodes on — as doubles, shared for the same
+    * one-definition reason. */
+  private def residualEmbedding: Column =
+    zip_with(col("embedding"), col("cvec"), (a, b) => a - b)
+      .cast(ArrayType(DoubleType))
+
   def ivfPqBuild(spark: SparkSession, dir: String,
                  subspaces: Int = PqSub,
                  rotate: Boolean = false): PqIndex = {
@@ -1179,20 +1202,9 @@ object Similarity {
       .localCheckpoint(eager = true)
     val centroids = kmeansCentroids(samp, numLists, iters = 3)
     val cents = array(centroids.map(c => array(c.map(lit): _*)): _*)
-    def distsCol = expr(
-      "transform(cents, c -> vec_dot(c, c) - 2.0D * vec_dot(c, embedding))")
-    def assignCols(df: DataFrame): DataFrame = df
-      .withColumn("cents", cents)
-      .withColumn("dists", distsCol)
-      .withColumn("list_id",
-        expr("array_position(dists, array_min(dists))").cast(LongType))
-      .withColumn("cvec",
-        element_at(col("cents"), col("list_id").cast(IntegerType)))
     // residual training sample: x − its centroid, as doubles
-    val sampResid = assignCols(samp)
-      .select(col("vec_id"),
-        zip_with(col("embedding"), col("cvec"), (a, b) => a - b)
-          .cast(ArrayType(DoubleType)).as("embedding"))
+    val sampResid = assignToLists(samp, cents)
+      .select(col("vec_id"), residualEmbedding.as("embedding"))
     val books = pqCodebooks(sampResid, dim, sub = subspaces)
     val coded = ivfPqEncode(e, centroids, books, dim)
     PqIndex(dim, books.length, numLists, centroids, books, coded, rot)
@@ -1213,16 +1225,9 @@ object Similarity {
     val sub = books.length
     val subDim = dim / sub
     val cents = array(centroids.map(c => array(c.map(lit): _*)): _*)
-    val assigned = e
-      .withColumn("cents", cents)
-      .withColumn("dists", expr(
-        "transform(cents, c -> vec_dot(c, c) - 2.0D * vec_dot(c, embedding))"))
-      .withColumn("list_id",
-        expr("array_position(dists, array_min(dists))").cast(LongType))
-      .withColumn("cvec",
-        element_at(col("cents"), col("list_id").cast(IntegerType)))
+    val assigned = assignToLists(e, cents)
     // residual encode: list + residual codes + EXACT reconstruction norm
-    val resid = zip_with(col("embedding"), col("cvec"), (a, b) => a - b)
+    val resid = residualEmbedding
     val codeCols = books.zipWithIndex.map { case (book, m) =>
       val r = slice(resid, m * subDim + 1, subDim)
       val dists = transform(bookCol(book), c =>
@@ -2262,17 +2267,8 @@ object Similarity {
     val centroids = kmeansCentroids(samp, numLists, iters = 3)
     val cents = array(centroids.map(c => array(c.map(lit): _*)): _*)
     // SQ8 bounds on the RESIDUAL sample — the grid the codes live on
-    val sampResid = samp
-      .withColumn("cents", cents)
-      .withColumn("dists", expr(
-        "transform(cents, c -> vec_dot(c, c) - 2.0D * vec_dot(c, embedding))"))
-      .withColumn("list_id",
-        expr("array_position(dists, array_min(dists))").cast(LongType))
-      .withColumn("cvec",
-        element_at(col("cents"), col("list_id").cast(IntegerType)))
-      .select(col("vec_id"),
-        zip_with(col("embedding"), col("cvec"), (a, b) => a - b)
-          .cast(ArrayType(DoubleType)).as("embedding"))
+    val sampResid = assignToLists(samp, cents)
+      .select(col("vec_id"), residualEmbedding.as("embedding"))
     val (lo, step) = sq8Bounds(sampResid, dim)
     Sq8Index(dim, numLists, centroids, lo, step,
       ivfSq8Encode(e, centroids, lo, step, dim))
@@ -2294,18 +2290,10 @@ object Similarity {
                                   lo: Array[Double], step: Array[Double],
                                   dim: Int): DataFrame = {
     val cents = array(centroids.map(c => array(c.map(lit): _*)): _*)
-    val assigned = e
-      .withColumn("cents", cents)
-      .withColumn("dists", expr(
-        "transform(cents, c -> vec_dot(c, c) - 2.0D * vec_dot(c, embedding))"))
-      .withColumn("list_id",
-        expr("array_position(dists, array_min(dists))").cast(LongType))
-      .withColumn("cvec",
-        element_at(col("cents"), col("list_id").cast(IntegerType)))
+    val assigned = assignToLists(e, cents)
     sq8Encode(
         assigned.select(col("vec_id"), col("list_id"),
-          zip_with(col("embedding"), col("cvec"), (a, b) => a - b)
-            .cast(ArrayType(DoubleType)).as("embedding")),
+          residualEmbedding.as("embedding")),
         lo, step, dim, extra = Seq("list_id"))
       .drop("recon_norm")
       .withColumn("xhat",
@@ -2669,13 +2657,18 @@ object Similarity {
     require(log.nonEmpty, s"graft: audit log at $indexPath is empty")
     val baseline = log.head
     val latest = log.last
-    val drop = baseline.getAs[Double]("mean_recall") -
-      latest.getAs[Double]("mean_recall")
+    // decide on the SAME rounded drop the record publishes — deciding
+    // on the raw difference could contradict the emitted columns at
+    // the tolerance boundary (rebuild=true with printed
+    // drop == tolerance), and a decision record a reader cannot replay
+    // from its own numbers is a bug
+    val drop = math.round((baseline.getAs[Double]("mean_recall") -
+      latest.getAs[Double]("mean_recall")) * 1e6) / 1e6
     Seq((log.length.toLong, baseline.getAs[Long]("audit_seq"),
         baseline.getAs[Double]("mean_recall"),
         latest.getAs[Long]("audit_seq"),
         latest.getAs[Double]("mean_recall"),
-        math.round(drop * 1e6) / 1e6, dropTolerance,
+        drop, dropTolerance,
         drop > dropTolerance))
       .toDF("n_audits", "baseline_seq", "baseline_recall", "latest_seq",
         "latest_recall", "recall_drop", "drop_tolerance", "rebuild")

@@ -909,22 +909,32 @@ class BpeSpec extends AnyFunSuite {
       "null-text doc must keep the universe-complete contract")
   }
 
-  test("rank-priority guards: duplicate (pair, rank) entries and " +
-      "NUL-bearing merge symbols fail loud instead of guessing") {
+  test("rank-priority guards: duplicate (pair, rank) entries, " +
+      "NUL-bearing merge symbols and merged != left+right fail loud " +
+      "on BOTH surfaces — the driver replica and the distributed " +
+      "loop must agree or both fail, never diverge") {
     import spark.implicits._
     val w = Seq(("ab", 1L)).toDF("word", "freq")
     val dupPair = Bpe.Vocab(Seq(
       Bpe.Merge(1, "a", "b", "ab", 2L),
       Bpe.Merge(2, "a", "b", "ab", 1L)), Bpe.CharGrain)
-    val e1 = intercept[IllegalArgumentException] {
-      Bpe.rankEncodeWordTable(w, dupPair)
-    }
-    assert(e1.getMessage.contains("unique"))
     val nul = Bpe.Vocab(Seq(
       Bpe.Merge(1, "a\u0000", "b", "a\u0000b", 1L)), Bpe.CharGrain)
-    val e2 = intercept[IllegalArgumentException] {
-      Bpe.rankEncodeWordTable(w, nul)
+    // merged diverging from left+right: the fold mints concat(l, r),
+    // so honoring a divergent `merged` on one side only would produce
+    // two different tokenizations of the same input
+    val badMerged = Bpe.Vocab(Seq(
+      Bpe.Merge(1, "a", "b", "AB", 1L)), Bpe.CharGrain)
+    for (v <- Seq(dupPair, nul, badMerged)) {
+      val eDist = intercept[IllegalArgumentException] {
+        Bpe.rankEncodeWordTable(w, v)
+      }
+      val eDrv = intercept[IllegalArgumentException] {
+        Bpe.encodeRanked("ab", v)
+      }
+      // same guard, same message on both sides
+      assert(eDist.getMessage === eDrv.getMessage)
+      assert(eDist.getMessage.contains("graft"))
     }
-    assert(e2.getMessage.contains("NUL"))
   }
 }
