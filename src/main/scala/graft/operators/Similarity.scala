@@ -1185,12 +1185,22 @@ object Similarity {
 
   def ivfPqBuild(spark: SparkSession, dir: String,
                  subspaces: Int = PqSub,
-                 rotate: Boolean = false): PqIndex = {
+                 rotate: Boolean = false,
+                 rotateNP: Boolean = false): PqIndex = {
+    // one rotation per index: the NP alternation already STARTS from
+    // the parametric init internally, so "both" has no third meaning —
+    // fail loud rather than silently pick
+    require(!(rotate && rotateNP),
+      "graft: pick ONE rotation mode — rotate (parametric eigenvalue " +
+        "allocation) or rotateNP (non-parametric alternation)")
     val base0 = Tables.embeddings(spark, dir)
     val dim0 = dimOf(base0)
     val rot =
       if (rotate)
         Some(opqRotation(
+          ivfTrainingSample(base0, pqSampleK(1 << PqBits)), dim0, subspaces))
+      else if (rotateNP)
+        Some(opqRotationNP(
           ivfTrainingSample(base0, pqSampleK(1 << PqBits)), dim0, subspaces))
       else None
     val base = rot.map(opqRotate(base0, _)).getOrElse(base0)
@@ -1420,7 +1430,8 @@ object Similarity {
     * search BIT-FOR-BIT. Returns the in-memory index it persisted. */
   def pqIndexBuild(spark: SparkSession, dir: String, indexPath: String,
                    subspaces: Int = PqSub,
-                   rotate: Boolean = false): PqIndex = {
+                   rotate: Boolean = false,
+                   rotateNP: Boolean = false): PqIndex = {
     import spark.implicits._
     // cheap argument check BEFORE the expensive train+encode: packing is
     // two codes per byte, so an odd subspace count would otherwise only
@@ -1428,7 +1439,14 @@ object Similarity {
     require(subspaces % 2 == 0,
       s"graft: pqIndexBuild needs an even subspaces count " +
         s"(codes pack two per byte), got $subspaces")
-    val idx = ivfPqBuild(spark, dir, subspaces, rotate)
+    // rotateNP ships on the measured r19 end-to-end verdict
+    // (docs/SCALE.md r19 addendum: at equal serving budget the NP
+    // rotation wins 5 of 9 (sf × rerank) cells, ties 3, loses 1 —
+    // largest at the largest corpus); opt-in because the lift is
+    // modest and the parametric rotation stays the anisotropic-regime
+    // default. Downstream is rotation-kind-agnostic: only the matrix
+    // differs, and the matrix itself is what persists.
+    val idx = ivfPqBuild(spark, dir, subspaces, rotate, rotateNP)
     // the `rotated` flag lives in meta (not in directory probing —
     // fs-agnostic), so a loader knows whether a rotation frame exists;
     // `family` is the cross-family guard (see [[requireFamily]]) now
@@ -2174,7 +2192,11 @@ object Similarity {
     * multiplies — exactly FAISS's SQ8 contract). Measured beside PQ in
     * docs/SCALE.md; both families share the rerank/top-k machinery, so
     * a deployment picks per corpus: PQ when memory is the wall, SQ8
-    * when ADC-rank fidelity at mild compression pays. */
+    * when ADC-rank fidelity at mild compression pays. Like
+    * [[bruteForceTopK]], this flat variant scores corpus × queries —
+    * it serves corpora small enough to scan unpruned; at 100 TB the
+    * list-pruned [[ivfSq8TopK]] (or its persisted [[sq8IndexSearch]])
+    * is the only sane member of the family. */
   def sq8TopKOf(base: DataFrame, rerank: Int = 10 * K): DataFrame = {
     val dim = dimOf(base)
     val e = withNorm(base, dim).localCheckpoint(true)

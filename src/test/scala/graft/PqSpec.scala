@@ -452,6 +452,40 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("NP-rotated persisted index (r19 ship decision): rotateNP " +
+      "persists its rotation bitwise, search-from-disk ≡ the " +
+      "NP-rotated in-memory path row-for-row, and the two rotation " +
+      "modes fail loud together") {
+    withIndexDir { dir =>
+      // both modes at once has no meaning (NP already starts from the
+      // parametric init) — fail before any training runs
+      val e = intercept[IllegalArgumentException] {
+        Similarity.pqIndexBuild(spark, sf, dir,
+          rotate = true, rotateNP = true)
+      }
+      assert(e.getMessage.contains("ONE rotation mode"))
+      val built = Similarity.pqIndexBuild(spark, sf, dir, rotateNP = true)
+      assert(built.rotation.nonEmpty, "rotateNP=true built no rotation")
+      val loaded = Similarity.pqIndexLoad(spark, dir)
+      assert(loaded.rotation.nonEmpty, "rotation flag lost in meta")
+      val (r1, r2) = (built.rotation.get, loaded.rotation.get)
+      for (i <- r1.indices)
+        assert(r1(i).toSeq === r2(i).toSeq, s"rotation row $i diverged")
+      // the NP rotation genuinely differs from the parametric one —
+      // otherwise this test would be the rotated test in disguise
+      val para = Similarity.ivfPqBuild(spark, sf, rotate = true)
+        .rotation.get
+      assert(r1.indices.exists(i => r1(i).toSeq != para(i).toSeq),
+        "NP rotation identical to the parametric rotation")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+      assert(rows(Similarity.pqIndexSearch(spark, sf, dir)) ===
+        rows(Similarity.ivfPqSearch(spark, sf,
+          Similarity.ivfPqBuild(spark, sf, rotateNP = true))))
+    }
+  }
+
   test("rotated index structural invariant: all lists + corpus-wide " +
       "rerank ≡ brute force IN THE ROTATED SPACE row-for-row") {
     // the whole index lives in rotated coordinates, so the exact
