@@ -35,14 +35,14 @@ object BpePrice {
     val repeat = if (args.length > 2) args(2).toInt else 5
     val mode = if (args.length > 3) args(3) else "train"
     require(mode == "train" || mode == "doc" || mode == "gpt2" ||
-        mode == "ranked",
+        mode == "ranked" || mode == "import",
       s"unknown mode $mode")
     val spark = Tables.localSession("bpeprice", 32)
     spark.range(1000).selectExpr("sum(id)").collect()
     // doc mode replays a FIXED vocabulary (trained outside the timed
     // region — pricing the consumer, not the trainer)
     val docVocab: Seq[graft.operators.Bpe.Merge] =
-      if (mode == "doc" || mode == "ranked")
+      if (mode == "doc" || mode == "ranked" || mode == "import")
         graft.operators.Bpe.train(spark, sf, rounds)
       else Seq.empty
     def run(): Unit = {
@@ -53,6 +53,19 @@ object BpePrice {
         val vocab = graft.operators.Bpe.trainVocab(spark, sf, rounds,
           graft.operators.Bpe.ByteGrain, graft.operators.Bpe.Gpt2PreTok)
         require(vocab.merges.nonEmpty, "gpt2 trainer returned no merges")
+      } else if (mode == "import") {
+        // the r19 interchange round trip: export the trained table as
+        // ranked tokens, reconstruct the implicit merge pairs, verify
+        // exact recovery — pure driver work, vocab-bounded, corpus
+        // untouched (the train above is outside the timed region)
+        val v = graft.operators.Bpe.Vocab(docVocab,
+          graft.operators.Bpe.CharGrain)
+        val back = graft.operators.Bpe.vocabFromRankedTokens(
+          graft.operators.Bpe.vocabRankedTokens(v),
+          graft.operators.Bpe.CharGrain)
+        require(back.merges.map(m => (m.left, m.right, m.merged)) ==
+            v.merges.map(m => (m.left, m.right, m.merged)),
+          "ranked-token round trip diverged")
       } else if (mode == "ranked") {
         val n = graft.operators.Bpe.docTokenCountsRanked(
             Tables.documents(spark, sf),

@@ -911,9 +911,19 @@ object Bpe {
     * present pair, all occurrences leftmost-first non-overlapping. */
   def encodeRanked(word: String, vocab: Vocab): Seq[String] = {
     rankGuards(vocab.merges)
-    val rank = vocab.merges.map(m => (m.left, m.right) -> m.round).toMap
-    val byRank = vocab.merges.map(m => m.round -> m).toMap
-    var syms = vocab.grain.splitWord(word)
+    encodeRankedUnits(vocab.grain.splitWord(word), vocab.merges)
+  }
+
+  /** The unit-level rank-priority loop — shared by [[encodeRanked]]
+    * (units minted by the grain's word splitter) and the ranked-token
+    * IMPORT (units minted by the grain's SYMBOL splitter — at byte
+    * grain a stored token string is already hex pairs, so re-running
+    * the word splitter over it would hex the hex). */
+  private def encodeRankedUnits(units: Vector[String],
+                                merges: Seq[Merge]): Seq[String] = {
+    val rank = merges.map(m => (m.left, m.right) -> m.round).toMap
+    val byRank = merges.map(m => m.round -> m).toMap
+    var syms = units
     var go = syms.length >= 2
     while (go) {
       val present = syms.indices.dropRight(1)
@@ -934,5 +944,139 @@ object Bpe {
       }
     }
     syms
+  }
+
+  // -- ranked-token interchange (r19: the tiktoken wire format) -----------
+
+  /** Split a stored SYMBOL string back into its grain units — the
+    * inverse view the ranked-token import needs. At char grain a
+    * symbol is its code points; at byte grain a symbol is a
+    * concatenation of lossless 2-hex pairs ([[byteSymsCol]]), so the
+    * units are the pairs themselves — running the WORD splitter over
+    * the hex string would hex the hex. */
+  private def symUnits(grain: Grain, sym: String): Vector[String] =
+    grain match {
+      case CharGrain => CharGrain.splitWord(sym)
+      case ByteGrain =>
+        require(sym.length % 2 == 0 &&
+            sym.forall(c => (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F')),
+          s"graft: byte-grain token '$sym' is not a 2-hex symbol string")
+        sym.grouped(2).toVector
+    }
+
+  /** EXPORT a vocabulary as the tiktoken-style ranked-token table —
+    * the interchange format production tokenizers actually ship:
+    * (token, rank) pairs where the MERGE PAIRS ARE IMPLICIT. Layout
+    * matches the GPT-2 convention: the base alphabet first (rank
+    * 0 … |A|−1 — the FIXED 256-hex-pair universe at byte grain, the
+    * sorted set of units appearing in any merged token at char
+    * grain), then the merged tokens in round order at |A|, |A|+1, ….
+    * Token strings are the engine's grain symbols (hex pairs at byte
+    * grain — `unhex` recovers exact bytes, the [[byteSymsCol]]
+    * contract). Fails loud when two merges mint the same token string
+    * (possible in principle for a trained table — "ab"+"c" and
+    * "a"+"bc" both spell "abc" — but a string→rank table cannot
+    * represent it). A RANK-INCONSISTENT table (a merge whose input is
+    * only minted by a LATER round — constructible by hand, never by
+    * training) exports fine as strings but fails loud on IMPORT,
+    * which replays the ranks. */
+  def vocabRankedTokens(vocab: Vocab): Seq[(String, Long)] = {
+    rankGuards(vocab.merges)
+    require(vocab.merges.map(_.merged).distinct.size == vocab.merges.size,
+      "graft: ranked-token export needs distinct token strings — two " +
+        "merges mint the same token, which a string→rank table cannot " +
+        "represent")
+    val alphabet: Seq[String] = vocab.grain match {
+      case ByteGrain => (0 until 256).map(b => f"$b%02X")
+      case CharGrain =>
+        vocab.merges.flatMap(m => symUnits(CharGrain, m.merged))
+          .distinct.sorted
+    }
+    require(vocab.merges.forall(m => !alphabet.contains(m.merged)),
+      "graft: a merged token collides with a base-alphabet unit")
+    alphabet.zipWithIndex.map { case (u, i) => (u, i.toLong) } ++
+      vocab.merges.sortBy(_.round).zipWithIndex.map { case (m, i) =>
+        (m.merged, (alphabet.size + i).toLong)
+      }
+  }
+
+  /** IMPORT a ranked-token table as a [[Vocab]] — the piece that lets
+    * a pipeline consume a tiktoken-style vocabulary it did NOT train:
+    * the format stores ranked TOKENS, so the merge pairs must be
+    * RECOVERED. For each multi-unit token in rank order, rank-priority
+    * encode it with the merges reconstructed so far (exactly the
+    * runtime loop, restricted to lower ranks): a rank-consistent BPE
+    * table — every real trained one — reduces it to EXACTLY the two
+    * earlier tokens whose merge minted it, because the lowest-ranked
+    * pair inside the token is by construction the merge that fired
+    * first during training. Anything else fails loud: ≠2 surviving
+    * symbols means the token is not derivable from earlier tokens at
+    * this grain (missing alphabet row, rank-inconsistent table, or
+    * the wrong grain entirely — never guess). The caller declares
+    * grain and pre-tokenizer (an external file carries neither); the
+    * returned rounds are 1 … k in rank order with n = 0 (the format
+    * carries no training counts), ready for the RANKED consumers
+    * ([[encodeRanked]]/[[docTokenCountsRanked]]/
+    * [[rankEncodeWordTable]]) — the semantics the format implies.
+    * Driver-side and vocab-bounded by design (the table is the same
+    * size class as [[Merge]] lists; the corpus is never touched). */
+  def vocabFromRankedTokens(tokens: Seq[(String, Long)], grain: Grain,
+                            preTok: PreTok = WhitespacePreTok): Vocab = {
+    require(tokens.map(_._1).distinct.size == tokens.size,
+      "graft: ranked-token import needs distinct token strings")
+    require(tokens.map(_._2).distinct.size == tokens.size,
+      "graft: ranked-token import needs distinct ranks")
+    val ordered = tokens.sortBy(_._2)
+    val rankOf = tokens.toMap
+    // incremental rank/rule maps — rebuilding per token would make the
+    // import O(k²) in vocabulary size, and production tables are 50k+
+    val pairRound = scala.collection.mutable.HashMap.empty[(String, String), Int]
+    val ruleOf = scala.collection.mutable.HashMap.empty[Int, Merge]
+    def reduce(units: Vector[String]): Vector[String] = {
+      var syms = units
+      var go = syms.length >= 2
+      while (go) {
+        val present = syms.indices.dropRight(1)
+          .flatMap(i => pairRound.get((syms(i), syms(i + 1))))
+        if (present.isEmpty) go = false
+        else {
+          val m = ruleOf(present.min)
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == m.left &&
+                syms(i + 1) == m.right) {
+              out += m.merged; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.result()
+          go = syms.length >= 2
+        }
+      }
+      syms
+    }
+    val merges = Vector.newBuilder[Merge]
+    var round = 0
+    for ((tok, rank) <- ordered) {
+      val units = symUnits(grain, tok)
+      if (units.length >= 2) {
+        val split = reduce(units)
+        require(split.length == 2,
+          s"graft: token '$tok' (rank $rank) does not reduce to " +
+            s"exactly two earlier tokens (got ${split.length} symbols) " +
+            "— not a rank-consistent BPE table at this grain")
+        val (l, r) = (split(0), split(1))
+        for (part <- Seq(l, r))
+          require(rankOf.get(part).exists(_ < rank),
+            s"graft: token '$tok' (rank $rank) splits into '$part', " +
+              "which is absent or not earlier-ranked in the table")
+        round += 1
+        val m = Merge(round, l, r, tok, 0L)
+        merges += m
+        pairRound((l, r)) = round
+        ruleOf(round) = m
+      }
+    }
+    Vocab(merges.result(), grain, preTok)
   }
 }

@@ -937,4 +937,96 @@ class BpeSpec extends AnyFunSuite {
       assert(eDist.getMessage.contains("graft"))
     }
   }
+
+  test("ranked-token interchange at (ws, char): export lays out " +
+      "alphabet-then-merges, import recovers the EXACT merge table " +
+      "from ranked tokens alone, and a novel word encodes identically " +
+      "under the imported vocabulary") {
+    val vocab = Bpe.Vocab(Bpe.train(spark, sf, 8), Bpe.CharGrain)
+    val table = Bpe.vocabRankedTokens(vocab)
+    // layout: the sorted derived alphabet at ranks 0..|A|-1, then the
+    // merged tokens in round order
+    val nA = table.size - vocab.merges.size
+    val alpha = table.take(nA)
+    assert(alpha.map(_._2) === (0L until nA.toLong))
+    assert(alpha.map(_._1) === alpha.map(_._1).sorted)
+    assert(table.drop(nA).map(_._1) ===
+      vocab.merges.sortBy(_.round).map(_.merged))
+    // the round trip: merge pairs were IMPLICIT in the table, yet the
+    // reconstruction recovers them exactly (rank-priority replays the
+    // training order inside each token string)
+    val back = Bpe.vocabFromRankedTokens(table, Bpe.CharGrain)
+    assert(back.merges.map(m => (m.round, m.left, m.right, m.merged)) ===
+      vocab.merges.map(m => (m.round, m.left, m.right, m.merged)))
+    // behavioral: a NOVEL word (not constrained to the corpus) encodes
+    // identically under trained and imported vocabularies (n = 0 on
+    // imported merges is informational only)
+    for (w <- Seq("interchange", "zzzqqq", "thethethe"))
+      assert(Bpe.encodeRanked(w, back) === Bpe.encodeRanked(w, vocab))
+  }
+
+  test("ranked-token interchange at (gpt2, byte): the fixed 256-hex " +
+      "alphabet leads (the GPT-2 convention), and the round trip is " +
+      "exact with the declared seam attached") {
+    val vocab = Bpe.trainVocab(spark, sf, 8, Bpe.ByteGrain, Bpe.Gpt2PreTok)
+    val table = Bpe.vocabRankedTokens(vocab)
+    assert(table.take(256).map(_._1) ===
+      (0 until 256).map(b => f"$b%02X"))
+    assert(table.take(256).map(_._2) === (0L until 256L))
+    assert(table.size === 256 + vocab.merges.size)
+    val back = Bpe.vocabFromRankedTokens(table, Bpe.ByteGrain,
+      Bpe.Gpt2PreTok)
+    assert(back.merges.map(m => (m.round, m.left, m.right, m.merged)) ===
+      vocab.merges.map(m => (m.round, m.left, m.right, m.merged)))
+    assert(back.grain === Bpe.ByteGrain && back.preTok === Bpe.Gpt2PreTok)
+  }
+
+  test("ranked-token interchange fails loud, never guesses: " +
+      "underivable tokens, not-earlier-ranked parts, duplicate " +
+      "tokens/ranks, non-hex byte tokens, duplicate-string exports, " +
+      "and rank-inconsistent tables at import time") {
+    // a token no pair of earlier tokens spells
+    val e1 = intercept[IllegalArgumentException] {
+      Bpe.vocabFromRankedTokens(
+        Seq(("a", 0L), ("b", 1L), ("abc", 2L)), Bpe.CharGrain)
+    }
+    assert(e1.getMessage.contains("exactly two"))
+    // parts exist but at HIGHER ranks
+    val e2 = intercept[IllegalArgumentException] {
+      Bpe.vocabFromRankedTokens(
+        Seq(("ab", 0L), ("a", 1L), ("b", 2L)), Bpe.CharGrain)
+    }
+    assert(e2.getMessage.contains("earlier-ranked"))
+    // duplicate token strings / duplicate ranks
+    assert(intercept[IllegalArgumentException] {
+      Bpe.vocabFromRankedTokens(
+        Seq(("a", 0L), ("a", 1L)), Bpe.CharGrain)
+    }.getMessage.contains("distinct token strings"))
+    assert(intercept[IllegalArgumentException] {
+      Bpe.vocabFromRankedTokens(
+        Seq(("a", 0L), ("b", 0L)), Bpe.CharGrain)
+    }.getMessage.contains("distinct ranks"))
+    // byte grain demands 2-hex symbol strings
+    assert(intercept[IllegalArgumentException] {
+      Bpe.vocabFromRankedTokens(Seq(("zz", 0L)), Bpe.ByteGrain)
+    }.getMessage.contains("2-hex"))
+    // two merges minting one string cannot export
+    val dup = Bpe.Vocab(Seq(
+      Bpe.Merge(1, "a", "bc", "abc", 2L),
+      Bpe.Merge(2, "ab", "c", "abc", 1L)), Bpe.CharGrain)
+    assert(intercept[IllegalArgumentException] {
+      Bpe.vocabRankedTokens(dup)
+    }.getMessage.contains("distinct token strings"))
+    // the planted-divergence table (a later round mints an earlier
+    // round's INPUT — constructible by hand, never by training)
+    // exports as strings but its ranks are inconsistent: the import
+    // replays them and refuses
+    val inconsistent = Bpe.Vocab(Seq(
+      Bpe.Merge(1, "a", "cd", "acd", 2L),
+      Bpe.Merge(2, "c", "d", "cd", 3L)), Bpe.CharGrain)
+    val exported = Bpe.vocabRankedTokens(inconsistent)
+    assert(intercept[IllegalArgumentException] {
+      Bpe.vocabFromRankedTokens(exported, Bpe.CharGrain)
+    }.getMessage.contains("exactly two"))
+  }
 }
