@@ -25,11 +25,17 @@ package graft
   * ranked loop is data-dependent per distinct word (iterations = the
   * deepest merge chain, not k fixed folds) — the honest cost of the
   * imported-vocabulary semantics.
+  * Mode `import` prices the ranked-token interchange round trip (r19:
+  * Bpe.vocabRankedTokens → vocabFromRankedTokens + exact-recovery
+  * check): pure vocab-bounded driver algebra, corpus untouched — the
+  * expected row is ~0 s and zero shuffle at every SF, and printing it
+  * is the point (corpus-size-independence is the claim).
   * Usage: sbt "runMain graft.BpePrice <sfDir> [rounds] [repeat] [mode]" */
 object BpePrice {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: BpePrice <sfDir> [rounds] [repeat] [train|doc|gpt2]")
+      "usage: BpePrice <sfDir> [rounds] [repeat] " +
+        "[train|doc|gpt2|ranked|import]")
     val sf = args(0)
     val rounds = if (args.length > 1) args(1).toInt else 8
     val repeat = if (args.length > 2) args(2).toInt else 5
@@ -58,6 +64,7 @@ object BpePrice {
         // ranked tokens, reconstruct the implicit merge pairs, verify
         // exact recovery — pure driver work, vocab-bounded, corpus
         // untouched (the train above is outside the timed region)
+        require(docVocab.nonEmpty, "trainer returned no merges to import")
         val v = graft.operators.Bpe.Vocab(docVocab,
           graft.operators.Bpe.CharGrain)
         val back = graft.operators.Bpe.vocabFromRankedTokens(

@@ -911,26 +911,30 @@ object Bpe {
     * present pair, all occurrences leftmost-first non-overlapping. */
   def encodeRanked(word: String, vocab: Vocab): Seq[String] = {
     rankGuards(vocab.merges)
-    encodeRankedUnits(vocab.grain.splitWord(word), vocab.merges)
+    val rank = vocab.merges.map(m => (m.left, m.right) -> m.round).toMap
+    val byRank = vocab.merges.map(m => m.round -> m).toMap
+    encodeRankedUnits(vocab.grain.splitWord(word), rank.get, byRank)
   }
 
-  /** The unit-level rank-priority loop — shared by [[encodeRanked]]
-    * (units minted by the grain's word splitter) and the ranked-token
-    * IMPORT (units minted by the grain's SYMBOL splitter — at byte
-    * grain a stored token string is already hex pairs, so re-running
-    * the word splitter over it would hex the hex). */
+  /** The ONE unit-level rank-priority loop — [[encodeRanked]] calls it
+    * with immutable maps over a whole vocabulary (units minted by the
+    * grain's word splitter); the ranked-token IMPORT calls it with its
+    * INCREMENTAL maps mid-reconstruction (units minted by the grain's
+    * SYMBOL splitter — at byte grain a stored token string is already
+    * hex pairs, so re-running the word splitter over it would hex the
+    * hex). Parameterized over the lookups precisely so the two call
+    * sites cannot diverge: a semantics fix lands in both or neither. */
   private def encodeRankedUnits(units: Vector[String],
-                                merges: Seq[Merge]): Seq[String] = {
-    val rank = merges.map(m => (m.left, m.right) -> m.round).toMap
-    val byRank = merges.map(m => m.round -> m).toMap
+                                rankOfPair: ((String, String)) => Option[Int],
+                                ruleAt: Int => Merge): Vector[String] = {
     var syms = units
     var go = syms.length >= 2
     while (go) {
       val present = syms.indices.dropRight(1)
-        .flatMap(i => rank.get((syms(i), syms(i + 1))))
+        .flatMap(i => rankOfPair((syms(i), syms(i + 1))))
       if (present.isEmpty) go = false
       else {
-        val m = byRank(present.min)
+        val m = ruleAt(present.min)
         val out = Vector.newBuilder[String]
         var i = 0
         while (i < syms.length) {
@@ -992,7 +996,8 @@ object Bpe {
         vocab.merges.flatMap(m => symUnits(CharGrain, m.merged))
           .distinct.sorted
     }
-    require(vocab.merges.forall(m => !alphabet.contains(m.merged)),
+    val alphaSet = alphabet.toSet
+    require(vocab.merges.forall(m => !alphaSet(m.merged)),
       "graft: a merged token collides with a base-alphabet unit")
     alphabet.zipWithIndex.map { case (u, i) => (u, i.toLong) } ++
       vocab.merges.sortBy(_.round).zipWithIndex.map { case (m, i) =>
@@ -1026,41 +1031,26 @@ object Bpe {
       "graft: ranked-token import needs distinct token strings")
     require(tokens.map(_._2).distinct.size == tokens.size,
       "graft: ranked-token import needs distinct ranks")
+    // degenerate strings fail HERE, not at first use: an empty token
+    // would be silently dropped (zero units), and a NUL-bearing one
+    // would import fine only to trip rankGuards inside every ranked
+    // consumer, far from the import that admitted it
+    require(tokens.forall(_._1.nonEmpty),
+      "graft: ranked-token import needs non-empty token strings")
+    require(tokens.forall(!_._1.contains('\u0000')),
+      "graft: ranked-token import needs NUL-free token strings")
     val ordered = tokens.sortBy(_._2)
     val rankOf = tokens.toMap
     // incremental rank/rule maps — rebuilding per token would make the
     // import O(k²) in vocabulary size, and production tables are 50k+
     val pairRound = scala.collection.mutable.HashMap.empty[(String, String), Int]
     val ruleOf = scala.collection.mutable.HashMap.empty[Int, Merge]
-    def reduce(units: Vector[String]): Vector[String] = {
-      var syms = units
-      var go = syms.length >= 2
-      while (go) {
-        val present = syms.indices.dropRight(1)
-          .flatMap(i => pairRound.get((syms(i), syms(i + 1))))
-        if (present.isEmpty) go = false
-        else {
-          val m = ruleOf(present.min)
-          val out = Vector.newBuilder[String]
-          var i = 0
-          while (i < syms.length) {
-            if (i + 1 < syms.length && syms(i) == m.left &&
-                syms(i + 1) == m.right) {
-              out += m.merged; i += 2
-            } else { out += syms(i); i += 1 }
-          }
-          syms = out.result()
-          go = syms.length >= 2
-        }
-      }
-      syms
-    }
     val merges = Vector.newBuilder[Merge]
     var round = 0
     for ((tok, rank) <- ordered) {
       val units = symUnits(grain, tok)
       if (units.length >= 2) {
-        val split = reduce(units)
+        val split = encodeRankedUnits(units, pairRound.get, ruleOf)
         require(split.length == 2,
           s"graft: token '$tok' (rank $rank) does not reduce to " +
             s"exactly two earlier tokens (got ${split.length} symbols) " +

@@ -1010,6 +1010,17 @@ class BpeSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       Bpe.vocabFromRankedTokens(Seq(("zz", 0L)), Bpe.ByteGrain)
     }.getMessage.contains("2-hex"))
+    // degenerate strings fail AT IMPORT, not at first use: an empty
+    // token would be silently dropped, a NUL-bearing one would import
+    // fine and trip rankGuards inside every ranked consumer later
+    assert(intercept[IllegalArgumentException] {
+      Bpe.vocabFromRankedTokens(
+        Seq(("a", 0L), ("", 1L)), Bpe.CharGrain)
+    }.getMessage.contains("non-empty"))
+    assert(intercept[IllegalArgumentException] {
+      Bpe.vocabFromRankedTokens(
+        Seq(("\u0000", 0L), ("a", 1L)), Bpe.CharGrain)
+    }.getMessage.contains("NUL-free"))
     // two merges minting one string cannot export
     val dup = Bpe.Vocab(Seq(
       Bpe.Merge(1, "a", "bc", "abc", 2L),
