@@ -214,6 +214,20 @@ object PqDev {
     }
     val rotPara = Similarity.opqRotation(isoSamp,
       Similarity.dimOf(baseIso))
+    // r19 late: does a rotation buy the SQ8 family anything? The
+    // expected answer is NO — SQ8 quantizes every dimension at 8 bits,
+    // so there is no subspace-allocation problem for a rotation to
+    // fix (the thing OPQ exists for in PQ's 4-bit-per-subspace
+    // regime) — but the honest verdict is a measured row, not an
+    // argument. Pure ADC (rerank 0), same raw-corpus truth (the
+    // rotation preserves cosines).
+    val sq8Raw = recall(Similarity.sq8TopKOf(baseIso, rerank = 0))
+    val sq8RotP = recall(Similarity.sq8TopKOf(
+      Similarity.opqRotate(baseIso, rotPara), rerank = 0))
+    val sq8RotNp = recall(Similarity.sq8TopKOf(
+      Similarity.opqRotate(baseIso, npRotI), rerank = 0))
+    println(f"## sq8_rotation sf=$sf raw=$sq8Raw%.3f " +
+      f"para=$sq8RotP%.3f np=$sq8RotNp%.3f")
     val rrs = Seq(Similarity.K, 40, 100)
     val e2ePara = endToEnd(rotPara, rrs)
     val e2eNp = endToEnd(npRotI, rrs)

@@ -2665,9 +2665,24 @@ object Similarity {
     * audit-per-window loop buys), while the planted mean-shift drift
     * moves it ~0.35 — an order of margin on either side. A fresh log
     * (baseline only) reads drop 0 → keep serving. Fails loud when no
-    * log exists: advice without a baseline is a guess. */
+    * log exists: advice without a baseline is a guess.
+    *
+    * TREND (r19, the early-warning half): the latest-vs-baseline drop
+    * only alarms AFTER the threshold is crossed; the trend columns
+    * project the crossing from the recent slope so a scheduler can
+    * plan the rebuild before the alarm. `trend_drop_per_window` =
+    * (mean_recall w windows ago − latest) / w over w =
+    * min(trendWindow, n_audits − 1) recent steps (positive =
+    * declining, 6-dp rounded like every published number);
+    * `projected_windows_to_rebuild` = 0 when rebuild is already
+    * advised, NULL when the trend is flat-or-improving (no crossing
+    * at the current slope), else the smallest k with
+    * drop + k·trend > tolerance — all three derivable from the row's
+    * own published columns, the same replayability contract as the
+    * drop itself. */
   def indexRebuildAdvice(spark: SparkSession, indexPath: String,
-                         dropTolerance: Double = 0.10): DataFrame = {
+                         dropTolerance: Double = 0.10,
+                         trendWindow: Int = 3): DataFrame = {
     import spark.implicits._
     val logPath = s"$indexPath/audit_log"
     val p = new org.apache.hadoop.fs.Path(logPath)
@@ -2686,14 +2701,30 @@ object Similarity {
     // from its own numbers is a bug
     val drop = math.round((baseline.getAs[Double]("mean_recall") -
       latest.getAs[Double]("mean_recall")) * 1e6) / 1e6
+    // the trend reads the last w steps, not baseline-vs-latest: after
+    // many healthy windows one bad reading should move the projection
+    // hard, which a whole-history average would dilute
+    val w = math.min(trendWindow, log.length - 1)
+    val trend =
+      if (w <= 0) 0.0
+      else math.round(
+        (log(log.length - 1 - w).getAs[Double]("mean_recall") -
+          latest.getAs[Double]("mean_recall")) / w * 1e6) / 1e6
+    val rebuild = drop > dropTolerance
+    val projected: Option[Long] =
+      if (rebuild) Some(0L)
+      else if (trend <= 0.0) None
+      else Some(math.floor((dropTolerance - drop) / trend).toLong + 1L)
     Seq((log.length.toLong, baseline.getAs[Long]("audit_seq"),
         baseline.getAs[Double]("mean_recall"),
         latest.getAs[Long]("audit_seq"),
         latest.getAs[Double]("mean_recall"),
-        drop, dropTolerance,
-        drop > dropTolerance))
+        drop, dropTolerance, w.toLong, trend, projected,
+        rebuild))
       .toDF("n_audits", "baseline_seq", "baseline_recall", "latest_seq",
-        "latest_recall", "recall_drop", "drop_tolerance", "rebuild")
+        "latest_recall", "recall_drop", "drop_tolerance", "trend_window",
+        "trend_drop_per_window", "projected_windows_to_rebuild",
+        "rebuild")
   }
 
   /** The compaction DECISION record — closes the observability→action

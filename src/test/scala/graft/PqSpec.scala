@@ -1303,6 +1303,11 @@ class PqSpec extends AnyFunSuite {
         assert(ad0.getAs[Double]("recall_drop") === 0.0)
         assert(!ad0.getAs[Boolean]("rebuild"),
           "a fresh baseline must not advise a rebuild")
+        // trend on a single reading: no step to slope over — zero
+        // trend, no projected crossing
+        assert(ad0.getAs[Long]("trend_window") === 0L)
+        assert(ad0.getAs[Double]("trend_drop_per_window") === 0.0)
+        assert(ad0.isNullAt(ad0.fieldIndex("projected_windows_to_rebuild")))
         // window 1: undrifted append + its traffic — advice stays down
         Similarity.pqIndexAppend(spark, comp, idxDir)
         val base1 = a.select("vec_id", "embedding").unionByName(comp)
@@ -1312,6 +1317,11 @@ class PqSpec extends AnyFunSuite {
         assert(!ad1.getAs[Boolean]("rebuild"),
           s"undrifted window flipped the advice: " +
             s"drop=${ad1.getAs[Double]("recall_drop")}")
+        // flat window: the trend is audit noise — either no projected
+        // crossing (flat/improving) or a strictly-future one, never 0
+        val p1 = ad1.fieldIndex("projected_windows_to_rebuild")
+        assert(ad1.isNullAt(p1) || ad1.getLong(p1) > 0L,
+          "an undrifted window must not project an immediate rebuild")
         // window 2: drifted append + its traffic — advice flips ON
         Similarity.pqIndexAppend(spark, drifted, idxDir)
         val base2 = base1.unionByName(drifted)
@@ -1323,6 +1333,13 @@ class PqSpec extends AnyFunSuite {
           s"planted drift did not flip the advice: " +
             s"baseline=${ad2.getAs[Double]("baseline_recall")} " +
             s"latest=${ad2.getAs[Double]("latest_recall")}")
+        // alarmed state: the projection is NOW, the slope is the last
+        // w = min(3, 2) steps and replayable from the log itself
+        assert(ad2.getAs[Long](
+          "projected_windows_to_rebuild") === 0L)
+        assert(ad2.getAs[Long]("trend_window") === 2L)
+        assert(ad2.getAs[Double]("trend_drop_per_window") > 0.0,
+          "the drifted window must read a declining trend")
         // exactly once across the sequence
         assert(Seq(ad0, ad1, ad2).map(_.getAs[Boolean]("rebuild")) ===
           Seq(false, false, true))
@@ -1341,6 +1358,16 @@ class PqSpec extends AnyFunSuite {
         val tolerant = Similarity.indexRebuildAdvice(spark, idxDir,
           dropTolerance = 1.0).collect()(0)
         assert(!tolerant.getAs[Boolean]("rebuild"))
+        // projection replayability: below-threshold with a declining
+        // last-step trend, the published columns alone reproduce the
+        // projected crossing (smallest k with drop + k·trend > tol)
+        val t1 = Similarity.indexRebuildAdvice(spark, idxDir,
+          dropTolerance = 1.0, trendWindow = 1).collect()(0)
+        val tr = t1.getAs[Double]("trend_drop_per_window")
+        assert(tr > 0.0, "the drifted last step must slope downward")
+        assert(t1.getAs[Long]("projected_windows_to_rebuild") ===
+          math.floor((1.0 - t1.getAs[Double]("recall_drop")) / tr)
+            .toLong + 1L)
       }
     }
   }
