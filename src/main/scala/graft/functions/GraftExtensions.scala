@@ -58,6 +58,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       MinHashAgg.info,
       cs => { val c = arity(1, "minhash_agg")(cs); MinHashAgg(c(0)) }))
     ext.injectFunction((
+      FunctionIdentifier("percentile_exact"),
+      PercentileExact.info,
+      cs => { val c = arity(2, "percentile_exact")(cs)
+              PercentileExact(c(0), c(1)) }))
+    ext.injectFunction((
       FunctionIdentifier("mg_topk"),
       MisraGriesAgg.info,
       cs => { val c = arity(2, "mg_topk")(cs); MisraGriesAgg(c(0), c(1)) }))

@@ -1,0 +1,207 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** percentile_exact(double_col, p | array(p...)) — the engine's exact R-7
+  * percentile with a FLAT primitive buffer, result-identical to Spark's
+  * built-in `percentile` (pinned bitwise in RelationalSpec).
+  *
+  * Why it exists (r19 optimization round, guide §1.2 "per-task work"):
+  * Spark's `Percentile` is a TypedImperativeAggregate over an
+  * `OpenHashMap[AnyRef, Long]` — every input row boxes its double and pays
+  * a hash-map update, and the single-partition merge re-hashes every
+  * distinct key before a boxed sort. On a 600k-row double column whose
+  * values are ~97% distinct (l_extendedprice at sf0.1) the counts map
+  * buys nothing and the boxing dominates: the bounds pass of q_equidepth
+  * alone measured 2.0 s of its 3.2 s total. This implementation appends
+  * raw doubles to a growable Array[Double] (no boxing, no per-row hashing),
+  * merges by concatenation, and sorts ONCE per group at eval — measured
+  * 3-5× faster on the exact-quantile catalog queries at sf0.1.
+  *
+  * Result identity with the built-in (the oracle-gate invariant):
+  *  - sort order: `java.util.Arrays.sort(double[])` orders -0.0 < 0.0 and
+  *    NaN last — the same total order as Spark's
+  *    `PhysicalDataType.ordering(DoubleType)` (`java.lang.Double.compare`),
+  *    so every rank maps to the same value as the built-in's
+  *    sort-by-key-then-cumulate walk;
+  *  - position arithmetic mirrors `PercentileBase.getPercentile` bytecode
+  *    exactly: pos = (n-1).toDouble * p; lower = floor(pos).toLong;
+  *    higher = ceil(pos).toLong; equal ranks or NUMERICALLY equal neighbor
+  *    values (primitive == — BoxesRunTime.equals semantics, so a -0.0/0.0
+  *    neighbor pair returns the lower key, as the built-in does) return
+  *    the lower value; otherwise
+  *    (higher - pos) * v_lo + (pos - lower) * v_hi in that literal
+  *    multiplication order;
+  *  - null inputs are skipped; an empty group evaluates to NULL.
+  *
+  * Scale shape: identical to the built-in — one pass, mergeable partials,
+  * per-group state proportional to group row count (vs the built-in's
+  * distinct count; on near-distinct doubles that is the same thing). The
+  * 100 TB substitute remains `approx_percentile` exactly as documented on
+  * every call site (percentiles/equiDepthHistogram/madOutliers scaladoc).
+  */
+case class PercentileExact(
+    left: Expression,
+    right: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[PercentileExact.Buf]
+  with BinaryLike[Expression] {
+
+  private lazy val returnArray: Boolean =
+    right.dataType.isInstanceOf[ArrayType]
+
+  private lazy val percentages: Array[Double] = {
+    val v = right.eval(null)
+    val ps = v match {
+      case a: ArrayData => a.toDoubleArray()
+      case d: java.lang.Double => Array(d.doubleValue())
+      case other => throw new IllegalArgumentException(
+        s"percentile_exact: unexpected percentage value $other")
+    }
+    require(ps.forall(p => p >= 0.0 && p <= 1.0),
+      "percentile_exact: percentages must be in [0, 1]")
+    ps
+  }
+
+  override def dataType: DataType =
+    if (returnArray) ArrayType(DoubleType, containsNull = false)
+    else DoubleType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val okChild = left.dataType == DoubleType
+    val okPct = right.dataType match {
+      case DoubleType => true
+      case ArrayType(DoubleType, false) => true
+      case _ => false
+    }
+    if (!okChild) TypeCheckResult.TypeCheckFailure(
+      "percentile_exact expects a DOUBLE column (wrap with CAST), got " +
+        left.dataType.simpleString)
+    else if (!okPct) TypeCheckResult.TypeCheckFailure(
+      "percentile_exact expects DOUBLE or ARRAY<DOUBLE> percentages, got " +
+        right.dataType.simpleString)
+    else if (!right.foldable) TypeCheckResult.TypeCheckFailure(
+      "percentile_exact: percentages must be a foldable literal")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def createAggregationBuffer(): PercentileExact.Buf =
+    new PercentileExact.Buf(Array.emptyDoubleArray, 0)
+
+  override def update(buf: PercentileExact.Buf,
+                      input: InternalRow): PercentileExact.Buf = {
+    val v = left.eval(input)
+    if (v != null) buf.append(v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(b1: PercentileExact.Buf,
+                     b2: PercentileExact.Buf): PercentileExact.Buf = {
+    b1.appendAll(b2)
+    b1
+  }
+
+  override def eval(buf: PercentileExact.Buf): Any = {
+    if (buf.n == 0) return null
+    val vs = buf.sortedValues()
+    val out = new Array[Double](percentages.length)
+    var i = 0
+    while (i < percentages.length) {
+      out(i) = PercentileExact.r7(vs, percentages(i))
+      i += 1
+    }
+    if (returnArray) new GenericArrayData(out) else out(0)
+  }
+
+  override def serialize(buf: PercentileExact.Buf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.n * 8)
+    var i = 0
+    while (i < buf.n) { bb.putDouble(buf.arr(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): PercentileExact.Buf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bytes.length / 8
+    val arr = new Array[Double](n)
+    var i = 0
+    while (i < n) { arr(i) = bb.getDouble(); i += 1 }
+    new PercentileExact.Buf(arr, n)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): PercentileExact =
+    copy(mutableAggBufferOffset = o)
+
+  override def withNewInputAggBufferOffset(o: Int): PercentileExact =
+    copy(inputAggBufferOffset = o)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PercentileExact =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "percentile_exact"
+}
+
+object PercentileExact {
+  /** Growable flat double buffer — append-only, concat-merge. */
+  final class Buf(var arr: Array[Double], var n: Int) {
+    def append(v: Double): Unit = {
+      if (n == arr.length) {
+        val grown = new Array[Double](math.max(64, arr.length * 2))
+        System.arraycopy(arr, 0, grown, 0, n)
+        arr = grown
+      }
+      arr(n) = v
+      n += 1
+    }
+    def appendAll(other: Buf): Unit = {
+      if (other.n > 0) {
+        if (n + other.n > arr.length) {
+          val grown = new Array[Double](math.max(n + other.n, arr.length * 2))
+          System.arraycopy(arr, 0, grown, 0, n)
+          arr = grown
+        }
+        System.arraycopy(other.arr, 0, arr, n, other.n)
+        n += other.n
+      }
+    }
+    /** Ascending copy of the live prefix (Arrays.sort: -0.0 < 0.0, NaN
+      * last — Double.compare order, matching the built-in's key sort). */
+    def sortedValues(): Array[Double] = {
+      val vs = java.util.Arrays.copyOf(arr, n)
+      java.util.Arrays.sort(vs)
+      vs
+    }
+  }
+
+  /** The literal `PercentileBase.getPercentile` arithmetic over a sorted
+    * flat array (ranks replace the cumulative-count binary search — on a
+    * sorted array the value at rank r IS the built-in's key holding
+    * cumulative position r+1). */
+  def r7(sorted: Array[Double], p: Double): Double = {
+    val pos = (sorted.length - 1).toDouble * p
+    val lower = math.floor(pos).toLong
+    val higher = math.ceil(pos).toLong
+    val vLo = sorted(lower.toInt)
+    if (higher == lower) return vLo
+    val vHi = sorted(higher.toInt)
+    // the built-in's neighbor check is BoxesRunTime.equals, which compares
+    // boxed Doubles NUMERICALLY (-0.0 == 0.0 → true, return the lower key
+    // -0.0; probed empirically at both insertion orders and partitionings)
+    // — primitive == is that exact semantics
+    if (vLo == vHi) return vLo
+    (higher - pos) * vLo + (pos - lower) * vHi
+  }
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[PercentileExact].getName, "percentile_exact")
+}

@@ -42,6 +42,13 @@ object Basket {
     * the MaxBasket=32 exclusion is otherwise a dead branch in every
     * gate. */
   def coPurchaseOf(lines: DataFrame): DataFrame = {
+    // r19 optimization round, measured NO: the initial physical plan
+    // re-derives items/kept per consumer (18 scans / 52 Exchanges in
+    // plans/r19/q_copurchase_before.txt), but localCheckpointing items
+    // and/or kept moved the isolated warm median 2.55 s → 2.6-2.7 s at
+    // sf0.1 — AQE's runtime exchange reuse already dedupes the identical
+    // distinct/join subtrees, so the eager materialization only added
+    // cost. Left recompute-shaped on that evidence (OPTIMIZATION_r19.md).
     val items = lines
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val sized = items.groupBy("l_orderkey")

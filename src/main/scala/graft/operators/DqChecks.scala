@@ -130,44 +130,59 @@ object DqChecks {
     * differs across engines), timestamps through a fixed format string.
     *
     * Scale shape (100 TB discipline):
-    *  - ONE scan: every per-column counter is a map-side-combinable
-    *    aggregate over the same pass — adding a column adds aggregate
-    *    buffers, not scans. The 6 exact `countDistinct`s plan as one
-    *    Expand (×7 rows) + partial aggregate — still a single scan, and
-    *    the partial aggregation absorbs the blow-up map-side;
+    *  - TWO column-pruned scans, each the cheap plan for its aggregate
+    *    family (r19 optimization round, guide §1.2/§2.3). The original
+    *    single-agg form mixed the 6 exact `countDistinct`s with string
+    *    min/max buffers, and a string in the aggregation buffer bars
+    *    HashAggregate — Spark planned a THREE-level SortAggregate cascade
+    *    that sorted the ×7-Expanded input twice by all 7 expand keys
+    *    (measured 3.1 s of the query's 3.8 s at sf0.1). Split, the
+    *    distinct pass is Expand + codegen HashAggregate (long buffers,
+    *    map-side partials) and the null/min/max pass is one keyless
+    *    aggregate over the un-expanded scan (0.9 s total; plan diff in
+    *    plans/r19/q_col_profile_{before,after}.txt). At 100 TB the same
+    *    argument holds stronger: the sort of the ×7 expansion is the
+    *    catalog's worst-case shuffle amplification, while both split
+    *    passes combine map-side;
     *  - at 100 TB the exact distincts substitute `approx_count_distinct`
-    *    (HLL±2%, drops the Expand entirely) — the profile is precisely
-    *    what the sketch exists for; the oracle pins the exact form at
-    *    verify scale;
-    *  - the `stack` unpivot runs on the ONE aggregated row — free. */
+    *    (HLL±2%, drops the Expand entirely and re-merges into ONE scan) —
+    *    the profile is precisely what the sketch exists for; the oracle
+    *    pins the exact form at verify scale;
+    *  - the `stack` unpivot runs on the ONE joined row — free (the
+    *    crossJoin is a broadcast of a single aggregated row). */
   def colProfile(spark: SparkSession, dir: String): DataFrame = {
     def nulls(c: String) =
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c")
     def dist(c: String) = countDistinct(col(c)).as(s"nd_$c")
-    val ag = Tables.orders(spark, dir).agg(
+    val orders = Tables.orders(spark, dir)
+    val dists = orders.agg(
+      dist("o_orderkey"), dist("o_custkey"), dist("o_orderstatus"),
+      dist("o_totalprice"), dist("o_orderdate"), dist("o_orderpriority"))
+    val ag = orders.agg(
       count(lit(1)).as("n_rows"),
-      nulls("o_orderkey"), dist("o_orderkey"),
+      nulls("o_orderkey"),
       min(col("o_orderkey")).cast(StringType).as("mn_o_orderkey"),
       max(col("o_orderkey")).cast(StringType).as("mx_o_orderkey"),
-      nulls("o_custkey"), dist("o_custkey"),
+      nulls("o_custkey"),
       min(col("o_custkey")).cast(StringType).as("mn_o_custkey"),
       max(col("o_custkey")).cast(StringType).as("mx_o_custkey"),
-      nulls("o_orderstatus"), dist("o_orderstatus"),
+      nulls("o_orderstatus"),
       min(col("o_orderstatus")).as("mn_o_orderstatus"),
       max(col("o_orderstatus")).as("mx_o_orderstatus"),
-      nulls("o_totalprice"), dist("o_totalprice"),
+      nulls("o_totalprice"),
       (min(col("o_totalprice")).cast(DecimalType(18, 2)) * 100)
         .cast(LongType).cast(StringType).as("mn_o_totalprice"),
       (max(col("o_totalprice")).cast(DecimalType(18, 2)) * 100)
         .cast(LongType).cast(StringType).as("mx_o_totalprice"),
-      nulls("o_orderdate"), dist("o_orderdate"),
+      nulls("o_orderdate"),
       date_format(min(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss")
         .as("mn_o_orderdate"),
       date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss")
         .as("mx_o_orderdate"),
-      nulls("o_orderpriority"), dist("o_orderpriority"),
+      nulls("o_orderpriority"),
       min(col("o_orderpriority")).as("mn_o_orderpriority"),
       max(col("o_orderpriority")).as("mx_o_orderpriority"))
+      .crossJoin(broadcast(dists))
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
       "o_totalprice", "o_orderdate", "o_orderpriority")
     val stackArgs = cols.map(c =>

@@ -175,18 +175,39 @@ object Graph {
     * check is one more equi-join against the oriented edge list.
     * Everything (degrees, wedge counts, the 3T/W coefficient's single
     * IEEE division) is exact-integer until the last expression. */
-  def triangles(spark: SparkSession, dir: String): DataFrame = {
+  def triangles(spark: SparkSession, dir: String): DataFrame =
+    trianglesOf(spark, dir, materialize = true)
+
+  /** [[triangles]] with the r19 materialization seam exposed: e feeds deg,
+    * the orientation join AND the edge count, deg feeds the orientation
+    * twice plus the wedge stats, and oe feeds both wedge sides plus the
+    * closing join — without materialization the initial physical plan held
+    * 72 lineitem scans / 188 Exchanges (the catalog's worst recompute
+    * tree; plans/r19/q_triangles_before.txt), so the production path
+    * localCheckpoints all three (the madOutliers/prefixSimJoin lifecycle
+    * argument; measured 3.3 s → 1.6 s isolated warm at sf0.1). All three
+    * frames are the BOUNDED graph artifacts the O(m^1.5) algorithm
+    * already assumes manageable: e is the supported edge list (two
+    * longs/row), deg one row per node, oe one row per edge.
+    * `materialize = false` exists for PlanSpec only, so the no-cartesian /
+    * equi-join pins can read the FULL logical shape (checkpoints hide
+    * executed subtrees behind ExistingRDD scans). */
+  private[graft] def trianglesOf(spark: SparkSession, dir: String,
+                                 materialize: Boolean): DataFrame = {
+    def ckpt(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(eager = true) else df
     val items = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val e = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val e = ckpt(items.select(col("l_orderkey"), col("l_partkey").as("pa"))
       .join(items.select(col("l_orderkey"), col("l_partkey").as("pb")),
         "l_orderkey")
       .filter(col("pa") < col("pb"))
       .groupBy("pa", "pb").agg(count(lit(1)).as("s"))
       .filter(col("s") >= TriSupport)
-      .select("pa", "pb")
-    val deg = e.select(col("pa").as("v")).unionAll(e.select(col("pb").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("d"))
+      .select("pa", "pb"))
+    val deg = ckpt(e.select(col("pa").as("v"))
+      .unionAll(e.select(col("pb").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d")))
     // orient: src = endpoint with the smaller (degree, id) pair
     val withDeg = e
       .join(deg.select(col("v").as("pa"), col("d").as("da")), "pa")
@@ -194,13 +215,13 @@ object Graph {
     // the head endpoint's degree rides the orientation struct — both
     // degrees are already on withDeg, so the former oe⋈deg re-join of
     // every oriented edge was pure wasted shuffle on the hot path
-    val oe = withDeg.select(
+    val oe = ckpt(withDeg.select(
       when(col("da") < col("db") ||
         (col("da") === col("db") && col("pa") < col("pb")),
         struct(col("pa").as("u"), col("pb").as("w"), col("db").as("dw")))
         .otherwise(struct(col("pb").as("u"), col("pa").as("w"),
           col("da").as("dw"))).as("o"))
-      .select(col("o.u").as("u"), col("o.w").as("w"), col("o.dw").as("dw"))
+      .select(col("o.u").as("u"), col("o.w").as("w"), col("o.dw").as("dw")))
     val ow = oe
     // wedges at the apex u: pairs of out-neighbors ordered by (deg, id)
     val wedges = ow.select(col("u"), col("w").as("x"), col("dw").as("dx"))

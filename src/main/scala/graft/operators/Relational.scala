@@ -607,9 +607,9 @@ object Relational {
         // one array-percentile call per column: the exact aggregate
         // buffers the column's values once per agg expression, so asking
         // for 0.5 and 0.95 separately would buffer (and sort) twice
-        expr("percentile(CAST(l_extendedprice AS DOUBLE), array(0.5D, 0.95D))")
+        expr("percentile_exact(CAST(l_extendedprice AS DOUBLE), array(0.5D, 0.95D))")
           .as("ep"),
-        round(expr("percentile(CAST(l_discount AS DOUBLE), 0.5)"), 4)
+        round(expr("percentile_exact(CAST(l_discount AS DOUBLE), 0.5D)"), 4)
           .as("disc_p50"))
       .select(col("l_returnflag"),
         round(col("ep").getItem(0), 4).as("p50"),
@@ -668,7 +668,7 @@ object Relational {
   def equiDepthHistogram(spark: SparkSession, dir: String): DataFrame = {
     val ps = (1 until 10).map(i => s"0.${i}D").mkString(", ")
     val bounds = Tables.lineitem(spark, dir)
-      .agg(expr(s"percentile(CAST(l_extendedprice AS DOUBLE), array($ps))")
+      .agg(expr(s"percentile_exact(CAST(l_extendedprice AS DOUBLE), array($ps))")
         .as("bs"))
     Tables.lineitem(spark, dir)
       .select(col("l_extendedprice").as("x"))
@@ -835,7 +835,7 @@ object Relational {
         (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
           .cast(LongType).as("c"))
     val cuts = base.groupBy("g")
-      .agg(expr(s"percentile(CAST(c AS DOUBLE), array($ps))").as("bs"))
+      .agg(expr(s"percentile_exact(CAST(c AS DOUBLE), array($ps))").as("bs"))
     val cells = base.join(broadcast(cuts), "g")
       .select(col("g"), col("c"),
         (expr("size(filter(bs, b -> CAST(c AS DOUBLE) > b))") + 1)
@@ -910,7 +910,7 @@ object Relational {
     val base = Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_extendedprice").as("x"))
     val med = base.groupBy("l_returnflag")
-      .agg(expr("percentile(CAST(x AS DOUBLE), 0.5)").as("med"))
+      .agg(expr("percentile_exact(CAST(x AS DOUBLE), 0.5D)").as("med"))
     // localCheckpoint: dev feeds the stats pass AND the fence count —
     // without it the lineitem scan + median join re-execute on both plan
     // branches (3 fact scans instead of 2; the exchanges differ, so
@@ -921,7 +921,7 @@ object Relational {
       .localCheckpoint(eager = true)
     val stats = dev.groupBy("l_returnflag")
       .agg(first(col("med")).as("med"),
-        expr("percentile(CAST(dev AS DOUBLE), 0.5)").as("mad"),
+        expr("percentile_exact(CAST(dev AS DOUBLE), 0.5D)").as("mad"),
         count(lit(1)).as("n"))
     dev.drop("med")
       .join(broadcast(stats), "l_returnflag")
@@ -1019,7 +1019,7 @@ object Relational {
       .groupBy(col("l_returnflag"))
       .agg(
         ap("0.5").as("a50"), ap("0.95").as("a95"),
-        expr("percentile(CAST(l_extendedprice AS DOUBLE), " +
+        expr("percentile_exact(CAST(l_extendedprice AS DOUBLE), " +
           "array(0.48D, 0.52D, 0.93D, 0.97D))").as("bands"))
       .select(col("l_returnflag"),
         round(col("a50"), 2).as("p50_approx"),

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** percentile_exact must be RESULT-IDENTICAL (bitwise) to Spark's built-in
+  * `percentile` — it exists purely as a faster buffer layout (r19
+  * optimization round), so any divergence is a correctness bug, not a
+  * tolerance question. Every oracle-gated exact-quantile query routes
+  * through it, and the gates below pin the equivalence on the REAL corpus
+  * column plus the adversarial edge shapes (ties, ±0.0, single element,
+  * integer positions, all-null groups). */
+class PercentileExactSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def bits(d: Double): Long = java.lang.Double.doubleToLongBits(d)
+
+  test("grouped array+scalar ≡ built-in percentile bitwise on lineitem") {
+    val rows = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(CAST(l_extendedprice AS DOUBLE), " +
+          "array(0.1D,0.25D,0.5D,0.75D,0.9D,0.95D))").as("ref"),
+        expr("percentile_exact(CAST(l_extendedprice AS DOUBLE), " +
+          "array(0.1D,0.25D,0.5D,0.75D,0.9D,0.95D))").as("mine"),
+        expr("percentile(CAST(l_discount AS DOUBLE), 0.5D)").as("ref_s"),
+        expr("percentile_exact(CAST(l_discount AS DOUBLE), 0.5D)").as("mine_s"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ref = r.getSeq[Double](1)
+      val mine = r.getSeq[Double](2)
+      assert(ref.map(bits) == mine.map(bits),
+        s"array mismatch for ${r.get(0)}: $ref vs $mine")
+      assert(bits(r.getDouble(3)) == bits(r.getDouble(4)),
+        s"scalar mismatch for ${r.get(0)}")
+    }
+  }
+
+  test("global decile array ≡ built-in bitwise (the q_equidepth shape)") {
+    val ps = (1 until 10).map(i => s"0.${i}D").mkString(", ")
+    val r = Tables.lineitem(spark, sf)
+      .agg(
+        expr(s"percentile(CAST(l_extendedprice AS DOUBLE), array($ps))")
+          .as("ref"),
+        expr(s"percentile_exact(CAST(l_extendedprice AS DOUBLE), array($ps))")
+          .as("mine"))
+      .collect()(0)
+    assert(r.getSeq[Double](0).map(bits) == r.getSeq[Double](1).map(bits))
+  }
+
+  test("edge shapes: ties, ±0.0, singletons, integer positions, null groups") {
+    val spark2 = spark
+    import spark2.implicits._
+    val data = Seq[(String, java.lang.Double)](
+      ("ties", 5.0), ("ties", 5.0), ("ties", 5.0), ("ties", 7.0),
+      ("zero", -0.0), ("zero", 0.0), ("zero", -0.0), ("zero", 1.0),
+      ("one", 42.0),
+      ("two", 1.0), ("two", 2.0),
+      ("intpos", 1.0), ("intpos", 2.0), ("intpos", 3.0), ("intpos", 4.0),
+      ("intpos", 5.0),
+      ("nulls", null), ("nulls", null),
+      ("mixed", null), ("mixed", 3.0), ("mixed", 1.0))
+      .toDF("g", "v")
+    val rows = data.groupBy("g")
+      .agg(
+        expr("percentile(CAST(v AS DOUBLE), " +
+          "array(0.0D,0.1D,0.25D,0.5D,0.75D,0.9D,1.0D))").as("ref"),
+        expr("percentile_exact(CAST(v AS DOUBLE), " +
+          "array(0.0D,0.1D,0.25D,0.5D,0.75D,0.9D,1.0D))").as("mine"))
+      .collect()
+    rows.foreach { r =>
+      (r.isNullAt(1), r.isNullAt(2)) match {
+        case (true, true) => () // all-null group: both NULL
+        case (false, false) =>
+          assert(r.getSeq[Double](1).map(bits) == r.getSeq[Double](2).map(bits),
+            s"mismatch for group ${r.getString(0)}: " +
+              s"${r.getSeq[Double](1)} vs ${r.getSeq[Double](2)}")
+        case other => fail(s"null-ness mismatch for ${r.getString(0)}: $other")
+      }
+    }
+  }
+
+  test("repartitioning invariance (merge path exercised)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (1 to 10001).map(i => ((i * 2654435761L) % 997).toDouble)
+      .toDF("v")
+    def run(parts: Int): Seq[Long] =
+      df.repartition(parts)
+        .agg(expr("percentile_exact(CAST(v AS DOUBLE), " +
+          "array(0.01D,0.33D,0.5D,0.66D,0.99D))"))
+        .collect()(0).getSeq[Double](0).map(bits)
+    val ref = df.agg(expr("percentile(CAST(v AS DOUBLE), " +
+      "array(0.01D,0.33D,0.5D,0.66D,0.99D))"))
+      .collect()(0).getSeq[Double](0).map(bits)
+    assert(run(1) == ref && run(7) == ref && run(32) == ref)
+  }
+}
