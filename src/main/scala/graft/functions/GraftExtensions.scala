@@ -63,6 +63,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       cs => { val c = arity(2, "percentile_exact")(cs)
               PercentileExact(c(0), c(1)) }))
     ext.injectFunction((
+      FunctionIdentifier("percentile_disc_exact"),
+      PercentileExact.discInfo,
+      cs => { val c = arity(2, "percentile_disc_exact")(cs)
+              PercentileDiscExact(c(0), c(1)) }))
+    ext.injectFunction((
       FunctionIdentifier("mg_topk"),
       MisraGriesAgg.info,
       cs => { val c = arity(2, "mg_topk")(cs); MisraGriesAgg(c(0), c(1)) }))

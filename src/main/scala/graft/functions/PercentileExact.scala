@@ -204,4 +204,161 @@ object PercentileExact {
 
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[PercentileExact].getName, "percentile_exact")
+
+  val discInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[PercentileDiscExact].getName, "percentile_disc_exact")
+}
+
+/** percentile_disc_exact(double_col, p | array(p...)) — ANSI
+  * PERCENTILE_DISC (inverse distribution: the smallest ACTUAL value whose
+  * cumulative distribution reaches p), result-identical to the
+  * cume_dist-window formulation `MIN(v) FILTER (WHERE cume_dist >= p)`
+  * that q_percentile_disc previously computed through a per-group window
+  * sort of every row (pinned bitwise in PercentileExactSpec).
+  *
+  * Equivalence (the window form ⇔ the rank pick): cume_dist assigns value
+  * v the fraction last_occ(v)/n (count of rows ≤ v over the group size,
+  * evaluated as a DOUBLE division of the two longs — `CumeDist` lowers to
+  * Cast(rowNumber)/Cast(n)). Let j0 be the minimal 1-based rank with
+  * j/n ≥ p under that same double division. The sorted value at rank j0
+  * qualifies (its last occurrence is ≥ j0, so its cume_dist ≥ j0/n ≥ p)
+  * and every smaller value's last occurrence is ≤ j0−1, whose division
+  * by construction reads < p — so sorted(j0−1) IS the window form's MIN.
+  * The search starts at ceil(p·n) and then adjusts by the literal
+  * division compare, so ulp cases (e.g. 0.95·n landing just above an
+  * integer) resolve exactly as the window's comparison did. One peer
+  * subtlety: the window's sort key is ±0.0-normalized
+  * (NormalizeFloatingNumbers), making a −0.0/0.0 run one peer group, and
+  * MIN then returns the run's smallest representation — mirrored by
+  * walking to the start of the numeric-equality run after the rank pick
+  * (pinned in PercentileExactSpec's ±0.0 edge case).
+  *
+  * Null inputs are skipped (the catalog call site is a non-null column;
+  * a null-bearing column would change n between the two formulations —
+  * do not route one here). Empty group → NULL.
+  *
+  * Why: the window form funnels each group through one task to sort ALL
+  * rows (guide §2.4 — a per-group global window), then aggregates the
+  * ranked rows again. This is one pass, mergeable partials, and one
+  * flat sort per group at eval — measured 1.45 s → 0.5 s isolated warm
+  * on q_percentile_disc at sf0.1, and no single-task group sort at any
+  * scale. */
+case class PercentileDiscExact(
+    left: Expression,
+    right: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[PercentileExact.Buf]
+  with BinaryLike[Expression] {
+
+  private lazy val returnArray: Boolean =
+    right.dataType.isInstanceOf[ArrayType]
+
+  private lazy val percentages: Array[Double] = {
+    val v = right.eval(null)
+    val ps = v match {
+      case a: ArrayData => a.toDoubleArray()
+      case d: java.lang.Double => Array(d.doubleValue())
+      case other => throw new IllegalArgumentException(
+        s"percentile_disc_exact: unexpected percentage value $other")
+    }
+    require(ps.forall(p => p >= 0.0 && p <= 1.0),
+      "percentile_disc_exact: percentages must be in [0, 1]")
+    ps
+  }
+
+  override def dataType: DataType =
+    if (returnArray) ArrayType(DoubleType, containsNull = false)
+    else DoubleType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val okChild = left.dataType == DoubleType
+    val okPct = right.dataType match {
+      case DoubleType => true
+      case ArrayType(DoubleType, false) => true
+      case _ => false
+    }
+    if (!okChild) TypeCheckResult.TypeCheckFailure(
+      "percentile_disc_exact expects a DOUBLE column (wrap with CAST), " +
+        "got " + left.dataType.simpleString)
+    else if (!okPct) TypeCheckResult.TypeCheckFailure(
+      "percentile_disc_exact expects DOUBLE or ARRAY<DOUBLE> percentages, " +
+        "got " + right.dataType.simpleString)
+    else if (!right.foldable) TypeCheckResult.TypeCheckFailure(
+      "percentile_disc_exact: percentages must be a foldable literal")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def createAggregationBuffer(): PercentileExact.Buf =
+    new PercentileExact.Buf(Array.emptyDoubleArray, 0)
+
+  override def update(buf: PercentileExact.Buf,
+                      input: InternalRow): PercentileExact.Buf = {
+    val v = left.eval(input)
+    if (v != null) buf.append(v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(b1: PercentileExact.Buf,
+                     b2: PercentileExact.Buf): PercentileExact.Buf = {
+    b1.appendAll(b2)
+    b1
+  }
+
+  override def eval(buf: PercentileExact.Buf): Any = {
+    if (buf.n == 0) return null
+    val vs = buf.sortedValues()
+    val n = vs.length.toLong
+    val out = new Array[Double](percentages.length)
+    var i = 0
+    while (i < percentages.length) {
+      val p = percentages(i)
+      // minimal 1-based rank with rank/n >= p under the window's own
+      // double division; start at ceil(p*n), settle by the exact compare
+      var j = math.max(1L, math.min(n, math.ceil(p * n.toDouble).toLong))
+      while (j > 1L && (j - 1L).toDouble / n.toDouble >= p) j -= 1L
+      while (j < n && j.toDouble / n.toDouble < p) j += 1L
+      // peer correction: the window normalizes ±0.0 in its sort key, so a
+      // -0.0/0.0 run is ONE peer group whose every member carries the
+      // run-end cume_dist, and MIN then returns the run's smallest
+      // representation (-0.0, ordered first by Arrays.sort) — walk to the
+      // start of the numeric-equality run (primitive ==; a no-op for
+      // bit-identical ties, false for NaN)
+      var k = j
+      while (k > 1L && vs((k - 2L).toInt) == vs((k - 1L).toInt)) k -= 1L
+      out(i) = vs((k - 1L).toInt)
+      i += 1
+    }
+    if (returnArray) new GenericArrayData(out) else out(0)
+  }
+
+  override def serialize(buf: PercentileExact.Buf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.n * 8)
+    var i = 0
+    while (i < buf.n) { bb.putDouble(buf.arr(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): PercentileExact.Buf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bytes.length / 8
+    val arr = new Array[Double](n)
+    var i = 0
+    while (i < n) { arr(i) = bb.getDouble(); i += 1 }
+    new PercentileExact.Buf(arr, n)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): PercentileDiscExact =
+    copy(mutableAggBufferOffset = o)
+
+  override def withNewInputAggBufferOffset(o: Int): PercentileDiscExact =
+    copy(inputAggBufferOffset = o)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PercentileDiscExact =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "percentile_disc_exact"
 }

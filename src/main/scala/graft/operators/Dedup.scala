@@ -451,7 +451,13 @@ object Dedup {
   private def suffixCovered(docs: DataFrame, w: Int): DataFrame = {
     val base = docs.select(col("doc_id"), spanNormText.as("nt"))
     val toks = base.select(col("doc_id"), split(col("nt"), " ").as("ts"))
-    // corpus-wide pass: positional fps, strings-free (shared kernel)
+    // corpus-wide pass: positional fps, strings-free (shared kernel).
+    // r19 optimization note, measured NO: occFp feeds both the hot-fp
+    // aggregate and the hot-occurrence join, so the span_fps pass runs
+    // twice — but localCheckpointing it moved the isolated warm median
+    // not at all (2.85 s → 2.85 s at sf0.1): the fingerprint pass is
+    // cheap next to the explode/join tail, and the materialization cost
+    // cancels the recompute saved. Left recompute-shaped.
     val occFp = base.select(col("doc_id"),
       posexplode(expr(s"span_fps(nt, $w)")).as(Seq("i", "fp")))
     // occurrence count IS the site count the suffix semantic wants —

@@ -632,24 +632,30 @@ object Relational {
     * Implementation note: this is deliberately NOT the built-in
     * `percentile_disc` aggregate — Spark buffers the group's values once
     * PER aggregate expression, so asking for p50 and p95 sorts the data
-    * twice (measured 2.4–3.1 s at sf0.1). The cume_dist window form
-    * states the ANSI definition directly over ONE per-group sort and
-    * both cut-points fall out of the same pass (~2× cheaper), with
-    * bit-identical results — cume_dist is the same k/n division the
-    * builtin evaluates. */
-  def percentileDisc(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    * twice (measured 2.4–3.1 s at sf0.1). Through r18 this was the
+    * cume_dist window form (ONE per-group sort, both cut-points in one
+    * pass, ~2× cheaper); the r19 optimization round replaced that with
+    * the engine's `percentile_disc_exact` aggregate — one flat-buffer
+    * pass with mergeable partials, BOTH cut-points from one sorted
+    * array, and no per-group global window funneling each group through
+    * a single sort task (guide §2.4). Results are bit-identical to the
+    * window form (the rank pick replicates cume_dist's own k/n double
+    * division; equivalence argued at PercentileDiscExact and pinned in
+    * PercentileExactSpec); measured 1.45 s → 0.5 s isolated warm at
+    * sf0.1. */
+  def percentileDisc(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_extendedprice"))
-      .withColumn("cd", cume_dist().over(w))
       .groupBy(col("l_returnflag"))
       .agg(
-        min(when(col("cd") >= 0.5, col("l_extendedprice"))).as("p50_disc"),
-        min(when(col("cd") >= 0.95, col("l_extendedprice"))).as("p95_disc"),
+        expr("percentile_disc_exact(CAST(l_extendedprice AS DOUBLE), " +
+          "array(0.5D, 0.95D))").as("pd"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        col("pd").getItem(0).as("p50_disc"),
+        col("pd").getItem(1).as("p95_disc"),
+        col("n"))
       .orderBy("l_returnflag")
-  }
 
   /** Equi-depth histogram over the price column: k buckets holding ~n/k
     * rows each, bounded by the exact R-7 decile cut-points — the

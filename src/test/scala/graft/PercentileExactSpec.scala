@@ -82,6 +82,61 @@ class PercentileExactSpec extends AnyFunSuite {
     }
   }
 
+  test("percentile_disc_exact ≡ the cume_dist window form bitwise") {
+    // the r18 q_percentile_disc shape, stated literally — the aggregate
+    // must reproduce it bit-for-bit on the real corpus column
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    val ps = Seq(0.0, 0.1, 0.25, 1.0 / 3.0, 0.5, 0.7, 0.95, 0.99, 1.0)
+    val ref = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("cd", cume_dist().over(w))
+      .groupBy(col("l_returnflag"))
+      .agg(min(when(col("cd") >= ps.head, col("l_extendedprice")))
+          .as("r0"),
+        ps.tail.map(p =>
+          min(when(col("cd") >= p, col("l_extendedprice"))).as(s"r$p")): _*)
+      .collect().map(r => r.getString(0) ->
+        ps.indices.map(i => bits(r.getDouble(i + 1)))).toMap
+    val mineRows = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile_disc_exact(CAST(l_extendedprice AS DOUBLE), " +
+        s"array(${ps.map(p => s"${p}D").mkString(",")}))").as("pd"))
+      .collect()
+    assert(mineRows.nonEmpty)
+    mineRows.foreach { r =>
+      assert(r.getSeq[Double](1).map(bits) == ref(r.getString(0)),
+        s"disc mismatch for ${r.getString(0)}")
+    }
+  }
+
+  test("percentile_disc_exact edges: ties, ±0.0, singletons, tiny groups") {
+    val spark2 = spark
+    import spark2.implicits._
+    val data = Seq[(String, java.lang.Double)](
+      ("ties", 5.0), ("ties", 5.0), ("ties", 5.0), ("ties", 7.0),
+      ("zero", -0.0), ("zero", 0.0), ("zero", 1.0),
+      ("one", 42.0), ("two", 1.0), ("two", 2.0))
+      .toDF("g", "v")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("g").orderBy("v")
+    val ps = Seq(0.0, 0.2, 0.5, 2.0 / 3.0, 0.95, 1.0)
+    val ref = data
+      .withColumn("cd", cume_dist().over(w))
+      .groupBy("g")
+      .agg(min(when(col("cd") >= ps.head, col("v"))).as("r0"),
+        ps.tail.map(p => min(when(col("cd") >= p, col("v"))).as(s"r$p")): _*)
+      .collect().map(r => r.getString(0) ->
+        ps.indices.map(i => bits(r.getDouble(i + 1)))).toMap
+    data.groupBy("g")
+      .agg(expr("percentile_disc_exact(CAST(v AS DOUBLE), " +
+        s"array(${ps.map(p => s"${p}D").mkString(",")}))").as("pd"))
+      .collect().foreach { r =>
+        assert(r.getSeq[Double](1).map(bits) == ref(r.getString(0)),
+          s"disc mismatch for ${r.getString(0)}")
+      }
+  }
+
   test("repartitioning invariance (merge path exercised)") {
     val spark2 = spark
     import spark2.implicits._
