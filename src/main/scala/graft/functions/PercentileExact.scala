@@ -8,9 +8,133 @@ import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
+/** Shared machinery of the two exact-quantile aggregates
+  * ([[PercentileExact]] / [[PercentileDiscExact]]): a FLAT growable
+  * primitive-double buffer (append per row, concat on merge, ONE
+  * `Arrays.sort` per group at eval), plus the common percentage parsing,
+  * type checking and buffer (de)serialization — one copy, so a fix to
+  * any of it cannot reach one family and miss the other (the r19
+  * self-review finding). Only `evalSorted` differs per family.
+  *
+  * Validation parity with the built-ins: percentages must be a foldable
+  * DOUBLE or ARRAY<DOUBLE> literal with every value in [0, 1], rejected
+  * at ANALYSIS time (the built-in `percentile` does the same; failing
+  * only at executor eval would burn the full scan first). An empty
+  * percentage array evaluates to NULL — the built-in's
+  * `generateOutput(Seq.empty)` contract — as does an empty group.
+  */
+abstract class PercentileExactBase
+  extends TypedImperativeAggregate[PercentileExact.Buf]
+  with BinaryLike[Expression] {
+
+  def left: Expression
+  def right: Expression
+
+  protected final lazy val returnArray: Boolean =
+    right.dataType.isInstanceOf[ArrayType]
+
+  private def parsePercentages(): Array[Double] =
+    right.eval(null) match {
+      case a: ArrayData => a.toDoubleArray()
+      case d: java.lang.Double => Array(d.doubleValue())
+      case other => throw new IllegalArgumentException(
+        s"$prettyName: unexpected percentage value $other")
+    }
+
+  protected final lazy val percentages: Array[Double] = parsePercentages()
+
+  /** Family-specific pick over the group's ascending-sorted values. */
+  protected def evalSorted(sorted: Array[Double], p: Double): Double
+
+  override def dataType: DataType =
+    if (returnArray) ArrayType(DoubleType, containsNull = false)
+    else DoubleType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val okChild = left.dataType == DoubleType
+    val okPct = right.dataType match {
+      case DoubleType => true
+      case ArrayType(DoubleType, false) => true
+      case _ => false
+    }
+    if (!okChild) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a DOUBLE column (wrap with CAST), got " +
+        left.dataType.simpleString)
+    else if (!okPct) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects DOUBLE or ARRAY<DOUBLE> percentages, got " +
+        right.dataType.simpleString)
+    else if (!right.foldable) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: percentages must be a foldable literal")
+    else {
+      // analysis-time range check (built-in parity): right is foldable,
+      // so the values are known here — an out-of-range percentage must
+      // not cost a full scan before failing on an executor
+      val ps = parsePercentages()
+      if (ps.forall(p => p >= 0.0 && p <= 1.0))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: percentages must be in [0, 1], got " +
+          ps.mkString("[", ", ", "]"))
+    }
+  }
+
+  override def createAggregationBuffer(): PercentileExact.Buf =
+    new PercentileExact.Buf(Array.emptyDoubleArray, 0)
+
+  override def update(buf: PercentileExact.Buf,
+                      input: InternalRow): PercentileExact.Buf = {
+    val v = left.eval(input)
+    if (v != null) buf.append(v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(b1: PercentileExact.Buf,
+                     b2: PercentileExact.Buf): PercentileExact.Buf = {
+    b1.appendAll(b2)
+    b1
+  }
+
+  override final def eval(buf: PercentileExact.Buf): Any = {
+    // built-in parity: empty group OR empty percentage array → NULL
+    // (PercentileBase.generateOutput returns null for an empty result seq)
+    if (buf.n == 0 || percentages.isEmpty) return null
+    val vs = buf.sortedValues()
+    val out = new Array[Double](percentages.length)
+    var i = 0
+    while (i < percentages.length) {
+      out(i) = evalSorted(vs, percentages(i))
+      i += 1
+    }
+    if (returnArray) new GenericArrayData(out) else out(0)
+  }
+
+  override def serialize(buf: PercentileExact.Buf): Array[Byte] = {
+    val bytes = buf.n.toLong * 8L
+    require(bytes <= Int.MaxValue,
+      s"$prettyName: partial buffer of ${buf.n} values exceeds the 2 GiB " +
+        "serialization limit — this group is far past the exact path's " +
+        "documented envelope; use approx_percentile (the 100 TB substitute)")
+    val bb = java.nio.ByteBuffer.allocate(bytes.toInt)
+    var i = 0
+    while (i < buf.n) { bb.putDouble(buf.arr(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): PercentileExact.Buf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bytes.length / 8
+    val arr = new Array[Double](n)
+    var i = 0
+    while (i < n) { arr(i) = bb.getDouble(); i += 1 }
+    new PercentileExact.Buf(arr, n)
+  }
+}
+
 /** percentile_exact(double_col, p | array(p...)) — the engine's exact R-7
   * percentile with a FLAT primitive buffer, result-identical to Spark's
-  * built-in `percentile` (pinned bitwise in RelationalSpec).
+  * built-in `percentile` (pinned bitwise in PercentileExactSpec).
   *
   * Why it exists (r19 optimization round, guide §1.2 "per-task work"):
   * Spark's `Percentile` is a TypedImperativeAggregate over an
@@ -20,9 +144,8 @@ import org.apache.spark.sql.types._
   * values are ~97% distinct (l_extendedprice at sf0.1) the counts map
   * buys nothing and the boxing dominates: the bounds pass of q_equidepth
   * alone measured 2.0 s of its 3.2 s total. This implementation appends
-  * raw doubles to a growable Array[Double] (no boxing, no per-row hashing),
-  * merges by concatenation, and sorts ONCE per group at eval — measured
-  * 3-5× faster on the exact-quantile catalog queries at sf0.1.
+  * raw doubles (no boxing, no per-row hashing) — measured 2.4–3.3× faster
+  * on the exact-quantile catalog queries at sf0.1.
   *
   * Result identity with the built-in (the oracle-gate invariant):
   *  - sort order: `java.util.Arrays.sort(double[])` orders -0.0 < 0.0 and
@@ -51,92 +174,10 @@ case class PercentileExact(
     right: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[PercentileExact.Buf]
-  with BinaryLike[Expression] {
+  extends PercentileExactBase {
 
-  private lazy val returnArray: Boolean =
-    right.dataType.isInstanceOf[ArrayType]
-
-  private lazy val percentages: Array[Double] = {
-    val v = right.eval(null)
-    val ps = v match {
-      case a: ArrayData => a.toDoubleArray()
-      case d: java.lang.Double => Array(d.doubleValue())
-      case other => throw new IllegalArgumentException(
-        s"percentile_exact: unexpected percentage value $other")
-    }
-    require(ps.forall(p => p >= 0.0 && p <= 1.0),
-      "percentile_exact: percentages must be in [0, 1]")
-    ps
-  }
-
-  override def dataType: DataType =
-    if (returnArray) ArrayType(DoubleType, containsNull = false)
-    else DoubleType
-
-  override def nullable: Boolean = true
-
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val okChild = left.dataType == DoubleType
-    val okPct = right.dataType match {
-      case DoubleType => true
-      case ArrayType(DoubleType, false) => true
-      case _ => false
-    }
-    if (!okChild) TypeCheckResult.TypeCheckFailure(
-      "percentile_exact expects a DOUBLE column (wrap with CAST), got " +
-        left.dataType.simpleString)
-    else if (!okPct) TypeCheckResult.TypeCheckFailure(
-      "percentile_exact expects DOUBLE or ARRAY<DOUBLE> percentages, got " +
-        right.dataType.simpleString)
-    else if (!right.foldable) TypeCheckResult.TypeCheckFailure(
-      "percentile_exact: percentages must be a foldable literal")
-    else TypeCheckResult.TypeCheckSuccess
-  }
-
-  override def createAggregationBuffer(): PercentileExact.Buf =
-    new PercentileExact.Buf(Array.emptyDoubleArray, 0)
-
-  override def update(buf: PercentileExact.Buf,
-                      input: InternalRow): PercentileExact.Buf = {
-    val v = left.eval(input)
-    if (v != null) buf.append(v.asInstanceOf[Double])
-    buf
-  }
-
-  override def merge(b1: PercentileExact.Buf,
-                     b2: PercentileExact.Buf): PercentileExact.Buf = {
-    b1.appendAll(b2)
-    b1
-  }
-
-  override def eval(buf: PercentileExact.Buf): Any = {
-    if (buf.n == 0) return null
-    val vs = buf.sortedValues()
-    val out = new Array[Double](percentages.length)
-    var i = 0
-    while (i < percentages.length) {
-      out(i) = PercentileExact.r7(vs, percentages(i))
-      i += 1
-    }
-    if (returnArray) new GenericArrayData(out) else out(0)
-  }
-
-  override def serialize(buf: PercentileExact.Buf): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(buf.n * 8)
-    var i = 0
-    while (i < buf.n) { bb.putDouble(buf.arr(i)); i += 1 }
-    bb.array()
-  }
-
-  override def deserialize(bytes: Array[Byte]): PercentileExact.Buf = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    val n = bytes.length / 8
-    val arr = new Array[Double](n)
-    var i = 0
-    while (i < n) { arr(i) = bb.getDouble(); i += 1 }
-    new PercentileExact.Buf(arr, n)
-  }
+  override protected def evalSorted(sorted: Array[Double], p: Double): Double =
+    PercentileExact.r7(sorted, p)
 
   override def withNewMutableAggBufferOffset(o: Int): PercentileExact =
     copy(mutableAggBufferOffset = o)
@@ -228,10 +269,15 @@ object PercentileExact {
   * division compare, so ulp cases (e.g. 0.95·n landing just above an
   * integer) resolve exactly as the window's comparison did. One peer
   * subtlety: the window's sort key is ±0.0-normalized
-  * (NormalizeFloatingNumbers), making a −0.0/0.0 run one peer group, and
-  * MIN then returns the run's smallest representation — mirrored by
-  * walking to the start of the numeric-equality run after the rank pick
-  * (pinned in PercentileExactSpec's ±0.0 edge case).
+  * (NormalizeFloatingNumbers), making a −0.0/0.0 run one peer group, so
+  * this aggregate walks to the start of the numeric-equality run after
+  * the rank pick and returns −0.0 — deterministically. The window form's
+  * MIN over such a run is encounter-order-dependent between the two zero
+  * representations (Min's double ordering treats them equal and keeps the
+  * first seen), so on a ±0-mixed column the two forms agree numerically
+  * but only this aggregate is bit-deterministic; on columns without −0.0
+  * (every catalog call site) they are bit-identical
+  * (PercentileExactSpec pins both statements).
   *
   * Null inputs are skipped (the catalog call site is a non-null column;
   * a null-bearing column would change n between the two formulations —
@@ -240,7 +286,7 @@ object PercentileExact {
   * Why: the window form funnels each group through one task to sort ALL
   * rows (guide §2.4 — a per-group global window), then aggregates the
   * ranked rows again. This is one pass, mergeable partials, and one
-  * flat sort per group at eval — measured 1.45 s → 0.5 s isolated warm
+  * flat sort per group at eval — measured 1.45 s → 0.6 s isolated warm
   * on q_percentile_disc at sf0.1, and no single-task group sort at any
   * scale. */
 case class PercentileDiscExact(
@@ -248,106 +294,24 @@ case class PercentileDiscExact(
     right: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[PercentileExact.Buf]
-  with BinaryLike[Expression] {
+  extends PercentileExactBase {
 
-  private lazy val returnArray: Boolean =
-    right.dataType.isInstanceOf[ArrayType]
-
-  private lazy val percentages: Array[Double] = {
-    val v = right.eval(null)
-    val ps = v match {
-      case a: ArrayData => a.toDoubleArray()
-      case d: java.lang.Double => Array(d.doubleValue())
-      case other => throw new IllegalArgumentException(
-        s"percentile_disc_exact: unexpected percentage value $other")
-    }
-    require(ps.forall(p => p >= 0.0 && p <= 1.0),
-      "percentile_disc_exact: percentages must be in [0, 1]")
-    ps
-  }
-
-  override def dataType: DataType =
-    if (returnArray) ArrayType(DoubleType, containsNull = false)
-    else DoubleType
-
-  override def nullable: Boolean = true
-
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val okChild = left.dataType == DoubleType
-    val okPct = right.dataType match {
-      case DoubleType => true
-      case ArrayType(DoubleType, false) => true
-      case _ => false
-    }
-    if (!okChild) TypeCheckResult.TypeCheckFailure(
-      "percentile_disc_exact expects a DOUBLE column (wrap with CAST), " +
-        "got " + left.dataType.simpleString)
-    else if (!okPct) TypeCheckResult.TypeCheckFailure(
-      "percentile_disc_exact expects DOUBLE or ARRAY<DOUBLE> percentages, " +
-        "got " + right.dataType.simpleString)
-    else if (!right.foldable) TypeCheckResult.TypeCheckFailure(
-      "percentile_disc_exact: percentages must be a foldable literal")
-    else TypeCheckResult.TypeCheckSuccess
-  }
-
-  override def createAggregationBuffer(): PercentileExact.Buf =
-    new PercentileExact.Buf(Array.emptyDoubleArray, 0)
-
-  override def update(buf: PercentileExact.Buf,
-                      input: InternalRow): PercentileExact.Buf = {
-    val v = left.eval(input)
-    if (v != null) buf.append(v.asInstanceOf[Double])
-    buf
-  }
-
-  override def merge(b1: PercentileExact.Buf,
-                     b2: PercentileExact.Buf): PercentileExact.Buf = {
-    b1.appendAll(b2)
-    b1
-  }
-
-  override def eval(buf: PercentileExact.Buf): Any = {
-    if (buf.n == 0) return null
-    val vs = buf.sortedValues()
-    val n = vs.length.toLong
-    val out = new Array[Double](percentages.length)
-    var i = 0
-    while (i < percentages.length) {
-      val p = percentages(i)
-      // minimal 1-based rank with rank/n >= p under the window's own
-      // double division; start at ceil(p*n), settle by the exact compare
-      var j = math.max(1L, math.min(n, math.ceil(p * n.toDouble).toLong))
-      while (j > 1L && (j - 1L).toDouble / n.toDouble >= p) j -= 1L
-      while (j < n && j.toDouble / n.toDouble < p) j += 1L
-      // peer correction: the window normalizes ±0.0 in its sort key, so a
-      // -0.0/0.0 run is ONE peer group whose every member carries the
-      // run-end cume_dist, and MIN then returns the run's smallest
-      // representation (-0.0, ordered first by Arrays.sort) — walk to the
-      // start of the numeric-equality run (primitive ==; a no-op for
-      // bit-identical ties, false for NaN)
-      var k = j
-      while (k > 1L && vs((k - 2L).toInt) == vs((k - 1L).toInt)) k -= 1L
-      out(i) = vs((k - 1L).toInt)
-      i += 1
-    }
-    if (returnArray) new GenericArrayData(out) else out(0)
-  }
-
-  override def serialize(buf: PercentileExact.Buf): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(buf.n * 8)
-    var i = 0
-    while (i < buf.n) { bb.putDouble(buf.arr(i)); i += 1 }
-    bb.array()
-  }
-
-  override def deserialize(bytes: Array[Byte]): PercentileExact.Buf = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    val n = bytes.length / 8
-    val arr = new Array[Double](n)
-    var i = 0
-    while (i < n) { arr(i) = bb.getDouble(); i += 1 }
-    new PercentileExact.Buf(arr, n)
+  override protected def evalSorted(sorted: Array[Double],
+                                    p: Double): Double = {
+    val n = sorted.length.toLong
+    // minimal 1-based rank with rank/n >= p under the window's own
+    // double division; start at ceil(p*n), settle by the exact compare
+    var j = math.max(1L, math.min(n, math.ceil(p * n.toDouble).toLong))
+    while (j > 1L && (j - 1L).toDouble / n.toDouble >= p) j -= 1L
+    while (j < n && j.toDouble / n.toDouble < p) j += 1L
+    // peer correction: the window normalizes ±0.0 in its sort key, so a
+    // -0.0/0.0 run is ONE peer group whose every member carries the
+    // run-end cume_dist — walk to the start of the numeric-equality run
+    // (primitive ==; a no-op for bit-identical ties, false for NaN) and
+    // return its smallest representation (-0.0 first under Arrays.sort)
+    var k = j
+    while (k > 1L && sorted((k - 2L).toInt) == sorted((k - 1L).toInt)) k -= 1L
+    sorted((k - 1L).toInt)
   }
 
   override def withNewMutableAggBufferOffset(o: Int): PercentileDiscExact =

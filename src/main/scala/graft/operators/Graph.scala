@@ -222,10 +222,10 @@ object Graph {
         .otherwise(struct(col("pb").as("u"), col("pa").as("w"),
           col("da").as("dw"))).as("o"))
       .select(col("o.u").as("u"), col("o.w").as("w"), col("o.dw").as("dw")))
-    val ow = oe
-    // wedges at the apex u: pairs of out-neighbors ordered by (deg, id)
-    val wedges = ow.select(col("u"), col("w").as("x"), col("dw").as("dx"))
-      .join(ow.select(col("u"), col("w").as("y"), col("dw").as("dy")), "u")
+    // wedges at the apex u: pairs of out-neighbors ordered by (deg, id) —
+    // both wedge sides and the closing join read the ONE materialized oe
+    val wedges = oe.select(col("u"), col("w").as("x"), col("dw").as("dx"))
+      .join(oe.select(col("u"), col("w").as("y"), col("dw").as("dy")), "u")
       .filter(col("dx") < col("dy") ||
         (col("dx") === col("dy") && col("x") < col("y")))
     val close = oe.select(col("u").as("x"), col("w").as("y"))

@@ -137,6 +137,46 @@ class PercentileExactSpec extends AnyFunSuite {
       }
   }
 
+  test("built-in parity: empty percentage array → NULL; out-of-range " +
+      "percentage rejected at analysis") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(1.0, 2.0, 3.0).toDF("v")
+    for (fn <- Seq("percentile_exact", "percentile_disc_exact")) {
+      // array_remove yields a foldable empty ARRAY<DOUBLE>: the built-in
+      // percentile returns NULL for it (generateOutput of an empty seq),
+      // so must we
+      val r = df.agg(
+        expr(s"$fn(CAST(v AS DOUBLE), array_remove(array(0.5D), 0.5D))"))
+        .collect()(0)
+      assert(r.isNullAt(0), s"$fn: empty percentage array must be NULL")
+      // out-of-range percentages must fail at ANALYSIS (the built-in's
+      // behavior) — not after a full scan on an executor
+      val e = intercept[Exception] {
+        df.agg(expr(s"$fn(CAST(v AS DOUBLE), 1.5D)")).collect()
+      }
+      assert(e.getMessage.contains("[0, 1]"), s"$fn: ${e.getMessage}")
+    }
+  }
+
+  test("disc ±0.0 run: deterministic -0.0 at any partitioning") {
+    // the window form's MIN over a ±0 peer run keeps the first-seen zero
+    // representation (encounter-order-dependent); the aggregate is pinned
+    // DETERMINISTIC instead: the run's smallest representation (-0.0),
+    // independent of partitioning — the stronger contract (scaladoc)
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(0.0, -0.0, 0.0, -0.0, 1.0).toDF("v")
+    for (parts <- Seq(1, 3, 5)) {
+      val r = df.repartition(parts)
+        .agg(expr("percentile_disc_exact(CAST(v AS DOUBLE), " +
+          "array(0.1D,0.5D,1.0D))"))
+        .collect()(0).getSeq[Double](0).map(bits)
+      assert(r == Seq(bits(-0.0), bits(-0.0), bits(1.0)),
+        s"parts=$parts: $r")
+    }
+  }
+
   test("repartitioning invariance (merge path exercised)") {
     val spark2 = spark
     import spark2.implicits._
