@@ -11,14 +11,15 @@ import graft.Tables
   * 01_DataMerge.R:69-89 is the same co-occurrence-within-a-key shape.)
   *
   * Scale shape (100 TB discipline):
-  *  - baskets are DISTINCT (order, part) pairs — the distinct collapses
-  *    duplicate lines map-side before any pair expansion;
-  *  - pair generation is an equi self-join on l_orderkey: both sides hash
-  *    to the same partitions, and AQE handles the build side; the
-  *    expansion per order is C(basket, 2), bounded by [[MaxBasket]] —
-  *    the same capped-expansion discipline as the LSH band joins (a
-  *    pathological mega-basket is excluded AND COUNTED, never allowed to
-  *    go quadratic);
+  *  - baskets are DISTINCT part sets per order (collect_set — the
+  *    distinct happens inside ONE partial-aggregating exchange on
+  *    l_orderkey, duplicate lines collapse map-side);
+  *  - pair generation is an IN-ROW combination expansion over each
+  *    sorted basket array (no self-join, no second shuffle of the kept
+  *    rows); the expansion per order is C(basket, 2), bounded by
+  *    [[MaxBasket]] — the same capped-expansion discipline as the LSH
+  *    band joins (a pathological mega-basket is excluded AND COUNTED,
+  *    never allowed to go quadratic);
   *  - supports/lift denominators are map-side-combinable counts; the
   *    final top-k is a TakeOrderedAndProject under a total order, never
   *    a global sort of the pair space. */
@@ -42,26 +43,32 @@ object Basket {
     * the MaxBasket=32 exclusion is otherwise a dead branch in every
     * gate. */
   def coPurchaseOf(lines: DataFrame): DataFrame = {
-    // r19 optimization round, measured NO: the initial physical plan
-    // re-derives items/kept per consumer (18 scans / 52 Exchanges in
-    // plans/r19/q_copurchase_before.txt), but localCheckpointing items
-    // and/or kept moved the isolated warm median 2.55 s → 2.6-2.7 s at
-    // sf0.1 — AQE's runtime exchange reuse already dedupes the identical
-    // distinct/join subtrees, so the eager materialization only added
-    // cost. Left recompute-shaped on that evidence (OPTIMIZATION_r19.md).
-    val items = lines
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val sized = items.groupBy("l_orderkey")
-      .agg(count(lit(1)).as("basket"))
-      .filter(col("basket") <= MaxBasket)
-      .select("l_orderkey")
-    val kept = items.join(sized, "l_orderkey")
-    val nOrders = sized.agg(count(lit(1)).as("n_orders"))
-    val itemFreq = kept.groupBy("l_partkey").agg(count(lit(1)).as("n_item"))
-    val pairs = kept.select(col("l_orderkey"), col("l_partkey").as("pa"))
-      .join(kept.select(col("l_orderkey"), col("l_partkey").as("pb")),
-        "l_orderkey")
-      .filter(col("pa") < col("pb"))
+    // r20 restructure (guide §2.4 — remove shuffles outright): ONE
+    // groupBy(l_orderkey) with collect_set replaces the former
+    // distinct → sized-join → kept cascade (whose plan re-derived
+    // items/kept per consumer: 18 scans / 18 Exchanges,
+    // plans/r20/q_copurchase_before.txt; an r19 localCheckpoint probe on
+    // items/kept was a measured NO, 2.55 → 2.6-2.7 s). collect_set IS
+    // the distinct at the basket grain, sort_array pins the in-basket
+    // order, and pair expansion happens IN-ROW over the sorted array —
+    // parts are distinct and ascending, so (parts[i], parts[j>i]) is
+    // exactly the pa < pb distinct pair set the self-join produced, with
+    // no second shuffle of the kept rows at all. Measured 2.53 → 1.87 s
+    // isolated warm at sf0.1 (DevProbe, 5-run medians); a lazy
+    // localCheckpoint on the basket frame probed within noise of the
+    // plain recompute (1.83 s) and is left out.
+    val baskets = lines.groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .filter(size(col("parts")) <= MaxBasket)
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    val itemFreq = baskets
+      .select(explode(col("parts")).as("l_partkey"))
+      .groupBy("l_partkey").agg(count(lit(1)).as("n_item"))
+    val pairs = baskets.select(explode(expr(
+      "flatten(transform(parts, (x, i) -> " +
+        "transform(slice(parts, i + 2, size(parts)), " +
+        "y -> struct(x AS pa, y AS pb))))")).as("pr"))
+      .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
       .groupBy("pa", "pb").agg(count(lit(1)).as("support"))
     pairs
       .join(itemFreq.select(col("l_partkey").as("pa"),

@@ -636,13 +636,22 @@ object Curation {
       .select(col("lang"), col("doc_id"),
         lcgDraw(col("doc_id"), 13L).as("h"))
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_g"))
+    // r20: joined (consumed by surv and the fallback pick) and surv
+    // (consumed by the certification count and the surviving-row pick)
+    // are each lazily localCheckpointed — the recompute tree re-scanned
+    // documents per consumer (18 scans / 9 Exchanges,
+    // plans/r20/q_stratified_before.txt). Measured 0.68 → 0.55 s
+    // isolated warm at sf0.1 (DevProbe 5-run medians; surv alone 0.60).
+    // Both frames are documents-sized narrow (lang, doc_id, h) rows.
     val joined = docs.join(broadcast(counts), "lang")
+      .localCheckpoint(eager = false)
     // threshold in truncating integer div (overflow-free at any n_g; a
     // stratum so large the div floors to 0 simply takes the fallback)
     val surv = joined.filter(col("h") <
       when(col("lang") === "zh",
         expr(s"(${8L * k * StratM}L) div (n_g * 32L)"))
         .otherwise(expr(s"(${8L * k * StratM}L) div n_g")))
+      .localCheckpoint(eager = false)
     val certified = surv.groupBy("lang").agg(count(lit(1)).as("s_g"))
       .filter(col("s_g") >= k.toLong).select("lang")
     val okRows = surv.join(broadcast(certified), Seq("lang"), "left_semi")

@@ -126,13 +126,32 @@ object Dedup {
   /** [[substringDedup]] over an arbitrary (doc_id, text) frame — split
     * out (like [[spanMaskOf]]) so DedupSpec can drive adversarial
     * corpora (padded, null-text) through the EXACT production plan. */
-  def substringDedupOf(docs: DataFrame, w: Int = SpanTokens): DataFrame = {
+  def substringDedupOf(docs: DataFrame, w: Int = SpanTokens): DataFrame =
+    substringDedupOf(docs, w, materialize = true)
+
+  /** [[substringDedupOf]] with the materialization seam exposed —
+    * `materialize = false` exists for PlanSpec only (the trianglesOf
+    * discipline), so the span_fps-kernel / no-cartesian / join-count pins
+    * can read the FULL logical shape: checkpoints hide executed subtrees
+    * behind ExistingRDD scans. */
+  private[graft] def substringDedupOf(docs: DataFrame, w: Int,
+                                      materialize: Boolean): DataFrame = {
+    def ckpt(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(eager = false) else df
     val base = docs.select(col("doc_id"), spanNormText.as("nt"))
     val toks = base.select(col("doc_id"), split(col("nt"), " ").as("ts"))
     // corpus-wide pass: positional fps off the normalized string via the
-    // strings-free O(len) kernel (shared with spanMaskOf)
-    val occFp = base.select(col("doc_id"),
-      posexplode(expr(s"span_fps(nt, $w)")).as(Seq("i", "fp")))
+    // strings-free O(len) kernel (shared with spanMaskOf). r20: lazily
+    // localCheckpointed — the kernel otherwise re-ran for each of its two
+    // consumers (hotness count + hot-occurrence join carry different
+    // exchange signatures, so AQE reuse cannot dedupe them); with the
+    // n_fp rederivation below this takes the plan from three span_fps
+    // corpus passes to ONE. Measured 3.18 → 2.25 s isolated warm at
+    // sf0.1 (DevProbe 5-run medians: ckpt alone 2.71, ckpt + n_fp
+    // rederivation 2.25). Lazy, not eager: the materialization runs
+    // inside the consuming action, no build-time barrier.
+    val occFp = ckpt(base.select(col("doc_id"),
+      posexplode(expr(s"span_fps(nt, $w)")).as(Seq("i", "fp"))))
     // occurrence-level hotness (no per-doc distinct — saves a corpus-wide
     // (doc_id, fp) exchange): ≥2 occurrences ⊇ ≥2 docs, and also ⊇ "fp
     // shared by ≥2 positions anywhere", which is what makes the n_spans
@@ -140,15 +159,15 @@ object Dedup {
     val hotFp = occFp.groupBy("fp").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("fp")
     // per-doc distinct-fp count == distinct-span count modulo in-doc fp
-    // collisions (corrected exactly below). Computed LOCALLY: every doc's
-    // fps live in one row before the posexplode, so array_distinct in the
-    // projection replaces a corpus-wide (doc_id, fp) distinct EXCHANGE —
-    // measured at sf0.1 (graft.ShuffleBytes), that exchange was most of
-    // a 422k→766k shuffle-record regression vs the string-assembling
-    // plan this kernel replaced
-    val nFp = base.select(col("doc_id"),
-      size(array_distinct(expr(s"span_fps(nt, $w)")))
-        .cast(LongType).as("n_fp"))
+    // collisions (corrected exactly below), off the MATERIALIZED occFp (span_fps
+    // always emits >= 1 fp per doc — short docs get their whole-text fp —
+    // so the posexplode is row-preserving at doc grain and every doc
+    // keeps its n_fp row). Until r20 this was a third span_fps run with a
+    // LOCAL array_distinct (chosen in r12 when occFp was recompute-shaped
+    // and a (doc_id, fp) exchange was pure addition); with occFp now
+    // checkpointed once, the exchange costs less than the kernel re-run.
+    val nFp = occFp.select("doc_id", "fp").distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
     // only hot occurrences assemble span strings; (doc, fp, span) distinct
     // IS the (doc, span) distinct grain — a span determines its fp
     val hotOcc = occFp.join(hotFp, "fp")
@@ -262,19 +281,39 @@ object Dedup {
     * the edge-case battery in DedupSpec can drive adversarial corpora
     * (empty/whitespace-only/single-token/short-hot docs) through the
     * EXACT production plan, not a test-local reimplementation. */
-  def spanMaskOf(docs: DataFrame, w: Int = SpanTokens): DataFrame = {
+  def spanMaskOf(docs: DataFrame, w: Int = SpanTokens): DataFrame =
+    spanMaskOf(docs, w, materialize = true)
+
+  /** [[spanMaskOf]] with the materialization seam exposed —
+    * `materialize = false` exists for PlanSpec only (the trianglesOf
+    * discipline), so the span_fps-kernel / no-cartesian / join-count pins
+    * can read the FULL logical shape: checkpoints hide executed subtrees
+    * behind ExistingRDD scans. */
+  private[graft] def spanMaskOf(docs: DataFrame, w: Int,
+                                materialize: Boolean): DataFrame = {
+    def ckpt(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(eager = false) else df
     val nt = spanNormText
-    val toks = docs.select(col("doc_id"), split(nt, " ").as("ts"))
+    // r20: BOTH corpus-wide frames lazily localCheckpointed — toks is
+    // consumed by the hot-occurrence join AND the final rewrite join,
+    // occFp by the hotness count AND the hot-occurrence join, and the
+    // consumers' exchange signatures differ, so AQE reuse dedupes
+    // neither: the normalization/split and the span_fps kernel each ran
+    // twice per query. Measured 4.91 → 2.88 s isolated warm at sf0.1
+    // (DevProbe 5-run medians: occFp ckpt alone 3.59, occFp + toks
+    // 2.88); lazy, so the materializations run inside the consuming
+    // action with no build-time barrier.
+    val toks = ckpt(docs.select(col("doc_id"), split(nt, " ").as("ts")))
     // phase 1 input: positional fps straight off the normalized string —
     // the `span_fps` kernel rolls every w-token span in O(len) per doc
     // (prefix polynomial hashes), so the ONLY corpus-wide pass builds no
     // span strings and no structs: (doc_id, i, fp) longs in, longs out.
     // posexplode's 0-based pos IS the token index (short docs emit their
     // single whole-text fp at i=0, word_ngrams' short-doc semantics)
-    val occFp = docs
+    val occFp = ckpt(docs
       .select(col("doc_id"), nt.as("nt"))
       .select(col("doc_id"),
-        posexplode(expr(s"span_fps(nt, $w)")).as(Seq("i", "fp")))
+        posexplode(expr(s"span_fps(nt, $w)")).as(Seq("i", "fp"))))
     // fp-level OCCURRENCE counts — deliberately no per-doc distinct:
     // "≥2 occurrences" is a lossless superset of "≥2 docs" (the exact
     // verify below holds the doc-level line), and skipping the distinct
@@ -897,7 +936,16 @@ object Dedup {
     * bucket and watch the cap's exact blast radius (near path only;
     * the content-hash exact path is cap-immune) through the production
     * plan. */
-  def incrementalDedupOf(hist: DataFrame, batch: DataFrame): DataFrame = {
+  def incrementalDedupOf(hist: DataFrame, batch0: DataFrame): DataFrame = {
+    // r20: the batch frame is consumed twice (the exact md5 probe and the
+    // anti-joined `rest` feeding signatures), re-deriving its three-way
+    // planted union each time; a lazy localCheckpoint materializes it
+    // once. Together with `fresh` below reading the already-checkpointed
+    // rs, measured 2.07 → 1.42 s isolated warm at sf0.1 (DevProbe 5-run
+    // medians: fresh-from-rs alone 1.65, plus this ckpt 1.42). In
+    // production the batch is a real ingest table, not a derived union —
+    // this materialization stands in for "read the staged batch once".
+    val batch = batch0.localCheckpoint(eager = false)
     // 1. exact: content-hash lookup against the history's hash index
     val histHash = hist.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("hid"))
@@ -925,8 +973,12 @@ object Dedup {
           >= 0.5)
       .groupBy(col("b").as("doc_id"))
       .agg(min(col("h")).as("hid"))
-    // 3. classify (exact/rest disjoint by construction; near ⊆ rest)
-    val fresh = rest.select("doc_id")
+    // 3. classify (exact/rest disjoint by construction; near ⊆ rest).
+    // fresh reads the already-CHECKPOINTED rs instead of re-deriving
+    // rest (r20): signatures is a pure projection — row-preserving — so
+    // the doc_id sets are identical, and the anti-join's probe side
+    // becomes a materialized scan instead of a recompute subtree.
+    val fresh = rs.select("doc_id")
       .join(near.select("doc_id"), Seq("doc_id"), "left_anti")
     exact.select(col("doc_id"), lit("exact_dup").as("status"),
         col("hid").as("matched_id"))

@@ -184,18 +184,29 @@ object Graph {
     * closing join — without materialization the initial physical plan held
     * 72 lineitem scans / 188 Exchanges (the catalog's worst recompute
     * tree; plans/r19/q_triangles_before.txt), so the production path
-    * localCheckpoints all three (the madOutliers/prefixSimJoin lifecycle
-    * argument; measured 3.3 s → 1.6 s isolated warm at sf0.1). All three
-    * frames are the BOUNDED graph artifacts the O(m^1.5) algorithm
-    * already assumes manageable: e is the supported edge list (two
-    * longs/row), deg one row per node, oe one row per edge.
+    * localCheckpoints e and oe — LAZILY since r20; see the body comment
+    * for the measured variant sweep. Both frames are BOUNDED graph
+    * artifacts the O(m^1.5) algorithm already assumes manageable: e is
+    * the supported edge list (two longs/row), oe one row per edge.
     * `materialize = false` exists for PlanSpec only, so the no-cartesian /
     * equi-join pins can read the FULL logical shape (checkpoints hide
     * executed subtrees behind ExistingRDD scans). */
   private[graft] def trianglesOf(spark: SparkSession, dir: String,
                                  materialize: Boolean): DataFrame = {
+    // r20 re-measure (the r19 verdict's "settle q_triangles"): LAZY
+    // checkpoints on e and oe only, deg left recompute-shaped. A
+    // 7-variant DevProbe sweep at BOTH driver core counts (isolated warm
+    // medians, sf0.1) read: r19's eager e+deg+oe 2.48 s @32c / 2.20 s
+    // @8c; no checkpoint 2.00 / 2.33; eager-oe-only (the verdict's
+    // hypothesis) 3.22 / 3.81 — the WORST variant, the stats/edge-count
+    // consumers recompute the whole e pipeline behind the oe barrier;
+    // lazy e+oe 1.77 / 1.67 — the winner at both. Lazy keeps the lineage
+    // truncation (one materialization per frame, shared by every
+    // consumer inside the one action) without eager's synchronous
+    // build-time barriers; deg is one cheap aggregate over the
+    // materialized e, and checkpointing it too measured +0.2 s.
     def ckpt(df: DataFrame): DataFrame =
-      if (materialize) df.localCheckpoint(eager = true) else df
+      if (materialize) df.localCheckpoint(eager = false) else df
     val items = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val e = ckpt(items.select(col("l_orderkey"), col("l_partkey").as("pa"))
@@ -205,9 +216,9 @@ object Graph {
       .groupBy("pa", "pb").agg(count(lit(1)).as("s"))
       .filter(col("s") >= TriSupport)
       .select("pa", "pb"))
-    val deg = ckpt(e.select(col("pa").as("v"))
+    val deg = e.select(col("pa").as("v"))
       .unionAll(e.select(col("pb").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("d")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
     // orient: src = endpoint with the smaller (degree, id) pair
     val withDeg = e
       .join(deg.select(col("v").as("pa"), col("d").as("da")), "pa")

@@ -298,9 +298,25 @@ object Relational {
   def winsorize(spark: SparkSession, dir: String): DataFrame = {
     val cents = Tables.orders(spark, dir)
       .select((money(col("o_totalprice")) * 100).cast(LongType).as("c"))
+    // r20: one percentile_exact ARRAY call replaces two separate built-in
+    // percentile aggregates — the built-in buffers (and boxes into its
+    // counts map) the column once PER aggregate expression, so both
+    // bounds paid a full buffer and sort each; the array form buffers and
+    // sorts once (the q_percentile discipline). Bit-identity of the
+    // CAST-to-double route: cents are exact decimal(18,2)·100 longs, far
+    // below 2^53, so the cast is value-exact, the sort order is the same
+    // numeric order, and the built-in's own interpolation already runs in
+    // double (PercentileBase.getPercentile converts its keys before the
+    // (higher-pos)·lo + (pos-lower)·hi step percentile_exact replicates
+    // literally). Measured 1.02 → 0.32 s isolated warm at sf0.1 (DevProbe
+    // 5-run medians); oracle hash-matched at all three SFs (r19 had
+    // skipped this reroute over exactly that cast question — settled by
+    // measurement + the oracle gate, the r19 verdict's item 7).
     val bounds = cents.agg(
-      round(expr("percentile(c, 0.05)")).cast(LongType).as("b_lo"),
-      round(expr("percentile(c, 0.95)")).cast(LongType).as("b_hi"))
+      expr("percentile_exact(CAST(c AS DOUBLE), array(0.05D, 0.95D))")
+        .as("bs"))
+      .select(round(col("bs").getItem(0)).cast(LongType).as("b_lo"),
+        round(col("bs").getItem(1)).cast(LongType).as("b_hi"))
     cents.crossJoin(broadcast(bounds))
       .select(col("c"), col("b_lo"), col("b_hi"),
         least(greatest(col("c"), col("b_lo")), col("b_hi")).as("w"))

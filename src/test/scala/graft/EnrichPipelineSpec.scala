@@ -30,14 +30,23 @@ class EnrichPipelineSpec extends AnyFunSuite {
     assert(out.forall(r => !r.getAs[Double]("calibrated_forecast").isNaN))
   }
 
-  test("e2e chain is one lineage: no disk checkpoint between enrich and fit") {
-    // the returned frame's plan must reach the orders parquet scan
-    // directly — a checkpoint/persisted-to-disk barrier would show as an
-    // RDDScan/LogicalRDD instead of the file scan
+  test("e2e enrich chain is one fused lineage; query reads ONE checkpoint") {
+    // the ENRICH chain itself must stay one fused plan reaching the
+    // orders parquet scan directly — no per-stage barriers inside it
+    val pd = graft.ml.E2eChain.dataset(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(pd.contains("Relation") && pd.contains("orders"), pd.take(2000))
+    assert(!pd.contains("LogicalRDD"), "per-stage barrier inside enrich")
+    // the QUERY materializes that chain exactly once (the r20 lazy
+    // localCheckpoint replacing cache — it truncates the enrich lineage
+    // for the gram/forecast/calibration consumers), so the returned
+    // frame's plan reads the single checkpointed frame, not a re-derived
+    // enrich tree
     val p = SparkEntry.queries("q_e2e")(spark, sf)
       .queryExecution.optimizedPlan.toString
-    assert(p.contains("Relation") && p.contains("orders"), p.take(2000))
-    assert(!p.contains("LogicalRDD"), "disk/RDD barrier found in e2e plan")
+    assert(p.contains("LogicalRDD"), p.take(2000))
+    assert(!p.contains("orders"), "q_e2e re-derived the enrich chain " +
+      "instead of reading its one checkpoint: " + p.take(2000))
   }
 
   test("chain fuses to one plan with pushed filters (no per-stage barriers)") {

@@ -60,41 +60,65 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("span mask: strings-free corpus pass (span_fps kernel), no cartesian") {
-    val p = plan("q_span_mask")
+    // the r20 lazy localCheckpoints on toks/occFp hide the corpus pass
+    // behind ExistingRDD scans in the production plan, so the
+    // strings-free and full-shape pins read the UNmaterialized logical
+    // form through the seam (the trianglesOf discipline)
+    val pf = graft.operators.Dedup
+      .spanMaskOf(graft.operators.Dedup.corpus(spark, sf),
+        graft.operators.Dedup.SpanTokens, materialize = false)
+      .queryExecution.explainString(FormattedMode)
     // the ONLY corpus-wide stage is the span_fps posexplode — the kernel
     // must survive into the physical plan (a rewrite back to the
     // transform+array_join form would silently restore the O(len·w)
     // string assembly this plan exists to avoid)
-    assert(p.contains("span_fps"), p)
+    assert(pf.contains("span_fps"), pf.take(1500))
     // hot-set joins are equi-joins; a cartesian here is the quadratic
     // blowup the fp-prune-then-verify discipline prevents
-    assert(nodeCount(p, "CartesianProduct") === 0, p)
-    assert(nodeCount(p, "BroadcastNestedLoopJoin") === 0, p)
+    assert(nodeCount(pf, "CartesianProduct") === 0, pf.take(1500))
+    assert(nodeCount(pf, "BroadcastNestedLoopJoin") === 0, pf.take(1500))
     // join count is exactly the declared shape: 4 logical joins (hotFp
     // prune, toks re-attach, hotSpan verify, covAgg left join) with the
     // hotOcc subtree's 2 internal joins appearing twice (verify + coverage
     // branches both rebuild it — the recompute-over-pin discipline).
     // Growth past 6 means a new join slipped into the hot path
-    assert(nodeCount(p, ".*Join") === 6, p)
+    assert(nodeCount(pf, ".*Join") === 6, pf.take(1500))
+    // ...and the PRODUCTION plan reads the two checkpointed frames
+    // (ExistingRDD scans) with the same no-cartesian discipline
+    val p = plan("q_span_mask")
+    assert(nodeCount(p, "Scan ExistingRDD") >= 2, p)
+    assert(nodeCount(p, "CartesianProduct") === 0, p)
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") === 0, p)
   }
 
   test("substring dedup: strings-free corpus pass (span_fps), no cartesian") {
-    val p = plan("q_substring_dedup")
+    // full logical shape through the materialize=false seam (see the span
+    // mask pin above for why)
+    val pf = graft.operators.Dedup
+      .substringDedupOf(graft.operators.Dedup.corpus(spark, sf),
+        graft.operators.Dedup.SpanTokens, materialize = false)
+      .queryExecution.explainString(FormattedMode)
     // since the r13 retrofit the work-list shares the rewrite's
     // strings-free corpus-wide stage: span_fps posexplode, 8-byte fps on
     // every corpus-wide exchange — a rewrite back to the
     // explode(word_ngrams)+rolling_fp(span) form would silently restore
     // the n·w span-string materialization on the only stage that touches
     // every doc
-    assert(p.contains("span_fps"), p)
-    assert(!p.contains("word_ngrams"), p)
-    assert(nodeCount(p, "CartesianProduct") === 0, p)
-    assert(nodeCount(p, "BroadcastNestedLoopJoin") === 0, p)
+    assert(pf.contains("span_fps"), pf.take(1500))
+    assert(!pf.contains("word_ngrams"), pf.take(1500))
+    assert(nodeCount(pf, "CartesianProduct") === 0, pf.take(1500))
+    assert(nodeCount(pf, "BroadcastNestedLoopJoin") === 0, pf.take(1500))
     // declared shape: 3 top-level joins (dup verify, corr left, final
     // left) + the 2-join hotOcc subtree (hotFp prune, toks re-attach)
-    // rebuilt by its 3 consumers — recompute-over-pin, same as the span
+    // rebuilt by its consumers — recompute-over-pin, same as the span
     // mask pin above. Growth past 9 means a new join slipped in
-    assert(nodeCount(p, ".*Join") === 9, p)
+    assert(nodeCount(pf, ".*Join") === 9, pf.take(1500))
+    // ...and the PRODUCTION plan reads the checkpointed occFp
+    // (ExistingRDD scans) with the same no-cartesian discipline
+    val p = plan("q_substring_dedup")
+    assert(nodeCount(p, "Scan ExistingRDD") >= 1, p)
+    assert(nodeCount(p, "CartesianProduct") === 0, p)
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") === 0, p)
   }
 
   test("suffix dedup: strings-free corpus pass (span_fps), local islands, " +
