@@ -74,6 +74,86 @@ object DevProbe {
         graft.operators.Dedup.prefixSimJoin(spark, sfDir)
       }
     }
+    // pj stage breakdown: rebuild the pipeline stage by stage so the
+    // 4.4 s attributes to tokenize/arr-build vs candidate join vs verify
+    if (want("pjb")) {
+      import graft.operators.Dedup
+      def toks0 = Dedup.corpus(spark, sfDir)
+        .filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), explode(array_distinct(
+          split(regexp_replace(lower(col("text")), "\\s+", " "), " ")))
+          .as("t"))
+        .filter(length(col("t")) > 0)
+      def arrOf(ck: Boolean) = {
+        val dfreq = toks0.groupBy("t").agg(count(lit(1)).as("df"))
+        val keyed = toks0.join(dfreq, "t")
+          .select(col("doc_id"),
+            format_string("%012d|%s", col("df"), col("t")).as("k"))
+        val a = keyed.groupBy("doc_id")
+          .agg(sort_array(collect_list(col("k"))).as("ks"))
+          .withColumn("s", size(col("ks")).cast(LongType))
+        if (ck) a.localCheckpoint(true) else a
+      }
+      def preOf(arr: DataFrame) = arr.select(col("doc_id"), col("s"),
+        posexplode(expr("slice(ks, 1, int(s - (9*s + 9) div 10 + 1))")))
+        .select(col("doc_id"), col("s"), (col("pos") + 1L).as("p"),
+          col("col").as("k"))
+      def candOf(pre: DataFrame) = pre.as("x").join(pre.as("y"),
+          col("x.k") === col("y.k") && col("x.doc_id") < col("y.doc_id") &&
+            col("x.s") * 9L <= col("y.s") * 10L &&
+            col("y.s") * 9L <= col("x.s") * 10L &&
+            lit(19L) * (lit(1L) +
+              least(col("x.s") - col("x.p"), col("y.s") - col("y.p"))) >=
+              lit(9L) * (col("x.s") + col("y.s")))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      time("pjb: tokenize+explode only") { toks0 }
+      time("pjb: dfreq only") {
+        toks0.groupBy("t").agg(count(lit(1)).as("df"))
+      }
+      time("pjb: arr build (incl eager ckpt)") { arrOf(true) }
+      time("pjb: arr -> cand (arr prebuilt)") {
+        val arr = arrOf(true); candOf(preOf(arr))
+      }
+      time("pjb: verify joins, sizes only (no arrays)") {
+        val arr = arrOf(true)
+        val cand = candOf(preOf(arr))
+        val av = arr.select(col("doc_id").as("a"), col("s").as("sa"))
+        val bv = arr.select(col("doc_id").as("b"), col("s").as("sb"))
+        cand.join(av, "a").join(bv, "b")
+          .filter(col("sa") * 10L >= (col("sa") + col("sb")) * 4L)
+          .select(col("a"), col("b"))
+      }
+      time("pjb: verify joins + arrays, no intersect") {
+        val arr = arrOf(true)
+        val cand = candOf(preOf(arr))
+        val av = arr.select(col("doc_id").as("a"), col("ks").as("ka"),
+          col("s").as("sa"))
+        val bv = arr.select(col("doc_id").as("b"), col("ks").as("kb"),
+          col("s").as("sb"))
+        cand.join(av, "a").join(bv, "b")
+          .withColumn("inter",
+            (size(col("ka")) + size(col("kb"))).cast(LongType))
+          .filter(col("inter") > 0L)
+          .select(col("a"), col("b"), col("inter"))
+      }
+      time("pjb: full minus rollup (pairs)") {
+        val arr = arrOf(true)
+        val cand = candOf(preOf(arr))
+        val av = arr.select(col("doc_id").as("a"), col("ks").as("ka"),
+          col("s").as("sa"))
+        val bv = arr.select(col("doc_id").as("b"), col("ks").as("kb"),
+          col("s").as("sb"))
+        cand.join(av, "a").join(bv, "b")
+          .withColumn("inter",
+            size(array_intersect(col("ka"), col("kb"))).cast(LongType))
+          .withColumn("uni", col("sa") + col("sb") - col("inter"))
+          .filter(col("inter") * 10L >= col("uni") * 9L)
+          .select(col("a"), col("b"),
+            round(col("inter").cast(DoubleType) /
+              col("uni").cast(DoubleType), 6).as("jac"))
+      }
+    }
 
     // sb/s4/id/e2/st: the winning r20 variants were promoted to the
     // production operators (see OPTIMIZATION_r20.md for the per-variant

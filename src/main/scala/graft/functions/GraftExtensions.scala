@@ -81,6 +81,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       SpanFps.info,
       cs => { val c = arity(2, "span_fps")(cs); SpanFps(c(0), c(1)) }))
     ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      SortedIntersectCount.info,
+      cs => { val c = arity(2, "sorted_intersect_count")(cs)
+              SortedIntersectCount(c(0), c(1)) }))
+    ext.injectFunction((
       FunctionIdentifier("repeat_stats"),
       RepeatStats.info,
       cs => { val c = arity(1, "repeat_stats")(cs); RepeatStats(c(0)) }))

@@ -781,3 +781,78 @@ object RepeatStats {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[RepeatStats].getName, "repeat_stats")
 }
+
+/** sorted_intersect_count(a, b) → BIGINT: |a ∩ b| of two ASCENDING-sorted,
+  * DISTINCT, non-null ARRAY<STRING> columns via a single merge walk —
+  * result-identical to `size(array_intersect(a, b))` on such inputs
+  * (array_intersect dedupes, but distinct inputs have nothing to dedupe),
+  * without hashing every element or materializing the intersection array.
+  *
+  * Why (r20, q_sim_join): the PPJoin verify computes |A∩B| per surviving
+  * candidate pair over each doc's sorted `%012d|token` key array.
+  * `array_intersect` builds a hash set of one side (a full byte-hash of
+  * every ~25-byte key) and allocates the intersection as a real array
+  * just to take its size — measured as ~2.5 s of the query's 4.4 s at
+  * sf0.1 (DevProbe stage breakdown: verify joins with arrays attached
+  * but no intersect, 1.08 s; with array_intersect, 3.65 s). The arrays
+  * are ALREADY sorted (sort_array pins the global token order for the
+  * prefix slice), so a merge walk counts the same intersection in
+  * O(|a|+|b|) byte-prefix comparisons with zero allocation.
+  *
+  * Element order is UTF8String.compareTo — the SAME binary ordering
+  * sort_array uses for StringType, so the walk never misses a match on
+  * arrays sort_array produced. Inputs violating the contract fail fast:
+  * a null element raises (upstream-bug discipline, like the span-dedup
+  * null-text raise) rather than returning a wrong count. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "sorted_intersect_count expects (array<string>, array<string>), " +
+          s"got ${left.dataType.simpleString} / ${right.dataType.simpleString}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCount.count(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SortedIntersectCount.count($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "sorted_intersect_count"
+}
+
+object SortedIntersectCount {
+  def count(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      if (a.isNullAt(i) || b.isNullAt(j))
+        throw new IllegalArgumentException(
+          "sorted_intersect_count: null element (inputs must be " +
+            "sorted, distinct, non-null arrays)")
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1L; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[SortedIntersectCount].getName, "sorted_intersect_count")
+}

@@ -1415,9 +1415,16 @@ object Dedup {
       col("s").as("sa"))
     val bv = arr.select(col("doc_id").as("b"), col("ks").as("kb"),
       col("s").as("sb"))
+    // r20: |A∩B| via the sorted_intersect_count merge kernel — the ks
+    // arrays are already sort_array'd (the prefix slice needs the global
+    // order), so the count needs no hashing and no materialized
+    // intersection array. Result-identical to size(array_intersect) on
+    // sorted distinct inputs (pinned in StringsSpec); a DevProbe stage
+    // breakdown attributed ~2.5 s of this query's 4.4 s to
+    // array_intersect alone (verify joins with arrays attached but no
+    // intersect: 1.08 s; with array_intersect: 3.65 s).
     val pairs = cand.join(av, "a").join(bv, "b")
-      .withColumn("inter",
-        size(array_intersect(col("ka"), col("kb"))).cast(LongType))
+      .withColumn("inter", expr("sorted_intersect_count(ka, kb)"))
       .withColumn("uni", col("sa") + col("sb") - col("inter"))
       .filter(col("inter") * 10L >= col("uni") * 9L)
       .select(col("a"), col("b"),

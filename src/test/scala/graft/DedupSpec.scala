@@ -977,6 +977,49 @@ class DedupSpec extends AnyFunSuite {
     assert(got.values.exists(v => v._3 < 1.0))
   }
 
+  test("sorted_intersect_count == size(array_intersect) on sorted distinct " +
+    "arrays (real corpus keys + edges)") {
+    import graft.operators.Dedup
+    // real data: every consecutive pair of the sim-join's own sorted key
+    // arrays — the exact input population the kernel replaced
+    // array_intersect for (r20)
+    val toks = Dedup.corpus(spark, sf)
+      .filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), explode(array_distinct(
+        split(regexp_replace(lower(col("text")), "\\s+", " "), " ")))
+        .as("t"))
+      .filter(length(col("t")) > 0)
+    val dfreq = toks.groupBy("t").agg(count(lit(1)).as("df"))
+    val arr = toks.join(dfreq, "t")
+      .select(col("doc_id"),
+        format_string("%012d|%s", col("df"), col("t")).as("k"))
+      .groupBy("doc_id").agg(sort_array(collect_list(col("k"))).as("ks"))
+      .orderBy("doc_id").limit(200)
+    val rows = arr.collect().map(_.getSeq[String](1))
+    val pairs = rows.sliding(2).filter(_.length == 2).toSeq
+    assert(pairs.nonEmpty)
+    val spark2 = spark
+    import spark2.implicits._
+    val df = pairs.map(p => (p(0), p(1))).toDF("a", "b")
+      .select(expr("sorted_intersect_count(a, b)").as("fast"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .collect()
+    df.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    assert(df.exists(_.getLong(0) > 0), "vacuous: no overlapping pair")
+    // edge shapes: empty/disjoint/identical/subset/single
+    val edges = Seq(
+      (Seq.empty[String], Seq.empty[String]),
+      (Seq.empty[String], Seq("a", "b")),
+      (Seq("a", "b", "c"), Seq("d", "e")),
+      (Seq("a", "b", "c"), Seq("a", "b", "c")),
+      (Seq("a", "c"), Seq("a", "b", "c", "d")),
+      (Seq("x"), Seq("x"))).toDF("a", "b")
+      .select(expr("sorted_intersect_count(a, b)").as("fast"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .collect()
+    edges.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("minhash accuracy audit: slot recount, unbiasedness band, coverage") {
     import graft.operators.Dedup
     val rows = SparkEntry.queries("q_mh_accuracy")(spark, sf).collect()
