@@ -653,7 +653,17 @@ object Streaming {
       if (progs.isEmpty) 0L
       else progs.map(_.stateOperators.map(_.memoryUsedBytes).sum).max
     runStateQueue.get().add(RunStateStats(name, batches, rows, bytes))
+    // dev instrument (r20 streaming-floor breakdown): keep the raw
+    // progress JSON of the most recent run so graft.StreamProbe can
+    // attribute micro-batch wall-clock to state commit vs compute vs
+    // offset-log constants. Read-only telemetry; no driver surface
+    // consumes it.
+    lastRunProgressJson = progs.map(_.json).toList
   }
+
+  /** Raw StreamingQueryProgress JSON of the most recent completed run —
+    * populated by [[recordRunState]] for the StreamProbe dev instrument. */
+  @volatile private[graft] var lastRunProgressJson: List[String] = Nil
 
   /** Stage the documents table into its own landing directory (separate
     * from the events landing — a file-stream source reads every file in

@@ -73,12 +73,92 @@ class PercentileExactSpec extends AnyFunSuite {
     rows.foreach { r =>
       (r.isNullAt(1), r.isNullAt(2)) match {
         case (true, true) => () // all-null group: both NULL
+        case (false, false) if r.getString(0) == "zero" =>
+          // ±0-mixed scope (ADVICE r19): the built-in's counts map keeps
+          // the FIRST-SEEN zero representation, so its bit pattern here
+          // is encounter-order/partitioning dependent — compare the zero
+          // group NUMERICALLY, and pin OUR deterministic -0.0 below
+          val (a, b) = (r.getSeq[Double](1), r.getSeq[Double](2))
+          assert(a.length == b.length &&
+            a.zip(b).forall { case (x, y) => x == y },
+            s"numeric mismatch for zero group: $a vs $b")
+          // mixed-zero ties resolve to the run's smallest representation
+          assert(bits(b.head) == bits(-0.0),
+            s"p=0 over a -0.0-bearing group must be -0.0, got ${b.head}")
         case (false, false) =>
           assert(r.getSeq[Double](1).map(bits) == r.getSeq[Double](2).map(bits),
             s"mismatch for group ${r.getString(0)}: " +
               s"${r.getSeq[Double](1)} vs ${r.getSeq[Double](2)}")
         case other => fail(s"null-ness mismatch for ${r.getString(0)}: $other")
       }
+    }
+  }
+
+  test("counts-compaction path ≡ plain path bitwise (forced threshold)") {
+    // the r20 scale-robustness fallback (ADVICE r19 medium): when a
+    // buffer's flat tail reaches CompactThreshold it folds into a
+    // (value, count) RLE; this drives that path with a tiny threshold
+    // over the real corpus column AND the edge shapes and pins bitwise
+    // identity against the plain flat path (the oracle-gated default)
+    val spark2 = spark
+    import spark2.implicits._
+    val before = graft.functions.PercentileExact.CompactThreshold
+    try {
+      graft.functions.PercentileExact.CompactThreshold = 64
+      val ps = "array(0.0D,0.1D,0.25D,0.5D,0.75D,0.9D,0.95D,1.0D)"
+      // low-cardinality (compaction productive) and near-distinct
+      // (adaptive noCompact kicks in) columns, grouped and global
+      val li = Tables.lineitem(spark, sf)
+      val got = li.groupBy("l_returnflag")
+        .agg(
+          expr(s"percentile_exact(CAST(l_discount AS DOUBLE), $ps)").as("lo"),
+          expr(s"percentile_exact(CAST(l_extendedprice AS DOUBLE), $ps)")
+            .as("hi"),
+          expr("percentile_disc_exact(CAST(l_extendedprice AS DOUBLE), " +
+            s"$ps)").as("dc"))
+        .orderBy("l_returnflag").collect()
+      graft.functions.PercentileExact.CompactThreshold = before
+      val ref = li.groupBy("l_returnflag")
+        .agg(
+          expr(s"percentile_exact(CAST(l_discount AS DOUBLE), $ps)").as("lo"),
+          expr(s"percentile_exact(CAST(l_extendedprice AS DOUBLE), $ps)")
+            .as("hi"),
+          expr("percentile_disc_exact(CAST(l_extendedprice AS DOUBLE), " +
+            s"$ps)").as("dc"))
+        .orderBy("l_returnflag").collect()
+      assert(got.length == ref.length && got.nonEmpty)
+      got.zip(ref).foreach { case (g, e) =>
+        for (c <- 1 to 3)
+          assert(g.getSeq[Double](c).map(bits) == e.getSeq[Double](c).map(bits),
+            s"compacted path diverged: group ${g.getString(0)} col $c")
+      }
+      // edge shapes through the compacted path: ±0 runs crossing
+      // compaction boundaries, ties, a singleton
+      graft.functions.PercentileExact.CompactThreshold = 4
+      val edge = (Seq.fill(40)(-0.0) ++ Seq.fill(40)(0.0) ++
+        Seq.fill(13)(5.0) ++ Seq(7.0, 42.0)).toDF("v")
+        .agg(
+          expr("percentile_exact(CAST(v AS DOUBLE), " +
+            "array(0.0D,0.2D,0.4D,0.41D,0.5D,0.86D,1.0D))").as("pe"),
+          expr("percentile_disc_exact(CAST(v AS DOUBLE), " +
+            "array(0.0D,0.2D,0.4D,0.41D,0.5D,0.86D,1.0D))").as("pd"))
+        .collect()(0)
+      graft.functions.PercentileExact.CompactThreshold = before
+      val edgeRef = (Seq.fill(40)(-0.0) ++ Seq.fill(40)(0.0) ++
+        Seq.fill(13)(5.0) ++ Seq(7.0, 42.0)).toDF("v")
+        .agg(
+          expr("percentile_exact(CAST(v AS DOUBLE), " +
+            "array(0.0D,0.2D,0.4D,0.41D,0.5D,0.86D,1.0D))").as("pe"),
+          expr("percentile_disc_exact(CAST(v AS DOUBLE), " +
+            "array(0.0D,0.2D,0.4D,0.41D,0.5D,0.86D,1.0D))").as("pd"))
+        .collect()(0)
+      for (c <- 0 to 1)
+        assert(edge.getSeq[Double](c).map(bits) ==
+          edgeRef.getSeq[Double](c).map(bits),
+          s"edge col $c: ${edge.getSeq[Double](c)} vs " +
+            s"${edgeRef.getSeq[Double](c)}")
+    } finally {
+      graft.functions.PercentileExact.CompactThreshold = before
     }
   }
 
@@ -156,6 +236,15 @@ class PercentileExactSpec extends AnyFunSuite {
         df.agg(expr(s"$fn(CAST(v AS DOUBLE), 1.5D)")).collect()
       }
       assert(e.getMessage.contains("[0, 1]"), s"$fn: ${e.getMessage}")
+      // a foldable NULL percentage must also fail CLEANLY at analysis
+      // (ADVICE r19: it previously escaped the type checks and threw a
+      // raw IllegalArgumentException from parsePercentages)
+      val en = intercept[Exception] {
+        df.agg(expr(s"$fn(CAST(v AS DOUBLE), CAST(NULL AS DOUBLE))"))
+          .collect()
+      }
+      assert(en.getMessage.contains("must not be null"),
+        s"$fn: ${en.getMessage}")
     }
   }
 
