@@ -183,6 +183,40 @@ object DevProbe {
         graft.operators.Curation.stratifiedSample(spark, sfDir)
       }
     }
+    if (want("x")) {
+      time("x: current (occFp + toks lazy-ckpt)") {
+        graft.operators.Dedup.suffixDedup(spark, sfDir)
+      }
+    }
+    if (want("an")) {
+      def epochDay(c: org.apache.spark.sql.Column) =
+        datediff(c.cast(DateType), lit("1970-01-01").cast(DateType))
+          .cast(LongType)
+      def anomalyVariant(ckptDaily: Boolean): DataFrame = {
+        val daily0 = Tables.events(spark, sfDir)
+          .select(col("event_id"), epochDay(col("ts")).as("d"))
+          .filter(!(col("d") % 16 === 5 && col("event_id") % 4 =!= 0))
+          .groupBy("d").agg(count(lit(1)).as("n"))
+        val daily = if (ckptDaily) daily0.localCheckpoint(eager = false)
+                    else daily0
+        val med = daily.agg(
+          expr("percentile(CAST(n AS DOUBLE), 0.5)").as("med"))
+        val dev = daily.crossJoin(broadcast(med))
+          .select(col("d"), col("n"), col("med"),
+            abs(col("n").cast(DoubleType) - col("med")).as("dev"))
+        val mad = dev.agg(
+          expr("percentile(CAST(dev AS DOUBLE), 0.5)").as("mad"))
+        dev.crossJoin(broadcast(mad))
+          .select(col("d").as("epoch_day"), col("n"),
+            round(col("med"), 4).as("median"),
+            round(col("mad"), 4).as("mad"),
+            (col("dev") > lit(3.0) * lit(1.4826) * col("mad"))
+              .cast(LongType).as("is_anomaly"))
+          .orderBy("epoch_day")
+      }
+      time("an: current (recompute)") { anomalyVariant(false) }
+      time("an: daily lazy-ckpt") { anomalyVariant(true) }
+    }
     if (want("wi")) {
       time("wi: current (percentile_exact array bounds)") {
         graft.operators.Relational.winsorize(spark, sfDir)

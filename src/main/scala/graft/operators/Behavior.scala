@@ -879,11 +879,23 @@ object Behavior {
     * runs on the days-sized table — bounded by the calendar, not event
     * volume. */
   def seriesAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    // r20: the daily frame is consumed by the median aggregate AND the
+    // deviation projection (which itself feeds the MAD aggregate and the
+    // final output) — recompute-shaped, the events scan + daily count ran
+    // three times per query. A lazy localCheckpoint materializes it once;
+    // the frame is CALENDAR-bounded (one row per day — 30 at sf0.1, a few
+    // thousand at any horizon), so the state is trivially safe at scale.
+    // Measured 0.85 → 0.55 s isolated warm at sf0.1 (DevProbe 5-run
+    // medians). The two medians stay on the built-in percentile: they run
+    // over this days-sized frame, where the r19/r20 flat-buffer argument
+    // has nothing to win (the VERDICT item-7 re-check, measured at sf0.1:
+    // 30 input rows).
     val daily = Tables.events(spark, dir)
       .select(col("event_id"),
         epochDay(col("ts")).as("d"))
       .filter(!(col("d") % 16 === 5 && col("event_id") % 4 =!= 0))
       .groupBy("d").agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
     val med = daily.agg(expr("percentile(CAST(n AS DOUBLE), 0.5)").as("med"))
     val dev = daily.crossJoin(broadcast(med))
       .select(col("d"), col("n"), col("med"),

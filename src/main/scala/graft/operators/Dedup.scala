@@ -487,18 +487,24 @@ object Dedup {
     * positions covered by any ≥2-site repeated w-span — one definition so
     * the report and the rewrite can never disagree on what is removed
     * (the substringDedup/spanMask r12 lesson, applied up front). */
-  private def suffixCovered(docs: DataFrame, w: Int): DataFrame = {
+  private[graft] def suffixCovered(docs: DataFrame, w: Int,
+                                   materialize: Boolean = true): DataFrame = {
+    // materialize = false exists for PlanSpec only (the trianglesOf
+    // discipline): checkpoints hide executed subtrees behind ExistingRDD
+    // scans, so the strings-free/join-count pins read the full shape.
+    def ckpt(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(eager = false) else df
     val base = docs.select(col("doc_id"), spanNormText.as("nt"))
-    val toks = base.select(col("doc_id"), split(col("nt"), " ").as("ts"))
-    // corpus-wide pass: positional fps, strings-free (shared kernel).
-    // r19 optimization note, measured NO: occFp feeds both the hot-fp
-    // aggregate and the hot-occurrence join, so the span_fps pass runs
-    // twice — but localCheckpointing it moved the isolated warm median
-    // not at all (2.85 s → 2.85 s at sf0.1): the fingerprint pass is
-    // cheap next to the explode/join tail, and the materialization cost
-    // cancels the recompute saved. Left recompute-shaped.
-    val occFp = base.select(col("doc_id"),
-      posexplode(expr(s"span_fps(nt, $w)")).as(Seq("i", "fp")))
+    // r20 re-probe of the r19 measured-NO (which tested an occFp
+    // checkpoint alone): with the LAZY checkpoints the sb/s4 restructures
+    // use, occFp alone is still a wash (3.1 → 2.8-3.1 s isolated warm at
+    // sf0.1, two 5-run probe rounds), but occFp AND toks together read
+    // 2.60/2.62 s vs 3.05/3.18 current in both rounds — promoted. Same
+    // bounded-artifact argument as spanMaskOf: toks is one row per doc,
+    // occFp token-count rows of (doc_id, i, fp) longs.
+    val toks = ckpt(base.select(col("doc_id"), split(col("nt"), " ").as("ts")))
+    val occFp = ckpt(base.select(col("doc_id"),
+      posexplode(expr(s"span_fps(nt, $w)")).as(Seq("i", "fp"))))
     // occurrence count IS the site count the suffix semantic wants —
     // ≥2 occurrences is the exact candidate condition, not a superset
     // proxy for a doc-level one (collisions still only ADD candidates;
@@ -525,8 +531,14 @@ object Dedup {
       .distinct()
   }
 
-  def suffixDedupOf(docs: DataFrame, w: Int = SpanTokens): DataFrame = {
-    val covered = suffixCovered(docs, w)
+  def suffixDedupOf(docs: DataFrame, w: Int = SpanTokens): DataFrame =
+    suffixDedupOf(docs, w, materialize = true)
+
+  /** [[suffixDedupOf]] with the coverage stage's materialization seam
+    * exposed — PlanSpec-only (see [[suffixCovered]]). */
+  private[graft] def suffixDedupOf(docs: DataFrame, w: Int,
+                                   materialize: Boolean): DataFrame = {
+    val covered = suffixCovered(docs, w, materialize)
     // gaps-and-islands LOCALLY per doc: a position starts an interval iff
     // its predecessor position is absent, ends one iff its successor is.
     // CASE (not OR) around the element_at neighbor probes — ANSI mode
@@ -611,9 +623,15 @@ object Dedup {
     * as [[spanMaskOf]]'s rewrite tail: one (doc_id, p) exchange bounded
     * by duplicated content, then a narrow per-doc set-difference
     * rebuild (array_except — index order preserved, O(n) per doc). */
-  def suffixMaskOf(docs: DataFrame, w: Int = SpanTokens): DataFrame = {
+  def suffixMaskOf(docs: DataFrame, w: Int = SpanTokens): DataFrame =
+    suffixMaskOf(docs, w, materialize = true)
+
+  /** [[suffixMaskOf]] with the coverage stage's materialization seam
+    * exposed — PlanSpec-only (see [[suffixCovered]]). */
+  private[graft] def suffixMaskOf(docs: DataFrame, w: Int,
+                                  materialize: Boolean): DataFrame = {
     val toks = docs.select(col("doc_id"), split(spanNormText, " ").as("ts"))
-    val covAgg = suffixCovered(docs, w).groupBy("doc_id")
+    val covAgg = suffixCovered(docs, w, materialize).groupBy("doc_id")
       .agg(collect_set(col("p")).as("cov"))
     toks.join(covAgg, Seq("doc_id"), "left")
       .withColumn("cov", coalesce(col("cov"),

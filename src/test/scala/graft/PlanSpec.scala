@@ -123,19 +123,31 @@ class PlanSpec extends AnyFunSuite {
 
   test("suffix dedup: strings-free corpus pass (span_fps), local islands, " +
     "no cartesian") {
-    val p = plan("q_suffix_dedup")
+    // full logical shape through the materialize=false seam (the r20
+    // lazy checkpoints hide the corpus pass behind ExistingRDD scans in
+    // the production plan — the span/substring pin convention)
+    val pf = graft.operators.Dedup
+      .suffixDedupOf(graft.operators.Dedup.suffixCorpus(spark, sf),
+        graft.operators.Dedup.SpanTokens, materialize = false)
+      .queryExecution.explainString(FormattedMode)
     // same strings-free discipline as its span siblings: the only
     // corpus-wide stage is the span_fps posexplode
-    assert(p.contains("span_fps"), p)
-    assert(!p.contains("word_ngrams"), p)
-    assert(nodeCount(p, "CartesianProduct") === 0, p)
-    assert(nodeCount(p, "BroadcastNestedLoopJoin") === 0, p)
+    assert(pf.contains("span_fps"), pf.take(1500))
+    assert(!pf.contains("word_ngrams"), pf.take(1500))
+    assert(nodeCount(pf, "CartesianProduct") === 0, pf.take(1500))
+    assert(nodeCount(pf, "BroadcastNestedLoopJoin") === 0, pf.take(1500))
     // declared shape: 1 top-level join (repSpan verify → coverage) over
     // the 2-join hotOcc subtree (hotFp prune, toks re-attach), which the
     // verify and coverage branches each rebuild — recompute-over-pin,
     // the span-family convention. Growth past 5 means a new join
     // slipped into the hot path
-    assert(nodeCount(p, ".*Join") === 5, p)
+    assert(nodeCount(pf, ".*Join") === 5, pf.take(1500))
+    // ...and the PRODUCTION plan reads the two checkpointed frames with
+    // the same no-cartesian / no-window discipline
+    val p = plan("q_suffix_dedup")
+    assert(nodeCount(p, "Scan ExistingRDD") >= 2, p)
+    assert(nodeCount(p, "CartesianProduct") === 0, p)
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") === 0, p)
     // the interval assembly is per-doc LOCAL (sort_array + index-lambda
     // scan): a Window operator here would mean the gaps-and-islands fell
     // back to a corpus-wide row_number
@@ -145,18 +157,26 @@ class PlanSpec extends AnyFunSuite {
 
   test("suffix mask: shares the strings-free coverage stage, no cartesian, " +
     "no window") {
-    val p = graft.operators.Dedup.suffixMaskOf(
-      graft.operators.Dedup.suffixCorpus(spark, sf))
+    val pf = graft.operators.Dedup.suffixMaskOf(
+      graft.operators.Dedup.suffixCorpus(spark, sf),
+      graft.operators.Dedup.SpanTokens, materialize = false)
       .queryExecution.explainString(FormattedMode)
-    assert(p.contains("span_fps"), p)
-    assert(nodeCount(p, "CartesianProduct") === 0, p)
-    assert(nodeCount(p, "BroadcastNestedLoopJoin") === 0, p)
-    assert(nodeCount(p, "Window\\b") === 0, p)
+    assert(pf.contains("span_fps"), pf.take(1500))
+    assert(nodeCount(pf, "CartesianProduct") === 0, pf.take(1500))
+    assert(nodeCount(pf, "BroadcastNestedLoopJoin") === 0, pf.take(1500))
+    assert(nodeCount(pf, "Window\\b") === 0, pf.take(1500))
     // the suffix-dedup coverage shape (repSpan verify join over the
     // 2-join hotOcc subtree rebuilt by both branches = 5) plus the
     // rewrite's toks left join = 6. Growth past 6 means a new join
     // slipped into the rewrite path
-    assert(nodeCount(p, ".*Join") === 6, p)
+    assert(nodeCount(pf, ".*Join") === 6, pf.take(1500))
+    // production plan: checkpointed frames, same discipline
+    val p = graft.operators.Dedup.suffixMaskOf(
+      graft.operators.Dedup.suffixCorpus(spark, sf))
+      .queryExecution.explainString(FormattedMode)
+    assert(nodeCount(p, "Scan ExistingRDD") >= 2, p)
+    assert(nodeCount(p, "CartesianProduct") === 0, p)
+    assert(nodeCount(p, "Window\\b") === 0, p)
   }
 
   test("corr matrix is one partial+final aggregate pair, no join") {
