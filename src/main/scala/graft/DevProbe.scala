@@ -188,6 +188,87 @@ object DevProbe {
         graft.operators.Dedup.suffixDedup(spark, sfDir)
       }
     }
+    if (want("qn")) {
+      def qnVariant(ck: Boolean): DataFrame = {
+        val ps = (1 until 10).map(i => s"0.${i}D").mkString(", ")
+        val base0 = Tables.lineitem(spark, sfDir)
+          .select(col("l_returnflag").as("g"),
+            (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+              .cast(LongType).as("c"))
+        val base = if (ck) base0.localCheckpoint(eager = false) else base0
+        val cuts = base.groupBy("g")
+          .agg(expr(s"percentile_exact(CAST(c AS DOUBLE), array($ps))")
+            .as("bs"))
+        val cells = base.join(broadcast(cuts), "g")
+          .select(col("g"), col("c"),
+            (expr("size(filter(bs, b -> CAST(c AS DOUBLE) > b))") + 1)
+              .cast(LongType).as("decile"))
+          .groupBy("g", "decile")
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("decile")
+        cells
+          .withColumn("tn", sum(col("n")).over(w))
+          .withColumn("ts", sum(col("sc")).over(w))
+          .select(col("g"), col("decile"), col("n"),
+            round(col("sc").cast(DoubleType) / col("n").cast(DoubleType)
+              / 100.0, 4).as("group_mean"),
+            round(col("ts").cast(DoubleType) / col("tn").cast(DoubleType)
+              / 100.0, 4).as("ref_mean"),
+            round(col("ts").cast(DoubleType) / col("tn").cast(DoubleType)
+              / 100.0
+              - col("sc").cast(DoubleType) / col("n").cast(DoubleType)
+              / 100.0, 4).as("adjustment"))
+          .orderBy("g", "decile")
+      }
+      time("qn: current (recompute)") { qnVariant(false) }
+      time("qn: base lazy-ckpt") { qnVariant(true) }
+    }
+    if (want("eh")) {
+      def ehVariant(ck: Boolean): DataFrame = {
+        val ps = (1 until 10).map(i => s"0.${i}D").mkString(", ")
+        val li0 = Tables.lineitem(spark, sfDir)
+          .select(col("l_extendedprice").as("x"))
+        val li = if (ck) li0.localCheckpoint(eager = false) else li0
+        val bounds = li.agg(
+          expr(s"percentile_exact(CAST(x AS DOUBLE), array($ps))").as("bs"))
+        li.crossJoin(broadcast(bounds))
+          .select(col("x"),
+            (expr("size(filter(bs, b -> x > b))") + 1).cast(LongType)
+              .as("bucket"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            round(min(col("x")), 2).as("lo"),
+            round(max(col("x")), 2).as("hi"))
+          .orderBy("bucket")
+      }
+      time("eh: current (recompute)") { ehVariant(false) }
+      time("eh: x lazy-ckpt") { ehVariant(true) }
+    }
+    if (want("wi2")) {
+      def wiVariant(ck: Boolean): DataFrame = {
+        val cents0 = Tables.orders(spark, sfDir)
+          .select((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast(LongType).as("c"))
+        val cents = if (ck) cents0.localCheckpoint(eager = false) else cents0
+        val bounds = cents.agg(
+          expr("percentile_exact(CAST(c AS DOUBLE), array(0.05D, 0.95D))")
+            .as("bs"))
+          .select(round(col("bs").getItem(0)).cast(LongType).as("b_lo"),
+            round(col("bs").getItem(1)).cast(LongType).as("b_hi"))
+        cents.crossJoin(broadcast(bounds))
+          .select(col("c"), col("b_lo"), col("b_hi"),
+            least(greatest(col("c"), col("b_lo")), col("b_hi")).as("w"))
+          .groupBy("b_lo", "b_hi")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("c") < col("b_lo"), 1L).otherwise(0L))
+              .as("n_clip_lo"),
+            sum(when(col("c") > col("b_hi"), 1L).otherwise(0L))
+              .as("n_clip_hi"),
+            sum(col("w")).as("sum_winsorized_cents"))
+      }
+      time("wi2: current (recompute)") { wiVariant(false) }
+      time("wi2: cents lazy-ckpt") { wiVariant(true) }
+    }
     if (want("an")) {
       def epochDay(c: org.apache.spark.sql.Column) =
         datediff(c.cast(DateType), lit("1970-01-01").cast(DateType))

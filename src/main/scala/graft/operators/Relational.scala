@@ -852,10 +852,19 @@ object Relational {
     * identical doubles on both engines. */
   def quantileNorm(spark: SparkSession, dir: String): DataFrame = {
     val ps = (1 until 10).map(i => s"0.${i}D").mkString(", ")
+    // r20: base feeds both the cut-point aggregate and the decile
+    // assignment join, re-running the scan + decimal-cents projection
+    // twice; a lazy localCheckpoint materializes the narrow (g, c) frame
+    // once. Measured 1.91 → 1.59 s isolated warm at sf0.1 (DevProbe
+    // 5-run medians). The same probe on q_equidepth/q_winsorize (single
+    // numeric column, no group string, no decimal cast in the rescan)
+    // was within noise — recorded as measured NOs; only this call site
+    // pays enough per-scan projection to win.
     val base = Tables.lineitem(spark, dir)
       .select(col("l_returnflag").as("g"),
         (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
           .cast(LongType).as("c"))
+      .localCheckpoint(eager = false)
     val cuts = base.groupBy("g")
       .agg(expr(s"percentile_exact(CAST(c AS DOUBLE), array($ps))").as("bs"))
     val cells = base.join(broadcast(cuts), "g")

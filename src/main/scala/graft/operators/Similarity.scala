@@ -307,9 +307,16 @@ object Similarity {
     // localCheckpoint, not cache: the signature frame feeds the bucket
     // pass and both scoring sides; checkpoint blocks are GC-scoped,
     // a cache would pin in the CacheManager for the JVM's lifetime
-    // (durable `checkpoint` on a real cluster)
+    // (durable `checkpoint` on a real cluster). LAZY since r20: the
+    // eager barrier serialized signature materialization ahead of the
+    // single consuming action (q_embed_survivors read 3.6 -> 2.95 s
+    // isolated warm medians with it lazy; q_embed_neardup a wash). The
+    // ANN-index paths KEEP their eager checkpoints: q_ann_recall
+    // measured ~0.3 s WORSE lazy (its consumers fan out from the frame
+    // concurrently, and unmaterialized lazy blocks race), so this is a
+    // per-call-site decision, not a blanket one.
     val e = signatures(withNorm(corpus, dim), dim, bits, ndBandsFor(bits))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     val pairs = bucketPairs(e)
     val sa = e.select(col("vec_id").as("a"), col("embedding").as("q_emb"),
       col("norm").as("q_norm"))
